@@ -1,0 +1,68 @@
+"""The spine/harmonize pattern — the reference's signature operator.
+
+Reference semantics (cited into /root/reference/):
+  * ``utils/hgnc_symbol_template_func.R:3-10`` — ``spine``: from the master
+    gene table take the key column, drop NULLs, dedupe. The result is the
+    canonical ~20k-row dimension every annotation table is keyed by.
+  * The J1 pattern (SURVEY.md §2.5) — ``hgnc_symbol_template_func() %>%
+    left_join(x) %>% distinct()`` at ~25 call sites, e.g.
+    ``scripts/tidy/temp-tidy-all-api-ftp-files.R:19-21``: left-join a cleaned
+    source onto the spine (preserving every spine key, NULL-padding keys the
+    source lacks, fanning out on one-to-many) then full-row dedupe.
+
+Spark-first design note (scale): Spark's BroadcastHashJoin cannot build the
+*preserved* side of an outer join, so "broadcast the spine" is not a legal
+physical plan for ``spine LEFT JOIN source`` (HintErrorLogger confirms the
+hint is dropped). What actually keeps this pattern fast at 100 TB:
+
+  * in every reference use the source side is aggregated or deduped **by
+    the join key** immediately before the harmonize, so (a) the source side
+    has already collapsed to ≈|keys| rows — broadcastable — and (b) even in
+    the shuffle-join case, the exchange introduced by that groupBy hash-
+    partitions on the same key, and Catalyst reuses it for the join: one
+    shuffle total, not two.
+  * ``broadcast_source=True`` (default) hints the collapsed source side;
+    AQE will do the same automatically from runtime stats when the hint is
+    withheld.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["spine", "harmonize"]
+
+
+def spine(master: DataFrame, key: str) -> DataFrame:
+    """Canonical key dimension: distinct non-null ``key`` values.
+
+    Mirrors ``utils/hgnc_symbol_template_func.R:3-10`` (select → filter
+    !is.na → distinct). Output has exactly one column named ``key``.
+    """
+    return master.select(key).where(F.col(key).isNotNull()).distinct()
+
+
+def harmonize(
+    spine_df: DataFrame,
+    source: DataFrame,
+    key: str | list[str],
+    broadcast_source: bool = True,
+) -> DataFrame:
+    """Left-join ``source`` onto the spine and full-row dedupe (J1).
+
+    Mirrors the ``template %>% left_join(x) %>% distinct()`` idiom
+    (``scripts/tidy/temp-tidy-all-api-ftp-files.R:19-21`` et al.):
+
+    * every spine key survives exactly once per distinct source row,
+    * keys absent from ``source`` appear once with NULLs,
+    * one-to-many sources fan out (allowed, then full-row deduped).
+
+    Pass ``broadcast_source=False`` for sources that are still fact-table
+    sized at join time (high-fanout annotations); the plan then reuses the
+    source's existing key-partitioning — see module docstring.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    src = F.broadcast(source) if broadcast_source else source
+    joined = spine_df.join(src, on=keys, how="left")
+    return joined.dropDuplicates()

@@ -1,0 +1,91 @@
+"""Schema-repair & positional operators (SURVEY.md §1.2, §2.3 P3/P5–P8, §2.9 O4).
+
+The reference repairs messy source schemas by hand; these are the
+first-class equivalents. Row-position ops require a stable order, which
+Spark does not guarantee — the readers in ``sources.readers`` attach a
+file-order ``__row_id`` (single-file reads only) that these ops consume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ROW_ID = "__row_id"
+
+__all__ = [
+    "ROW_ID",
+    "select_positional",
+    "rename_all",
+    "reorder_first",
+    "fix_shifted_header",
+    "promote_first_row_to_header",
+    "drop_first_rows",
+    "with_row_id",
+]
+
+
+def with_row_id(df: DataFrame) -> DataFrame:
+    """Attach a file-order row id.
+
+    Valid only for single-file, single-partition reads (the reference's
+    row-order idioms all operate on one freshly-read file — ``TM:107-109``).
+    Coalesce to 1 partition so ``monotonically_increasing_id`` is dense and
+    ordered; acceptable because these files are small by construction, and
+    the op is never applied to fact tables.
+    """
+    return df.coalesce(1).withColumn(ROW_ID, F.monotonically_increasing_id())
+
+
+def select_positional(df: DataFrame, *positions: int) -> DataFrame:
+    """1-based ordinal projection — R's ``df[, c(1,17,19)]`` / ``select(7,5)``
+    (P3: ``TM:35``, ``T:251``)."""
+    cols = df.columns
+    return df.select(*[cols[p - 1] for p in positions])
+
+
+def rename_all(df: DataFrame, new_names: list[str]) -> DataFrame:
+    """Bulk positional rename — ``names(df) <- c(…)`` (P5: ``TM:81``)."""
+    if len(new_names) != len(df.columns):
+        raise ValueError(
+            f"rename_all: {len(new_names)} names for {len(df.columns)} columns"
+        )
+    return df.toDF(*new_names)
+
+
+def reorder_first(df: DataFrame, col: str) -> DataFrame:
+    """``select(col, everything())`` (P8: ``TM:57``)."""
+    return df.select(col, *[c for c in df.columns if c != col])
+
+
+def fix_shifted_header(df: DataFrame) -> DataFrame:
+    """Repair a header offset one column left (P6: ``T:504-508``).
+
+    The orthologs TSV's header names actually belong one column to the
+    right: drop the first header name, shift the rest left, name the last
+    column ``blank`` and drop it — byte-for-byte the reference's fix.
+    """
+    shifted = df.columns[1:] + ["blank"]
+    return df.toDF(*shifted).drop("blank")
+
+
+def promote_first_row_to_header(df: DataFrame) -> DataFrame:
+    """First data row becomes the header; that row is removed (P7+O4,
+    ``TM:107-109`` ``setNames(as.character(.[1,])) %>% slice(-1)``).
+
+    Requires :func:`with_row_id` order (attached here if absent). The
+    collect is a single row — driver-safe.
+    """
+    d = df if ROW_ID in df.columns else with_row_id(df)
+    first = d.orderBy(ROW_ID).limit(1).collect()[0]
+    names = [str(first[c]) for c in d.columns if c != ROW_ID]
+    rest = d.where(F.col(ROW_ID) > first[ROW_ID]).drop(ROW_ID)
+    return rest.toDF(*names)
+
+
+def drop_first_rows(df: DataFrame, n: int) -> DataFrame:
+    """``slice(-(1:n))`` — drop the first ``n`` file-order rows (O4)."""
+    d = df if ROW_ID in df.columns else with_row_id(df)
+    ids = [r[0] for r in d.select(ROW_ID).orderBy(ROW_ID).limit(n).collect()]
+    cutoff = max(ids) if ids else -1
+    return d.where(F.col(ROW_ID) > cutoff).drop(ROW_ID)

@@ -1,0 +1,59 @@
+"""SparkSession bootstrap with scale-ready defaults.
+
+The reference engine (R/tidyverse, eager single-node — see SURVEY.md §3)
+has no session concept; this module is the engine's single entry point for
+obtaining a correctly-configured SparkSession.
+
+Defaults are chosen for the 100 TB design target (SURVEY.md §4):
+  * AQE on — runtime join-strategy re-planning, skew-join splitting,
+    partition coalescing.
+  * Arrow on — any unavoidable pandas interchange is vectorized.
+  * shuffle partitions sized from the env (local test rig uses 32; a real
+    cluster overrides via ``spark.sql.shuffle.partitions`` in spark-submit).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = ["get_spark", "DEFAULT_CONFIG"]
+
+DEFAULT_CONFIG: dict[str, str] = {
+    # Adaptive execution: re-plan joins at runtime, coalesce tiny shuffle
+    # partitions, split skewed ones (hub-key skew: SURVEY.md §4 item 2).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Broadcast threshold: dimension tables (spine ~20k rows, nation,
+    # region, ID maps) must go broadcast; 64 MB is safe on 128 GiB heap.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Arrow for the pandas bridge (Excel reader, mapInPandas multimodal ops).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Read legacy/ns parquet timestamps without error.
+    "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
+    "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
+    # Keep partition files reasonably sized for the local rig; a cluster
+    # run would raise maxPartitionBytes to 256m+.
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    # Quieter driver.
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "gene-level-metadata-pipeline-spark") -> SparkSession:
+    """Return (or create) the engine's SparkSession.
+
+    Honors ``SPARK_GRAFT_CPUS`` for local parallelism (default 32) and sets
+    ``spark.sql.shuffle.partitions`` to match so small-SF runs don't pay for
+    200 empty reducers while cluster runs can override externally.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = SparkSession.builder.appName(app_name)
+    if not os.environ.get("SPARK_GRAFT_NO_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    builder = builder.config("spark.sql.shuffle.partitions", cpus)
+    for k, v in DEFAULT_CONFIG.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
