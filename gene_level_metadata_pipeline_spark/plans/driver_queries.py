@@ -414,3 +414,594 @@ def q_matrix_rowmean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_partkey").alias("gene"))
         .agg(_round_to(F.avg("l_extendedprice"), 3).alias("mean_score"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Phase 2 — scalar layer (X-series)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "scalar_regex",
+    oracle="""
+    SELECT p_partkey,
+           nullif(regexp_extract(p_brand, '#(\\d+)', 1), '') AS brand_num,
+           nullif(regexp_extract(p_name, '(\\d{6})', 1), '') AS missing6,
+           upper(substring(lower(p_type), 1, 1)) || substring(lower(p_type), 2) AS type_sentence,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS no_vowels,
+           coalesce(array_to_string(regexp_extract_all(p_name, 'r\\w+'), '; '), '') AS r_words,
+           string_split(p_name, ' ')[1] AS first_word,
+           trim('  ' || p_name || '  ') AS trimmed,
+           regexp_replace('ID' || p_partkey || '.' || p_size, '\\.[0-9]+$', '') AS id_unversioned
+    FROM part
+    """,
+)
+def q_scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2 prefix+version strip, X3 global replace, X7 extract with NULL
+    no-match, X9 extract-all joined, X11 token split, X12 trim, X13
+    sentence case (T:175, TW:60, T:387, T:356-363, TW:13, T:133-135)."""
+    from gene_level_metadata_pipeline_spark.functions.scalars import (
+        extract_all_joined,
+        extract_first,
+        sentence_case,
+        strip_version_suffix,
+    )
+
+    p = _t(spark, sf_dir, "part")
+    versioned = F.concat(
+        F.lit("ID"), F.col("p_partkey").cast("string"),
+        F.lit("."), F.col("p_size").cast("string"),
+    )
+    return p.select(
+        "p_partkey",
+        extract_first("p_brand", r"#(\d+)").alias("brand_num"),
+        extract_first("p_name", r"(\d{6})").alias("missing6"),
+        sentence_case("p_type").alias("type_sentence"),
+        F.regexp_replace("p_name", "[aeiou]", "").alias("no_vowels"),
+        extract_all_joined("p_name", r"r\w+").alias("r_words"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias("trimmed"),
+        strip_version_suffix(versioned).alias("id_unversioned"),
+    )
+
+
+@_register(
+    "recode_flag",
+    oracle="""
+    SELECT o_orderkey,
+           CASE o_orderpriority
+             WHEN '1-URGENT' THEN 'P1' WHEN '2-HIGH' THEN 'P2'
+             WHEN '3-MEDIUM' THEN 'P3' WHEN '4-NOT SPECIFIED' THEN 'P4'
+             ELSE 'P5' END AS priority_code,
+           CASE WHEN o_orderstatus IN ('F', 'P') THEN 'y' ELSE 'n' END AS done_flag
+    FROM orders
+    """,
+)
+def q_recode_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17 case_when recode + X16 %in% flag (T:420-431, T:486-491, T:255)."""
+    from gene_level_metadata_pipeline_spark.functions.scalars import flag_in, recode
+
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        recode(
+            "o_orderpriority",
+            {"1-URGENT": "P1", "2-HIGH": "P2", "3-MEDIUM": "P3",
+             "4-NOT SPECIFIED": "P4"},
+            default="P5",
+        ).alias("priority_code"),
+        flag_in("o_orderstatus", ["F", "P"]).alias("done_flag"),
+    )
+
+
+@_register(
+    "sentinel_roundtrip",
+    oracle="""
+    WITH raw AS (
+      SELECT p_partkey,
+             CASE WHEN p_size < 5 THEN '' ELSE p_brand END AS brand_sentinel
+      FROM part
+    )
+    SELECT p_partkey,
+           nullif(brand_sentinel, '') AS brand_null,
+           coalesce(nullif(brand_sentinel, ''), '-') AS brand_dash
+    FROM raw
+    """,
+)
+def q_sentinel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12/X18/X19 sentinel trinity: '' → NULL → '-' (T:17, T:411, T:451)."""
+    from gene_level_metadata_pipeline_spark.functions.scalars import fill_sentinel, nullify
+
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.when(F.col("p_size") < 5, F.lit("")).otherwise(F.col("p_brand")).alias("brand_sentinel"),
+    )
+    nulled = nullify(p, "", cols=["brand_sentinel"]).withColumnRenamed(
+        "brand_sentinel", "brand_null"
+    )
+    filled = fill_sentinel(
+        nulled.select("p_partkey", F.col("brand_null").alias("brand_dash")),
+        "-", cols=["brand_dash"],
+    )
+    return nulled.join(filled, "p_partkey")
+
+
+# ---------------------------------------------------------------------------
+# Phase 3 — reshape layer
+# ---------------------------------------------------------------------------
+
+@_register(
+    "pivot_wider_status",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_pivot_wider_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 pivot_wider long→wide (T:292-295). Pivot values passed explicitly
+    so Spark skips the extra distinct-scan to discover them (at 100 TB that
+    scan is a full pass over the fact table)."""
+    from gene_level_metadata_pipeline_spark.operators.reshape import pivot_wider
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus", F.lit(1).alias("one")
+    )
+    wide = pivot_wider(
+        o, ["o_orderpriority"], "o_orderstatus", "one",
+        agg="count", values=["F", "O", "P"],
+    )
+    return wide.na.fill(0, ["F", "O", "P"])
+
+
+@_register(
+    "kv_pivot_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS status,
+           o_orderpriority AS priority,
+           CAST(o_custkey AS VARCHAR) AS custkey
+    FROM orders
+    """,
+)
+def q_kv_pivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3/R4 round trip: wide → melt to (record_id, name, value) KV long
+    form → kv_pivot back to wide on the record id. Replaces the reference's
+    positional col-bind alignment (T:454-484) with order-independent
+    record-id discipline."""
+    from gene_level_metadata_pipeline_spark.operators.reshape import kv_pivot, melt
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_custkey").cast("string").alias("custkey"),
+    )
+    long = melt(o, ["o_orderkey"], ["status", "priority", "custkey"],
+                var_name="name", value_name="value")
+    return kv_pivot(long, "o_orderkey", "name", "value",
+                    names=["status", "priority", "custkey"])
+
+
+@_register(
+    "melt_metrics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+)
+def q_melt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 wide→long melt via stack() — the engine's transpose-avoidance
+    bridge (TW:16-18 does t() in RAM; we never build wide rows)."""
+    from gene_level_metadata_pipeline_spark.operators.reshape import melt
+
+    li = _t(spark, sf_dir, "lineitem")
+    return melt(li, ["l_orderkey", "l_linenumber"],
+                ["l_quantity", "l_discount", "l_tax"],
+                var_name="metric", value_name="value")
+
+
+# ---------------------------------------------------------------------------
+# events — tumbling-window aggregation (batch form; streaming twin in
+# streaming/windows.py)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "events_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 3) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window counts over the events table (SURVEY §2.12
+    extension slice). Nanos→micros normalization via ts_from_nanos."""
+    from gene_level_metadata_pipeline_spark.sources.readers import ts_from_nanos
+
+    ev = _t(spark, sf_dir, "events").withColumn("ts", ts_from_nanos("ts"))
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _round_to(F.sum("value"), 3).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped headline queries (bench + oracle breadth)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "tpch_q1_pricing",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 3) AS avg_qty,
+           round(avg(l_discount), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the bench workhorse for scan + hash
+    aggregate (partial agg map-side, 6 aggregates, 2 group keys)."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp")
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        _round_to(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        _round_to(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        _round_to(F.avg("l_quantity"), 3).alias("avg_qty"),
+        _round_to(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@_register(
+    "tpch_q3_topk",
+    oracle="""
+    SELECT o.o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-30'
+      AND l.l_shipdate > TIMESTAMP '1998-06-30'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped top-k: dimension filter → 3-way join → agg → global
+    top-10. The customer side is broadcast; ties broken on o_orderkey so
+    both engines return the identical row set."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-06-30").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-06-30").cast("timestamp")
+    )
+    joined = (
+        F.broadcast(c.select("c_custkey"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    agg = joined.groupBy("o_orderkey", "o_orderdate").agg(
+        _round_to(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return (
+        agg.select(
+            "o_orderkey", "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@_register(
+    "tpch_q5_region",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1999-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q_tpch_q5_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-way join: local-supplier revenue per nation within
+    a region. Dimensions (nation, region, supplier) broadcast; the
+    fact-fact orders⋈lineitem shuffle is the only exchange that scales
+    with data size."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    joined = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        _round_to(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+@_register(
+    "tpch_q6_forecast",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped filter+agg: the predicate-pushdown showcase (all
+    four predicates reach the parquet scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_round_to(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Phase 5 — ingestion readers, certified against literal VALUES oracles
+# (the driver's parquet views can't exercise these file shapes; see
+# plans/fixtures.py)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "read_delim_skip",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('g1', CAST(1.5 AS DOUBLE), 'y'),
+      ('g2', CAST(2.0 AS DOUBLE), 'n'),
+      ('g3', CAST(NULL AS DOUBLE), 'y')
+    ) AS t(gene, score, flag)
+    """,
+)
+def q_read_delim_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 skip-N banner lines before the header (I:167-181; Spark CSV has
+    no skipRows — engine reads text, drops N file-order rows, re-parses)."""
+    from gene_level_metadata_pipeline_spark.plans.fixtures import fixture_dir
+    from gene_level_metadata_pipeline_spark.sources.readers import read_delim
+
+    return read_delim(spark, f"{fixture_dir()}/skip.tsv", sep="\t", skip=2)
+
+
+@_register(
+    "read_headerless_positional",
+    oracle="SELECT * FROM (VALUES ('x', 'a'), ('y', 'b'), ('z', 'c')) AS t(V3, V1)",
+)
+def q_read_headerless_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 headerless scan with R's V1..Vn naming + P3 positional consumption
+    — fread(header=FALSE) then select(V7, V5) (I:117-120, T:251-253)."""
+    from gene_level_metadata_pipeline_spark.plans.fixtures import fixture_dir
+    from gene_level_metadata_pipeline_spark.sources.readers import read_delim
+
+    df = read_delim(spark, f"{fixture_dir()}/headerless.csv", sep=",", header=False)
+    return df.select("V3", "V1")
+
+
+@_register(
+    "read_zip_tsv",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('k1', CAST(10 AS INTEGER)), ('k2', CAST(20 AS INTEGER))
+    ) AS t(id, val)
+    """,
+)
+def q_read_zip_tsv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 TSV-inside-zip — readr::read_tsv('*.zip') transparently unzips
+    (IW:22-23); no Spark zip codec, engine extracts to staging first."""
+    from gene_level_metadata_pipeline_spark.plans.fixtures import fixture_dir
+    from gene_level_metadata_pipeline_spark.sources.readers import read_delim
+
+    return read_delim(spark, f"{fixture_dir()}/fixture.zip", sep="\t")
+
+
+@_register(
+    "fix_shifted_header",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('g1', CAST(1.5 AS DOUBLE)), ('g2', CAST(2.5 AS DOUBLE))
+    ) AS t(gene, score)
+    """,
+)
+def q_fix_shifted_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 header-shift repair — drop first header name, shift left, drop
+    the orphaned last column (T:504-508)."""
+    from gene_level_metadata_pipeline_spark.operators.headers import fix_shifted_header
+    from gene_level_metadata_pipeline_spark.plans.fixtures import fixture_dir
+    from gene_level_metadata_pipeline_spark.sources.readers import read_delim
+
+    df = read_delim(spark, f"{fixture_dir()}/shifted.tsv", sep="\t")
+    return fix_shifted_header(df)
+
+
+@_register(
+    "promote_first_row_header",
+    oracle="SELECT * FROM (VALUES ('g1', '1.5'), ('g2', '2.0')) AS t(gene, score)",
+)
+def q_promote_first_row_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7+O4 promote first file-order row to header, then slice(-1)
+    (TM:107-109) — needs the single-file __row_id discipline."""
+    from gene_level_metadata_pipeline_spark.operators.headers import (
+        promote_first_row_to_header,
+    )
+    from gene_level_metadata_pipeline_spark.plans.fixtures import fixture_dir
+    from gene_level_metadata_pipeline_spark.sources.readers import read_delim
+
+    df = read_delim(
+        spark, f"{fixture_dir()}/promote.csv", sep=",", header=False,
+        infer_schema=False,
+    )
+    return promote_first_row_to_header(df)
+
+
+@_register(
+    "read_json_pages_kv",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('gene_symbol', 'g1'), ('panel.id', '1'), ('panel.name', 'p1'),
+      ('gene_symbol', 'g2'), ('panel.id', '2'), ('panel.name', 'p2')
+    ) AS t(name, value)
+    """,
+)
+def q_read_json_pages_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 paginated JSON → flattened (name, value) long records with dotted
+    paths — enframe(unlist(fromJSON(page))) (I:211-218), record id carried
+    for the downstream R3 pivot."""
+    from gene_level_metadata_pipeline_spark.plans.fixtures import fixture_dir
+    from gene_level_metadata_pipeline_spark.sources.readers import read_json_pages
+
+    d = fixture_dir()
+    kv = read_json_pages(
+        spark, [f"{d}/pages/page1.json", f"{d}/pages/page2.json"],
+        flatten_kv=True,
+    )
+    return kv.select("name", "value")
+
+
+# ---------------------------------------------------------------------------
+# sessionization — gap-based sessions over the events stream (batch form)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "sessionize",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, us,
+             CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ),
+    sessions AS (
+      SELECT user_id, event_id, us,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(us) AS start_us, max(us) AS end_us
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) — the batch twin of the
+    stateful-streaming session operator (streaming/sessions.py). Extension
+    beyond the reference (SURVEY §2.12); one shuffle on user_id, then two
+    window passes and an aggregate over the same partitioning."""
+    from pyspark.sql import Window
+
+    from gene_level_metadata_pipeline_spark.sources.readers import ts_from_nanos
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .withColumn("ts", ts_from_nanos("ts"))
+        .withColumn("us", F.unix_micros("ts"))
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (real readStream plans; hourly counts oracle-checked,
+# stateful sessionization rows-only — not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "streaming_events_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window counts through an actual streaming query (readStream
+    → window agg → memory sink, availableNow) — result must equal the
+    batch SQL."""
+    from gene_level_metadata_pipeline_spark.streaming.windows import (
+        hourly_event_counts_stream,
+    )
+
+    return hourly_event_counts_stream(spark, sf_dir)
+
+
+@_register("streaming_sessionize")  # rows-only: custom stateful operator
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState gap-sessionization (30-min timeout) — the
+    custom stateful streaming operator. No SQL oracle (stateful streaming
+    semantics with timeouts are not SQL-expressible); the batch twin
+    `sessionize` is fully oracle-checked."""
+    from gene_level_metadata_pipeline_spark.streaming.windows import sessionize_stream
+
+    return sessionize_stream(spark, sf_dir)

@@ -1,0 +1,63 @@
+"""Deterministic on-disk fixtures for the messy-ingestion readers.
+
+The driver's TPC-H tables can't exercise skip-N banners, headerless files,
+zip wrapping, shifted headers, or promote-first-row (FIXTURES.md F5/F11/F12
+shapes) — so the reader queries materialize these tiny deterministic files
+and their oracles are literal ``VALUES`` SQL. Idempotent; written under
+/tmp, never under the read-only testdata tree.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import zipfile
+
+FIXTURE_DIR = "/tmp/spark_graft_fixtures"
+
+
+def fixture_dir() -> str:
+    """Create (once) and return the fixture directory."""
+    d = FIXTURE_DIR
+    os.makedirs(d, exist_ok=True)
+    os.makedirs(f"{d}/pages", exist_ok=True)
+
+    def w(rel: str, content: str) -> None:
+        path = os.path.join(d, rel)
+        if not os.path.exists(path):
+            with open(path, "w") as f:
+                f.write(content)
+
+    # S2: banner lines before the header (OMIM shape, I:167-181)
+    w("skip.tsv",
+      "# fetched 2025-01-01 from example\n"
+      "# build GRCh38\n"
+      "gene\tscore\tflag\n"
+      "g1\t1.5\ty\n"
+      "g2\t2.0\tn\n"
+      "g3\t\ty\n")
+
+    # S4: headerless positional columns (MGI GenePheno shape, I:117-120)
+    w("headerless.csv", "a,1,x\nb,2,y\nc,3,z\n")
+
+    # S7: TSV inside a zip (IW:22-23)
+    zpath = os.path.join(d, "fixture.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as zf:
+            zf.writestr("inner.tsv", "id\tval\nk1\t10\nk2\t20\n")
+
+    # P6: header shifted one column left (orthologs shape, T:503-511)
+    w("shifted.tsv",
+      "idx\tgene\tscore\n"
+      "g1\t1.5\tJUNK\n"
+      "g2\t2.5\tJUNK\n")
+
+    # P7: real header sits in data row 1 (Rosen workbook shape, TM:107-109)
+    w("promote.csv", "gene,score\ng1,1.5\ng2,2.0\n")
+
+    # S11: paginated JSON (PanelApp shape, I:211-218)
+    w("pages/page1.json",
+      json.dumps({"gene_symbol": "g1", "panel": {"id": 1, "name": "p1"}}) + "\n")
+    w("pages/page2.json",
+      json.dumps({"gene_symbol": "g2", "panel": {"id": 2, "name": "p2"}}) + "\n")
+    return d

