@@ -1,0 +1,69 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1), local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
+ "sf": ...}.
+
+Each query is forced with .count() (full execution, no driver transfer of
+payload rows). A warmup action amortizes JVM/session startup out of the
+measured numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "spine_harmonize",
+    "tpch_q1_pricing",
+    "tpch_q3_topk",
+    "tpch_q5_region",
+    "tpch_q6_forecast",
+    "melt_metrics",
+    "events_hourly",
+    "sessionize",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "ann_brute_force_topk",
+    "text_lang_id",
+    "text_quality",
+]
+
+
+def main() -> None:
+    from gene_level_metadata_pipeline_spark.plans import driver_queries as dq
+    from gene_level_metadata_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warmup: touch the biggest table so FS cache + codegen paths are hot
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = dq.QUERIES[name]
+        t0 = time.time()
+        fn(spark, SF_DIR).count()
+        times[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf),
+    }))
+
+
+if __name__ == "__main__":
+    main()

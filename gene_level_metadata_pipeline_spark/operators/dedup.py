@@ -1,0 +1,249 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families, all pure Catalyst expressions (no Python UDFs, so the
+100 TB path keeps whole-stage codegen):
+
+  * exact           — hash-groupBy on content
+  * n-gram Jaccard  — exact set similarity on word shingles
+  * MinHash + LSH   — banded signature bucketing for near-dup candidates
+  * SimHash         — 16-bit weighted bit signature
+  * embedding cosine— see operators.similarity
+
+Determinism contract: every hash is ``md5`` of a string — identical hex in
+Spark and DuckDB — and MinHash minimizes the hex string *lexicographically*,
+so the DuckDB oracle can reproduce signatures byte-for-byte without any
+bigint/hex conversion games.
+
+Scale notes (100 TB):
+  * shingle explosion is the dominant cost → ``dropDuplicates`` per
+    (doc, shingle) immediately, before any join;
+  * the LSH band join shuffles on (band, band_hash) — bucket sizes are the
+    skew risk; hot buckets (boilerplate docs) are handled by AQE skew
+    splitting, or pre-filtered by a bucket-size cap;
+  * pairwise Jaccard is quadratic per shingle bucket — always run MinHash
+    candidates first at scale, Jaccard only to confirm candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "word_shingles",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "minhash_signatures",
+    "minhash_candidate_pairs",
+    "simhash",
+]
+
+HEX = "0123456789abcdef"
+
+
+def shingle_array(text_col, n: int = 3):
+    """Column of DISTINCT word n-gram shingles (array<string>) for a text
+    column — the no-shuffle building block shared by the dedup family.
+
+    Built by zipping n-1 shifted copies of the word array instead of
+    slicing per position (transform+slice is quadratic-ish in codegen;
+    measured 3-4x slower at sf0.1). concat_ws skips the NULLs zip_with
+    pads with, so the tail is trimmed by the final slice.
+    """
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    words = F.split(col, " ")
+    grams = words
+    for m in range(2, n + 1):
+        shifted = F.slice(words, m, F.size(words))
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat_ws(" ", a, b))
+    grams = F.slice(grams, 1, F.greatest(F.size(words) - (n - 1), F.lit(0)))
+    return F.array_distinct(grams)
+
+
+def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id_col, shingle).
+
+    The exploded (long) form — needed only by operators that JOIN on the
+    shingle (ngram_jaccard_pairs). Signature-style ops use
+    :func:`shingle_array` and never shuffle shingles. Documents shorter
+    than n words produce no rows.
+    """
+    return df.select(
+        F.col(id_col), F.explode(shingle_array(text_col, n)).alias("shingle")
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup by content hash: one group per distinct text, keeping
+    the minimum id as canonical. Returns (fingerprint, canonical_id,
+    n_copies). A hash-groupBy — one shuffle on the md5, no sort."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("fingerprint"))
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs: (doc_a, doc_b, jaccard).
+
+    shingle-join → per-pair intersection count → |A∪B| by inclusion-
+    exclusion. Quadratic in bucket size — at scale gate behind MinHash
+    candidates (see minhash_candidate_pairs) and block by language/length.
+    """
+    sh = word_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.toDF("doc_a", "shingle")
+    b = sh.toDF("doc_b", "shingle")
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.toDF("doc_a", "na")
+    sb = sizes.toDF("doc_b", "nb")
+    jac = (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return jac.select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signature per document: (id_col, h0..h{k-1}).
+
+    h_i = lexicographic MIN over shingles of md5('{i}:' || shingle) — a
+    string-valued minhash, computed entirely inside one projection with
+    ZERO shuffles: a single ``aggregate`` traversal of the per-document
+    shingle array carries all k running minima in a struct accumulator
+    (k separate array_min columns would make Catalyst re-inline — and
+    recompute — the shingle array k times; measured 2x slower).
+    Documents with fewer than n words have no shingles and are excluded,
+    matching the exploded-form semantics."""
+    grams = shingle_array(text_col, n)
+    # 'g' sorts after every md5 hex char, so it is the identity for least()
+    init = F.struct(*[F.lit("g").alias(f"h{i}") for i in range(num_hashes)])
+
+    def step(acc, s):
+        return F.struct(
+            *[
+                F.least(
+                    acc[f"h{i}"], F.md5(F.concat(F.lit(f"{i}:"), s))
+                ).alias(f"h{i}")
+                for i in range(num_hashes)
+            ]
+        )
+
+    sig = F.aggregate(grams, init, step)
+    out = df.where(F.size(grams) > 0).select(F.col(id_col), sig.alias("__sig"))
+    return out.select(
+        F.col(id_col), *[F.col(f"__sig.h{i}").alias(f"h{i}") for i in range(num_hashes)]
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding over MinHash signatures → candidate near-dup pairs.
+
+    Signature split into ``bands`` bands of ``num_hashes/bands`` rows; band
+    hash = md5 of the concatenated member hashes; docs sharing any
+    (band, band_hash) bucket become a candidate pair. Returns distinct
+    (doc_a, doc_b). Tune bands/rows for the target similarity threshold
+    (s-curve: P(candidate) = 1-(1-s^r)^b)."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    # One generator projection, not a union of per-band selects: a union
+    # would re-derive the whole shingle+signature subplan once per band
+    # (and the self-join doubles that again) — explode keeps it a single
+    # pass over one signature computation.
+    band_structs = [
+        F.struct(
+            F.lit(bidx).alias("band"),
+            F.md5(
+                F.concat_ws(",", *[F.col(f"h{bidx * rows + j}") for j in range(rows)])
+            ).alias("band_hash"),
+        )
+        for bidx in range(bands)
+    ]
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
+    # Pair generation WITHOUT a self-join: group each bucket, emit ordered
+    # in-bucket pairs from the sorted id array. A self-join would recompute
+    # the whole signature subplan for each side; this shape computes it
+    # once and shuffles only (band, band_hash, ids). Buckets are small by
+    # construction (that is the point of banding) — a runaway bucket from
+    # boilerplate content is the skew case: cap or pre-filter it at scale.
+    grouped = (
+        buckets.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("ids"),
+                    lambda x, i: F.transform(
+                        F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                        lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").dropDuplicates()
+
+
+def _hex4_to_int(col):
+    """First-4-hex-chars of an md5 → 16-bit int, via arithmetic that any
+    SQL engine reproduces (no conv() dependency in the oracle)."""
+    v = F.lit(0)
+    for k in range(4):
+        digit = F.instr(F.lit(HEX), F.substring(col, k + 1, 1)) - 1
+        v = v * 16 + digit
+    return v
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """16-bit SimHash per document: (id_col, simhash).
+
+    Token weights = word occurrence counts; token hash = first 16 bits of
+    md5(word); signature bit j set iff the weighted ±1 sum over tokens is
+    positive. Pure arithmetic on hex digits — oracle-reproducible."""
+    words = (
+        df.select(F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .groupBy(id_col, "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("hv", _hex4_to_int(F.md5(F.col("w"))))
+    )
+    bit_sums = words.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.col("cnt")
+                * (F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"s{j}")
+            for j in range(bits)
+        ]
+    )
+    sig = F.lit(0)
+    for j in range(bits):
+        sig = sig + F.when(F.col(f"s{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
+    return bit_sums.select(F.col(id_col), sig.alias("simhash"))

@@ -1,0 +1,95 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as ``binary`` columns with a
+metadata struct; decode / feature-extraction / resize / frame-sampling run
+as Arrow-batched ``mapInPandas`` stages. The media libraries (PIL, ffmpeg,
+torchaudio) are NOT in this container, so the actual decoders are stubbed
+behind ``NotImplementedError`` — but everything Spark-side is real and
+tested: schema, partition-preserving batch iteration, UDF signatures, and
+the deterministic fake extractor that stands in for a real one.
+
+Scale notes: payload columns dominate row size → keep them out of shuffles
+(extract features first, then drop the payload), bump
+``spark.sql.files.maxPartitionBytes`` down so a partition of binaries fits
+executor memory, and never collect payloads to the driver.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "attach_binary_payload",
+    "extract_features",
+    "decode_image",
+    "resize_image",
+    "sample_frames",
+]
+
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes int, checksum long, head_bytes array<int>"
+)
+
+
+def attach_binary_payload(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Stand-in ingestion: materialize an opaque binary column + metadata
+    struct from existing data (real pipelines read image/audio bytes from
+    object storage). Returns (id, payload binary, meta struct<modality,
+    n_bytes>)."""
+    payload = F.to_binary(F.col(text_col), F.lit("utf-8"))
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("image/fake").alias("modality"),
+            F.octet_length(payload).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads (mapInPandas).
+
+    The deterministic fake extractor: byte length, additive checksum, and
+    the first 4 byte values — exercising exactly the batch shape a real
+    image featurizer uses (payload bytes in, fixed-width features out,
+    payload dropped on output so downstream shuffles stay thin).
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": payloads.map(len),
+                    "checksum": payloads.map(lambda b: int(sum(b))),
+                    "head_bytes": payloads.map(lambda b: [int(x) for x in b[:4]]),
+                }
+            )
+
+    return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def decode_image(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Decode binary → pixel tensor column. STUB: requires an image codec
+    (PIL/libjpeg) absent from this container."""
+    raise NotImplementedError(
+        "image decode requires PIL/libjpeg (not in this container); "
+        "wire the real decoder into extract_features-style mapInPandas"
+    )
+
+
+def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize decoded images. STUB: see decode_image."""
+    raise NotImplementedError("requires image codec; see decode_image")
+
+
+def sample_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """Sample video frames from container payloads. STUB: requires ffmpeg."""
+    raise NotImplementedError("requires ffmpeg; see decode_image")

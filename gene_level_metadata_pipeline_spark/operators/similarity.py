@@ -1,0 +1,128 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths:
+  * brute-force cosine top-k — the exactness baseline: broadcast the query
+    set, score every (query, candidate) pair with JVM-side array
+    expressions, window-rank per query;
+  * sign-LSH bucketed pairs — the scale path: bucket vectors by the sign
+    pattern of leading components (random-hyperplane LSH with axis-aligned
+    planes), compare only within buckets.
+
+Numeric determinism: embeddings are cast float→double *before* any
+arithmetic; dot products use ``aggregate`` over ``zip_with`` (sequential,
+deterministic order) and results are rounded to 4 decimals so the oracle's
+independently-ordered SUM agrees bit-for-bit after rounding.
+
+Scale notes (100 TB / billions of vectors):
+  * brute force is O(Q×N) — fine for broadcastable Q (≤ ~10⁵ queries),
+    never for all-pairs;
+  * sign-LSH makes all-pairs tractable: the shuffle key is the bucket id,
+    candidate work is quadratic only within buckets; more planes → smaller
+    buckets → higher recall loss: tune per corpus;
+  * an IVF variant (k-means coarse quantizer) drops in by replacing
+    ``sign_bucket`` with a nearest-centroid id — same join shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["cosine", "brute_force_topk", "sign_lsh_pairs"]
+
+
+def _as_double(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a, b) -> Column:
+    """Cosine similarity of two array<float|double> columns (double math)."""
+    da, db = _as_double(a), _as_double(b)
+    return _dot(da, db) / (F.sqrt(_dot(da, da)) * F.sqrt(_dot(db, db)))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    ``queries`` is broadcast (the small side by construction); the join is
+    a Cartesian map-side expansion — no shuffle of the big vector table —
+    followed by one window rank per query id. Ranking uses the *rounded*
+    similarity with the neighbor id as tie-break so results are stable
+    across engines and runs.
+    Returns (query_id, neighbor_id, cos_sim, rank).
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vv")
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("__qv"), F.col("__vv")), 4))
+        .drop("__qv", "__vv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def sign_bucket(vec_col, planes: int = 4) -> Column:
+    """Axis-aligned sign-LSH bucket id from the first ``planes`` components."""
+    b = F.lit(0)
+    for i in range(planes):
+        b = b + F.when(F.element_at(vec_col, i + 1) >= 0, F.lit(2 ** i)).otherwise(
+            F.lit(0)
+        )
+    return b
+
+
+def sign_lsh_pairs(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 4,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """All-pairs near-duplicate vectors via sign-LSH bucketing.
+
+    Vectors sharing the sign pattern of their first ``planes`` components
+    land in one bucket; cosine is computed only within buckets. Returns
+    (vec_a, vec_b, cos_sim) for pairs ≥ threshold. The bucket id is the
+    shuffle key — this is the embedding-space twin of MinHash banding.
+    """
+    b = vectors.select(
+        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), planes).alias("bucket")
+    )
+    left = b.select(
+        F.col("bucket"), F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va")
+    )
+    right = b.select(
+        F.col("bucket"), F.col(id_col).alias("vec_b"), F.col(vec_col).alias("__vb")
+    )
+    return (
+        left.join(right, "bucket")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("__va"), F.col("__vb")), 4))
+        .where(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", "cos_sim")
+    )

@@ -1,0 +1,128 @@
+"""Text-analysis operators for training-data curation.
+
+Language ID (stopword-hit heuristic), quality scoring, token counting, and
+document fingerprinting — all Catalyst expressions (array lambdas + regex),
+no Python in the hot path. Each op is deterministic and SQL-expressible so
+the DuckDB oracle certifies it end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "STOPWORDS",
+    "lang_scores",
+    "lang_id",
+    "quality_scores",
+    "token_counts",
+    "fingerprint",
+]
+
+# Tiny per-language stopword lists: enough for the n-gram-heuristic shape;
+# a production list would be loaded as a broadcast dimension instead.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "zu"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "de", "y", "una"],
+}
+
+# TIE ORDER: languages are compared in this fixed order; argmax ties go to
+# the earlier entry. The oracle must use the same chain.
+LANGS = list(STOPWORDS)
+
+
+def _hits(words: Column, vocab: list[str]) -> Column:
+    """Occurrence count (not distinct) of vocab words in the token array."""
+    arr = F.array(*[F.lit(w) for w in vocab])
+    return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+
+
+def lang_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-language stopword hit counts: (id, hits_en, hits_de, ...)."""
+    words = F.split(F.col(text_col), " ")
+    return df.select(
+        F.col(id_col),
+        *[_hits(words, STOPWORDS[lang]).alias(f"hits_{lang}") for lang in LANGS],
+    )
+
+
+def lang_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Predicted language = argmax of stopword hits (ties → LANGS order).
+
+    The n-gram-heuristic language detector: cheap, fully vectorized, and a
+    useful pre-filter before any model-based detector at scale.
+    Returns (id, hits_*, predicted_lang)."""
+    scored = lang_scores(df, text_col, id_col)
+    pred = None
+    for i, lang in enumerate(LANGS):
+        cond = None
+        for other in LANGS[i + 1:]:
+            c = F.col(f"hits_{lang}") >= F.col(f"hits_{other}")
+            cond = c if cond is None else (cond & c)
+        if cond is None:  # last language — fallback arm
+            pred = pred.otherwise(F.lit(lang))
+        else:
+            pred = (
+                F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+            )
+    return scored.withColumn("predicted_lang", pred)
+
+
+def quality_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Document quality heuristics (length / word shape / stopword ratio).
+
+    Returns (id, n_chars, n_words, avg_word_len, stopword_ratio,
+    quality_ok). Mirrors the usual pretraining-filter stack: degenerate
+    length, degenerate word shapes, too-low stopword density."""
+    words = F.split(F.col(text_col), " ")
+    n_chars = F.length(F.col(text_col))
+    n_words = F.size(words)
+    nospace = F.length(F.regexp_replace(F.col(text_col), " ", ""))
+    avg_wl = F.round(nospace / n_words, 3)
+    stop_ratio = F.round(_hits(words, STOPWORDS["en"]) / n_words, 4)
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        avg_wl.alias("avg_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        (
+            (n_words >= 5) & (n_words <= 100000) & (nospace / n_words < 12.0)
+        ).alias("quality_ok"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens per document.
+
+    The regex tokenizer splits letter runs, digit runs, and single
+    non-alphanumeric marks — the standard pre-BPE word-splitting shape.
+    Returns (id, ws_tokens, bpe_tokens)."""
+    ws = F.size(F.split(F.col(text_col), " "))
+    bpe = F.size(
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(r"([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s])"), F.lit(1)
+        )
+    )
+    return df.select(
+        F.col(id_col), ws.alias("ws_tokens"), bpe.alias("bpe_tokens")
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Deterministic document fingerprint: the lexicographic minimum md5
+    over word n-gram shingles (a 1-hash MinHash — the rolling-hash
+    fingerprint of the survey's north-star list). Equal fingerprints ⇒
+    shared rarest shingle hash; used as a cheap near-dup blocking key.
+    Computed array-natively — no explode, no shuffle. Returns
+    (id, fingerprint); documents with fewer than n words are excluded."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import shingle_array
+
+    grams = shingle_array(text_col, n)
+    return df.where(F.size(grams) > 0).select(
+        F.col(id_col),
+        F.array_min(F.transform(grams, lambda s: F.md5(s))).alias("fingerprint"),
+    )

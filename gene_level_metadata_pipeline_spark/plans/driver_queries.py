@@ -1005,3 +1005,362 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gene_level_metadata_pipeline_spark.streaming.windows import sessionize_stream
 
     return sessionize_stream(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Scale-out extensions — deduplication (SURVEY §7 Phase 7)
+# ---------------------------------------------------------------------------
+
+# Shared DuckDB CTE: distinct word 3-gram shingles of `documents`, matching
+# operators.dedup.word_shingles exactly.
+_SHINGLE_CTE = """
+    words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+      FROM words, (SELECT unnest(generate_series(1, len(ws)-2)) AS i)
+      WHERE len(ws) >= 3
+    )
+"""
+
+
+@_register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fingerprint,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, min-id canonical."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (threshold 0.1 so the synthetic
+    corpus, which has no true near-dups, still yields a non-trivial set)."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.1
+    )
+
+
+def _minhash_oracle(num_hashes: int = 8, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    mins = ",\n             ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(num_hashes)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS band_hash FROM sig".format(
+            b=b,
+            concat=" || ',' || ".join(f"h{b * rows + j}" for j in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {band_selects}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    """
+
+
+@_register("dedup_minhash_lsh", oracle=_minhash_oracle())
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8) + LSH banding(4×2) candidate pairs. String-valued minhash
+    (lexicographic min of seeded md5 hex) keeps the oracle hash-exact."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+
+    return minhash_candidate_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        n=3, num_hashes=8, bands=4,
+    )
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    hv = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(w), {k + 1}, 1)) - 1) * {16 ** (3 - k)}"
+        for k in range(4)
+    )
+    bit_sums = ",\n             ".join(
+        f"sum(cnt * (((hv // {2 ** j}) % 2) * 2 - 1)) AS s{j}" for j in range(bits)
+    )
+    sig = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(bits)
+    )
+    return f"""
+    WITH tokens AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    counted AS (
+      SELECT doc_id, w, count(*) AS cnt, {hv} AS hv
+      FROM tokens GROUP BY doc_id, w
+    ),
+    sums AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM counted GROUP BY doc_id
+    )
+    SELECT doc_id, {sig} AS simhash FROM sums
+    """
+
+
+@_register("dedup_simhash", oracle=_simhash_oracle())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signatures — count-weighted ±1 bit votes over md5
+    token hashes, pure hex-digit arithmetic on both engines."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Scale-out extensions — similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+
+@_register(
+    "ann_brute_force_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             round({_COS.format(a='q.qe', b='v.e')}, 4) AS cos_sim
+      FROM q JOIN v ON q.query_id <> v.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+      ) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors: broadcast query set,
+    JVM-side zip_with/aggregate dot products, one window rank."""
+    from gene_level_metadata_pipeline_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+def _bucket_sql(col: str, planes: int = 4) -> str:
+    return " + ".join(
+        f"(CASE WHEN {col}[{i + 1}] >= 0 THEN {2 ** i} ELSE 0 END)"
+        for i in range(planes)
+    )
+
+
+@_register(
+    "ann_sign_lsh_pairs",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             {_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+           round({_COS.format(a='a.e', b='c.e')}, 4) AS cos_sim
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE round({_COS.format(a='a.e', b='c.e')}, 4) >= 0.15
+    """,
+)
+def q_ann_sign_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed near-neighbor pairs (threshold 0.15 — the random
+    synthetic embeddings top out near 0.2 cosine). Bucket id is the
+    shuffle key: the scale path for all-pairs similarity."""
+    from gene_level_metadata_pipeline_spark.operators.similarity import sign_lsh_pairs
+
+    return sign_lsh_pairs(
+        _t(spark, sf_dir, "embeddings"), planes=4, threshold=0.15
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scale-out extensions — text analysis
+# ---------------------------------------------------------------------------
+
+def _hits_sql(vocab: list[str]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in vocab)
+    return (
+        "len(list_filter(string_split(text, ' '), w_ -> w_ IN (" + inlist + ")))"
+    )
+
+
+def _lang_id_oracle() -> str:
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        LANGS,
+        STOPWORDS,
+    )
+
+    hits = ",\n           ".join(
+        f"{_hits_sql(STOPWORDS[lang])} AS hits_{lang}" for lang in LANGS
+    )
+    arms = []
+    for i, lang in enumerate(LANGS[:-1]):
+        cond = " AND ".join(
+            f"hits_{lang} >= hits_{other}" for other in LANGS[i + 1:]
+        )
+        arms.append(f"WHEN {cond} THEN '{lang}'")
+    case = "CASE " + " ".join(arms) + f" ELSE '{LANGS[-1]}' END"
+    return f"""
+    WITH scored AS (
+      SELECT doc_id,
+           {hits}
+      FROM documents
+    )
+    SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
+           {case} AS predicted_lang
+    FROM scored
+    """
+
+
+@_register("text_lang_id", oracle=_lang_id_oracle())
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID with fixed tie order — the n-gram-heuristic
+    detector, fully vectorized array lambdas."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_register(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_words,
+           round(length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')), 3) AS avg_word_len,
+           round({_hits_sql(["the", "a", "of", "and", "to"])} * 1.0 / len(string_split(text, ' ')), 4) AS stopword_ratio,
+           (len(string_split(text, ' ')) >= 5 AND len(string_split(text, ' ')) <= 100000
+            AND length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')) < 12.0) AS quality_ok
+    FROM documents
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / word-shape / stopword-density quality scoring."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import quality_scores
+
+    return quality_scores(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_register(
+    "text_token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe_tokens
+    FROM documents
+    """,
+)
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH {_SHINGLE_CTE}
+    SELECT doc_id, min(md5(shingle)) AS fingerprint
+    FROM sh GROUP BY doc_id
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hash MinHash document fingerprint (near-dup blocking key)."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Scale-out extensions — multimodal binary plumbing
+# ---------------------------------------------------------------------------
+
+@_register(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           'image/fake' AS modality,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+)
+def q_multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payload + typed metadata struct — the multimodal
+    column contract (payload stays out of this projection)."""
+    from gene_level_metadata_pipeline_spark.operators.multimodal import (
+        attach_binary_payload,
+    )
+
+    df = attach_binary_payload(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return df.select(
+        "doc_id",
+        F.col("meta.modality").alias("modality"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
+@_register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           list_aggregate(list_transform(generate_series(1, length(text)),
+                                         i -> ord(substr(text, i, 1))), 'sum') AS checksum
+    FROM documents
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary payloads
+    (deterministic fake featurizer standing in for the image decoder).
+    The checksum doubles as an oracle check that real bytes flowed through
+    the pandas batches."""
+    from gene_level_metadata_pipeline_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_features,
+    )
+
+    df = attach_binary_payload(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return extract_features(df).select("doc_id", "n_bytes", "checksum")

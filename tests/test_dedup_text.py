@@ -1,0 +1,143 @@
+"""Unit tests for dedup / similarity / text-analysis operators on
+hand-checkable fixtures (SURVEY.md §5 strategy item 2)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from gene_level_metadata_pipeline_spark.operators import dedup, similarity, textanalysis
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown fox jumps"),          # exact dup of 1
+            (3, "the quick brown fox leaps high"),     # near dup of 1
+            (4, "completely different text entirely here"),
+            (5, "ab"),                                  # < 3 words: no shingles
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_shingles_match_reference_definition(spark, docs):
+    rows = dedup.word_shingles(docs, "text", "doc_id").collect()
+    got = {(r["doc_id"], r["shingle"]) for r in rows}
+    assert (1, "the quick brown") in got
+    assert (1, "brown fox jumps") in got
+    assert all(d != 5 for d, _ in got)  # short doc produces nothing
+    # doc 1: 5 words -> 3 shingles, all distinct
+    assert sum(1 for d, _ in got if d == 1) == 3
+
+
+def test_dedup_exact_groups_identical_texts(spark, docs):
+    out = {r["fingerprint"]: r for r in dedup.dedup_exact(docs, "text", "doc_id").collect()}
+    fp = md5("the quick brown fox jumps")
+    assert out[fp]["n_copies"] == 2
+    assert out[fp]["canonical_id"] == 1
+
+
+def test_jaccard_pairs(spark, docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.01).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical docs
+    # docs 1 & 3 share 'the quick brown', 'quick brown fox' -> 2/(3+4-2)
+    assert pairs[(1, 3)] == round(2 / 5, 4)
+    assert (1, 4) not in pairs
+
+
+def test_minhash_identical_docs_share_signature(spark, docs):
+    sig = {r["doc_id"]: [r[f"h{i}"] for i in range(8)]
+           for r in dedup.minhash_signatures(docs, "text", "doc_id").collect()}
+    assert sig[1] == sig[2]
+    assert sig[1] != sig[4]
+    # h0 is the lexicographic min of md5('0:'||shingle) over doc-1 shingles
+    expect = min(md5("0:" + s) for s in
+                 ["the quick brown", "quick brown fox", "brown fox jumps"])
+    assert sig[1][0] == expect
+    assert 5 not in sig  # no shingles -> excluded
+
+
+def test_minhash_lsh_candidates(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in dedup.minhash_candidate_pairs(docs, "text", "doc_id").collect()}
+    assert (1, 2) in pairs  # identical docs always collide in every band
+    assert (1, 4) not in pairs
+
+
+def test_simhash_is_deterministic_and_16bit(spark, docs):
+    out = {r["doc_id"]: r["simhash"] for r in dedup.simhash(docs, "text", "doc_id").collect()}
+    assert out[1] == out[2]
+    assert all(0 <= v < 2 ** 16 for v in out.values())
+
+
+def test_brute_force_topk_finds_identical_vector(spark):
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0]),
+         (2, [0.0, 1.0, 0.0]), (3, [-1.0, 0.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    out = similarity.brute_force_topk(vecs, vecs.where("vec_id = 0"), k=3).collect()
+    ranked = sorted(((r["rank"], r["neighbor_id"], r["cos_sim"]) for r in out))
+    assert ranked[0] == (1, 1, 1.0)       # identical vector first
+    assert ranked[-1][1] == 3             # opposite vector last
+    assert ranked[-1][2] == -1.0
+
+
+def test_sign_lsh_buckets_split_by_sign(spark):
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 1.0, 0.0, 0.0, 9.0]), (1, [1.0, 1.0, 0.0, 0.0, 9.1]),
+         (2, [-1.0, 1.0, 0.0, 0.0, 9.0])],
+        ["vec_id", "embedding"],
+    )
+    pairs = {(r["vec_a"], r["vec_b"]) for r in
+             similarity.sign_lsh_pairs(vecs, planes=4, threshold=0.5).collect()}
+    assert (0, 1) in pairs      # same sign bucket, high cosine
+    assert (0, 2) not in pairs  # different sign on dim 1 -> different bucket
+
+
+def test_lang_id_tie_order_and_hits(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, "der hund und die katze"),
+         (3, "xyzzy plugh")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in textanalysis.lang_id(df, "text", "doc_id").collect()}
+    assert out[1]["predicted_lang"] == "en" and out[1]["hits_en"] == 3
+    assert out[2]["predicted_lang"] == "de" and out[2]["hits_de"] == 3
+    assert out[3]["predicted_lang"] == "en"  # all-zero tie -> first lang
+
+
+def test_quality_and_tokens(spark):
+    df = spark.createDataFrame([(1, "the fast cat runs far, yes!")], ["doc_id", "text"])
+    q = textanalysis.quality_scores(df, "text", "doc_id").collect()[0]
+    assert q["n_words"] == 6 and q["quality_ok"]
+    t = textanalysis.token_counts(df, "text", "doc_id").collect()[0]
+    assert t["ws_tokens"] == 6
+    # the|fast|cat|runs|far|,|yes|! -> 8 bpe-ish tokens
+    assert t["bpe_tokens"] == 8
+
+
+def test_multimodal_feature_plumbing(spark):
+    from gene_level_metadata_pipeline_spark.operators import multimodal
+
+    df = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    feats = multimodal.extract_features(
+        multimodal.attach_binary_payload(df, "text", "doc_id")
+    ).collect()[0]
+    assert feats["n_bytes"] == 3
+    assert feats["checksum"] == ord("a") + ord("b") + ord("c")
+    assert feats["head_bytes"] == [97, 98, 99]
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(df)
