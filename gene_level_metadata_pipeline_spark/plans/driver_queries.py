@@ -1364,3 +1364,46 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = attach_binary_payload(_t(spark, sf_dir, "documents"), "text", "doc_id")
     return extract_features(df).select("doc_id", "n_bytes", "checksum")
+
+
+# ---------------------------------------------------------------------------
+# J3/J4 — unequal-key joins & two-hop edge decoration (STRING PPI shape)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "edge_decoration",
+    oracle="""
+    WITH edges AS (
+      SELECT l_partkey AS from_key, l_suppkey AS to_key,
+             round(l_extendedprice / 1000, 3) AS score
+      FROM lineitem WHERE l_discount >= 0.08
+    )
+    SELECT p.p_name AS from_name, s.s_name AS to_name, e.score
+    FROM edges e
+    JOIN part p ON e.from_key = p.p_partkey
+    JOIN supplier s ON e.to_key = s.s_suppkey
+    """,
+)
+def q_edge_decoration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 unequal-key joins + J4 two-hop M:N edge decoration — the STRING
+    PPI pattern (T:148-158: decorate both endpoints of an edge list via two
+    joins) with the reference's score/1000 scaling (T:181). Endpoint
+    dimensions broadcast; the edge list is the only big side, exactly the
+    hub-skew shape AQE skew-join handles at scale."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_discount") >= 0.08)
+    edges = li.select(
+        F.col("l_partkey").alias("from_key"),
+        F.col("l_suppkey").alias("to_key"),
+        _round_to(F.col("l_extendedprice") / 1000, 3).alias("score"),
+    )
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        edges.join(F.broadcast(p), edges.from_key == p.p_partkey)
+        .join(F.broadcast(s), edges.to_key == s.s_suppkey)
+        .select(
+            F.col("p_name").alias("from_name"),
+            F.col("s_name").alias("to_name"),
+            "score",
+        )
+    )
