@@ -39,6 +39,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table with its ns timestamp normalized to micros.
+
+    Self-sufficient: the driver calls queries with ITS OWN SparkSession,
+    which won't carry our session defaults — so the two confs the events
+    path needs are set here (both are dynamic SQL confs):
+      * nanosAsLong — Spark 4 otherwise refuses TIMESTAMP(NANOS) parquet;
+      * UTC session timezone — timestamp_micros produces TIMESTAMP_LTZ,
+        and rendering it (date_format/date_trunc) must agree with DuckDB's
+        timezone-free naive timestamps; only UTC makes them coincide.
+    """
+    from gene_level_metadata_pipeline_spark.sources.readers import ts_from_nanos
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return _t(spark, sf_dir, "events").withColumn("ts", ts_from_nanos("ts"))
+
+
 def _round_to(col, n: int):
     """Double rounding that is bit-identical to DuckDB's ``round(x, n)``.
 
@@ -623,9 +641,7 @@ def q_melt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window counts over the events table (SURVEY §2.12
     extension slice). Nanos→micros normalization via ts_from_nanos."""
-    from gene_level_metadata_pipeline_spark.sources.readers import ts_from_nanos
-
-    ev = _t(spark, sf_dir, "events").withColumn("ts", ts_from_nanos("ts"))
+    ev = _events(spark, sf_dir)
     return (
         ev.groupBy(
             F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
@@ -945,13 +961,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     window passes and an aggregate over the same partitioning."""
     from pyspark.sql import Window
 
-    from gene_level_metadata_pipeline_spark.sources.readers import ts_from_nanos
-
-    ev = (
-        _t(spark, sf_dir, "events")
-        .withColumn("ts", ts_from_nanos("ts"))
-        .withColumn("us", F.unix_micros("ts"))
-    )
+    ev = _events(spark, sf_dir).withColumn("us", F.unix_micros("ts"))
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     flagged = ev.withColumn(
         "new_session",

@@ -20,6 +20,14 @@ from gene_level_metadata_pipeline_spark.sources.readers import ts_from_nanos
 __all__ = ["hourly_event_counts_stream", "sessionize_stream"]
 
 
+def _events_confs(spark: SparkSession) -> None:
+    """The events path must work on ANY caller-provided session (the
+    driver's verify uses its own): nanos-as-long for the parquet read and
+    UTC rendering to agree with the timezone-free oracle."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window counts via an actual streaming query.
 
@@ -28,6 +36,7 @@ def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory sink, and returns the completed result as a batch DataFrame —
     so the driver can oracle-check a genuinely streaming plan.
     """
+    _events_confs(spark)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     src = (
         spark.readStream.schema(static.schema)
@@ -72,6 +81,7 @@ def sessionize_stream(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    _events_confs(spark)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     src = (
         spark.readStream.schema(static.schema)
