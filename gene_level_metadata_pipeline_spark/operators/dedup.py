@@ -87,20 +87,34 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    block_by: str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs: (doc_a, doc_b, jaccard).
 
     shingle-join → per-pair intersection count → |A∪B| by inclusion-
-    exclusion. Quadratic in bucket size — at scale gate behind MinHash
-    candidates (see minhash_candidate_pairs) and block by language/length.
+    exclusion. Quadratic in shingle-bucket size — the two scale levers:
+      * ``block_by``: only compare documents sharing this column
+        (language, length band, source); shrinks every bucket by the
+        blocking factor and is how exact Jaccard stays tractable;
+      * gate behind MinHash candidates (minhash_candidate_pairs) and run
+        Jaccard only as the confirm stage.
     """
-    sh = word_shingles(df, text_col, id_col, n)
+    cols = [F.col(id_col), F.explode(shingle_array(text_col, n)).alias("shingle")]
+    join_keys = ["shingle"]
+    if block_by is not None:
+        cols.append(F.col(block_by).alias("__blk"))
+        join_keys = ["shingle", "__blk"]
+    sh = df.select(*cols)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.toDF("doc_a", "shingle")
-    b = sh.toDF("doc_b", "shingle")
+    a = sh.withColumnRenamed(id_col, "doc_a")
+    b = sh.withColumnRenamed(id_col, "doc_b")
     common = (
-        a.join(b, "shingle")
+        a.join(b, join_keys)
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))

@@ -88,6 +88,27 @@ def melt(df: DataFrame, id_cols: list[str], value_cols: list[str],
     return df.select(*[F.col(c) for c in id_cols], stacked)
 
 
+def transpose(
+    df: DataFrame,
+    id_col: str,
+    value_cols: list[str],
+    header_col: str = "column",
+) -> DataFrame:
+    """Distributed transpose (R4): rows keyed by ``id_col`` × ``value_cols``
+    become rows keyed by the former column names × the former ``id_col``
+    values as columns.
+
+    The reference transposes an 18k×1.1k matrix in RAM (``TW:16-18``);
+    the engine's stance is melt-and-stay-long, but the full transpose must
+    exist for parity. Composition: melt (narrow) → pivot on the id values.
+    The id domain becomes the new column set — Spark caps pivot width
+    (``spark.sql.pivotMaxValues``, default 10k), which is the honest scale
+    bound of ANY wide transpose; past it, keep the melted long form.
+    """
+    long = melt(df, [id_col], value_cols, var_name=header_col, value_name="__v")
+    return pivot_wider(long, [header_col], id_col, "__v", agg="first")
+
+
 def union_all(*dfs: DataFrame) -> DataFrame:
     """Union-by-name of homogeneous frames (R5: ``T:442``, ``TW:166``)."""
     return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)

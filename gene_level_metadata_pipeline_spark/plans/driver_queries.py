@@ -1051,12 +1051,18 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "dedup_ngram_jaccard",
-    oracle=f"""
-    WITH {_SHINGLE_CTE},
+    oracle="""
+    WITH words AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, lang, array_to_string(ws[i:i+2], ' ') AS shingle
+      FROM words, (SELECT unnest(generate_series(1, len(ws)-2)) AS i)
+      WHERE len(ws) >= 3
+    ),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     common AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
@@ -1068,12 +1074,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (threshold 0.1 so the synthetic
-    corpus, which has no true near-dups, still yields a non-trivial set)."""
+    """Exact n-gram Jaccard near-dup pairs, BLOCKED on language — the scale
+    lever for exact similarity (only same-lang docs are compared; shrinks
+    every shingle bucket by the blocking factor). Threshold 0.1 so the
+    synthetic corpus, which has no true near-dups, still yields rows."""
     from gene_level_metadata_pipeline_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.1
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        n=3, threshold=0.1, block_by="lang",
     )
 
 
@@ -1416,4 +1425,103 @@ def q_edge_decoration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s_name").alias("to_name"),
             "score",
         )
+    )
+
+
+@_register(
+    "transpose_matrix",
+    oracle="""
+    WITH wide AS (
+      SELECT l_returnflag,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_price,
+             round(sum(l_tax), 2) AS sum_tax
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT 'sum_qty' AS metric,
+           max(CASE WHEN l_returnflag = 'A' THEN sum_qty END) AS "A",
+           max(CASE WHEN l_returnflag = 'N' THEN sum_qty END) AS "N",
+           max(CASE WHEN l_returnflag = 'R' THEN sum_qty END) AS "R"
+    FROM wide
+    UNION ALL
+    SELECT 'sum_price',
+           max(CASE WHEN l_returnflag = 'A' THEN sum_price END),
+           max(CASE WHEN l_returnflag = 'N' THEN sum_price END),
+           max(CASE WHEN l_returnflag = 'R' THEN sum_price END)
+    FROM wide
+    UNION ALL
+    SELECT 'sum_tax',
+           max(CASE WHEN l_returnflag = 'A' THEN sum_tax END),
+           max(CASE WHEN l_returnflag = 'N' THEN sum_tax END),
+           max(CASE WHEN l_returnflag = 'R' THEN sum_tax END)
+    FROM wide
+    """,
+)
+def q_transpose_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 full distributed transpose — the t() the reference does in RAM
+    (TW:16-18): an aggregate matrix (flags × metrics) flipped to
+    (metrics × flags) via melt + pivot."""
+    from gene_level_metadata_pipeline_spark.operators.reshape import transpose
+
+    wide = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            _round_to(F.sum("l_quantity"), 2).alias("sum_qty"),
+            _round_to(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            _round_to(F.sum("l_tax"), 2).alias("sum_tax"),
+        )
+    )
+    return transpose(wide, "l_returnflag", ["sum_qty", "sum_price", "sum_tax"],
+                     header_col="metric")
+
+
+@_register(
+    "distinct_count",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column distinct aggregation (the expand-based plan Spark
+    generates for several COUNT DISTINCTs in one pass)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@_register(
+    "rollup_revenue",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           round(sum(c.c_acctbal), 2) AS total_balance
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy aggregation (region → nation → grand total) — free
+    from Spark's grouping-sets support, absent from the reference (SURVEY
+    §2.7 'absent' list) but table stakes for an analytics engine."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        _round_to(F.sum("c_acctbal"), 2).alias("total_balance")
     )
