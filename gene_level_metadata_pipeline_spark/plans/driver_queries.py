@@ -1525,3 +1525,137 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.rollup("r_name", "n_name").agg(
         _round_to(F.sum("c_acctbal"), 2).alias("total_balance")
     )
+
+
+@_register(
+    "phenotype_parse",
+    oracle="""
+    WITH pheno AS (
+      SELECT p_partkey,
+             CASE p_size % 4
+               WHEN 0 THEN '{' || p_name || '}'
+               WHEN 1 THEN '[' || p_name || ']'
+               WHEN 2 THEN '?' || p_name
+               ELSE p_name END
+             || ', ' || CAST(100000 + p_partkey AS VARCHAR)
+             || ' (' || CAST(1 + p_partkey % 4 AS VARCHAR) || '), '
+             || CASE p_size % 3
+                  WHEN 0 THEN 'Autosomal dominant'
+                  WHEN 1 THEN 'Autosomal recessive; X-linked'
+                  ELSE 'Multifactorial' END AS s
+      FROM part
+    )
+    SELECT p_partkey,
+           array_to_string(regexp_extract_all(
+             s, 'Autosomal dominant|Autosomal recessive|X-linked|Multifactorial'
+           ), '; ') AS moi,
+           nullif(regexp_extract(s, '(\\d{6})', 1), '') AS omim_id,
+           regexp_extract(s, '^(.*?)\\d{6}', 1) AS raw_name,
+           CASE WHEN regexp_matches(s, '^\\{') THEN 'susceptibility'
+                WHEN regexp_matches(s, '^\\[') THEN 'nondisease'
+                WHEN regexp_matches(s, '^\\?') THEN 'provisional'
+                ELSE 'confirmed' END AS certainty,
+           CASE regexp_extract(s, '\\((\\d)\\)', 1)
+                WHEN '1' THEN 'mapping_wildtype' WHEN '2' THEN 'linkage'
+                WHEN '3' THEN 'molecular_basis_known' ELSE 'chromosome_deletion'
+           END AS mapping_key,
+           regexp_replace(
+             regexp_replace(s, '[\\{\\[\\?\\]\\}]', '', 'g'), ', $', ''
+           ) AS cleaned
+    FROM pheno
+    """,
+)
+def q_phenotype_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's hardest scalar pipeline — OMIM genemap2 packed
+    phenotype strings (T:349-402): X9 extract-all MOI keywords joined
+    '; ', X7 6-digit id extract with NULL no-match, X8 lazy prefix extract
+    (Java lookahead '(?=\\d{6})' in Spark; RE2 has no lookahead so the
+    oracle uses the equivalent lazy captured group), X10 leading-class
+    recode {/[/? , X17 mapping-key recode (1)-(4), X4/X5 char-class strip
+    + trailing-comma trim. Strings are built deterministically from part."""
+    from gene_level_metadata_pipeline_spark.functions.scalars import (
+        extract_all_joined,
+        extract_first,
+    )
+
+    p = _t(spark, sf_dir, "part")
+    prefix = (
+        F.when(F.col("p_size") % 4 == 0, F.concat(F.lit("{"), F.col("p_name"), F.lit("}")))
+        .when(F.col("p_size") % 4 == 1, F.concat(F.lit("["), F.col("p_name"), F.lit("]")))
+        .when(F.col("p_size") % 4 == 2, F.concat(F.lit("?"), F.col("p_name")))
+        .otherwise(F.col("p_name"))
+    )
+    moi_src = (
+        F.when(F.col("p_size") % 3 == 0, F.lit("Autosomal dominant"))
+        .when(F.col("p_size") % 3 == 1, F.lit("Autosomal recessive; X-linked"))
+        .otherwise(F.lit("Multifactorial"))
+    )
+    s = F.concat(
+        prefix, F.lit(", "),
+        (F.lit(100000) + F.col("p_partkey")).cast("string"),
+        F.lit(" ("), (1 + F.col("p_partkey") % 4).cast("string"), F.lit("), "),
+        moi_src,
+    )
+    d = p.select("p_partkey", s.alias("s"))
+    moi_pat = "Autosomal dominant|Autosomal recessive|X-linked|Multifactorial"
+    return d.select(
+        "p_partkey",
+        extract_all_joined("s", moi_pat).alias("moi"),
+        extract_first("s", r"(\d{6})").alias("omim_id"),
+        F.regexp_extract("s", r"^(.*?)(?=\d{6})", 1).alias("raw_name"),
+        F.when(F.col("s").rlike(r"^\{"), "susceptibility")
+        .when(F.col("s").rlike(r"^\["), "nondisease")
+        .when(F.col("s").rlike(r"^\?"), "provisional")
+        .otherwise("confirmed").alias("certainty"),
+        F.when(F.regexp_extract("s", r"\((\d)\)", 1) == "1", "mapping_wildtype")
+        .when(F.regexp_extract("s", r"\((\d)\)", 1) == "2", "linkage")
+        .when(F.regexp_extract("s", r"\((\d)\)", 1) == "3", "molecular_basis_known")
+        .otherwise("chromosome_deletion").alias("mapping_key"),
+        F.regexp_replace(
+            F.regexp_replace("s", r"[\{\[\?\]\}]", ""), r", $", ""
+        ).alias("cleaned"),
+    ).drop("s")
+
+
+@_register(
+    "panelapp_flow",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('g1', 'green', 'cardiac'),
+      ('g2', 'amber', 'neuro'),
+      ('g3', 'red',   '-')
+    ) AS t(gene_symbol, confidence, disease_group)
+    """,
+)
+def q_panelapp_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full PanelApp tidy flow (T:441-498) as one engine program:
+    paginated JSON → flatten to (record_id, name, value) → filter to the
+    key set → RECORD-ID pivot (replacing the reference's fragile
+    positional col-bind, T:454-484) → NA→'-' fill (T:451) → confidence
+    recode 3/2/1→green/amber/red (T:486-491) → drop empty disease_group
+    rows (T:493)."""
+    from gene_level_metadata_pipeline_spark.functions.scalars import (
+        fill_sentinel,
+        recode,
+    )
+    from gene_level_metadata_pipeline_spark.operators.reshape import kv_pivot
+    from gene_level_metadata_pipeline_spark.plans.fixtures import fixture_dir
+    from gene_level_metadata_pipeline_spark.sources.readers import read_json_pages
+
+    d = fixture_dir()
+    kv = read_json_pages(
+        spark, [f"{d}/panel_pages/p1.json", f"{d}/panel_pages/p2.json"],
+        flatten_kv=True, record_id="rid",
+    )
+    wide = kv_pivot(
+        kv, "rid", "name", "value",
+        names=["gene_symbol", "confidence_level", "disease_group"],
+    )
+    filled = fill_sentinel(wide, "-", cols=["disease_group"])
+    out = filled.select(
+        "gene_symbol",
+        recode("confidence_level",
+               {"3": "green", "2": "amber", "1": "red"}).alias("confidence"),
+        "disease_group",
+    )
+    return out.where(F.col("disease_group") != "")

@@ -60,4 +60,20 @@ def fixture_dir() -> str:
       json.dumps({"gene_symbol": "g1", "panel": {"id": 1, "name": "p1"}}) + "\n")
     w("pages/page2.json",
       json.dumps({"gene_symbol": "g2", "panel": {"id": 2, "name": "p2"}}) + "\n")
+
+    # T:441-498 full flow: records with confidence levels, a missing
+    # disease_group (NA→'-' fill), an empty one (filtered), and a noise key
+    os.makedirs(f"{d}/panel_pages", exist_ok=True)
+    w("panel_pages/p1.json", "\n".join([
+        json.dumps({"gene_symbol": "g1", "confidence_level": "3",
+                    "disease_group": "cardiac", "noise": "x"}),
+        json.dumps({"gene_symbol": "g2", "confidence_level": "2",
+                    "disease_group": "neuro", "noise": "y"}),
+    ]) + "\n")
+    w("panel_pages/p2.json", "\n".join([
+        json.dumps({"gene_symbol": "g3", "confidence_level": "1",
+                    "noise": "z"}),
+        json.dumps({"gene_symbol": "g4", "confidence_level": "3",
+                    "disease_group": "", "noise": "w"}),
+    ]) + "\n")
     return d
