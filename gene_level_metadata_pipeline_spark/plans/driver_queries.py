@@ -73,6 +73,31 @@ def _round_to(col, n: int):
     return F.round(col * p, 0) / p
 
 
+def _dsum(col, n: int = 2):
+    """Order-independent rounded SUM of doubles, identical across engines.
+
+    A plain double SUM is order-dependent (last-ulp differences between
+    Spark's partial aggregation and DuckDB's sequential sum), and rounding
+    cannot mask an ulp that straddles a .5 boundary — caught live at
+    sf0.001 (q5 revenue 289145.575 → .57 vs .58). Fix: cast each addend to
+    DECIMAL(18,6) (deterministic nearest-6-digit rounding of identical
+    doubles; a tie would need the double to be exactly …5e-7, impossible
+    in binary), sum exactly in decimal (associative — order cannot
+    matter), round, cast back to double. Oracle twin:
+    ``CAST(round(sum(CAST(x AS DECIMAL(18,6))), n) AS DOUBLE)``.
+    """
+    return F.round(F.sum(col.cast("decimal(18,6)")), n).cast("double")
+
+
+def _davg(col, n: int):
+    """Order-independent rounded AVG via exact decimal sum / count (both
+    sides then perform the identical double division). Oracle twin:
+    ``round(CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) / count(*), n)``
+    wrapped by the engine's double-rounding (see _round_to)."""
+    total = F.sum(col.cast("decimal(18,6)")).cast("double")
+    return _round_to(total / F.count(F.lit(1)), n)
+
+
 # ---------------------------------------------------------------------------
 # J1 / U1 — the flagship: spine + harmonize
 # ---------------------------------------------------------------------------
@@ -86,7 +111,7 @@ def _round_to(col, n: int):
     src AS (
       SELECT o_custkey AS c_custkey,
              count(*) AS n_orders,
-             round(sum(o_totalprice), 2) AS total_spend
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_spend
       FROM orders GROUP BY o_custkey
     )
     SELECT DISTINCT spn.c_custkey, src.n_orders, src.total_spend
@@ -104,7 +129,7 @@ def q_spine_harmonize(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy(F.col("o_custkey").alias("c_custkey"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            _round_to(F.sum("o_totalprice"), 2).alias("total_spend"),
+            _dsum(F.col("o_totalprice"), 2).alias("total_spend"),
         )
     )
     return harmonize(spn, src, "c_custkey")
@@ -421,7 +446,7 @@ def q_matrix_rowsum_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "matrix_rowmean",
     oracle="""
-    SELECT l_partkey AS gene, round(avg(l_extendedprice), 3) AS mean_score
+    SELECT l_partkey AS gene, round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*), 3) AS mean_score
     FROM lineitem GROUP BY l_partkey
     """,
 )
@@ -430,7 +455,7 @@ def q_matrix_rowmean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _t(spark, sf_dir, "lineitem")
         .groupBy(F.col("l_partkey").alias("gene"))
-        .agg(_round_to(F.avg("l_extendedprice"), 3).alias("mean_score"))
+        .agg(_davg(F.col("l_extendedprice"), 3).alias("mean_score"))
     )
 
 
@@ -634,7 +659,7 @@ def q_melt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
            event_type,
            count(*) AS n,
-           round(sum(value), 3) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 3) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -649,7 +674,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            _round_to(F.sum("value"), 3).alias("total_value"),
+            _dsum(F.col("value"), 3).alias("total_value"),
         )
     )
 
@@ -663,10 +688,10 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag, l_linestatus,
            sum(l_quantity) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
            round(avg(l_quantity), 3) AS avg_qty,
-           round(avg(l_discount), 4) AS avg_disc,
+           round(CAST(sum(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-01'
@@ -681,10 +706,10 @@ def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum("l_quantity").alias("sum_qty"),
-        _round_to(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-        _round_to(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        _dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("sum_disc_price"),
         _round_to(F.avg("l_quantity"), 3).alias("avg_qty"),
-        _round_to(F.avg("l_discount"), 4).alias("avg_disc"),
+        _davg(F.col("l_discount"), 4).alias("avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -693,7 +718,7 @@ def q_tpch_q1_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q3_topk",
     oracle="""
     SELECT o.o_orderkey,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue,
            strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -722,7 +747,7 @@ def q_tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
     )
     agg = joined.groupBy("o_orderkey", "o_orderdate").agg(
-        _round_to(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue")
     )
     return (
         agg.select(
@@ -738,7 +763,7 @@ def q_tpch_q3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q5_region",
     oracle="""
     SELECT n.n_name,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -777,14 +802,14 @@ def q_tpch_q5_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
     )
     return joined.groupBy("n_name").agg(
-        _round_to(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue")
     )
 
 
 @_register(
     "tpch_q6_forecast",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -803,7 +828,7 @@ def q_tpch_q6_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") >= 0.03) & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(_round_to(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"), 2).alias("revenue"))
     )
 
 
@@ -1433,9 +1458,9 @@ def q_edge_decoration(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH wide AS (
       SELECT l_returnflag,
-             round(sum(l_quantity), 2) AS sum_qty,
-             round(sum(l_extendedprice), 2) AS sum_price,
-             round(sum(l_tax), 2) AS sum_tax
+             CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price,
+             CAST(round(sum(CAST(l_tax AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_tax
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT 'sum_qty' AS metric,
@@ -1467,9 +1492,9 @@ def q_transpose_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            _round_to(F.sum("l_quantity"), 2).alias("sum_qty"),
-            _round_to(F.sum("l_extendedprice"), 2).alias("sum_price"),
-            _round_to(F.sum("l_tax"), 2).alias("sum_tax"),
+            _dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice"), 2).alias("sum_price"),
+            _dsum(F.col("l_tax"), 2).alias("sum_tax"),
         )
     )
     return transpose(wide, "l_returnflag", ["sum_qty", "sum_price", "sum_tax"],
@@ -1504,7 +1529,7 @@ def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_revenue",
     oracle="""
     SELECT r.r_name, n.n_name,
-           round(sum(c.c_acctbal), 2) AS total_balance
+           CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_balance
     FROM customer c
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -1523,7 +1548,7 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
     return joined.rollup("r_name", "n_name").agg(
-        _round_to(F.sum("c_acctbal"), 2).alias("total_balance")
+        _dsum(F.col("c_acctbal"), 2).alias("total_balance")
     )
 
 

@@ -5,17 +5,19 @@ at sf0.01, compares row count, sorted column names, and an order-insensitive
 multiset of row values. Exit code 1 on any mismatch.
 
 Usage:  python tools/check_oracle.py [query ...]
+        CHECK_SF_DIR=/root/testdata/sf0.1 python tools/check_oracle.py
 """
 
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("CHECK_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
