@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cosine", "brute_force_topk", "sign_lsh_pairs"]
+__all__ = ["cosine", "brute_force_topk", "sign_lsh_pairs", "ivf_topk"]
 
 
 def _as_double(col) -> Column:
@@ -125,4 +125,49 @@ def sign_lsh_pairs(
         .withColumn("cos_sim", F.round(cosine(F.col("__va"), F.col("__vb")), 4))
         .where(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    cell_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style top-k: search only the query's coarse cell.
+
+    ``cell_col`` is the inverted-file cell id — in production the nearest
+    centroid from a k-means coarse quantizer; any pre-assigned partition id
+    (here the dataset's label) has the same plan shape. The join key is the
+    cell: each query scores ~N/cells candidates instead of N, and the
+    probe-side shuffle is by cell id. Returns (query_id, neighbor_id,
+    cos_sim, rank) — recall is bounded by cell assignment quality, the
+    standard IVF trade.
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col(cell_col).alias("__cell"),
+    )
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__vv"),
+        F.col(cell_col).alias("__cell"),
+    )
+    scored = (
+        v.join(F.broadcast(q), "__cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("__qv"), F.col("__vv")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
     )

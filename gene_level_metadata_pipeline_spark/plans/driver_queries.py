@@ -1684,3 +1684,31 @@ def q_panelapp_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "disease_group",
     )
     return out.where(F.col("disease_group") != "")
+
+
+@_register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label, e AS qe FROM v WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             round({_COS.format(a='q.qe', b='v.e')}, 4) AS cos_sim
+      FROM q JOIN v ON q.label = v.label AND q.query_id <> v.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+      ) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: each query searches only its coarse cell (the label
+    column stands in for a k-means centroid assignment) — the scale path
+    where brute force scores N candidates and IVF scores N/cells."""
+    from gene_level_metadata_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 10), cell_col="label", k=5)

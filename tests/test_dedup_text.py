@@ -141,3 +141,15 @@ def test_multimodal_feature_plumbing(spark):
     assert feats["head_bytes"] == [97, 98, 99]
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(df)
+
+
+def test_ivf_topk_searches_only_own_cell(spark):
+    from gene_level_metadata_pipeline_spark.operators import similarity
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0], 0), (1, [0.9, 0.1], 0), (2, [1.0, 0.0], 1)],
+        ["vec_id", "embedding", "label"],
+    )
+    out = similarity.ivf_topk(vecs, vecs.where("vec_id = 0"), cell_col="label", k=5).collect()
+    neighbors = {r["neighbor_id"] for r in out}
+    assert neighbors == {1}  # vec 2 is identical but lives in another cell
