@@ -1712,3 +1712,21 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.where(F.col("vec_id") < 10), cell_col="label", k=5)
+
+
+@_register(
+    "read_excel_sheet",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('g1', CAST(1.5 AS DOUBLE)), ('g2', CAST(2.5 AS DOUBLE))
+    ) AS t(gene, score)
+    """,
+)
+def q_read_excel_sheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 Excel scan — sheet by index, pure-stdlib xlsx fallback (zipped
+    XML; no Excel engine in this container). Sheet-by-name + startRow is
+    covered by unit tests (tests/test_sources.py)."""
+    from gene_level_metadata_pipeline_spark.plans.fixtures import fixture_dir
+    from gene_level_metadata_pipeline_spark.sources.readers import read_excel
+
+    return read_excel(spark, f"{fixture_dir()}/workbook.xlsx", sheet=0)

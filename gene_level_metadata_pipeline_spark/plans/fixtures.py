@@ -55,6 +55,12 @@ def fixture_dir() -> str:
     # P7: real header sits in data row 1 (Rosen workbook shape, TM:107-109)
     w("promote.csv", "gene,score\ng1,1.5\ng2,2.0\n")
 
+    # S9: two-sheet xlsx (Rosen workbook shape, IM:19-22 / TM:105-127),
+    # hand-built zipped XML with inline strings — no Excel engine needed
+    xpath = os.path.join(d, "workbook.xlsx")
+    if not os.path.exists(xpath):
+        _write_min_xlsx(xpath)
+
     # S11: paginated JSON (PanelApp shape, I:211-218)
     w("pages/page1.json",
       json.dumps({"gene_symbol": "g1", "panel": {"id": 1, "name": "p1"}}) + "\n")
@@ -77,3 +83,63 @@ def fixture_dir() -> str:
                     "disease_group": "", "noise": "w"}),
     ]) + "\n")
     return d
+
+
+def _write_min_xlsx(path: str) -> None:
+    """Two-sheet workbook: Scores(gene,score) and Meta with a banner row
+    (exercises sheet-by-name + startRow)."""
+    W = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    R = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+    P = "http://schemas.openxmlformats.org/package/2006/relationships"
+    CT = "http://schemas.openxmlformats.org/package/2006/content-types"
+
+    def s(ref, text):
+        return (f'<c r="{ref}" t="inlineStr"><is><t>{text}</t></is></c>')
+
+    def n(ref, num):
+        return f'<c r="{ref}"><v>{num}</v></c>'
+
+    sheet1 = (
+        f'<worksheet xmlns="{W}"><sheetData>'
+        f'<row r="1">{s("A1","gene")}{s("B1","score")}</row>'
+        f'<row r="2">{s("A2","g1")}{n("B2",1.5)}</row>'
+        f'<row r="3">{s("A3","g2")}{n("B3",2.5)}</row>'
+        "</sheetData></worksheet>"
+    )
+    sheet2 = (
+        f'<worksheet xmlns="{W}"><sheetData>'
+        f'<row r="1">{s("A1","banner row - ignore")}</row>'
+        f'<row r="2">{s("A2","key")}{s("B2","val")}</row>'
+        f'<row r="3">{s("A3","k1")}{n("B3",10)}</row>'
+        "</sheetData></worksheet>"
+    )
+    workbook = (
+        f'<workbook xmlns="{W}" xmlns:r="{R}"><sheets>'
+        '<sheet name="Scores" sheetId="1" r:id="rId1"/>'
+        '<sheet name="Meta" sheetId="2" r:id="rId2"/>'
+        "</sheets></workbook>"
+    )
+    wb_rels = (
+        f'<Relationships xmlns="{P}">'
+        '<Relationship Id="rId1" Type="x" Target="worksheets/sheet1.xml"/>'
+        '<Relationship Id="rId2" Type="x" Target="worksheets/sheet2.xml"/>'
+        "</Relationships>"
+    )
+    root_rels = (
+        f'<Relationships xmlns="{P}">'
+        '<Relationship Id="rId1" Type="x" Target="xl/workbook.xml"/>'
+        "</Relationships>"
+    )
+    types = (
+        f'<Types xmlns="{CT}">'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        "</Types>"
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("[Content_Types].xml", types)
+        zf.writestr("_rels/.rels", root_rels)
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet1)
+        zf.writestr("xl/worksheets/sheet2.xml", sheet2)

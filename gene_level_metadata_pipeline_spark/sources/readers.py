@@ -127,25 +127,32 @@ def read_excel(
     sheet: int | str = 0,
     skip: int = 0,
 ) -> DataFrame:
-    """S9: Excel sheet → DataFrame via the pandas bridge (IM:9-27).
+    """S9: Excel sheet → DataFrame (IM:9-27).
 
     Excel sources in the reference are small manuscript supplements — a
-    driver-side pandas read + ``createDataFrame`` (Arrow-backed) is the
-    right scale trade-off. ``sheet`` by index or name; ``skip`` mirrors
-    openxlsx ``startRow-1``. Raises ImportError with guidance when no
-    Excel engine (openpyxl) is installed in the environment.
+    driver-side parse + ``createDataFrame`` is the right scale trade-off.
+    ``sheet`` by index or name; ``skip`` mirrors openxlsx ``startRow-1``.
+    Prefers pandas+openpyxl when installed; otherwise falls back to the
+    pure-stdlib xlsx parser (``sources.xlsx``) — zipped XML needs no
+    external engine. First post-skip row is the header, matching
+    ``openxlsx::read.xlsx``.
     """
-    import pandas as pd
-
     try:
+        import pandas as pd
+
         pdf = pd.read_excel(path, sheet_name=sheet, skiprows=skip)
-    except ImportError as e:  # no openpyxl/xlrd in container
-        raise ImportError(
-            "read_excel needs a pandas Excel engine (openpyxl); not "
-            "available in this environment — stage the sheet as CSV and "
-            "use read_delim instead"
-        ) from e
-    return spark.createDataFrame(pdf)
+        return spark.createDataFrame(pdf)
+    except ImportError:
+        from gene_level_metadata_pipeline_spark.sources.xlsx import read_xlsx_rows
+
+        rows = read_xlsx_rows(path, sheet=sheet, skip=skip)
+        if not rows:
+            raise ValueError(f"read_excel: empty sheet {sheet!r} in {path}")
+        header = [str(h) for h in rows[0]]
+        body = [
+            [None if v is None else v for v in r] for r in rows[1:]
+        ]
+        return spark.createDataFrame(body, schema=header)
 
 
 def read_json_pages(

@@ -40,3 +40,17 @@ def test_write_bronze_partitioned(spark):
     # partition pruning works on the layout
     pruned = back.where(F.col("release") == "a")
     assert pruned.count() == 2
+
+
+def test_read_excel_by_name_and_startrow(spark):
+    from gene_level_metadata_pipeline_spark.plans.fixtures import fixture_dir
+    from gene_level_metadata_pipeline_spark.sources.readers import read_excel
+    from gene_level_metadata_pipeline_spark.sources.xlsx import sheet_names
+
+    path = f"{fixture_dir()}/workbook.xlsx"
+    assert sheet_names(path) == ["Scores", "Meta"]
+    # sheet by name with startRow skipping the banner (IM:13 startRow=2)
+    meta = read_excel(spark, path, sheet="Meta", skip=1)
+    rows = [tuple(r) for r in meta.collect()]
+    assert meta.columns == ["key", "val"]
+    assert rows == [("k1", 10)]
