@@ -119,21 +119,26 @@ def _write_min_xlsx(path: str) -> None:
         '<sheet name="Meta" sheetId="2" r:id="rId2"/>'
         "</sheets></workbook>"
     )
+    # real ECMA-376 relationship-type URIs + content-type overrides, so an
+    # actual Excel engine (openpyxl, when present) opens this workbook too
     wb_rels = (
         f'<Relationships xmlns="{P}">'
-        '<Relationship Id="rId1" Type="x" Target="worksheets/sheet1.xml"/>'
-        '<Relationship Id="rId2" Type="x" Target="worksheets/sheet2.xml"/>'
+        f'<Relationship Id="rId1" Type="{R}/worksheet" Target="worksheets/sheet1.xml"/>'
+        f'<Relationship Id="rId2" Type="{R}/worksheet" Target="worksheets/sheet2.xml"/>'
         "</Relationships>"
     )
     root_rels = (
         f'<Relationships xmlns="{P}">'
-        '<Relationship Id="rId1" Type="x" Target="xl/workbook.xml"/>'
+        f'<Relationship Id="rId1" Type="{R}/officeDocument" Target="xl/workbook.xml"/>'
         "</Relationships>"
     )
     types = (
         f'<Types xmlns="{CT}">'
-        '<Default Extension="xml" ContentType="application/xml"/>'
         '<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet2.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
         "</Types>"
     )
     with zipfile.ZipFile(path, "w") as zf:

@@ -137,22 +137,29 @@ def read_excel(
     external engine. First post-skip row is the header, matching
     ``openxlsx::read.xlsx``.
     """
-    try:
+    pdf = None
+    try:  # narrow: only the pandas/engine import path may fall through
         import pandas as pd
 
         pdf = pd.read_excel(path, sheet_name=sheet, skiprows=skip)
-        return spark.createDataFrame(pdf)
     except ImportError:
-        from gene_level_metadata_pipeline_spark.sources.xlsx import read_xlsx_rows
+        pass
+    if pdf is not None:
+        return spark.createDataFrame(pdf)
 
-        rows = read_xlsx_rows(path, sheet=sheet, skip=skip)
-        if not rows:
-            raise ValueError(f"read_excel: empty sheet {sheet!r} in {path}")
-        header = [str(h) for h in rows[0]]
-        body = [
-            [None if v is None else v for v in r] for r in rows[1:]
-        ]
-        return spark.createDataFrame(body, schema=header)
+    from gene_level_metadata_pipeline_spark.sources.xlsx import read_xlsx_rows
+
+    rows = read_xlsx_rows(path, sheet=sheet, skip=skip)
+    if not rows:
+        raise ValueError(f"read_excel: empty sheet {sheet!r} in {path}")
+    header = [str(h) for h in rows[0]]
+    body = rows[1:]
+    if not body:  # header-only sheet: empty frame, all-string schema
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        schema = StructType([StructField(h, StringType()) for h in header])
+        return spark.createDataFrame([], schema=schema)
+    return spark.createDataFrame(body, schema=header)
 
 
 def read_json_pages(

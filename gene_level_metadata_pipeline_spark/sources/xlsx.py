@@ -72,6 +72,7 @@ def read_xlsx_rows(path: str, sheet: int | str = 0, skip: int = 0) -> list[list]
         rows: list[list] = []
         for row in ws.iter(f"{NS}row"):
             cells: dict[int, object] = {}
+            next_idx = 0  # cells without an 'r' ref are positioned sequentially
             for c in row.iter(f"{NS}c"):
                 ref, ctype = c.get("r"), c.get("t", "n")
                 v = c.find(f"{NS}v")
@@ -80,14 +81,21 @@ def read_xlsx_rows(path: str, sheet: int | str = 0, skip: int = 0) -> list[list]
                     val: object = shared[int(v.text)]
                 elif ctype == "inlineStr" and is_node is not None:
                     val = "".join(t.text or "" for t in is_node.iter(f"{NS}t"))
+                elif ctype in ("str", "e") and v is not None:
+                    # cached string formula result / error literal → string
+                    val = v.text
                 elif ctype == "b" and v is not None:
                     val = v.text == "1"
                 elif v is not None and v.text is not None:
-                    f = float(v.text)
-                    val = int(f) if f.is_integer() else f
+                    # always float: mixed int/float in one column would break
+                    # Spark's schema merge (CANNOT_MERGE_TYPE Long vs Double);
+                    # pandas/openxlsx read numerics as double too
+                    val = float(v.text)
                 else:
                     val = None
-                cells[_col_index(ref)] = val
+                idx = _col_index(ref) if ref is not None else next_idx
+                cells[idx] = val
+                next_idx = idx + 1
             width = max(cells) + 1 if cells else 0
             rows.append([cells.get(i) for i in range(width)])
     rows = rows[skip:]

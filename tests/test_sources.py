@@ -53,4 +53,4 @@ def test_read_excel_by_name_and_startrow(spark):
     meta = read_excel(spark, path, sheet="Meta", skip=1)
     rows = [tuple(r) for r in meta.collect()]
     assert meta.columns == ["key", "val"]
-    assert rows == [("k1", 10)]
+    assert rows == [("k1", 10.0)]  # numerics uniformly double
