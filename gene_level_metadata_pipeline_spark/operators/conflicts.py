@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["keep_unique", "null_conflicts", "drop_dup_keys", "prefer_flagged"]
+__all__ = ["keep_unique", "null_conflicts", "drop_dup_keys", "dup_keys", "prefer_flagged"]
 
 
 def _group_count(key: str | list[str]) -> Column:

@@ -181,6 +181,12 @@ def minhash_candidate_pairs(
     (band, band_hash) bucket become a candidate pair. Returns distinct
     (doc_a, doc_b). Tune bands/rows for the target similarity threshold
     (s-curve: P(candidate) = 1-(1-s^r)^b)."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"minhash_candidate_pairs: num_hashes={num_hashes} must be "
+            f"divisible by bands={bands} (trailing hashes would be paid "
+            "for but silently unused)"
+        )
     rows = num_hashes // bands
     sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
     # One generator projection, not a union of per-band selects: a union

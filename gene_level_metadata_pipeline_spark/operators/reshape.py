@@ -16,6 +16,7 @@ __all__ = [
     "pivot_wider",
     "kv_pivot",
     "melt",
+    "transpose",
     "union_all",
     "distinct_all",
 ]

@@ -1389,11 +1389,16 @@ def q_multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "multimodal_features",
     oracle="""
+    WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS nb FROM documents)
     SELECT doc_id,
-           octet_length(encode(text)) AS n_bytes,
-           list_aggregate(list_transform(generate_series(1, length(text)),
-                                         i -> ord(substr(text, i, 1))), 'sum') AS checksum
-    FROM documents
+           nb AS n_bytes,
+           coalesce(list_aggregate(
+             list_transform(generate_series(1, nb),
+               i -> (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16
+                  + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)),
+             'sum'), 0) AS checksum
+    FROM h
     """,
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -71,6 +71,13 @@ def read_xlsx_rows(path: str, sheet: int | str = 0, skip: int = 0) -> list[list]
         ws = ElementTree.fromstring(zf.read(_sheet_target(zf, sheet)))
         rows: list[list] = []
         for row in ws.iter(f"{NS}row"):
+            # honor the row-number attribute: writers omit fully-blank rows
+            # from the XML, and skip/startRow must land on the same rows
+            # the pandas/openpyxl path (which honors indices) would use
+            rnum = row.get("r")
+            if rnum is not None:
+                while len(rows) < int(rnum) - 1:
+                    rows.append([])
             cells: dict[int, object] = {}
             next_idx = 0  # cells without an 'r' ref are positioned sequentially
             for c in row.iter(f"{NS}c"):

@@ -153,3 +153,20 @@ def test_ivf_topk_searches_only_own_cell(spark):
     out = similarity.ivf_topk(vecs, vecs.where("vec_id = 0"), cell_col="label", k=5).collect()
     neighbors = {r["neighbor_id"] for r in out}
     assert neighbors == {1}  # vec 2 is identical but lives in another cell
+
+
+def test_minhash_rejects_indivisible_bands(spark, docs):
+    with pytest.raises(ValueError, match="divisible"):
+        dedup.minhash_candidate_pairs(docs, "text", "doc_id", num_hashes=8, bands=3)
+
+
+def test_multimodal_checksum_non_ascii(spark):
+    from gene_level_metadata_pipeline_spark.operators import multimodal
+
+    df = spark.createDataFrame([(1, "héllo")], ["doc_id", "text"])
+    feats = multimodal.extract_features(
+        multimodal.attach_binary_payload(df, "text", "doc_id")
+    ).collect()[0]
+    raw = "héllo".encode()
+    assert feats["n_bytes"] == len(raw) == 6   # é is 2 UTF-8 bytes
+    assert feats["checksum"] == sum(raw)

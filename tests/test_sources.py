@@ -54,3 +54,30 @@ def test_read_excel_by_name_and_startrow(spark):
     rows = [tuple(r) for r in meta.collect()]
     assert meta.columns == ["key", "val"]
     assert rows == [("k1", 10.0)]  # numerics uniformly double
+
+
+def test_xlsx_row_gaps_preserved(spark):
+    import zipfile
+
+    from gene_level_metadata_pipeline_spark.plans.fixtures import (
+        _write_min_xlsx, fixture_dir,
+    )
+    from gene_level_metadata_pipeline_spark.sources.xlsx import read_xlsx_rows
+
+    W = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    src = f"{fixture_dir()}/workbook.xlsx"
+    path = "/tmp/rowgap.xlsx"
+    with zipfile.ZipFile(src) as zin, zipfile.ZipFile(path, "w") as zout:
+        for nm in zin.namelist():
+            if nm == "xl/worksheets/sheet1.xml":
+                # row 2 omitted from the XML entirely (blank in Excel terms)
+                zout.writestr(nm,
+                    f'<worksheet xmlns="{W}"><sheetData>'
+                    '<row r="1"><c r="A1" t="inlineStr"><is><t>h</t></is></c></row>'
+                    '<row r="3"><c r="A3" t="inlineStr"><is><t>x</t></is></c></row>'
+                    "</sheetData></worksheet>")
+            else:
+                zout.writestr(nm, zin.read(nm))
+    rows = read_xlsx_rows(path, sheet=0)
+    # blank row preserved at index 1 (padded to the rectangular width)
+    assert rows == [["h"], [None], ["x"]]
