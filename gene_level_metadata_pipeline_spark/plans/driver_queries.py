@@ -1735,3 +1735,17 @@ def q_read_excel_sheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gene_level_metadata_pipeline_spark.sources.readers import read_excel
 
     return read_excel(spark, f"{fixture_dir()}/workbook.xlsx", sheet=0)
+
+
+@_register(
+    "salted_count",
+    oracle="SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag",
+)
+def q_salted_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase count: the salting pattern for hot aggregation
+    keys (SURVEY §4 skew watchpoints) — partial counts per (key, salt),
+    final sum per key. Result must equal the plain GROUP BY."""
+    from gene_level_metadata_pipeline_spark.operators.skew import salted_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag")
+    return salted_count(li, ["l_returnflag"], salt_buckets=16)

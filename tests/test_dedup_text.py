@@ -170,3 +170,23 @@ def test_multimodal_checksum_non_ascii(spark):
     raw = "héllo".encode()
     assert feats["n_bytes"] == len(raw) == 6   # é is 2 UTF-8 bytes
     assert feats["checksum"] == sum(raw)
+
+
+def test_salted_agg_matches_plain(spark):
+    from gene_level_metadata_pipeline_spark.operators.skew import salted_agg, salted_count
+
+    df = spark.createDataFrame(
+        [("hot", i * 1.0) for i in range(50)] + [("cold", 1.0), ("cold", 2.0)],
+        ["k", "v"],
+    )
+    got = {r["k"]: r["n"] for r in salted_count(df, ["k"], salt_buckets=4).collect()}
+    assert got == {"hot": 50, "cold": 2}
+    s = salted_agg(
+        df, ["k"],
+        partial_aggs=[F.sum("v").alias("s"), F.count(F.lit(1)).alias("c")],
+        final_aggs=[F.sum("s").alias("total"), F.sum("c").alias("n")],
+        salt_buckets=4,
+    )
+    rows = {r["k"]: (r["total"], r["n"]) for r in s.collect()}
+    assert rows["hot"] == (sum(range(50)) * 1.0, 50)
+    assert rows["cold"] == (3.0, 2)
