@@ -30,7 +30,7 @@ __all__ = [
 ]
 
 FEATURE_SCHEMA = (
-    "doc_id long, n_bytes int, checksum long, head_bytes array<int>"
+    "doc_id long, n_bytes long, checksum long, head_bytes array<int>"
 )
 
 
@@ -45,7 +45,7 @@ def attach_binary_payload(df: DataFrame, text_col: str, id_col: str) -> DataFram
         payload.alias("payload"),
         F.struct(
             F.lit("image/fake").alias("modality"),
-            F.octet_length(payload).alias("n_bytes"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
         ).alias("meta"),
     )
 

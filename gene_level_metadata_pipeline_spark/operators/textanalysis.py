@@ -37,7 +37,7 @@ LANGS = list(STOPWORDS)
 def _hits(words: Column, vocab: list[str]) -> Column:
     """Occurrence count (not distinct) of vocab words in the token array."""
     arr = F.array(*[F.lit(w) for w in vocab])
-    return F.size(F.filter(words, lambda w: F.array_contains(arr, w)))
+    return F.size(F.filter(words, lambda w: F.array_contains(arr, w))).cast("long")
 
 
 def lang_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -78,8 +78,8 @@ def quality_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     quality_ok). Mirrors the usual pretraining-filter stack: degenerate
     length, degenerate word shapes, too-low stopword density."""
     words = F.split(F.col(text_col), " ")
-    n_chars = F.length(F.col(text_col))
-    n_words = F.size(words)
+    n_chars = F.length(F.col(text_col)).cast("long")
+    n_words = F.size(words).cast("long")
     nospace = F.length(F.regexp_replace(F.col(text_col), " ", ""))
     avg_wl = F.round(nospace / n_words, 3)
     stop_ratio = F.round(_hits(words, STOPWORDS["en"]) / n_words, 4)
@@ -101,12 +101,12 @@ def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     The regex tokenizer splits letter runs, digit runs, and single
     non-alphanumeric marks — the standard pre-BPE word-splitting shape.
     Returns (id, ws_tokens, bpe_tokens)."""
-    ws = F.size(F.split(F.col(text_col), " "))
+    ws = F.size(F.split(F.col(text_col), " ")).cast("long")
     bpe = F.size(
         F.regexp_extract_all(
             F.col(text_col), F.lit(r"([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s])"), F.lit(1)
         )
-    )
+    ).cast("long")
     return df.select(
         F.col(id_col), ws.alias("ws_tokens"), bpe.alias("bpe_tokens")
     )

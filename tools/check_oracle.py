@@ -38,6 +38,40 @@ def norm_cell(v):
     return str(v)
 
 
+# spark simpleString -> compatible duckdb type names (lowercased)
+TYPE_COMPAT = {
+    "bigint": {"bigint", "hugeint", "int128"},
+    "int": {"integer", "int", "int32"},
+    "smallint": {"smallint"},
+    "double": {"double", "float8"},
+    "float": {"float", "real"},
+    "string": {"varchar"},
+    "boolean": {"boolean"},
+    "date": {"date"},
+    "timestamp": {"timestamp", "timestamp with time zone"},
+    "timestamp_ntz": {"timestamp"},
+}
+
+
+def type_mismatches(sdf, rel) -> list:
+    """Columns whose Spark type has no compatible DuckDB counterpart —
+    the driver compares schemas, so int-vs-bigint style drift is a
+    latent FAIL even when values hash equal."""
+    dtypes = {c.lower(): str(t).lower() for c, t in zip(rel.columns, rel.types)}
+    out = []
+    for f in sdf.schema.fields:
+        st = f.dataType.simpleString()
+        dt = dtypes.get(f.name.lower())
+        if dt is None:
+            continue
+        ok = TYPE_COMPAT.get(st)
+        if ok is None:
+            continue  # arrays/structs: value comparison covers them
+        if dt not in ok:
+            out.append((f.name, st, dt))
+    return out
+
+
 def frame_to_multiset(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
@@ -93,6 +127,9 @@ def main() -> int:
         status = []
         if len(srows) != len(drows):
             status.append(f"rowcount {len(srows)} vs {len(drows)}")
+        tmix = type_mismatches(sdf, rel)
+        if tmix:
+            status.append(f"types {tmix}")
         if sc != dc:
             status.append(f"schema {sc} vs {dc}")
         elif sm != dm:
