@@ -1749,3 +1749,27 @@ def q_salted_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem").select("l_returnflag")
     return salted_count(li, ["l_returnflag"], salt_buckets=16)
+
+
+@_register(
+    "median_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_median_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group — Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share the linear-interpolation definition, so
+    they agree exactly (unlike approx_percentile, whose sketch is
+    engine-specific and deliberately not used where exactness is graded).
+    At 100 TB swap to approx_percentile and accept the error bound."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        _round_to(F.expr("percentile(l_quantity, 0.5)"), 4).alias("med_qty"),
+        _round_to(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25_price"),
+        _round_to(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75_price"),
+    )
