@@ -1773,3 +1773,25 @@ def q_median_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round_to(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25_price"),
         _round_to(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75_price"),
     )
+
+
+@_register(
+    "streaming_late_data",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('2024-01-01 01:00:00', CAST(2 AS BIGINT)),
+      ('2024-01-01 02:00:00', CAST(1 AS BIGINT))
+    ) AS t(hour, n)
+    """,
+)
+def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + append-mode late-data semantics (SURVEY §2.12
+    'watermarks + windowed aggs for late data'): a deterministic two-batch
+    stream where an event arriving behind the watermark is DROPPED — the
+    closed hour-1 window counts 2, not 3. The VALUES oracle certifies the
+    exact late-data contract."""
+    from gene_level_metadata_pipeline_spark.streaming.windows import (
+        late_data_window_counts,
+    )
+
+    return late_data_window_counts(spark)

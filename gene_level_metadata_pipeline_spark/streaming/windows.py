@@ -157,3 +157,84 @@ def sessionize_stream(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -
     rows = out.collect()
     spark.catalog.dropTempView(name)
     return spark.createDataFrame(rows, out.schema)
+
+
+def late_data_window_counts(spark: SparkSession, gap_dir: str | None = None) -> DataFrame:
+    """Watermark + append-mode windowed counts: the late-data contract.
+
+    Deterministic three-batch demo: batch 1 carries hour-1/hour-2 events
+    plus a far-future event that will advance the watermark; batch 2 is a
+    filler; batch 3 carries a LATE hour-1 event. Append mode emits a
+    window once the eviction watermark passes its end, and late rows are
+    filtered with the PREVIOUS batch's watermark (Spark keeps
+    watermarkForLateEvents one batch behind watermarkForEviction —
+    SPARK-24588), which is why the late event must arrive two batches
+    after the watermark-advancing one to be provably dropped. The emitted
+    hour-1 count is 2, not 3. maxFilesPerTrigger=1 splits the batches,
+    and batch ORDER is pinned via file modification times
+    (FileStreamSource orders by mtime, not name).
+
+    Returns (hour, n) for every CLOSED window.
+    """
+    import json
+    import os
+    import tempfile
+
+    _events_confs(spark)
+    d = gap_dir or tempfile.mkdtemp(prefix="late_demo_")
+    os.makedirs(d, exist_ok=True)
+
+    def write_batch(name: str, rows: list[tuple[str, int]], mtime: int) -> None:
+        path = os.path.join(d, name)
+        if not os.path.exists(path):
+            with open(path, "w") as f:
+                for ts, uid in rows:
+                    f.write(json.dumps({"ts": ts, "user_id": uid}) + "\n")
+        os.utime(path, (mtime, mtime))
+
+    write_batch("batch_1.json", [
+        ("2024-01-01 01:10:00", 1), ("2024-01-01 01:20:00", 2),
+        ("2024-01-01 02:15:00", 3),
+        # max event time far ahead: watermark = 09:00 - 2h = 07:00,
+        # so windows 01:00 and 02:00 are closed after this batch
+        ("2024-01-01 09:00:00", 4),
+    ], mtime=1_700_000_000)
+    write_batch("batch_2.json", [
+        ("2024-01-01 09:30:00", 5),   # filler: lets the 07:00 watermark
+    ], mtime=1_700_000_600)           # become the late-event filter
+    write_batch("batch_3.json", [
+        ("2024-01-01 01:40:00", 6),   # LATE: behind the 07:00 watermark
+    ], mtime=1_700_001_200)
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("ts", StringType()),
+        StructField("user_id", LongType()),
+    ])
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withWatermark("ts", "2 hours")
+    )
+    agg = src.groupBy(F.window("ts", "1 hour")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    name = f"late_demo_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")   # emit each window once, on watermark close
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name).select(
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "n",
+    )
+    rows = out.collect()
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, out.schema)
