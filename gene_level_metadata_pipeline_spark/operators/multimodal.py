@@ -93,3 +93,28 @@ def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
 def sample_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Sample video frames from container payloads. STUB: requires ffmpeg."""
     raise NotImplementedError("requires ffmpeg; see decode_image")
+
+
+def normalize_per_group(
+    df: DataFrame, group_col: str, value_col: str, out_col: str = "norm"
+) -> DataFrame:
+    """Grouped-map applyInPandas: per-group min-max normalization.
+
+    The grouped Pandas-UDF scale path (Arrow batch per group) for logic
+    that genuinely wants a dataframe library — here deliberately chosen
+    with EXACT semantics (min/max involve no summation, so results are
+    bit-identical to any SQL engine and oracle-checkable; single-value
+    groups normalize to 0.0). At 100 TB the shuffle key is the group
+    column; groups must fit in executor memory — the standard
+    applyInPandas contract.
+    """
+    schema = f"{group_col} long, {value_col} double, {out_col} double"
+
+    def norm(pdf):
+        lo, hi = pdf[value_col].min(), pdf[value_col].max()
+        span = hi - lo
+        pdf = pdf[[group_col, value_col]].copy()
+        pdf[out_col] = 0.0 if span == 0 else (pdf[value_col] - lo) / span
+        return pdf
+
+    return df.select(group_col, value_col).groupBy(group_col).applyInPandas(norm, schema)

@@ -1795,3 +1795,209 @@ def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return late_data_window_counts(spark)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped subquery/aggregation breadth (Q4/Q13/Q14/Q18/Q19 analogs)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "tpch_q4_exists",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery = left-semi join on the
+    composite condition, then priority counts."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    sem = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return sem.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+@_register(
+    "tpch_q13_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    """,
+)
+def q_tpch_q13_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left join with an extra join predicate + two-level
+    aggregation (orders-per-customer distribution). count(col) counts only
+    matched rows — NULL-skipping semantics must survive the outer join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@_register(
+    "tpch_q14_conditional",
+    oracle="""
+    SELECT round(
+      100.0 * CAST(sum(CASE WHEN p_type = 'ECONOMY'
+                    THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))
+                    ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+      / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DOUBLE),
+    4) AS economy_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1997-02-01'
+    """,
+)
+def q_tpch_q14_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregation (promo-revenue share) with
+    a broadcast dimension join; exact decimal sums keep the ratio
+    engine-identical."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    economy = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(
+        F.lit(0).cast("decimal(18,6)")
+    )
+    return j.agg(
+        _round_to(
+            100.0 * F.sum(economy).cast("double") / F.sum(rev).cast("double"), 4
+        ).alias("economy_pct")
+    )
+
+
+@_register(
+    "tpch_q18_having",
+    oracle="""
+    SELECT o.o_orderkey, round(sum(l.l_quantity), 2) AS total_qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderkey
+    HAVING sum(l.l_quantity) > 150
+    """,
+)
+def q_tpch_q18_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING = filter-after-aggregate (large-volume
+    orders). The reference expresses having as count-then-filter (§2.7
+    note); same thing here at fact scale."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    g = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(o.o_orderkey)
+        .agg(
+            F.sum("l_quantity").alias("__q"),
+            _dsum(F.col("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+    return g.where(F.col("__q") > 150).select("o_orderkey", "total_qty")
+
+
+@_register(
+    "tpch_q19_or_pushdown",
+    oracle="""
+    SELECT round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)::DOUBLE AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)
+       OR (p_type = 'STANDARD' AND l_quantity >= 30)
+    """,
+)
+def q_tpch_q19_or_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of conjunctive predicates spanning both
+    join sides — the OR-pushdown stress (Catalyst distributes the
+    single-side conjuncts to the scans)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 20))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 40))
+        | ((F.col("p_type") == "STANDARD") & (F.col("l_quantity") >= 30))
+    )
+    return j.where(cond).agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue")
+    )
+
+
+@_register(
+    "applyinpandas_normalize",
+    oracle="""
+    SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+           c_acctbal,
+           round(CASE WHEN max(c_acctbal) OVER w = min(c_acctbal) OVER w THEN 0.0
+                ELSE (c_acctbal - min(c_acctbal) OVER w)
+                     / (max(c_acctbal) OVER w - min(c_acctbal) OVER w) END, 6) AS norm
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey)
+    """,
+)
+def q_applyinpandas_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (per-nation min-max normalization of
+    account balances) — the Arrow-batched Pandas-UDF path, certified
+    against a pure-SQL window oracle (min/max are summation-free, so the
+    two computations agree exactly)."""
+    from gene_level_metadata_pipeline_spark.operators.multimodal import (
+        normalize_per_group,
+    )
+
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("c_nationkey"), "c_acctbal"
+    )
+    out = normalize_per_group(c, "c_nationkey", "c_acctbal", out_col="norm")
+    return out.withColumn("norm", F.round("norm", 6))
+
+
+@_register(
+    "sql_api_catalog",
+    oracle="""
+    SELECT n.n_name, count(*) AS n_cust, round(sum(CAST(c.c_acctbal AS DECIMAL(18,6))), 2)::DOUBLE AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_sql_api_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front-end surface: tables registered through the engine
+    Catalog (the explicit replacement for the reference's R global env,
+    SURVEY §1.1) and queried with spark.sql — DataFrame and SQL APIs share
+    one namespace."""
+    from gene_level_metadata_pipeline_spark.plans.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.put("customer_v", _t(spark, sf_dir, "customer"))
+    cat.put("nation_v", _t(spark, sf_dir, "nation"))
+    return spark.sql("""
+        SELECT n.n_name, count(*) AS n_cust,
+               CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_bal
+        FROM customer_v c JOIN nation_v n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """)
