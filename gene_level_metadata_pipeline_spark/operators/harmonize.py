@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["spine", "harmonize"]
+__all__ = ["spine", "harmonize", "upsert"]
 
 
 def spine(master: DataFrame, key: str) -> DataFrame:
@@ -66,3 +66,18 @@ def harmonize(
     src = F.broadcast(source) if broadcast_source else source
     joined = spine_df.join(src, on=keys, how="left")
     return joined.dropDuplicates()
+
+
+def upsert(current: DataFrame, updates: DataFrame, key: str | list[str]) -> DataFrame:
+    """Incremental upsert: rows from ``updates`` replace same-key rows in
+    ``current``; unmatched rows of both survive (the bronze-zone refresh
+    pattern — the reference re-fetches whole sources per release, I:16;
+    the engine can instead merge deltas).
+
+    Pure DataFrame emulation of MERGE: updates ∪ (current ⟂ updates-keys).
+    One shuffle on the key (the anti join); at scale write the result
+    partitioned by the key's bucket so the next merge co-locates.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    kept = current.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
+    return kept.unionByName(updates)

@@ -2001,3 +2001,67 @@ def q_sql_api_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM customer_v c JOIN nation_v n ON c.c_nationkey = n.n_nationkey
         GROUP BY n.n_name
     """)
+
+
+@_register(
+    "upsert_merge",
+    oracle="""
+    WITH updates AS (
+      SELECT c_custkey, c_name, 'UPDATED' AS c_mktsegment
+      FROM customer WHERE c_custkey % 10 = 0
+    ),
+    kept AS (
+      SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+    )
+    SELECT * FROM kept UNION ALL SELECT * FROM updates
+    """,
+)
+def q_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style upsert emulation (updates replace same-key rows, both
+    sides' unmatched rows survive) — the incremental bronze refresh the
+    reference lacks (it re-fetches whole sources per release)."""
+    from gene_level_metadata_pipeline_spark.operators.harmonize import upsert
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    updates = (
+        c.where(F.col("c_custkey") % 10 == 0)
+        .withColumn("c_mktsegment", F.lit("UPDATED"))
+    )
+    return upsert(c, updates, "c_custkey")
+
+
+@_register(
+    "streaming_dedup",
+    oracle="SELECT DISTINCT user_id FROM events",
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication: dropDuplicates on an unbounded
+    stream (state = seen keys; pair with a watermark via
+    dropDuplicatesWithinWatermark when keys can expire). Output projected
+    to the key set so the result is order-independent and oracle-exact."""
+    import uuid as _uuid
+
+    from gene_level_metadata_pipeline_spark.sources.readers import ts_from_nanos
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    dedup = src.select("user_id").dropDuplicates(["user_id"])
+    name = f"stream_dedup_{_uuid.uuid4().hex[:8]}"
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    rows = out.collect()
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, out.schema)

@@ -60,3 +60,12 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert "c_custkey" in df.columns
+
+
+def test_upsert_semantics(spark):
+    from gene_level_metadata_pipeline_spark.operators.harmonize import upsert
+
+    cur = spark.createDataFrame([("A", 1), ("B", 2), ("C", 3)], ["k", "v"])
+    upd = spark.createDataFrame([("B", 20), ("D", 40)], ["k", "v"])
+    rows = {(r["k"], r["v"]) for r in upsert(cur, upd, "k").collect()}
+    assert rows == {("A", 1), ("B", 20), ("C", 3), ("D", 40)}
