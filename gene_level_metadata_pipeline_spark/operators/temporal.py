@@ -1,0 +1,119 @@
+"""Temporal join operators Spark lacks natively: as-of and range joins.
+
+Both are implemented as compositions of built-in operators with explicit
+scale contracts (the prompt-level "custom operator" path (a): composition
+before Pandas UDFs before mapPartitions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["as_of_join", "range_join"]
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str,
+    tolerance: int | None = None,
+    tie_break: list[str] | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    ``right_ts <= left_ts`` sharing the ``on`` keys.
+
+    Implementation: tag + union both sides, sort within key partitions by
+    (ts, side), and carry the latest right row forward with a running
+    ``last(ignorenulls)`` window — ONE shuffle on the key, no range
+    self-join blowup, no per-key collect. This is the scalable shape for
+    billions of rows; a backward tolerance (same time unit as the ts
+    columns) optionally nulls matches that are too old.
+
+    Right columns (except keys/ts) come back prefixed ``right_``.
+    Left timestamp ties with a right row admit the right row (<=).
+    ``tie_break`` names right columns that deterministically order right
+    rows sharing a timestamp (ascending; the LAST one wins) — without it,
+    equal-timestamp right rows are matched arbitrarily per run.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    r_payload = [c for c in right.columns if c not in {*keys, right_ts}]
+
+    lhs = left.select(
+        *keys,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"right_{c}")
+          for c in r_payload],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias("__rts"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+    )
+    rhs = right.select(
+        *keys,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c).alias(f"right_{c}") for c in r_payload],
+        F.col(right_ts).alias("__rts"),
+        F.lit(None).cast(lhs.schema["__lrow"].dataType).alias("__lrow"),
+    )
+    # right rows sort before left rows at equal ts => <= semantics
+    order = [F.col("__ts"), F.col("__is_left")]
+    for c in tie_break or []:
+        order.append(F.col(f"right_{c}").asc_nulls_first())
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = lhs.unionByName(rhs).select(
+        "*",
+        *[F.last(f"right_{c}", ignorenulls=True).over(w).alias(f"__carry_{c}")
+          for c in r_payload],
+        F.last("__rts", ignorenulls=True).over(w).alias("__carry_rts"),
+    )
+    out = carried.where(F.col("__is_left") == 1)
+    if tolerance is not None:
+        fresh = (F.col("__ts") - F.col("__carry_rts")) <= tolerance
+        out = out.select(
+            "__lrow",
+            *[F.when(fresh, F.col(f"__carry_{c}")).alias(f"right_{c}")
+              for c in r_payload],
+            F.when(fresh, F.col("__carry_rts")).alias(f"right_{right_ts}"),
+        )
+    else:
+        out = out.select(
+            "__lrow",
+            *[F.col(f"__carry_{c}").alias(f"right_{c}") for c in r_payload],
+            F.col("__carry_rts").alias(f"right_{right_ts}"),
+        )
+    return out.select(
+        *[F.col(f"__lrow.{c}").alias(c) for c in left.columns],
+        *[F.col(f"right_{c}") for c in r_payload],
+        F.col(f"right_{right_ts}"),
+    )
+
+
+def range_join(
+    facts: DataFrame,
+    ranges: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    how: str = "inner",
+) -> DataFrame:
+    """Range (interval containment) join: fact rows matched to range rows
+    with ``lo <= value < hi``.
+
+    The ranges side is broadcast (band tables are small by construction) —
+    a BroadcastNestedLoopJoin whose inner predicate is evaluated
+    JVM-side; at scale the alternative for a LARGE ranges side is binning
+    both sides to an equi-join key (bin = floor(value/width)) and
+    filtering, which keeps a shuffle join. This op takes the broadcast
+    path and documents the binned variant.
+    """
+    cond: Column = (F.col(lo_col) <= F.col(value_col)) & (
+        F.col(value_col) < F.col(hi_col)
+    )
+    return facts.join(F.broadcast(ranges), cond, how)

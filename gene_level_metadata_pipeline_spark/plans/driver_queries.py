@@ -2065,3 +2065,86 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()
     spark.catalog.dropTempView(name)
     return spark.createDataFrame(rows, out.schema)
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins — as-of and range (operators Spark lacks natively)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "asof_join_events",
+    oracle="""
+    WITH err AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ets FROM events
+      WHERE event_type = 'error'
+    ),
+    clk AS (
+      SELECT user_id, epoch_us(ts) AS cts, value FROM events
+      WHERE event_type = 'click'
+    ),
+    ranked AS (
+      SELECT e.user_id, e.event_id,
+             c.cts, c.value,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY c.cts DESC, c.value DESC) AS rn
+      FROM err e LEFT JOIN clk c
+        ON e.user_id = c.user_id AND c.cts <= e.ets
+    )
+    SELECT user_id, event_id,
+           value AS right_value,
+           cts AS right_us
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every 'error' event, the most recent 'click' by the
+    same user at or before it. Implemented as tag-union + running
+    last(ignorenulls) window — one shuffle, no range self-join blowup
+    (the oracle uses the quadratic correlated form; same answer)."""
+    from gene_level_metadata_pipeline_spark.operators.temporal import as_of_join
+
+    ev = _events(spark, sf_dir).withColumn("us", F.unix_micros("ts"))
+    err = ev.where(F.col("event_type") == "error").select(
+        "user_id", "event_id", F.col("us")
+    )
+    clk = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("us"), "value"
+    )
+    out = as_of_join(err, clk, on="user_id", left_ts="us", right_ts="us",
+                     tie_break=["value"])
+    return out.select(
+        "user_id", "event_id", "right_value", F.col("right_us")
+    )
+
+
+@_register(
+    "range_join_bands",
+    oracle="""
+    WITH bands AS (
+      SELECT * FROM (VALUES
+        ('tiny', CAST(0 AS DOUBLE), CAST(50 AS DOUBLE)),
+        ('small', CAST(50 AS DOUBLE), CAST(150 AS DOUBLE)),
+        ('large', CAST(150 AS DOUBLE), CAST(1000 AS DOUBLE))
+      ) AS t(band, lo, hi)
+    )
+    SELECT b.band, count(*) AS n, round(sum(CAST(e.value AS DECIMAL(18,6))), 2)::DOUBLE AS total
+    FROM events e JOIN bands b ON b.lo <= e.value AND e.value < b.hi
+    GROUP BY b.band
+    """,
+)
+def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval containment) join: events bucketed into value
+    bands via a broadcast band table + non-equi predicate, then per-band
+    aggregates."""
+    from gene_level_metadata_pipeline_spark.operators.temporal import range_join
+
+    ev = _events(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [("tiny", 0.0, 50.0), ("small", 50.0, 150.0), ("large", 150.0, 1000.0)],
+        ["band", "lo", "hi"],
+    )
+    joined = range_join(ev, bands, "value", "lo", "hi")
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("value"), 2).alias("total"),
+    )

@@ -1,0 +1,53 @@
+"""as-of and range join semantics on hand-checkable fixtures."""
+
+from __future__ import annotations
+
+from gene_level_metadata_pipeline_spark.operators.temporal import as_of_join, range_join
+
+
+def test_asof_basic_and_no_match(spark):
+    left = spark.createDataFrame(
+        [(1, 100), (1, 205), (2, 50)], ["k", "lts"]
+    )
+    right = spark.createDataFrame(
+        [(1, 90, "a"), (1, 200, "b"), (1, 300, "c"), (3, 10, "z")],
+        ["k", "rts", "tag"],
+    )
+    out = {(r["k"], r["lts"]): (r["right_tag"], r["right_rts"])
+           for r in as_of_join(left, right, "k", "lts", "rts").collect()}
+    assert out[(1, 100)] == ("a", 90)     # most recent at-or-before
+    assert out[(1, 205)] == ("b", 200)    # not c (300 is in the future)
+    assert out[(2, 50)] == (None, None)   # key with no right rows
+
+
+def test_asof_equal_ts_inclusive_and_tolerance(spark):
+    left = spark.createDataFrame([(1, 200), (1, 500)], ["k", "lts"])
+    right = spark.createDataFrame([(1, 200, "x"), (1, 210, "y")], ["k", "rts", "tag"])
+    out = {r["lts"]: (r["right_tag"], r["right_rts"])
+           for r in as_of_join(left, right, "k", "lts", "rts").collect()}
+    assert out[200] == ("x", 200)  # <= admits the equal-timestamp row
+    assert out[500] == ("y", 210)
+    # tolerance: 500-210=290 > 100 -> nulled out
+    tol = {r["lts"]: r["right_tag"]
+           for r in as_of_join(left, right, "k", "lts", "rts", tolerance=100).collect()}
+    assert tol[200] == "x" and tol[500] is None
+
+
+def test_asof_tie_break_deterministic(spark):
+    left = spark.createDataFrame([(1, 300)], ["k", "lts"])
+    right = spark.createDataFrame(
+        [(1, 300, 5.0), (1, 300, 9.0), (1, 300, 1.0)], ["k", "rts", "v"]
+    )
+    r = as_of_join(left, right, "k", "lts", "rts", tie_break=["v"]).collect()[0]
+    assert r["right_v"] == 9.0  # largest tie-break value wins, every run
+
+
+def test_range_join_bands(spark):
+    facts = spark.createDataFrame([(1, 5.0), (2, 50.0), (3, 149.9), (4, 999.0)],
+                                  ["id", "v"])
+    bands = spark.createDataFrame(
+        [("lo", 0.0, 50.0), ("mid", 50.0, 150.0), ("hi", 150.0, 1000.0)],
+        ["band", "lo", "hi"],
+    )
+    out = {r["id"]: r["band"] for r in range_join(facts, bands, "v", "lo", "hi").collect()}
+    assert out == {1: "lo", 2: "mid", 3: "mid", 4: "hi"}  # half-open bounds
