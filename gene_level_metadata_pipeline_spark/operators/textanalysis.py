@@ -18,6 +18,8 @@ __all__ = [
     "quality_scores",
     "token_counts",
     "fingerprint",
+    "stable_sample",
+    "stratified_stable_sample",
 ]
 
 # Tiny per-language stopword lists: enough for the n-gram-heuristic shape;
@@ -126,3 +128,36 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFr
         F.col(id_col),
         F.array_min(F.transform(grams, lambda s: F.md5(s))).alias("fingerprint"),
     )
+
+
+def stable_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Deterministic hash-based Bernoulli sample: keep rows whose
+    md5(salt || key) hex prefix falls under the fraction threshold.
+
+    Unlike ``DataFrame.sample`` this is reproducible across runs, engines,
+    and partitionings — the property a training-data pipeline needs so a
+    re-run selects the SAME documents. Threshold compares the first 8 hex
+    chars against fraction * 16^8; the same predicate re-expressed in any
+    SQL engine selects the identical row set.
+    """
+    bound = format(int(fraction * 16 ** 8), "08x")
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    return df.where(F.substring(h, 1, 8) < F.lit(bound))
+
+
+def stratified_stable_sample(
+    df: DataFrame, key_col: str, stratum_col: str, fraction: float,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sample: same hash predicate, but the
+    stratum participates in the hash so selection is independent across
+    strata (a document keeps/loses membership only if its own stratum's
+    fraction changes)."""
+    bound = format(int(fraction * 16 ** 8), "08x")
+    h = F.md5(
+        F.concat(F.lit(salt + ":"), F.col(stratum_col).cast("string"),
+                 F.lit(":"), F.col(key_col).cast("string"))
+    )
+    return df.where(F.substring(h, 1, 8) < F.lit(bound))

@@ -2148,3 +2148,50 @@ def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         _dsum(F.col("value"), 2).alias("total"),
     )
+
+
+@_register(
+    "hierarchical_rollup",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket, count(*) AS n,
+             sum(CAST(value AS DECIMAL(18,6))) AS total
+      FROM events GROUP BY 1
+    ),
+    daily AS (
+      SELECT date_trunc('day', bucket) AS bucket, sum(n) AS n, sum(total) AS total
+      FROM hourly GROUP BY 1
+    )
+    SELECT 'hour' AS grain, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           n, round(total, 2)::DOUBLE AS total FROM hourly
+    UNION ALL
+    SELECT 'day', strftime(bucket, '%Y-%m-%d %H:%M:%S'), n, round(total, 2)::DOUBLE FROM daily
+    """,
+)
+def q_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup: hour aggregates from the facts, day
+    aggregates FROM the hour partials (one fact scan; each coarser grain
+    re-aggregates ~24x fewer rows — the continuous-aggregate maintenance
+    shape). Decimal sums keep the re-aggregation exact."""
+    from gene_level_metadata_pipeline_spark.operators.temporal import (
+        hierarchical_rollup,
+    )
+
+    return hierarchical_rollup(_events(spark, sf_dir), "ts", "value")
+
+
+@_register(
+    "stable_sample",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'
+    """,
+)
+def q_stable_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based 20% document sample — reproducible across
+    runs/engines/partitionings (DataFrame.sample is not), the selection
+    property training-data pipelines need. 0x33333333 = floor(0.2*16^8)."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import stable_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stable_sample(d, "doc_id", 0.2)
