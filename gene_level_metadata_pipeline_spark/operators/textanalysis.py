@@ -20,6 +20,7 @@ __all__ = [
     "fingerprint",
     "stable_sample",
     "stratified_stable_sample",
+    "tf_idf_keywords",
 ]
 
 # Tiny per-language stopword lists: enough for the n-gram-heuristic shape;
@@ -161,3 +162,44 @@ def stratified_stable_sample(
                  F.lit(":"), F.col(key_col).cast("string"))
     )
     return df.where(F.substring(h, 1, 8) < F.lit(bound))
+
+
+def tf_idf_keywords(
+    df: DataFrame, text_col: str, id_col: str, top_k: int = 3
+) -> DataFrame:
+    """Top-k tf-idf keywords per document (SURVEY §7 Phase 7 text slice).
+
+    tf = term count / document length; idf = ln(N / df) over the corpus.
+    Two aggregations (term counts per doc; document frequency per term)
+    joined back — the document-frequency side is corpus-vocabulary-sized
+    and broadcast. Deterministic ranking: (rounded score desc, word asc).
+    Returns (id, word, tfidf, rank).
+    """
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    )
+    tf = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("cnt"))
+    doc_len = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("len"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(id_col).distinct().count()
+
+    scored = (
+        tf.join(doc_len, id_col)
+        .join(F.broadcast(dfreq), "w")
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("cnt") / F.col("len"))
+                * F.log(F.lit(float(n_docs)) / F.col("df")),
+                6,
+            ),
+        )
+    )
+    rank_w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("w"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w).cast("long"))
+        .where(F.col("rank") <= top_k)
+        .select(id_col, "w", "tfidf", "rank")
+    )

@@ -2195,3 +2195,71 @@ def q_stable_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     return stable_sample(d, "doc_id", 0.2)
+
+
+@_register(
+    "dedup_components",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT doc_a, doc_b FROM (
+        -- inline the minhash candidate pairs (same SQL as dedup_minhash_lsh)
+        """ + _minhash_oracle() + """
+      )
+    ),
+    edges2 AS (
+      SELECT doc_a AS u, doc_b AS v FROM base
+      UNION
+      SELECT doc_b, doc_a FROM base
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges2
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges2 e ON r.v = e.u
+    )
+    SELECT u AS doc_id, least(u, min(v)) AS component
+    FROM reach GROUP BY u
+    """,
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash candidate pairs — the
+    canonical-document clustering step of near-dup removal. Spark runs
+    iterative min-label propagation (driver loop, one join+agg per round);
+    the oracle reaches the same fixpoint with a recursive CTE."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+    from gene_level_metadata_pipeline_spark.operators.graph import connected_components
+
+    pairs = minhash_candidate_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return connected_components(pairs)
+
+
+@_register(
+    "text_tfidf_keywords",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tf AS (SELECT doc_id, w, count(*) AS cnt FROM words GROUP BY doc_id, w),
+    doc_len AS (SELECT doc_id, count(*) AS len FROM words GROUP BY doc_id),
+    dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.w,
+             round((tf.cnt * 1.0 / doc_len.len) * ln(n.n_docs * 1.0 / dfreq.df), 6) AS tfidf
+      FROM tf JOIN doc_len USING (doc_id) JOIN dfreq USING (w), n
+    )
+    SELECT doc_id, w, tfidf, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q_text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf keywords per document — tokenize → tf / df aggregates
+    → broadcast df join → deterministic (score, word) ranking."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        tf_idf_keywords,
+    )
+
+    return tf_idf_keywords(_t(spark, sf_dir, "documents"), "text", "doc_id")

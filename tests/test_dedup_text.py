@@ -190,3 +190,39 @@ def test_salted_agg_matches_plain(spark):
     rows = {r["k"]: (r["total"], r["n"]) for r in s.collect()}
     assert rows["hot"] == (sum(range(50)) * 1.0, 50)
     assert rows["cold"] == (3.0, 2)
+
+
+def test_connected_components_and_canonicalize(spark):
+    from gene_level_metadata_pipeline_spark.operators.graph import (
+        canonicalize_duplicates,
+        connected_components,
+    )
+
+    # two chains and a singleton pair: {1-2-3}, {7-9}, 5 unpaired
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], ["doc_a", "doc_b"]
+    )
+    comp = {r["doc_id"]: r["component"]
+            for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 5, 7, 9]], ["doc_id"])
+    canon = {r["doc_id"]: r["canonical_id"]
+             for r in canonicalize_duplicates(docs, pairs).collect()}
+    assert canon == {1: 1, 2: 1, 3: 1, 5: 5, 7: 7, 9: 7}
+
+
+def test_tfidf_hand_checked(spark):
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import tf_idf_keywords
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry cherry")],
+        ["doc_id", "text"],
+    )
+    out = {(r["doc_id"], r["w"]): r["tfidf"]
+           for r in tf_idf_keywords(df, "text", "doc_id", top_k=3).collect()}
+    # apple: tf 2/3, df 1 -> (2/3)*ln(2); banana: df 2 -> idf 0
+    assert out[(1, "apple")] == round((2 / 3) * math.log(2), 6)
+    assert out[(1, "banana")] == 0.0
+    assert out[(2, "cherry")] == round((2 / 3) * math.log(2), 6)
