@@ -35,6 +35,10 @@ HEADLINE = [
     "ann_brute_force_topk",
     "text_lang_id",
     "text_quality",
+    "asof_join_events",
+    "hierarchical_rollup",
+    "dedup_components",
+    "text_tfidf_keywords",
 ]
 
 
