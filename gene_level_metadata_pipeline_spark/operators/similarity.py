@@ -28,7 +28,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cosine", "brute_force_topk", "sign_lsh_pairs", "ivf_topk"]
+__all__ = [
+    "cosine",
+    "brute_force_topk",
+    "sign_lsh_pairs",
+    "ivf_topk",
+    "embedding_near_dup",
+]
 
 
 def _as_double(col) -> Column:
@@ -170,4 +176,45 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def embedding_near_dup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 4,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate canonicalization.
+
+    The vector-space member of the dedup family (exact / Jaccard /
+    MinHash / SimHash live in operators.dedup): sign-LSH bucketing
+    proposes candidate pairs, exact cosine >= ``threshold`` confirms
+    them, and connected components collapse transitive near-dup chains
+    (a~b, b~c => one cluster) to the minimum id — the same
+    cluster-then-keep-one contract as ``graph.canonicalize_duplicates``.
+
+    Returns (vec_id, canonical_id, is_canonical); filtering
+    ``is_canonical`` keeps one vector per near-dup cluster.
+
+    Scale: the only all-pairs work is within LSH buckets (shuffle key =
+    bucket id); components run O(log diameter) joins over the pair list,
+    which is tiny relative to the corpus. Nothing here collects to the
+    driver.
+    """
+    from gene_level_metadata_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = sign_lsh_pairs(vectors, id_col, vec_col, planes, threshold)
+    comp = connected_components(pairs, src="vec_a", dst="vec_b")
+    return (
+        vectors.select(F.col(id_col))
+        .join(comp, vectors[id_col] == comp.doc_id, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("canonical_id"),
+        )
+        .withColumn("is_canonical", F.col(id_col) == F.col("canonical_id"))
     )

@@ -1031,6 +1031,32 @@ def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly_event_counts_stream(spark, sf_dir)
 
 
+@_register(
+    "streaming_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS lag_s
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join (clicks × purchases within
+    30 min, watermarks on both sides bounding join state) run to
+    completion with availableNow — must equal the batch interval join the
+    oracle runs."""
+    from gene_level_metadata_pipeline_spark.streaming.windows import (
+        stream_stream_interval_join,
+    )
+
+    return stream_stream_interval_join(spark, sf_dir, minutes=30)
+
+
 @_register("streaming_sessionize")  # rows-only: custom stateful operator
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState gap-sessionization (30-min timeout) — the
@@ -1255,6 +1281,51 @@ def q_ann_sign_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gene_level_metadata_pipeline_spark.operators.similarity import sign_lsh_pairs
 
     return sign_lsh_pairs(
+        _t(spark, sf_dir, "embeddings"), planes=4, threshold=0.15
+    )
+
+
+@_register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH RECURSIVE b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             {_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, c.vec_id AS vec_b
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      WHERE round({_COS.format(a='a.e', b='c.e')}, 4) >= 0.15
+    ),
+    edges2 AS (
+      SELECT vec_a AS u, vec_b AS v FROM pairs
+      UNION
+      SELECT vec_b, vec_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges2
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges2 e ON r.v = e.u
+    ),
+    comp AS (SELECT u AS vid, least(u, min(v)) AS component FROM reach GROUP BY u)
+    SELECT emb.vec_id,
+           coalesce(comp.component, emb.vec_id) AS canonical_id,
+           emb.vec_id = coalesce(comp.component, emb.vec_id) AS is_canonical
+    FROM embeddings emb LEFT JOIN comp ON emb.vec_id = comp.vid
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate removal: sign-LSH candidate pairs →
+    exact cosine ≥ τ → connected components → canonical min-id per cluster.
+    Completes the dedup family (exact/Jaccard/MinHash/SimHash/embedding).
+    Oracle replays the identical buckets + pairs, then reaches the same
+    component fixpoint with a recursive CTE."""
+    from gene_level_metadata_pipeline_spark.operators.similarity import (
+        embedding_near_dup,
+    )
+
+    return embedding_near_dup(
         _t(spark, sf_dir, "embeddings"), planes=4, threshold=0.15
     )
 
@@ -1946,6 +2017,239 @@ def q_tpch_q19_or_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.where(cond).agg(
         _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias("revenue")
+    )
+
+
+@_register(
+    "tpch_q17_scalar_correlated",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey, avg(l_quantity) AS avg_qty FROM lineitem GROUP BY l_partkey
+    )
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / 7.0, 2)
+           AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN per_part USING (l_partkey)
+    WHERE p_brand = 'Brand#1' AND l_quantity < 0.2 * avg_qty
+    """,
+)
+def q_tpch_q17_scalar_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) decorrelated into a grouped aggregate + re-join — exactly
+    what Catalyst's RewriteCorrelatedScalarSubquery does; writing the
+    decorrelated form directly keeps the plan explicit. The per-part
+    averages are exact (integral quantities sum exactly in doubles), so no
+    rounding is needed before the comparison."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1").select("p_partkey")
+    pruned = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    per_part = pruned.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        pruned.join(per_part, "l_partkey")
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            _round_to(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+                / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+@_register(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)::DOUBLE
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_shipdate < TIMESTAMP '1998-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+)
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: aggregate view + uncorrelated scalar subquery
+    (global max) consumed as a filter. The scalar lands as a broadcast of
+    a 1-row DataFrame — no second pass over the fact table. Comparing the
+    *rounded* revenues keeps the max-equality engine-independent."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
+                "total_revenue"
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    return (
+        s.join(rev, s.s_suppkey == rev.supplier_no)
+        .join(F.broadcast(mx), F.col("total_revenue") == F.col("__mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@_register(
+    "tpch_q21_waiting_supplier",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+)
+def q_tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted to this schema's columns: l_returnflag='R'
+    plays the late-delivery role): correlated EXISTS → left-semi join with
+    a non-equi conjunct, correlated NOT EXISTS → left-anti join with a
+    non-equi conjunct, both on the order key, then a count aggregate.
+    The semi/anti probe sides shuffle on l_orderkey — one exchange reused
+    by both joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    l1 = li.where(F.col("l_returnflag") == "R").alias("l1")
+    l2 = li.alias("l2")
+    l3 = li.where(F.col("l_returnflag") == "R").alias("l3")
+    base = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+        .join(o, F.col("l1.l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(s), F.col("l1.l_suppkey") == s.s_suppkey)
+    )
+    return base.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+
+
+@_register(
+    "tpch_q22_idle_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS ab
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT CAST(c_nationkey AS BIGINT) AS nation,
+           count(*) AS numcust,
+           round(sum(CAST(c_acctbal AS DECIMAL(18,6))), 2)::DOUBLE AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+)
+def q_tpch_q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: uncorrelated scalar subquery (average positive
+    balance, exact-decimal so both engines derive the identical double)
+    gating a NOT EXISTS anti join against the fact table, then a per-nation
+    aggregate. The scalar is a broadcast 1-row cross join; the anti join
+    shuffles on custkey. (This synthetic data gives every customer orders,
+    so the anti-join predicate is 'no URGENT order' to keep the result
+    non-trivial.)"""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    ab = (
+        c.where(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("ab")
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(ab))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").cast("long").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            _dsum(F.col("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@_register(
+    "window_rank_suite",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(row_number() OVER w AS BIGINT) AS rn,
+           CAST(rank() OVER wd AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER wd AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+           lag(o_totalprice, 1) OVER w AS prev_price,
+           lead(o_totalprice, 1) OVER w AS next_price,
+           round(cume_dist() OVER w, 6) AS cd,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) OVER m AS DOUBLE)
+                 / (count(*) OVER m), 2) AS mov_avg3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey),
+           wd AS (PARTITION BY o_orderpriority ORDER BY o_orderdate),
+           m AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth in one plan: row_number / rank / dense_rank
+    (tied ordering), ntile, lag/lead, cume_dist, and a 3-row moving average
+    (frame clause) — one shuffle on the partition key serves every window
+    because all specs share PARTITION BY o_orderpriority. Moving average
+    uses the exact-decimal running sum so partial-agg order can't perturb
+    the last ulp (see _dsum)."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderdate", "o_orderkey")
+    wd = Window.partitionBy("o_orderpriority").orderBy("o_orderdate")
+    m = w.rowsBetween(-2, 0)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(wd).cast("long").alias("rnk"),
+        F.dense_rank().over(wd).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).alias("next_price"),
+        _round_to(F.cume_dist().over(w), 6).alias("cd"),
+        _round_to(
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(m).cast("double")
+            / F.count(F.lit(1)).over(m),
+            2,
+        ).alias("mov_avg3"),
     )
 
 

@@ -17,7 +17,11 @@ from pyspark.sql import functions as F
 
 from gene_level_metadata_pipeline_spark.sources.readers import ts_from_nanos
 
-__all__ = ["hourly_event_counts_stream", "sessionize_stream"]
+__all__ = [
+    "hourly_event_counts_stream",
+    "sessionize_stream",
+    "stream_stream_interval_join",
+]
 
 
 def _events_confs(spark: SparkSession) -> None:
@@ -147,6 +151,81 @@ def sessionize_stream(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -
     name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
     q = (
         sessions.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name)
+    rows = out.collect()
+    spark.catalog.dropTempView(name)
+    return spark.createDataFrame(rows, out.schema)
+
+
+def stream_stream_interval_join(
+    spark: SparkSession, sf_dir: str, minutes: int = 30
+) -> DataFrame:
+    """Stream-stream event-time interval join: click → purchase funnels.
+
+    Joins two STREAMING sides (clicks and purchases filtered from the same
+    source stream) on user_id with the purchase constrained to
+    [click.ts, click.ts + ``minutes``]. Both sides carry watermarks, so
+    Spark bounds the join state: a buffered click is evicted once the
+    purchase-side watermark passes click.ts + interval — the unbounded-
+    stream contract that makes this run forever at 100 TB/day.
+
+    Run with availableNow over one parquet file → a single micro-batch, so
+    every in-interval match is emitted before state eviction and the result
+    equals the batch interval join (the oracle).
+
+    Returns (click_id, purchase_id, user_id, lag_s).
+    """
+    _events_confs(spark)
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = src.withColumn("ts", ts_from_nanos("ts"))
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {int(minutes)} MINUTES")
+        ),
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+        ).cast("long").alias("lag_s"),
+    )
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)

@@ -226,3 +226,24 @@ def test_tfidf_hand_checked(spark):
     assert out[(1, "apple")] == round((2 / 3) * math.log(2), 6)
     assert out[(1, "banana")] == 0.0
     assert out[(2, "cherry")] == round((2 / 3) * math.log(2), 6)
+
+
+def test_embedding_near_dup_transitive_chain(spark):
+    from gene_level_metadata_pipeline_spark.operators.similarity import (
+        embedding_near_dup,
+    )
+
+    # a~b and b~c are near-dups (same sign bucket, high cosine); d is alone
+    # in a different bucket; a~c only transitively. All collapse to min id.
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 1.0, 1.0, 1.0]),
+            (2, [1.0, 1.0, 1.0, 0.9]),
+            (3, [1.0, 1.0, 0.9, 0.9]),
+            (4, [-1.0, -1.0, -1.0, -1.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    out = embedding_near_dup(df, planes=4, threshold=0.95)
+    got = {r.vec_id: (r.canonical_id, r.is_canonical) for r in out.collect()}
+    assert got == {1: (1, True), 2: (1, False), 3: (1, False), 4: (4, True)}

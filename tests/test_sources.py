@@ -40,6 +40,27 @@ def test_write_bronze_partitioned(spark):
     # partition pruning works on the layout
     pruned = back.where(F.col("release") == "a")
     assert pruned.count() == 2
+    # and is visible in the physical plan: the partition predicate must be
+    # a PartitionFilter (directory-level skip), not a post-scan Filter
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "(release" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_data_filter_pushed_to_parquet_scan(spark):
+    sf = "/root/testdata/sf0.001"
+    df = (
+        spark.read.parquet(f"{sf}/orders.parquet")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_totalprice")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # predicate reaches the scan (row-group stats skipping at scale) …
+    pushed = plan.split("PushedFilters")[1].split("]")[0]
+    assert "o_orderpriority" in pushed
+    # … and the scan schema is pruned to the referenced columns only
+    read_schema = plan.split("ReadSchema")[1]
+    assert "o_custkey" not in read_schema
 
 
 def test_read_excel_by_name_and_startrow(spark):
