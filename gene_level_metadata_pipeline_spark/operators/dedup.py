@@ -41,9 +41,11 @@ __all__ = [
 HEX = "0123456789abcdef"
 
 
-def shingle_array(text_col, n: int = 3):
-    """Column of DISTINCT word n-gram shingles (array<string>) for a text
-    column — the no-shuffle building block shared by the dedup family.
+def shingle_array(text_col, n: int = 3, distinct: bool = True):
+    """Column of word n-gram shingles (array<string>) for a text column —
+    the no-shuffle building block shared by the dedup family. DISTINCT by
+    default (set-similarity semantics); ``distinct=False`` keeps every
+    occurrence in document order (repetition scoring needs multiplicity).
 
     Built by zipping n-1 shifted copies of the word array instead of
     slicing per position (transform+slice is quadratic-ish in codegen;
@@ -57,7 +59,7 @@ def shingle_array(text_col, n: int = 3):
         shifted = F.slice(words, m, F.size(words))
         grams = F.zip_with(grams, shifted, lambda a, b: F.concat_ws(" ", a, b))
     grams = F.slice(grams, 1, F.greatest(F.size(words) - (n - 1), F.lit(0)))
-    return F.array_distinct(grams)
+    return F.array_distinct(grams) if distinct else grams
 
 
 def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:

@@ -21,6 +21,9 @@ __all__ = [
     "stable_sample",
     "stratified_stable_sample",
     "tf_idf_keywords",
+    "repetition_scores",
+    "pii_redact",
+    "contamination_check",
 ]
 
 # Tiny per-language stopword lists: enough for the n-gram-heuristic shape;
@@ -202,4 +205,75 @@ def tf_idf_keywords(
         scored.withColumn("rank", F.row_number().over(rank_w).cast("long"))
         .where(F.col("rank") <= top_k)
         .select(id_col, "w", "tfidf", "rank")
+    )
+
+
+def repetition_scores(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Intra-document repetition score: fraction of duplicated word
+    n-grams (Gopher-style repetition filter). dup_fraction = 1 −
+    distinct-grams / total-grams; high values flag boilerplate or
+    degenerate generations. Entirely array-native per row — a pure map,
+    ZERO shuffles at any scale. Returns (id, n_grams, n_unique_grams,
+    dup_fraction); documents shorter than n words are excluded."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import shingle_array
+
+    grams = shingle_array(text_col, n, distinct=False)
+    g = df.select(F.col(id_col), grams.alias("grams")).where(F.size("grams") > 0)
+    total = F.size("grams").cast("long")
+    uniq = F.size(F.array_distinct(F.col("grams"))).cast("long")
+    # replicate DuckDB's double rounding (see plans.driver_queries._round_to)
+    frac = F.lit(1.0) - uniq / total
+    p = F.lit(10000.0)
+    return g.select(
+        F.col(id_col),
+        total.alias("n_grams"),
+        uniq.alias("n_unique_grams"),
+        (F.round(frac * p, 0) / p).alias("dup_fraction"),
+    )
+
+
+# PII patterns: RE2/Java-regex-compatible subset so Spark and any SQL
+# oracle agree byte-for-byte. Production would use a larger vetted set.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b555-[0-9]{4}\b"
+
+
+def pii_redact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Regex PII scrubbing (emails, reserved-prefix phone numbers):
+    counts matches and replaces them with typed placeholders. Pure
+    per-row Catalyst regex — no shuffle, codegen-friendly. Returns
+    (id, n_emails, n_phones, redacted)."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), F.lit(0))).cast("long").alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ).alias("redacted"),
+    )
+
+
+def contamination_check(
+    df: DataFrame, bench: DataFrame, text_col: str, id_col: str, n: int = 5
+) -> DataFrame:
+    """Benchmark-contamination scan: for every candidate document, count
+    distinct word n-grams shared with an evaluation/benchmark corpus and
+    how many distinct benchmark docs are hit. The benchmark side is tiny
+    relative to the corpus → distinct benchmark shingles broadcast, so
+    the corpus side is a map-side semi-probe (no corpus shuffle before
+    the per-doc agg). Returns (id, n_shared_grams, n_bench_docs)."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import word_shingles
+
+    cand = word_shingles(df, text_col, id_col, n)
+    bgrams = word_shingles(bench, text_col, id_col, n).withColumnRenamed(
+        id_col, "bench_id"
+    )
+    return (
+        cand.join(F.broadcast(bgrams), "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_grams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
     )
