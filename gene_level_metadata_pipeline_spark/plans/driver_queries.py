@@ -2793,3 +2793,110 @@ def q_tpch_q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
         F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation, continued: repetition scoring, PII scrubbing,
+# benchmark-contamination scan (operators/textanalysis.py).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "text_repetition",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS grams
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_unique_grams,
+           round(1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE), 4) AS dup_fraction
+    FROM g WHERE len(grams) > 0
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition: duplicated-3-gram fraction
+    per document. Array-native per row — a pure map stage with ZERO
+    shuffles at any corpus size."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        repetition_scores,
+    )
+
+    return repetition_scores(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_register(
+    "text_pii_redact",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '\b555-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+           regexp_replace(
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
+    FROM aug
+    """,
+)
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over documents augmented with deterministic synthetic
+    contact strings (the raw corpus has none — the augmentation makes the
+    regexes do real work that the oracle reproduces byte-for-byte).
+    Count + redact emails and reserved-prefix phone numbers; pure per-row
+    regex, no shuffle."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import pii_redact
+
+    d = _t(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"), F.lit("@mail.example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    return pii_redact(aug, "t", "doc_id")
+
+
+@_register(
+    "text_contamination",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 3),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS shingle
+      FROM toks
+    )
+    SELECT c.doc_id,
+           count(DISTINCT c.shingle) AS n_shared_grams,
+           count(DISTINCT b.doc_id) AS n_bench_docs
+    FROM g c JOIN g b ON c.shingle = b.shingle AND b.doc_id % 97 = 0
+    WHERE c.doc_id % 97 <> 0
+    GROUP BY c.doc_id
+    """,
+)
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: 5-gram overlap between the corpus and
+    a small held-out benchmark slice (doc_id % 97 == 0 stands in for an
+    eval set). Benchmark shingles broadcast → the corpus side never
+    shuffles before its per-doc aggregation; at 100 TB the probe stays
+    map-side as long as the benchmark corpus stays dimension-sized."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        contamination_check,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    cand = d.where(F.col("doc_id") % 97 != 0)
+    return contamination_check(cand, bench, "text", "doc_id", n=5)
