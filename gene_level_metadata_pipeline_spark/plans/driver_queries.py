@@ -2900,3 +2900,164 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.where(F.col("doc_id") % 97 == 0)
     cand = d.where(F.col("doc_id") % 97 != 0)
     return contamination_check(cand, bench, "text", "doc_id", n=5)
+
+
+# ---------------------------------------------------------------------------
+# Engine breadth, continued: higher-order array functions, time-range
+# window frames, CUBE grouping sets, column profiling, fuzzy matching.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "array_higher_order",
+    oracle="""
+    WITH a AS (
+      -- (l_linenumber, qty) ordering: linenumber is NOT unique per order
+      -- in the synthetic data, so the qty tiebreak (same as the struct
+      -- sort on the Spark side) is required for a deterministic array
+      SELECT l_orderkey,
+             list(CAST(l_quantity AS INT) ORDER BY l_linenumber, CAST(l_quantity AS INT)) AS qtys
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey, qtys,
+           CAST(len(list_filter(qtys, x -> x >= 30)) AS BIGINT) AS n_big,
+           CAST(list_sum(qtys) AS BIGINT) AS qty_sum,
+           qtys[1:3] AS first3
+    FROM a
+    """,
+)
+def q_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over collected order lines: a
+    deterministic collect (sorted by linenumber via struct array_sort —
+    collect_list order is not guaranteed), then filter/aggregate/slice
+    lambdas, all inside codegen. The collect is the one shuffle (by
+    orderkey); every lambda is map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("l_linenumber").alias("ln"),
+                                F.col("l_quantity").cast("int").alias("qty")))
+    )
+    g = li.groupBy("l_orderkey").agg(
+        F.transform(arr, lambda x: x.qty).alias("qtys")
+    )
+    return g.select(
+        "l_orderkey",
+        "qtys",
+        F.size(F.filter("qtys", lambda x: x >= 30)).cast("long").alias("n_big"),
+        F.aggregate("qtys", F.lit(0).cast("long"), lambda a, x: a + x).alias("qty_sum"),
+        F.slice("qtys", 1, 3).alias("first3"),
+    )
+
+
+@_register(
+    "window_time_range",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER w AS rolling_cnt,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER w, 2) AS DOUBLE) AS rolling_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-user rolling 1-hour event count and
+    value sum. The frame is defined on physical microseconds (identical
+    integers in both engines — no timezone games), sums in exact decimal
+    so the sliding accumulation order can't perturb the double. One
+    shuffle on user_id; the frame scan is sorted within partitions."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3600 * 1000000, 0)
+    )
+    return ev.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).alias("rolling_cnt"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w), 2)
+         .cast("double").alias("rolling_sum"),
+    )
+
+
+@_register(
+    "cube_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all four combinations of returnflag ×
+    linestatus margins) — one pass, Expand + single hash aggregate, the
+    grouping-sets companion to rollup_revenue."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        _dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@_register(
+    "profile_columns",
+    oracle="""
+    SELECT 'c_custkey' AS col_name, count(*) - count(c_custkey) AS n_nulls, count(DISTINCT c_custkey) AS n_distinct FROM customer
+    UNION ALL
+    SELECT 'c_name', count(*) - count(c_name), count(DISTINCT c_name) FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', count(*) - count(c_nationkey), count(DISTINCT c_nationkey) FROM customer
+    UNION ALL
+    SELECT 'c_acctbal', count(*) - count(c_acctbal), count(DISTINCT c_acctbal) FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', count(*) - count(c_mktsegment), count(DISTINCT c_mktsegment) FROM customer
+    """,
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality column profile: per-column null count + exact distinct
+    count in ONE table pass (multi-distinct → Expand + two-level agg),
+    unpivoted via stack. At 100 TB swap the exact distincts for
+    approx_count_distinct — the plan shape (single pass, no join of five
+    scans like the naive SQL) is the point."""
+    c = _t(spark, sf_dir, "customer")
+    aggs = []
+    for col in c.columns:
+        aggs.append((F.count(F.lit(1)) - F.count(col)).alias(f"n_{col}"))
+        aggs.append(F.countDistinct(col).alias(f"d_{col}"))
+    row = c.agg(*aggs)
+    stack_args = ", ".join(f"'{col}', n_{col}, d_{col}" for col in c.columns)
+    return row.select(
+        F.expr(
+            f"stack({len(c.columns)}, {stack_args}) AS (col_name, n_nulls, n_distinct)"
+        )
+    )
+
+
+@_register(
+    "fuzzy_brand_match",
+    oracle="""
+    WITH b AS (SELECT DISTINCT p_brand FROM part)
+    SELECT a.p_brand AS brand_a, c.p_brand AS brand_b,
+           CAST(levenshtein(a.p_brand, c.p_brand) AS BIGINT) AS dist
+    FROM b a JOIN b c
+      ON a.p_brand < c.p_brand AND levenshtein(a.p_brand, c.p_brand) <= 1
+    """,
+)
+def q_fuzzy_brand_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching on a dimension: edit-distance ≤ 1 pairs over
+    distinct brands (the SURVEY's gene-symbol/alias fuzzy-matching shape).
+    The distinct-values side is dimension-sized → broadcast nested-loop;
+    at corpus scale the same op runs per-blocking-key (first char /
+    length band) to bound the quadratic term."""
+    b = _t(spark, sf_dir, "part").select("p_brand").distinct()
+    a = b.select(F.col("p_brand").alias("brand_a"))
+    c2 = b.select(F.col("p_brand").alias("brand_b"))
+    dist = F.levenshtein("brand_a", "brand_b")
+    return (
+        a.join(c2, (F.col("brand_a") < F.col("brand_b")) & (dist <= 1))
+        .select("brand_a", "brand_b", dist.cast("long").alias("dist"))
+    )
