@@ -39,6 +39,10 @@ HEADLINE = [
     "hierarchical_rollup",
     "dedup_components",
     "text_tfidf_keywords",
+    "tpch_q8_market_share",
+    "text_repetition",
+    "text_contamination",
+    "window_time_range",
 ]
 
 

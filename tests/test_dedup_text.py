@@ -247,3 +247,53 @@ def test_embedding_near_dup_transitive_chain(spark):
     out = embedding_near_dup(df, planes=4, threshold=0.95)
     got = {r.vec_id: (r.canonical_id, r.is_canonical) for r in out.collect()}
     assert got == {1: (1, True), 2: (1, False), 3: (1, False), 4: (4, True)}
+
+
+def test_repetition_scores_hand_checked(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),   # 7 grams: abc,bca,cab,abc,bca,cab,abc -> 3 unique
+            (2, "w x y z"),             # 2 grams, both unique
+            (3, "a b"),                 # < 3 words: excluded
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in textanalysis.repetition_scores(df, "text", "doc_id").collect()}
+    assert out[1]["n_grams"] == 7 and out[1]["n_unique_grams"] == 3
+    assert out[1]["dup_fraction"] == round(1 - 3 / 7, 4)
+    assert out[2]["dup_fraction"] == 0.0
+    assert 3 not in out
+
+
+def test_pii_redact_counts_and_replaces(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b-c@x-mail.example.org or call 555-1234 now"),
+            (2, "no pii here, 5555-12345 is not a phone and a@b is no email"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in textanalysis.pii_redact(df, "text", "doc_id").collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_phones"] == 1
+    assert out[1]["redacted"] == "mail me at <EMAIL> or call <PHONE> now"
+    # 5555-1234 has a digit before 555 -> \b fails; a@b lacks a dot TLD
+    assert out[2]["n_emails"] == 0 and out[2]["n_phones"] == 0
+    assert out[2]["redacted"] == "no pii here, 5555-12345 is not a phone and a@b is no email"
+
+
+def test_contamination_check_counts_shared_grams(spark):
+    bench = spark.createDataFrame(
+        [(100, "one two three four five six")], ["doc_id", "text"]
+    )
+    cand = spark.createDataFrame(
+        [
+            (1, "zzz one two three four five six yyy"),  # shares both bench 5-grams... 
+            (2, "totally unrelated words with no overlap at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           textanalysis.contamination_check(cand, bench, "text", "doc_id", n=5).collect()}
+    # bench has 2 distinct 5-grams; doc 1 contains both
+    assert out[1]["n_shared_grams"] == 2 and out[1]["n_bench_docs"] == 1
+    assert 2 not in out
