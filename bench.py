@@ -43,6 +43,8 @@ HEADLINE = [
     "text_repetition",
     "text_contamination",
     "window_time_range",
+    "curation_pipeline",
+    "validate_constraints",
 ]
 
 

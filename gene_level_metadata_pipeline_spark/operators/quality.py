@@ -1,0 +1,176 @@
+"""Declarative data-quality validation and numeric profiling.
+
+The reference audits data quality by hand: materialized duplicate audits
+(`scripts/tidy/temp-tidy-all-api-ftp-files.R:213-216,273`,
+`temp-tidy-all-manuscript-files.R:46,74`) and expected-count comments
+(`temp-tidy-all-manuscript-files.R:30-32,42`). This module makes those
+audits first-class: a rule list evaluated into one violations report,
+plus an equi-width histogram for distribution profiling.
+
+Each rule family compiles to a purpose-shaped aggregate:
+  * ``not_null`` / ``accepted_values`` / ``in_range`` — one map-side
+    conditional count over the table scan (all such rules on the same
+    table are FUSED into a single pass);
+  * ``unique`` — groupBy(key) + count>1 (one shuffle on the key);
+  * ``foreign_key`` — left-anti join child→parent (broadcast when the
+    parent key set is dimension-sized).
+The report is a tiny (rule, n_violations) frame, so the final union is
+driver-negligible regardless of input scale.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["Rule", "not_null", "accepted_values", "in_range", "unique",
+           "foreign_key", "validate", "histogram"]
+
+
+class Rule:
+    """One named check. ``kind`` selects the compilation strategy."""
+
+    def __init__(self, name: str, kind: str, df: DataFrame, **kw):
+        self.name, self.kind, self.df, self.kw = name, kind, df, kw
+
+
+def not_null(name: str, df: DataFrame, col: str) -> Rule:
+    return Rule(name, "predicate", df, cond=F.col(col).isNull())
+
+
+def accepted_values(name: str, df: DataFrame, col: str, values: list) -> Rule:
+    return Rule(
+        name, "predicate", df,
+        cond=F.col(col).isNotNull() & ~F.col(col).isin(values),
+    )
+
+
+def in_range(name: str, df: DataFrame, col: str, lo, hi) -> Rule:
+    return Rule(
+        name, "predicate", df,
+        cond=F.col(col).isNotNull() & ~F.col(col).between(lo, hi),
+    )
+
+
+def unique(name: str, df: DataFrame, key: str | list[str]) -> Rule:
+    return Rule(name, "unique", df, key=[key] if isinstance(key, str) else list(key))
+
+
+def foreign_key(
+    name: str, df: DataFrame, col: str, parent: DataFrame, parent_col: str
+) -> Rule:
+    return Rule(name, "foreign_key", df, col=col, parent=parent,
+                parent_col=parent_col)
+
+
+def _one_row(name: str, n: Column) -> Column:
+    return F.struct(F.lit(name).alias("rule"), n.alias("n_violations"))
+
+
+def validate(rules: list[Rule]) -> DataFrame:
+    """Evaluate all rules → (rule, n_violations) report, one row each.
+
+    Predicate rules sharing the same input DataFrame run in ONE
+    aggregate pass (conditional counts); unique/foreign-key rules each
+    contribute their own (shuffled / anti-joined) count. Row order of
+    the report is the rule declaration order.
+    """
+    reports: list[DataFrame] = []
+    # fuse predicate rules per source frame
+    pred_groups: dict[int, list[Rule]] = {}
+    for r in rules:
+        if r.kind == "predicate":
+            pred_groups.setdefault(id(r.df), []).append(r)
+    done: set[int] = set()
+    for r in rules:
+        if r.kind == "predicate":
+            if id(r.df) in done:
+                continue
+            done.add(id(r.df))
+            group = pred_groups[id(r.df)]
+            row = r.df.agg(
+                *[
+                    F.count(F.when(g.kw["cond"], 1)).alias(f"__v{i}")
+                    for i, g in enumerate(group)
+                ]
+            )
+            reports.append(
+                row.select(
+                    F.explode(
+                        F.array(
+                            *[
+                                _one_row(g.name, F.col(f"__v{i}"))
+                                for i, g in enumerate(group)
+                            ]
+                        )
+                    ).alias("r")
+                ).select("r.rule", "r.n_violations")
+            )
+        elif r.kind == "unique":
+            key = r.kw["key"]
+            dups = (
+                r.df.groupBy(*key)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .where(F.col("__n") > 1)
+            )
+            reports.append(
+                dups.agg(
+                    F.lit(r.name).alias("rule"),
+                    F.coalesce(F.sum("__n"), F.lit(0)).alias("n_violations"),
+                )
+            )
+        elif r.kind == "foreign_key":
+            orphans = r.df.where(F.col(r.kw["col"]).isNotNull()).join(
+                r.kw["parent"].select(
+                    F.col(r.kw["parent_col"]).alias(r.kw["col"])
+                ).distinct(),
+                on=r.kw["col"],
+                how="left_anti",
+            )
+            reports.append(
+                orphans.agg(
+                    F.lit(r.name).alias("rule"),
+                    F.count(F.lit(1)).alias("n_violations"),
+                )
+            )
+        else:
+            raise ValueError(f"unknown rule kind {r.kind!r}")
+    return reduce(DataFrame.unionByName, reports)
+
+
+def histogram(df: DataFrame, col: str, nbins: int) -> DataFrame:
+    """Equi-width histogram: (bin, lo, hi, n) over ``nbins`` buckets
+    between the column's min and max (max lands in the last bin).
+
+    Two passes: a 1-row min/max aggregate broadcast into the binning
+    pass — the standard shape, no collect to the driver. Bin arithmetic
+    is plain IEEE double ops so an external engine computing
+    ``floor((x - min) / width)`` bit-matches.
+    """
+    bounds = df.agg(
+        F.min(col).cast("double").alias("__lo"),
+        F.max(col).cast("double").alias("__hi"),
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(nbins))
+    binned = df.select(F.col(col).cast("double").alias("__x")).join(
+        F.broadcast(bounds)
+    ).select(
+        F.least(
+            F.lit(nbins - 1),
+            F.floor((F.col("__x") - F.col("__lo")) / width),
+        ).cast("long").alias("bin"),
+        F.col("__lo"),
+        width.alias("__w"),
+    )
+    return (
+        binned.groupBy("bin", "__lo", "__w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            (F.col("__lo") + F.col("bin") * F.col("__w")).alias("lo"),
+            (F.col("__lo") + (F.col("bin") + 1) * F.col("__w")).alias("hi"),
+            "n",
+        )
+    )

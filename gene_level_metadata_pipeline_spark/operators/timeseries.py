@@ -1,0 +1,135 @@
+"""Time-series operators: regular-grid resampling with gap fill (LOCF)
+and SCD2 validity-interval construction from event streams.
+
+Neither exists as a Spark built-in; both are compositions of sequence/
+explode + partition windows — one shuffle on the entity key, no
+self-joins, no Python. The reference pipeline is batch-only
+(SURVEY §2.12), so these are scale-out extensions in the hypertable /
+warehouse-dimension family alongside ``hierarchical_rollup``
+(temporal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["resample_locf", "scd2_intervals"]
+
+
+def resample_locf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tie_col: str,
+    step: str = "1 hour",
+    grain: str = "hour",
+    step_us: int | None = None,
+) -> DataFrame:
+    """Resample an irregular series onto a regular time grid, filling
+    gaps with the last observation carried forward (LOCF).
+
+    Semantics: for each key, a grid from the step-aligned global minimum
+    to the global maximum (step inclusive); each grid point carries the
+    value of the latest observation at-or-before it (NULL before the
+    first observation). Ties at one (key, ts) are resolved
+    deterministically by the greatest ``tie_col`` (``max_by``).
+
+    Two axis modes: timestamp ``ts_col`` with ``step``/``grain``
+    (interval sequence from ``date_trunc(grain, min)``), or — when
+    ``step_us`` is given — a numeric axis (epoch micros or any long),
+    aligning the origin with integer arithmetic ``min - min % step_us``.
+    The numeric mode sidesteps timezone semantics entirely and is the
+    cross-engine-reproducible choice.
+
+    Plan shape: 1-row global bounds broadcast-crossed with the distinct
+    keys, grid exploded executor-side (never a driver loop), then the
+    as-of trick — union observations (sort rank 0) with grid points
+    (sort rank 1) and carry ``last(value, ignorenulls)`` over one
+    key-partitioned window. ONE shuffle on the key; grid cardinality is
+    keys × span/step, independent of the fact row count. At 100 TB the
+    observation pre-aggregation and the window share the same hash
+    partitioning, so AQE keeps the exchange count at one.
+    """
+    obs = df.groupBy(F.col(key_col), F.col(ts_col).alias("__ts")).agg(
+        F.max_by(F.col(value_col), F.col(tie_col)).alias("__val")
+    )
+    if step_us is not None:
+        bounds = df.agg(
+            (F.min(ts_col) - F.min(ts_col) % step_us).alias("__t0"),
+            F.max(ts_col).alias("__t1"),
+        )
+        seq = F.sequence("__t0", "__t1", F.lit(step_us))
+    else:
+        bounds = df.agg(
+            F.date_trunc(grain, F.min(ts_col)).alias("__t0"),
+            F.max(ts_col).alias("__t1"),
+        )
+        seq = F.sequence("__t0", "__t1", F.expr(f"interval {step}"))
+    grid = (
+        df.select(key_col)
+        .distinct()
+        .join(F.broadcast(bounds))
+        .select(key_col, F.explode(seq).alias("__ts"))
+    )
+    unioned = obs.select(
+        key_col, "__ts", "__val", F.lit(0).alias("__is_grid")
+    ).unionByName(
+        grid.select(
+            key_col,
+            "__ts",
+            F.lit(None).cast(obs.schema["__val"].dataType).alias("__val"),
+            F.lit(1).alias("__is_grid"),
+        )
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("__ts", "__is_grid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        unioned.withColumn("__locf", F.last("__val", ignorenulls=True).over(w))
+        .where(F.col("__is_grid") == 1)
+        .select(
+            key_col,
+            F.col("__ts").alias("grid_ts"),
+            F.col("__locf").alias("value_locf"),
+        )
+    )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_col: str,
+    tie_col: str,
+) -> DataFrame:
+    """Collapse a change-event stream into SCD2 validity intervals:
+    one row per (key, attribute run) with ``valid_from`` /
+    ``valid_to`` (NULL = current) and an ``is_current`` flag.
+
+    The warehouse dimension-history shape: rows ordered per key by
+    (ts, tie); consecutive rows with the same attribute value merge
+    into one interval. Both windows (change detection via ``lag``,
+    interval close via ``lead``) share one key-partitioned sort — a
+    single shuffle regardless of history depth. ``tie_col`` (a unique
+    id) makes same-timestamp orderings reproducible.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    # lag over a struct distinguishes "no previous row" (NULL struct) from
+    # "previous attribute is NULL" (struct with NULL field) — the change
+    # test itself is null-safe (<=>).
+    prev = F.lag(F.struct(F.col(attr_col).alias("a"))).over(w)
+    changed = df.withColumn("__prev", prev).where(
+        F.col("__prev").isNull()
+        | ~F.col(attr_col).eqNullSafe(F.col("__prev.a"))
+    )
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, tie_col)
+    return changed.select(
+        F.col(key_col),
+        F.col(attr_col),
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

@@ -3061,3 +3061,336 @@ def q_fuzzy_brand_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(c2, (F.col("brand_a") < F.col("brand_b")) & (dist <= 1))
         .select("brand_a", "brand_b", dist.cast("long").alias("dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series extensions: LOCF resampling, SCD2 intervals
+# ---------------------------------------------------------------------------
+
+@_register(
+    "resample_locf_hourly",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS us, value, event_id
+      FROM events WHERE user_id < 8
+    ),
+    obs AS (
+      SELECT user_id, us, arg_max(value, event_id) AS val
+      FROM ev GROUP BY user_id, us
+    ),
+    b AS (
+      SELECT min(us) - min(us) % 3600000000 AS t0, max(us) AS t1 FROM ev
+    ),
+    grid AS (
+      SELECT u.user_id, g.us
+      FROM (SELECT DISTINCT user_id FROM ev) u
+      CROSS JOIN (SELECT unnest(generate_series(t0, t1, 3600000000)) AS us
+                  FROM b) g
+    ),
+    unioned AS (
+      SELECT user_id, us, val, 0 AS is_grid FROM obs
+      UNION ALL
+      SELECT user_id, us, NULL, 1 FROM grid
+    ),
+    filled AS (
+      SELECT user_id, us, is_grid,
+             last_value(val IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY us, is_grid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+      FROM unioned
+    )
+    SELECT user_id, us AS grid_us, value_locf
+    FROM filled WHERE is_grid = 1
+    """,
+)
+def q_resample_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample with last-observation-carried-forward
+    (operators/timeseries.resample_locf): per-user hourly grid between
+    the global bounds, each grid point carrying the latest at-or-before
+    observation (ties broken by greatest event_id). Works entirely in
+    epoch micros — identical integers in both engines. One shuffle on
+    user_id; the grid is exploded executor-side from a 1-row broadcast
+    bounds frame, never a driver loop."""
+    from gene_level_metadata_pipeline_spark.operators.timeseries import resample_locf
+
+    ev = (
+        _events(spark, sf_dir)
+        .where(F.col("user_id") < 8)
+        .select("user_id", F.unix_micros("ts").alias("us"), "value", "event_id")
+    )
+    out = resample_locf(
+        ev, "user_id", "us", "value", "event_id",
+        step_us=3600 * 1000000,
+    )
+    return out.select(
+        "user_id", F.col("grid_ts").alias("grid_us"), "value_locf"
+    )
+
+
+@_register(
+    "scd2_intervals",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+    ),
+    ordered AS (
+      SELECT user_id, event_type, us, event_id,
+             row_number() OVER w AS rn,
+             lag(event_type) OVER w AS prev
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    changes AS (
+      SELECT user_id, event_type, us, event_id
+      FROM ordered WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+    )
+    SELECT user_id, event_type,
+           us AS valid_from,
+           lead(us) OVER w2 AS valid_to,
+           (lead(us) OVER w2 IS NULL) AS is_current
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id)
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension-history build (operators/timeseries.scd2_intervals):
+    collapse each user's event-type stream into validity intervals
+    [valid_from, valid_to) with a current-row flag. Change detection
+    (lag) and interval close (lead) share ONE user_id shuffle; the
+    unique event_id tie-break makes same-timestamp orderings
+    reproducible."""
+    from gene_level_metadata_pipeline_spark.operators.timeseries import scd2_intervals
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    return scd2_intervals(ev, "user_id", "us", "event_type", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Data-quality validation / profiling extensions
+# ---------------------------------------------------------------------------
+
+@_register(
+    "validate_constraints",
+    oracle="""
+    SELECT 'o_custkey_not_null' AS rule,
+           count(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'o_status_domain',
+           count(CASE WHEN o_orderstatus IS NOT NULL
+                       AND o_orderstatus NOT IN ('O','F','P') THEN 1 END)
+    FROM orders
+    UNION ALL
+    SELECT 'l_discount_low',
+           count(CASE WHEN l_discount IS NOT NULL
+                       AND l_discount NOT BETWEEN 0.0 AND 0.05 THEN 1 END)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_qty_range',
+           count(CASE WHEN l_quantity IS NOT NULL
+                       AND l_quantity NOT BETWEEN 1 AND 50 THEN 1 END)
+    FROM lineitem
+    UNION ALL
+    SELECT 'o_orderkey_unique', CAST(COALESCE(sum(n), 0) AS BIGINT)
+    FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey
+          HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'l_orderkey_unique', CAST(COALESCE(sum(n), 0) AS BIGINT)
+    FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey
+          HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'li_fk_orders', count(*)
+    FROM lineitem l
+    LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'ord_fk_customer', count(*)
+    FROM orders d
+    LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON d.o_custkey = c.c_custkey
+    WHERE d.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+    """,
+)
+def q_validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite (operators/quality.validate): the
+    reference's hand-rolled dup audits and expected-count comments
+    (TM:30-32,46,74; T:213-216,273) as first-class rules. Predicate
+    rules fuse into one conditional-count pass per table (2 scans for 4
+    rules here); unique rules are groupBy counts; FK rules are anti
+    joins against broadcast-distinct parent keys."""
+    from gene_level_metadata_pipeline_spark.operators import quality as Q
+
+    ord_ = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    return Q.validate([
+        Q.not_null("o_custkey_not_null", ord_, "o_custkey"),
+        Q.accepted_values("o_status_domain", ord_, "o_orderstatus",
+                          ["O", "F", "P"]),
+        Q.in_range("l_discount_low", li, "l_discount", 0.0, 0.05),
+        Q.in_range("l_qty_range", li, "l_quantity", 1, 50),
+        Q.unique("o_orderkey_unique", ord_, "o_orderkey"),
+        Q.unique("l_orderkey_unique", li, "l_orderkey"),
+        Q.foreign_key("li_fk_orders", li, "l_orderkey", ord_, "o_orderkey"),
+        Q.foreign_key("ord_fk_customer", ord_, "o_custkey", cust, "c_custkey"),
+    ])
+
+
+@_register(
+    "histogram_prices",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo0,
+             CAST(max(o_totalprice) AS DOUBLE) AS hi0
+      FROM orders
+    ),
+    binned AS (
+      SELECT least(19, CAST(floor((CAST(o_totalprice AS DOUBLE) - lo0)
+                                  / ((hi0 - lo0) / 20.0)) AS BIGINT)) AS bin,
+             lo0, (hi0 - lo0) / 20.0 AS w
+      FROM orders, b
+    )
+    SELECT bin, lo0 + bin * w AS lo, lo0 + (bin + 1) * w AS hi,
+           count(*) AS n
+    FROM binned GROUP BY bin, lo0, w
+    """,
+)
+def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (operators/quality.histogram): 20 bins over
+    order totals. A 1-row min/max aggregate broadcast into the binning
+    scan — two passes, no driver collect; bin arithmetic is raw IEEE
+    double ops so the oracle bit-matches."""
+    from gene_level_metadata_pipeline_spark.operators.quality import histogram
+
+    return histogram(_t(spark, sf_dir, "orders"), "o_totalprice", 20)
+
+
+@_register(
+    "set_operations",
+    oracle="""
+    WITH small AS (SELECT DISTINCT p_brand FROM part WHERE p_size < 15),
+         smc AS (SELECT DISTINCT p_brand FROM part
+                 WHERE p_type IN ('SMALL', 'MEDIUM'))
+    SELECT 'brand_both' AS op, p_brand AS val
+    FROM (SELECT p_brand FROM small INTERSECT SELECT p_brand FROM smc)
+    UNION ALL
+    SELECT 'brand_only_small', p_brand
+    FROM (SELECT p_brand FROM small EXCEPT SELECT p_brand FROM smc)
+    UNION ALL
+    SELECT 'nation_multiset', CAST(nk AS VARCHAR)
+    FROM (SELECT c_nationkey AS nk FROM customer
+          INTERSECT ALL
+          SELECT s_nationkey AS nk FROM supplier)
+    """,
+)
+def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators the reference lacks entirely (SURVEY §2.6 'absent
+    set ops'): INTERSECT / EXCEPT on distinct dimension slices and
+    INTERSECT ALL multiset semantics (per-key multiplicity =
+    min(count_left, count_right)). All three arms are dimension-sized →
+    hash-partitioned set ops with AQE-coalesced outputs."""
+    part = _t(spark, sf_dir, "part")
+    small = part.where(F.col("p_size") < 15).select("p_brand").distinct()
+    smc = part.where(F.col("p_type").isin("SMALL", "MEDIUM")).select("p_brand").distinct()
+    cn = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    sn = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    tag = lambda df, name, col: df.select(
+        F.lit(name).alias("op"), F.col(col).cast("string").alias("val")
+    )
+    return (
+        tag(small.intersect(smc), "brand_both", "p_brand")
+        .unionByName(tag(small.subtract(smc), "brand_only_small", "p_brand"))
+        .unionByName(tag(cn.intersectAll(sn), "nation_multiset", "nk"))
+    )
+
+
+@_register("approx_profile")
+def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches next to their exact twins: per event type,
+    HyperLogLog++ distinct users (approx_count_distinct, mergeable
+    partial sketches — the 100 TB path) and an approximate median via
+    percentile_approx, plus exact countDistinct for in-row error
+    audit. Rows-only by design: sketch outputs are
+    implementation-defined, so no cross-engine oracle exists; the unit
+    test asserts the HLL estimate lands within rsd bounds of the exact
+    count."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_register(
+    "curation_pipeline",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, text, source,
+             len(string_split(text, ' ')) AS n_words,
+             length(replace(text, ' ', '')) AS nospace
+      FROM documents
+    ),
+    ok AS (
+      SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM q
+      WHERE n_words >= 5 AND n_words <= 100000 AND nospace / n_words < 12.0
+    ),
+    raw AS (SELECT source, count(*) AS n_raw FROM documents GROUP BY source),
+    k AS (
+      SELECT source, count(*) AS n_ok,
+             count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+             CAST(COALESCE(sum(CASE WHEN rn = 1 THEN n_words END), 0)
+                  AS BIGINT) AS ws_tokens_kept
+      FROM ok GROUP BY source
+    )
+    SELECT r.source,
+           r.n_raw,
+           COALESCE(k.n_ok, 0) AS n_ok,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           COALESCE(k.ws_tokens_kept, 0) AS ws_tokens_kept
+    FROM raw r LEFT JOIN k ON r.source = k.source
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-curation composite — the training-data shape:
+    quality gate (word count + word-shape heuristics, textanalysis
+    formulas) → global exact dedup (first doc_id per identical text
+    wins) → per-source audit counts (raw / passed / kept / kept
+    tokens). Plan: one documents scan feeds both the raw counts and the
+    gated branch; dedup is a window over the text key (at 100 TB,
+    partition by md5(text) to keep shuffle keys short); final join of
+    two source-grained aggregates is broadcast-sized."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    nospace = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    gated = docs.select(
+        "doc_id", "text", "source", n_words.alias("n_words"),
+        nospace.alias("nospace"),
+    ).where(
+        (F.col("n_words") >= 5) & (F.col("n_words") <= 100000)
+        & (F.col("nospace") / F.col("n_words") < 12.0)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("text").orderBy("doc_id")
+    ranked = gated.withColumn("rn", F.row_number().over(w))
+    kept = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_ok"),
+        F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
+        F.coalesce(
+            F.sum(F.when(F.col("rn") == 1, F.col("n_words"))), F.lit(0)
+        ).cast("long").alias("ws_tokens_kept"),
+    )
+    raw = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    return raw.join(kept, "source", "left").select(
+        "source", "n_raw",
+        F.coalesce("n_ok", F.lit(0)).alias("n_ok"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("ws_tokens_kept", F.lit(0)).alias("ws_tokens_kept"),
+    )

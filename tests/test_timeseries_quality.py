@@ -1,0 +1,128 @@
+"""Hand-checked goldens for timeseries (resample LOCF, SCD2) and
+data-quality (validate, histogram) operators."""
+
+from pyspark.sql import functions as F
+
+from gene_level_metadata_pipeline_spark.operators import quality as Q
+from gene_level_metadata_pipeline_spark.operators.timeseries import (
+    resample_locf,
+    scd2_intervals,
+)
+
+
+def test_resample_locf_numeric_axis(spark):
+    # key a: obs at t=5 (v=1.0), t=25 (v=2.0); key b: obs at t=12 only.
+    # step 10, global min 5 -> origin 0, max 25 -> grid 0,10,20 (plus 25? no:
+    # sequence(0,25,10) = 0,10,20).
+    df = spark.createDataFrame(
+        [("a", 5, 1.0, 1), ("a", 25, 2.0, 2), ("b", 12, 9.0, 3)],
+        ["k", "t", "v", "id"],
+    )
+    out = resample_locf(df, "k", "t", "v", "id", step_us=10)
+    got = {(r.k, r.grid_ts): r.value_locf for r in out.collect()}
+    assert got == {
+        ("a", 0): None, ("a", 10): 1.0, ("a", 20): 1.0,
+        ("b", 0): None, ("b", 10): None, ("b", 20): 9.0,
+    }
+
+
+def test_resample_locf_tie_breaks_by_greatest_tie_col(spark):
+    # two observations at the same (key, ts): the greater id wins
+    df = spark.createDataFrame(
+        [("a", 0, 1.0, 1), ("a", 0, 7.0, 2)], ["k", "t", "v", "id"]
+    )
+    out = resample_locf(df, "k", "t", "v", "id", step_us=10)
+    got = {(r.k, r.grid_ts): r.value_locf for r in out.collect()}
+    assert got == {("a", 0): 7.0}
+
+
+def test_scd2_intervals_runs_and_current_flag(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 10, "x", 100),
+            (1, 20, "x", 101),  # same attr -> merged into first interval
+            (1, 30, "y", 102),  # change
+            (1, 40, "x", 103),  # change back -> new interval
+            (2, 15, "z", 104),
+        ],
+        ["k", "t", "attr", "id"],
+    )
+    out = scd2_intervals(df, "k", "t", "attr", "id")
+    rows = {(r.k, r.valid_from): (r.attr, r.valid_to, r.is_current)
+            for r in out.collect()}
+    assert rows == {
+        (1, 10): ("x", 30, False),
+        (1, 30): ("y", 40, False),
+        (1, 40): ("x", None, True),
+        (2, 15): ("z", None, True),
+    }
+
+
+def test_scd2_null_attr_transitions(spark):
+    # null -> value -> null are all changes; null==null run merges
+    df = spark.createDataFrame(
+        [(1, 1, None, 1), (1, 2, None, 2), (1, 3, "a", 3), (1, 4, None, 4)],
+        "k int, t int, attr string, id int",
+    )
+    out = scd2_intervals(df, "k", "t", "attr", "id")
+    rows = sorted((r.valid_from, r.attr) for r in out.collect())
+    assert rows == [(1, None), (3, "a"), (4, None)]
+
+
+def test_validate_rules_hand_checked(spark):
+    child = spark.createDataFrame(
+        [(1, "A", 5.0), (2, "B", -1.0), (2, "Z", 3.0), (None, "A", 99.0)],
+        "fk int, cat string, x double",
+    )
+    parent = spark.createDataFrame([(1,), (3,)], "pk int")
+    report = {
+        r.rule: r.n_violations
+        for r in Q.validate([
+            Q.not_null("fk_not_null", child, "fk"),
+            Q.accepted_values("cat_domain", child, "cat", ["A", "B"]),
+            Q.in_range("x_range", child, "x", 0.0, 10.0),
+            Q.unique("fk_unique", child, "fk"),
+            Q.foreign_key("fk_parent", child, "fk", parent, "pk"),
+        ]).collect()
+    }
+    assert report == {
+        "fk_not_null": 1,   # the None fk
+        "cat_domain": 1,    # 'Z'
+        "x_range": 2,       # -1.0 and 99.0
+        "fk_unique": 2,     # fk=2 appears twice (sum of dup-group sizes)
+        "fk_parent": 2,     # both fk=2 rows lack a parent (null fk ignored)
+    }
+
+
+def test_validate_empty_violations(spark):
+    df = spark.createDataFrame([(1,), (2,)], "a int")
+    report = {
+        r.rule: r.n_violations
+        for r in Q.validate([
+            Q.unique("u", df, "a"),
+            Q.not_null("nn", df, "a"),
+        ]).collect()
+    }
+    assert report == {"u": 0, "nn": 0}
+
+
+def test_histogram_bins_and_edges(spark):
+    df = spark.createDataFrame([(float(x),) for x in range(11)], "v double")
+    out = {r.bin: (r.lo, r.hi, r.n) for r in Q.histogram(df, "v", 5).collect()}
+    # min 0, max 10, width 2: bins [0,2) [2,4) [4,6) [6,8) [8,10]; the max
+    # value 10.0 is clamped into the last bin.
+    assert out == {
+        0: (0.0, 2.0, 2), 1: (2.0, 4.0, 2), 2: (4.0, 6.0, 2),
+        3: (6.0, 8.0, 2), 4: (8.0, 10.0, 3),
+    }
+
+
+def test_approx_count_distinct_within_rsd(spark):
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 1000).alias("u"), F.lit("g").alias("g")
+    )
+    row = df.groupBy("g").agg(
+        F.approx_count_distinct("u", 0.02).alias("approx"),
+        F.countDistinct("u").alias("exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.1
