@@ -18,6 +18,7 @@ __all__ = [
     "melt",
     "transpose",
     "union_all",
+    "union_evolve",
     "distinct_all",
 ]
 
@@ -108,6 +109,19 @@ def transpose(
     """
     long = melt(df, [id_col], value_cols, var_name=header_col, value_name="__v")
     return pivot_wider(long, [header_col], id_col, "__v", agg="first")
+
+
+def union_evolve(*dfs: DataFrame) -> DataFrame:
+    """Union frames with evolving schemas: dplyr ``bind_rows`` semantics
+    (SURVEY R5's general form) — columns matched by NAME, columns absent
+    from a frame filled with NULL, output schema = first-seen column
+    order. Spark's ``unionByName(allowMissingColumns=True)`` folded over
+    the inputs; zero shuffles (pure map-side concatenation)."""
+    from functools import reduce
+
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
+    )
 
 
 def union_all(*dfs: DataFrame) -> DataFrame:

@@ -3394,3 +3394,73 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce("ws_tokens_kept", F.lit(0)).alias("ws_tokens_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured JSON + schema evolution
+# ---------------------------------------------------------------------------
+
+@_register(
+    "json_props_extract",
+    oracle="""
+    WITH p AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           count(DISTINCT k) AS n_distinct_k,
+           max(k) AS max_k
+    FROM p GROUP BY event_type
+    """,
+)
+def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column handling (the reference's S11 flatten
+    family, applied to an embedded JSON string column): typed parse via
+    ``from_json`` with an explicit schema — schema-on-read stays
+    columnar, the parse happens once in codegen, and downstream
+    aggregation is plain relational. A ``get_json_object`` cross-check
+    guards parse agreement (mismatch rows would surface as NULL k).
+    At scale prefer from_json + explicit schema over repeated
+    get_json_object calls: one parse per row vs one per extraction."""
+    ev = _events(spark, sf_dir)
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k BIGINT").getField("k").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.countDistinct("k").alias("n_distinct_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@_register(
+    "union_evolve_schemas",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, CAST(NULL AS DOUBLE) AS total
+    FROM orders WHERE o_orderdate < TIMESTAMP '1994-01-01'
+    UNION ALL
+    SELECT o_orderkey, NULL, o_totalprice
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    """,
+)
+def q_union_evolve_schemas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union (reshape.union_evolve): dplyr bind_rows
+    semantics — frames with different column sets concatenated by name,
+    missing columns NULL-filled, first-seen column order. The map-side
+    concatenation adds no shuffle; each branch's filter still pushes to
+    its scan."""
+    from gene_level_metadata_pipeline_spark.operators.reshape import union_evolve
+
+    ord_ = _t(spark, sf_dir, "orders")
+    old = ord_.where(
+        F.col("o_orderdate") < F.lit("1994-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_orderpriority")
+    new = ord_.where(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    ).select("o_orderkey", F.col("o_totalprice").alias("total"))
+    return union_evolve(old, new)

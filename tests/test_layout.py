@@ -1,0 +1,65 @@
+"""Storage-layout scale strategies: partition pruning (static and
+dynamic) on partitioned parquet.
+
+At 100 TB the bronze zone is partitioned by source/release (SURVEY §4 /
+PLANS.md); these tests prove both pruning paths on the executed plan:
+  * static pruning — a literal filter on the partition column reaches the
+    scan as a PartitionFilter and the scan reads only matching
+    directories;
+  * dynamic partition pruning (DPP) — a filter on a joined dimension
+    prunes the partitioned fact scan at runtime via a reused broadcast
+    subquery (no literal filter on the fact exists in the query).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _executed_plan(df) -> str:
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_static_partition_pruning(spark, tmp_path):
+    path = str(tmp_path / "part_events")
+    src = spark.range(0, 1000).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 4).alias("shard"),
+        (F.col("id") * 2).alias("value"),
+    )
+    src.write.partitionBy("shard").mode("overwrite").parquet(path)
+
+    df = spark.read.parquet(path).where(F.col("shard") == 2)
+    plan = _executed_plan(df)
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln][0]
+    assert "PartitionFilters" in scan and "shard" in scan
+    # only 1 of 4 shard directories is read
+    assert df.rdd.getNumPartitions() >= 1
+    assert df.count() == 250
+    files = df.select(F.input_file_name()).distinct().collect()
+    assert all("shard=2" in r[0] for r in files)
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    path = str(tmp_path / "fact")
+    fact = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 10).alias("pdate"),
+        (F.col("id") % 97).alias("v"),
+    )
+    fact.write.partitionBy("pdate").mode("overwrite").parquet(path)
+    dim = spark.range(0, 10).select(
+        F.col("id").alias("d_date"),
+        F.when(F.col("id") < 2, "hot").otherwise("cold").alias("tier"),
+    )
+    joined = (
+        spark.read.parquet(path)
+        .join(dim, F.col("pdate") == F.col("d_date"))
+        .where(F.col("tier") == "hot")
+    )
+    plan = _executed_plan(joined)
+    assert "dynamicpruning" in plan.lower()
+    assert joined.count() == 400  # 2 of 10 partitions
+    files = joined.select(F.input_file_name()).distinct().collect()
+    assert {f[0].split("pdate=")[1].split("/")[0] for f in files} == {"0", "1"}
