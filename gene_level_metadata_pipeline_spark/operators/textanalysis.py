@@ -24,6 +24,7 @@ __all__ = [
     "repetition_scores",
     "pii_redact",
     "contamination_check",
+    "chunk_documents",
 ]
 
 # Tiny per-language stopword lists: enough for the n-gram-heuristic shape;
@@ -275,5 +276,42 @@ def contamination_check(
         .agg(
             F.countDistinct("shingle").alias("n_shared_grams"),
             F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    size: int = 50,
+    stride: int = 40,
+) -> DataFrame:
+    """Token-window document chunking with overlap — the standard
+    context-window preparation op for training/RAG corpora.
+
+    Each document's whitespace tokens are cut into windows of ``size``
+    tokens starting every ``stride`` tokens (overlap = size - stride).
+    Returns (id, chunk_idx, n_chunk_tokens, chunk_text). Fully
+    array-native: sequence → explode → slice, no Python, no shuffle —
+    chunking is embarrassingly parallel over input partitions, and at
+    100 TB output partition sizing is governed by
+    files.maxPartitionBytes on the scan plus the ~size/stride fan-out.
+    """
+    toks = F.split(F.col(text_col), " ")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(F.col("__toks")) - 1, F.lit(0)),
+        F.lit(stride),
+    )
+    chunk = F.slice(F.col("__toks"), F.col("__start") + 1, size)
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"))
+        .select(id_col, "__toks", F.explode(starts).alias("__start"))
+        .select(
+            F.col(id_col),
+            (F.col("__start") / stride).cast("long").alias("chunk_idx"),
+            F.size(chunk).cast("long").alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
         )
     )

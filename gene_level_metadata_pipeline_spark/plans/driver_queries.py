@@ -3464,3 +3464,80 @@ def q_union_evolve_schemas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
     ).select("o_orderkey", F.col("o_totalprice").alias("total"))
     return union_evolve(old, new)
+
+
+# ---------------------------------------------------------------------------
+# LLM-corpus ops: token-window chunking, vocabulary top-k
+# ---------------------------------------------------------------------------
+
+@_register(
+    "chunk_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks, n,
+             unnest(generate_series(0, greatest(n - 1, 0), 40)) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           start // 40 AS chunk_idx,
+           CAST(least(start + 50, n) - start AS BIGINT) AS n_chunk_tokens,
+           array_to_string(toks[start + 1 : least(start + 50, n)], ' ')
+             AS chunk_text
+    FROM s
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (textanalysis.chunk_documents): 50-token
+    windows every 40 tokens (10-token overlap) over every document —
+    sequence → explode → slice, all codegen, zero shuffles."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        chunk_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, "text", "doc_id", size=50, stride=40)
+
+
+@_register(
+    "vocab_top_words",
+    oracle="""
+    WITH wc AS (
+      SELECT w AS word, count(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+      GROUP BY w
+    ),
+    ranked AS (
+      SELECT word, n,
+             CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT)
+               AS rank
+      FROM wc
+    )
+    SELECT word, n, rank FROM ranked WHERE rank <= 50
+    """,
+)
+def q_vocab_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: exact top-50 words by frequency with a total
+    deterministic order (count desc, word asc — ties at the boundary
+    cannot flap). explode → hash agg (map-side partial) → TakeOrdered
+    top-k, never a global sort; the rank is stamped after the k-row
+    result is already bounded."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = wc.orderBy(F.col("n").desc(), F.col("word")).limit(50)
+    w = Window.orderBy(F.col("n").desc(), F.col("word"))
+    return top.select(
+        "word", "n", F.row_number().over(w).cast("long").alias("rank")
+    )

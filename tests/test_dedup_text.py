@@ -297,3 +297,20 @@ def test_contamination_check_counts_shared_grams(spark):
     # bench has 2 distinct 5-grams; doc 1 contains both
     assert out[1]["n_shared_grams"] == 2 and out[1]["n_bench_docs"] == 1
     assert 2 not in out
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    doc = " ".join(f"w{i}" for i in range(95))  # 95 tokens
+    df = spark.createDataFrame([(1, doc), (2, "a b c")], ["doc_id", "text"])
+    out = {(r.doc_id, r.chunk_idx): (r.n_chunk_tokens, r.chunk_text)
+           for r in textanalysis.chunk_documents(
+               df, "text", "doc_id", size=50, stride=40).collect()}
+    # doc 1: starts 0, 40, 80 -> 50, 50, 15 tokens
+    assert out[(1, 0)][0] == 50 and out[(1, 0)][1].startswith("w0 w1 ")
+    assert out[(1, 1)][0] == 50 and out[(1, 1)][1].startswith("w40 ")
+    assert out[(1, 2)][0] == 15 and out[(1, 2)][1].endswith("w94")
+    # overlap: chunk 1 re-covers tokens 40..49
+    assert out[(1, 0)][1].split()[-1] == "w49" and out[(1, 1)][1].split()[0] == "w40"
+    # short doc: one chunk with all 3 tokens
+    assert out[(2, 0)] == (3, "a b c")
+    assert len(out) == 4
