@@ -50,23 +50,27 @@ def connected_components(
             .groupBy(F.col("u").alias("n"))
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        # carry the pre-round label through as __old: the convergence
+        # check then needs no extra join against the previous frame
+        stepped = (
             labels.join(neighbor_min, labels.node == F.col("n"), "left")
             .select(
                 "node",
+                F.col("label").alias("__old"),
                 F.least(
                     F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))
                 ).alias("label"),
             )
         )
         # pointer jumping: label <- label[label] (skip a level per round)
-        parent = new_labels.select(
+        parent = stepped.select(
             F.col("node").alias("p_node"), F.col("label").alias("p_label")
         )
         new_labels = (
-            new_labels.join(parent, new_labels.label == parent.p_node, "left")
+            stepped.join(parent, stepped.label == parent.p_node, "left")
             .select(
                 "node",
+                "__old",
                 F.least(
                     F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
                 ).alias("label"),
@@ -75,13 +79,9 @@ def connected_components(
         # checkpoint each round: truncates the exponentially-growing lineage
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
-            new_labels.withColumnRenamed("label", "new_label")
-            .join(labels, "node")
-            .where(F.col("new_label") != F.col("label"))
-            .limit(1)
-            .count()
+            new_labels.where(F.col("label") < F.col("__old")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.drop("__old")
         if changed == 0:
             return labels.select(
                 F.col("node").alias("doc_id"), F.col("label").alias("component")
