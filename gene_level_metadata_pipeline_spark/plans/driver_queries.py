@@ -3541,3 +3541,149 @@ def q_vocab_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "word", "n", F.row_number().over(w).cast("long").alias("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding / session windows + snapshot CDC
+# ---------------------------------------------------------------------------
+
+@_register(
+    "events_sliding_windows",
+    oracle="""
+    WITH ev AS (SELECT epoch_us(ts) AS us, value FROM events),
+    x AS (
+      SELECT us, value,
+             (us // 900000000) * 900000000 - k * 900000000 AS ws
+      FROM ev CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)
+    )
+    SELECT ws AS ws_us, ws + 3600000000 AS we_us,
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total
+    FROM x GROUP BY ws
+    """,
+)
+def q_events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows: 1-hour windows advancing every 15
+    minutes — each event lands in exactly 4 windows (Spark's ``window``
+    with a slide replicates map-side, then one hash aggregate; the
+    oracle reproduces the replication with an explicit 0..3 cross
+    join). Epoch-aligned starts, micros arithmetic, decimal sums."""
+    ev = _events(spark, sf_dir)
+    w = F.window("ts", "1 hour", "15 minutes")
+    return ev.groupBy(w.alias("w")).agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("value"), 2).alias("total"),
+    ).select(
+        F.unix_micros("w.start").alias("ws_us"),
+        F.unix_micros("w.end").alias("we_us"),
+        "n",
+        "total",
+    )
+
+
+@_register(
+    "events_session_windows",
+    oracle="""
+    WITH ev AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+    o AS (
+      SELECT user_id, us, value,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ),
+    g AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           min(us) AS session_start_us,
+           max(us) + 1800000000 AS session_end_us,
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in session windows (``F.session_window``, 30-minute gap):
+    merges events whose inter-arrival gap is under the timeout; the
+    window end is last-event + gap (end-exclusive, so a gap of exactly
+    30 min starts a new session). The oracle derives identical sessions
+    via lag-based island detection — the same semantics the batch
+    ``sessionize`` operator certifies, now through Spark's native
+    session-window aggregation (one shuffle on user_id + merging agg)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("sw")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("value"), 2).alias("total"),
+    ).select(
+        "user_id",
+        F.unix_micros("sw.start").alias("session_start_us"),
+        F.unix_micros("sw.end").alias("session_end_us"),
+        "n",
+        "total",
+    )
+
+
+@_register(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN round(o_totalprice * 1.1, 2) ELSE o_totalprice
+             END AS o_totalprice,
+             o_orderstatus
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_orderstatus <> 'P'
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                  OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                THEN 'update' END AS change
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE (o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+           OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+           OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+    """,
+)
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-over-release CDC (operators/cdc.snapshot_diff): diff two
+    pinned snapshots of orders — the 1997 release vs the 1998 release
+    with urgent orders repriced and 'P'-status orders dropped —
+    classifying every key as insert / delete / update (unchanged keys
+    filtered). One full-outer shuffle join on the key; the reference's
+    dated-release model (I:16,19) gains a first-class 'what changed'
+    operator."""
+    from gene_level_metadata_pipeline_spark.operators.cdc import snapshot_diff
+
+    ord_ = _t(spark, sf_dir, "orders")
+    old = ord_.where(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_totalprice", "o_orderstatus")
+    new = (
+        ord_.where(
+            (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("o_orderstatus") != "P")
+        )
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderpriority") == "1-URGENT",
+                _round_to(F.col("o_totalprice") * 1.1, 2),
+            ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+            "o_orderstatus",
+        )
+    )
+    return snapshot_diff(old, new, "o_orderkey")

@@ -126,3 +126,30 @@ def test_approx_count_distinct_within_rsd(spark):
         F.countDistinct("u").alias("exact"),
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact < 0.1
+
+
+def test_snapshot_diff_classifies_changes(spark):
+    from gene_level_metadata_pipeline_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", None), (4, "d", 4.0)],
+        "k int, s string, x double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0),      # unchanged -> dropped
+         (2, "B", 2.0),      # update (s)
+         (3, "c", 3.0),      # update (NULL -> value, null-safe)
+         (5, "e", 5.0)],     # insert; 4 deleted
+        "k int, s string, x double",
+    )
+    got = {r.k: r.change for r in snapshot_diff(old, new, "k").collect()}
+    assert got == {2: "update", 3: "update", 4: "delete", 5: "insert"}
+
+
+def test_snapshot_diff_compare_cols_subset(spark):
+    from gene_level_metadata_pipeline_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a", 1.0)], "k int, s string, x double")
+    new = spark.createDataFrame([(1, "a", 9.0)], "k int, s string, x double")
+    # x differs but only s is compared -> no change rows
+    assert snapshot_diff(old, new, "k", compare_cols=["s"]).count() == 0
