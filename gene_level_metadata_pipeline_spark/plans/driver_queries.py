@@ -3687,3 +3687,51 @@ def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return snapshot_diff(old, new, "o_orderkey")
+
+
+@_register(
+    "graph_triangles",
+    oracle="""
+    WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS n
+      FROM os a JOIN os b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY a.l_suppkey, b.l_suppkey
+    ),
+    edges AS (SELECT u, v FROM pairs WHERE n >= 3)
+    SELECT (SELECT count(*) FROM edges) AS n_edges,
+           (SELECT count(*)
+            FROM edges e1
+            JOIN edges e2 ON e1.v = e2.u
+            JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational graph analytics beyond component labeling: build a
+    supplier co-occurrence graph (suppliers sharing ≥3 orders; edges
+    stored once with u < v) and count triangles with the classic
+    two-join enumeration — each triangle counted exactly once because
+    every edge is oriented low→high. The per-order self-join is bounded
+    by order fan-out (≈4 suppliers/order ⇒ ≤6 pairs); the triangle join
+    runs on the sparsified edge set. At 100 TB the standard mitigation
+    is degree-ordered orientation (orient edges from lower-degree to
+    higher-degree node) which bounds the join fan-out by sqrt(m)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
+    edges = (
+        a.join(b, "k")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 3)
+        .select("u", "v")
+    )
+    e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = edges.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = edges.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    return edges.agg(F.count(F.lit(1)).alias("n_edges")).join(tri)
