@@ -3735,3 +3735,56 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_triangles")
     )
     return edges.agg(F.count(F.lit(1)).alias("n_edges")).join(tri)
+
+
+@_register(
+    "kmeans_assign",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+    scored AS (
+      SELECT v.vec_id, c.cid,
+             round({_COS.format(a='v.e', b='c.ce')}, 4) AS sim
+      FROM v CROSS JOIN c
+    ),
+    assign AS (
+      SELECT vec_id, cid, sim FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, cid
+        ) AS rn FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT cid AS cluster_id, count(*) AS n,
+           round(CAST(sum(CAST(sim AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 4) AS avg_sim
+    FROM assign GROUP BY cid
+    """,
+)
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd's-algorithm assignment step — the iterative-ML shape:
+    8 seed centroids (vec_id < 8) broadcast against every embedding,
+    JVM-side cosine (zip_with/aggregate fold — no Python), argmax via
+    max_by over a (sim, -cid) struct so ties go to the lowest centroid
+    deterministically, then per-cluster size and mean similarity. The
+    full k-means loop is this plan iterated with re-derived centroids;
+    each iteration is one broadcast join + one aggregate — no shuffle
+    of the embedding table itself."""
+    from gene_level_metadata_pipeline_spark.operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    scored = emb.join(F.broadcast(cent)).select(
+        "vec_id", "cid",
+        F.round(cosine(F.col("embedding"), F.col("ce")), 4).alias("sim"),
+    )
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.struct("cid", "sim"), F.struct(F.col("sim"), -F.col("cid"))
+        ).alias("a")
+    )
+    return assign.groupBy(F.col("a.cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n"),
+        _davg(F.col("a.sim"), 4).alias("avg_sim"),
+    )
