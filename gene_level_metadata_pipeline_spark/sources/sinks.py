@@ -18,7 +18,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 
-__all__ = ["write_bronze", "ingest_sources"]
+__all__ = ["write_bronze", "ingest_sources", "write_compacted"]
 
 
 def write_bronze(
@@ -59,3 +59,41 @@ def ingest_sources(
     else:
         log(f"all {len(sources)} sources ingested")
     return errors
+
+
+def write_compacted(
+    df: DataFrame,
+    path: str,
+    target_rows_per_file: int,
+    exact: bool = False,
+    mode: str = "overwrite",
+) -> int:
+    """Write parquet with bounded file sizes — the small-files mitigation.
+
+    A 100 TB bronze zone dies by a thousand 2 KB files (every streaming
+    micro-batch and every over-partitioned write contributes); compaction
+    keeps file counts proportional to data volume. Two strategies:
+
+    * default: ``maxRecordsPerFile`` caps rows per file with NO extra
+      shuffle (each task splits its own output) — cheap, but file count
+      still scales with task count;
+    * ``exact=True``: count + repartition to ``ceil(n/target)`` before
+      writing — one shuffle, balanced files, the right choice for final
+      published tables.
+
+    Returns the number of files written.
+    """
+    import math
+    import os
+
+    if exact:
+        n = df.count()
+        parts = max(1, math.ceil(n / target_rows_per_file))
+        df.repartition(parts).write.mode(mode).parquet(path)
+    else:
+        (
+            df.write.option("maxRecordsPerFile", target_rows_per_file)
+            .mode(mode)
+            .parquet(path)
+        )
+    return len([f for f in os.listdir(path) if f.endswith(".parquet")])
