@@ -6,6 +6,12 @@ multiset of row values. Exit code 1 on any mismatch.
 
 Usage:  python tools/check_oracle.py [query ...]
         CHECK_SF_DIR=/root/testdata/sf0.1 python tools/check_oracle.py
+        python tools/check_oracle.py --vanilla [query ...]
+
+``--vanilla`` runs against a deliberately hostile SparkSession (default
+confs, America/New_York session timezone, 8 cores) instead of the
+engine's tuned session — replicating the driver, which builds ITS OWN
+session. Every query must self-configure whatever it needs.
 """
 
 from __future__ import annotations
@@ -84,8 +90,21 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from gene_level_metadata_pipeline_spark.session import get_spark
 
-    only = set(sys.argv[1:])
-    spark = get_spark("check-oracle")
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    only = {a for a in args if a != "--vanilla"}
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .appName("check-oracle-vanilla")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("check-oracle")
 
     con = duckdb.connect()
     for t in TABLES:
