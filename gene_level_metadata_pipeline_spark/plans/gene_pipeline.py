@@ -37,6 +37,10 @@ __all__ = [
     "symbol_id_mappings",
     "viability",
     "lethal_term_flags",
+    "gene_position_length",
+    "string_ppi",
+    "go_ontology",
+    "omim_lethality",
 ]
 
 
@@ -132,3 +136,166 @@ def lethal_term_flags(
     )
     mapped = idmap.join(labeled, "mgi_id").select(KEY, "mgi_viability").dropDuplicates()
     return harmonize(spn, mapped, KEY)
+
+
+CHROMOSOMES = [str(i) for i in range(1, 23)] + ["X", "Y"]
+
+OMIM_LETHALITY_LABELS = {
+    "L1": "L1; Prenatal death",
+    "L2": "L2; Neonatal death",
+    "L3": "L3; Death in infancy",
+    "L4": "L4; Death in childhood",
+    "L5": "L5; Death in adolescence",
+    "L6": "L6; Death in adulthood",
+    "LU": "LU; Not determined",
+    "NL": "NL; Non lethal",
+}
+
+
+def gene_position_length(pos: DataFrame, genes: DataFrame, spn: DataFrame) -> DataFrame:
+    """T:91-108 (gene_position_length): derive gene_length = end − start
+    + 1, drop GC%, rename to the spine key, keep only rows whose ensembl
+    id is in the latest protein-coding set (the reference pulls a driver
+    vector + %in%, T:93/T:98 — here a distributed semi join), filter to
+    canonical chromosomes (T:92/T:100) and non-missing coordinates, then
+    spine join."""
+    from gene_level_metadata_pipeline_spark.operators.joins import semi_join
+
+    src = (
+        pos.withColumn(
+            "gene_length",
+            F.col("end_position") - F.col("start_position") + F.lit(1),
+        )
+        .drop("percentage_gene_gc_content")
+        .withColumnRenamed("hgnc_symbol", KEY)
+    )
+    src = semi_join(src, genes.select("ensembl_gene_id"), "ensembl_gene_id")
+    src = (
+        src.where(F.col("chromosome_name").isNotNull())
+        .where(F.col("chromosome_name") != "")
+        .where(F.col("chromosome_name").isin(CHROMOSOMES))
+        .where(F.col("start_position").isNotNull())
+        .where(F.col("end_position").isNotNull())
+        .where(F.col("gene_length").isNotNull())
+        .dropDuplicates()
+    )
+    return harmonize(spn, src, KEY)
+
+
+def string_ppi(
+    interactions: DataFrame,
+    genes: DataFrame,
+    string_map: DataFrame,
+    spn: DataFrame,
+) -> DataFrame:
+    """T:139-191 (STRING_ppi): the two-hop M:N edge decoration.
+
+    ``string_map`` is the STRINGdb id-mapping table (ensembl_gene_id →
+    STRING_id); mapping with removeUnmappedRows=TRUE (I:72) is an inner
+    join. Hop 1 decorates the edge source (join_by STRING_id == from,
+    T:148-153); hop 2 decorates the target (STRING_id ==
+    protein2_string_id, T:157-163); both endpoints then strip the
+    ^9606. prefix (T:175-176), gain gene symbols via the hgnc_id
+    mapping tables (T:165-172, natural joins), drop edgeless genes and
+    scale the score to [0,1] (T:180-181)."""
+    mapped = (
+        genes.select("hgnc_id", "ensembl_gene_id")
+        .join(string_map, "ensembl_gene_id", "inner")
+        .select("hgnc_id", "STRING_id")
+    )
+    hop1 = (
+        mapped.join(
+            interactions, mapped.STRING_id == interactions["from"], "left"
+        )
+        .select(
+            F.col("hgnc_id").alias("protein1_hgnc_id"),
+            F.col("STRING_id").alias("protein1_string_id"),
+            F.col("to").alias("protein2_string_id"),
+            "combined_score",
+        )
+    )
+    hop2 = (
+        mapped.join(hop1, mapped.STRING_id == hop1.protein2_string_id, "left")
+        .select(
+            "protein1_hgnc_id",
+            "protein1_string_id",
+            F.col("hgnc_id").alias("protein2_hgnc_id"),
+            F.col("STRING_id").alias("protein2_string_id"),
+            "combined_score",
+        )
+    )
+    sym1 = genes.select(
+        F.col("symbol").alias("gene_symbol"),
+        F.col("hgnc_id").alias("protein1_hgnc_id"),
+    )
+    sym2 = genes.select(
+        F.col("symbol").alias("protein2_gene_symbol"),
+        F.col("hgnc_id").alias("protein2_hgnc_id"),
+    )
+    out = (
+        hop2.withColumn(
+            "protein1_string_id",
+            F.regexp_replace("protein1_string_id", r"^9606\.", ""),
+        )
+        .withColumn(
+            "protein2_string_id",
+            F.regexp_replace("protein2_string_id", r"^9606\.", ""),
+        )
+        .join(sym1, "protein1_hgnc_id", "left")
+        .join(sym2, "protein2_hgnc_id", "left")
+        .where(F.col("combined_score").isNotNull())
+        .withColumn("combined_score", F.col("combined_score") / 1000)
+        .select(
+            F.col("gene_symbol").alias(KEY),
+            F.col("protein1_string_id").alias("string_id"),
+            F.col("protein2_string_id").alias("Interaction_string_id"),
+            F.col("protein2_gene_symbol").alias("Interaction_hgnc_gene_symbol"),
+            "combined_score",
+        )
+    )
+    return harmonize(spn, out, KEY, broadcast_source=False)
+
+
+def go_ontology(
+    go_raw: DataFrame, genes: DataFrame, ontology: str, spn: DataFrame
+) -> DataFrame:
+    """T:282-329 (GO_BP / GO_MF / GO_CC): entrez→symbol mapping join
+    (entrez cast to string for join safety, T:285), single-ontology
+    filter, then the degenerate pivot_wider+unnest whose net effect is
+    the per-ontology column rename (SURVEY R2) — go_id → go_id_BP etc."""
+    mapping = genes.select(
+        F.col("symbol").alias("gene_symbol"),
+        F.col("entrez_id").cast("string").alias("entrez_id"),
+    )
+    src = (
+        go_raw.withColumnRenamed("gene_id", "entrez_id")
+        .withColumn("entrez_id", F.col("entrez_id").cast("string"))
+        .join(mapping, "entrez_id", "left")
+        .where(F.col("Ontology") == ontology)
+        .withColumnRenamed("go_id", f"go_id_{ontology}")
+        .withColumnRenamed("go_term", f"go_term_{ontology}")
+        .drop("entrez_id", "Ontology")
+        .withColumnRenamed("gene_symbol", KEY)
+    )
+    return harmonize(spn, src, KEY)
+
+
+def omim_lethality(lethal: DataFrame, spn: DataFrame) -> DataFrame:
+    """T:405-438 (OMIM_lethality_categories): gene-level slice of the
+    lethal-phenotypes table with the L1–L6/LU/NL expansion (T:420-431),
+    '-' sentinels nulled across all columns (T:433), spine join."""
+    from gene_level_metadata_pipeline_spark.functions.scalars import recode
+
+    src = lethal.select(
+        "gene_symbol", "gene_lethal_summary", "earliest_lethality_category"
+    ).withColumn(
+        "earliest_lethality_category",
+        recode(
+            "earliest_lethality_category",
+            OMIM_LETHALITY_LABELS,
+            default=F.col("earliest_lethality_category"),
+        ),
+    )
+    for c in src.columns:
+        src = src.withColumn(c, F.when(F.col(c) == "-", None).otherwise(F.col(c)))
+    return harmonize(spn, src.withColumnRenamed("gene_symbol", KEY), KEY)

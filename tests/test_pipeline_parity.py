@@ -113,3 +113,105 @@ def test_lethal_term_flags_golden(spark, spn, idmap):
     rows = {(r["hgnc_gene_symbol"], r["mgi_viability"])
             for r in gp.lethal_term_flags(phen, ["MP:LETHAL"], spn, idmap).collect()}
     assert rows == {("GENE1", "lethal"), ("GENE2", None), ("GENE3", "viable")}
+
+
+@pytest.fixture(scope="module")
+def pcg(spark):
+    # protein.coding.genes analog for the position/STRING/GO flows
+    return spark.createDataFrame(
+        [
+            ("GENE1", "HGNC:1", "ENSG1", 11),
+            ("GENE2", "HGNC:2", "ENSG2", 22),
+            ("GENE3", "HGNC:3", "ENSG3", 33),
+        ],
+        ["symbol", "hgnc_id", "ensembl_gene_id", "entrez_id"],
+    )
+
+
+@pytest.fixture(scope="module")
+def pcg_spine(pcg):
+    return gp.gene_spine(pcg)
+
+
+def test_gene_position_length_golden(spark, pcg, pcg_spine):
+    pos = spark.createDataFrame(
+        [
+            # kept: canonical chromosome, known ensembl id
+            ("GENE1", "ENSG1", "7", 100, 399, 50.0),
+            # dropped: stale ensembl id (not in latest set)
+            ("GENE2", "ENSGX", "1", 10, 20, 40.0),
+            # dropped: scaffold chromosome
+            ("GENE3", "ENSG3", "GL000009.2", 5, 15, 41.0),
+        ],
+        ["hgnc_symbol", "ensembl_gene_id", "chromosome_name",
+         "start_position", "end_position", "percentage_gene_gc_content"],
+    )
+    out = gp.gene_position_length(pos, pcg, pcg_spine)
+    rows = {r["hgnc_gene_symbol"]: (r["chromosome_name"], r["gene_length"])
+            for r in out.collect()}
+    # spine preserved; only GENE1 carries data (length = 399-100+1)
+    assert rows == {
+        "GENE1": ("7", 300),
+        "GENE2": (None, None),
+        "GENE3": (None, None),
+    }
+
+
+def test_string_ppi_golden(spark, pcg, pcg_spine):
+    string_map = spark.createDataFrame(
+        [("ENSG1", "9606.P1"), ("ENSG2", "9606.P2")],
+        ["ensembl_gene_id", "STRING_id"],
+    )
+    interactions = spark.createDataFrame(
+        [("9606.P1", "9606.P2", 900), ("9606.P1", "9606.PX", 800)],
+        ["from", "to", "combined_score"],
+    )
+    out = gp.string_ppi(interactions, pcg, string_map, pcg_spine)
+    rows = {
+        (r["hgnc_gene_symbol"], r["string_id"], r["Interaction_string_id"],
+         r["Interaction_hgnc_gene_symbol"], r["combined_score"])
+        for r in out.collect()
+    }
+    # only the P1->P2 edge survives the second hop (PX unmapped); score
+    # scaled to [0,1]; prefixes stripped; GENE3 NULL-padded by the spine
+    assert ("GENE1", "P1", "P2", "GENE2", 0.9) in rows
+    assert ("GENE3", None, None, None, None) in rows
+    assert not any(r[2] == "PX" or (r[4] or 0) > 1 for r in rows)
+
+
+def test_go_ontology_golden(spark, pcg, pcg_spine):
+    go_raw = spark.createDataFrame(
+        [
+            (11, "GO:1", "thing one", "BP"),
+            (11, "GO:2", "thing two", "MF"),
+            (22, "GO:3", "thing three", "BP"),
+        ],
+        ["gene_id", "go_id", "go_term", "Ontology"],
+    )
+    bp = gp.go_ontology(go_raw, pcg, "BP", pcg_spine)
+    assert sorted(bp.columns) == ["go_id_BP", "go_term_BP", "hgnc_gene_symbol"]
+    rows = {(r["hgnc_gene_symbol"], r["go_id_BP"]) for r in bp.collect()}
+    assert rows == {("GENE1", "GO:1"), ("GENE2", "GO:3"), ("GENE3", None)}
+    mf = gp.go_ontology(go_raw, pcg, "MF", pcg_spine)
+    rows_mf = {(r["hgnc_gene_symbol"], r["go_id_MF"]) for r in mf.collect()}
+    assert rows_mf == {("GENE1", "GO:2"), ("GENE2", None), ("GENE3", None)}
+
+
+def test_omim_lethality_golden(spark, pcg_spine):
+    lethal = spark.createDataFrame(
+        [
+            ("GENE1", "lethal", "L1"),
+            ("GENE2", "-", "NL"),
+            ("GENE3", "nonlethal", "-"),
+        ],
+        ["gene_symbol", "gene_lethal_summary", "earliest_lethality_category"],
+    )
+    out = gp.omim_lethality(lethal, pcg_spine)
+    rows = {r["hgnc_gene_symbol"]:
+            (r["gene_lethal_summary"], r["earliest_lethality_category"])
+            for r in out.collect()}
+    assert rows == {
+        "GENE1": ("lethal", "L1; Prenatal death"),
+        "GENE2": (None, "NL; Non lethal"),
+        "GENE3": ("nonlethal", None),
+    }
