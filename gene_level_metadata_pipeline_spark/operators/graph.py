@@ -38,11 +38,14 @@ def connected_components(
         .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
     )
-    labels = edges.select(F.col("u").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    )
     edges = edges.localCheckpoint(eager=True)
-    labels = labels.localCheckpoint(eager=True)
+    # round 0 fused into init: label = min(self, direct neighbors) — one
+    # agg over the edges instead of a full join round
+    labels = (
+        edges.groupBy(F.col("u").alias("node"))
+        .agg(F.least(F.first("u"), F.min("v")).alias("label"))
+        .localCheckpoint(eager=True)
+    )
 
     for _ in range(max_iter):
         neighbor_min = (
