@@ -3788,3 +3788,45 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         _davg(F.col("a.sim"), 4).alias("avg_sim"),
     )
+
+
+@_register(
+    "read_xml_rows",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('g1', CAST(1.5 AS DOUBLE), 'a'),
+      ('g2', CAST(2.5 AS DOUBLE), NULL)
+    ) AS t(symbol, score, tag)
+    """,
+)
+def q_read_xml_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML scan (sources/readers.read_xml, Spark 4 native XML source):
+    row-tag extraction with inferred schema; a missing child element
+    becomes NULL (same padding contract as the delimited readers)."""
+    from gene_level_metadata_pipeline_spark.plans.fixtures import fixture_dir
+    from gene_level_metadata_pipeline_spark.sources.readers import read_xml
+
+    df = read_xml(spark, f"{fixture_dir()}/annotations.xml", "gene")
+    return df.select("symbol", F.col("score").cast("double"), "tag")
+
+
+@_register(
+    "posexplode_tokens",
+    oracle="""
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS word
+    FROM (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 20
+    ), unnest(generate_series(1, len(toks))) AS g(i)
+    """,
+)
+def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal explode (posexplode): token stream with positions — the
+    WITH ORDINALITY form of R1's separate_rows, needed whenever token
+    order carries meaning (n-gram reconstruction, positional vocab).
+    Map-side only, zero shuffles."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "word"),
+    ).withColumn("pos", F.col("pos").cast("long"))

@@ -61,6 +61,13 @@ def fixture_dir() -> str:
     if not os.path.exists(xpath):
         _write_min_xlsx(xpath)
 
+    # XML annotation export (S-family extension; Spark 4 native XML)
+    w("annotations.xml",
+      "<genes>\n"
+      "  <gene><symbol>g1</symbol><score>1.5</score><tag>a</tag></gene>\n"
+      "  <gene><symbol>g2</symbol><score>2.5</score></gene>\n"
+      "</genes>\n")
+
     # S11: paginated JSON (PanelApp shape, I:211-218)
     w("pages/page1.json",
       json.dumps({"gene_symbol": "g1", "panel": {"id": 1, "name": "p1"}}) + "\n")

@@ -31,7 +31,7 @@ __all__ = [
     "read_excel",
     "read_json_pages",
     "ts_from_nanos",
-]
+ "read_xml",]
 
 
 def ts_from_nanos(col):
@@ -210,3 +210,13 @@ def _flatten_struct_columns(df: DataFrame, exclude: set[str]) -> list[tuple[str,
             continue
         walk(field.name, field.dataType, F.col(field.name))
     return out
+
+
+def read_xml(spark, path: str, row_tag: str):
+    """XML scan (scan-family extension beyond the reference's S1–S14;
+    Spark 4 ships the former spark-xml as a native source). Schema is
+    inferred per row-tag; missing child elements surface as NULL —
+    matching the NULL-padding the delimited readers produce for short
+    rows. For 100 TB exports prefer an explicit ``.schema(...)`` to skip
+    the inference scan."""
+    return spark.read.format("xml").option("rowTag", row_tag).load(path)
