@@ -1,0 +1,37 @@
+"""Automated guarantee behind COVERAGE.md's claim: no Python evaluation
+nodes in any relational query plan (SURVEY §2.11 stance). The only
+Python-on-executor paths are the explicitly Arrow-batched ones."""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+# queries that EXECUTE on construction (streaming runs / driver-side file
+# fixups) or that intentionally use Arrow-batched Python
+EXECUTING = {
+    "streaming_events_hourly", "streaming_late_data", "streaming_sessionize",
+    "streaming_stream_join", "streaming_dedup",
+}
+ARROW_PYTHON_OK = {"applyinpandas_normalize", "multimodal_features"}
+
+
+def test_no_eval_python_nodes(spark):
+    from gene_level_metadata_pipeline_spark.plans import driver_queries as dq
+
+    offenders = []
+    for name, fn in dq.QUERIES.items():
+        if name in EXECUTING:
+            continue
+        df = fn(spark, SF)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        has_python = any(
+            k in plan
+            for k in ("Python", "InPandas", "ArrowEval")
+        )  # PythonUDF / MapInPandas / FlatMapGroupsInPandas
+        if name in ARROW_PYTHON_OK:
+            assert has_python, f"{name} expected an Arrow-batched Python node"
+        elif has_python:
+            offenders.append(name)
+    assert not offenders, f"Python nodes leaked into: {offenders}"
