@@ -88,7 +88,17 @@ def recode(col: Column | str, mapping: Mapping, default=None) -> Column:
 def round_r(col: Column | str, scale: int) -> Column:
     """R-parity rounding: half-even / banker's (X21 — R ``round`` is
     IEC 60559 round-half-even; Spark ``round`` is HALF_UP, ``bround`` is
-    HALF_EVEN)."""
+    HALF_EVEN).
+
+    Parity caveat (measured): ``bround`` applies half-even to the
+    SHORTEST DECIMAL representation of the double (72.55 → 72.6), while
+    R ≥ 4.0 / Python round the BINARY value (72.55 is stored as
+    72.549999…, so R gives 72.5). The two agree wherever the scaled
+    value is exactly binary-representable (all integer-scale halves,
+    quarter-grids at scale 1, …) and can differ by one target-scale ulp
+    elsewhere. ``bround`` matches "what the user typed"; R matches the
+    bits. Property-tested on the provable grid in
+    tests/test_property_semantics.py."""
     c = F.col(col) if isinstance(col, str) else col
     return F.bround(c, scale)
 

@@ -1,0 +1,116 @@
+"""Property-based tests for the semantic-fidelity hot spots SURVEY §7
+ranks hardest: R-parity rounding, tidyr separate_rows NULL behavior, and
+LOCF resampling — each checked against an independent pure-Python
+reference implementation on randomized inputs."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_spark = None
+
+
+def _get_spark():
+    global _spark
+    if _spark is None:
+        from gene_level_metadata_pipeline_spark.session import get_spark
+
+        _spark = get_spark("property-semantics")
+    return _spark
+
+
+# --- round_r (X21): banker's rounding must match Python's round() -------
+
+# exact-binary grids: quarters at scale 1, halves at scale 0 — where the
+# scaled value is exactly representable, bround / R / Python provably
+# agree (see round_r docstring for the off-grid 1-ulp caveat)
+quarters = st.integers(min_value=-4_000, max_value=4_000).map(lambda n: n / 4.0)
+halves = st.integers(min_value=-2_000, max_value=2_000).map(lambda n: n / 2.0)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(xs=st.lists(quarters, min_size=1, max_size=30),
+       ys=st.lists(halves, min_size=1, max_size=30))
+def test_round_r_matches_python_bankers(xs, ys):
+    from gene_level_metadata_pipeline_spark.functions.scalars import round_r
+
+    spark = _get_spark()
+    df = spark.createDataFrame([(x,) for x in xs], "x double")
+    got = [r[0] for r in df.select(round_r("x", 1)).collect()]
+    # Python round() is IEC 60559 round-half-even on the double — the
+    # same contract as R >= 4.0 round() (SURVEY X21)
+    assert got == [round(x, 1) for x in xs]
+    df0 = spark.createDataFrame([(y,) for y in ys], "y double")
+    got0 = [r[0] for r in df0.select(round_r("y", 0)).collect()]
+    assert got0 == [float(round(y)) for y in ys]
+
+
+# --- separate_rows (R1): tidyr NULL/empty semantics ---------------------
+
+piece = st.sampled_from(["a", "b", "cc", ""])
+packed = st.one_of(
+    st.none(),
+    st.lists(piece, min_size=1, max_size=4).map("|".join),
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(rows=st.lists(st.tuples(st.integers(0, 9), packed),
+                     min_size=0, max_size=12))
+def test_separate_rows_matches_reference_semantics(rows):
+    from gene_level_metadata_pipeline_spark.operators.reshape import separate_rows
+
+    spark = _get_spark()
+    df = spark.createDataFrame(rows, "id int, v string")
+    got = sorted(
+        ((r.id, r.v) for r in separate_rows(df, "v", r"\|").collect()),
+        key=repr,
+    )
+    # reference semantics: NULL stays one NULL row; "" splits to [""];
+    # every delimiter piece (including empty pieces) becomes a row
+    want = []
+    for i, v in rows:
+        if v is None:
+            want.append((i, None))
+        else:
+            want.extend((i, p) for p in v.split("|"))
+    assert got == sorted(want, key=repr)
+
+
+# --- resample_locf: grid carries the latest at-or-before observation ----
+
+obs_strategy = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 9)),
+    min_size=1, max_size=15,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(obs=obs_strategy)
+def test_resample_locf_matches_reference(obs):
+    from gene_level_metadata_pipeline_spark.operators.timeseries import resample_locf
+
+    spark = _get_spark()
+    rows = [(f"k{k}", t, float(v), i) for i, (k, t, v) in enumerate(obs)]
+    df = spark.createDataFrame(rows, "k string, t int, v double, id int")
+    step = 10
+    got = {(r.k, r.grid_ts): r.value_locf
+           for r in resample_locf(df, "k", "t", "v", "id",
+                                  step_us=step).collect()}
+
+    tmin = min(t for _, t, _, _ in rows)
+    tmax = max(t for _, t, _, _ in rows)
+    t0 = tmin - tmin % step
+    grid = range(t0, tmax + 1, step)
+    # reference: per key, value of the max-(t, id) observation with t<=g
+    want = {}
+    for key in {r[0] for r in rows}:
+        kobs = [(t, i, v) for (k, t, v, i) in rows if k == key]
+        for g in grid:
+            eligible = [(t, i, v) for (t, i, v) in kobs if t <= g]
+            want[(key, g)] = max(eligible)[2] if eligible else None
+    assert got == want
