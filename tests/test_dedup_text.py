@@ -314,3 +314,29 @@ def test_chunk_documents_windows_and_overlap(spark):
     # short doc: one chunk with all 3 tokens
     assert out[(2, 0)] == (3, "a b c")
     assert len(out) == 4
+
+
+def test_decode_image_fake_codec_plumbing(spark):
+    from gene_level_metadata_pipeline_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame([(1, "abcdef"), (2, "xy")], ["doc_id", "text"])
+    binary = mm.attach_binary_payload(docs, "text", "doc_id")
+    out = {r.doc_id: r for r in mm.decode_image(binary, codec="fake").collect()}
+    assert out[1].pixels == [97, 98, 99, 100]  # 'abcd'
+    assert out[2].pixels == [120, 121, 0, 0]   # 'xy' zero-padded
+    assert (out[1].width, out[1].height, out[1].mode) == (2, 2, "L")
+
+
+def test_decode_image_pil_gated(spark):
+    import pytest as _pytest
+
+    from gene_level_metadata_pipeline_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
+    binary = mm.attach_binary_payload(docs, "text", "doc_id")
+    try:
+        import PIL  # noqa: F401
+        _pytest.skip("PIL present; gate not exercisable")
+    except ImportError:
+        with _pytest.raises(NotImplementedError):
+            mm.decode_image(binary, codec="pil")
