@@ -141,13 +141,68 @@ def decode_image(
 
 
 def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Resize decoded images. STUB: see decode_image."""
-    raise NotImplementedError("requires image codec; see decode_image")
+    """Resize decoded images (input = decode_image output schema) by
+    nearest-neighbor sampling over the pixel array — pure Catalyst array
+    indexing (no Python at all): out[y][x] = in[y*h/H][x*w/W]. A real
+    bilinear/codec resize would slot into the same shape as a
+    mapInPandas stage; nearest-neighbor is exact, deterministic, and
+    keeps resize on the JVM fast path."""
+    px = []
+    for y in range(height):
+        for x in range(width):
+            src_y = F.floor(F.lit(y) * F.col("height") / F.lit(height))
+            src_x = F.floor(F.lit(x) * F.col("width") / F.lit(width))
+            px.append(
+                F.col("pixels")[(src_y * F.col("width") + src_x).cast("int")]
+            )
+    return df.select(
+        "doc_id",
+        F.lit(width).alias("width"),
+        F.lit(height).alias("height"),
+        "mode",
+        F.array(*px).alias("pixels"),
+    )
 
 
-def sample_frames(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """Sample video frames from container payloads. STUB: requires ffmpeg."""
-    raise NotImplementedError("requires ffmpeg; see decode_image")
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 30,
+    frame_bytes: int = 4,
+    codec: str = "ffmpeg",
+) -> DataFrame:
+    """Sample every Nth frame from a video container payload.
+
+    ``codec='ffmpeg'`` is the real path (absent here → clearly-marked
+    NotImplementedError). ``codec='fake'`` treats the payload as
+    concatenated fixed-size frames of ``frame_bytes`` bytes — the
+    deterministic stand-in certifying the Spark-side contract: one input
+    row fans out to one row per sampled frame (frame_idx, frame binary),
+    payload dropped on output."""
+    if codec == "ffmpeg":
+        raise NotImplementedError(
+            "frame sampling requires ffmpeg (not in this container); "
+            "use codec='fake' for the plumbing-certified stand-in"
+        )
+    if codec != "fake":
+        raise ValueError(f"sample_frames: unknown codec {codec!r}")
+
+    n_frames = F.floor(F.octet_length("payload") / F.lit(frame_bytes))
+    idxs = F.sequence(
+        F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n)
+    )
+    return (
+        df.where(n_frames > 0)
+        .select("doc_id", "payload", F.explode(idxs).alias("frame_idx"))
+        .select(
+            "doc_id",
+            F.col("frame_idx").cast("long"),
+            F.substring(
+                F.col("payload"),
+                (F.col("frame_idx") * frame_bytes + 1).cast("int"),
+                frame_bytes,
+            ).alias("frame"),
+        )
+    )
 
 
 def normalize_per_group(

@@ -340,3 +340,39 @@ def test_decode_image_pil_gated(spark):
     except ImportError:
         with _pytest.raises(NotImplementedError):
             mm.decode_image(binary, codec="pil")
+
+
+def test_resize_image_nearest_neighbor(spark):
+    from gene_level_metadata_pipeline_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame([(1, "abcd")], ["doc_id", "text"])
+    decoded = mm.decode_image(
+        mm.attach_binary_payload(docs, "text", "doc_id"), codec="fake"
+    )  # 2x2 pixels [97,98,99,100]
+    up = {r.doc_id: r for r in mm.resize_image(decoded, 4, 4).collect()}
+    # nearest-neighbor 2x2 -> 4x4: each source pixel becomes a 2x2 block
+    assert up[1].pixels == [97, 97, 98, 98,
+                            97, 97, 98, 98,
+                            99, 99, 100, 100,
+                            99, 99, 100, 100]
+    down = {r.doc_id: r for r in mm.resize_image(decoded, 1, 1).collect()}
+    assert down[1].pixels == [97]
+
+
+def test_sample_frames_fake_codec(spark):
+    import pytest as _pytest
+
+    from gene_level_metadata_pipeline_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [(1, "aaaabbbbccccddddeeee"), (2, "xy")], ["doc_id", "text"]
+    )  # doc1: 5 frames of 4 bytes; doc2: 0 full frames
+    binary = mm.attach_binary_payload(docs, "text", "doc_id")
+    out = [
+        (r.doc_id, r.frame_idx, bytes(r.frame).decode())
+        for r in mm.sample_frames(binary, every_n=2, codec="fake")
+        .orderBy("doc_id", "frame_idx").collect()
+    ]
+    assert out == [(1, 0, "aaaa"), (1, 2, "cccc"), (1, 4, "eeee")]
+    with _pytest.raises(NotImplementedError):
+        mm.sample_frames(binary)  # default ffmpeg path is gated
