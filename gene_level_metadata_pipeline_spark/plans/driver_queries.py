@@ -3830,3 +3830,96 @@ def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.posexplode(F.split("text", " ")).alias("pos", "word"),
     ).withColumn("pos", F.col("pos").cast("long"))
+
+
+@_register(
+    "substring_dup_spans",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks, n,
+             unnest(generate_series(0, greatest(n - 1, 0), 20)) AS start
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id,
+             md5(array_to_string(toks[start + 1 : least(start + 20, n)], ' '))
+               AS chunk_hash
+      FROM s WHERE least(start + 20, n) - start = 20
+    )
+    SELECT chunk_hash,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_occ
+    FROM c GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage detection — the boilerplate/
+    quotation dedup shape: non-overlapping 20-token chunks (partial tail
+    chunks excluded), md5 chunk fingerprints, passages appearing in ≥2
+    distinct documents reported with document and occurrence counts.
+    Chunking is map-side (chunk_documents machinery); the single shuffle
+    is the 16-byte-hash groupBy — payload text never shuffles. The
+    span-level complement to document-level MinHash dedup; at 100 TB this
+    is the scalable stand-in for suffix-array substring dedup."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        chunk_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, "text", "doc_id", size=20, stride=20)
+    return (
+        chunks.where(F.col("n_chunk_tokens") == 20)
+        .select("doc_id", F.md5("chunk_text").alias("chunk_hash"))
+        .groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+@_register(
+    "delta_agg_merge",
+    oracle="""
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_spend
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_delta_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a pre-1997 base aggregate
+    merged with a 1997+ delta aggregate via partial-aggregate combine
+    (counts add; DECIMAL sums add associatively — the reason sums stay
+    decimal until the final round). The merged result provably equals
+    the full-scan aggregate (the oracle IS the full scan) — certifying
+    the merge identity a 100 TB rollup relies on to avoid rescans; the
+    same shape maintains the base against daily deltas forever."""
+    ord_ = _t(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("timestamp")
+
+    def part(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("t"),
+        )
+
+    base = part(ord_.where(F.col("o_orderdate") < cut))
+    delta = part(ord_.where(F.col("o_orderdate") >= cut))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(F.sum("n_orders").alias("n_orders"), F.sum("t").alias("t"))
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.round("t", 2).cast("double").alias("total_spend"),
+        )
+    )
