@@ -3,9 +3,11 @@ sf0.1), local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
  "sf": ...}.
 
-Each query is forced with .count() (full execution, no driver transfer of
-payload rows). A warmup action amortizes JVM/session startup out of the
-measured numbers.
+Each query is forced with a noop-sink write (DataSource V2 "noop"): every
+column is fully computed and materialized executor-side with zero driver
+transfer — unlike .count(), which lets Catalyst prune projection-only
+work (PLANS.md lesson 4). A warmup action amortizes JVM/session startup
+out of the measured numbers.
 """
 
 from __future__ import annotations
@@ -66,7 +68,7 @@ def main() -> None:
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
-            fn(spark, SF_DIR).count()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         times[name] = round(best, 3)
 
