@@ -3923,3 +3923,33 @@ def q_delta_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("t", 2).cast("double").alias("total_spend"),
         )
     )
+
+
+@_register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                AS BIGINT) AS gid,
+           count(*) AS n_rows,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (each single margin + grand total — a
+    shape neither ROLLUP nor CUBE produces) with grouping_id
+    disambiguating real NULLs from subtotal NULLs. One Expand + one
+    hash aggregate, same single-pass plan family as rollup_revenue /
+    cube_revenue."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag", "l_linestatus",
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_rows"),
+        _dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+    )
