@@ -1,0 +1,111 @@
+"""The user-facing facade: one object exposing the whole engine surface.
+
+A user of the reference pipeline works in three moves — fetch/read messy
+sources, tidy them, left-join everything onto the gene spine
+(SURVEY.md §3). ``Engine`` packages those moves (plus the scale-out
+extensions) over one SparkSession + one Catalog, so the reference
+workflow reads as:
+
+    eng = Engine.local()
+    genes = eng.read_delim("hgnc.txt", sep="\\t")
+    eng.put("genes", genes)
+    spn = eng.spine(genes, "symbol")
+    prev = eng.harmonize(spn, cleaned_prev_symbols, "symbol")
+    eng.sql("SELECT * FROM genes WHERE ...")
+
+Every method is a thin delegation to the module that owns the logic —
+the facade adds no semantics of its own.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gene_level_metadata_pipeline_spark.plans.catalog import Catalog
+
+__all__ = ["Engine"]
+
+
+class Engine:
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.catalog = Catalog(spark)
+
+    @classmethod
+    def local(cls, app_name: str = "gene-engine") -> "Engine":
+        from gene_level_metadata_pipeline_spark.session import get_spark
+
+        return cls(get_spark(app_name))
+
+    # -- catalog / SQL ----------------------------------------------------
+    def put(self, name: str, df: DataFrame, cache: bool = False) -> DataFrame:
+        return self.catalog.put(name, df, cache=cache)
+
+    def get(self, name: str) -> DataFrame:
+        return self.catalog.get(name)
+
+    def sql(self, query: str) -> DataFrame:
+        return self.spark.sql(query)
+
+    # -- ingestion (SURVEY §2.1) ------------------------------------------
+    def read_delim(self, path: str, **kw) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.sources.readers import read_delim
+
+        return read_delim(self.spark, path, **kw)
+
+    def read_excel(self, path: str, **kw) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.sources.readers import read_excel
+
+        return read_excel(self.spark, path, **kw)
+
+    def read_json_pages(self, path: str, **kw) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.sources.readers import (
+            read_json_pages,
+        )
+
+        return read_json_pages(self.spark, path, **kw)
+
+    def read_xml(self, path: str, row_tag: str) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.sources.readers import read_xml
+
+        return read_xml(self.spark, path, row_tag)
+
+    def read_parquet(self, path: str) -> DataFrame:
+        return self.spark.read.parquet(path)
+
+    # -- the signature pattern (U1 / J1) ----------------------------------
+    def spine(self, genes: DataFrame, symbol_col: str) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.harmonize import spine
+
+        return spine(genes, symbol_col)
+
+    def harmonize(self, spine_df: DataFrame, source: DataFrame,
+                  key, **kw) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.harmonize import harmonize
+
+        return harmonize(spine_df, source, key, **kw)
+
+    # -- selected operator families (full set lives in operators/*) -------
+    def separate_rows(self, df: DataFrame, col: str, sep: str) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.reshape import (
+            separate_rows,
+        )
+
+        return separate_rows(df, col, sep)
+
+    def keep_unique(self, df: DataFrame, key) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.conflicts import (
+            keep_unique,
+        )
+
+        return keep_unique(df, key)
+
+    def validate(self, rules) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.quality import validate
+
+        return validate(rules)
+
+    def write_bronze(self, df: DataFrame, root: str, source: str, **kw) -> str:
+        from gene_level_metadata_pipeline_spark.sources.sinks import write_bronze
+
+        return write_bronze(df, root, source, **kw)

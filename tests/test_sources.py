@@ -102,3 +102,32 @@ def test_xlsx_row_gaps_preserved(spark):
     rows = read_xlsx_rows(path, sheet=0)
     # blank row preserved at index 1 (padded to the rectangular width)
     assert rows == [["h"], [None], ["x"]]
+
+
+def test_engine_facade_end_to_end(spark, tmp_path):
+    """The reference workflow through the facade: messy read -> clean ->
+    spine -> harmonize -> catalog/SQL."""
+    from pyspark.sql import functions as F
+
+    from gene_level_metadata_pipeline_spark.engine import Engine
+
+    eng = Engine(spark)
+    p = tmp_path / "hgnc.tsv"
+    p.write_text(
+        "# banner\nsymbol\tprev_symbol\nG1\tOLD1|OLD2\nG2\t\nG1\tOLD1|OLD2\n"
+    )
+    genes = eng.read_delim(str(p), sep="\t", skip=1)
+    eng.put("genes", genes)
+    assert eng.sql("SELECT count(*) AS n FROM genes").collect()[0].n == 3
+
+    spn = eng.spine(genes, "symbol")
+    cleaned = eng.separate_rows(
+        genes.withColumn(
+            "prev_symbol", F.when(F.col("prev_symbol") == "", None)
+            .otherwise(F.col("prev_symbol"))
+        ),
+        "prev_symbol", r"\|",
+    )
+    out = eng.harmonize(spn, cleaned, "symbol")
+    rows = {(r.symbol, r.prev_symbol) for r in out.collect()}
+    assert rows == {("G1", "OLD1"), ("G1", "OLD2"), ("G2", None)}
