@@ -36,6 +36,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_candidate_pairs",
     "simhash",
+    "lsh_params",
 ]
 
 HEX = "0123456789abcdef"
@@ -269,3 +270,27 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     for j in range(bits):
         sig = sig + F.when(F.col(f"s{j}") > 0, F.lit(2 ** j)).otherwise(F.lit(0))
     return bit_sums.select(F.col(id_col), sig.alias("simhash"))
+
+
+def lsh_params(threshold: float, num_hashes: int) -> tuple[int, int]:
+    """Choose (bands, rows) for MinHash LSH from a target Jaccard
+    threshold: minimizes |(1/b)^(1/r) − threshold| over the divisor
+    pairs b·r = num_hashes — the standard S-curve tuning (pair-capture
+    probability 1 − (1 − s^r)^b steepest around (1/b)^(1/r)).
+
+    Use before ``minhash_candidate_pairs``:
+        b, r = lsh_params(0.8, 16)
+        pairs = minhash_candidate_pairs(df, num_hashes=16, bands=b)
+    """
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    for b in range(1, num_hashes + 1):
+        if num_hashes % b:
+            continue
+        r = num_hashes // b
+        approx = (1.0 / b) ** (1.0 / r)
+        err = abs(approx - threshold)
+        if best is None or err < best[0]:
+            best = (err, b, r)
+    return best[1], best[2]

@@ -376,3 +376,19 @@ def test_sample_frames_fake_codec(spark):
     assert out == [(1, 0, "aaaa"), (1, 2, "cccc"), (1, 4, "eeee")]
     with _pytest.raises(NotImplementedError):
         mm.sample_frames(binary)  # default ffmpeg path is gated
+
+
+def test_lsh_params_s_curve_solver():
+    from gene_level_metadata_pipeline_spark.operators.dedup import lsh_params
+
+    # high threshold -> few bands, long rows; low threshold -> many bands
+    b_hi, r_hi = lsh_params(0.9, 16)
+    b_lo, r_lo = lsh_params(0.2, 16)
+    assert b_hi * r_hi == 16 and b_lo * r_lo == 16
+    assert b_hi < b_lo
+    # the chosen pair's implied threshold is the closest divisor option
+    implied = (1.0 / b_hi) ** (1.0 / r_hi)
+    candidates = [
+        abs((1.0 / b) ** (1.0 / (16 // b)) - 0.9) for b in (1, 2, 4, 8, 16)
+    ]
+    assert abs(implied - 0.9) <= min(candidates) + 1e-9
