@@ -25,6 +25,8 @@ __all__ = [
     "pii_redact",
     "contamination_check",
     "chunk_documents",
+    "train_split",
+    "normalize_text",
 ]
 
 # Tiny per-language stopword lists: enough for the n-gram-heuristic shape;
@@ -315,3 +317,48 @@ def chunk_documents(
             F.array_join(chunk, " ").alias("chunk_text"),
         )
     )
+
+
+def train_split(
+    df: DataFrame,
+    key_col: str,
+    fractions: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the dataset-split op a
+    training pipeline runs last.
+
+    Same engine-portable machinery as ``stable_sample``: the md5 hex
+    prefix of (salt, key) is binned by the cumulative fractions, so a
+    document's split membership is a pure function of its key —
+    reproducible across runs, engines, partitionings, and additions of
+    other documents (no global shuffle, no count dependency). Appends a
+    ``split`` column ∈ {'train','val','test'}.
+    """
+    if abs(sum(fractions) - 1.0) > 1e-9:
+        raise ValueError("fractions must sum to 1")
+    b1 = format(int(fractions[0] * 16 ** 8), "08x")
+    b2 = format(int((fractions[0] + fractions[1]) * 16 ** 8), "08x")
+    h = F.substring(
+        F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))),
+        1, 8,
+    )
+    return df.withColumn(
+        "split",
+        F.when(h < F.lit(b1), "train")
+        .when(h < F.lit(b2), "val")
+        .otherwise("test"),
+    )
+
+
+def normalize_text(df: DataFrame, text_col: str, out_col: str | None = None) -> DataFrame:
+    """Corpus text normalization, all JVM-side: lowercase, strip control
+    characters, collapse whitespace runs to single spaces, trim. The
+    standard pre-tokenization cleanup (unicode NFC/NFKC folding would
+    slot in here as a Pandas UDF where the ICU dependency is available).
+    """
+    out = out_col or text_col
+    c = F.lower(F.col(text_col))
+    c = F.regexp_replace(c, r"[\x00-\x1f\x7f]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return df.withColumn(out, F.trim(c))

@@ -3953,3 +3953,66 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         _dsum(F.col("l_quantity"), 2).alias("sum_qty"),
     )
+
+
+@_register(
+    "train_split_counts",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang,
+             CASE
+               WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                    < 'cccccccc' THEN 'train'
+               WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                    < 'e6666666' THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    )
+    SELECT lang, split, count(*) AS n FROM s GROUP BY lang, split
+    """,
+)
+def q_train_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (textanalysis.train_split,
+    80/10/10): membership is a pure function of md5(salt, key) so any
+    engine reproduces the identical assignment — the oracle re-derives
+    the same bins from the same hex bounds (0.8·16^8 = 0xcccccccc).
+    Split assignment is map-side; the only shuffle is the audit count."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import train_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        train_split(docs, "doc_id")
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_register(
+    "normalize_text_docs",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(
+                  regexp_replace(lower(text), '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+                  '\\s+', ' ', 'g')) AS text_norm,
+           length(trim(regexp_replace(
+                  regexp_replace(lower(text), '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+                  '\\s+', ' ', 'g'))) AS n_chars_norm
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q_normalize_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenization text normalization (textanalysis.normalize_text):
+    lowercase → control-char strip → whitespace collapse → trim, all
+    inside codegen (Java regex; the oracle uses the identical pattern
+    with DuckDB's global flag)."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        normalize_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    out = normalize_text(docs, "text", "text_norm")
+    return out.select(
+        "doc_id", "text_norm",
+        F.length("text_norm").cast("long").alias("n_chars_norm"),
+    )

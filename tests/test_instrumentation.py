@@ -62,3 +62,31 @@ def test_write_compacted_caps_rows_per_file(spark, tmp_path):
     assert n_files == 4  # 300+300+300+100 split by one task, no shuffle
     back = spark.read.parquet(str(tmp_path / "capped"))
     assert back.count() == 1000
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    # second columnar format certified end-to-end (ORC is Spark-native)
+    src = spark.range(0, 100).select(
+        F.col("id"), (F.col("id") % 5).cast("string").alias("g")
+    )
+    path = str(tmp_path / "orc")
+    src.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.count() == 100
+    assert dict(back.dtypes) == {"id": "bigint", "g": "string"}
+    got = back.groupBy("g").count().collect()
+    assert {r.g: r["count"] for r in got} == {str(i): 20 for i in range(5)}
+
+
+def test_train_split_deterministic_and_partition_independent(spark):
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import train_split
+
+    df1 = spark.range(0, 2000).select(F.col("id").alias("k"))
+    a = {r.k: r.split for r in train_split(df1, "k").collect()}
+    b = {r.k: r.split
+         for r in train_split(df1.repartition(17), "k").collect()}
+    assert a == b  # partitioning-independent
+    frac = {s: list(a.values()).count(s) / len(a) for s in set(a.values())}
+    assert 0.75 < frac["train"] < 0.85
+    assert 0.05 < frac["val"] < 0.15
+    assert 0.05 < frac["test"] < 0.15
