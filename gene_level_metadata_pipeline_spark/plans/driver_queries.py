@@ -4016,3 +4016,72 @@ def q_normalize_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text_norm",
         F.length("text_norm").cast("long").alias("n_chars_norm"),
     )
+
+
+@_register(
+    "encode_documents",
+    oracle="""
+    WITH wc AS (
+      SELECT w AS word, count(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    v AS (
+      SELECT word, id FROM (
+        SELECT word, CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT)
+               AS id
+        FROM wc
+      ) WHERE id <= 30
+    ),
+    t AS (
+      SELECT doc_id, toks[i] AS word, i
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           unnest(generate_series(1, len(toks))) AS g(i)
+    )
+    SELECT doc_id,
+           list(COALESCE(v.id, -1) ORDER BY i) AS token_ids,
+           CAST(count(CASE WHEN v.id IS NULL THEN 1 END) AS BIGINT) AS n_unk
+    FROM t LEFT JOIN v USING (word)
+    GROUP BY doc_id
+    """,
+)
+def q_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-to-ids — the final text→model-input step: a frequency-
+    ranked vocabulary (top 30 words here; top 50k in production) built
+    with the vocab_top_words machinery, broadcast-joined onto the
+    position-exploded token stream, re-assembled into an ordered id
+    array per document with out-of-vocabulary words mapped to -1.
+    Shuffles: vocab agg + the doc_id re-assembly; the vocab join itself
+    is broadcast (vocabularies are dimension-sized even at 100 TB)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("word"))
+    vocab = (
+        wc.select("word", F.row_number().over(w).cast("long").alias("id"))
+        .where(F.col("id") <= 30)
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    enc = toks.join(F.broadcast(vocab), "word", "left")
+    return enc.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("pos").alias("p"),
+                        F.coalesce("id", F.lit(-1)).alias("i"),
+                    )
+                )
+            ),
+            lambda s: s.i,
+        ).alias("token_ids"),
+        F.count(F.when(F.col("id").isNull(), 1)).alias("n_unk"),
+    )
