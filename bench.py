@@ -47,6 +47,8 @@ HEADLINE = [
     "window_time_range",
     "curation_pipeline",
     "validate_constraints",
+    "substring_dup_spans",
+    "encode_documents",
 ]
 
 

@@ -57,3 +57,46 @@ def test_bucketed_join_is_shuffle_free(bucketed_spark):
 
     # sanity: result is correct (each order matches its 4 lines)
     assert joined.count() == 40_000
+
+
+def test_aqe_splits_skewed_join(bucketed_spark, tmp_path):
+    """AQE skew-join handling — the runtime defense PLANS.md names for
+    hub keys: a heavily skewed fact side joined without broadcast gets
+    its oversized partitions split (plan shows the skew marker)."""
+    spark = bucketed_spark
+    skew_path = str(tmp_path / "skewfact")
+    dim_path = str(tmp_path / "dim")
+    # 300k rows, 90% on key 0 — one reducer partition gets ~270k
+    (
+        spark.range(0, 300_000)
+        .selectExpr(
+            "CASE WHEN id % 10 < 9 THEN 0 ELSE id % 1000 END AS k",
+            "id AS payload",
+        )
+        .write.mode("overwrite").parquet(skew_path)
+    )
+    spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS dval").write.mode(
+        "overwrite"
+    ).parquet(dim_path)
+
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64k"
+    )
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
+    try:
+        fact = spark.read.parquet(skew_path)
+        dim = spark.read.parquet(dim_path)
+        joined = fact.join(dim, "k")
+        # collect through joined's OWN QueryExecution — count()/write would
+        # build a separate execution and the AQE-final plan (where the skew
+        # marker lives) would never attach to `joined`
+        assert len(joined.collect()) == 300_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan
+    finally:
+        for c in ("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+                  "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+                  "spark.sql.adaptive.advisoryPartitionSizeInBytes"):
+            spark.conf.unset(c)
