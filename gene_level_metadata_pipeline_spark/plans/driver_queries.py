@@ -4085,3 +4085,145 @@ def q_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("token_ids"),
         F.count(F.when(F.col("id").isNull(), 1)).alias("n_unk"),
     )
+
+
+@_register(
+    "harmonize_multi_source",
+    oracle="""
+    WITH spn AS (
+      SELECT DISTINCT c_custkey FROM customer WHERE c_custkey IS NOT NULL
+    ),
+    src_orders AS (
+      SELECT o_custkey AS c_custkey, count(*) AS n_orders,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+                  AS DOUBLE) AS total_spend
+      FROM orders GROUP BY o_custkey
+    ),
+    src_urgent AS (
+      SELECT o_custkey AS c_custkey, count(*) AS n_urgent
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+    ),
+    src_nation AS (
+      SELECT c_custkey, n_name AS nation_name
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ),
+    src_seg AS (SELECT c_custkey, c_mktsegment FROM customer)
+    SELECT DISTINCT spn.c_custkey, o.n_orders, o.total_spend,
+           u.n_urgent, nt.nation_name, s.c_mktsegment
+    FROM spn
+    LEFT JOIN src_orders o USING (c_custkey)
+    LEFT JOIN src_urgent u USING (c_custkey)
+    LEFT JOIN src_nation nt USING (c_custkey)
+    LEFT JOIN src_seg s USING (c_custkey)
+    """,
+)
+def q_harmonize_multi_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's end state (EP2, SURVEY §3): ~25 per-source
+    annotation tables all left-joined onto one spine — here four
+    heterogeneous sources (an aggregate, a filtered aggregate, a
+    dimension decoration, a plain attribute) folded onto the customer
+    spine with repeated harmonize calls. Every source is key-collapsed
+    before its join, so each fold is a broadcast join against the
+    growing spine table — the wide-table build stays shuffle-bounded by
+    the source aggregations, exactly how the 20k-gene × 25-source
+    annotation matrix assembles at any corpus scale."""
+    from functools import reduce
+
+    from gene_level_metadata_pipeline_spark.operators.harmonize import (
+        harmonize, spine,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    ord_ = _t(spark, sf_dir, "orders")
+    spn = spine(cust, "c_custkey")
+    sources = [
+        ord_.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice"), 2).alias("total_spend"),
+        ),
+        ord_.where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_urgent")),
+        cust.join(
+            F.broadcast(nat), cust.c_nationkey == nat.n_nationkey
+        ).select("c_custkey", F.col("n_name").alias("nation_name")),
+        cust.select("c_custkey", "c_mktsegment"),
+    ]
+    return reduce(lambda acc, src: harmonize(acc, src, "c_custkey"), sources, spn)
+
+
+@_register(
+    "pivot_multi_values",
+    oracle="""
+    SELECT o_orderstatus,
+           count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+             AS urgent_n,
+           CAST(round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                               THEN CAST(o_totalprice AS DECIMAL(18,6))
+                          END), 2) AS DOUBLE) AS urgent_total,
+           count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS low_n,
+           CAST(round(sum(CASE WHEN o_orderpriority = '5-LOW'
+                               THEN CAST(o_totalprice AS DECIMAL(18,6))
+                          END), 2) AS DOUBLE) AS low_total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_pivot_multi_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2's general form — pivot_wider(values_from = c(v1, v2)): one
+    pivot producing TWO value columns per pivoted key (count and sum
+    here). Explicit pivot values keep Spark from running a distinct
+    pre-scan; the whole thing is a single hash aggregate with
+    conditional partials — identical to the oracle's CASE form."""
+    ord_ = _t(spark, sf_dir, "orders")
+    out = (
+        ord_.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "5-LOW"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum(F.col("o_totalprice"), 2).alias("total"),
+        )
+    )
+    return out.select(
+        "o_orderstatus",
+        F.col("1-URGENT_n").alias("urgent_n"),
+        F.col("1-URGENT_total").alias("urgent_total"),
+        F.col("5-LOW_n").alias("low_n"),
+        F.col("5-LOW_total").alias("low_total"),
+    )
+
+
+@_register(
+    "packed_kv_parse",
+    oracle="""
+    WITH pairs AS (
+      SELECT p_partkey,
+             unnest(string_split(
+               'size=' || CAST(p_size AS VARCHAR) || ';brand=' || p_brand
+               || ';type=' || p_type, ';')) AS kv
+      FROM part WHERE p_partkey < 200
+    )
+    SELECT p_partkey,
+           split_part(kv, '=', 1) AS attr_key,
+           split_part(kv, '=', 2) AS attr_val
+    FROM pairs
+    """,
+)
+def q_packed_kv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed key=value attribute strings → long (key, value) rows via
+    str_to_map + map explode — the reference's pipe-packed multi-value
+    idiom (R1) generalized to keyed packing. The packed string is built
+    from part attributes so the oracle derives the identical input; the
+    parse is map-side (str_to_map + explode, no Python, no shuffle)."""
+    part = _t(spark, sf_dir, "part").where(F.col("p_partkey") < 200)
+    packed = F.concat(
+        F.lit("size="), F.col("p_size").cast("string"),
+        F.lit(";brand="), F.col("p_brand"),
+        F.lit(";type="), F.col("p_type"),
+    )
+    return part.select(
+        "p_partkey",
+        F.explode(F.str_to_map(packed, F.lit(";"), F.lit("="))).alias(
+            "attr_key", "attr_val"
+        ),
+    )
