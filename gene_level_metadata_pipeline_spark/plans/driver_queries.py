@@ -4227,3 +4227,136 @@ def q_packed_kv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "attr_key", "attr_val"
         ),
     )
+
+
+@_register(
+    "window_value_suite",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_ok,
+           last_value(o_orderkey) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_ok,
+           nth_value(o_orderkey, 2) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_ok,
+           round(percent_rank() OVER w, 6) AS pr
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+)
+def q_window_value_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-window completion of window_rank_suite: first/last/nth value
+    over full-partition frames plus percent_rank — all four functions
+    share ONE custkey sort exchange (unique orderkey ordering keeps
+    every result deterministic)."""
+    from pyspark.sql import Window
+
+    ord_ = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ord_.select(
+        "o_custkey", "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(wfull).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_ok"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+
+
+@_register(
+    "bool_agg_flags",
+    oracle="""
+    SELECT l_orderkey,
+           bool_or(l_returnflag = 'R') AS any_returned,
+           bool_and(l_quantity < 45) AS all_small,
+           CAST(max_by(l_partkey, l_linenumber * 100000000 + l_partkey)
+                AS BIGINT) AS last_part
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def q_bool_agg_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean / argmax aggregates: any/every flags per order plus the
+    deterministic max_by — one hash aggregate with map-side partials.
+    (l_orderkey, l_linenumber) is NOT unique in this data, so the argmax
+    ordering composites the partkey in as a scalar tie-break (struct
+    orderings aren't portable to the oracle engine)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.bool_or(F.col("l_returnflag") == "R").alias("any_returned"),
+        F.bool_and(F.col("l_quantity") < 45).alias("all_small"),
+        F.max_by(
+            "l_partkey",
+            F.col("l_linenumber").cast("long") * 100000000 + F.col("l_partkey"),
+        ).alias("last_part"),
+    )
+
+
+@_register(
+    "array_set_ops",
+    oracle="""
+    WITH a AS (
+      SELECT l_orderkey, list_sort(list(DISTINCT l_linenumber)) AS lns
+      FROM lineitem WHERE l_orderkey < 400 GROUP BY l_orderkey
+    )
+    SELECT l_orderkey, lns,
+           list_sort(list_filter(lns, x -> x IN (1, 2, 3))) AS kept,
+           list_sort(list_filter(lns, x -> x NOT IN (1, 2, 3))) AS extra,
+           len(lns) AS n_lines
+    FROM a
+    """,
+)
+def q_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set operations against a constant set: per-order distinct
+    line numbers intersected with / subtracted by {1,2,3} — results
+    array_sort-ed on BOTH engines because set-op output order is
+    implementation-defined (the determinism rule every array-valued
+    oracle follows)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 400)
+    base = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_linenumber")).alias("lns")
+    )
+    const = F.array(F.lit(1), F.lit(2), F.lit(3))
+    return base.select(
+        "l_orderkey", "lns",
+        F.array_sort(F.array_intersect("lns", const)).alias("kept"),
+        F.array_sort(F.array_except("lns", const)).alias("extra"),
+        F.size("lns").cast("long").alias("n_lines"),
+    )
+
+
+@_register(
+    "datetime_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+             AS month_end,
+           CAST(date_diff('day', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since
+    FROM orders WHERE o_orderkey < 600
+    """,
+)
+def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar family (absent from the reference — SURVEY
+    §2.10 'date/time: none' — but table stakes for an engine): year /
+    month / day-of-week extraction, interval arithmetic, month end,
+    day difference. DuckDB numbers dayofweek from 0=Sunday vs Spark's
+    1=Sunday — the oracle shifts by one; all date math happens on the
+    calendar date so session timezones cannot perturb it."""
+    ord_ = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 600)
+    d = F.to_date("o_orderdate")
+    return ord_.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofweek(d).alias("dow"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since"),
+    )
