@@ -4360,3 +4360,51 @@ def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
         F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since"),
     )
+
+
+@_register(
+    "stats_profile",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sq,
+             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6)))
+                  AS DOUBLE) AS sqq,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS sp,
+             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6)))
+                  AS DOUBLE) AS sqp
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((sqq - sq * sq / n) / (n - 1), 4) AS var_qty,
+           round((sqp - sq * sp / n) / (n - 1), 4) AS covar_qty_price
+    FROM m
+    """,
+)
+def q_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates the PORTABLE way: built-in stddev/corr
+    accumulate doubles in partition order, so two engines (or two runs
+    with different partitionings) disagree in the last ulp. Here the
+    raw moments (Σx, Σx², Σxy) aggregate in exact DECIMAL — associative,
+    order-free — and variance/covariance assemble from them in identical
+    double arithmetic. One hash aggregate; same cost family as _dsum."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    p = F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q.cast("decimal(18,6)")).cast("double").alias("sq"),
+        F.sum((q * q).cast("decimal(28,6)")).cast("double").alias("sqq"),
+        F.sum(p.cast("decimal(18,6)")).cast("double").alias("sp"),
+        F.sum((q * p).cast("decimal(28,6)")).cast("double").alias("sqp"),
+    )
+    n = F.col("n")
+    return m.select(
+        "l_returnflag", "n",
+        _round_to((F.col("sqq") - F.col("sq") * F.col("sq") / n) / (n - 1), 4)
+            .alias("var_qty"),
+        _round_to((F.col("sqp") - F.col("sq") * F.col("sp") / n) / (n - 1), 4)
+            .alias("covar_qty_price"),
+    )
