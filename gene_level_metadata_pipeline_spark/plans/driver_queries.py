@@ -4408,3 +4408,24 @@ def q_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         _round_to((F.col("sqp") - F.col("sq") * F.col("sp") / n) / (n - 1), 4)
             .alias("covar_qty_price"),
     )
+
+
+@_register(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment AS tier
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    WHERE c.c_custkey < 100
+    """,
+)
+def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join through an actual streaming query:
+    per-micro-batch broadcast of the static dimension, no join state
+    (the streaming complement of the stateful stream-stream interval
+    join) — result must equal the batch join."""
+    from gene_level_metadata_pipeline_spark.streaming.windows import (
+        stream_static_enrich,
+    )
+
+    return stream_static_enrich(spark, sf_dir)

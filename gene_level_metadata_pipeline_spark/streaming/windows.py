@@ -317,3 +317,52 @@ def late_data_window_counts(spark: SparkSession, gap_dir: str | None = None) -> 
     rows = out.collect()
     spark.catalog.dropTempView(name)
     return spark.createDataFrame(rows, out.schema)
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: a stream of events enriched by a static
+    dimension (per-user tier derived from the customer table) — the
+    standard streaming-enrichment shape. The static side is planned as a
+    broadcast per micro-batch (no state, unlike stream-stream joins);
+    the memory sink returns the completed result for oracle comparison
+    against the equivalent batch join.
+    """
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from gene_level_metadata_pipeline_spark.sources.readers import ts_from_nanos
+
+    _events_confs(spark)
+    static_events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .where(F.col("c_custkey") < 100)
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("tier"),
+        )
+    )
+    src = (
+        spark.readStream.schema(static_events.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    ev = src.withColumn("ts", ts_from_nanos("ts")).select(
+        "event_id", "user_id", "event_type"
+    )
+    joined = ev.join(F.broadcast(dim), "user_id")
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(name).select("event_id", "user_id", "event_type", "tier")
+    rows = out.collect()
+    df = spark.createDataFrame(rows, out.schema)
+    spark.catalog.dropTempView(name)
+    return df
