@@ -131,3 +131,56 @@ def test_engine_facade_end_to_end(spark, tmp_path):
     out = eng.harmonize(spn, cleaned, "symbol")
     rows = {(r.symbol, r.prev_symbol) for r in out.collect()}
     assert rows == {("G1", "OLD1"), ("G1", "OLD2"), ("G2", None)}
+
+
+def test_json_corrupt_record_capture(spark, tmp_path):
+    """PERMISSIVE schema-on-read: malformed JSONL lines land in the
+    corrupt-record column instead of killing the scan — per-ROW error
+    isolation complementing ingest_sources' per-SOURCE isolation (E1)."""
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"g": "G1", "v": 1}\n'
+        "THIS IS NOT JSON\n"
+        '{"g": "G2", "v": 2}\n'
+    )
+    df = (
+        spark.read.schema("g string, v long, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+    )
+    rows = df.collect()
+    good = {(r.g, r.v) for r in rows if r._corrupt_record is None}
+    bad = [r._corrupt_record for r in rows if r._corrupt_record is not None]
+    assert good == {("G1", 1), ("G2", 2)}
+    assert bad == ["THIS IS NOT JSON"]
+
+
+def test_csv_dropmalformed_mode(spark, tmp_path):
+    p = tmp_path / "mixed.csv"
+    p.write_text("g,v\nG1,1\nG2,notanumber\nG3,3\n")
+    df = (
+        spark.read.schema("g string, v long")
+        .option("header", True)
+        .option("mode", "DROPMALFORMED")
+        .csv(str(p))
+    )
+    assert {(r.g, r.v) for r in df.collect()} == {("G1", 1), ("G3", 3)}
+
+
+def test_json_nested_roundtrip_replaces_rds(spark, tmp_path):
+    """K2: the reference's .rds escape hatch ('list so rds not parquet',
+    I:219) is unnecessary — nested structs round-trip through JSON."""
+    from pyspark.sql import functions as F
+
+    src = spark.createDataFrame(
+        [(1, ("p1", [1, 2])), (2, ("p2", []))],
+        "id int, panel struct<name:string, hits:array<int>>",
+    )
+    path = str(tmp_path / "nested")
+    src.write.mode("overwrite").json(path)
+    back = spark.read.json(path).select(
+        "id", F.col("panel.name"), F.col("panel.hits")
+    )
+    got = {(r.id, r.name, tuple(r.hits)) for r in back.collect()}
+    assert got == {(1, "p1", (1, 2)), (2, "p2", ())}
