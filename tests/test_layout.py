@@ -63,3 +63,24 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     assert joined.count() == 400  # 2 of 10 partitions
     files = joined.select(F.input_file_name()).distinct().collect()
     assert {f[0].split("pdate=")[1].split("/")[0] for f in files} == {"0", "1"}
+
+
+def test_file_metadata_provenance(spark, tmp_path):
+    """Provenance via the hidden _metadata struct: every file-source row
+    can carry its source file and modification time — the lineage column
+    a bronze zone records at 100 TB (which file produced this row)."""
+    path = str(tmp_path / "prov")
+    spark.range(0, 100).selectExpr("id", "id % 3 AS shard").write.partitionBy(
+        "shard"
+    ).mode("overwrite").parquet(path)
+    df = spark.read.parquet(path).select(
+        "id",
+        F.col("_metadata.file_path").alias("src_file"),
+        F.col("_metadata.file_size").alias("src_size"),
+    )
+    rows = df.collect()
+    assert len(rows) == 100
+    assert all(r.src_file.endswith(".parquet") and r.src_size > 0 for r in rows)
+    # rows from different shards come from different files
+    by_id = {r.id: r.src_file for r in rows}
+    assert by_id[0] != by_id[1]
