@@ -4429,3 +4429,35 @@ def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return stream_static_enrich(spark, sf_dir)
+
+
+@_register(
+    "variant_props_extract",
+    oracle="""
+    WITH p AS (
+      SELECT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events WHERE user_id < 20
+    )
+    SELECT user_id, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+    FROM p GROUP BY user_id
+    """,
+)
+def q_variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's VARIANT type
+    (try_parse_json → try_variant_get): schema-flexible like a raw JSON
+    string but stored as a typed binary encoding, so repeated path
+    extraction skips re-parsing — the modern default for
+    schema-on-read columns. Same relational tail as json_props_extract;
+    the oracle is engine-neutral JSON extraction."""
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 20)
+    parsed = ev.select(
+        "user_id",
+        F.try_variant_get(
+            F.try_parse_json("props"), "$.k", "bigint"
+        ).alias("k"),
+    )
+    return parsed.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+    )
