@@ -4461,3 +4461,31 @@ def q_variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("k").alias("sum_k"),
     )
+
+
+@_register(
+    "custom_datasource_pages",
+    oracle="""
+    SELECT CAST(i // 25 AS INTEGER) AS page,
+           CAST(i AS INTEGER) AS record_id,
+           'G' || CAST(i AS VARCHAR) AS gene,
+           CAST(i % 4 AS INTEGER) AS confidence
+    FROM (SELECT unnest(generate_series(0, 99)) AS i)
+    """,
+)
+def q_custom_datasource_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source (sources/pagesource.PageSource): the
+    reference's sequential REST page loop (S11, I:211-218) re-expressed
+    as a Spark 4 DataSource whose pages ARE the input partitions —
+    fetched on executors, one page per task. 4 pages × 25 records of
+    deterministic synthetic payload; the oracle derives the identical
+    rows from generate_series."""
+    from gene_level_metadata_pipeline_spark.sources.pagesource import PageSource
+
+    spark.dataSource.register(PageSource)
+    return (
+        spark.read.format("genepages")
+        .option("pages", 4)
+        .option("perpage", 25)
+        .load()
+    )

@@ -184,3 +184,20 @@ def test_json_nested_roundtrip_replaces_rds(spark, tmp_path):
     )
     got = {(r.id, r.name, tuple(r.hits)) for r in back.collect()}
     assert got == {(1, "p1", (1, 2)), (2, "p2", ())}
+
+
+def test_custom_datasource_page_partitions(spark):
+    """PageSource: one input partition per page — the parallel upgrade of
+    the reference's sequential REST loop (S11)."""
+    from gene_level_metadata_pipeline_spark.sources.pagesource import PageSource
+
+    spark.dataSource.register(PageSource)
+    df = (
+        spark.read.format("genepages")
+        .option("pages", 6).option("perpage", 10).load()
+    )
+    assert df.rdd.getNumPartitions() == 6
+    rows = df.collect()
+    assert len(rows) == 60
+    assert {r.page for r in rows} == set(range(6))
+    assert [r.gene for r in rows if r.record_id == 13] == ["G13"]
