@@ -4489,3 +4489,46 @@ def q_custom_datasource_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("perpage", 25)
         .load()
     )
+
+
+@_register(
+    "streaming_pages_source",
+    oracle="""
+    SELECT CAST(i // 25 AS INTEGER) AS page,
+           CAST(i AS INTEGER) AS record_id,
+           'G' || CAST(i AS VARCHAR) AS gene,
+           CAST(i % 4 AS INTEGER) AS confidence
+    FROM (SELECT unnest(generate_series(0, 74)) AS i)
+    """,
+)
+def q_streaming_pages_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming custom Python data source: the PageSource's stream
+    reader emits ONE page per micro-batch with the page number as the
+    offset (exactly-once restartable without any files). Three pages
+    drain into a memory sink; the result must equal the batch rows."""
+    import time
+    import uuid
+
+    from gene_level_metadata_pipeline_spark.sources.pagesource import PageSource
+
+    spark.dataSource.register(PageSource)
+    name = f"pages_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("genepages")
+        .option("pages", 3).option("perpage", 25).load()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+    )
+    expected = 75
+    try:
+        for _ in range(120):
+            if spark.table(name).count() >= expected:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    out = spark.table(name)
+    rows = out.collect()
+    df = spark.createDataFrame(rows, out.schema)
+    spark.catalog.dropTempView(name)
+    return df

@@ -18,7 +18,12 @@ Usage:
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 __all__ = ["PageSource"]
 
@@ -42,6 +47,26 @@ class _PageReader(DataSourceReader):
         yield from _records(partition.value, self.per_page)
 
 
+class _PageStreamReader(SimpleDataSourceStreamReader):
+    """Streaming flavor: one page per micro-batch, the offset IS the page
+    number — exactly-once without a file source in sight. After
+    ``pages`` micro-batches the source reports no new data (bounded
+    backfill; a live REST feed would keep advancing the offset)."""
+
+    def __init__(self, options):
+        self.n_pages = int(options.get("pages", 4))
+        self.per_page = int(options.get("perpage", 25))
+
+    def initialOffset(self):
+        return {"page": 0}
+
+    def read(self, start):
+        p = start["page"]
+        if p >= self.n_pages:
+            return iter([]), start
+        return iter(list(_records(p, self.per_page))), {"page": p + 1}
+
+
 class PageSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -52,3 +77,6 @@ class PageSource(DataSource):
 
     def reader(self, schema):
         return _PageReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return _PageStreamReader(self.options)

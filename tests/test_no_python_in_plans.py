@@ -12,9 +12,13 @@ SF = "/root/testdata/sf0.001"
 # fixups) or that intentionally use Arrow-batched Python
 EXECUTING = {
     "streaming_events_hourly", "streaming_late_data", "streaming_sessionize",
-    "streaming_stream_join", "streaming_dedup",
+    "streaming_stream_join", "streaming_dedup", "streaming_static_enrich",
+    "streaming_pages_source",
 }
 ARROW_PYTHON_OK = {"applyinpandas_normalize", "multimodal_features"}
+# Python DATA SOURCES are intentional executor-side Python (ingestion,
+# not relational compute) — allowed, asserted positively
+PYTHON_SOURCE_OK = {"custom_datasource_pages"}
 
 
 def test_no_eval_python_nodes(spark):
@@ -30,7 +34,11 @@ def test_no_eval_python_nodes(spark):
             k in plan
             for k in ("Python", "InPandas", "ArrowEval")
         )  # PythonUDF / MapInPandas / FlatMapGroupsInPandas
-        if name in ARROW_PYTHON_OK:
+        if name in PYTHON_SOURCE_OK:
+            # python sources appear as a plain RelationV2 named after the
+            # source — no relational Python nodes to flag
+            assert "genepages" in plan
+        elif name in ARROW_PYTHON_OK:
             assert has_python, f"{name} expected an Arrow-batched Python node"
         elif has_python:
             offenders.append(name)
