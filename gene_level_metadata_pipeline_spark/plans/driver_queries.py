@@ -4532,3 +4532,77 @@ def q_streaming_pages_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.createDataFrame(rows, out.schema)
     spark.catalog.dropTempView(name)
     return df
+
+
+_JACCARD_TRUTH_SQL = """
+    WITH words AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, lang, array_to_string(ws[i:i+2], ' ') AS shingle
+      FROM words, (SELECT unnest(generate_series(1, len(ws)-2)) AS i)
+      WHERE len(ws) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+"""
+
+
+@_register(
+    "lsh_quality_metrics",
+    oracle=f"""
+    WITH cands AS ({_minhash_oracle()}),
+    truth AS ({_JACCARD_TRUTH_SQL}),
+    tp AS (
+      SELECT count(*) AS n_tp
+      FROM cands JOIN truth USING (doc_a, doc_b)
+    )
+    SELECT (SELECT count(*) FROM truth) AS n_truth,
+           (SELECT count(*) FROM cands) AS n_cands,
+           n_tp,
+           round(n_tp * 1.0 / (SELECT count(*) FROM cands), 4) AS precision,
+           round(n_tp * 1.0 / (SELECT count(*) FROM truth), 4) AS recall
+    FROM tp
+    """,
+)
+def q_lsh_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure, don't guess — the dedup stack evaluating ITSELF: MinHash
+    LSH candidates (8 hashes × 4 bands) scored against exact
+    language-blocked Jaccard ≥ 0.5 ground truth; one row of
+    precision/recall. The exact-truth side is the expensive shingle
+    join you'd never run on the full corpus — here it runs on the test
+    slice to calibrate the cheap candidate generator, which is precisely
+    how LSH parameters get validated before a 100 TB run (then
+    lsh_params picks bands/rows for the chosen operating point)."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = minhash_candidate_pairs(docs, "text", "doc_id",
+                                    n=3, num_hashes=8, bands=4)
+    truth = ngram_jaccard_pairs(docs, "text", "doc_id",
+                                n=3, threshold=0.5, block_by="lang"
+                                ).select("doc_a", "doc_b")
+    tp = cands.join(truth, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_tp")
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_cands = cands.agg(F.count(F.lit(1)).alias("n_cands"))
+    return (
+        n_truth.join(n_cands).join(tp)
+        .select(
+            "n_truth", "n_cands", "n_tp",
+            _round_to(F.col("n_tp") / F.col("n_cands"), 4).alias("precision"),
+            _round_to(F.col("n_tp") / F.col("n_truth"), 4).alias("recall"),
+        )
+    )
