@@ -4606,3 +4606,74 @@ def q_lsh_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             _round_to(F.col("n_tp") / F.col("n_truth"), 4).alias("recall"),
         )
     )
+
+
+@_register(
+    "funnel_stages",
+    oracle="""
+    WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    s1 AS (
+      SELECT user_id, min(us) AS t1 FROM ev
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.us) AS t2
+      FROM ev e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.us > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.us) AS t3
+      FROM ev e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.us > s2.t2
+      GROUP BY e.user_id
+    ),
+    staged AS (
+      SELECT u.user_id,
+             CASE WHEN s3.t3 IS NOT NULL THEN 3
+                  WHEN s2.t2 IS NOT NULL THEN 2
+                  WHEN s1.t1 IS NOT NULL THEN 1
+                  ELSE 0 END AS stage
+      FROM (SELECT DISTINCT user_id FROM ev) u
+      LEFT JOIN s1 USING (user_id)
+      LEFT JOIN s2 USING (user_id)
+      LEFT JOIN s3 USING (user_id)
+    )
+    SELECT stage, count(*) AS n_users FROM staged GROUP BY stage
+    """,
+)
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click-after-view →
+    purchase-after-that-click): per-user event arrays folded through a
+    three-state machine with ONE aggregate lambda — a single user_id
+    shuffle and no self-joins, versus the oracle's three join-aggregate
+    rounds (same answer, the relational formulation). The fold carries
+    (stage, t1, t2) through the time-sorted events; epoch-micros keep
+    both engines on identical integers."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("us"), F.col("event_type").alias("et")))
+    )
+    init = F.struct(
+        F.lit(0).alias("stage"),
+        F.lit(None).cast("long").alias("t1"),
+        F.lit(None).cast("long").alias("t2"),
+    )
+
+    def step(acc, e):
+        adv1 = (acc.stage == 0) & (e.et == "view")
+        adv2 = (acc.stage == 1) & (e.et == "click") & (e.us > acc.t1)
+        adv3 = (acc.stage == 2) & (e.et == "purchase") & (e.us > acc.t2)
+        return F.struct(
+            F.when(adv1, 1).when(adv2, 2).when(adv3, 3)
+             .otherwise(acc.stage).alias("stage"),
+            F.when(adv1, e.us).otherwise(acc.t1).alias("t1"),
+            F.when(adv2, e.us).otherwise(acc.t2).alias("t2"),
+        )
+
+    staged = ev.groupBy("user_id").agg(
+        F.aggregate(arr, init, step).getField("stage").alias("stage")
+    )
+    return staged.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
