@@ -4677,3 +4677,309 @@ def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(arr, init, step).getField("stage").alias("stage")
     )
     return staged.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+# ---------------------------------------------------------------------------
+# Remaining TPC-H shapes (Q2/Q9/Q11/Q16/Q20). The test star schema has no
+# partsupp table, so the part<->supplier relation is derived from lineitem
+# and "supply cost" from l_extendedprice / l_quantity — the query SHAPES
+# (correlated-min join-back, profit decomposition, global-total scalar
+# subquery, distinct-count with NOT-IN, correlated-threshold semi-join)
+# are preserved exactly.
+# ---------------------------------------------------------------------------
+
+@_register(
+    "tpch_q2_min_cost",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    ranked AS (
+      SELECT p.p_partkey, p.p_name, eu.s_name, eu.n_name, eu.s_acctbal,
+             ps.unit_cost,
+             row_number() OVER (
+               PARTITION BY p.p_partkey
+               ORDER BY ps.unit_cost, eu.s_suppkey
+             ) AS rn
+      FROM part p
+      JOIN ps ON ps.partkey = p.p_partkey
+      JOIN eu ON eu.s_suppkey = ps.suppkey
+      WHERE p.p_size <= 5 AND p.p_type = 'STANDARD'
+    )
+    SELECT p_partkey, p_name, s_name, n_name, s_acctbal,
+           round(unit_cost * 100.0, 0) / 100.0 AS unit_cost
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_tpch_q2_min_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped minimum-cost supplier: for each qualifying part,
+    the EUROPE supplier with the lowest observed unit cost (correlated
+    MIN + join-back, expressed as one window rank — a single l_partkey
+    shuffle instead of the textbook aggregate-then-self-join). unit_cost
+    is a per-row IEEE division minimized exactly (no summation), so both
+    engines rank identical doubles; ties broken on s_suppkey."""
+    from pyspark.sql import Window
+
+    ps = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    eu = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(_t(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(_t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 5) & (F.col("p_type") == "STANDARD")
+    )
+    w = Window.partitionBy("p_partkey").orderBy("unit_cost", "s_suppkey")
+    return (
+        ps.join(F.broadcast(p), F.col("partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu), F.col("suppkey") == F.col("s_suppkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name", "s_acctbal",
+            _round_to(F.col("unit_cost"), 2).alias("unit_cost"),
+        )
+    )
+
+
+@_register(
+    "tpch_q9_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS o_year,
+           CAST(round(sum(CAST(
+             l.l_extendedprice * (1 - l.l_discount)
+             - 0.6 * p.p_retailprice * l.l_quantity AS DECIMAL(18,6))), 2)
+             AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY nation, o_year
+    """,
+)
+def q_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped product-type profit: revenue minus modeled supply
+    cost (0.6 * retail price * quantity — partsupp.ps_supplycost has no
+    table here), per supplier nation per ship year. part and
+    supplier⋈nation are broadcast so the only scan-proportional exchange
+    is the final (nation, year) aggregate; the LIKE filter prunes part
+    BEFORE the join."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").contains("red"))
+    sn = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(_t(spark, sf_dir, "nation")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    profit_expr = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(sn), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("o_year"),
+        )
+        .agg(_dsum(profit_expr, 2).alias("profit"))
+    )
+
+
+@_register(
+    "tpch_q11_important_parts",
+    oracle="""
+    WITH v AS (
+      SELECT l.l_partkey AS partkey,
+             sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(18,6))) AS val
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name IN ('NATION_3', 'NATION_7')
+      GROUP BY l.l_partkey
+    )
+    SELECT partkey, CAST(round(val, 2) AS DOUBLE) AS val
+    FROM v
+    WHERE CAST(val AS DOUBLE) >
+          (SELECT CAST(sum(val) AS DOUBLE) * 0.001 FROM v)
+    """,
+)
+def q_tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped important stock: per-part value held by two
+    nations' suppliers, kept only when above a fraction of the GLOBAL
+    total (scalar subquery over the same aggregate). The per-part
+    aggregate is computed once and reused for both the total and the
+    filter — a 1-row broadcast cross join, not a recomputation. Decimal
+    sums make the threshold comparison order-independent."""
+    sn = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").where(
+                    F.col("n_name").isin("NATION_3", "NATION_7")
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    v = (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(sn), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .cast("decimal(18,6)")
+            ).alias("val")
+        )
+    )
+    total = v.agg(
+        (F.sum("val").cast("double") * F.lit(0.001)).alias("threshold")
+    )
+    return (
+        v.join(F.broadcast(total))
+        .where(F.col("val").cast("double") > F.col("threshold"))
+        .select("partkey", F.round("val", 2).cast("double").alias("val"))
+    )
+
+
+@_register(
+    "tpch_q16_supplier_cnt",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#9'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q_tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped supplier diversity: distinct suppliers per part
+    (brand, type, size) bucket, excluding flagged suppliers (negative
+    balance, standing in for the 'customer complaints' NOT IN). The
+    exclusion list is a broadcast anti-join; part is broadcast after its
+    IN-list size filter; the exact distinct count expands map-side."""
+    bad = _t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0).select("s_suppkey")
+    p = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#9")
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@_register(
+    "tpch_q20_excess_suppliers",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey,
+             sum(CAST(l_quantity AS DECIMAL(18,6))) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey, l_partkey
+    )
+    SELECT s.s_suppkey, s.s_name, s.s_acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT sh.l_suppkey
+      FROM shipped sh
+      JOIN part p ON p.p_partkey = sh.l_partkey
+      WHERE p.p_name LIKE '%red%' AND CAST(sh.qty AS DOUBLE) > 60.0
+    )
+    """,
+)
+def q_tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped excess-inventory suppliers: suppliers who shipped
+    more than a threshold quantity of any qualifying part in 1997
+    (correlated per-(supplier, part) aggregate gating a semi-join).
+    Decimal quantity sums keep the >60 threshold order-independent; the
+    supplier table is probed with LEFT SEMI so each supplier appears
+    once regardless of how many parts qualify."""
+    shipped = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("qty"))
+    )
+    p = _t(spark, sf_dir, "part").where(F.col("p_name").contains("red"))
+    qualifying = (
+        shipped.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .where(F.col("qty").cast("double") > 60.0)
+        .select("l_suppkey")
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+@_register(
+    "inverted_index",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      FROM documents
+    )
+    SELECT word,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+           list_sort(list(DISTINCT doc_id)) AS postings
+    FROM t WHERE word <> ''
+    GROUP BY word
+    HAVING count(DISTINCT doc_id) >= 5
+    """,
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index construction — term → sorted posting list of doc
+    ids, the retrieval-side dual of encode_documents. One explode + one
+    word-keyed hash aggregate; document frequency falls out as the
+    posting-array length (no second count pass). At 100 TB the posting
+    lists for stopword-grade terms are the skew risk: shard hot terms by
+    (word, doc_id bucket) and concatenate per-shard arrays on read, or
+    drop terms above a df ceiling — the df floor here (>= 5) is the same
+    gate in miniature."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("postings"))
+        .withColumn("df", F.size("postings").cast("long"))
+        .where(F.col("df") >= 5)
+        .select("word", "df", "postings")
+    )
