@@ -1,0 +1,128 @@
+"""Corpus selection under a token budget + fixed-context sequence packing.
+
+Both operators need a GLOBAL ordered running sum — the one window shape
+that does not distribute naively (``Window.orderBy`` with no partition key
+collapses the whole dataset onto one task). ``running_sum`` implements the
+scalable two-phase form instead:
+
+  1. range-repartition on the (total) ordering key, so partition *i* holds
+     a contiguous key range and every row in partition i sorts before every
+     row in partition i+1;
+  2. per-partition cumulative sum (an ordinary partitioned window over
+     ``spark_partition_id()``);
+  3. per-partition totals (one tiny row per partition) prefix-summed on a
+     single task and broadcast back as additive offsets.
+
+The result is partitioning-independent: range boundaries come from
+sampling, but wherever they land, within-partition cumsum + prior-partition
+offset is the same global prefix sum — so the operator is deterministic
+even though the physical split is not. The ordering key must be a TOTAL
+order (include a unique tiebreaker column); equal keys straddling a range
+boundary would otherwise make "prior partitions" ambiguous.
+
+Scale notes (100 TB): phase 2 is a map-side sort per partition, phase 3
+moves #partitions rows — the only global structure is a broadcast array of
+partition offsets. Contrast with the naive global window: one executor
+sorts 100 TB.
+
+Reference parity: the reference has no selection/packing (R pipeline,
+scripts enumerated in SURVEY §2); these are training-data-pipeline
+extensions per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["running_sum", "budget_select", "pack_sequences"]
+
+
+def running_sum(
+    df: DataFrame,
+    order_by: list[str | Column],
+    value_col: str | Column,
+    out_col: str = "running_total",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Global inclusive prefix sum of ``value_col`` in ``order_by`` order.
+
+    ``order_by`` must be a total order (append a unique key as the last
+    column). The sum is computed in DECIMAL(28,6) so it is exact and
+    order-of-combination-independent (see driver_queries._dsum rationale),
+    then left as decimal for the caller to cast.
+    """
+    n = num_partitions or df.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"
+    )
+    keys = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    ranged = df.repartitionByRange(int(n), *keys)
+    ranged = ranged.withColumn("_pid", F.spark_partition_id())
+
+    w = Window.partitionBy("_pid").orderBy(*keys)
+    val = (
+        F.col(value_col) if isinstance(value_col, str) else value_col
+    ).cast("decimal(28,6)")
+    local = ranged.withColumn("_local_cum", F.sum(val).over(w))
+
+    # One row per partition; the offset window runs on <= num_partitions
+    # rows, so its single-task sort is O(partition count), not O(data).
+    wp = Window.orderBy("_pid")
+    offsets = (
+        local.groupBy("_pid")
+        .agg(F.sum(val).alias("_ptotal"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_ptotal").over(wp.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0).cast("decimal(28,6)"),
+            ),
+        )
+        .select("_pid", "_offset")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_local_cum") + F.col("_offset")).cast("decimal(28,6)"))
+        .drop("_pid", "_local_cum", "_offset")
+    )
+
+
+def budget_select(
+    df: DataFrame,
+    order_by: list[str | Column],
+    cost_col: str | Column,
+    budget: float,
+    out_col: str = "running_total",
+) -> DataFrame:
+    """Greedy selection under a budget: walk rows in ``order_by`` order
+    (best first), keep each row while the inclusive running cost stays
+    within ``budget``. The canonical "take the highest-quality documents
+    until the token budget is spent" curation step."""
+    cum = running_sum(df, order_by, cost_col, out_col=out_col)
+    return cum.where(F.col(out_col) <= F.lit(budget).cast("decimal(28,6)"))
+
+
+def pack_sequences(
+    df: DataFrame,
+    order_by: list[str | Column],
+    size_col: str | Column,
+    context_len: int,
+    bin_col: str = "bin_id",
+) -> DataFrame:
+    """Assign each document to a fixed-capacity context bin by exclusive
+    prefix sum: bin = floor((running_total - size) / context_len). A
+    streaming-friendly approximation of sample packing — documents stay in
+    ``order_by`` order and bins overflow by at most one document (the
+    straddler is truncated or re-binned downstream), in exchange for a
+    fully parallel plan with no sequential first-fit loop."""
+    size = (F.col(size_col) if isinstance(size_col, str) else size_col).cast(
+        "decimal(28,6)"
+    )
+    cum = running_sum(df, order_by, size_col, out_col="_cum")
+    return (
+        cum.withColumn(
+            bin_col,
+            F.floor((F.col("_cum") - size) / F.lit(context_len)).cast("long"),
+        )
+        .drop("_cum")
+    )

@@ -4983,3 +4983,91 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df") >= 5)
         .select("word", "df", "postings")
     )
+
+
+# ---------------------------------------------------------------------------
+# Global ordered prefix sums: token-budget selection + sequence packing
+# ---------------------------------------------------------------------------
+
+@_register(
+    "token_budget_select",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_chars, n_tokens,
+             sum(CAST(n_tokens AS DECIMAL(28,6)))
+               OVER (ORDER BY n_chars DESC, doc_id) AS rt
+      FROM d
+    )
+    SELECT doc_id, n_chars, n_tokens, CAST(rt AS DOUBLE) AS running_total
+    FROM c WHERE rt <= 8000
+    """,
+)
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus selection under a token budget: rank documents best-first
+    (n_chars desc, doc_id tiebreak = a total order) and keep rows while
+    the inclusive running token count stays within budget. The running
+    sum is operators.selection.running_sum — range-repartition +
+    per-partition cumsum + broadcast partition offsets — NOT a global
+    single-task window; the oracle's `SUM() OVER (ORDER BY ...)` is the
+    same math the naive way. Exact decimal accumulation makes the
+    budget comparison partitioning-independent."""
+    from gene_level_metadata_pipeline_spark.operators.selection import budget_select
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast("long")
+         .alias("n_tokens"),
+    )
+    picked = budget_select(
+        docs, [F.col("n_chars").desc(), F.col("doc_id")], "n_tokens", 8000
+    )
+    return picked.select(
+        "doc_id", "n_chars", "n_tokens",
+        F.col("running_total").cast("double"),
+    )
+
+
+@_register(
+    "pack_sequences",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(CAST(n_tokens AS DECIMAL(28,6))) OVER (ORDER BY doc_id)
+               AS rt
+      FROM d
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor((CAST(rt AS DOUBLE) - n_tokens) / 512.0) AS BIGINT)
+             AS bin_id
+    FROM c
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing into fixed 512-token context bins by exclusive
+    prefix sum (bin = floor(tokens-before-this-doc / 512)) — the
+    parallel approximation of greedy first-fit packing: document order
+    is preserved, each bin overflows by at most one straddling document,
+    and the plan is two shuffles (range partition + 32-row offset
+    window) regardless of corpus size. Token sums are integers, exact
+    in both decimal and double, so floor() agrees across engines."""
+    from gene_level_metadata_pipeline_spark.operators.selection import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast("long")
+         .alias("n_tokens"),
+    )
+    packed = pack_sequences(docs, [F.col("doc_id")], "n_tokens", 512)
+    return packed.select("doc_id", "n_tokens", "bin_id")

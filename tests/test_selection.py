@@ -1,0 +1,93 @@
+"""Distributed prefix sum, budget selection, and sequence packing.
+
+The load-bearing claim of operators/selection.py is that the two-phase
+running sum (range repartition + per-partition cumsum + broadcast offsets)
+equals the naive global window REGARDLESS of the physical partition count —
+these tests pin that invariant at several partition counts, including more
+partitions than rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from gene_level_metadata_pipeline_spark.operators.selection import (
+    budget_select,
+    pack_sequences,
+    running_sum,
+)
+
+
+def _docs(spark):
+    rows = [(i, (i * 37) % 19 + 1) for i in range(200)]
+    return spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+
+def test_running_sum_matches_global_window_any_partitioning(spark):
+    df = _docs(spark)
+    naive = {
+        r.doc_id: r.rt
+        for r in df.withColumn(
+            "rt",
+            F.sum(F.col("n_tokens").cast("decimal(28,6)")).over(
+                Window.orderBy("doc_id")
+            ),
+        ).collect()
+    }
+    for n in (1, 3, 8, 300):
+        got = {
+            r.doc_id: r.running_total
+            for r in running_sum(
+                df, ["doc_id"], "n_tokens", num_partitions=n
+            ).collect()
+        }
+        assert got == naive, f"mismatch at num_partitions={n}"
+
+
+def test_running_sum_descending_order(spark):
+    df = _docs(spark)
+    out = running_sum(
+        df, [F.col("doc_id").desc()], "n_tokens", num_partitions=4
+    ).collect()
+    ordered = sorted(out, key=lambda r: -r.doc_id)
+    acc = 0
+    for r in ordered:
+        acc += r.n_tokens
+        assert int(r.running_total) == acc
+
+
+def test_budget_select_inclusive_boundary(spark):
+    df = _docs(spark)
+    rows = sorted(
+        budget_select(df, ["doc_id"], "n_tokens", 100).collect(),
+        key=lambda r: r.doc_id,
+    )
+    # every selected prefix stays within budget...
+    assert all(int(r.running_total) <= 100 for r in rows)
+    # ...and the selection is a contiguous prefix: adding the next doc
+    # in order would break the budget.
+    all_rows = sorted(df.collect(), key=lambda r: r.doc_id)
+    k = len(rows)
+    assert [r.doc_id for r in rows] == [r.doc_id for r in all_rows[:k]]
+    assert sum(r.n_tokens for r in all_rows[: k + 1]) > 100
+
+
+def test_pack_sequences_bins_monotone_and_bounded(spark):
+    df = _docs(spark)
+    out = sorted(
+        pack_sequences(df, ["doc_id"], "n_tokens", 64).collect(),
+        key=lambda r: r.doc_id,
+    )
+    # bins are nondecreasing in document order and start at 0
+    bins = [r.bin_id for r in out]
+    assert bins[0] == 0
+    assert all(b2 >= b1 for b1, b2 in zip(bins, bins[1:]))
+    # each bin holds <= 64 tokens before its last (possibly straddling) doc
+    from collections import defaultdict
+
+    per_bin = defaultdict(list)
+    for r in out:
+        per_bin[r.bin_id].append(r.n_tokens)
+    for _b, sizes in per_bin.items():
+        assert sum(sizes[:-1]) < 64
