@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["running_sum", "budget_select", "pack_sequences"]
+__all__ = ["running_sum", "budget_select", "pack_sequences", "mixture_sample"]
 
 
 def running_sum(
@@ -126,3 +126,40 @@ def pack_sequences(
         )
         .drop("_cum")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    salt: str = "mix",
+    default: float = 0.0,
+) -> DataFrame:
+    """Domain-mixture sampling: keep each row with its OWN stratum's
+    probability — the per-source reweighting step of a training-data mix
+    ("80% of en, 10% of zh, ..."). Deterministic hash-Bernoulli like
+    textanalysis.stable_sample: md5(salt:stratum:key) hex prefix compared
+    to the stratum's threshold, so re-runs (and other engines evaluating
+    the same predicate) select the identical row set, and changing one
+    stratum's rate never perturbs another stratum's selection. The
+    rate table is a literal when-chain — zero joins, zero shuffles,
+    evaluated inside the scan's codegen stage."""
+    bound = None
+    for stratum, frac in sorted(fractions.items()):
+        hexb = F.lit(format(int(frac * 16 ** 8), "08x"))
+        bound = (
+            F.when(F.col(stratum_col) == stratum, hexb)
+            if bound is None
+            else bound.when(F.col(stratum_col) == stratum, hexb)
+        )
+    bound = bound.otherwise(F.lit(format(int(default * 16 ** 8), "08x")))
+    h = F.md5(
+        F.concat(
+            F.lit(salt + ":"),
+            F.col(stratum_col).cast("string"),
+            F.lit(":"),
+            F.col(key_col).cast("string"),
+        )
+    )
+    return df.where(F.substring(h, 1, 8) < bound)

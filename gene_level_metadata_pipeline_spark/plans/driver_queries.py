@@ -4828,9 +4828,13 @@ def q_tpch_q9_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11-shaped important stock: per-part value held by two
     nations' suppliers, kept only when above a fraction of the GLOBAL
-    total (scalar subquery over the same aggregate). The per-part
-    aggregate is computed once and reused for both the total and the
-    filter — a 1-row broadcast cross join, not a recomputation. Decimal
+    total (scalar subquery over the same aggregate). Spark recomputes a
+    branched scalar subquery — measured: both the DataFrame cross-join
+    form and the SQL form scan lineitem TWICE with zero exchange reuse —
+    so the total is attached with a global window over the AGGREGATED
+    rows instead: one fact scan, and the single-task window touches only
+    dimension-grain data (bounded by |part|; for extreme dimensions swap
+    in operators.selection.running_sum's two-phase machinery). Decimal
     sums make the threshold comparison order-independent."""
     sn = (
         _t(spark, sf_dir, "supplier")
@@ -4855,11 +4859,11 @@ def q_tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("val")
         )
     )
-    total = v.agg(
-        (F.sum("val").cast("double") * F.lit(0.001)).alias("threshold")
-    )
+    from pyspark.sql import Window
+
+    threshold = F.sum("val").over(Window.partitionBy()).cast("double") * F.lit(0.001)
     return (
-        v.join(F.broadcast(total))
+        v.withColumn("threshold", threshold)
         .where(F.col("val").cast("double") > F.col("threshold"))
         .select("partkey", F.round("val", 2).cast("double").alias("val"))
     )
@@ -4941,10 +4945,15 @@ def q_tpch_q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         shipped.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
         .where(F.col("qty").cast("double") > 60.0)
         .select("l_suppkey")
+        .distinct()  # bounded by |supplier| after dedup -> broadcastable at any sf
     )
     return (
         _t(spark, sf_dir, "supplier")
-        .join(qualifying, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(
+            F.broadcast(qualifying),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
         .select("s_suppkey", "s_name", "s_acctbal")
     )
 
@@ -5071,3 +5080,106 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     packed = pack_sequences(docs, [F.col("doc_id")], "n_tokens", 512)
     return packed.select("doc_id", "n_tokens", "bin_id")
+
+
+@_register(
+    "mixture_sample_langs",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents
+    WHERE substr(md5('mix:' || lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8)
+          < CASE lang
+              WHEN 'de' THEN '80000000'
+              WHEN 'en' THEN 'cccccccc'
+              WHEN 'es' THEN '33333333'
+              WHEN 'fr' THEN '4ccccccc'
+              WHEN 'zh' THEN '19999999'
+              ELSE '00000000'
+            END
+    """,
+)
+def q_mixture_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: each language stratum keeps its own
+    fraction (en 80%, de 50%, fr 30%, es 20%, zh 10%) via the
+    deterministic hash-Bernoulli predicate — the per-source reweighting
+    step of assembling a training mix. No joins, no shuffles; the
+    when-chain of per-stratum thresholds folds into the scan stage, and
+    changing one stratum's rate cannot perturb another's selection."""
+    from gene_level_metadata_pipeline_spark.operators.selection import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return mixture_sample(
+        docs, "doc_id", "lang",
+        {"en": 0.8, "de": 0.5, "fr": 0.3, "es": 0.2, "zh": 0.1},
+    )
+
+
+@_register(
+    "text_bigram_lift",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+               AS toks
+      FROM documents
+    ),
+    uni AS (SELECT unnest(toks) AS w FROM d),
+    uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+    bi AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM d, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+    ),
+    bc AS (SELECT w1, w2, count(*) AS c_ab FROM bi GROUP BY w1, w2),
+    tot AS (
+      SELECT (SELECT count(*) FROM uni) AS n_uni,
+             (SELECT count(*) FROM bi) AS n_bi
+    )
+    SELECT bc.w1, bc.w2, bc.c_ab,
+           round(((((CAST(bc.c_ab AS DOUBLE) * tot.n_uni) / a.c)
+                   * tot.n_uni) / b.c) / tot.n_bi, 6) AS lift
+    FROM bc
+    JOIN uc a ON a.w = bc.w1
+    JOIN uc b ON b.w = bc.w2
+    CROSS JOIN tot
+    WHERE bc.c_ab >= 8
+    """,
+)
+def q_text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: adjacent word pairs scored by lift —
+    P(w1 w2) / (P(w1) P(w2)), the exponentiated PMI. The ratio is kept
+    un-logged so it stays a chain of IEEE multiplies/divides over exact
+    integer counts, performed in the same order in both engines (log()
+    can differ by an ulp between libm implementations). Bigrams come
+    from zipping the token array with its shifted self (no per-position
+    slice); unigram counts broadcast onto bigram counts; the two corpus
+    totals ride along as a 1-row broadcast cross join."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("toks"),
+    )
+    uni = docs.select(F.explode("toks").alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    bi = docs.where(F.size("toks") >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    tot = uni.agg(F.count(F.lit(1)).alias("n_uni")).join(
+        bi.agg(F.count(F.lit(1)).alias("n_bi"))
+    )
+    a = uc.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    b = uc.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    lift = (
+        F.col("c_ab").cast("double") * F.col("n_uni") / F.col("c_a")
+        * F.col("n_uni") / F.col("c_b") / F.col("n_bi")
+    )
+    return (
+        bc.where(F.col("c_ab") >= 8)
+        .join(F.broadcast(a), "w1")
+        .join(F.broadcast(b), "w2")
+        .join(F.broadcast(tot))
+        .select("w1", "w2", "c_ab", _round_to(lift, 6).alias("lift"))
+    )
