@@ -41,6 +41,14 @@ __all__ = [
     "string_ppi",
     "go_ontology",
     "omim_lethality",
+    "gene_ids",
+    "gene_groups",
+    "gene_gc_content",
+    "pantherdb",
+    "impc_phenotypes",
+    "reactome",
+    "orthologs",
+    "paralogs",
 ]
 
 
@@ -299,3 +307,127 @@ def omim_lethality(lethal: DataFrame, spn: DataFrame) -> DataFrame:
     for c in src.columns:
         src = src.withColumn(c, F.when(F.col(c) == "-", None).otherwise(F.col(c)))
     return harmonize(spn, src.withColumnRenamed("gene_symbol", KEY), KEY)
+
+
+def gene_ids(genes: DataFrame, spn: DataFrame) -> DataFrame:
+    """T:13-21 (Gene_IDs): the identifier cross-reference table — select
+    symbol + id columns, entrez cast to string for join safety (T:16),
+    '' → NULL across all columns (T:17), drop empty symbols (T:28 analog),
+    spine join + distinct."""
+    cols = [c for c in ("hgnc_id", "entrez_id", "ensembl_gene_id") if c in genes.columns]
+    src = genes.select(F.col("symbol").alias(KEY), *cols)
+    if "entrez_id" in cols:
+        src = src.withColumn("entrez_id", F.col("entrez_id").cast("string"))
+    src = nullify(src, "")
+    return harmonize(spn, src, KEY)
+
+
+def gene_groups(genes: DataFrame, spn: DataFrame) -> DataFrame:
+    """T:78-89 (gene_groups): pipe-packed gene_group families exploded
+    one-per-row (R1), '' → NULL, spine join. Same program shape as
+    symbol_id_mappings — kept separate because the reference names it as
+    its own annotation table."""
+    return symbol_id_mappings(genes, spn, "gene_group")
+
+
+def gene_gc_content(pos: DataFrame, genes: DataFrame, spn: DataFrame) -> DataFrame:
+    """T:111-121 (gene_gc_content): GC percentage slice of the biomaRt
+    position table — semi join to the latest protein-coding ensembl set
+    (T:114 %in% → distributed semi join), drop coordinates, rename to the
+    spine key, spine join."""
+    from gene_level_metadata_pipeline_spark.operators.joins import semi_join
+
+    src = (
+        pos.select(
+            F.col("hgnc_symbol").alias(KEY),
+            "ensembl_gene_id",
+            "percentage_gene_gc_content",
+        )
+        .where(F.col("percentage_gene_gc_content").isNotNull())
+    )
+    src = semi_join(src, genes.select("ensembl_gene_id"), "ensembl_gene_id")
+    return harmonize(spn, src.drop("ensembl_gene_id").dropDuplicates(), KEY)
+
+
+def pantherdb(panther: DataFrame, genes: DataFrame, spn: DataFrame) -> DataFrame:
+    """T:124-137 (PANTHERdb): protein-class annotations keyed by UniProt
+    accession, attached to symbols through the exploded uniprot_ids
+    mapping (J3 — the one unequal-key join in the reference,
+    by = c('UNIPROT' = 'uniprot_ids'), T:127), then spine join."""
+    idmap = separate_rows(
+        nullify(genes.select(F.col("symbol").alias(KEY), "uniprot_ids"), ""),
+        "uniprot_ids",
+        r"\|",
+    ).where(F.col("uniprot_ids").isNotNull())
+    src = (
+        idmap.join(panther, idmap.uniprot_ids == panther.UNIPROT, "left")
+        .drop("UNIPROT")
+        .dropDuplicates()
+    )
+    return harmonize(spn, src, KEY)
+
+
+def impc_phenotypes(phenos: DataFrame, idmap: DataFrame, spn: DataFrame) -> DataFrame:
+    """T:228-243 (IMPC_phenotypes): significant mouse phenotype calls —
+    project to (mgi_id, phenotype term), pre-dedup BEFORE the join to
+    bound fan-out (T:236-237, a semantic dedup Catalyst must not remove),
+    map to human symbols, spine join."""
+    cleaned = phenos.select("mgi_id", "mp_term_name").dropDuplicates()
+    mapped = idmap.join(cleaned, "mgi_id").select(KEY, "mp_term_name").dropDuplicates()
+    return harmonize(spn, mapped, KEY)
+
+
+def reactome(reactome_raw: DataFrame, genes: DataFrame, spn: DataFrame) -> DataFrame:
+    """T:332-344 (Reactome): pathway memberships — keep only human
+    pathways (grepl 'Homo sapiens:', F7/T:334), strip the species prefix
+    (X2/T:335), attach symbols via the entrez mapping (string-cast,
+    T:285 analog), spine join."""
+    mapping = genes.select(
+        F.col("symbol").alias(KEY),
+        F.col("entrez_id").cast("string").alias("entrez_id"),
+    )
+    src = (
+        reactome_raw.where(F.col("path_name").contains("Homo sapiens:"))
+        .withColumn("path_name", F.regexp_replace("path_name", "Homo sapiens: ", ""))
+        .withColumn("entrez_id", F.col("entrez_id").cast("string"))
+        .join(mapping, "entrez_id", "left")
+        .where(F.col(KEY).isNotNull())
+        .drop("entrez_id")
+        .dropDuplicates()
+    )
+    return harmonize(spn, src, KEY)
+
+
+def orthologs(raw: DataFrame, spn: DataFrame, support_min: int | None = None) -> DataFrame:
+    """T:503-515 (Orthologs_human_mouse): the shifted-header TSV repaired
+    by headers.fix_shifted_header upstream (P6, T:504-508); here the
+    repaired frame is projected to (human symbol, mouse symbol, support
+    count), optionally filtered to a minimum support, spine joined."""
+    src = raw.select(
+        F.col("human_symbol").alias(KEY),
+        "mouse_symbol",
+        F.col("support").cast("int").alias("support"),
+    )
+    if support_min is not None:
+        src = src.where(F.col("support") >= support_min)
+    return harmonize(spn, src.dropDuplicates(), KEY)
+
+
+def paralogs(raw: DataFrame, genes: DataFrame, spn: DataFrame) -> DataFrame:
+    """T:518-531 (Paralogs_human): within-species paralog pairs — keep
+    pairs whose paralog ensembl id is still in the protein-coding set
+    (semi join replacing the pulled-vector %in%, T:520-524 analog),
+    rename to the spine key, spine join."""
+    from gene_level_metadata_pipeline_spark.operators.joins import semi_join
+
+    src = raw.select(
+        F.col("hgnc_symbol").alias(KEY),
+        "paralog_ensembl_gene_id",
+        "paralog_associated_gene_name",
+    )
+    src = semi_join(
+        src,
+        genes.select(F.col("ensembl_gene_id").alias("paralog_ensembl_gene_id")),
+        "paralog_ensembl_gene_id",
+    )
+    return harmonize(spn, src.dropDuplicates(), KEY)

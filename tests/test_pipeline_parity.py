@@ -215,3 +215,167 @@ def test_omim_lethality_golden(spark, pcg_spine):
         "GENE2": (None, "NL; Non lethal"),
         "GENE3": ("nonlethal", None),
     }
+
+
+# ---------------------------------------------------------------------------
+# EP2/EP3 completion: the remaining annotation tables
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def genes_full(spark):
+    # genes fixture extended with the id / uniprot / group columns the
+    # remaining tables consume (F1 analog, wider)
+    return spark.createDataFrame(
+        [
+            ("GENE1", "HGNC:1", 101, "ENSG1", "U1|U2", "GroupA|GroupB"),
+            ("GENE2", "HGNC:2", 102, "ENSG2", "", "GroupA"),
+            ("GENE3", "HGNC:3", None, "ENSG3", "U9", ""),
+            (None, "HGNC:9", 999, "ENSGX", "U0", "Ghost"),
+        ],
+        ["symbol", "hgnc_id", "entrez_id", "ensembl_gene_id",
+         "uniprot_ids", "gene_group"],
+    )
+
+
+@pytest.fixture(scope="module")
+def spn_full(genes_full):
+    return gp.gene_spine(genes_full)
+
+
+def test_gene_ids_golden(genes_full, spn_full):
+    rows = {
+        (r["hgnc_gene_symbol"], r["hgnc_id"], r["entrez_id"], r["ensembl_gene_id"])
+        for r in gp.gene_ids(genes_full, spn_full).collect()
+    }
+    # entrez stringified; NULL entrez survives; ghost row excluded by spine
+    assert rows == {
+        ("GENE1", "HGNC:1", "101", "ENSG1"),
+        ("GENE2", "HGNC:2", "102", "ENSG2"),
+        ("GENE3", "HGNC:3", None, "ENSG3"),
+    }
+
+
+def test_gene_groups_golden(genes_full, spn_full):
+    rows = {
+        (r["hgnc_gene_symbol"], r["gene_group"])
+        for r in gp.gene_groups(genes_full, spn_full).collect()
+    }
+    assert rows == {
+        ("GENE1", "GroupA"), ("GENE1", "GroupB"),
+        ("GENE2", "GroupA"), ("GENE3", None),
+    }
+
+
+def test_gene_gc_content_golden(spark, genes_full, spn_full):
+    pos = spark.createDataFrame(
+        [
+            ("GENE1", "ENSG1", 41.2),
+            ("GENE2", "ENSGSTALE", 50.0),   # stale ensembl id -> semi-join drop
+            ("GENE3", "ENSG3", None),       # missing GC -> filtered
+        ],
+        ["hgnc_symbol", "ensembl_gene_id", "percentage_gene_gc_content"],
+    )
+    rows = {
+        (r["hgnc_gene_symbol"], r["percentage_gene_gc_content"])
+        for r in gp.gene_gc_content(pos, genes_full, spn_full).collect()
+    }
+    assert rows == {("GENE1", 41.2), ("GENE2", None), ("GENE3", None)}
+
+
+def test_pantherdb_unequal_key_join_golden(spark, genes_full, spn_full):
+    panther = spark.createDataFrame(
+        [("U1", "kinase"), ("U9", "phosphatase"), ("U0", "ghost-class")],
+        ["UNIPROT", "protein_class"],
+    )
+    rows = {
+        (r["hgnc_gene_symbol"], r["uniprot_ids"], r["protein_class"])
+        for r in gp.pantherdb(panther, genes_full, spn_full).collect()
+    }
+    # U2 has no PANTHER row -> NULL class kept (left join); GENE2 has no
+    # uniprot -> spine NULL padding
+    assert rows == {
+        ("GENE1", "U1", "kinase"),
+        ("GENE1", "U2", None),
+        ("GENE3", "U9", "phosphatase"),
+        ("GENE2", None, None),
+    }
+
+
+def test_impc_phenotypes_prededup_golden(spark, genes_full, spn_full):
+    phenos = spark.createDataFrame(
+        [
+            ("MGI:1", "lethality", "extra1"),
+            ("MGI:1", "lethality", "extra2"),  # dup after projection (T:236)
+            ("MGI:2", "tremor", "x"),
+        ],
+        ["mgi_id", "mp_term_name", "noise"],
+    )
+    idmap = spark.createDataFrame(
+        [("GENE1", "MGI:1"), ("GENE2", "MGI:2")],
+        ["hgnc_gene_symbol", "mgi_id"],
+    )
+    rows = {
+        (r["hgnc_gene_symbol"], r["mp_term_name"])
+        for r in gp.impc_phenotypes(phenos, idmap, spn_full).collect()
+    }
+    assert rows == {
+        ("GENE1", "lethality"), ("GENE2", "tremor"), ("GENE3", None),
+    }
+
+
+def test_reactome_species_filter_golden(spark, genes_full, spn_full):
+    raw = spark.createDataFrame(
+        [
+            (101, "R-HSA-1", "Homo sapiens: Signal Transduction"),
+            (101, "R-MMU-2", "Mus musculus: Other"),
+            (102, "R-HSA-3", "Homo sapiens: Metabolism"),
+        ],
+        ["entrez_id", "path_id", "path_name"],
+    )
+    rows = {
+        (r["hgnc_gene_symbol"], r["path_id"], r["path_name"])
+        for r in gp.reactome(raw, genes_full, spn_full).collect()
+    }
+    assert rows == {
+        ("GENE1", "R-HSA-1", "Signal Transduction"),
+        ("GENE2", "R-HSA-3", "Metabolism"),
+        ("GENE3", None, None),
+    }
+
+
+def test_orthologs_support_filter_golden(spark, spn_full):
+    raw = spark.createDataFrame(
+        [
+            ("GENE1", "Gene1m", "9"),
+            ("GENE2", "Gene2m", "3"),
+            ("NOTSPINE", "Gx", "9"),
+        ],
+        ["human_symbol", "mouse_symbol", "support"],
+    )
+    rows = {
+        (r["hgnc_gene_symbol"], r["mouse_symbol"], r["support"])
+        for r in gp.orthologs(raw, spn_full, support_min=5).collect()
+    }
+    assert rows == {
+        ("GENE1", "Gene1m", 9),
+        ("GENE2", None, None),   # filtered out -> spine NULL padding
+        ("GENE3", None, None),
+    }
+
+
+def test_paralogs_semi_join_golden(spark, genes_full, spn_full):
+    raw = spark.createDataFrame(
+        [
+            ("GENE1", "ENSG2", "GENE2"),
+            ("GENE1", "ENSGDEAD", "RETIRED"),  # paralog id not protein-coding
+            ("GENE3", "ENSG1", "GENE1"),
+        ],
+        ["hgnc_symbol", "paralog_ensembl_gene_id", "paralog_associated_gene_name"],
+    )
+    rows = {
+        (r["hgnc_gene_symbol"], r["paralog_associated_gene_name"])
+        for r in gp.paralogs(raw, genes_full, spn_full).collect()
+    }
+    assert rows == {
+        ("GENE1", "GENE2"), ("GENE3", "GENE1"), ("GENE2", None),
+    }
