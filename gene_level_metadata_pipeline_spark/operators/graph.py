@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["connected_components", "canonicalize_duplicates"]
+__all__ = ["connected_components", "canonicalize_duplicates", "pagerank"]
 
 
 def connected_components(
@@ -108,3 +108,65 @@ def canonicalize_duplicates(
         docs[id_col],
         F.coalesce(F.col("component"), docs[id_col]).alias("canonical_id"),
     )
+
+
+def pagerank(
+    pairs: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    iterations: int = 3,
+    scale: int = 10 ** 12,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected pair list, in exact
+    integer arithmetic.
+
+    Ranks are carried as bigint micro-units (``scale`` = 1.0) and every
+    step is integer-only — init = scale // N, contribution = pr div
+    degree, update = (15% of init) + (85% of contribution sum) div 100 —
+    so partial-aggregation order cannot perturb results and any SQL
+    engine unrolling the same recurrence reproduces the bigints exactly
+    (float PageRank diverges across engines in the last ulps; the tiny
+    floor-division mass leak here is identical everywhere). Returns
+    (node, pr) with pr in micro-units.
+
+    Scale: each iteration is one join edges⋈ranks (shuffle on node id)
+    plus a grouped sum — the standard power-iteration plan; hub-node skew
+    is AQE's skew-join case. ``localCheckpoint`` per round bounds lineage
+    like connected_components. N is materialized once (a count action)
+    before the loop.
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    n = deg.count()
+    init = scale // n
+    base = ((100 - damping_pct) * init) // 100
+
+    nodes = deg.select(F.col("u").alias("node"), "d")
+    pr = nodes.select("node", F.lit(init).cast("long").alias("pr"))
+    for _ in range(iterations):
+        prd = pr.join(nodes, "node")
+        contrib = (
+            edges.join(prd, edges.u == prd.node)
+            .select(F.col("v").alias("node"), F.expr("pr div d").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            nodes.select("node")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * coalesce(s, 0)) div 100")
+                ).cast("long").alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr

@@ -5183,3 +5183,116 @@ def q_text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(tot))
         .select("w1", "w2", "c_ab", _round_to(lift, 6).alias("lift"))
     )
+
+
+@_register(
+    "pagerank_suppliers",
+    oracle="""
+    WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS n
+      FROM os a JOIN os b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY a.l_suppkey, b.l_suppkey
+    ),
+    und AS (SELECT u, v FROM pairs WHERE n >= 3),
+    edges AS (SELECT u, v FROM und UNION SELECT v, u FROM und),
+    deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+    nn AS (SELECT count(*) AS n FROM deg),
+    p0 AS (SELECT u AS node, 1000000000000 // nn.n AS pr FROM deg, nn),
+    c1 AS (SELECT e.v AS node, sum(p.pr // g.d) AS s
+           FROM edges e JOIN p0 p ON p.node = e.u JOIN deg g ON g.u = e.u
+           GROUP BY e.v),
+    p1 AS (SELECT g.u AS node,
+                  (15 * (1000000000000 // nn.n)) // 100
+                  + (85 * COALESCE(c1.s, 0)) // 100 AS pr
+           FROM deg g CROSS JOIN nn LEFT JOIN c1 ON c1.node = g.u),
+    c2 AS (SELECT e.v AS node, sum(p.pr // g.d) AS s
+           FROM edges e JOIN p1 p ON p.node = e.u JOIN deg g ON g.u = e.u
+           GROUP BY e.v),
+    p2 AS (SELECT g.u AS node,
+                  (15 * (1000000000000 // nn.n)) // 100
+                  + (85 * COALESCE(c2.s, 0)) // 100 AS pr
+           FROM deg g CROSS JOIN nn LEFT JOIN c2 ON c2.node = g.u),
+    c3 AS (SELECT e.v AS node, sum(p.pr // g.d) AS s
+           FROM edges e JOIN p2 p ON p.node = e.u JOIN deg g ON g.u = e.u
+           GROUP BY e.v),
+    p3 AS (SELECT g.u AS node,
+                  (15 * (1000000000000 // nn.n)) // 100
+                  + (85 * COALESCE(c3.s, 0)) // 100 AS pr
+           FROM deg g CROSS JOIN nn LEFT JOIN c3 ON c3.node = g.u)
+    SELECT node AS suppkey, pr AS pr_micro FROM p3
+    """,
+)
+def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph ranking: 3 PageRank power iterations over the
+    supplier co-occurrence graph (same ≥3-shared-orders edges as
+    graph_triangles), certified EXACTLY against a hash oracle because the
+    whole recurrence runs in bigint micro-units (operators.graph.pagerank
+    — integer init/contribution/update, no floats anywhere). The oracle
+    unrolls the identical recurrence as three CTE rounds."""
+    from gene_level_metadata_pipeline_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
+    und = (
+        a.join(b, "k")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 3)
+        .select("u", "v")
+    )
+    pr = pagerank(und, iterations=3)
+    return pr.select(F.col("node").alias("suppkey"), F.col("pr").alias("pr_micro"))
+
+
+@_register(
+    "zorder_stats",
+    oracle="""
+    WITH b AS (
+      SELECT l_partkey % 256 AS zx, l_suppkey % 256 AS zy FROM lineitem
+    ),
+    z AS (
+      SELECT zx, zy,
+             ((zx // 1) % 2) * 1     + ((zy // 1) % 2) * 2
+           + ((zx // 2) % 2) * 4     + ((zy // 2) % 2) * 8
+           + ((zx // 4) % 2) * 16    + ((zy // 4) % 2) * 32
+           + ((zx // 8) % 2) * 64    + ((zy // 8) % 2) * 128
+           + ((zx // 16) % 2) * 256  + ((zy // 16) % 2) * 512
+           + ((zx // 32) % 2) * 1024 + ((zy // 32) % 2) * 2048
+           + ((zx // 64) % 2) * 4096 + ((zy // 64) % 2) * 8192
+           + ((zx // 128) % 2) * 16384 + ((zy // 128) % 2) * 32768 AS zv
+      FROM b
+    )
+    SELECT zv // 4096 AS bucket, count(*) AS n,
+           min(zx) AS min_x, max(zx) AS max_x,
+           min(zy) AS min_y, max(zy) AS max_y
+    FROM z GROUP BY bucket
+    """,
+)
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit: Morton-interleave (partkey, suppkey) low
+    bytes, split the Z-range into 16 file-sized buckets, and report each
+    bucket's min/max envelope on BOTH dimensions — the numbers a parquet
+    reader's row-group pruning would use. With Z-ordering every bucket
+    covers ≤ a 64×64 square of the 256×256 key space (vs the full range
+    on the non-sort column of a 1-D sort), which is why both
+    partkey-only and suppkey-only predicates prune ~15/16 of files.
+    Pure integer bit arithmetic (operators.layout.zorder_value)."""
+    from gene_level_metadata_pipeline_spark.operators.layout import zorder_value
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).alias("zx"),
+        (F.col("l_suppkey") % 256).alias("zy"),
+    )
+    z = li.withColumn("zv", zorder_value(["zx", "zy"], bits=8))
+    return (
+        z.groupBy((F.col("zv") / 4096).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("zx").alias("min_x"), F.max("zx").alias("max_x"),
+            F.min("zy").alias("min_y"), F.max("zy").alias("max_y"),
+        )
+    )

@@ -84,3 +84,28 @@ def test_file_metadata_provenance(spark, tmp_path):
     # rows from different shards come from different files
     by_id = {r.id: r.src_file for r in rows}
     assert by_id[0] != by_id[1]
+
+
+def test_zorder_bucket_envelopes_bounded(spark):
+    """Within a Z-bucket of 4096 = 2^12 values the 4 interleaved top bits
+    are fixed -> each dimension's envelope spans at most 2^6 = 64 values;
+    a 1-D sort on zx alone would leave zy envelopes at the full 256."""
+    from gene_level_metadata_pipeline_spark.operators.layout import zorder_value
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 256).alias("zx"), (F.floor(F.col("id") / 16) % 256).alias("zy")
+    )
+    z = df.withColumn("zv", zorder_value(["zx", "zy"], bits=8))
+    stats = (
+        z.groupBy((F.col("zv") / 4096).cast("long").alias("bucket"))
+        .agg(
+            (F.max("zx") - F.min("zx")).alias("span_x"),
+            (F.max("zy") - F.min("zy")).alias("span_y"),
+        )
+        .collect()
+    )
+    assert stats, "no buckets produced"
+    for r in stats:
+        assert r.span_x <= 63, r
+        assert r.span_y <= 63, r
