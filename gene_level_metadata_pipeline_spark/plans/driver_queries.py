@@ -1791,6 +1791,78 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ann_ivf_recall",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label, e AS qe FROM v WHERE vec_id < 10),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round({_COS.format(a='q.qe', b='v.e')}, 4) DESC,
+                          v.vec_id
+               ) AS rank
+        FROM q JOIN v ON q.query_id <> v.vec_id
+      ) WHERE rank <= 5
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round({_COS.format(a='q.qe', b='v.e')}, 4) DESC,
+                          v.vec_id
+               ) AS rank
+        FROM q JOIN v ON q.label = v.label AND q.query_id <> v.vec_id
+      ) WHERE rank <= 5
+    ),
+    tp AS (
+      SELECT count(*) AS n_tp FROM bf JOIN ivf USING (query_id, neighbor_id)
+    )
+    SELECT (SELECT count(*) FROM bf) AS n_truth,
+           (SELECT count(*) FROM ivf) AS n_ivf,
+           n_tp,
+           round(n_tp * 1.0 / (SELECT count(*) FROM bf), 4) AS recall
+    FROM tp
+    """,
+)
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index evaluating ITSELF (same methodology as
+    lsh_quality_metrics): recall@5 of the cell-restricted search against
+    exact brute-force truth over the same 10 queries. Both sides share
+    the deterministic (rounded-cosine DESC, neighbor_id) tie-break, so
+    the metric is bit-stable. This is the calibration run an IVF
+    deployment does on a sample before committing to a cell count at
+    100 TB — recall here is bounded by cell-assignment quality, and a
+    too-coarse quantizer shows up as a recall cliff, not a silent wrong
+    answer."""
+    from gene_level_metadata_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    truth = brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = ivf_topk(emb, queries, cell_col="label", k=5).select(
+        "query_id", "neighbor_id"
+    )
+    tp = truth.join(approx, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("n_tp")
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_ivf = approx.agg(F.count(F.lit(1)).alias("n_ivf"))
+    return (
+        n_truth.join(n_ivf).join(tp)
+        .select(
+            "n_truth", "n_ivf", "n_tp",
+            _round_to(F.col("n_tp") / F.col("n_truth"), 4).alias("recall"),
+        )
+    )
+
+
+@_register(
     "read_excel_sheet",
     oracle="""
     SELECT * FROM (VALUES
