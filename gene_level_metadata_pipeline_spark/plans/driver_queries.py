@@ -1057,6 +1057,29 @@ def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_stream_interval_join(spark, sf_dir, minutes=30)
 
 
+@_register(
+    "streaming_outer_join",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('c1', 'p1', CAST(1 AS BIGINT), CAST(600 AS BIGINT)),
+      ('c2', CAST(NULL AS VARCHAR), CAST(2 AS BIGINT), CAST(NULL AS BIGINT))
+    ) AS t(click_id, purchase_id, user_id, lag_s)
+    """,
+)
+def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join over a deterministic multi-batch
+    stream: the matched click emits inline; the unmatched click emits
+    NULL-padded only after the watermark passes its 30-minute match
+    horizon (one batch behind the advance); far-future rows whose
+    horizons are still open at query end are provably withheld. The
+    VALUES oracle pins all three behaviors."""
+    from gene_level_metadata_pipeline_spark.streaming.windows import (
+        stream_outer_join_demo,
+    )
+
+    return stream_outer_join_demo(spark)
+
+
 @_register("streaming_sessionize")  # rows-only: custom stateful operator
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState gap-sessionization (30-min timeout) — the

@@ -20,8 +20,29 @@ from gene_level_metadata_pipeline_spark.sources.readers import ts_from_nanos
 __all__ = [
     "hourly_event_counts_stream",
     "sessionize_stream",
+    "stream_outer_join_demo",
     "stream_stream_interval_join",
 ]
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _pinned_shuffle(spark: SparkSession, n: int = 16):
+    """Pin shuffle/state partitions for one streaming query.
+
+    Stateful operators allocate one state-store task per shuffle
+    partition per micro-batch; on a caller session with the 200 default,
+    a kilobyte-scale demo stream pays 200 × operators × batches empty
+    tasks. The count is bound at ``start()``, so restoring the caller's
+    conf afterwards is safe."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _events_confs(spark: SparkSession) -> None:
@@ -53,14 +74,15 @@ def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
     )
     name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _pinned_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     out = spark.table(name).select(
         F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
         "event_type",
@@ -149,14 +171,15 @@ def sessionize_stream(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _pinned_shuffle(spark):
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     out = spark.table(name)
     rows = out.collect()
     spark.catalog.dropTempView(name)
@@ -224,14 +247,15 @@ def stream_stream_interval_join(
         ).cast("long").alias("lag_s"),
     )
     name = f"stream_join_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _pinned_shuffle(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     out = spark.table(name)
     rows = out.collect()
     spark.catalog.dropTempView(name)
@@ -302,14 +326,15 @@ def late_data_window_counts(spark: SparkSession, gap_dir: str | None = None) -> 
         F.count(F.lit(1)).alias("n")
     )
     name = f"late_demo_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")   # emit each window once, on watermark close
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _pinned_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")   # emit each window once, on watermark close
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     out = spark.table(name).select(
         F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
         "n",
@@ -362,6 +387,126 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     out = spark.table(name).select("event_id", "user_id", "event_type", "tier")
+    rows = out.collect()
+    df = spark.createDataFrame(rows, out.schema)
+    spark.catalog.dropTempView(name)
+    return df
+
+
+def stream_outer_join_demo(spark: SparkSession, demo_dir: str | None = None) -> DataFrame:
+    """LEFT OUTER stream-stream join: the watermark-driven NULL contract.
+
+    Inner stream-stream joins (stream_stream_interval_join) emit matches
+    as they arrive; the OUTER variant additionally emits an unmatched
+    left row with NULLs — but only once the watermark proves no future
+    match is possible (otherwise the NULL would be a lie a later row
+    contradicts). That proof is exactly the state-eviction bound, so this
+    is the one join where result completeness is governed by watermark
+    progress, not input exhaustion.
+
+    Deterministic three-batch demo (same mtime-pinned mechanics as
+    late_data_window_counts): batch 1 carries clicks c1/c2 and a purchase
+    matching only c1; batch 2 advances both sides' watermarks far past
+    c2's 30-minute match window; batch 3 triggers the (one-batch-delayed)
+    eviction pass that emits c2 with NULLs. The far-future batch-2/3 rows
+    themselves stay inside their own match windows at query end and are
+    provably NOT emitted — stopping the stream does not flush state.
+
+    Returns (click_id, purchase_id, user_id, lag_s): one matched row and
+    one NULL-padded row.
+    """
+    import json
+    import os
+    import tempfile
+
+    _events_confs(spark)
+    d = demo_dir or tempfile.mkdtemp(prefix="outer_join_demo_")
+    os.makedirs(d, exist_ok=True)
+
+    def write_batch(name: str, rows: list[tuple[str, str, int, str]], mtime: int) -> None:
+        path = os.path.join(d, name)
+        if not os.path.exists(path):
+            with open(path, "w") as f:
+                for kind, event_id, uid, ts in rows:
+                    f.write(json.dumps(
+                        {"kind": kind, "event_id": event_id,
+                         "user_id": uid, "ts": ts}) + "\n")
+        os.utime(path, (mtime, mtime))
+
+    write_batch("batch_1.json", [
+        ("click", "c1", 1, "2024-01-01 01:00:00"),
+        ("click", "c2", 2, "2024-01-01 01:05:00"),
+        ("purchase", "p1", 1, "2024-01-01 01:10:00"),
+    ], mtime=1_700_000_000)
+    # far-future rows on BOTH sides (different users — no match): each
+    # side's watermark jumps to 09:50, far past c2's 01:35 match horizon
+    write_batch("batch_2.json", [
+        ("click", "c8", 8, "2024-01-01 10:00:00"),
+        ("purchase", "p9", 9, "2024-01-01 10:00:00"),
+    ], mtime=1_700_000_600)
+    # filler batch: eviction (and its NULL emission) runs one batch
+    # behind the watermark advance, same lag as SPARK-24588's late filter
+    write_batch("batch_3.json", [
+        ("purchase", "p7", 7, "2024-01-01 10:05:00"),
+    ], mtime=1_700_001_200)
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("kind", StringType()),
+        StructField("event_id", StringType()),
+        StructField("user_id", LongType()),
+        StructField("ts", StringType()),
+    ])
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    clicks = (
+        src.where(F.col("kind") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        src.where(F.col("kind") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "leftOuter",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (
+            F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts")
+        ).cast("long").alias("lag_s"),
+    )
+    name = f"outer_join_{uuid.uuid4().hex[:8]}"
+    with _pinned_shuffle(spark, 8):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out = spark.table(name)
     rows = out.collect()
     df = spark.createDataFrame(rows, out.schema)
     spark.catalog.dropTempView(name)
