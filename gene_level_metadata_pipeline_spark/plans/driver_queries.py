@@ -2466,6 +2466,29 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
+@_register(
+    "streaming_dedup_watermark",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('e1', 'k1'), ('e2', 'k2'), ('e3', 'k9'), ('e4', 'k8'), ('e5', 'k1')
+    ) AS t(event_id, k)
+    """,
+)
+def q_streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark over a deterministic multi-batch
+    stream: the bounded-state exact-dedup contract. The VALUES oracle
+    pins both observables — a near-duplicate inside the watermark delay
+    is suppressed (e2dup never appears), and a key re-sent after its
+    state expired emits a second time (k1 appears as BOTH e1 and e5).
+    Plain streaming dropDuplicates (streaming_dedup) can never emit that
+    fifth row; its state also never shrinks."""
+    from gene_level_metadata_pipeline_spark.streaming.windows import (
+        stream_dedup_within_watermark_demo,
+    )
+
+    return stream_dedup_within_watermark_demo(spark)
+
+
 # ---------------------------------------------------------------------------
 # Temporal joins — as-of and range (operators Spark lacks natively)
 # ---------------------------------------------------------------------------

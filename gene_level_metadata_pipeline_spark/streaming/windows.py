@@ -262,6 +262,94 @@ def stream_stream_interval_join(
     return spark.createDataFrame(rows, out.schema)
 
 
+def stream_dedup_within_watermark_demo(
+    spark: SparkSession, demo_dir: str | None = None
+) -> DataFrame:
+    """``dropDuplicatesWithinWatermark``: dedup state that EXPIRES.
+
+    Plain streaming ``dropDuplicates`` (streaming_dedup) keeps every key
+    forever — unbounded state on an unbounded stream. The
+    within-watermark variant guarantees dedup only for duplicates that
+    arrive within the watermark delay of each other, which lets Spark
+    evict a key once the watermark passes its horizon. That trade —
+    bounded state for time-bounded dedup — is the only viable exact-dedup
+    contract on a 100 TB/day stream.
+
+    Deterministic five-batch demo: k1/k2 arrive in batch 1; batches 2-3
+    advance the watermark far past k1's horizon and give the
+    (one-batch-delayed) eviction pass time to run; batch 4 re-sends k1,
+    which EMITS AGAIN — the expiry observable. A near-duplicate of k2
+    inside batch 1 is suppressed — the dedup observable.
+
+    Returns every emitted (event_id, k) row.
+    """
+    import json
+    import os
+    import tempfile
+
+    _events_confs(spark)
+    d = demo_dir or tempfile.mkdtemp(prefix="dedup_wm_demo_")
+    os.makedirs(d, exist_ok=True)
+
+    def write_batch(name: str, rows: list[tuple[str, str, str]], mtime: int) -> None:
+        path = os.path.join(d, name)
+        if not os.path.exists(path):
+            with open(path, "w") as f:
+                for event_id, k, ts in rows:
+                    f.write(json.dumps(
+                        {"event_id": event_id, "k": k, "ts": ts}) + "\n")
+        os.utime(path, (mtime, mtime))
+
+    write_batch("batch_1.json", [
+        ("e1", "k1", "2024-01-01 01:00:00"),
+        ("e2", "k2", "2024-01-01 01:05:00"),
+        ("e2dup", "k2", "2024-01-01 01:06:00"),   # within delay: suppressed
+    ], mtime=1_700_000_000)
+    # far-future row: watermark jumps to 09:50, past k1's 01:10 horizon
+    write_batch("batch_2.json", [
+        ("e3", "k9", "2024-01-01 10:00:00"),
+    ], mtime=1_700_000_600)
+    # filler: eviction runs with the advanced watermark one batch later
+    write_batch("batch_3.json", [
+        ("e4", "k8", "2024-01-01 10:02:00"),
+    ], mtime=1_700_001_200)
+    # k1 again, long after expiry: emits a SECOND time
+    write_batch("batch_4.json", [
+        ("e5", "k1", "2024-01-01 10:03:00"),
+    ], mtime=1_700_001_800)
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("event_id", StringType()),
+        StructField("k", StringType()),
+        StructField("ts", StringType()),
+    ])
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(d)
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withWatermark("ts", "10 minutes")
+    )
+    dedup = src.dropDuplicatesWithinWatermark(["k"]).select("event_id", "k")
+    name = f"dedup_wm_{uuid.uuid4().hex[:8]}"
+    with _pinned_shuffle(spark, 8):
+        q = (
+            dedup.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out = spark.table(name)
+    rows = out.collect()
+    df = spark.createDataFrame(rows, out.schema)
+    spark.catalog.dropTempView(name)
+    return df
+
+
 def late_data_window_counts(spark: SparkSession, gap_dir: str | None = None) -> DataFrame:
     """Watermark + append-mode windowed counts: the late-data contract.
 
