@@ -20,8 +20,10 @@ from gene_level_metadata_pipeline_spark.sources.readers import ts_from_nanos
 __all__ = [
     "hourly_event_counts_stream",
     "sessionize_stream",
+    "stream_dedup_within_watermark_demo",
     "stream_outer_join_demo",
     "stream_stream_interval_join",
+    "transform_with_state_counts",
 ]
 
 
@@ -343,6 +345,105 @@ def stream_dedup_within_watermark_demo(
             .start()
         )
         q.awaitTermination()
+    out = spark.table(name)
+    rows = out.collect()
+    df = spark.createDataFrame(rows, out.schema)
+    spark.catalog.dropTempView(name)
+    return df
+
+
+def transform_with_state_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event counts via ``transformWithStateInPandas`` — Spark 4's
+    arbitrary-stateful-processing API (the applyInPandasWithState
+    successor: typed state handles, timers, TTL, and a state store the
+    operator can evolve). A ValueState cell accumulates each user's count
+    across micro-batches; Arrow moves rows in grouped pandas batches.
+
+    Requires the RocksDB state store provider (a transformWithState
+    precondition) — set for this query and restored after. Run with
+    availableNow over the events parquet; the emitted totals must equal
+    the batch GROUP BY.
+
+    Environment gate: the transformWithState protocol speaks protobuf to
+    the state server, so the ``protobuf`` Python package must be present
+    (it is not part of this engine's minimal dependency set). Raises
+    ``NotImplementedError`` when absent; tests skip accordingly. The
+    applyInPandasWithState sessionizer (sessionize_stream) is the
+    dependency-free stateful path.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as ex:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(pyspark's state-server protocol); not installed here"
+        ) from ex
+
+    import pandas as pd  # noqa: F401 (executor-side)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    _events_confs(spark)
+
+    class CountProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._n = handle.getValueState(
+                "n", StructType([StructField("n", LongType())])
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            batch_n = sum(len(pdf) for pdf in rows)
+            prev = self._n.get()[0] if self._n.exists() else 0
+            total = prev + batch_n
+            self._n.update((total,))
+            yield pd.DataFrame({"user_id": [key[0]], "n": [total]})
+
+        def close(self) -> None:
+            pass
+
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("n", LongType()),
+    ])
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    counts = src.select("user_id").groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=CountProcessor(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    name = f"tws_counts_{uuid.uuid4().hex[:8]}"
+    try:
+        with _pinned_shuffle(spark):
+            q = (
+                counts.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+    finally:
+        if old_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old_provider)
     out = spark.table(name)
     rows = out.collect()
     df = spark.createDataFrame(rows, out.schema)

@@ -12,7 +12,8 @@ SF = "/root/testdata/sf0.001"
 # fixups) or that intentionally use Arrow-batched Python
 EXECUTING = {
     "streaming_events_hourly", "streaming_late_data", "streaming_sessionize",
-    "streaming_stream_join", "streaming_dedup", "streaming_static_enrich",
+    "streaming_stream_join", "streaming_outer_join", "streaming_dedup",
+    "streaming_dedup_watermark", "streaming_static_enrich",
     "streaming_pages_source",
 }
 ARROW_PYTHON_OK = {"applyinpandas_normalize", "multimodal_features"}
