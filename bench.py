@@ -49,6 +49,12 @@ HEADLINE = [
     "validate_constraints",
     "substring_dup_spans",
     "encode_documents",
+    "inverted_index",
+    "token_budget_select",
+    "mixture_sample_langs",
+    "text_bigram_lift",
+    "pagerank_suppliers",
+    "zorder_stats",
 ]
 
 
