@@ -2403,6 +2403,41 @@ def q_sql_api_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "recursive_hierarchy",
+    oracle="""
+    WITH RECURSIVE anc(suppkey, node) AS (
+      SELECT s_suppkey, s_suppkey FROM supplier
+      UNION ALL
+      SELECT suppkey, CAST(FLOOR(node / 2) AS BIGINT) FROM anc WHERE node > 1
+    )
+    SELECT suppkey, count(*) AS chain_len, min(node) AS root
+    FROM anc GROUP BY suppkey
+    """,
+)
+def q_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native WITH RECURSIVE (Spark 4): walk each supplier's ancestor
+    chain in the implicit binary hierarchy parent(k)=floor(k/2) down to
+    the root. Iterative-fixpoint queries the engine previously expressed
+    as driver-side loops (connected_components, pagerank) get a SQL
+    front-end form; DuckDB runs the IDENTICAL text. Recursion depth is
+    log2(max suppkey) — far under Spark's 100-level default limit; each
+    level is one self-join the optimizer plans like any other."""
+    from gene_level_metadata_pipeline_spark.plans.catalog import Catalog
+
+    cat = Catalog(spark)
+    cat.put("supplier_rh", _t(spark, sf_dir, "supplier"))
+    return spark.sql("""
+        WITH RECURSIVE anc(suppkey, node) AS (
+          SELECT s_suppkey, s_suppkey FROM supplier_rh
+          UNION ALL
+          SELECT suppkey, CAST(FLOOR(node / 2) AS BIGINT) FROM anc WHERE node > 1
+        )
+        SELECT suppkey, count(*) AS chain_len, min(node) AS root
+        FROM anc GROUP BY suppkey
+    """)
+
+
+@_register(
     "upsert_merge",
     oracle="""
     WITH updates AS (
