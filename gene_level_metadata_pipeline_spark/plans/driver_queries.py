@@ -5449,3 +5449,423 @@ def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("zy").alias("min_y"), F.max("zy").alias("max_y"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Array / map / modern-SQL breadth (Spark 4 surface a complete engine owes
+# its users even though the reference never touches it)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "hof_array_suite",
+    oracle="""
+    WITH a AS (
+      SELECT l_orderkey,
+             list(CAST(l_quantity AS BIGINT) ORDER BY CAST(l_quantity AS BIGINT)) AS qtys
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           len(qtys) AS n_items,
+           list_sum(qtys) AS fold_sum,
+           len(list_filter(qtys, x -> x >= 30)) AS big_cnt,
+           len(list_filter(qtys, x -> x >= 45)) > 0 AS any_ge45,
+           len(list_filter(qtys, x -> x <= 0)) = 0 AS all_pos,
+           list_transform(qtys, x -> x * 2)[1] AS head_doubled,
+           list_sum(list_transform(qtys, x -> x * x)) AS sq_sum
+    FROM a
+    """,
+)
+def q_hof_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order functions over a per-order quantity array: aggregate
+    (fold), filter, exists, forall, transform, zip_with — the lambda
+    surface that makes array columns first-class without UDFs. All of it
+    is codegen'd JVM-side (zero EvalPython); the only shuffle is the
+    orderkey groupBy that builds the array. array_sort(collect_list)
+    makes the array deterministic across partitionings; every derived
+    value is order-insensitive anyway, by construction."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list(F.col("l_quantity").cast("long"))).alias("qtys")
+    )
+    return a.select(
+        "l_orderkey",
+        F.size("qtys").cast("long").alias("n_items"),
+        F.aggregate("qtys", F.lit(0).cast("long"), lambda acc, x: acc + x).alias("fold_sum"),
+        F.size(F.filter("qtys", lambda x: x >= 30)).cast("long").alias("big_cnt"),
+        F.exists("qtys", lambda x: x >= 45).alias("any_ge45"),
+        F.forall("qtys", lambda x: x > 0).alias("all_pos"),
+        F.element_at(F.transform("qtys", lambda x: x * 2), 1).alias("head_doubled"),
+        F.aggregate(
+            F.zip_with("qtys", "qtys", lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sq_sum"),
+    )
+
+
+@_register(
+    "map_type_suite",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey, o_orderstatus, count(*) AS n
+      FROM orders GROUP BY o_custkey, o_orderstatus
+    )
+    SELECT o_custkey,
+           count(*) AS n_statuses,
+           coalesce(max(CASE WHEN o_orderstatus = 'O' THEN n END), 0) AS open_cnt,
+           coalesce(max(CASE WHEN o_orderstatus = 'F' THEN n END), 0) AS filled_cnt,
+           count(*) FILTER (WHERE n > 1) AS repeated_statuses,
+           sum(n) AS total_orders
+    FROM per GROUP BY o_custkey
+    """,
+)
+def q_map_type_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType as a first-class value: build a status→count map per
+    customer with map_from_entries, then read it back via element_at,
+    size, map_filter, and aggregate over map_values. The reference's
+    KV-pair tables (SURVEY §1.1, S11) stay long; this certifies the
+    alternative representation Spark offers when per-key access beats
+    another explode. The map itself never leaves the plan — output is
+    plain columns, so the oracle is conditional aggregation."""
+    per = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = per.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("o_orderstatus", "n")))
+        ).alias("m")
+    )
+    return m.select(
+        "o_custkey",
+        F.size("m").cast("long").alias("n_statuses"),
+        F.coalesce(F.element_at("m", "O"), F.lit(0)).alias("open_cnt"),
+        F.coalesce(F.element_at("m", "F"), F.lit(0)).alias("filled_cnt"),
+        F.size(F.map_filter("m", lambda k, v: v > 1)).cast("long").alias("repeated_statuses"),
+        F.aggregate(
+            F.map_values("m"), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("total_orders"),
+    )
+
+
+@_register(
+    "listagg_sql",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, '|' ORDER BY n_name) AS nations,
+           string_agg(DISTINCT substr(n_name, 1, 1), '' ORDER BY substr(n_name, 1, 1))
+             AS initials
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_listagg_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native listagg (new in Spark 4.0) with WITHIN GROUP ordering and a
+    DISTINCT variant — the SQL-standard spelling of the reference's A6
+    ordered string aggregation (string_agg_ordered certifies the
+    DataFrame composition; this certifies the aggregate function). The
+    WITHIN GROUP clause is what makes the result deterministic across
+    partitionings — listagg without it is explicitly unordered."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation_la")
+    _t(spark, sf_dir, "region").createOrReplaceTempView("region_la")
+    return spark.sql("""
+        SELECT r_name,
+               listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name) AS nations,
+               listagg(DISTINCT substr(n_name, 1, 1), '')
+                 WITHIN GROUP (ORDER BY substr(n_name, 1, 1)) AS initials
+        FROM nation_la JOIN region_la ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """)
+
+
+@_register(
+    "percentile_family",
+    oracle="""
+    SELECT n_name,
+           round(CAST(median(c_acctbal) AS DOUBLE), 2) AS med,
+           round(CAST(percentile_cont(0.25) WITHIN GROUP (ORDER BY c_acctbal) AS DOUBLE), 2) AS p25,
+           CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY c_acctbal) AS DOUBLE) AS p75_disc,
+           count(*) AS n
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_percentile_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile aggregates per nation: median, interpolated
+    percentile_cont, and percentile_disc (the order-statistic variant —
+    returns an actual data value, no interpolation). Exact percentiles
+    require a per-group sort; at 100 TB the approx twin
+    (approx_percentile, t-digest, see approx_profile) is the default and
+    these are the audit path. Interpolation arithmetic is the identical
+    IEEE expression in both engines; median/p25 are rounded to 2 digits
+    to absorb the one-ulp divide divergence."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            _round_to(F.median("c_acctbal"), 2).alias("med"),
+            _round_to(F.percentile("c_acctbal", F.lit(0.25)), 2).alias("p25"),
+            F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY c_acctbal)")
+            .cast("double").alias("p75_disc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@_register(
+    "try_arithmetic",
+    oracle="""
+    SELECT l_linestatus,
+           count(*) AS n,
+           count(*) FILTER (WHERE l_extendedprice / NULLIF(l_quantity - l_quantity, 0) IS NULL)
+             AS div0_nulls,
+           count(*) FILTER (WHERE TRY_CAST(l_returnflag AS INT) IS NULL) AS badcast_nulls,
+           count(*) FILTER (WHERE CASE WHEN l_orderkey > 1
+                                       THEN NULL
+                                       ELSE 9223372036854775806 + l_orderkey END IS NULL)
+             AS overflow_nulls,
+           round(CAST(sum(CAST(
+             round(l_extendedprice / NULLIF(l_quantity, 0) * 100, 0) / 100
+             AS DECIMAL(18,6))) AS DOUBLE), 2) AS unit_price_sum
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode-safe arithmetic: try_divide / try_cast / try_add return
+    NULL where strict SQL raises (÷0, malformed cast, bigint overflow).
+    Spark 4 runs ANSI mode ON by default, so a 100 TB job that hits one
+    bad row 6 hours in ABORTS unless the pipeline speaks try_*; these are
+    the engine's sanctioned escape hatches, graded per-group so the
+    oracle pins exactly which rows nulled. DuckDB has no try_add —
+    its oracle side models the overflow analytically (every orderkey > 1
+    overflows 2^63-2)."""
+    li = _t(spark, sf_dir, "lineitem")
+    unit = F.try_divide(F.col("l_extendedprice"), F.col("l_quantity"))
+    return li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.try_divide(
+            F.col("l_extendedprice"),
+            F.col("l_quantity") - F.col("l_quantity")).isNull(), 1)).alias("div0_nulls"),
+        F.count(F.when(F.expr("try_cast(l_returnflag AS INT)").isNull(), 1)).alias("badcast_nulls"),
+        F.count(F.when(F.try_add(F.lit(9223372036854775806), F.col("l_orderkey")).isNull(), 1))
+        .alias("overflow_nulls"),
+        F.round(F.sum((F.round(unit * 100, 0) / 100).cast("decimal(18,6)")), 2)
+        .cast("double").alias("unit_price_sum"),
+    )
+
+
+@_register(
+    "lateral_topk",
+    oracle="""
+    SELECT c.c_custkey, x.o_orderkey AS top_orderkey, x.o_totalprice AS top_price
+    FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                  WHERE o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) x
+    """,
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (Spark 4 SQL): each customer's single
+    most expensive order, tie-broken by orderkey. The SQL text is IDENTICAL
+    on both engines (modulo view names). Catalyst decorrelates the
+    per-row ORDER BY ... LIMIT 1 into a window rank over one orders scan —
+    same physical shape as the DataFrame row_number pattern
+    (window_rank_suite) — rather than executing |customer| scans the way
+    the syntax reads; inner joins drop customers with no orders."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_lt")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_lt")
+    return spark.sql("""
+        SELECT c.c_custkey, x.o_orderkey AS top_orderkey, x.o_totalprice AS top_price
+        FROM customer_lt c,
+             LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lt
+                      WHERE o_custkey = c.c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) x
+    """)
+
+
+@_register(
+    "sql_pivot_unpivot",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus AS status,
+           count(*) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+    FROM orders GROUP BY o_orderpriority, o_orderstatus
+    """,
+)
+def q_sql_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIVOT syntax (explicit IN list — PLANS.md lesson 6) widens
+    status counts+revenue per priority, then SQL UNPIVOT melts it back to
+    long form. Absent (priority, status) combos become NULL cells under
+    PIVOT; UNPIVOT's default EXCLUDE NULLS drops them again, so the
+    roundtrip is exactly the plain GROUP BY the oracle runs. Multi-measure
+    pivot produces struct-suffixed columns (status_n, status_revenue);
+    UNPIVOT's (n, revenue) FOR status IN ((o_n, o_rev) AS 'O', ...) maps
+    them back."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_pu")
+    return spark.sql("""
+        WITH wide AS (
+          SELECT * FROM (
+            SELECT o_orderpriority, o_orderstatus, o_totalprice FROM orders_pu
+          )
+          PIVOT (
+            count(*) AS n,
+            CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS rev
+            FOR o_orderstatus IN ('O', 'F', 'P')
+          )
+        )
+        SELECT o_orderpriority, status, n, revenue
+        FROM wide
+        UNPIVOT (
+          (n, revenue) FOR status IN ((`O_n`, `O_rev`) AS `O`,
+                                      (`F_n`, `F_rev`) AS `F`,
+                                      (`P_n`, `P_rev`) AS `P`)
+        )
+    """)
+
+
+@_register(
+    "null_safe_join",
+    oracle="""
+    WITH a AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+                  ELSE o_orderpriority END AS pk,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    b AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN NULL
+                  ELSE o_orderpriority END AS pk,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT a.pk, a.n_orders, b.revenue
+    FROM a JOIN b ON a.pk IS NOT DISTINCT FROM b.pk
+    """,
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / eqNullSafe): NULL keys MATCH each
+    other instead of vanishing, the semantics dimension normal equi-joins
+    silently drop rows on. One priority is nulled on both sides; the
+    null-safe join keeps it (5 rows, not 4). Catalyst still plans <=> as
+    a hash join (null-safe keys hash like values) — not the nested-loop
+    fallback a theta join would cost."""
+    o = _t(spark, sf_dir, "orders")
+    pk = F.when(F.col("o_orderpriority") == "1-URGENT", F.lit(None)).otherwise(
+        F.col("o_orderpriority")
+    )
+    a = o.groupBy(pk.alias("pk")).agg(F.count(F.lit(1)).alias("n_orders"))
+    b = o.groupBy(pk.alias("pk")).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double").alias("revenue")
+    )
+    return a.join(b, a.pk.eqNullSafe(b.pk)).select(a.pk, "n_orders", "revenue")
+
+
+@_register(
+    "group_by_all_offset",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus, count(*) AS n
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    LIMIT 6 OFFSET 3
+    """,
+)
+def q_group_by_all_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL / LIMIT-OFFSET pagination — modern SQL
+    shorthand (DuckDB pioneered it; Spark 3.4+ adopted it) running as
+    IDENTICAL text on both engines. ORDER BY ALL totally orders the
+    result, which is the precondition that makes OFFSET pagination
+    deterministic; Spark plans the offset into the same single-partition
+    TakeOrdered step as the limit — no global sort materializes."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gba")
+    return spark.sql("""
+        SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        FROM orders_gba
+        GROUP BY ALL
+        ORDER BY ALL
+        LIMIT 6 OFFSET 3
+    """)
+
+
+@_register(
+    "transpose_native",
+    oracle="""
+    SELECT 'revenue' AS key,
+           round(CAST(sum(CAST(CASE WHEN r_name = 'AFRICA' THEN o_totalprice END
+             AS DECIMAL(18,6))) AS DOUBLE), 2) AS "AFRICA",
+           round(CAST(sum(CAST(CASE WHEN r_name = 'AMERICA' THEN o_totalprice END
+             AS DECIMAL(18,6))) AS DOUBLE), 2) AS "AMERICA",
+           round(CAST(sum(CAST(CASE WHEN r_name = 'ASIA' THEN o_totalprice END
+             AS DECIMAL(18,6))) AS DOUBLE), 2) AS "ASIA",
+           round(CAST(sum(CAST(CASE WHEN r_name = 'EUROPE' THEN o_totalprice END
+             AS DECIMAL(18,6))) AS DOUBLE), 2) AS "EUROPE",
+           round(CAST(sum(CAST(CASE WHEN r_name = 'MIDDLE EAST' THEN o_totalprice END
+             AS DECIMAL(18,6))) AS DOUBLE), 2) AS "MIDDLE EAST"
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def q_transpose_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native DataFrame.transpose (new in Spark 4.0): flip a 5-row
+    (region, revenue) aggregate into one wide row keyed by the former
+    column names. Transpose COLLECTS the first column to the driver to
+    name the output columns — fine on a dimension-grain aggregate (5
+    rows), catastrophic on a fact table; the engine's long-form melt
+    (R4, transpose_matrix) remains the scale path for genuine matrices
+    (SURVEY §4 'matrix ops in long form')."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    agg = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+            .cast("double").alias("revenue")
+        )
+        .orderBy("r_name")
+    )
+    return agg.transpose().withColumnRenamed("key", "key")
+
+
+@_register(
+    "string_breadth",
+    oracle="""
+    SELECT n_name,
+           levenshtein(n_name, 'UNITED STATES') AS lev_us,
+           translate(n_name, 'AEIOU', 'aeiou') AS devowel,
+           lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS padded_key,
+           reverse(n_name) AS rev_name,
+           repeat(substr(n_name, 1, 1), 3) AS tripled_initial,
+           CAST(ascii(n_name) AS BIGINT) AS first_byte,
+           length(n_name) AS name_len
+    FROM nation
+    """,
+)
+def q_string_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function breadth beyond the reference's regex family (§2.10):
+    levenshtein edit distance (the building block for fuzzy gene-symbol
+    alias matching — blocked nearest-alias joins at scale pair it with a
+    first-letter or length band), translate, lpad (zero-padding IDs for
+    lexicographic = numeric sort order), reverse, repeat, ascii, length.
+    All JVM built-ins, map-side only — zero shuffles in this plan."""
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        "n_name",
+        F.levenshtein("n_name", F.lit("UNITED STATES")).cast("long").alias("lev_us"),
+        F.translate("n_name", "AEIOU", "aeiou").alias("devowel"),
+        F.lpad(F.col("n_nationkey").cast("string"), 4, "0").alias("padded_key"),
+        F.reverse("n_name").alias("rev_name"),
+        F.repeat(F.substring("n_name", 1, 1), 3).alias("tripled_initial"),
+        F.ascii("n_name").cast("long").alias("first_byte"),
+        F.length("n_name").cast("long").alias("name_len"),
+    )
