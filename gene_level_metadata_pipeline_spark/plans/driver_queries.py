@@ -6047,3 +6047,64 @@ def q_cogroup_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="user_id bigint, event_id bigint, right_value double, right_us bigint",
         )
     )
+
+
+@_register(
+    "redact_pii",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or +1-555-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE text END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+             AS n_emails,
+           len(regexp_extract_all(t, '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+           length(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_len,
+           NOT contains(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '@')
+             AS email_clean
+    FROM aug
+    """,
+)
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction for training corpora: email + phone patterns found,
+    replaced with typed placeholders, and audited (match counts + a
+    post-redaction cleanliness probe). The synthetic corpus carries no
+    PII, so both engines deterministically inject doc_id-derived
+    addresses into every third document first — the redaction machinery
+    (global regexp_replace, regexp_count/extract_all, residue check) is
+    what's certified. Patterns stay in the Java∩RE2 regex intersection;
+    DuckDB's regexp_replace needs the explicit 'g' flag where Spark's is
+    global by default. Map-side only — zero shuffles."""
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+    d = _t(spark, sf_dir, "documents")
+    aug = d.withColumn(
+        "t",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"), F.lit(" contact user"),
+                F.col("doc_id").cast("string"), F.lit("@example.com or +1-555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("t"), email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    return aug.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(email)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(phone)).cast("long").alias("n_phones"),
+        F.length(red).cast("long").alias("redacted_len"),
+        (~F.regexp_replace(F.col("t"), email, "<EMAIL>").contains("@")).alias("email_clean"),
+    )
