@@ -6108,3 +6108,68 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(red).cast("long").alias("redacted_len"),
         (~F.regexp_replace(F.col("t"), email, "<EMAIL>").contains("@")).alias("email_clean"),
     )
+
+
+@_register(
+    "sql_udf_scalar_tvf",
+    oracle="""
+    SELECT n_name,
+           upper(substr(lower(n_name), 1, 1)) || substr(lower(n_name), 2)
+             AS sentence_name,
+           i
+    FROM nation, LATERAL (
+      SELECT CAST(unnest(generate_series(1, CAST(n_nationkey % 3 + 1 AS INT))) AS INT) AS i
+    ) t
+    """,
+)
+def q_sql_udf_scalar_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined UDFs (new in Spark 4.0): a scalar function (the
+    reference's X13 sentence_case — no Catalyst built-in exists, and a
+    SQL UDF keeps it codegen-inlined where a Python UDF would break the
+    stage) and a table-valued function applied with correlated LATERAL
+    (per-nation row replication). Both are declared in SQL, registered in
+    the session catalog, and inline into the optimized plan — zero
+    EvalPython. DuckDB oracles them with the expanded expressions (its
+    macro system is the analogue)."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation_su")
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION sent_case(s STRING) RETURNS STRING
+        RETURN concat(upper(substring(lower(s), 1, 1)), substring(lower(s), 2))
+    """)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION rep_n(n INT) RETURNS TABLE(i INT)
+        RETURN SELECT explode(sequence(1, n)) AS i
+    """)
+    return spark.sql("""
+        SELECT n_name, sent_case(n_name) AS sentence_name, i
+        FROM nation_su, LATERAL rep_n(CAST(n_nationkey % 3 + 1 AS INT))
+    """)
+
+
+@_register(
+    "param_sql_filter",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 2) AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice >= 50000
+    GROUP BY o_orderpriority
+    """,
+)
+def q_param_sql_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (spark.sql(..., args={...})): parameters bind
+    as typed literals in the analyzed plan — injection-safe by
+    construction and constant-folded like any literal, so predicate
+    pushdown sees plain comparisons (status/price reach PushedFilters).
+    The oracle inlines the same values."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_pq")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+        FROM orders_pq
+        WHERE o_orderstatus = :status AND o_totalprice >= :floor
+        GROUP BY o_orderpriority
+        """,
+        args={"status": "F", "floor": 50000},
+    )
