@@ -18,14 +18,19 @@ Usage:
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 __all__ = ["PageSource"]
+
 
 
 def _records(page: int, per_page: int):
@@ -67,6 +72,69 @@ class _PageStreamReader(SimpleDataSourceStreamReader):
         return iter(list(_records(p, self.per_page))), {"page": p + 1}
 
 
+@dataclass
+class _PageCommit(WriterCommitMessage):
+    file: str
+    count: int
+
+
+class _PageWriter(DataSourceWriter):
+    """Write path of the source: one JSONL file per input partition,
+    two-phase commit. Executors write data files and return commit
+    messages; ONLY the driver's commit() publishes the _MANIFEST that
+    readers treat as the success marker — a failed/aborted job leaves
+    data files but no manifest (abort() also best-effort deletes them).
+    This is the same visibility protocol Spark's FileCommitProtocol
+    gives parquet, expressed in the Python DataSource API; a real
+    REST-push sink would swap the file write for PUTs and make commit()
+    the transaction finalizer."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("genepages writer requires option 'path'")
+        import os
+        import shutil
+
+        if overwrite and os.path.isdir(self.path):
+            shutil.rmtree(self.path)
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(self.path, f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(fname, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _PageCommit(file=fname, count=n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        manifest = {
+            "files": sorted(m.file for m in messages if m is not None),
+            "rows": sum(m.count for m in messages if m is not None),
+        }
+        with open(os.path.join(self.path, "_MANIFEST"), "w", encoding="utf-8") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.file):
+                os.remove(m.file)
+
+
 class PageSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -80,3 +148,6 @@ class PageSource(DataSource):
 
     def simpleStreamReader(self, schema):
         return _PageStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool):
+        return _PageWriter(self.options, overwrite)

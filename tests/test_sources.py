@@ -201,3 +201,43 @@ def test_custom_datasource_page_partitions(spark):
     assert len(rows) == 60
     assert {r.page for r in rows} == set(range(6))
     assert [r.gene for r in rows if r.record_id == 13] == ["G13"]
+
+
+def test_custom_datasource_writer_two_phase_commit(spark, tmp_path):
+    """PageSource write path: executors write one JSONL file per partition,
+    the driver's commit() publishes _MANIFEST — the success marker a failed
+    job never writes (FileCommitProtocol semantics in the Python API)."""
+    import json
+    import os
+
+    from gene_level_metadata_pipeline_spark.sources.pagesource import PageSource
+
+    spark.dataSource.register(PageSource)
+    df = (
+        spark.read.format("genepages")
+        .option("pages", 4).option("perpage", 5).load()
+    )
+    out = str(tmp_path / "sink")
+    df.write.format("genepages").option("path", out).mode("overwrite").save()
+
+    with open(os.path.join(out, "_MANIFEST"), encoding="utf-8") as f:
+        manifest = json.load(f)
+    assert manifest["rows"] == 20
+    assert len(manifest["files"]) == 4  # one data file per input partition
+    assert all(os.path.exists(p) for p in manifest["files"])
+
+    back = [
+        json.loads(line)
+        for p in manifest["files"]
+        for line in open(p, encoding="utf-8")
+    ]
+    assert {(r["page"], r["record_id"]) for r in back} == {
+        (r.page, r.record_id) for r in df.collect()
+    }
+
+    # overwrite replaces the previous sink contents wholesale
+    df.limit(0).write.format("genepages").option("path", out).mode(
+        "overwrite"
+    ).save()
+    with open(os.path.join(out, "_MANIFEST"), encoding="utf-8") as f:
+        assert json.load(f)["rows"] == 0
