@@ -23,6 +23,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -30,7 +31,6 @@ from pyspark.sql.datasource import (
 )
 
 __all__ = ["PageSource"]
-
 
 
 def _records(page: int, per_page: int):
@@ -135,6 +135,71 @@ class _PageWriter(DataSourceWriter):
                 os.remove(m.file)
 
 
+class _PageStreamWriter(DataSourceStreamWriter):
+    """Streaming flavor of the sink: the batch protocol, once per
+    micro-batch. Executors stage JSONL files under uuid names; the
+    driver's ``commit(messages, batchId)`` publishes
+    ``_MANIFEST-<batchId>`` naming exactly the files of THAT attempt.
+    Exactly-once falls out of the two rules a manifest-honoring reader
+    follows: unreferenced files are invisible (a failed attempt's
+    leftovers are orphans, never duplicates), and an existing manifest
+    makes a replayed commit a no-op (restart between sink commit and
+    checkpoint advance re-runs the batch — Structured Streaming's
+    documented at-least-once replay window, SS docs "fault tolerance").
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("genepages stream writer requires option 'path'")
+        import os
+
+        os.makedirs(self.path, exist_ok=True)
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(
+            self.path, f"stage-{pid:05d}-{uuid.uuid4().hex}.jsonl"
+        )
+        n = 0
+        with open(fname, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _PageCommit(file=fname, count=n)
+
+    def commit(self, messages, batchId):
+        import json
+        import os
+
+        marker = os.path.join(self.path, f"_MANIFEST-{batchId}")
+        if os.path.exists(marker):  # replayed batch: keep the first attempt
+            for m in messages:
+                if m is not None and os.path.exists(m.file):
+                    os.remove(m.file)
+            return
+        manifest = {
+            "batch": batchId,
+            "files": sorted(m.file for m in messages if m is not None),
+            "rows": sum(m.count for m in messages if m is not None),
+        }
+        with open(marker, "w", encoding="utf-8") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages, batchId):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.file):
+                os.remove(m.file)
+
+
 class PageSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -151,3 +216,6 @@ class PageSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return _PageWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return _PageStreamWriter(self.options)

@@ -241,3 +241,72 @@ def test_custom_datasource_writer_two_phase_commit(spark, tmp_path):
     ).save()
     with open(os.path.join(out, "_MANIFEST"), encoding="utf-8") as f:
         assert json.load(f)["rows"] == 0
+
+
+def test_custom_datasource_stream_writer_per_batch_manifests(spark, tmp_path):
+    """PageSource streaming sink: one _MANIFEST-<batchId> per micro-batch,
+    published only by the driver's commit — files a manifest doesn't
+    reference are invisible, so replayed batches can't duplicate."""
+    import glob
+    import json
+    import os
+    import time
+
+    from gene_level_metadata_pipeline_spark.sources.pagesource import PageSource
+
+    spark.dataSource.register(PageSource)
+    out = str(tmp_path / "stream_sink")
+    q = (
+        spark.readStream.format("genepages")
+        .option("pages", 3).option("perpage", 25).load()
+        .writeStream.format("genepages")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if len(glob.glob(os.path.join(out, "_MANIFEST-*"))) >= 3:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    manifests = [
+        json.load(open(p, encoding="utf-8"))
+        for p in sorted(glob.glob(os.path.join(out, "_MANIFEST-*")))[:3]
+    ]
+    assert [m["batch"] for m in manifests] == [0, 1, 2]
+    rows = [
+        json.loads(line)
+        for m in manifests
+        for p in m["files"]
+        for line in open(p, encoding="utf-8")
+    ]
+    # one page per micro-batch, 25 records each, no dups and no gaps
+    assert sorted(r["record_id"] for r in rows) == list(range(75))
+    assert {r["page"] for r in rows} == {0, 1, 2}
+
+    # a second commit for an already-manifested batch is a no-op
+    class _M:
+        def __init__(self, file, count):
+            self.file, self.count = file, count
+
+    from gene_level_metadata_pipeline_spark.sources.pagesource import (
+        _PageStreamWriter,
+    )
+
+    w = _PageStreamWriter({"path": out})
+    stray = os.path.join(out, "stage-replay.jsonl")
+    open(stray, "w").close()
+    before = json.load(
+        open(os.path.join(out, "_MANIFEST-0"), encoding="utf-8")
+    )
+    w.commit([_M(stray, 1)], 0)
+    after = json.load(
+        open(os.path.join(out, "_MANIFEST-0"), encoding="utf-8")
+    )
+    assert after == before  # first attempt kept
+    assert not os.path.exists(stray)  # replay's staged file cleaned up
