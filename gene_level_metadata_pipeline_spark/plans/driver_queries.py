@@ -6173,3 +6173,162 @@ def q_param_sql_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"status": "F", "floor": 50000},
     )
+
+
+@_register(
+    "generator_tvf_suite",
+    oracle="""
+    WITH a AS (
+      SELECT n_name AS src, CAST(i - 1 AS INT) AS pos, 'elem' AS k,
+             CAST([n_nationkey, n_regionkey,
+                   n_nationkey + n_regionkey][i] AS VARCHAR) AS v
+      FROM nation, (SELECT unnest(generate_series(1, 3)) AS i)
+    ),
+    b AS (
+      SELECT n_name, 0, 'rk', CAST(n_regionkey AS VARCHAR) FROM nation
+      UNION ALL
+      SELECT n_name, 1, 'nk', CAST(n_nationkey AS VARCHAR) FROM nation
+    ),
+    c AS (
+      SELECT n_name, -1, 'name', n_name FROM nation
+      UNION ALL
+      SELECT n_name, -1, 'keysum',
+             CAST(n_nationkey + n_regionkey AS VARCHAR) FROM nation
+    )
+    SELECT * FROM a UNION ALL SELECT * FROM b UNION ALL SELECT * FROM c
+    """,
+)
+def q_generator_tvf_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator (table-valued) function breadth (§2.6 row-expansion
+    general forms): posexplode (element + ordinal — the positional twin
+    of R1's separate_rows), inline (array<struct> → columns, the typed
+    way to expand packed repeated groups), and stack (N-column unpivot
+    literal, the SQL-text twin of melt). One generator per SELECT is a
+    Spark analyzer rule, so the three live in unioned branches; each
+    branch stays a map-side Generate node — the union introduces no
+    exchange, and the whole plan is scan→generate→union with zero
+    shuffles."""
+    n = _t(spark, sf_dir, "nation")
+    a = n.select(
+        F.col("n_name").alias("src"),
+        F.posexplode(
+            F.array(
+                F.col("n_nationkey"),
+                F.col("n_regionkey"),
+                F.col("n_nationkey") + F.col("n_regionkey"),
+            )
+        ).alias("pos", "val"),
+    ).select(
+        "src",
+        F.col("pos").cast("int").alias("pos"),
+        F.lit("elem").alias("k"),
+        F.col("val").cast("string").alias("v"),
+    )
+    b = n.select(
+        F.col("n_name").alias("src"),
+        F.inline(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("pos"),
+                    F.lit("rk").alias("k"),
+                    F.col("n_regionkey").cast("string").alias("v"),
+                ),
+                F.struct(
+                    F.lit(1).alias("pos"),
+                    F.lit("nk").alias("k"),
+                    F.col("n_nationkey").cast("string").alias("v"),
+                ),
+            )
+        ),
+    )
+    c = n.selectExpr(
+        "n_name AS src",
+        "CAST(-1 AS INT) AS pos",
+        "stack(2, 'name', n_name, 'keysum',"
+        " CAST(n_nationkey + n_regionkey AS STRING)) AS (k, v)",
+    )
+    return a.unionAll(b).unionAll(c)
+
+
+@_register(
+    "bitwise_suite",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n,
+           bit_and(o_orderkey) AS k_and,
+           bit_or(o_orderkey) AS k_or,
+           bit_xor(o_orderkey) AS k_xor,
+           CAST(bit_count(bit_or(o_orderkey)) AS BIGINT) AS or_bits,
+           (bit_xor(o_orderkey) & 1023) AS xor_low,
+           (~bit_and(o_orderkey)) AS and_not,
+           (bit_and(o_orderkey) << 1) AS and_shl,
+           (bit_or(o_orderkey) >> 2) AS or_shr
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_bitwise_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar + aggregate family (beyond the reference's scalar
+    surface, §2.10): bit_and/bit_or/bit_xor aggregates — mergeable
+    map-side like any semigroup, so the plan is one partial+final
+    hash aggregate — plus scalar &, ~, shifts and bit_count on the
+    aggregated values. Bit-aggregates are how flag columns (set
+    membership masks, permission bits, bloom words) fold at 100 TB:
+    8 bytes of state per group regardless of row count."""
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.bit_and("o_orderkey").alias("k_and"),
+        F.bit_or("o_orderkey").alias("k_or"),
+        F.bit_xor("o_orderkey").alias("k_xor"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n",
+        "k_and",
+        "k_or",
+        "k_xor",
+        F.bit_count("k_or").cast("bigint").alias("or_bits"),
+        F.col("k_xor").bitwiseAND(F.lit(1023)).alias("xor_low"),
+        F.bitwise_not("k_and").alias("and_not"),
+        F.shiftleft(F.col("k_and"), 1).alias("and_shl"),
+        F.shiftright(F.col("k_or"), 2).alias("or_shr"),
+    )
+
+
+@_register(
+    "cube_grouping",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+           count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+                AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets + grouping() disambiguation flags (completes
+    the grouping-sets family next to `rollup_revenue`): all four
+    (status, priority) marginals in ONE pass — Spark expands the cube
+    into a single Expand node feeding one hash aggregate, so the fact
+    is scanned once however many grouping sets are requested, the same
+    property that makes multi-marginal 100 TB reporting a single job.
+    grouping(col)=1 marks the rolled-up NULL apart from a data NULL.
+    Identical SQL text runs on both engines (only the view name
+    differs)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_cube_pq")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+               count(*) AS n,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+                    AS DOUBLE) AS revenue
+        FROM orders_cube_pq
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """
+    )
