@@ -6332,3 +6332,29 @@ def q_cube_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY CUBE(o_orderstatus, o_orderpriority)
         """
     )
+
+
+@_register(
+    "crosstab_status_priority",
+    oracle="""
+    SELECT o_orderstatus AS o_orderstatus_o_orderpriority,
+           CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT) AS "1-URGENT",
+           CAST(count(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS BIGINT) AS "2-HIGH",
+           CAST(count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS BIGINT) AS "3-MEDIUM",
+           CAST(count(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS "4-NOT SPECIFIED",
+           CAST(count(*) FILTER (WHERE o_orderpriority = '5-LOW') AS BIGINT) AS "5-LOW"
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_crosstab_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df.stat.crosstab — pairwise contingency table (the df.stat twin of
+    R2 pivot_wider with count fill). Internally one groupBy on the pair
+    + a driver-side pivot of the DISTINCT column-value set, so it is
+    safe exactly when that set is small (here: 5 priorities); at 100 TB
+    the row-label side streams through a single hash aggregate while
+    the column side must stay enumerable — same contract as any pivot.
+    The oracle spells it as filtered counts, which is also the shape
+    Spark compiles the pivot into."""
+    o = _t(spark, sf_dir, "orders")
+    return o.stat.crosstab("o_orderstatus", "o_orderpriority")

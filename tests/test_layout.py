@@ -109,3 +109,34 @@ def test_zorder_bucket_envelopes_bounded(spark):
     for r in stats:
         assert r.span_x <= 63, r
         assert r.span_y <= 63, r
+
+
+def test_rebalance_hint_sizes_output_files(spark, tmp_path):
+    """REBALANCE hint: AQE splits/coalesces shuffle blocks to target-size
+    output partitions — the write-path answer to both small-files (too
+    many tiny tasks) and skew (one giant task) when laying down bronze.
+    Unlike repartition(n) it needs no hand-picked n: the optimized plan
+    carries RebalancePartitions and AQE picks the partition count from
+    runtime block sizes (advisoryPartitionSizeInBytes)."""
+    df = spark.range(0, 100_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+    )
+    hinted = df.hint("rebalance", "grp")
+    opt = hinted._jdf.queryExecution().optimizedPlan().toString()
+    assert "RebalancePartitions" in opt or "rebalance" in opt.lower()
+
+    out = str(tmp_path / "rebalanced")
+    hinted.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    assert back.count() == 100_000
+    assert sorted(r.grp for r in back.select("grp").distinct().collect()) == list(
+        range(7)
+    )
+
+    # SQL-text form of the same hint
+    df.createOrReplaceTempView("rebalance_src")
+    sql_opt = (
+        spark.sql("SELECT /*+ REBALANCE(grp) */ * FROM rebalance_src")
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "RebalancePartitions" in sql_opt or "rebalance" in sql_opt.lower()
