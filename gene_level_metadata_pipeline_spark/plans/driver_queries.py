@@ -6358,3 +6358,137 @@ def q_crosstab_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark compiles the pivot into."""
     o = _t(spark, sf_dir, "orders")
     return o.stat.crosstab("o_orderstatus", "o_orderpriority")
+
+
+@_register(
+    "json_export",
+    oracle="""
+    SELECT n_name,
+           CAST(to_json(struct_pack(
+               key := n_nationkey, name := n_name,
+               ids := [n_regionkey, n_nationkey])) AS VARCHAR) AS js_struct,
+           CAST(to_json([
+               struct_pack(k := 'region', v := n_regionkey),
+               struct_pack(k := 'nation', v := n_nationkey)
+           ]) AS VARCHAR) AS js_arr
+    FROM nation
+    """,
+)
+def q_json_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """to_json serialization (the export inverse of `json_props_extract`'s
+    from_json): struct → object with field order preserved, array<struct>
+    → object array — byte-identical compact JSON across engines, which is
+    what makes JSONL a safe interchange sink for nested rows (K2's
+    general form). Pure codegen projection, zero shuffles."""
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        "n_name",
+        F.to_json(
+            F.struct(
+                F.col("n_nationkey").alias("key"),
+                F.col("n_name").alias("name"),
+                F.array(F.col("n_regionkey"), F.col("n_nationkey")).alias("ids"),
+            )
+        ).alias("js_struct"),
+        F.to_json(
+            F.array(
+                F.struct(
+                    F.lit("region").alias("k"), F.col("n_regionkey").alias("v")
+                ),
+                F.struct(
+                    F.lit("nation").alias("k"), F.col("n_nationkey").alias("v")
+                ),
+            )
+        ).alias("js_arr"),
+    )
+
+
+@_register(
+    "string_format_family",
+    oracle="""
+    SELECT n_name,
+           printf('%s|%04d', n_name, n_nationkey) AS tagged,
+           array_to_string(
+             list_transform(string_split(lower(n_name), ' '),
+                            w -> upper(w[1:1]) || w[2:]),
+             ' ') AS title_case,
+           CAST(list_position([n_regionkey, n_nationkey, 99],
+                              n_nationkey) AS INT) AS self_pos,
+           concat_ws('/', n_name, CAST(n_regionkey AS VARCHAR)) AS joined
+    FROM nation
+    """,
+)
+def q_string_format_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """format_string (printf templating — the typed alternative to string
+    concat chains for ID minting), initcap (X13 sentence_case's per-word
+    cousin; the oracle spells Spark's exact per-word semantics with a
+    DuckDB lambda), array_position (1-based, 0 when absent — matching
+    SQL FIND_IN_SET conventions), concat_ws. All map-side codegen."""
+    n = _t(spark, sf_dir, "nation")
+    return n.select(
+        "n_name",
+        F.format_string("%s|%04d", F.col("n_name"), F.col("n_nationkey")).alias(
+            "tagged"
+        ),
+        F.initcap(F.lower("n_name")).alias("title_case"),
+        F.array_position(
+            F.array(F.col("n_regionkey"), F.col("n_nationkey"), F.lit(99)),
+            F.col("n_nationkey"),
+        ).cast("int").alias("self_pos"),
+        F.concat_ws("/", F.col("n_name"), F.col("n_regionkey").cast("string")).alias(
+            "joined"
+        ),
+    )
+
+
+@_register(
+    "datetime_epoch_family",
+    oracle="""
+    SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_date,
+           make_date(year(o_orderdate), month(o_orderdate), 1) AS month_start,
+           CAST((year(o_orderdate) - 1995) * 12
+                + (month(o_orderdate) - 1) AS DOUBLE) AS months_since_95,
+           CAST(epoch(CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP))
+                AS BIGINT) AS epoch_s,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d 00:00:00')
+               AS rendered,
+           CAST(o_orderdate AS DATE)
+             + CAST(CASE WHEN (8 - isodow(o_orderdate)) % 7 = 0 THEN 7
+                         ELSE (8 - isodow(o_orderdate)) % 7 END
+                    AS INTEGER) AS next_monday,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow_sun1
+    FROM orders
+    """,
+)
+def q_datetime_epoch_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch/calendar scalar family completing `datetime_functions`
+    (§2.10 X20 temporal corner): make_date construction, months_between
+    on month boundaries (integral doubles — the only hash-safe use of
+    its fractional semantics), unix_timestamp/from_unixtime epoch
+    roundtrip, next_day, and Sunday=1 dayofweek alignment (Spark's
+    convention, spelled as dow+1 in DuckDB). Self-sufficient: pins UTC
+    so date→timestamp epoch agrees with DuckDB's timezone-free dates —
+    the same session contract as `_events`."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .select(F.to_date("o_orderdate").alias("order_date"))
+        .distinct()
+    )
+    ts = F.col("order_date").cast("timestamp")
+    return o.select(
+        "order_date",
+        F.make_date(F.year("order_date"), F.month("order_date"), F.lit(1)).alias(
+            "month_start"
+        ),
+        F.months_between(
+            F.make_date(F.year("order_date"), F.month("order_date"), F.lit(1)),
+            F.make_date(F.lit(1995), F.lit(1), F.lit(1)),
+        ).alias("months_since_95"),
+        F.unix_timestamp(ts).alias("epoch_s"),
+        F.from_unixtime(F.unix_timestamp(ts), "yyyy-MM-dd HH:mm:ss").alias(
+            "rendered"
+        ),
+        F.next_day("order_date", "Mon").alias("next_monday"),
+        F.dayofweek("order_date").cast("int").alias("dow_sun1"),
+    )
