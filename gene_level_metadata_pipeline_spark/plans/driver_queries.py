@@ -6492,3 +6492,85 @@ def q_datetime_epoch_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.next_day("order_date", "Mon").alias("next_monday"),
         F.dayofweek("order_date").cast("int").alias("dow_sun1"),
     )
+
+
+@_register(
+    "theta_set_analytics",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey % 997 AS v FROM orders
+               WHERE o_orderstatus = 'O'),
+         b AS (SELECT DISTINCT o_custkey % 997 AS v FROM orders
+               WHERE o_orderstatus = 'F')
+    SELECT (SELECT count(*) FROM a) AS n_open,
+           (SELECT count(*) FROM b) AS n_filled,
+           (SELECT count(*) FROM
+              (SELECT v FROM a UNION SELECT v FROM b)) AS n_union,
+           (SELECT count(*) FROM
+              (SELECT v FROM a INTERSECT SELECT v FROM b)) AS n_both,
+           (SELECT count(*) FROM
+              (SELECT v FROM a EXCEPT SELECT v FROM b)) AS n_only_open
+    """,
+)
+def q_theta_set_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta sketches (Spark 4.1 DataSketches): DISTINCT-set algebra —
+    union, intersection, difference cardinalities — from two one-pass
+    mergeable sketches instead of three DISTINCT shuffles. THE pattern
+    for 100 TB audience overlap ("users in corpus A and B"): build
+    per-partition sketches map-side, merge 4 KB states, never shuffle
+    raw keys; sketches persist as binary columns so daily sketches roll
+    up to any window. Below k=4096 retained entries a theta sketch is
+    in exact mode (θ=1, every hash kept), so with the key domain
+    bounded to 997 the estimates ARE the exact counts at every SF —
+    which is what lets DuckDB's exact set ops oracle a sketch query."""
+    o = _t(spark, sf_dir, "orders")
+    sk = o.agg(
+        F.expr(
+            "theta_sketch_agg(CASE WHEN o_orderstatus = 'O'"
+            " THEN o_custkey % 997 END)"
+        ).alias("sa"),
+        F.expr(
+            "theta_sketch_agg(CASE WHEN o_orderstatus = 'F'"
+            " THEN o_custkey % 997 END)"
+        ).alias("sb"),
+    )
+    return sk.select(
+        F.expr("CAST(theta_sketch_estimate(sa) AS BIGINT)").alias("n_open"),
+        F.expr("CAST(theta_sketch_estimate(sb) AS BIGINT)").alias("n_filled"),
+        F.expr(
+            "CAST(theta_sketch_estimate(theta_union(sa, sb)) AS BIGINT)"
+        ).alias("n_union"),
+        F.expr(
+            "CAST(theta_sketch_estimate(theta_intersection(sa, sb)) AS BIGINT)"
+        ).alias("n_both"),
+        F.expr(
+            "CAST(theta_sketch_estimate(theta_difference(sa, sb)) AS BIGINT)"
+        ).alias("n_only_open"),
+    )
+
+
+@_register(
+    "approx_topk_exact_regime",
+    oracle="""
+    SELECT o_orderpriority AS priority, count(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_approx_topk_exact_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_top_k (Spark 4.1 frequent-items sketch): heavy hitters in
+    one pass with bounded state — the streaming-safe, mergeable upgrade
+    of freqItems. When distinct items ≤ maxItemsTracked the sketch
+    tracks every item exactly (no eviction ⇒ exact counts — the regime
+    this 5-value column is permanently in), so the top-5 IS the exact
+    group-by; above it, counts become lower bounds with a documented
+    error cap. Exploded to rows so the unordered hash compare ignores
+    the sketch's count-desc tie order."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.agg(F.expr("approx_top_k(o_orderpriority, 5)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("priority"),
+            F.col("e.count").cast("bigint").alias("n"),
+        )
+    )
