@@ -50,11 +50,11 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
         and rendering it (date_format/date_trunc) must agree with DuckDB's
         timezone-free naive timestamps; only UTC makes them coincide.
     """
-    from gene_level_metadata_pipeline_spark.sources.readers import ts_from_nanos
+    from gene_level_metadata_pipeline_spark.sources.readers import normalize_event_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return _t(spark, sf_dir, "events").withColumn("ts", ts_from_nanos("ts"))
+    return normalize_event_ts(_t(spark, sf_dir, "events"))
 
 
 def _round_to(col, n: int):
@@ -2475,8 +2475,6 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropDuplicatesWithinWatermark when keys can expire). Output projected
     to the key set so the result is order-independent and oracle-exact."""
     import uuid as _uuid
-
-    from gene_level_metadata_pipeline_spark.sources.readers import ts_from_nanos
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(f"{sf_dir}/events.parquet")

@@ -30,6 +30,7 @@ __all__ = [
     "read_delim",
     "read_excel",
     "read_json_pages",
+    "normalize_event_ts",
     "ts_from_nanos",
  "read_xml",]
 
@@ -48,6 +49,31 @@ def ts_from_nanos(col):
     # whose quotient is exact, then truncate like DuckDB does
     micros = (c.cast("decimal(20,0)") / F.lit(1000)).cast("long")
     return F.timestamp_micros(micros)
+
+
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP_LTZ micros, whatever
+    physical type the parquet carries.
+
+    The testdata generator has shipped ``events.ts`` as both TIMESTAMP(NANOS)
+    (surfaced as int64 under nanosAsLong) and plain ``timestamp[us]``
+    (surfaced as TIMESTAMP_NTZ). Downstream queries assume one canonical
+    type — TIMESTAMP_LTZ rendered under a UTC session (set by the callers),
+    which coincides micro-for-micro with DuckDB's naive timestamps:
+
+      * long        → nanos: exact decimal division to micros (ts_from_nanos)
+      * TIMESTAMP_NTZ → cast to LTZ: under a UTC session the underlying
+        micros are unchanged (wall-clock reinterpretation is the identity)
+      * TIMESTAMP_LTZ → already canonical
+    """
+    from pyspark.sql import types as T
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn(col, ts_from_nanos(col))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
 
 
 def fetch_to_staging(url: str, staging_dir: str | None = None) -> str:

@@ -15,7 +15,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gene_level_metadata_pipeline_spark.sources.readers import ts_from_nanos
+from gene_level_metadata_pipeline_spark.sources.readers import normalize_event_ts
 
 __all__ = [
     "hourly_event_counts_stream",
@@ -70,7 +70,7 @@ def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ev = src.withColumn("ts", ts_from_nanos("ts"))
+    ev = normalize_event_ts(src)
     agg = (
         ev.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -123,7 +123,7 @@ def sessionize_stream(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ev = src.withColumn("ts", ts_from_nanos("ts")).withWatermark("ts", "1 hour")
+    ev = normalize_event_ts(src).withWatermark("ts", "1 hour")
 
     gap_us = gap_minutes * 60 * 1_000_000
 
@@ -213,7 +213,7 @@ def stream_stream_interval_join(
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ev = src.withColumn("ts", ts_from_nanos("ts"))
+    ev = normalize_event_ts(src)
     clicks = (
         ev.where(F.col("event_type") == "click")
         .select(
@@ -545,7 +545,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    from gene_level_metadata_pipeline_spark.sources.readers import ts_from_nanos
+    from gene_level_metadata_pipeline_spark.sources.readers import normalize_event_ts
 
     _events_confs(spark)
     static_events = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -562,7 +562,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    ev = src.withColumn("ts", ts_from_nanos("ts")).select(
+    ev = normalize_event_ts(src).select(
         "event_id", "user_id", "event_type"
     )
     joined = ev.join(F.broadcast(dim), "user_id")

@@ -35,7 +35,7 @@ def rocksdb_conf(spark):
 
 def _run_hourly(spark, sf_dir: str):
     """Windowed count over the events stream; returns (rows, progresses)."""
-    from gene_level_metadata_pipeline_spark.sources.readers import ts_from_nanos
+    from gene_level_metadata_pipeline_spark.sources.readers import normalize_event_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -46,7 +46,7 @@ def _run_hourly(spark, sf_dir: str):
         .parquet(sf_dir)
     )
     agg = (
-        src.withColumn("ts", ts_from_nanos("ts"))
+        normalize_event_ts(src)
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
