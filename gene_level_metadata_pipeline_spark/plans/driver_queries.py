@@ -422,9 +422,9 @@ def q_string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     "matrix_rowsum_pct",
     oracle="""
     SELECT l_partkey AS gene,
-           sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS n_hit,
+           CAST(sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
            count(*) AS n_samples,
-           round(100.0 * sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) / count(*), 3) AS pct_hit
+           round(CAST(100.0 * sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 3) AS pct_hit
     FROM lineitem GROUP BY l_partkey
     """,
 )
@@ -970,8 +970,8 @@ def q_read_json_pages_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id, event_id, us,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, count(*) AS n_events,
@@ -1080,12 +1080,37 @@ def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_outer_join_demo(spark)
 
 
-@_register("streaming_sessionize")  # rows-only: custom stateful operator
+@_register(
+    "streaming_sessionize",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, us,
+             CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ),
+    sessions AS (
+      SELECT user_id, event_id, us,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, min(us) AS session_start_us, max(us) AS session_end_us,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
 def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState gap-sessionization (30-min timeout) — the
-    custom stateful streaming operator. No SQL oracle (stateful streaming
-    semantics with timeouts are not SQL-expressible); the batch twin
-    `sessionize` is fully oracle-checked."""
+    custom stateful streaming operator. The bounded replay ends with a
+    watermark-punctuation flush (streaming/windows.py
+    ``_stage_with_flush_sentinel``) that drains every open session, so
+    the streaming result is provably identical to the batch twin
+    ``sessionize`` and shares its (re-shaped) oracle."""
     from gene_level_metadata_pipeline_spark.streaming.windows import sessionize_stream
 
     return sessionize_stream(spark, sf_dir)
@@ -1491,7 +1516,7 @@ def q_multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_transform(generate_series(1, nb),
                i -> (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16
                   + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)),
-             'sum'), 0) AS checksum
+             'sum')::BIGINT, 0) AS checksum
     FROM h
     """,
 )
@@ -2618,9 +2643,9 @@ def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM hourly GROUP BY 1
     )
     SELECT 'hour' AS grain, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start,
-           n, round(total, 2)::DOUBLE AS total FROM hourly
+           n::BIGINT AS n, round(total, 2)::DOUBLE AS total FROM hourly
     UNION ALL
-    SELECT 'day', strftime(bucket, '%Y-%m-%d %H:%M:%S'), n, round(total, 2)::DOUBLE FROM daily
+    SELECT 'day', strftime(bucket, '%Y-%m-%d %H:%M:%S'), n::BIGINT, round(total, 2)::DOUBLE FROM daily
     """,
 )
 def q_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2917,8 +2942,8 @@ def q_tpch_q10_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q12_late_priority",
     oracle="""
     SELECT l.l_linestatus,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-           sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
     FROM orders o
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY
@@ -5372,7 +5397,7 @@ def q_text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                   (15 * (1000000000000 // nn.n)) // 100
                   + (85 * COALESCE(c3.s, 0)) // 100 AS pr
            FROM deg g CROSS JOIN nn LEFT JOIN c3 ON c3.node = g.u)
-    SELECT node AS suppkey, pr AS pr_micro FROM p3
+    SELECT node AS suppkey, pr::BIGINT AS pr_micro FROM p3
     """,
 )
 def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5464,12 +5489,12 @@ def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_orderkey,
            len(qtys) AS n_items,
-           list_sum(qtys) AS fold_sum,
+           list_sum(qtys)::BIGINT AS fold_sum,
            len(list_filter(qtys, x -> x >= 30)) AS big_cnt,
            len(list_filter(qtys, x -> x >= 45)) > 0 AS any_ge45,
            len(list_filter(qtys, x -> x <= 0)) = 0 AS all_pos,
            list_transform(qtys, x -> x * 2)[1] AS head_doubled,
-           list_sum(list_transform(qtys, x -> x * x)) AS sq_sum
+           list_sum(list_transform(qtys, x -> x * x))::BIGINT AS sq_sum
     FROM a
     """,
 )
@@ -5513,7 +5538,7 @@ def q_hof_array_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            coalesce(max(CASE WHEN o_orderstatus = 'O' THEN n END), 0) AS open_cnt,
            coalesce(max(CASE WHEN o_orderstatus = 'F' THEN n END), 0) AS filled_cnt,
            count(*) FILTER (WHERE n > 1) AS repeated_statuses,
-           sum(n) AS total_orders
+           sum(n)::BIGINT AS total_orders
     FROM per GROUP BY o_custkey
     """,
 )
@@ -5922,7 +5947,7 @@ def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id, q_scale,
            count(*) AS n_dims,
            max(CASE WHEN pos = 1 THEN qe END) AS q_head,
-           sum(abs(qe)) AS q_l1,
+           sum(abs(qe))::BIGINT AS q_l1,
            round(CAST(sum(CAST(x * (qe * q_scale) AS DECIMAL(25,12))) AS DOUBLE)
                  / (sqrt(CAST(sum(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE))
                     * sqrt(CAST(sum(CAST((qe * q_scale) * (qe * q_scale) AS DECIMAL(25,12)))

@@ -96,33 +96,101 @@ def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, out.schema)
 
 
-def sessionize_stream(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -> DataFrame:
+_FLUSH_SENTINEL_UID = -(2**40)  # impossible user_id reserved for the punctuation row
+
+
+def _stage_with_flush_sentinel(
+    spark: SparkSession, static: DataFrame, sf_dir: str, gap_minutes: int
+) -> str:
+    """Stage events.parquet plus one far-future sentinel event.
+
+    Watermark punctuation: EventTimeTimeout only fires when the watermark
+    (max event time − delay) passes ``last_seen + gap``, so every user's
+    final open session would otherwise sit in state when a bounded run
+    ends. One synthetic event at ``max(ts) + delay + gap + 1s`` under a
+    reserved user_id pushes the final watermark past every real session's
+    timeout, so the trailing no-data micro-batch drains all of them. The
+    sentinel user's own (single-event) session is the only state left
+    behind, and its output is filtered. This is the standard bounded-
+    replay flush; on a true unbounded stream no sentinel is needed.
+    """
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    stage = tempfile.mkdtemp(prefix="sessionize_flush_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"), f"{stage}/events.parquet"
+    )
+    horizon_s = 3600 + gap_minutes * 60 + 1  # watermark delay + gap + margin
+    fields = static.schema.fields
+    ts_type = static.schema["ts"].dataType.simpleString()
+    row = static.limit(1).collect()[0].asDict()
+    for f in fields:  # null out payload columns; keep only the key + time
+        if f.name not in ("ts", "user_id", "event_id"):
+            row[f.name] = None
+    row["user_id"] = _FLUSH_SENTINEL_UID
+    if "event_id" in row:
+        row["event_id"] = -1
+    if ts_type == "bigint":  # raw nanos under nanosAsLong
+        max_ts = static.agg(F.max("ts")).first()[0]
+        row["ts"] = int(max_ts) + horizon_s * 1_000_000_000
+    else:  # timestamp / timestamp_ntz
+        import datetime
+
+        max_ts = static.agg(F.max("ts")).first()[0]
+        row["ts"] = max_ts + datetime.timedelta(seconds=horizon_s)
+    sent = spark.createDataFrame(
+        [tuple(row[f.name] for f in fields)], static.schema
+    )
+    tmp_out = stage + "_w"
+    sent.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+    part = _glob.glob(os.path.join(tmp_out, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(stage, "zz_sentinel.parquet"))
+    shutil.rmtree(tmp_out, ignore_errors=True)
+    return stage
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_minutes: int = 30,
+    flush_final: bool = True,
+) -> DataFrame:
     """Stateful streaming sessionization via applyInPandasWithState.
 
     The custom-stateful-operator slice: per-user sessions with a
     ``gap_minutes`` inactivity timeout, state = (session start, last seen,
     count), emitted on event-time timeout. The watermark bounds state.
 
-    Honest semantics note: sessions still open when the stream ends are
-    NOT emitted — EventTimeTimeout only fires when the watermark (max
-    event time − 1 h) passes ``last_seen + gap``, so users whose final
-    session ends within watermark+gap of the stream's end stay in state
-    awaiting more data. That is correct unbounded-stream behavior, not a
-    bug to paper over: a one-shot availableNow run therefore returns
-    fewer sessions than the batch twin ``sessionize`` (e.g. 21 of 150
-    users' last sessions at sf0.01). Use the batch op for complete data.
+    With ``flush_final=True`` (default) a watermark-punctuation sentinel
+    (see ``_stage_with_flush_sentinel``) drains every open session when
+    the bounded replay ends, making the result provably identical to the
+    batch twin ``sessionize`` — the registered query shares its oracle.
+    With ``flush_final=False`` the run keeps strict unbounded-stream
+    semantics: sessions whose timeout the final watermark never passed
+    stay in state (e.g. 21 of 150 users' last sessions at sf0.01),
+    awaiting data that will never come.
 
     Returns (user_id, session_start_us, session_end_us, n_events).
     """
+    import shutil
+
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     _events_confs(spark)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    src = (
-        spark.readStream.schema(static.schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stage_dir = None
+    if flush_final:
+        stage_dir = _stage_with_flush_sentinel(spark, static, sf_dir, gap_minutes)
+        src = spark.readStream.schema(static.schema).parquet(stage_dir)
+    else:
+        src = (
+            spark.readStream.schema(static.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     ev = normalize_event_ts(src).withWatermark("ts", "1 hour")
 
     gap_us = gap_minutes * 60 * 1_000_000
@@ -173,19 +241,23 @@ def sessionize_stream(spark: SparkSession, sf_dir: str, gap_minutes: int = 30) -
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
-    with _pinned_shuffle(spark):
-        q = (
-            sessions.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-    out = spark.table(name)
-    rows = out.collect()
-    spark.catalog.dropTempView(name)
-    return spark.createDataFrame(rows, out.schema)
+    try:
+        with _pinned_shuffle(spark):
+            q = (
+                sessions.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        out = spark.table(name).where(F.col("user_id") != F.lit(_FLUSH_SENTINEL_UID))
+        rows = out.collect()
+        spark.catalog.dropTempView(name)
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        if stage_dir is not None:
+            shutil.rmtree(stage_dir, ignore_errors=True)
 
 
 def stream_stream_interval_join(

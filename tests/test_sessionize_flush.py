@@ -1,0 +1,75 @@
+"""Streaming/batch sessionize reconciliation (VERDICT r1 item 2).
+
+Pins the watermark-punctuation flush contract:
+
+1. With ``flush_final=True`` (default) the streaming sessionizer's result
+   is row-for-row identical to the batch twin ``sessionize`` — the
+   sentinel advances the final watermark past every real session's
+   ``last_seen + gap`` so the trailing no-data micro-batch drains all
+   open state, and the sentinel's own session is filtered out.
+2. With ``flush_final=False`` (strict unbounded-stream semantics) the
+   only missing rows are final open sessions whose timeout the last
+   watermark (max event time − 1 h) never passed — i.e. sessions with
+   ``end + gap >= max_ts − 1h``. Nothing else may differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def _batch_sessions(spark, sf_dir):
+    from gene_level_metadata_pipeline_spark.plans.driver_queries import QUERIES
+
+    return (
+        QUERIES["sessionize"](spark, sf_dir)
+        .select(
+            "user_id",
+            F.col("start_us").alias("session_start_us"),
+            F.col("end_us").alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+
+def test_flushed_stream_equals_batch(spark):
+    from gene_level_metadata_pipeline_spark.streaming.windows import sessionize_stream
+
+    stream = sessionize_stream(spark, SF_SMOKE, flush_final=True)
+    batch = _batch_sessions(spark, SF_SMOKE)
+    s = {tuple(r) for r in stream.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b, (
+        f"stream-batch drift: only-stream={sorted(s - b)[:5]} "
+        f"only-batch={sorted(b - s)[:5]}"
+    )
+
+
+def test_unflushed_gap_is_exactly_open_horizon_sessions(spark):
+    from gene_level_metadata_pipeline_spark.streaming.windows import sessionize_stream
+
+    stream = sessionize_stream(spark, SF_SMOKE, flush_final=False)
+    batch = _batch_sessions(spark, SF_SMOKE)
+    s = {tuple(r) for r in stream.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s <= b, f"stream emitted sessions absent from batch: {sorted(s - b)[:5]}"
+
+    gap_us = 30 * 60 * 1_000_000
+    delay_us = 3600 * 1_000_000
+    max_us = max(r[2] for r in b)
+    final_watermark = max_us - delay_us
+    missing = b - s
+    assert missing, "fixture too small: no open-horizon sessions at stream end"
+    for (_uid, _start, end, _n) in missing:
+        assert end + gap_us >= final_watermark, (
+            "unflushed run dropped a session the watermark had already "
+            f"passed: end={end}, final_watermark={final_watermark}"
+        )
+    # and every missing session is its user's LAST batch session
+    last_by_user = {}
+    for (uid, _start, end, _n) in b:
+        last_by_user[uid] = max(last_by_user.get(uid, 0), end)
+    for (uid, _start, end, _n) in missing:
+        assert end == last_by_user[uid]
