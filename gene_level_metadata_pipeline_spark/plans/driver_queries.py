@@ -665,7 +665,7 @@ def q_melt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window counts over the events table (SURVEY §2.12
-    extension slice). Nanos→micros normalization via ts_from_nanos."""
+    extension slice). Event-time normalization via normalize_event_ts."""
     ev = _events(spark, sf_dir)
     return (
         ev.groupBy(

@@ -73,6 +73,13 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
         return df.withColumn(col, ts_from_nanos(col))
     if isinstance(dt, T.TimestampNTZType):
         return df.withColumn(col, F.col(col).cast("timestamp"))
+    if not isinstance(dt, T.TimestampType):
+        raise TypeError(
+            f"normalize_event_ts: column {col!r} has unsupported type "
+            f"{dt.simpleString()}; expected long (nanos), timestamp_ntz, "
+            "or timestamp — generator schema drift should fail here, not "
+            "downstream"
+        )
     return df
 
 

@@ -310,3 +310,20 @@ def test_custom_datasource_stream_writer_per_batch_manifests(spark, tmp_path):
     )
     assert after == before  # first attempt kept
     assert not os.path.exists(stray)  # replay's staged file cleaned up
+
+
+def test_normalize_event_ts_rejects_schema_drift(spark):
+    """Unexpected physical ts types must fail at the normalization
+    boundary with a clear message, not downstream (ADVICE r1)."""
+    import pytest
+
+    from gene_level_metadata_pipeline_spark.sources.readers import (
+        normalize_event_ts,
+    )
+
+    drifted = spark.createDataFrame([("2024-01-01",)], "ts string")
+    with pytest.raises(TypeError, match="normalize_event_ts.*unsupported"):
+        normalize_event_ts(drifted)
+
+    ok = spark.createDataFrame([(1_700_000_000_000_000_000,)], "ts long")
+    assert normalize_event_ts(ok).schema["ts"].dataType.simpleString() == "timestamp"
