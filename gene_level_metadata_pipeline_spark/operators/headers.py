@@ -41,7 +41,7 @@ def select_positional(df: DataFrame, *positions: int) -> DataFrame:
     """1-based ordinal projection — R's ``df[, c(1,17,19)]`` / ``select(7,5)``
     (P3: ``TM:35``, ``T:251``)."""
     cols = df.columns
-    return df.select(*[cols[p - 1] for p in positions])
+    return df.select(*[_q(cols[p - 1]) for p in positions])
 
 
 def rename_all(df: DataFrame, new_names: list[str]) -> DataFrame:
@@ -53,9 +53,15 @@ def rename_all(df: DataFrame, new_names: list[str]) -> DataFrame:
     return df.toDF(*new_names)
 
 
+def _q(name: str) -> str:
+    """Backtick-quote a column name so R-style dotted names (``mean.comb``,
+    ``TM:68``) resolve literally instead of as struct-field access."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def reorder_first(df: DataFrame, col: str) -> DataFrame:
     """``select(col, everything())`` (P8: ``TM:57``)."""
-    return df.select(col, *[c for c in df.columns if c != col])
+    return df.select(_q(col), *[_q(c) for c in df.columns if c != col])
 
 
 def fix_shifted_header(df: DataFrame) -> DataFrame:

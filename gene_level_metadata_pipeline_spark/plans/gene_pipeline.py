@@ -19,7 +19,9 @@ from pyspark.sql import functions as F
 from gene_level_metadata_pipeline_spark.functions.scalars import (
     flag_in,
     nullify,
+    round_r,
     sentence_case,
+    strip_version_suffix,
 )
 from gene_level_metadata_pipeline_spark.operators.conflicts import (
     keep_unique,
@@ -49,6 +51,13 @@ __all__ = [
     "reactome",
     "orthologs",
     "paralogs",
+    "alphamissense",
+    "scones",
+    "domino",
+    "gismo",
+    "shet_posterior",
+    "mair_fitness",
+    "rosen_score",
 ]
 
 
@@ -431,3 +440,170 @@ def paralogs(raw: DataFrame, genes: DataFrame, spn: DataFrame) -> DataFrame:
         "paralog_ensembl_gene_id",
     )
     return harmonize(spn, src.dropDuplicates(), KEY)
+
+
+# ---------------------------------------------------------------------------
+# EP3 — manuscript-file score tables (TM: temp-tidy-all-manuscript-files.R)
+# ---------------------------------------------------------------------------
+
+
+def alphamissense(alpham: DataFrame, mane: DataFrame, genes: DataFrame) -> DataFrame:
+    """TM:6-40 (AlphaMissense): strip the transcript version suffix
+    (TM:8), rename to ensembl_transcript_id (TM:9), attach the MANE/
+    canonical flags from the biomaRt snapshot restricted to the
+    protein-coding symbols (TM:12-18, S12 → semi join + natural left
+    join), derive the four-way MANE/canonical flag (TM:19-29 case_when —
+    Spark's null-predicate semantics match R's NA-condition fallthrough
+    exactly), drop rows with no hgnc_symbol (TM:30).
+    """
+    from gene_level_metadata_pipeline_spark.operators.joins import (
+        natural_join,
+        semi_join,
+    )
+
+    src = alpham.withColumn(
+        "ensembl_transcript_id", strip_version_suffix("transcript_id")
+    ).drop("transcript_id")
+    mane_sel = semi_join(
+        mane,
+        genes.select(F.col("symbol").alias("hgnc_symbol")),
+        "hgnc_symbol",
+    )
+    joined = natural_join(src, mane_sel, "left")
+    mane_c, canon = F.col("transcript_mane_select"), F.col("transcript_is_canonical")
+    return joined.withColumn(
+        "flag",
+        F.when((mane_c != "") & canon.isNull(), "mane only")
+        .when((canon == 1) & (mane_c == ""), "canonical only")
+        .when((mane_c != "") & (canon == 1), "mane and canonical")
+        .when((mane_c == "") & canon.isNull(), "neither")
+        .otherwise(F.lit(None).cast("string")),
+    ).where(F.col("hgnc_symbol").isNotNull())
+
+
+def scones(raw: DataFrame, genes: DataFrame) -> DataFrame:
+    """TM:42-48 (SCoNeS): positional select of columns 1/17/19 (P3),
+    rename Gene → gene_symbol, %in% protein-coding filter (semi join),
+    rename SCoNeS → scones and drop the DOMINO column."""
+    from gene_level_metadata_pipeline_spark.operators.headers import select_positional
+    from gene_level_metadata_pipeline_spark.operators.joins import semi_join
+
+    src = select_positional(raw, 1, 17, 19).withColumnRenamed("Gene", "gene_symbol")
+    src = semi_join(
+        src, genes.select(F.col("symbol").alias("gene_symbol")), "gene_symbol"
+    )
+    return src.withColumnRenamed("SCoNeS", "scones").drop("DOMINO")
+
+
+def domino(raw: DataFrame) -> DataFrame:
+    """TM:50-57 (DOMINO): project (#HGNC ID, Score) → (hgnc_symbol,
+    domino), then drop every symbol that appears more than once — the
+    reference's count→filter-dups flow is exactly keep_unique (A2)."""
+    src = raw.select(
+        F.col("`#HGNC ID`").alias("hgnc_symbol"), F.col("Score").alias("domino")
+    )
+    return keep_unique(src, "hgnc_symbol")
+
+
+def gismo(
+    gismo_raw: DataFrame, gismo_mis_raw: DataFrame, genes: DataFrame
+) -> DataFrame:
+    """TM:59-77 (GISMO & GISMO-mis): symbol↔ENSG mapping join for GISMO
+    (TM:60-67), column-rename tidy of GISMO-mis (TM:68-72), full natural
+    join of the two (TM:73), %in% protein-coding filter, transcript drop,
+    half-even round-3 of both scores (TM:75-76 R round), distinct, and
+    keep_unique on gene_symbol (TM:77's count→filter-dups)."""
+    from gene_level_metadata_pipeline_spark.operators.headers import reorder_first
+    from gene_level_metadata_pipeline_spark.operators.joins import (
+        full_join,
+        natural_join,
+        semi_join,
+    )
+
+    mapping = genes.select(
+        F.col("symbol").alias("gene_symbol"),
+        F.col("ensembl_gene_id").alias("gene"),
+    )
+    g = (
+        natural_join(gismo_raw, mapping, "left")
+        .select("median", "gene_symbol", "decile")
+        .transform(lambda d: reorder_first(d, "gene_symbol"))
+        .where(F.col("gene_symbol").isNotNull())
+        .withColumnRenamed("median", "gismo_median")
+        .withColumnRenamed("decile", "gismo_decile")
+    )
+    gm = (
+        gismo_mis_raw.select("`mean.comb`", "genename", "dec", "gene")
+        .withColumnRenamed("genename", "gene_symbol")
+        .transform(lambda d: reorder_first(d, "gene_symbol"))
+        .withColumnRenamed("mean.comb", "gismo_mis_mean_comb")
+        .withColumnRenamed("dec", "gismo_mis_decile")
+        .withColumnRenamed("gene", "transcript")
+    )
+    both = (
+        full_join(g, gm, "gene_symbol")
+        .transform(
+            lambda d: semi_join(
+                d, genes.select(F.col("symbol").alias("gene_symbol")), "gene_symbol"
+            )
+        )
+        .drop("transcript")
+        .withColumn("gismo_median", round_r("gismo_median", 3))
+        .withColumn("gismo_mis_mean_comb", round_r("gismo_mis_mean_comb", 3))
+        .dropDuplicates()
+    )
+    return keep_unique(both, "gene_symbol").dropDuplicates()
+
+
+def shet_posterior(raw: DataFrame) -> DataFrame:
+    """TM:79-89 (s_het posterior): positional select of columns
+    1/2/7/8/9 (P3), bulk positional rename (P5), half-even round-3 of
+    the three posterior stats, keep (hgnc_id, shet_post_mean), distinct."""
+    from gene_level_metadata_pipeline_spark.operators.headers import (
+        rename_all,
+        select_positional,
+    )
+
+    src = rename_all(
+        select_positional(raw, 1, 2, 7, 8, 9),
+        ["ens_gene_id", "hgnc_id", "shet_post_mean", "shet_post_lower",
+         "shet_post_upper"],
+    )
+    for c in ("shet_post_mean", "shet_post_lower", "shet_post_upper"):
+        src = src.withColumn(c, round_r(c, 3))
+    return src.select("hgnc_id", "shet_post_mean").dropDuplicates()
+
+
+def mair_fitness(raw: DataFrame, condition: str) -> DataFrame:
+    """TM:93-102 (Mair 2019 cell fitness, MEF / laminin): positional
+    select of columns 1/2/7, positional rename to (gene_symbol,
+    bf_<condition>, fdr_<condition>), half-even round-3 of the FDR."""
+    from gene_level_metadata_pipeline_spark.operators.headers import (
+        rename_all,
+        select_positional,
+    )
+
+    src = rename_all(
+        select_positional(raw, 1, 2, 7),
+        ["gene_symbol", f"bf_{condition}", f"fdr_{condition}"],
+    )
+    return src.withColumn(f"fdr_{condition}", round_r(f"fdr_{condition}", 3))
+
+
+def rosen_score(raw: DataFrame, rename_to: str | None = None) -> DataFrame:
+    """TM:104-127 (Rosen 2024 pluripotency / self-renewal scores):
+    positional select of columns 1 and 11 (P3), promote the first data
+    row to the header (P7+O4, TM:107-109), cast the score column to
+    double and half-even round-2 (TM:110), optionally rename the score
+    column by position (TM:111 / TM:120 ``rename(x=2)``)."""
+    from gene_level_metadata_pipeline_spark.operators.headers import (
+        promote_first_row_to_header,
+        select_positional,
+    )
+
+    src = promote_first_row_to_header(select_positional(raw, 1, 11))
+    score = src.columns[1]
+    src = src.withColumn(score, round_r(F.col(score).cast("double"), 2))
+    if rename_to is not None:
+        src = src.withColumnRenamed(score, rename_to)
+    return src

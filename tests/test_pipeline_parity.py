@@ -379,3 +379,121 @@ def test_paralogs_semi_join_golden(spark, genes_full, spn_full):
     assert rows == {
         ("GENE1", "GENE2"), ("GENE3", "GENE1"), ("GENE2", None),
     }
+
+
+# ---------------------------------------------------------------------------
+# EP3 — TM manuscript-file score tables (temp-tidy-all-manuscript-files.R)
+# ---------------------------------------------------------------------------
+
+
+def test_alphamissense_flag_golden(spark, pcg):
+    # TM:6-30 — version-suffix strip, MANE/canonical natural join, four-way
+    # flag case_when with R NA-condition fallthrough, hgnc_symbol filter
+    alpham = spark.createDataFrame(
+        [("ENST1.5", 0.9), ("ENST2.12", 0.5), ("ENST3.1", 0.2),
+         ("ENST4.2", 0.1), ("ENST9.9", 0.7)],
+        ["transcript_id", "am_score"],
+    )
+    mane = spark.createDataFrame(
+        [("GENE1", "ENST1", "MANE1", None),      # mane only
+         ("GENE2", "ENST2", "", 1),              # canonical only
+         ("GENE3", "ENST3", "MANE3", 1),         # mane and canonical
+         ("GENE1", "ENST4", "", None),           # neither
+         ("NOTPCG", "ENST9", "MANE9", 1)],       # dropped by the S12 filter
+        "hgnc_symbol string, ensembl_transcript_id string, "
+        "transcript_mane_select string, transcript_is_canonical int",
+    )
+    rows = {
+        (r["ensembl_transcript_id"], r["hgnc_symbol"], r["flag"])
+        for r in gp.alphamissense(alpham, mane, pcg).collect()
+    }
+    assert rows == {
+        ("ENST1", "GENE1", "mane only"),
+        ("ENST2", "GENE2", "canonical only"),
+        ("ENST3", "GENE3", "mane and canonical"),
+        ("ENST4", "GENE1", "neither"),
+        # ENST9: mane row excluded by the protein-coding semi join ->
+        # left-join miss -> hgnc_symbol NULL -> filtered (TM:30)
+    }
+
+
+def test_scones_positional_golden(spark, pcg):
+    # TM:42-48 — df[, c(1,17,19)] positional slice then %in% filter
+    names = ["Gene"] + [f"c{i}" for i in range(2, 17)] + ["SCoNeS", "c18", "DOMINO"]
+    row1 = ["GENE1"] + [0.0] * 15 + [0.8, 0.0, 0.3]
+    row2 = ["NOTPCG"] + [0.0] * 15 + [0.5, 0.0, 0.1]
+    raw = spark.createDataFrame([tuple(row1), tuple(row2)], names)
+    out = gp.scones(raw, pcg)
+    assert out.columns == ["gene_symbol", "scones"]
+    assert {(r[0], r[1]) for r in out.collect()} == {("GENE1", 0.8)}
+
+
+def test_domino_dedup_golden(spark):
+    # TM:50-57 — the count→filter-dups flow drops both HGNC:2 rows
+    raw = spark.createDataFrame(
+        [("HGNC:1", 0.9), ("HGNC:2", 0.5), ("HGNC:2", 0.6), ("HGNC:3", 0.7)],
+        ["#HGNC ID", "Score"],
+    )
+    rows = {tuple(r) for r in gp.domino(raw).collect()}
+    assert rows == {("HGNC:1", 0.9), ("HGNC:3", 0.7)}
+
+
+def test_gismo_full_join_golden(spark, pcg):
+    # TM:59-77 — mapping join, full join, pcg filter, round-3, dedup
+    gismo_raw = spark.createDataFrame(
+        [(0.12341, 1, "ENSG1"),     # GENE1, gismo side only
+         (0.5, 2, "ENSGX"),         # unmapped -> gene_symbol NULL -> dropped
+         (0.1, 1, "ENSG3"),         # GENE3 dup #1
+         (0.2, 2, "ENSG3")],        # GENE3 dup #2 -> keep_unique drops both
+        ["median", "decile", "gene"],
+    )
+    gismo_mis_raw = spark.createDataFrame(
+        [(0.98761, "GENE2", 9, "ENST2")],   # GENE2, mis side only
+        ["mean.comb", "genename", "dec", "gene"],
+    )
+    out = gp.gismo(gismo_raw, gismo_mis_raw, pcg)
+    assert out.columns == ["gene_symbol", "gismo_median", "gismo_decile",
+                           "gismo_mis_mean_comb", "gismo_mis_decile"]
+    rows = {tuple(r) for r in out.collect()}
+    assert rows == {
+        ("GENE1", 0.123, 1, None, None),
+        ("GENE2", None, None, 0.988, 9),
+    }
+
+
+def test_shet_posterior_golden(spark):
+    # TM:79-89 — positional 1/2/7/8/9, bulk rename, round-3, 2-col slice
+    names = ["ens", "hgnc", "c3", "c4", "c5", "c6", "mean", "lower", "upper"]
+    raw = spark.createDataFrame(
+        [("ENSG1", "HGNC:1", 0, 0, 0, 0, 0.5561, 0.1, 0.9),
+         ("ENSG1", "HGNC:1", 0, 0, 0, 0, 0.5561, 0.1, 0.9)],  # exact dup
+        names,
+    )
+    out = gp.shet_posterior(raw)
+    assert out.columns == ["hgnc_id", "shet_post_mean"]
+    assert {tuple(r) for r in out.collect()} == {("HGNC:1", 0.556)}
+
+
+def test_mair_fitness_golden(spark):
+    # TM:93-102 — positional 1/2/7 rename + FDR round-3, per condition
+    names = ["g", "bf", "c3", "c4", "c5", "c6", "fdr"]
+    raw = spark.createDataFrame([("GENE1", 12.3, 0, 0, 0, 0, 0.0012)], names)
+    out = gp.mair_fitness(raw, "mef")
+    assert out.columns == ["gene_symbol", "bf_mef", "fdr_mef"]
+    assert {tuple(r) for r in out.collect()} == {("GENE1", 12.3, 0.001)}
+
+
+def test_rosen_score_golden(spark):
+    # TM:104-127 — select(X1, 11), promote first row to header, round-2,
+    # positional rename of the score column
+    names = ["X1"] + [f"X{i}" for i in range(2, 12)]
+    rows = [tuple(["gene"] + [""] * 9 + ["NE_pluripotency_score"]),
+            tuple(["GENE1"] + [""] * 9 + ["0.456"]),
+            tuple(["GENE2"] + [""] * 9 + ["1.234"])]
+    raw = spark.createDataFrame(rows, names)
+    out = gp.rosen_score(raw)
+    assert out.columns == ["gene", "NE_pluripotency_score"]
+    assert {tuple(r) for r in out.collect()} == {("GENE1", 0.46), ("GENE2", 1.23)}
+
+    renamed = gp.rosen_score(raw, rename_to="E8_self_renewal_score")
+    assert renamed.columns == ["gene", "E8_self_renewal_score"]
