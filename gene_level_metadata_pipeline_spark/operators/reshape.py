@@ -87,7 +87,8 @@ def melt(df: DataFrame, id_cols: list[str], value_cols: list[str],
     n = len(value_cols)
     pairs = ", ".join(f"'{c}', `{c}`" for c in value_cols)
     stacked = F.expr(f"stack({n}, {pairs}) as (`{var_name}`, `{value_name}`)")
-    return df.select(*[F.col(c) for c in id_cols], stacked)
+    # backtick-quote ids so R-style dotted names ("...1", TW:14) resolve
+    return df.select(*[F.col(f"`{c}`") for c in id_cols], stacked)
 
 
 def transpose(

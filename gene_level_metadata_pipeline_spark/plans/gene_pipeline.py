@@ -26,6 +26,7 @@ from gene_level_metadata_pipeline_spark.functions.scalars import (
 from gene_level_metadata_pipeline_spark.operators.conflicts import (
     keep_unique,
     null_conflicts,
+    prefer_flagged,
 )
 from gene_level_metadata_pipeline_spark.operators.harmonize import harmonize, spine
 from gene_level_metadata_pipeline_spark.operators.reshape import separate_rows
@@ -58,6 +59,9 @@ __all__ = [
     "shet_posterior",
     "mair_fitness",
     "rosen_score",
+    "depmap_essentiality",
+    "gtex_expression",
+    "constraint_scores",
 ]
 
 
@@ -607,3 +611,126 @@ def rosen_score(raw: DataFrame, rename_to: str | None = None) -> DataFrame:
     if rename_to is not None:
         src = src.withColumnRenamed(score, rename_to)
     return src
+
+
+# ---------------------------------------------------------------------------
+# TW — web-file score tables (temp-tidy-all-web-files.R), end-to-end
+# ---------------------------------------------------------------------------
+
+
+def depmap_essentiality(gene_effect: DataFrame, spn: DataFrame) -> DataFrame:
+    """TW:12-51 (DepMap): the melt-not-transpose flow.
+
+    The reference transposes the models × genes effect matrix in RAM
+    (TW:16-18), binarizes at the −0.5 gene-effect threshold (TW:20-21),
+    takes rowSums → percentage essential (TW:24-27) and rowMeans
+    (TW:29-31), full-joins the two per-gene frames (TW:43-47) and spine
+    left-joins (TW:49-51). The engine melts the wide frame instead (R4
+    stance: one narrow ``stack`` pass, no wide rows at scale) — one
+    groupBy on gene then computes BOTH aggregates in a single pass, so
+    the reference's full join degenerates to one agg (same result: both
+    sides are keyed by the same gene set).
+
+    Column-name tidy mirrors TW:13-14: gene columns are named
+    ``"SYMBOL (entrez)"`` — split on space, keep the first token; the
+    first column (R's ``...1``) is the model id, whatever its name.
+    """
+    from gene_level_metadata_pipeline_spark.operators.reshape import melt
+
+    model_col = gene_effect.columns[0]
+    gene_cols = gene_effect.columns[1:]
+    long = melt(
+        gene_effect, [model_col], gene_cols, var_name="gene_raw",
+        value_name="score",
+    )
+    per_gene = (
+        long.withColumn(
+            "gene_symbol", F.split(F.col("gene_raw"), r"\s+").getItem(0)
+        )
+        .groupBy("gene_symbol")
+        .agg(
+            F.sum(F.when(F.col("score") < -0.5, 1).otherwise(0)).alias(
+                "n_essential"
+            ),
+            F.count(F.lit(1)).alias("n_models"),
+            F.avg("score").alias("mean_score_all"),
+        )
+        .select(
+            F.col("gene_symbol").alias(KEY),
+            round_r(100.0 * F.col("n_essential") / F.col("n_models"), 3).alias(
+                "percentage_essential"
+            ),
+            round_r("mean_score_all", 3).alias("mean_score_all"),
+        )
+    )
+    return harmonize(spn, per_gene, KEY)
+
+
+def gtex_expression(gtex: DataFrame, genes: DataFrame, spn: DataFrame) -> DataFrame:
+    """TW:58-71 (GTEx median TPM): drop PAR_Y pseudo-autosomal rows
+    (TW:61), strip the ensembl version suffix (TW:62), keep only current
+    protein-coding ensembl ids (TW:63 %in% → semi join), attach symbols
+    via the symbol↔ENSG mapping (TW:65-66), drop Description and the id,
+    half-even round-3 every numeric tissue column (TW:69), spine join +
+    distinct (TW:71-73)."""
+    from pyspark.sql import types as T
+
+    from gene_level_metadata_pipeline_spark.operators.joins import semi_join
+
+    mapping = genes.select(
+        F.col("symbol").alias(KEY),
+        F.col("ensembl_gene_id"),
+    )
+    src = (
+        gtex.where(~F.col("Name").contains("_PAR_Y"))
+        .withColumn("Name", F.regexp_replace("Name", r"\..*", ""))
+        .withColumnRenamed("Name", "ensembl_gene_id")
+        .drop("Description")
+    )
+    src = semi_join(src, genes.select("ensembl_gene_id"), "ensembl_gene_id")
+    src = src.join(mapping, "ensembl_gene_id", "left").drop("ensembl_gene_id")
+    for f in src.schema.fields:
+        if isinstance(f.dataType, (T.DoubleType, T.FloatType)):
+            src = src.withColumn(f.name, round_r(f.name, 3))
+    return harmonize(spn, src.dropDuplicates(), KEY)
+
+
+def constraint_scores(
+    gnomad: DataFrame, mane: DataFrame, spn: DataFrame
+) -> DataFrame:
+    """TW:143-168 (gnomAD LOEUF): project + bulk-rename the constraint
+    columns (TW:144-146), keep only transcripts that are MANE or
+    canonical per the biomaRt snapshot (TW:147-153 pulled-vector %in% →
+    distributed semi join), slice to (gene, LOEUF, mane flag) with
+    NULL-symbol drop (TW:154-159), then the prefer-flagged conflict
+    resolution (TW:160-166: singleton genes pass, duplicated genes keep
+    only ``mane_select == "true"`` rows) and spine join (TW:168-170)."""
+    from gene_level_metadata_pipeline_spark.operators.joins import semi_join
+
+    g2 = gnomad.select(
+        F.col("gene"),
+        F.col("transcript").alias("gnomad_transcript"),
+        F.col("mane_select").alias("gnomad_mane_select"),
+        F.col("`lof.oe_ci.upper`").alias("gnomad_lof_upper_90_ci"),
+    )
+    keepable = mane.where(
+        ((F.col("transcript_mane_select").isNotNull())
+         & (F.col("transcript_mane_select") != ""))
+        | (F.col("transcript_is_canonical") == 1)
+    ).select(F.col("ensembl_transcript_id").alias("gnomad_transcript"))
+    g4 = (
+        semi_join(g2, keepable, "gnomad_transcript")
+        .select(
+            F.col("gene").alias(KEY),
+            "gnomad_lof_upper_90_ci",
+            "gnomad_mane_select",
+        )
+        .where(F.col(KEY).isNotNull())
+        .dropDuplicates()
+    )
+    g5 = (
+        prefer_flagged(g4, KEY, "gnomad_mane_select", "true")
+        .drop("gnomad_mane_select")
+        .withColumnRenamed("gnomad_lof_upper_90_ci", "LOEUF")
+    )
+    return harmonize(spn, g5, KEY)

@@ -497,3 +497,74 @@ def test_rosen_score_golden(spark):
 
     renamed = gp.rosen_score(raw, rename_to="E8_self_renewal_score")
     assert renamed.columns == ["gene", "E8_self_renewal_score"]
+
+
+# ---------------------------------------------------------------------------
+# TW — web-file end-to-end builders (temp-tidy-all-web-files.R)
+# ---------------------------------------------------------------------------
+
+
+def test_depmap_essentiality_golden(spark, pcg, pcg_spine):
+    # TW:12-51 — melt, -0.5 binarize, rowSums pct + rowMeans in one agg,
+    # spine join. 3 models x 2 genes; GENE1 essential in 2/3 models.
+    gene_effect = spark.createDataFrame(
+        [("M1", -0.9, 0.1), ("M2", -0.6, -0.2), ("M3", 0.0, 0.3)],
+        ["...1", "GENE1 (101)", "GENE2 (102)"],
+    )
+    rows = {
+        (r["hgnc_gene_symbol"], r["percentage_essential"], r["mean_score_all"])
+        for r in gp.depmap_essentiality(gene_effect, pcg_spine).collect()
+    }
+    assert rows == {
+        ("GENE1", 66.667, -0.5),   # 2/3 essential; mean(-0.9,-0.6,0.0)
+        ("GENE2", 0.0, 0.067),     # none essential; mean(0.1,-0.2,0.3)
+        ("GENE3", None, None),     # spine NULL padding
+    }
+
+
+def test_gtex_expression_golden(spark, pcg, pcg_spine):
+    # TW:58-71 — PAR_Y drop, version strip, pcg semi join, symbol attach,
+    # round-3 of numeric tissue columns
+    gtex = spark.createDataFrame(
+        [("ENSG1.14", "g one", 1.23456, 7.0),
+         ("ENSG2_PAR_Y.3", "par y", 9.9, 9.9),     # dropped (TW:61)
+         ("ENSGDEAD.2", "retired", 1.0, 1.0)],     # not protein-coding
+        ["Name", "Description", "Liver", "Brain"],
+    )
+    out = gp.gtex_expression(gtex, pcg, pcg_spine)
+    assert out.columns == ["hgnc_gene_symbol", "Liver", "Brain"]
+    rows = {tuple(r) for r in out.collect()}
+    assert rows == {
+        ("GENE1", 1.235, 7.0),
+        ("GENE2", None, None),
+        ("GENE3", None, None),
+    }
+
+
+def test_constraint_scores_golden(spark, pcg_spine):
+    # TW:143-168 — MANE/canonical transcript gate then prefer-flagged
+    gnomad = spark.createDataFrame(
+        [
+            ("GENE1", "ENST1", "true", 0.11, 0.5, ""),    # mane transcript
+            ("GENE1", "ENST1B", "", 0.99, 0.5, ""),       # canonical dup -> dropped by prefer-flagged
+            ("GENE2", "ENST2", "", 0.22, 0.5, ""),        # canonical only, singleton
+            ("GENE3", "ENSTX", "", 0.33, 0.5, ""),        # transcript not mane/canonical -> gated out
+        ],
+        ["gene", "transcript", "mane_select", "lof.oe_ci.upper",
+         "mis.oe_ci.upper", "constraint_flags"],
+    )
+    mane = spark.createDataFrame(
+        [("GENE1", "ENST1", "MANE1", None),
+         ("GENE1", "ENST1B", "", 1),
+         ("GENE2", "ENST2", "", 1)],
+        "hgnc_symbol string, ensembl_transcript_id string, "
+        "transcript_mane_select string, transcript_is_canonical int",
+    )
+    out = gp.constraint_scores(gnomad, mane, pcg_spine)
+    assert out.columns == ["hgnc_gene_symbol", "LOEUF"]
+    rows = {tuple(r) for r in out.collect()}
+    assert rows == {
+        ("GENE1", 0.11),   # dup resolved to the mane_select == "true" row
+        ("GENE2", 0.22),
+        ("GENE3", None),   # gated out -> spine NULL padding
+    }
