@@ -13,6 +13,42 @@ from pyspark.sql import functions as F
 
 ROW_ID = "__row_id"
 
+# Row-order ops are an ingest-edge contract: one small freshly-read (or
+# driver-created) frame. The guard below enforces it instead of assuming
+# it (a fact table piped in by mistake would otherwise silently coalesce
+# to one task, and a shuffled frame has no file order at all).
+MAX_ROW_ORDER_ROWS = 100_000
+
+
+def _assert_ingest_edge(df: DataFrame, op: str) -> None:
+    """Raise if ``df`` is not a plausible ingest-edge frame.
+
+    Two cheap checks:
+
+    * **No shuffle in the plan.** "Row order" only means file order; any
+      ``Exchange`` (groupBy/join/repartition upstream) destroys it, so
+      a shuffled input is a contract violation however small it is.
+      Multi-partition inputs WITHOUT a shuffle stay legal: both a
+      single-file scan and a ``createDataFrame``/``parallelize`` frame
+      hold contiguous in-order chunks, which ``coalesce(1)`` concatenates
+      back in partition order.
+    * **Bounded size.** ``limit(N+1).count()`` — the probe never scans a
+      fact table end-to-end.
+    """
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if "Exchange" in plan:
+        raise ValueError(
+            f"{op}: input plan contains a shuffle (Exchange); row-order "
+            "ops are only defined for unshuffled ingest-edge reads — "
+            "apply them before any groupBy/join/repartition"
+        )
+    probe = df.limit(MAX_ROW_ORDER_ROWS + 1).count()
+    if probe > MAX_ROW_ORDER_ROWS:
+        raise ValueError(
+            f"{op}: input exceeds {MAX_ROW_ORDER_ROWS} rows; this is an "
+            "ingest-edge schema-repair op, not a fact-table transform"
+        )
+
 __all__ = [
     "ROW_ID",
     "select_positional",
@@ -29,11 +65,13 @@ def with_row_id(df: DataFrame) -> DataFrame:
     """Attach a file-order row id.
 
     Valid only for single-file, single-partition reads (the reference's
-    row-order idioms all operate on one freshly-read file — ``TM:107-109``).
-    Coalesce to 1 partition so ``monotonically_increasing_id`` is dense and
-    ordered; acceptable because these files are small by construction, and
-    the op is never applied to fact tables.
+    row-order idioms all operate on one freshly-read file — ``TM:107-109``);
+    ``_assert_ingest_edge`` enforces the contract. Coalesce to 1 partition
+    so ``monotonically_increasing_id`` is dense and ordered; acceptable
+    because these files are small by construction, and the op is never
+    applied to fact tables.
     """
+    _assert_ingest_edge(df, "with_row_id")
     return df.coalesce(1).withColumn(ROW_ID, F.monotonically_increasing_id())
 
 

@@ -327,3 +327,28 @@ def test_normalize_event_ts_rejects_schema_drift(spark):
 
     ok = spark.createDataFrame([(1_700_000_000_000_000_000,)], "ts long")
     assert normalize_event_ts(ok).schema["ts"].dataType.simpleString() == "timestamp"
+
+
+def test_row_order_ops_guard(spark):
+    """Row-order ops enforce the ingest-edge contract (VERDICT r1 item 7):
+    shuffled inputs raise; small unshuffled inputs pass."""
+    import pytest
+
+    from gene_level_metadata_pipeline_spark.operators.headers import (
+        promote_first_row_to_header,
+        with_row_id,
+    )
+
+    ok = spark.createDataFrame(
+        [("gene", "score"), ("G1", "0.5")], ["X1", "X2"]
+    )
+    out = promote_first_row_to_header(ok)
+    assert out.columns == ["gene", "score"]
+
+    shuffled = ok.repartition(4)
+    with pytest.raises(ValueError, match="shuffle"):
+        with_row_id(shuffled)
+
+    grouped = ok.groupBy("X1").count()
+    with pytest.raises(ValueError, match="shuffle"):
+        promote_first_row_to_header(grouped)
