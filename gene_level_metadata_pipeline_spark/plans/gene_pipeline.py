@@ -218,8 +218,15 @@ def string_ppi(
     protein2_string_id, T:157-163); both endpoints then strip the
     ^9606. prefix (T:175-176), gain gene symbols via the hgnc_id
     mapping tables (T:165-172, natural joins), drop edgeless genes and
-    scale the score to [0,1] (T:180-181)."""
-    mapped = (
+    scale the score to [0,1] (T:180-181).
+
+    Scale plan: the interactions edge list is the only big side — the
+    ID map and symbol dimensions (~20k genes) are broadcast explicitly,
+    so the edges never shuffle onto dimension keys. The hops are written
+    as left joins for reference parity, but the trailing null-rejecting
+    score filter lets Catalyst rewrite them to inner joins, where the
+    broadcast hint on the dimension side binds."""
+    mapped = F.broadcast(
         genes.select("hgnc_id", "ensembl_gene_id")
         .join(string_map, "ensembl_gene_id", "inner")
         .select("hgnc_id", "STRING_id")
@@ -262,8 +269,8 @@ def string_ppi(
             "protein2_string_id",
             F.regexp_replace("protein2_string_id", r"^9606\.", ""),
         )
-        .join(sym1, "protein1_hgnc_id", "left")
-        .join(sym2, "protein2_hgnc_id", "left")
+        .join(F.broadcast(sym1), "protein1_hgnc_id", "left")
+        .join(F.broadcast(sym2), "protein2_hgnc_id", "left")
         .where(F.col("combined_score").isNotNull())
         .withColumn("combined_score", F.col("combined_score") / 1000)
         .select(
