@@ -32,6 +32,8 @@ __all__ = [
     "cosine",
     "brute_force_topk",
     "sign_lsh_pairs",
+    "kmeans_centroids",
+    "assign_cells",
     "ivf_topk",
     "embedding_near_dup",
     "quantize_embeddings",
@@ -133,6 +135,93 @@ def sign_lsh_pairs(
         .where(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", "cos_sim")
     )
+
+
+def _argmax_cid(
+    vectors: DataFrame, centroids: DataFrame, id_name: str, vec_name: str
+) -> DataFrame:
+    """Nearest-centroid id per vector id: broadcast the (k × dim)
+    centroid table, score with rounded-4dp cosine, argmax with ties to
+    the lowest cid — the same deterministic order as ``row_number()
+    OVER (ORDER BY sim DESC, cid)`` so the DuckDB oracle reproduces it.
+    Returns (id, cell) — only the id is the grouping key, never the
+    embedding array."""
+    scored = vectors.join(F.broadcast(centroids)).select(
+        F.col(id_name),
+        F.col("cid"),
+        F.round(cosine(F.col(vec_name), F.col("ce")), 4).alias("__sim"),
+    )
+    return scored.groupBy(id_name).agg(
+        F.max_by(F.col("cid"), F.struct(F.col("__sim"), -F.col("cid"))).alias(
+            "cell"
+        )
+    )
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    k: int = 8,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's-algorithm coarse quantizer for IVF — learned centroids.
+
+    Deterministic and oracle-reproducible by construction:
+
+    * seeds = the embeddings of the ``k`` lowest ids (no RNG);
+    * assignment = rounded-4dp cosine argmax, ties to the lowest cid;
+    * re-estimation = per-component mean computed over DECIMAL(25,12)
+      sums (order-independent exact arithmetic, so Spark and DuckDB get
+      bit-identical centroids), rounded to 6 dp.
+
+    Scale shape per iteration: the assignment is a broadcast join — the
+    vector table never shuffles; the re-estimation shuffles N × dim
+    (cid, pos) rows, the textbook distributed Lloyd step (what MLlib's
+    KMeans does per iteration). Centroids stay a distributed (k × dim)
+    frame end-to-end. Returns (cid, ce array<double>).
+    """
+    v = vectors.select(
+        F.col(id_col).alias("__vid"), _as_double(F.col(vec_col)).alias("__e")
+    )
+    centroids = (
+        v.orderBy("__vid")
+        .limit(k)
+        .select(F.col("__vid").alias("cid"), F.col("__e").alias("ce"))
+    )
+    for _ in range(iters):
+        assigned = _argmax_cid(v, centroids, "__vid", "__e")
+        exploded = assigned.join(v, "__vid").select(
+            F.col("cell").alias("cid"), F.posexplode("__e").alias("pos", "x")
+        )
+        means = exploded.groupBy("cid", "pos").agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(25,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("m")
+        )
+        centroids = (
+            means.groupBy("cid")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+            )
+            .select("cid", F.transform("pm", lambda s: s.m).alias("ce"))
+        )
+    return centroids
+
+
+def assign_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach the learned IVF cell id (nearest centroid) to each vector.
+    Returns the input columns plus ``cell``."""
+    v = vectors.withColumn("__ed", _as_double(F.col(vec_col)))
+    cells = _argmax_cid(v, centroids, id_col, "__ed")
+    return vectors.join(cells, id_col)
 
 
 def ivf_topk(

@@ -1910,6 +1910,163 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared DuckDB CTE chain: one deterministic Lloyd iteration from the
+# vec_id<8 seeds to learned centroids and final cell assignments —
+# mirrors similarity.kmeans_centroids/assign_cells exactly (rounded-4dp
+# cosine argmax with lowest-cid ties; DECIMAL(25,12) component means
+# rounded to 6dp so both engines derive bit-identical centroids).
+_IVF_KMEANS_CTES = f"""
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    seeds AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, s.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round({_COS.format(a='v.e', b='s.ce')}, 4) DESC, s.cid
+               ) AS rn
+        FROM v CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ),
+    el AS (
+      SELECT a1.cid, generate_subscripts(v.e, 1) AS pos, unnest(v.e) AS x
+      FROM v JOIN a1 USING (vec_id)
+    ),
+    cm AS (
+      SELECT cid, pos,
+             round(CAST(sum(CAST(x AS DECIMAL(25,12))) AS DOUBLE) / count(*), 6) AS m
+      FROM el GROUP BY cid, pos
+    ),
+    cent AS (SELECT cid, array_agg(m ORDER BY pos) AS ce FROM cm GROUP BY cid),
+    cells AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round({_COS.format(a='v.e', b='c.ce')}, 4) DESC, c.cid
+               ) AS rn
+        FROM v CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    vv AS (SELECT v.vec_id, v.e, cells.cell FROM v JOIN cells USING (vec_id))
+"""
+
+
+def _ivf_kmeans_cells(spark: SparkSession, sf_dir: str):
+    """Embeddings decorated with learned IVF cells (k=8, one Lloyd
+    iteration from the lowest-id seeds)."""
+    from gene_level_metadata_pipeline_spark.operators.similarity import (
+        assign_cells,
+        kmeans_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(emb, k=8, iters=1)
+    return assign_cells(emb, cent)
+
+
+@_register(
+    "ann_ivf_kmeans_topk",
+    oracle=f"""
+    WITH {_IVF_KMEANS_CTES},
+    q AS (SELECT vec_id AS query_id, e AS qe, cell FROM vv WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, vv.vec_id AS neighbor_id,
+             round({_COS.format(a='q.qe', b='vv.e')}, 4) AS cos_sim
+      FROM q JOIN vv ON q.cell = vv.cell AND q.query_id <> vv.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+      ) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a REAL learned coarse quantizer: k-means centroids (one
+    deterministic Lloyd iteration, similarity.kmeans_centroids) assign
+    every vector a cell; each query searches only its cell. Same plan
+    shape as ann_ivf_topk but the cells now come from the data, not a
+    pre-assigned label — the production IVF build path."""
+    from gene_level_metadata_pipeline_spark.operators.similarity import ivf_topk
+
+    vv = _ivf_kmeans_cells(spark, sf_dir)
+    return ivf_topk(
+        vv, vv.where(F.col("vec_id") < 10), cell_col="cell", k=5
+    )
+
+
+@_register(
+    "ann_ivf_kmeans_recall",
+    oracle=f"""
+    WITH {_IVF_KMEANS_CTES},
+    q AS (SELECT vec_id AS query_id, e AS qe, cell FROM vv WHERE vec_id < 10),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round({_COS.format(a='q.qe', b='v.e')}, 4) DESC,
+                          v.vec_id
+               ) AS rank
+        FROM q JOIN v ON q.query_id <> v.vec_id
+      ) WHERE rank <= 5
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, vv.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round({_COS.format(a='q.qe', b='vv.e')}, 4) DESC,
+                          vv.vec_id
+               ) AS rank
+        FROM q JOIN vv ON q.cell = vv.cell AND q.query_id <> vv.vec_id
+      ) WHERE rank <= 5
+    ),
+    tp AS (
+      SELECT count(*) AS n_tp FROM bf JOIN ivf USING (query_id, neighbor_id)
+    )
+    SELECT (SELECT count(*) FROM bf) AS n_truth,
+           (SELECT count(*) FROM ivf) AS n_ivf,
+           n_tp,
+           round(n_tp * 1.0 / (SELECT count(*) FROM bf), 4) AS recall
+    FROM tp
+    """,
+)
+def q_ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the LEARNED-centroid IVF (ann_ivf_kmeans_topk) against
+    exact brute-force truth — the calibration run an IVF deployment does
+    before committing to a cell count. The learned quantizer should meet
+    or beat the pre-assigned-label cells of ann_ivf_recall: k-means cells
+    follow the data's actual density, labels don't have to."""
+    from gene_level_metadata_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    vv = _ivf_kmeans_cells(spark, sf_dir)
+    queries = vv.where(F.col("vec_id") < 10)
+    truth = brute_force_topk(
+        vv.drop("cell"), queries.drop("cell"), k=5
+    ).select("query_id", "neighbor_id")
+    approx = ivf_topk(vv, queries, cell_col="cell", k=5).select(
+        "query_id", "neighbor_id"
+    )
+    tp = truth.join(approx, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("n_tp")
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_ivf = approx.agg(F.count(F.lit(1)).alias("n_ivf"))
+    return (
+        n_truth.join(n_ivf).join(tp)
+        .select(
+            "n_truth", "n_ivf", "n_tp",
+            _round_to(F.col("n_tp") / F.col("n_truth"), 4).alias("recall"),
+        )
+    )
+
+
 @_register(
     "read_excel_sheet",
     oracle="""
