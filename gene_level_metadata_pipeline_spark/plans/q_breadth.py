@@ -1,0 +1,1095 @@
+"""Edge decoration, matrix transpose, profiling, data-quality validation, JSON/schema evolution, misc engine breadth.
+
+Split from the original single-module registry (plans/driver_queries.py,
+which remains the facade); importing this module registers its queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gene_level_metadata_pipeline_spark.operators.harmonize import harmonize, spine
+from gene_level_metadata_pipeline_spark.plans.registry import (
+    ORACLE,
+    QUERIES,
+    _COS,
+    _davg,
+    _dsum,
+    _events,
+    _register,
+    _round_to,
+    _t,
+)
+
+# ---------------------------------------------------------------------------
+# J3/J4 — unequal-key joins & two-hop edge decoration (STRING PPI shape)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "edge_decoration",
+    oracle="""
+    WITH edges AS (
+      SELECT l_partkey AS from_key, l_suppkey AS to_key,
+             round(l_extendedprice / 1000, 3) AS score
+      FROM lineitem WHERE l_discount >= 0.08
+    )
+    SELECT p.p_name AS from_name, s.s_name AS to_name, e.score
+    FROM edges e
+    JOIN part p ON e.from_key = p.p_partkey
+    JOIN supplier s ON e.to_key = s.s_suppkey
+    """,
+)
+def q_edge_decoration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 unequal-key joins + J4 two-hop M:N edge decoration — the STRING
+    PPI pattern (T:148-158: decorate both endpoints of an edge list via two
+    joins) with the reference's score/1000 scaling (T:181). Endpoint
+    dimensions broadcast; the edge list is the only big side, exactly the
+    hub-skew shape AQE skew-join handles at scale."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_discount") >= 0.08)
+    edges = li.select(
+        F.col("l_partkey").alias("from_key"),
+        F.col("l_suppkey").alias("to_key"),
+        _round_to(F.col("l_extendedprice") / 1000, 3).alias("score"),
+    )
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        edges.join(F.broadcast(p), edges.from_key == p.p_partkey)
+        .join(F.broadcast(s), edges.to_key == s.s_suppkey)
+        .select(
+            F.col("p_name").alias("from_name"),
+            F.col("s_name").alias("to_name"),
+            "score",
+        )
+    )
+
+
+@_register(
+    "transpose_matrix",
+    oracle="""
+    WITH wide AS (
+      SELECT l_returnflag,
+             CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_price,
+             CAST(round(sum(CAST(l_tax AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_tax
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT 'sum_qty' AS metric,
+           max(CASE WHEN l_returnflag = 'A' THEN sum_qty END) AS "A",
+           max(CASE WHEN l_returnflag = 'N' THEN sum_qty END) AS "N",
+           max(CASE WHEN l_returnflag = 'R' THEN sum_qty END) AS "R"
+    FROM wide
+    UNION ALL
+    SELECT 'sum_price',
+           max(CASE WHEN l_returnflag = 'A' THEN sum_price END),
+           max(CASE WHEN l_returnflag = 'N' THEN sum_price END),
+           max(CASE WHEN l_returnflag = 'R' THEN sum_price END)
+    FROM wide
+    UNION ALL
+    SELECT 'sum_tax',
+           max(CASE WHEN l_returnflag = 'A' THEN sum_tax END),
+           max(CASE WHEN l_returnflag = 'N' THEN sum_tax END),
+           max(CASE WHEN l_returnflag = 'R' THEN sum_tax END)
+    FROM wide
+    """,
+)
+def q_transpose_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 full distributed transpose — the t() the reference does in RAM
+    (TW:16-18): an aggregate matrix (flags × metrics) flipped to
+    (metrics × flags) via melt + pivot."""
+    from gene_level_metadata_pipeline_spark.operators.reshape import transpose
+
+    wide = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            _dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice"), 2).alias("sum_price"),
+            _dsum(F.col("l_tax"), 2).alias("sum_tax"),
+        )
+    )
+    return transpose(wide, "l_returnflag", ["sum_qty", "sum_price", "sum_tax"],
+                     header_col="metric")
+
+
+@_register(
+    "distinct_count",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column distinct aggregation (the expand-based plan Spark
+    generates for several COUNT DISTINCTs in one pass)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@_register(
+    "rollup_revenue",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CAST(round(sum(CAST(c.c_acctbal AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_balance
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy aggregation (region → nation → grand total) — free
+    from Spark's grouping-sets support, absent from the reference (SURVEY
+    §2.7 'absent' list) but table stakes for an analytics engine."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        _dsum(F.col("c_acctbal"), 2).alias("total_balance")
+    )
+
+
+@_register(
+    "phenotype_parse",
+    oracle="""
+    WITH pheno AS (
+      SELECT p_partkey,
+             CASE p_size % 4
+               WHEN 0 THEN '{' || p_name || '}'
+               WHEN 1 THEN '[' || p_name || ']'
+               WHEN 2 THEN '?' || p_name
+               ELSE p_name END
+             || ', ' || CAST(100000 + p_partkey AS VARCHAR)
+             || ' (' || CAST(1 + p_partkey % 4 AS VARCHAR) || '), '
+             || CASE p_size % 3
+                  WHEN 0 THEN 'Autosomal dominant'
+                  WHEN 1 THEN 'Autosomal recessive; X-linked'
+                  ELSE 'Multifactorial' END AS s
+      FROM part
+    )
+    SELECT p_partkey,
+           array_to_string(regexp_extract_all(
+             s, 'Autosomal dominant|Autosomal recessive|X-linked|Multifactorial'
+           ), '; ') AS moi,
+           nullif(regexp_extract(s, '(\\d{6})', 1), '') AS omim_id,
+           regexp_extract(s, '^(.*?)\\d{6}', 1) AS raw_name,
+           CASE WHEN regexp_matches(s, '^\\{') THEN 'susceptibility'
+                WHEN regexp_matches(s, '^\\[') THEN 'nondisease'
+                WHEN regexp_matches(s, '^\\?') THEN 'provisional'
+                ELSE 'confirmed' END AS certainty,
+           CASE regexp_extract(s, '\\((\\d)\\)', 1)
+                WHEN '1' THEN 'mapping_wildtype' WHEN '2' THEN 'linkage'
+                WHEN '3' THEN 'molecular_basis_known' ELSE 'chromosome_deletion'
+           END AS mapping_key,
+           regexp_replace(
+             regexp_replace(s, '[\\{\\[\\?\\]\\}]', '', 'g'), ', $', ''
+           ) AS cleaned
+    FROM pheno
+    """,
+)
+def q_phenotype_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's hardest scalar pipeline — OMIM genemap2 packed
+    phenotype strings (T:349-402): X9 extract-all MOI keywords joined
+    '; ', X7 6-digit id extract with NULL no-match, X8 lazy prefix extract
+    (Java lookahead '(?=\\d{6})' in Spark; RE2 has no lookahead so the
+    oracle uses the equivalent lazy captured group), X10 leading-class
+    recode {/[/? , X17 mapping-key recode (1)-(4), X4/X5 char-class strip
+    + trailing-comma trim. Strings are built deterministically from part."""
+    from gene_level_metadata_pipeline_spark.functions.scalars import (
+        extract_all_joined,
+        extract_first,
+    )
+
+    p = _t(spark, sf_dir, "part")
+    prefix = (
+        F.when(F.col("p_size") % 4 == 0, F.concat(F.lit("{"), F.col("p_name"), F.lit("}")))
+        .when(F.col("p_size") % 4 == 1, F.concat(F.lit("["), F.col("p_name"), F.lit("]")))
+        .when(F.col("p_size") % 4 == 2, F.concat(F.lit("?"), F.col("p_name")))
+        .otherwise(F.col("p_name"))
+    )
+    moi_src = (
+        F.when(F.col("p_size") % 3 == 0, F.lit("Autosomal dominant"))
+        .when(F.col("p_size") % 3 == 1, F.lit("Autosomal recessive; X-linked"))
+        .otherwise(F.lit("Multifactorial"))
+    )
+    s = F.concat(
+        prefix, F.lit(", "),
+        (F.lit(100000) + F.col("p_partkey")).cast("string"),
+        F.lit(" ("), (1 + F.col("p_partkey") % 4).cast("string"), F.lit("), "),
+        moi_src,
+    )
+    d = p.select("p_partkey", s.alias("s"))
+    moi_pat = "Autosomal dominant|Autosomal recessive|X-linked|Multifactorial"
+    return d.select(
+        "p_partkey",
+        extract_all_joined("s", moi_pat).alias("moi"),
+        extract_first("s", r"(\d{6})").alias("omim_id"),
+        F.regexp_extract("s", r"^(.*?)(?=\d{6})", 1).alias("raw_name"),
+        F.when(F.col("s").rlike(r"^\{"), "susceptibility")
+        .when(F.col("s").rlike(r"^\["), "nondisease")
+        .when(F.col("s").rlike(r"^\?"), "provisional")
+        .otherwise("confirmed").alias("certainty"),
+        F.when(F.regexp_extract("s", r"\((\d)\)", 1) == "1", "mapping_wildtype")
+        .when(F.regexp_extract("s", r"\((\d)\)", 1) == "2", "linkage")
+        .when(F.regexp_extract("s", r"\((\d)\)", 1) == "3", "molecular_basis_known")
+        .otherwise("chromosome_deletion").alias("mapping_key"),
+        F.regexp_replace(
+            F.regexp_replace("s", r"[\{\[\?\]\}]", ""), r", $", ""
+        ).alias("cleaned"),
+    ).drop("s")
+
+
+@_register(
+    "panelapp_flow",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('g1', 'green', 'cardiac'),
+      ('g2', 'amber', 'neuro'),
+      ('g3', 'red',   '-')
+    ) AS t(gene_symbol, confidence, disease_group)
+    """,
+)
+def q_panelapp_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full PanelApp tidy flow (T:441-498) as one engine program:
+    paginated JSON → flatten to (record_id, name, value) → filter to the
+    key set → RECORD-ID pivot (replacing the reference's fragile
+    positional col-bind, T:454-484) → NA→'-' fill (T:451) → confidence
+    recode 3/2/1→green/amber/red (T:486-491) → drop empty disease_group
+    rows (T:493)."""
+    from gene_level_metadata_pipeline_spark.functions.scalars import (
+        fill_sentinel,
+        recode,
+    )
+    from gene_level_metadata_pipeline_spark.operators.reshape import kv_pivot
+    from gene_level_metadata_pipeline_spark.plans.fixtures import fixture_dir
+    from gene_level_metadata_pipeline_spark.sources.readers import read_json_pages
+
+    d = fixture_dir()
+    kv = read_json_pages(
+        spark, [f"{d}/panel_pages/p1.json", f"{d}/panel_pages/p2.json"],
+        flatten_kv=True, record_id="rid",
+    )
+    wide = kv_pivot(
+        kv, "rid", "name", "value",
+        names=["gene_symbol", "confidence_level", "disease_group"],
+    )
+    filled = fill_sentinel(wide, "-", cols=["disease_group"])
+    out = filled.select(
+        "gene_symbol",
+        recode("confidence_level",
+               {"3": "green", "2": "amber", "1": "red"}).alias("confidence"),
+        "disease_group",
+    )
+    return out.where(F.col("disease_group") != "")
+
+
+@_register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label, e AS qe FROM v WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             round({_COS.format(a='q.qe', b='v.e')}, 4) AS cos_sim
+      FROM q JOIN v ON q.label = v.label AND q.query_id <> v.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+      ) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: each query searches only its coarse cell (the label
+    column stands in for a k-means centroid assignment) — the scale path
+    where brute force scores N candidates and IVF scores N/cells."""
+    from gene_level_metadata_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 10), cell_col="label", k=5)
+
+
+@_register(
+    "ann_ivf_recall",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, label, e AS qe FROM v WHERE vec_id < 10),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round({_COS.format(a='q.qe', b='v.e')}, 4) DESC,
+                          v.vec_id
+               ) AS rank
+        FROM q JOIN v ON q.query_id <> v.vec_id
+      ) WHERE rank <= 5
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round({_COS.format(a='q.qe', b='v.e')}, 4) DESC,
+                          v.vec_id
+               ) AS rank
+        FROM q JOIN v ON q.label = v.label AND q.query_id <> v.vec_id
+      ) WHERE rank <= 5
+    ),
+    tp AS (
+      SELECT count(*) AS n_tp FROM bf JOIN ivf USING (query_id, neighbor_id)
+    )
+    SELECT (SELECT count(*) FROM bf) AS n_truth,
+           (SELECT count(*) FROM ivf) AS n_ivf,
+           n_tp,
+           round(n_tp * 1.0 / (SELECT count(*) FROM bf), 4) AS recall
+    FROM tp
+    """,
+)
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index evaluating ITSELF (same methodology as
+    lsh_quality_metrics): recall@5 of the cell-restricted search against
+    exact brute-force truth over the same 10 queries. Both sides share
+    the deterministic (rounded-cosine DESC, neighbor_id) tie-break, so
+    the metric is bit-stable. This is the calibration run an IVF
+    deployment does on a sample before committing to a cell count at
+    100 TB — recall here is bounded by cell-assignment quality, and a
+    too-coarse quantizer shows up as a recall cliff, not a silent wrong
+    answer."""
+    from gene_level_metadata_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    truth = brute_force_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = ivf_topk(emb, queries, cell_col="label", k=5).select(
+        "query_id", "neighbor_id"
+    )
+    tp = truth.join(approx, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("n_tp")
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_ivf = approx.agg(F.count(F.lit(1)).alias("n_ivf"))
+    return (
+        n_truth.join(n_ivf).join(tp)
+        .select(
+            "n_truth", "n_ivf", "n_tp",
+            _round_to(F.col("n_tp") / F.col("n_truth"), 4).alias("recall"),
+        )
+    )
+
+
+# Shared DuckDB CTE chain: one deterministic Lloyd iteration from the
+# vec_id<8 seeds to learned centroids and final cell assignments —
+# mirrors similarity.kmeans_centroids/assign_cells exactly (rounded-4dp
+# cosine argmax with lowest-cid ties; DECIMAL(25,12) component means
+# rounded to 6dp so both engines derive bit-identical centroids).
+_IVF_KMEANS_CTES = f"""
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    seeds AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+    a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, s.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round({_COS.format(a='v.e', b='s.ce')}, 4) DESC, s.cid
+               ) AS rn
+        FROM v CROSS JOIN seeds s
+      ) WHERE rn = 1
+    ),
+    el AS (
+      SELECT a1.cid, generate_subscripts(v.e, 1) AS pos, unnest(v.e) AS x
+      FROM v JOIN a1 USING (vec_id)
+    ),
+    cm AS (
+      SELECT cid, pos,
+             round(CAST(sum(CAST(x AS DECIMAL(25,12))) AS DOUBLE) / count(*), 6) AS m
+      FROM el GROUP BY cid, pos
+    ),
+    cent AS (SELECT cid, array_agg(m ORDER BY pos) AS ce FROM cm GROUP BY cid),
+    cells AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY round({_COS.format(a='v.e', b='c.ce')}, 4) DESC, c.cid
+               ) AS rn
+        FROM v CROSS JOIN cent c
+      ) WHERE rn = 1
+    ),
+    vv AS (SELECT v.vec_id, v.e, cells.cell FROM v JOIN cells USING (vec_id))
+"""
+
+
+def _ivf_kmeans_cells(spark: SparkSession, sf_dir: str):
+    """Embeddings decorated with learned IVF cells (k=8, one Lloyd
+    iteration from the lowest-id seeds)."""
+    from gene_level_metadata_pipeline_spark.operators.similarity import (
+        assign_cells,
+        kmeans_centroids,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(emb, k=8, iters=1)
+    return assign_cells(emb, cent)
+
+
+@_register(
+    "ann_ivf_kmeans_topk",
+    oracle=f"""
+    WITH {_IVF_KMEANS_CTES},
+    q AS (SELECT vec_id AS query_id, e AS qe, cell FROM vv WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, vv.vec_id AS neighbor_id,
+             round({_COS.format(a='q.qe', b='vv.e')}, 4) AS cos_sim
+      FROM q JOIN vv ON q.cell = vv.cell AND q.query_id <> vv.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+      ) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a REAL learned coarse quantizer: k-means centroids (one
+    deterministic Lloyd iteration, similarity.kmeans_centroids) assign
+    every vector a cell; each query searches only its cell. Same plan
+    shape as ann_ivf_topk but the cells now come from the data, not a
+    pre-assigned label — the production IVF build path."""
+    from gene_level_metadata_pipeline_spark.operators.similarity import ivf_topk
+
+    vv = _ivf_kmeans_cells(spark, sf_dir)
+    return ivf_topk(
+        vv, vv.where(F.col("vec_id") < 10), cell_col="cell", k=5
+    )
+
+
+@_register(
+    "ann_ivf_kmeans_recall",
+    oracle=f"""
+    WITH {_IVF_KMEANS_CTES},
+    q AS (SELECT vec_id AS query_id, e AS qe, cell FROM vv WHERE vec_id < 10),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round({_COS.format(a='q.qe', b='v.e')}, 4) DESC,
+                          v.vec_id
+               ) AS rank
+        FROM q JOIN v ON q.query_id <> v.vec_id
+      ) WHERE rank <= 5
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, vv.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round({_COS.format(a='q.qe', b='vv.e')}, 4) DESC,
+                          vv.vec_id
+               ) AS rank
+        FROM q JOIN vv ON q.cell = vv.cell AND q.query_id <> vv.vec_id
+      ) WHERE rank <= 5
+    ),
+    tp AS (
+      SELECT count(*) AS n_tp FROM bf JOIN ivf USING (query_id, neighbor_id)
+    )
+    SELECT (SELECT count(*) FROM bf) AS n_truth,
+           (SELECT count(*) FROM ivf) AS n_ivf,
+           n_tp,
+           round(n_tp * 1.0 / (SELECT count(*) FROM bf), 4) AS recall
+    FROM tp
+    """,
+)
+def q_ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the LEARNED-centroid IVF (ann_ivf_kmeans_topk) against
+    exact brute-force truth — the calibration run an IVF deployment does
+    before committing to a cell count. The learned quantizer should meet
+    or beat the pre-assigned-label cells of ann_ivf_recall: k-means cells
+    follow the data's actual density, labels don't have to."""
+    from gene_level_metadata_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    vv = _ivf_kmeans_cells(spark, sf_dir)
+    queries = vv.where(F.col("vec_id") < 10)
+    truth = brute_force_topk(
+        vv.drop("cell"), queries.drop("cell"), k=5
+    ).select("query_id", "neighbor_id")
+    approx = ivf_topk(vv, queries, cell_col="cell", k=5).select(
+        "query_id", "neighbor_id"
+    )
+    tp = truth.join(approx, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("n_tp")
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_ivf = approx.agg(F.count(F.lit(1)).alias("n_ivf"))
+    return (
+        n_truth.join(n_ivf).join(tp)
+        .select(
+            "n_truth", "n_ivf", "n_tp",
+            _round_to(F.col("n_tp") / F.col("n_truth"), 4).alias("recall"),
+        )
+    )
+
+
+@_register(
+    "read_excel_sheet",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('g1', CAST(1.5 AS DOUBLE)), ('g2', CAST(2.5 AS DOUBLE))
+    ) AS t(gene, score)
+    """,
+)
+def q_read_excel_sheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 Excel scan — sheet by index, pure-stdlib xlsx fallback (zipped
+    XML; no Excel engine in this container). Sheet-by-name + startRow is
+    covered by unit tests (tests/test_sources.py)."""
+    from gene_level_metadata_pipeline_spark.plans.fixtures import fixture_dir
+    from gene_level_metadata_pipeline_spark.sources.readers import read_excel
+
+    return read_excel(spark, f"{fixture_dir()}/workbook.xlsx", sheet=0)
+
+
+@_register(
+    "salted_count",
+    oracle="SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag",
+)
+def q_salted_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase count: the salting pattern for hot aggregation
+    keys (SURVEY §4 skew watchpoints) — partial counts per (key, salt),
+    final sum per key. Result must equal the plain GROUP BY."""
+    from gene_level_metadata_pipeline_spark.operators.skew import salted_count
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag")
+    return salted_count(li, ["l_returnflag"], salt_buckets=16)
+
+
+@_register(
+    "median_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_median_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles per group — Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share the linear-interpolation definition, so
+    they agree exactly (unlike approx_percentile, whose sketch is
+    engine-specific and deliberately not used where exactness is graded).
+    At 100 TB swap to approx_percentile and accept the error bound."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        _round_to(F.expr("percentile(l_quantity, 0.5)"), 4).alias("med_qty"),
+        _round_to(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25_price"),
+        _round_to(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75_price"),
+    )
+
+
+@_register(
+    "streaming_late_data",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('2024-01-01 01:00:00', CAST(2 AS BIGINT)),
+      ('2024-01-01 02:00:00', CAST(1 AS BIGINT))
+    ) AS t(hour, n)
+    """,
+)
+def q_streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + append-mode late-data semantics (SURVEY §2.12
+    'watermarks + windowed aggs for late data'): a deterministic two-batch
+    stream where an event arriving behind the watermark is DROPPED — the
+    closed hour-1 window counts 2, not 3. The VALUES oracle certifies the
+    exact late-data contract."""
+    from gene_level_metadata_pipeline_spark.streaming.windows import (
+        late_data_window_counts,
+    )
+
+    return late_data_window_counts(spark)
+
+
+# ---------------------------------------------------------------------------
+# Engine breadth, continued: higher-order array functions, time-range
+# window frames, CUBE grouping sets, column profiling, fuzzy matching.
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "array_higher_order",
+    oracle="""
+    WITH a AS (
+      -- (l_linenumber, qty) ordering: linenumber is NOT unique per order
+      -- in the synthetic data, so the qty tiebreak (same as the struct
+      -- sort on the Spark side) is required for a deterministic array
+      SELECT l_orderkey,
+             list(CAST(l_quantity AS INT) ORDER BY l_linenumber, CAST(l_quantity AS INT)) AS qtys
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey, qtys,
+           CAST(len(list_filter(qtys, x -> x >= 30)) AS BIGINT) AS n_big,
+           CAST(list_sum(qtys) AS BIGINT) AS qty_sum,
+           qtys[1:3] AS first3
+    FROM a
+    """,
+)
+def q_array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over collected order lines: a
+    deterministic collect (sorted by linenumber via struct array_sort —
+    collect_list order is not guaranteed), then filter/aggregate/slice
+    lambdas, all inside codegen. The collect is the one shuffle (by
+    orderkey); every lambda is map-side."""
+    li = _t(spark, sf_dir, "lineitem")
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("l_linenumber").alias("ln"),
+                                F.col("l_quantity").cast("int").alias("qty")))
+    )
+    g = li.groupBy("l_orderkey").agg(
+        F.transform(arr, lambda x: x.qty).alias("qtys")
+    )
+    return g.select(
+        "l_orderkey",
+        "qtys",
+        F.size(F.filter("qtys", lambda x: x >= 30)).cast("long").alias("n_big"),
+        F.aggregate("qtys", F.lit(0).cast("long"), lambda a, x: a + x).alias("qty_sum"),
+        F.slice("qtys", 1, 3).alias("first3"),
+    )
+
+
+@_register(
+    "window_time_range",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER w AS rolling_cnt,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER w, 2) AS DOUBLE) AS rolling_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-user rolling 1-hour event count and
+    value sum. The frame is defined on physical microseconds (identical
+    integers in both engines — no timezone games), sums in exact decimal
+    so the sliding accumulation order can't perturb the double. One
+    shuffle on user_id; the frame scan is sorted within partitions."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3600 * 1000000, 0)
+    )
+    return ev.select(
+        "event_id", "user_id",
+        F.count(F.lit(1)).over(w).alias("rolling_cnt"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).over(w), 2)
+         .cast("double").alias("rolling_sum"),
+    )
+
+
+@_register(
+    "cube_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_qty,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (all four combinations of returnflag ×
+    linestatus margins) — one pass, Expand + single hash aggregate, the
+    grouping-sets companion to rollup_revenue."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        _dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@_register(
+    "profile_columns",
+    oracle="""
+    SELECT 'c_custkey' AS col_name, count(*) - count(c_custkey) AS n_nulls, count(DISTINCT c_custkey) AS n_distinct FROM customer
+    UNION ALL
+    SELECT 'c_name', count(*) - count(c_name), count(DISTINCT c_name) FROM customer
+    UNION ALL
+    SELECT 'c_nationkey', count(*) - count(c_nationkey), count(DISTINCT c_nationkey) FROM customer
+    UNION ALL
+    SELECT 'c_acctbal', count(*) - count(c_acctbal), count(DISTINCT c_acctbal) FROM customer
+    UNION ALL
+    SELECT 'c_mktsegment', count(*) - count(c_mktsegment), count(DISTINCT c_mktsegment) FROM customer
+    """,
+)
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality column profile: per-column null count + exact distinct
+    count in ONE table pass (multi-distinct → Expand + two-level agg),
+    unpivoted via stack. At 100 TB swap the exact distincts for
+    approx_count_distinct — the plan shape (single pass, no join of five
+    scans like the naive SQL) is the point."""
+    c = _t(spark, sf_dir, "customer")
+    aggs = []
+    for col in c.columns:
+        aggs.append((F.count(F.lit(1)) - F.count(col)).alias(f"n_{col}"))
+        aggs.append(F.countDistinct(col).alias(f"d_{col}"))
+    row = c.agg(*aggs)
+    stack_args = ", ".join(f"'{col}', n_{col}, d_{col}" for col in c.columns)
+    return row.select(
+        F.expr(
+            f"stack({len(c.columns)}, {stack_args}) AS (col_name, n_nulls, n_distinct)"
+        )
+    )
+
+
+@_register(
+    "fuzzy_brand_match",
+    oracle="""
+    WITH b AS (SELECT DISTINCT p_brand FROM part)
+    SELECT a.p_brand AS brand_a, c.p_brand AS brand_b,
+           CAST(levenshtein(a.p_brand, c.p_brand) AS BIGINT) AS dist
+    FROM b a JOIN b c
+      ON a.p_brand < c.p_brand AND levenshtein(a.p_brand, c.p_brand) <= 1
+    """,
+)
+def q_fuzzy_brand_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching on a dimension: edit-distance ≤ 1 pairs over
+    distinct brands (the SURVEY's gene-symbol/alias fuzzy-matching shape).
+    The distinct-values side is dimension-sized → broadcast nested-loop;
+    at corpus scale the same op runs per-blocking-key (first char /
+    length band) to bound the quadratic term."""
+    b = _t(spark, sf_dir, "part").select("p_brand").distinct()
+    a = b.select(F.col("p_brand").alias("brand_a"))
+    c2 = b.select(F.col("p_brand").alias("brand_b"))
+    dist = F.levenshtein("brand_a", "brand_b")
+    return (
+        a.join(c2, (F.col("brand_a") < F.col("brand_b")) & (dist <= 1))
+        .select("brand_a", "brand_b", dist.cast("long").alias("dist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-quality validation / profiling extensions
+# ---------------------------------------------------------------------------
+
+@_register(
+    "validate_constraints",
+    oracle="""
+    SELECT 'o_custkey_not_null' AS rule,
+           count(CASE WHEN o_custkey IS NULL THEN 1 END) AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'o_status_domain',
+           count(CASE WHEN o_orderstatus IS NOT NULL
+                       AND o_orderstatus NOT IN ('O','F','P') THEN 1 END)
+    FROM orders
+    UNION ALL
+    SELECT 'l_discount_low',
+           count(CASE WHEN l_discount IS NOT NULL
+                       AND l_discount NOT BETWEEN 0.0 AND 0.05 THEN 1 END)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_qty_range',
+           count(CASE WHEN l_quantity IS NOT NULL
+                       AND l_quantity NOT BETWEEN 1 AND 50 THEN 1 END)
+    FROM lineitem
+    UNION ALL
+    SELECT 'o_orderkey_unique', CAST(COALESCE(sum(n), 0) AS BIGINT)
+    FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey
+          HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'l_orderkey_unique', CAST(COALESCE(sum(n), 0) AS BIGINT)
+    FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey
+          HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'li_fk_orders', count(*)
+    FROM lineitem l
+    LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+    UNION ALL
+    SELECT 'ord_fk_customer', count(*)
+    FROM orders d
+    LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON d.o_custkey = c.c_custkey
+    WHERE d.o_custkey IS NOT NULL AND c.c_custkey IS NULL
+    """,
+)
+def q_validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite (operators/quality.validate): the
+    reference's hand-rolled dup audits and expected-count comments
+    (TM:30-32,46,74; T:213-216,273) as first-class rules. Predicate
+    rules fuse into one conditional-count pass per table (2 scans for 4
+    rules here); unique rules are groupBy counts; FK rules are anti
+    joins against broadcast-distinct parent keys."""
+    from gene_level_metadata_pipeline_spark.operators import quality as Q
+
+    ord_ = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    return Q.validate([
+        Q.not_null("o_custkey_not_null", ord_, "o_custkey"),
+        Q.accepted_values("o_status_domain", ord_, "o_orderstatus",
+                          ["O", "F", "P"]),
+        Q.in_range("l_discount_low", li, "l_discount", 0.0, 0.05),
+        Q.in_range("l_qty_range", li, "l_quantity", 1, 50),
+        Q.unique("o_orderkey_unique", ord_, "o_orderkey"),
+        Q.unique("l_orderkey_unique", li, "l_orderkey"),
+        Q.foreign_key("li_fk_orders", li, "l_orderkey", ord_, "o_orderkey"),
+        Q.foreign_key("ord_fk_customer", ord_, "o_custkey", cust, "c_custkey"),
+    ])
+
+
+@_register(
+    "histogram_prices",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(min(o_totalprice) AS DOUBLE) AS lo0,
+             CAST(max(o_totalprice) AS DOUBLE) AS hi0
+      FROM orders
+    ),
+    binned AS (
+      SELECT least(19, CAST(floor((CAST(o_totalprice AS DOUBLE) - lo0)
+                                  / ((hi0 - lo0) / 20.0)) AS BIGINT)) AS bin,
+             lo0, (hi0 - lo0) / 20.0 AS w
+      FROM orders, b
+    )
+    SELECT bin, lo0 + bin * w AS lo, lo0 + (bin + 1) * w AS hi,
+           count(*) AS n
+    FROM binned GROUP BY bin, lo0, w
+    """,
+)
+def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (operators/quality.histogram): 20 bins over
+    order totals. A 1-row min/max aggregate broadcast into the binning
+    scan — two passes, no driver collect; bin arithmetic is raw IEEE
+    double ops so the oracle bit-matches."""
+    from gene_level_metadata_pipeline_spark.operators.quality import histogram
+
+    return histogram(_t(spark, sf_dir, "orders"), "o_totalprice", 20)
+
+
+@_register(
+    "set_operations",
+    oracle="""
+    WITH small AS (SELECT DISTINCT p_brand FROM part WHERE p_size < 15),
+         smc AS (SELECT DISTINCT p_brand FROM part
+                 WHERE p_type IN ('SMALL', 'MEDIUM'))
+    SELECT 'brand_both' AS op, p_brand AS val
+    FROM (SELECT p_brand FROM small INTERSECT SELECT p_brand FROM smc)
+    UNION ALL
+    SELECT 'brand_only_small', p_brand
+    FROM (SELECT p_brand FROM small EXCEPT SELECT p_brand FROM smc)
+    UNION ALL
+    SELECT 'nation_multiset', CAST(nk AS VARCHAR)
+    FROM (SELECT c_nationkey AS nk FROM customer
+          INTERSECT ALL
+          SELECT s_nationkey AS nk FROM supplier)
+    """,
+)
+def q_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators the reference lacks entirely (SURVEY §2.6 'absent
+    set ops'): INTERSECT / EXCEPT on distinct dimension slices and
+    INTERSECT ALL multiset semantics (per-key multiplicity =
+    min(count_left, count_right)). All three arms are dimension-sized →
+    hash-partitioned set ops with AQE-coalesced outputs."""
+    part = _t(spark, sf_dir, "part")
+    small = part.where(F.col("p_size") < 15).select("p_brand").distinct()
+    smc = part.where(F.col("p_type").isin("SMALL", "MEDIUM")).select("p_brand").distinct()
+    cn = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    sn = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    tag = lambda df, name, col: df.select(
+        F.lit(name).alias("op"), F.col(col).cast("string").alias("val")
+    )
+    return (
+        tag(small.intersect(smc), "brand_both", "p_brand")
+        .unionByName(tag(small.subtract(smc), "brand_only_small", "p_brand"))
+        .unionByName(tag(cn.intersectAll(sn), "nation_multiset", "nk"))
+    )
+
+
+@_register("approx_profile")
+def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate sketches next to their exact twins: per event type,
+    HyperLogLog++ distinct users (approx_count_distinct, mergeable
+    partial sketches — the 100 TB path) and an approximate median via
+    percentile_approx, plus exact countDistinct for in-row error
+    audit. Rows-only by design: sketch outputs are
+    implementation-defined, so no cross-engine oracle exists; the unit
+    test asserts the HLL estimate lands within rsd bounds of the exact
+    count."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("p50_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@_register(
+    "curation_pipeline",
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, text, source,
+             len(string_split(text, ' ')) AS n_words,
+             length(replace(text, ' ', '')) AS nospace
+      FROM documents
+    ),
+    ok AS (
+      SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM q
+      WHERE n_words >= 5 AND n_words <= 100000 AND nospace / n_words < 12.0
+    ),
+    raw AS (SELECT source, count(*) AS n_raw FROM documents GROUP BY source),
+    k AS (
+      SELECT source, count(*) AS n_ok,
+             count(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+             CAST(COALESCE(sum(CASE WHEN rn = 1 THEN n_words END), 0)
+                  AS BIGINT) AS ws_tokens_kept
+      FROM ok GROUP BY source
+    )
+    SELECT r.source,
+           r.n_raw,
+           COALESCE(k.n_ok, 0) AS n_ok,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           COALESCE(k.ws_tokens_kept, 0) AS ws_tokens_kept
+    FROM raw r LEFT JOIN k ON r.source = k.source
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-curation composite — the training-data shape:
+    quality gate (word count + word-shape heuristics, textanalysis
+    formulas) → global exact dedup (first doc_id per identical text
+    wins) → per-source audit counts (raw / passed / kept / kept
+    tokens). Plan: one documents scan feeds both the raw counts and the
+    gated branch; dedup is a window over the text key (at 100 TB,
+    partition by md5(text) to keep shuffle keys short); final join of
+    two source-grained aggregates is broadcast-sized."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    nospace = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    gated = docs.select(
+        "doc_id", "text", "source", n_words.alias("n_words"),
+        nospace.alias("nospace"),
+    ).where(
+        (F.col("n_words") >= 5) & (F.col("n_words") <= 100000)
+        & (F.col("nospace") / F.col("n_words") < 12.0)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("text").orderBy("doc_id")
+    ranked = gated.withColumn("rn", F.row_number().over(w))
+    kept = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_ok"),
+        F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
+        F.coalesce(
+            F.sum(F.when(F.col("rn") == 1, F.col("n_words"))), F.lit(0)
+        ).cast("long").alias("ws_tokens_kept"),
+    )
+    raw = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    return raw.join(kept, "source", "left").select(
+        "source", "n_raw",
+        F.coalesce("n_ok", F.lit(0)).alias("n_ok"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("ws_tokens_kept", F.lit(0)).alias("ws_tokens_kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured JSON + schema evolution
+# ---------------------------------------------------------------------------
+
+@_register(
+    "json_props_extract",
+    oracle="""
+    WITH p AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           count(DISTINCT k) AS n_distinct_k,
+           max(k) AS max_k
+    FROM p GROUP BY event_type
+    """,
+)
+def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column handling (the reference's S11 flatten
+    family, applied to an embedded JSON string column): typed parse via
+    ``from_json`` with an explicit schema — schema-on-read stays
+    columnar, the parse happens once in codegen, and downstream
+    aggregation is plain relational. A ``get_json_object`` cross-check
+    guards parse agreement (mismatch rows would surface as NULL k).
+    At scale prefer from_json + explicit schema over repeated
+    get_json_object calls: one parse per row vs one per extraction."""
+    ev = _events(spark, sf_dir)
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k BIGINT").getField("k").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+        F.countDistinct("k").alias("n_distinct_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@_register(
+    "union_evolve_schemas",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, CAST(NULL AS DOUBLE) AS total
+    FROM orders WHERE o_orderdate < TIMESTAMP '1994-01-01'
+    UNION ALL
+    SELECT o_orderkey, NULL, o_totalprice
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+    """,
+)
+def q_union_evolve_schemas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union (reshape.union_evolve): dplyr bind_rows
+    semantics — frames with different column sets concatenated by name,
+    missing columns NULL-filled, first-seen column order. The map-side
+    concatenation adds no shuffle; each branch's filter still pushes to
+    its scan."""
+    from gene_level_metadata_pipeline_spark.operators.reshape import union_evolve
+
+    ord_ = _t(spark, sf_dir, "orders")
+    old = ord_.where(
+        F.col("o_orderdate") < F.lit("1994-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_orderpriority")
+    new = ord_.where(
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")
+    ).select("o_orderkey", F.col("o_totalprice").alias("total"))
+    return union_evolve(old, new)
+
+

@@ -1,0 +1,926 @@
+"""Scale-out extensions: dedup (exact/Jaccard/MinHash/SimHash), embedding similarity, text analysis, multimodal plumbing, curation, token-budget selection.
+
+Split from the original single-module registry (plans/driver_queries.py,
+which remains the facade); importing this module registers its queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gene_level_metadata_pipeline_spark.operators.harmonize import harmonize, spine
+from gene_level_metadata_pipeline_spark.plans.registry import (
+    ORACLE,
+    QUERIES,
+    _COS,
+    _davg,
+    _dsum,
+    _events,
+    _register,
+    _round_to,
+    _t,
+)
+
+# ---------------------------------------------------------------------------
+# Scale-out extensions — deduplication (SURVEY §7 Phase 7)
+# ---------------------------------------------------------------------------
+
+# Shared DuckDB CTE: distinct word 3-gram shingles of `documents`, matching
+# operators.dedup.word_shingles exactly.
+_SHINGLE_CTE = """
+    words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+      FROM words, (SELECT unnest(generate_series(1, len(ws)-2)) AS i)
+      WHERE len(ws) >= 3
+    )
+"""
+
+
+@_register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS fingerprint,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on content, min-id canonical."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH words AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, lang, array_to_string(ws[i:i+2], ' ') AS shingle
+      FROM words, (SELECT unnest(generate_series(1, len(ws)-2)) AS i)
+      WHERE len(ws) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs, BLOCKED on language — the scale
+    lever for exact similarity (only same-lang docs are compared; shrinks
+    every shingle bucket by the blocking factor). Threshold 0.1 so the
+    synthetic corpus, which has no true near-dups, still yields rows."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        n=3, threshold=0.1, block_by="lang",
+    )
+
+
+def _minhash_oracle(num_hashes: int = 8, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    mins = ",\n             ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(num_hashes)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS band_hash FROM sig".format(
+            b=b,
+            concat=" || ',' || ".join(f"h{b * rows + j}" for j in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {band_selects}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    """
+
+
+@_register("dedup_minhash_lsh", oracle=_minhash_oracle())
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8) + LSH banding(4×2) candidate pairs. String-valued minhash
+    (lexicographic min of seeded md5 hex) keeps the oracle hash-exact."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+
+    return minhash_candidate_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        n=3, num_hashes=8, bands=4,
+    )
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    hv = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(w), {k + 1}, 1)) - 1) * {16 ** (3 - k)}"
+        for k in range(4)
+    )
+    bit_sums = ",\n             ".join(
+        f"sum(cnt * (((hv // {2 ** j}) % 2) * 2 - 1)) AS s{j}" for j in range(bits)
+    )
+    sig = " + ".join(
+        f"CASE WHEN s{j} > 0 THEN {2 ** j} ELSE 0 END" for j in range(bits)
+    )
+    return f"""
+    WITH tokens AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    counted AS (
+      SELECT doc_id, w, count(*) AS cnt, {hv} AS hv
+      FROM tokens GROUP BY doc_id, w
+    ),
+    sums AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM counted GROUP BY doc_id
+    )
+    SELECT doc_id, {sig} AS simhash FROM sums
+    """
+
+
+@_register("dedup_simhash", oracle=_simhash_oracle())
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signatures — count-weighted ±1 bit votes over md5
+    token hashes, pure hex-digit arithmetic on both engines."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Scale-out extensions — similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+
+@_register(
+    "ann_brute_force_topk",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             round({_COS.format(a='q.qe', b='v.e')}, 4) AS cos_sim
+      FROM q JOIN v ON q.query_id <> v.vec_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id
+      ) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_ann_brute_force_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors: broadcast query set,
+    JVM-side zip_with/aggregate dot products, one window rank."""
+    from gene_level_metadata_pipeline_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5)
+
+
+def _bucket_sql(col: str, planes: int = 4) -> str:
+    return " + ".join(
+        f"(CASE WHEN {col}[{i + 1}] >= 0 THEN {2 ** i} ELSE 0 END)"
+        for i in range(planes)
+    )
+
+
+@_register(
+    "ann_sign_lsh_pairs",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             {_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+           round({_COS.format(a='a.e', b='c.e')}, 4) AS cos_sim
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE round({_COS.format(a='a.e', b='c.e')}, 4) >= 0.15
+    """,
+)
+def q_ann_sign_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed near-neighbor pairs (threshold 0.15 — the random
+    synthetic embeddings top out near 0.2 cosine). Bucket id is the
+    shuffle key: the scale path for all-pairs similarity."""
+    from gene_level_metadata_pipeline_spark.operators.similarity import sign_lsh_pairs
+
+    return sign_lsh_pairs(
+        _t(spark, sf_dir, "embeddings"), planes=4, threshold=0.15
+    )
+
+
+@_register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH RECURSIVE b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             {_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, c.vec_id AS vec_b
+      FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+      WHERE round({_COS.format(a='a.e', b='c.e')}, 4) >= 0.15
+    ),
+    edges2 AS (
+      SELECT vec_a AS u, vec_b AS v FROM pairs
+      UNION
+      SELECT vec_b, vec_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges2
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges2 e ON r.v = e.u
+    ),
+    comp AS (SELECT u AS vid, least(u, min(v)) AS component FROM reach GROUP BY u)
+    SELECT emb.vec_id,
+           coalesce(comp.component, emb.vec_id) AS canonical_id,
+           emb.vec_id = coalesce(comp.component, emb.vec_id) AS is_canonical
+    FROM embeddings emb LEFT JOIN comp ON emb.vec_id = comp.vid
+    """,
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate removal: sign-LSH candidate pairs →
+    exact cosine ≥ τ → connected components → canonical min-id per cluster.
+    Completes the dedup family (exact/Jaccard/MinHash/SimHash/embedding).
+    Oracle replays the identical buckets + pairs, then reaches the same
+    component fixpoint with a recursive CTE."""
+    from gene_level_metadata_pipeline_spark.operators.similarity import (
+        embedding_near_dup,
+    )
+
+    return embedding_near_dup(
+        _t(spark, sf_dir, "embeddings"), planes=4, threshold=0.15
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scale-out extensions — text analysis
+# ---------------------------------------------------------------------------
+
+def _hits_sql(vocab: list[str]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in vocab)
+    return (
+        "len(list_filter(string_split(text, ' '), w_ -> w_ IN (" + inlist + ")))"
+    )
+
+
+def _lang_id_oracle() -> str:
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        LANGS,
+        STOPWORDS,
+    )
+
+    hits = ",\n           ".join(
+        f"{_hits_sql(STOPWORDS[lang])} AS hits_{lang}" for lang in LANGS
+    )
+    arms = []
+    for i, lang in enumerate(LANGS[:-1]):
+        cond = " AND ".join(
+            f"hits_{lang} >= hits_{other}" for other in LANGS[i + 1:]
+        )
+        arms.append(f"WHEN {cond} THEN '{lang}'")
+    case = "CASE " + " ".join(arms) + f" ELSE '{LANGS[-1]}' END"
+    return f"""
+    WITH scored AS (
+      SELECT doc_id,
+           {hits}
+      FROM documents
+    )
+    SELECT doc_id, hits_en, hits_de, hits_fr, hits_es,
+           {case} AS predicted_lang
+    FROM scored
+    """
+
+
+@_register("text_lang_id", oracle=_lang_id_oracle())
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID with fixed tie order — the n-gram-heuristic
+    detector, fully vectorized array lambdas."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_register(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(string_split(text, ' ')) AS n_words,
+           round(length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')), 3) AS avg_word_len,
+           round({_hits_sql(["the", "a", "of", "and", "to"])} * 1.0 / len(string_split(text, ' ')), 4) AS stopword_ratio,
+           (len(string_split(text, ' ')) >= 5 AND len(string_split(text, ' ')) <= 100000
+            AND length(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')) < 12.0) AS quality_ok
+    FROM documents
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / word-shape / stopword-density quality scoring."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import quality_scores
+
+    return quality_scores(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_register(
+    "text_token_counts",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS bpe_tokens
+    FROM documents
+    """,
+)
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counting."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import token_counts
+
+    return token_counts(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_register(
+    "text_fingerprint",
+    oracle=f"""
+    WITH {_SHINGLE_CTE}
+    SELECT doc_id, min(md5(shingle)) AS fingerprint
+    FROM sh GROUP BY doc_id
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hash MinHash document fingerprint (near-dup blocking key)."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Scale-out extensions — multimodal binary plumbing
+# ---------------------------------------------------------------------------
+
+@_register(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id,
+           'image/fake' AS modality,
+           octet_length(encode(text)) AS n_bytes
+    FROM documents
+    """,
+)
+def q_multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payload + typed metadata struct — the multimodal
+    column contract (payload stays out of this projection)."""
+    from gene_level_metadata_pipeline_spark.operators.multimodal import (
+        attach_binary_payload,
+    )
+
+    df = attach_binary_payload(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return df.select(
+        "doc_id",
+        F.col("meta.modality").alias("modality"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
+@_register(
+    "multimodal_features",
+    oracle="""
+    WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS nb FROM documents)
+    SELECT doc_id,
+           nb AS n_bytes,
+           coalesce(list_aggregate(
+             list_transform(generate_series(1, nb),
+               i -> (strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16
+                  + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1)),
+             'sum')::BIGINT, 0) AS checksum
+    FROM h
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction over binary payloads
+    (deterministic fake featurizer standing in for the image decoder).
+    The checksum doubles as an oracle check that real bytes flowed through
+    the pandas batches."""
+    from gene_level_metadata_pipeline_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_features,
+    )
+
+    df = attach_binary_payload(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return extract_features(df).select("doc_id", "n_bytes", "checksum")
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation, continued: repetition scoring, PII scrubbing,
+# benchmark-contamination scan (operators/textanalysis.py).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "text_repetition",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS grams
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_unique_grams,
+           round(1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE), 4) AS dup_fraction
+    FROM g WHERE len(grams) > 0
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition: duplicated-3-gram fraction
+    per document. Array-native per row — a pure map stage with ZERO
+    shuffles at any corpus size."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        repetition_scores,
+    )
+
+    return repetition_scores(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_register(
+    "text_pii_redact",
+    oracle=r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example.com or 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '\b555-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+           regexp_replace(
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\b555-[0-9]{4}\b', '<PHONE>', 'g') AS redacted
+    FROM aug
+    """,
+)
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over documents augmented with deterministic synthetic
+    contact strings (the raw corpus has none — the augmentation makes the
+    regexes do real work that the oracle reproduces byte-for-byte).
+    Count + redact emails and reserved-prefix phone numbers; pure per-row
+    regex, no shuffle."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import pii_redact
+
+    d = _t(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"),
+            F.col("doc_id").cast("string"), F.lit("@mail.example.com or 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    return pii_redact(aug, "t", "doc_id")
+
+
+@_register(
+    "text_contamination",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 3),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS shingle
+      FROM toks
+    )
+    SELECT c.doc_id,
+           count(DISTINCT c.shingle) AS n_shared_grams,
+           count(DISTINCT b.doc_id) AS n_bench_docs
+    FROM g c JOIN g b ON c.shingle = b.shingle AND b.doc_id % 97 = 0
+    WHERE c.doc_id % 97 <> 0
+    GROUP BY c.doc_id
+    """,
+)
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: 5-gram overlap between the corpus and
+    a small held-out benchmark slice (doc_id % 97 == 0 stands in for an
+    eval set). Benchmark shingles broadcast → the corpus side never
+    shuffles before its per-doc aggregation; at 100 TB the probe stays
+    map-side as long as the benchmark corpus stays dimension-sized."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        contamination_check,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    cand = d.where(F.col("doc_id") % 97 != 0)
+    return contamination_check(cand, bench, "text", "doc_id", n=5)
+
+
+# ---------------------------------------------------------------------------
+# LLM-corpus ops: token-window chunking, vocabulary top-k
+# ---------------------------------------------------------------------------
+
+@_register(
+    "chunk_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks, n,
+             unnest(generate_series(0, greatest(n - 1, 0), 40)) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           start // 40 AS chunk_idx,
+           CAST(least(start + 50, n) - start AS BIGINT) AS n_chunk_tokens,
+           array_to_string(toks[start + 1 : least(start + 50, n)], ' ')
+             AS chunk_text
+    FROM s
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (textanalysis.chunk_documents): 50-token
+    windows every 40 tokens (10-token overlap) over every document —
+    sequence → explode → slice, all codegen, zero shuffles."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        chunk_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, "text", "doc_id", size=50, stride=40)
+
+
+@_register(
+    "vocab_top_words",
+    oracle="""
+    WITH wc AS (
+      SELECT w AS word, count(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+      GROUP BY w
+    ),
+    ranked AS (
+      SELECT word, n,
+             CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT)
+               AS rank
+      FROM wc
+    )
+    SELECT word, n, rank FROM ranked WHERE rank <= 50
+    """,
+)
+def q_vocab_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: exact top-50 words by frequency with a total
+    deterministic order (count desc, word asc — ties at the boundary
+    cannot flap). explode → hash agg (map-side partial) → TakeOrdered
+    top-k, never a global sort; the rank is stamped after the k-row
+    result is already bounded."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = wc.orderBy(F.col("n").desc(), F.col("word")).limit(50)
+    w = Window.orderBy(F.col("n").desc(), F.col("word"))
+    return top.select(
+        "word", "n", F.row_number().over(w).cast("long").alias("rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Global ordered prefix sums: token-budget selection + sequence packing
+# ---------------------------------------------------------------------------
+
+@_register(
+    "token_budget_select",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_chars, n_tokens,
+             sum(CAST(n_tokens AS DECIMAL(28,6)))
+               OVER (ORDER BY n_chars DESC, doc_id) AS rt
+      FROM d
+    )
+    SELECT doc_id, n_chars, n_tokens, CAST(rt AS DOUBLE) AS running_total
+    FROM c WHERE rt <= 8000
+    """,
+)
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus selection under a token budget: rank documents best-first
+    (n_chars desc, doc_id tiebreak = a total order) and keep rows while
+    the inclusive running token count stays within budget. The running
+    sum is operators.selection.running_sum — range-repartition +
+    per-partition cumsum + broadcast partition offsets — NOT a global
+    single-task window; the oracle's `SUM() OVER (ORDER BY ...)` is the
+    same math the naive way. Exact decimal accumulation makes the
+    budget comparison partitioning-independent."""
+    from gene_level_metadata_pipeline_spark.operators.selection import budget_select
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast("long")
+         .alias("n_tokens"),
+    )
+    picked = budget_select(
+        docs, [F.col("n_chars").desc(), F.col("doc_id")], "n_tokens", 8000
+    )
+    return picked.select(
+        "doc_id", "n_chars", "n_tokens",
+        F.col("running_total").cast("double"),
+    )
+
+
+@_register(
+    "pack_sequences",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             sum(CAST(n_tokens AS DECIMAL(28,6))) OVER (ORDER BY doc_id)
+               AS rt
+      FROM d
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor((CAST(rt AS DOUBLE) - n_tokens) / 512.0) AS BIGINT)
+             AS bin_id
+    FROM c
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing into fixed 512-token context bins by exclusive
+    prefix sum (bin = floor(tokens-before-this-doc / 512)) — the
+    parallel approximation of greedy first-fit packing: document order
+    is preserved, each bin overflows by at most one straddling document,
+    and the plan is two shuffles (range partition + 32-row offset
+    window) regardless of corpus size. Token sums are integers, exact
+    in both decimal and double, so floor() agrees across engines."""
+    from gene_level_metadata_pipeline_spark.operators.selection import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast("long")
+         .alias("n_tokens"),
+    )
+    packed = pack_sequences(docs, [F.col("doc_id")], "n_tokens", 512)
+    return packed.select("doc_id", "n_tokens", "bin_id")
+
+
+@_register(
+    "mixture_sample_langs",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents
+    WHERE substr(md5('mix:' || lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8)
+          < CASE lang
+              WHEN 'de' THEN '80000000'
+              WHEN 'en' THEN 'cccccccc'
+              WHEN 'es' THEN '33333333'
+              WHEN 'fr' THEN '4ccccccc'
+              WHEN 'zh' THEN '19999999'
+              ELSE '00000000'
+            END
+    """,
+)
+def q_mixture_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling: each language stratum keeps its own
+    fraction (en 80%, de 50%, fr 30%, es 20%, zh 10%) via the
+    deterministic hash-Bernoulli predicate — the per-source reweighting
+    step of assembling a training mix. No joins, no shuffles; the
+    when-chain of per-stratum thresholds folds into the scan stage, and
+    changing one stratum's rate cannot perturb another's selection."""
+    from gene_level_metadata_pipeline_spark.operators.selection import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return mixture_sample(
+        docs, "doc_id", "lang",
+        {"en": 0.8, "de": 0.5, "fr": 0.3, "es": 0.2, "zh": 0.1},
+    )
+
+
+@_register(
+    "text_bigram_lift",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')
+               AS toks
+      FROM documents
+    ),
+    uni AS (SELECT unnest(toks) AS w FROM d),
+    uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+    bi AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM d, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+    ),
+    bc AS (SELECT w1, w2, count(*) AS c_ab FROM bi GROUP BY w1, w2),
+    tot AS (
+      SELECT (SELECT count(*) FROM uni) AS n_uni,
+             (SELECT count(*) FROM bi) AS n_bi
+    )
+    SELECT bc.w1, bc.w2, bc.c_ab,
+           round(((((CAST(bc.c_ab AS DOUBLE) * tot.n_uni) / a.c)
+                   * tot.n_uni) / b.c) / tot.n_bi, 6) AS lift
+    FROM bc
+    JOIN uc a ON a.w = bc.w1
+    JOIN uc b ON b.w = bc.w2
+    CROSS JOIN tot
+    WHERE bc.c_ab >= 8
+    """,
+)
+def q_text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: adjacent word pairs scored by lift —
+    P(w1 w2) / (P(w1) P(w2)), the exponentiated PMI. The ratio is kept
+    un-logged so it stays a chain of IEEE multiplies/divides over exact
+    integer counts, performed in the same order in both engines (log()
+    can differ by an ulp between libm implementations). Bigrams come
+    from zipping the token array with its shifted self (no per-position
+    slice); unigram counts broadcast onto bigram counts; the two corpus
+    totals ride along as a 1-row broadcast cross join."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("toks"),
+    )
+    uni = docs.select(F.explode("toks").alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    bi = docs.where(F.size("toks") >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    tot = uni.agg(F.count(F.lit(1)).alias("n_uni")).join(
+        bi.agg(F.count(F.lit(1)).alias("n_bi"))
+    )
+    a = uc.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    b = uc.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    lift = (
+        F.col("c_ab").cast("double") * F.col("n_uni") / F.col("c_a")
+        * F.col("n_uni") / F.col("c_b") / F.col("n_bi")
+    )
+    return (
+        bc.where(F.col("c_ab") >= 8)
+        .join(F.broadcast(a), "w1")
+        .join(F.broadcast(b), "w2")
+        .join(F.broadcast(tot))
+        .select("w1", "w2", "c_ab", _round_to(lift, 6).alias("lift"))
+    )
+
+
+@_register(
+    "pagerank_suppliers",
+    oracle="""
+    WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS n
+      FROM os a JOIN os b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY a.l_suppkey, b.l_suppkey
+    ),
+    und AS (SELECT u, v FROM pairs WHERE n >= 3),
+    edges AS (SELECT u, v FROM und UNION SELECT v, u FROM und),
+    deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+    nn AS (SELECT count(*) AS n FROM deg),
+    p0 AS (SELECT u AS node, 1000000000000 // nn.n AS pr FROM deg, nn),
+    c1 AS (SELECT e.v AS node, sum(p.pr // g.d) AS s
+           FROM edges e JOIN p0 p ON p.node = e.u JOIN deg g ON g.u = e.u
+           GROUP BY e.v),
+    p1 AS (SELECT g.u AS node,
+                  (15 * (1000000000000 // nn.n)) // 100
+                  + (85 * COALESCE(c1.s, 0)) // 100 AS pr
+           FROM deg g CROSS JOIN nn LEFT JOIN c1 ON c1.node = g.u),
+    c2 AS (SELECT e.v AS node, sum(p.pr // g.d) AS s
+           FROM edges e JOIN p1 p ON p.node = e.u JOIN deg g ON g.u = e.u
+           GROUP BY e.v),
+    p2 AS (SELECT g.u AS node,
+                  (15 * (1000000000000 // nn.n)) // 100
+                  + (85 * COALESCE(c2.s, 0)) // 100 AS pr
+           FROM deg g CROSS JOIN nn LEFT JOIN c2 ON c2.node = g.u),
+    c3 AS (SELECT e.v AS node, sum(p.pr // g.d) AS s
+           FROM edges e JOIN p2 p ON p.node = e.u JOIN deg g ON g.u = e.u
+           GROUP BY e.v),
+    p3 AS (SELECT g.u AS node,
+                  (15 * (1000000000000 // nn.n)) // 100
+                  + (85 * COALESCE(c3.s, 0)) // 100 AS pr
+           FROM deg g CROSS JOIN nn LEFT JOIN c3 ON c3.node = g.u)
+    SELECT node AS suppkey, pr::BIGINT AS pr_micro FROM p3
+    """,
+)
+def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph ranking: 3 PageRank power iterations over the
+    supplier co-occurrence graph (same ≥3-shared-orders edges as
+    graph_triangles), certified EXACTLY against a hash oracle because the
+    whole recurrence runs in bigint micro-units (operators.graph.pagerank
+    — integer init/contribution/update, no floats anywhere). The oracle
+    unrolls the identical recurrence as three CTE rounds."""
+    from gene_level_metadata_pipeline_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
+    und = (
+        a.join(b, "k")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 3)
+        .select("u", "v")
+    )
+    pr = pagerank(und, iterations=3)
+    return pr.select(F.col("node").alias("suppkey"), F.col("pr").alias("pr_micro"))
+
+
+@_register(
+    "zorder_stats",
+    oracle="""
+    WITH b AS (
+      SELECT l_partkey % 256 AS zx, l_suppkey % 256 AS zy FROM lineitem
+    ),
+    z AS (
+      SELECT zx, zy,
+             ((zx // 1) % 2) * 1     + ((zy // 1) % 2) * 2
+           + ((zx // 2) % 2) * 4     + ((zy // 2) % 2) * 8
+           + ((zx // 4) % 2) * 16    + ((zy // 4) % 2) * 32
+           + ((zx // 8) % 2) * 64    + ((zy // 8) % 2) * 128
+           + ((zx // 16) % 2) * 256  + ((zy // 16) % 2) * 512
+           + ((zx // 32) % 2) * 1024 + ((zy // 32) % 2) * 2048
+           + ((zx // 64) % 2) * 4096 + ((zy // 64) % 2) * 8192
+           + ((zx // 128) % 2) * 16384 + ((zy // 128) % 2) * 32768 AS zv
+      FROM b
+    )
+    SELECT zv // 4096 AS bucket, count(*) AS n,
+           min(zx) AS min_x, max(zx) AS max_x,
+           min(zy) AS min_y, max(zy) AS max_y
+    FROM z GROUP BY bucket
+    """,
+)
+def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout audit: Morton-interleave (partkey, suppkey) low
+    bytes, split the Z-range into 16 file-sized buckets, and report each
+    bucket's min/max envelope on BOTH dimensions — the numbers a parquet
+    reader's row-group pruning would use. With Z-ordering every bucket
+    covers ≤ a 64×64 square of the 256×256 key space (vs the full range
+    on the non-sort column of a 1-D sort), which is why both
+    partkey-only and suppkey-only predicates prune ~15/16 of files.
+    Pure integer bit arithmetic (operators.layout.zorder_value)."""
+    from gene_level_metadata_pipeline_spark.operators.layout import zorder_value
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).alias("zx"),
+        (F.col("l_suppkey") % 256).alias("zy"),
+    )
+    z = li.withColumn("zv", zorder_value(["zx", "zy"], bits=8))
+    return (
+        z.groupBy((F.col("zv") / 4096).cast("long").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("zx").alias("min_x"), F.max("zx").alias("max_x"),
+            F.min("zy").alias("min_y"), F.max("zy").alias("max_y"),
+        )
+    )
+
+

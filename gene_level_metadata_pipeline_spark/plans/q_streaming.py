@@ -1,0 +1,189 @@
+"""Batch sessionization and the Structured Streaming query family.
+
+Split from the original single-module registry (plans/driver_queries.py,
+which remains the facade); importing this module registers its queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gene_level_metadata_pipeline_spark.operators.harmonize import harmonize, spine
+from gene_level_metadata_pipeline_spark.plans.registry import (
+    ORACLE,
+    QUERIES,
+    _COS,
+    _davg,
+    _dsum,
+    _events,
+    _register,
+    _round_to,
+    _t,
+)
+
+# ---------------------------------------------------------------------------
+# sessionization — gap-based sessions over the events stream (batch form)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "sessionize",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, us,
+             CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ),
+    sessions AS (
+      SELECT user_id, event_id, us,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(us) AS start_us, max(us) AS end_us
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) — the batch twin of the
+    stateful-streaming session operator (streaming/sessions.py). Extension
+    beyond the reference (SURVEY §2.12); one shuffle on user_id, then two
+    window passes and an aggregate over the same partitioning."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).withColumn("us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("us").alias("start_us"),
+        F.max("us").alias("end_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Structured Streaming (real readStream plans; hourly counts oracle-checked,
+# stateful sessionization rows-only — not SQL-expressible)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "streaming_events_hourly",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type, count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window counts through an actual streaming query (readStream
+    → window agg → memory sink, availableNow) — result must equal the
+    batch SQL."""
+    from gene_level_metadata_pipeline_spark.streaming.windows import (
+        hourly_event_counts_stream,
+    )
+
+    return hourly_event_counts_stream(spark, sf_dir)
+
+
+@_register(
+    "streaming_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.user_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS lag_s
+    FROM events c
+    JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q_streaming_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream event-time interval join (clicks × purchases within
+    30 min, watermarks on both sides bounding join state) run to
+    completion with availableNow — must equal the batch interval join the
+    oracle runs."""
+    from gene_level_metadata_pipeline_spark.streaming.windows import (
+        stream_stream_interval_join,
+    )
+
+    return stream_stream_interval_join(spark, sf_dir, minutes=30)
+
+
+@_register(
+    "streaming_outer_join",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('c1', 'p1', CAST(1 AS BIGINT), CAST(600 AS BIGINT)),
+      ('c2', CAST(NULL AS VARCHAR), CAST(2 AS BIGINT), CAST(NULL AS BIGINT))
+    ) AS t(click_id, purchase_id, user_id, lag_s)
+    """,
+)
+def q_streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join over a deterministic multi-batch
+    stream: the matched click emits inline; the unmatched click emits
+    NULL-padded only after the watermark passes its 30-minute match
+    horizon (one batch behind the advance); far-future rows whose
+    horizons are still open at query end are provably withheld. The
+    VALUES oracle pins all three behaviors."""
+    from gene_level_metadata_pipeline_spark.streaming.windows import (
+        stream_outer_join_demo,
+    )
+
+    return stream_outer_join_demo(spark)
+
+
+@_register(
+    "streaming_sessionize",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, us,
+             CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ),
+    sessions AS (
+      SELECT user_id, event_id, us,
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, min(us) AS session_start_us, max(us) AS session_end_us,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState gap-sessionization (30-min timeout) — the
+    custom stateful streaming operator. The bounded replay ends with a
+    watermark-punctuation flush (streaming/windows.py
+    ``_stage_with_flush_sentinel``) that drains every open session, so
+    the streaming result is provably identical to the batch twin
+    ``sessionize`` and shares its (re-shaped) oracle."""
+    from gene_level_metadata_pipeline_spark.streaming.windows import sessionize_stream
+
+    return sessionize_stream(spark, sf_dir)
+
+

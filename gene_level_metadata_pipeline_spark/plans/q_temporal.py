@@ -1,0 +1,329 @@
+"""Temporal joins (as-of / range), hierarchical rollup, LOCF resampling, SCD2 intervals.
+
+Split from the original single-module registry (plans/driver_queries.py,
+which remains the facade); importing this module registers its queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gene_level_metadata_pipeline_spark.operators.harmonize import harmonize, spine
+from gene_level_metadata_pipeline_spark.plans.q_dedup_text import (
+    _minhash_oracle,
+)
+from gene_level_metadata_pipeline_spark.plans.registry import (
+    ORACLE,
+    QUERIES,
+    _COS,
+    _davg,
+    _dsum,
+    _events,
+    _register,
+    _round_to,
+    _t,
+)
+
+# ---------------------------------------------------------------------------
+# Temporal joins — as-of and range (operators Spark lacks natively)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "asof_join_events",
+    oracle="""
+    WITH err AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ets FROM events
+      WHERE event_type = 'error'
+    ),
+    clk AS (
+      SELECT user_id, epoch_us(ts) AS cts, value FROM events
+      WHERE event_type = 'click'
+    ),
+    ranked AS (
+      SELECT e.user_id, e.event_id,
+             c.cts, c.value,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY c.cts DESC, c.value DESC) AS rn
+      FROM err e LEFT JOIN clk c
+        ON e.user_id = c.user_id AND c.cts <= e.ets
+    )
+    SELECT user_id, event_id,
+           value AS right_value,
+           cts AS right_us
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for every 'error' event, the most recent 'click' by the
+    same user at or before it. Implemented as tag-union + running
+    last(ignorenulls) window — one shuffle, no range self-join blowup
+    (the oracle uses the quadratic correlated form; same answer)."""
+    from gene_level_metadata_pipeline_spark.operators.temporal import as_of_join
+
+    ev = _events(spark, sf_dir).withColumn("us", F.unix_micros("ts"))
+    err = ev.where(F.col("event_type") == "error").select(
+        "user_id", "event_id", F.col("us")
+    )
+    clk = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("us"), "value"
+    )
+    out = as_of_join(err, clk, on="user_id", left_ts="us", right_ts="us",
+                     tie_break=["value"])
+    return out.select(
+        "user_id", "event_id", "right_value", F.col("right_us")
+    )
+
+
+@_register(
+    "range_join_bands",
+    oracle="""
+    WITH bands AS (
+      SELECT * FROM (VALUES
+        ('tiny', CAST(0 AS DOUBLE), CAST(50 AS DOUBLE)),
+        ('small', CAST(50 AS DOUBLE), CAST(150 AS DOUBLE)),
+        ('large', CAST(150 AS DOUBLE), CAST(1000 AS DOUBLE))
+      ) AS t(band, lo, hi)
+    )
+    SELECT b.band, count(*) AS n, round(sum(CAST(e.value AS DECIMAL(18,6))), 2)::DOUBLE AS total
+    FROM events e JOIN bands b ON b.lo <= e.value AND e.value < b.hi
+    GROUP BY b.band
+    """,
+)
+def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval containment) join: events bucketed into value
+    bands via a broadcast band table + non-equi predicate, then per-band
+    aggregates."""
+    from gene_level_metadata_pipeline_spark.operators.temporal import range_join
+
+    ev = _events(spark, sf_dir)
+    bands = spark.createDataFrame(
+        [("tiny", 0.0, 50.0), ("small", 50.0, 150.0), ("large", 150.0, 1000.0)],
+        ["band", "lo", "hi"],
+    )
+    joined = range_join(ev, bands, "value", "lo", "hi")
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("value"), 2).alias("total"),
+    )
+
+
+@_register(
+    "hierarchical_rollup",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket, count(*) AS n,
+             sum(CAST(value AS DECIMAL(18,6))) AS total
+      FROM events GROUP BY 1
+    ),
+    daily AS (
+      SELECT date_trunc('day', bucket) AS bucket, sum(n) AS n, sum(total) AS total
+      FROM hourly GROUP BY 1
+    )
+    SELECT 'hour' AS grain, strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket_start,
+           n::BIGINT AS n, round(total, 2)::DOUBLE AS total FROM hourly
+    UNION ALL
+    SELECT 'day', strftime(bucket, '%Y-%m-%d %H:%M:%S'), n::BIGINT, round(total, 2)::DOUBLE FROM daily
+    """,
+)
+def q_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup: hour aggregates from the facts, day
+    aggregates FROM the hour partials (one fact scan; each coarser grain
+    re-aggregates ~24x fewer rows — the continuous-aggregate maintenance
+    shape). Decimal sums keep the re-aggregation exact."""
+    from gene_level_metadata_pipeline_spark.operators.temporal import (
+        hierarchical_rollup,
+    )
+
+    return hierarchical_rollup(_events(spark, sf_dir), "ts", "value")
+
+
+@_register(
+    "stable_sample",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'
+    """,
+)
+def q_stable_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based 20% document sample — reproducible across
+    runs/engines/partitionings (DataFrame.sample is not), the selection
+    property training-data pipelines need. 0x33333333 = floor(0.2*16^8)."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import stable_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stable_sample(d, "doc_id", 0.2)
+
+
+@_register(
+    "dedup_components",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT doc_a, doc_b FROM (
+        -- inline the minhash candidate pairs (same SQL as dedup_minhash_lsh)
+        """ + _minhash_oracle() + """
+      )
+    ),
+    edges2 AS (
+      SELECT doc_a AS u, doc_b AS v FROM base
+      UNION
+      SELECT doc_b, doc_a FROM base
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges2
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges2 e ON r.v = e.u
+    )
+    SELECT u AS doc_id, least(u, min(v)) AS component
+    FROM reach GROUP BY u
+    """,
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash candidate pairs — the
+    canonical-document clustering step of near-dup removal. Spark runs
+    iterative min-label propagation (driver loop, one join+agg per round);
+    the oracle reaches the same fixpoint with a recursive CTE."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+    from gene_level_metadata_pipeline_spark.operators.graph import connected_components
+
+    pairs = minhash_candidate_pairs(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    return connected_components(pairs)
+
+
+@_register(
+    "text_tfidf_keywords",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    tf AS (SELECT doc_id, w, count(*) AS cnt FROM words GROUP BY doc_id, w),
+    doc_len AS (SELECT doc_id, count(*) AS len FROM words GROUP BY doc_id),
+    dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.w,
+             round((tf.cnt * 1.0 / doc_len.len) * ln(n.n_docs * 1.0 / dfreq.df), 6) AS tfidf
+      FROM tf JOIN doc_len USING (doc_id) JOIN dfreq USING (w), n
+    )
+    SELECT doc_id, w, tfidf, rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q_text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf keywords per document — tokenize → tf / df aggregates
+    → broadcast df join → deterministic (score, word) ranking."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        tf_idf_keywords,
+    )
+
+    return tf_idf_keywords(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Time-series extensions: LOCF resampling, SCD2 intervals
+# ---------------------------------------------------------------------------
+
+@_register(
+    "resample_locf_hourly",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS us, value, event_id
+      FROM events WHERE user_id < 8
+    ),
+    obs AS (
+      SELECT user_id, us, arg_max(value, event_id) AS val
+      FROM ev GROUP BY user_id, us
+    ),
+    b AS (
+      SELECT min(us) - min(us) % 3600000000 AS t0, max(us) AS t1 FROM ev
+    ),
+    grid AS (
+      SELECT u.user_id, g.us
+      FROM (SELECT DISTINCT user_id FROM ev) u
+      CROSS JOIN (SELECT unnest(generate_series(t0, t1, 3600000000)) AS us
+                  FROM b) g
+    ),
+    unioned AS (
+      SELECT user_id, us, val, 0 AS is_grid FROM obs
+      UNION ALL
+      SELECT user_id, us, NULL, 1 FROM grid
+    ),
+    filled AS (
+      SELECT user_id, us, is_grid,
+             last_value(val IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY us, is_grid
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf
+      FROM unioned
+    )
+    SELECT user_id, us AS grid_us, value_locf
+    FROM filled WHERE is_grid = 1
+    """,
+)
+def q_resample_locf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly resample with last-observation-carried-forward
+    (operators/timeseries.resample_locf): per-user hourly grid between
+    the global bounds, each grid point carrying the latest at-or-before
+    observation (ties broken by greatest event_id). Works entirely in
+    epoch micros — identical integers in both engines. One shuffle on
+    user_id; the grid is exploded executor-side from a 1-row broadcast
+    bounds frame, never a driver loop."""
+    from gene_level_metadata_pipeline_spark.operators.timeseries import resample_locf
+
+    ev = (
+        _events(spark, sf_dir)
+        .where(F.col("user_id") < 8)
+        .select("user_id", F.unix_micros("ts").alias("us"), "value", "event_id")
+    )
+    out = resample_locf(
+        ev, "user_id", "us", "value", "event_id",
+        step_us=3600 * 1000000,
+    )
+    return out.select(
+        "user_id", F.col("grid_ts").alias("grid_us"), "value_locf"
+    )
+
+
+@_register(
+    "scd2_intervals",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us, event_id FROM events
+    ),
+    ordered AS (
+      SELECT user_id, event_type, us, event_id,
+             row_number() OVER w AS rn,
+             lag(event_type) OVER w AS prev
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    changes AS (
+      SELECT user_id, event_type, us, event_id
+      FROM ordered WHERE rn = 1 OR event_type IS DISTINCT FROM prev
+    )
+    SELECT user_id, event_type,
+           us AS valid_from,
+           lead(us) OVER w2 AS valid_to,
+           (lead(us) OVER w2 IS NULL) AS is_current
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id)
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension-history build (operators/timeseries.scd2_intervals):
+    collapse each user's event-type stream into validity intervals
+    [valid_from, valid_to) with a current-row flag. Change detection
+    (lag) and interval close (lead) share ONE user_id shuffle; the
+    unique event_id tie-break makes same-timestamp orderings
+    reproducible."""
+    from gene_level_metadata_pipeline_spark.operators.timeseries import scd2_intervals
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    return scd2_intervals(ev, "user_id", "us", "event_type", "event_id")
+
+

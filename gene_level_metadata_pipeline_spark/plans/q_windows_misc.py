@@ -1,0 +1,1163 @@
+"""Sliding/session windows, snapshot CDC, graph, k-means assignment, generators, multi-source harmonization, misc.
+
+Split from the original single-module registry (plans/driver_queries.py,
+which remains the facade); importing this module registers its queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gene_level_metadata_pipeline_spark.operators.harmonize import harmonize, spine
+from gene_level_metadata_pipeline_spark.plans.q_dedup_text import (
+    _minhash_oracle,
+)
+from gene_level_metadata_pipeline_spark.plans.registry import (
+    ORACLE,
+    QUERIES,
+    _COS,
+    _davg,
+    _dsum,
+    _events,
+    _register,
+    _round_to,
+    _t,
+)
+
+# ---------------------------------------------------------------------------
+# Sliding / session windows + snapshot CDC
+# ---------------------------------------------------------------------------
+
+@_register(
+    "events_sliding_windows",
+    oracle="""
+    WITH ev AS (SELECT epoch_us(ts) AS us, value FROM events),
+    x AS (
+      SELECT us, value,
+             (us // 900000000) * 900000000 - k * 900000000 AS ws
+      FROM ev CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)
+    )
+    SELECT ws AS ws_us, ws + 3600000000 AS we_us,
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total
+    FROM x GROUP BY ws
+    """,
+)
+def q_events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows: 1-hour windows advancing every 15
+    minutes — each event lands in exactly 4 windows (Spark's ``window``
+    with a slide replicates map-side, then one hash aggregate; the
+    oracle reproduces the replication with an explicit 0..3 cross
+    join). Epoch-aligned starts, micros arithmetic, decimal sums."""
+    ev = _events(spark, sf_dir)
+    w = F.window("ts", "1 hour", "15 minutes")
+    return ev.groupBy(w.alias("w")).agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("value"), 2).alias("total"),
+    ).select(
+        F.unix_micros("w.start").alias("ws_us"),
+        F.unix_micros("w.end").alias("we_us"),
+        "n",
+        "total",
+    )
+
+
+@_register(
+    "events_session_windows",
+    oracle="""
+    WITH ev AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+    o AS (
+      SELECT user_id, us, value,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ),
+    g AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           min(us) AS session_start_us,
+           max(us) + 1800000000 AS session_end_us,
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in session windows (``F.session_window``, 30-minute gap):
+    merges events whose inter-arrival gap is under the timeout; the
+    window end is last-event + gap (end-exclusive, so a gap of exactly
+    30 min starts a new session). The oracle derives identical sessions
+    via lag-based island detection — the same semantics the batch
+    ``sessionize`` operator certifies, now through Spark's native
+    session-window aggregation (one shuffle on user_id + merging agg)."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("sw")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("value"), 2).alias("total"),
+    ).select(
+        "user_id",
+        F.unix_micros("sw.start").alias("session_start_us"),
+        F.unix_micros("sw.end").alias("session_end_us"),
+        "n",
+        "total",
+    )
+
+
+@_register(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      WHERE o_orderdate < TIMESTAMP '1997-01-01'
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderpriority = '1-URGENT'
+                  THEN round(o_totalprice * 1.1, 2) ELSE o_totalprice
+             END AS o_totalprice,
+             o_orderstatus
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-01-01' AND o_orderstatus <> 'P'
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                  OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                THEN 'update' END AS change
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE (o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+           OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+           OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+    """,
+)
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-over-release CDC (operators/cdc.snapshot_diff): diff two
+    pinned snapshots of orders — the 1997 release vs the 1998 release
+    with urgent orders repriced and 'P'-status orders dropped —
+    classifying every key as insert / delete / update (unchanged keys
+    filtered). One full-outer shuffle join on the key; the reference's
+    dated-release model (I:16,19) gains a first-class 'what changed'
+    operator."""
+    from gene_level_metadata_pipeline_spark.operators.cdc import snapshot_diff
+
+    ord_ = _t(spark, sf_dir, "orders")
+    old = ord_.where(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_totalprice", "o_orderstatus")
+    new = (
+        ord_.where(
+            (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("o_orderstatus") != "P")
+        )
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderpriority") == "1-URGENT",
+                _round_to(F.col("o_totalprice") * 1.1, 2),
+            ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+            "o_orderstatus",
+        )
+    )
+    return snapshot_diff(old, new, "o_orderkey")
+
+
+@_register(
+    "graph_triangles",
+    oracle="""
+    WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS n
+      FROM os a JOIN os b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY a.l_suppkey, b.l_suppkey
+    ),
+    edges AS (SELECT u, v FROM pairs WHERE n >= 3)
+    SELECT (SELECT count(*) FROM edges) AS n_edges,
+           (SELECT count(*)
+            FROM edges e1
+            JOIN edges e2 ON e1.v = e2.u
+            JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational graph analytics beyond component labeling: build a
+    supplier co-occurrence graph (suppliers sharing ≥3 orders; edges
+    stored once with u < v) and count triangles with the classic
+    two-join enumeration — each triangle counted exactly once because
+    every edge is oriented low→high. The per-order self-join is bounded
+    by order fan-out (≈4 suppliers/order ⇒ ≤6 pairs); the triangle join
+    runs on the sparsified edge set. At 100 TB the standard mitigation
+    is degree-ordered orientation (orient edges from lower-degree to
+    higher-degree node) which bounds the join fan-out by sqrt(m)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
+    edges = (
+        a.join(b, "k")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 3)
+        .select("u", "v")
+    )
+    e1 = edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = edges.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = edges.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    return edges.agg(F.count(F.lit(1)).alias("n_edges")).join(tri)
+
+
+@_register(
+    "kmeans_assign",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+    scored AS (
+      SELECT v.vec_id, c.cid,
+             round({_COS.format(a='v.e', b='c.ce')}, 4) AS sim
+      FROM v CROSS JOIN c
+    ),
+    assign AS (
+      SELECT vec_id, cid, sim FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY sim DESC, cid
+        ) AS rn FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT cid AS cluster_id, count(*) AS n,
+           round(CAST(sum(CAST(sim AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 4) AS avg_sim
+    FROM assign GROUP BY cid
+    """,
+)
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd's-algorithm assignment step — the iterative-ML shape:
+    8 seed centroids (vec_id < 8) broadcast against every embedding,
+    JVM-side cosine (zip_with/aggregate fold — no Python), argmax via
+    max_by over a (sim, -cid) struct so ties go to the lowest centroid
+    deterministically, then per-cluster size and mean similarity. The
+    full k-means loop is this plan iterated with re-derived centroids;
+    each iteration is one broadcast join + one aggregate — no shuffle
+    of the embedding table itself."""
+    from gene_level_metadata_pipeline_spark.operators.similarity import cosine
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cent = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    scored = emb.join(F.broadcast(cent)).select(
+        "vec_id", "cid",
+        F.round(cosine(F.col("embedding"), F.col("ce")), 4).alias("sim"),
+    )
+    assign = scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.struct("cid", "sim"), F.struct(F.col("sim"), -F.col("cid"))
+        ).alias("a")
+    )
+    return assign.groupBy(F.col("a.cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n"),
+        _davg(F.col("a.sim"), 4).alias("avg_sim"),
+    )
+
+
+@_register(
+    "read_xml_rows",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('g1', CAST(1.5 AS DOUBLE), 'a'),
+      ('g2', CAST(2.5 AS DOUBLE), NULL)
+    ) AS t(symbol, score, tag)
+    """,
+)
+def q_read_xml_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML scan (sources/readers.read_xml, Spark 4 native XML source):
+    row-tag extraction with inferred schema; a missing child element
+    becomes NULL (same padding contract as the delimited readers)."""
+    from gene_level_metadata_pipeline_spark.plans.fixtures import fixture_dir
+    from gene_level_metadata_pipeline_spark.sources.readers import read_xml
+
+    df = read_xml(spark, f"{fixture_dir()}/annotations.xml", "gene")
+    return df.select("symbol", F.col("score").cast("double"), "tag")
+
+
+@_register(
+    "posexplode_tokens",
+    oracle="""
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS word
+    FROM (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE doc_id < 20
+    ), unnest(generate_series(1, len(toks))) AS g(i)
+    """,
+)
+def q_posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordinal explode (posexplode): token stream with positions — the
+    WITH ORDINALITY form of R1's separate_rows, needed whenever token
+    order carries meaning (n-gram reconstruction, positional vocab).
+    Map-side only, zero shuffles."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    return docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "word"),
+    ).withColumn("pos", F.col("pos").cast("long"))
+
+
+@_register(
+    "substring_dup_spans",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks, n,
+             unnest(generate_series(0, greatest(n - 1, 0), 20)) AS start
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id,
+             md5(array_to_string(toks[start + 1 : least(start + 20, n)], ' '))
+               AS chunk_hash
+      FROM s WHERE least(start + 20, n) - start = 20
+    )
+    SELECT chunk_hash,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_occ
+    FROM c GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-passage detection — the boilerplate/
+    quotation dedup shape: non-overlapping 20-token chunks (partial tail
+    chunks excluded), md5 chunk fingerprints, passages appearing in ≥2
+    distinct documents reported with document and occurrence counts.
+    Chunking is map-side (chunk_documents machinery); the single shuffle
+    is the 16-byte-hash groupBy — payload text never shuffles. The
+    span-level complement to document-level MinHash dedup; at 100 TB this
+    is the scalable stand-in for suffix-array substring dedup."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        chunk_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, "text", "doc_id", size=20, stride=20)
+    return (
+        chunks.where(F.col("n_chunk_tokens") == 20)
+        .select("doc_id", F.md5("chunk_text").alias("chunk_hash"))
+        .groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+@_register(
+    "delta_agg_merge",
+    oracle="""
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total_spend
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def q_delta_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a pre-1997 base aggregate
+    merged with a 1997+ delta aggregate via partial-aggregate combine
+    (counts add; DECIMAL sums add associatively — the reason sums stay
+    decimal until the final round). The merged result provably equals
+    the full-scan aggregate (the oracle IS the full scan) — certifying
+    the merge identity a 100 TB rollup relies on to avoid rescans; the
+    same shape maintains the base against daily deltas forever."""
+    ord_ = _t(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("timestamp")
+
+    def part(df):
+        return df.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("t"),
+        )
+
+    base = part(ord_.where(F.col("o_orderdate") < cut))
+    delta = part(ord_.where(F.col("o_orderdate") >= cut))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(F.sum("n_orders").alias("n_orders"), F.sum("t").alias("t"))
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.round("t", 2).cast("double").alias("total_spend"),
+        )
+    )
+
+
+@_register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                AS BIGINT) AS gid,
+           count(*) AS n_rows,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (each single margin + grand total — a
+    shape neither ROLLUP nor CUBE produces) with grouping_id
+    disambiguating real NULLs from subtotal NULLs. One Expand + one
+    hash aggregate, same single-pass plan family as rollup_revenue /
+    cube_revenue."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag", "l_linestatus",
+    ).agg(
+        F.grouping_id().alias("gid"),
+        F.count(F.lit(1)).alias("n_rows"),
+        _dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@_register(
+    "train_split_counts",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, lang,
+             CASE
+               WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                    < 'cccccccc' THEN 'train'
+               WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                    < 'e6666666' THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    )
+    SELECT lang, split, count(*) AS n FROM s GROUP BY lang, split
+    """,
+)
+def q_train_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (textanalysis.train_split,
+    80/10/10): membership is a pure function of md5(salt, key) so any
+    engine reproduces the identical assignment — the oracle re-derives
+    the same bins from the same hex bounds (0.8·16^8 = 0xcccccccc).
+    Split assignment is map-side; the only shuffle is the audit count."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import train_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        train_split(docs, "doc_id")
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@_register(
+    "normalize_text_docs",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(
+                  regexp_replace(lower(text), '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+                  '\\s+', ' ', 'g')) AS text_norm,
+           length(trim(regexp_replace(
+                  regexp_replace(lower(text), '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+                  '\\s+', ' ', 'g'))) AS n_chars_norm
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q_normalize_text_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenization text normalization (textanalysis.normalize_text):
+    lowercase → control-char strip → whitespace collapse → trim, all
+    inside codegen (Java regex; the oracle uses the identical pattern
+    with DuckDB's global flag)."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        normalize_text,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    out = normalize_text(docs, "text", "text_norm")
+    return out.select(
+        "doc_id", "text_norm",
+        F.length("text_norm").cast("long").alias("n_chars_norm"),
+    )
+
+
+@_register(
+    "encode_documents",
+    oracle="""
+    WITH wc AS (
+      SELECT w AS word, count(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w
+    ),
+    v AS (
+      SELECT word, id FROM (
+        SELECT word, CAST(row_number() OVER (ORDER BY n DESC, word) AS BIGINT)
+               AS id
+        FROM wc
+      ) WHERE id <= 30
+    ),
+    t AS (
+      SELECT doc_id, toks[i] AS word, i
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           unnest(generate_series(1, len(toks))) AS g(i)
+    )
+    SELECT doc_id,
+           list(COALESCE(v.id, -1) ORDER BY i) AS token_ids,
+           CAST(count(CASE WHEN v.id IS NULL THEN 1 END) AS BIGINT) AS n_unk
+    FROM t LEFT JOIN v USING (word)
+    GROUP BY doc_id
+    """,
+)
+def q_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-to-ids — the final text→model-input step: a frequency-
+    ranked vocabulary (top 30 words here; top 50k in production) built
+    with the vocab_top_words machinery, broadcast-joined onto the
+    position-exploded token stream, re-assembled into an ordered id
+    array per document with out-of-vocabulary words mapped to -1.
+    Shuffles: vocab agg + the doc_id re-assembly; the vocab join itself
+    is broadcast (vocabularies are dimension-sized even at 100 TB)."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("word"))
+    vocab = (
+        wc.select("word", F.row_number().over(w).cast("long").alias("id"))
+        .where(F.col("id") <= 30)
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "word")
+    )
+    enc = toks.join(F.broadcast(vocab), "word", "left")
+    return enc.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("pos").alias("p"),
+                        F.coalesce("id", F.lit(-1)).alias("i"),
+                    )
+                )
+            ),
+            lambda s: s.i,
+        ).alias("token_ids"),
+        F.count(F.when(F.col("id").isNull(), 1)).alias("n_unk"),
+    )
+
+
+@_register(
+    "harmonize_multi_source",
+    oracle="""
+    WITH spn AS (
+      SELECT DISTINCT c_custkey FROM customer WHERE c_custkey IS NOT NULL
+    ),
+    src_orders AS (
+      SELECT o_custkey AS c_custkey, count(*) AS n_orders,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+                  AS DOUBLE) AS total_spend
+      FROM orders GROUP BY o_custkey
+    ),
+    src_urgent AS (
+      SELECT o_custkey AS c_custkey, count(*) AS n_urgent
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+    ),
+    src_nation AS (
+      SELECT c_custkey, n_name AS nation_name
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ),
+    src_seg AS (SELECT c_custkey, c_mktsegment FROM customer)
+    SELECT DISTINCT spn.c_custkey, o.n_orders, o.total_spend,
+           u.n_urgent, nt.nation_name, s.c_mktsegment
+    FROM spn
+    LEFT JOIN src_orders o USING (c_custkey)
+    LEFT JOIN src_urgent u USING (c_custkey)
+    LEFT JOIN src_nation nt USING (c_custkey)
+    LEFT JOIN src_seg s USING (c_custkey)
+    """,
+)
+def q_harmonize_multi_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's end state (EP2, SURVEY §3): ~25 per-source
+    annotation tables all left-joined onto one spine — here four
+    heterogeneous sources (an aggregate, a filtered aggregate, a
+    dimension decoration, a plain attribute) folded onto the customer
+    spine with repeated harmonize calls. Every source is key-collapsed
+    before its join, so each fold is a broadcast join against the
+    growing spine table — the wide-table build stays shuffle-bounded by
+    the source aggregations, exactly how the 20k-gene × 25-source
+    annotation matrix assembles at any corpus scale."""
+    from functools import reduce
+
+    from gene_level_metadata_pipeline_spark.operators.harmonize import (
+        harmonize, spine,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    ord_ = _t(spark, sf_dir, "orders")
+    spn = spine(cust, "c_custkey")
+    sources = [
+        ord_.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice"), 2).alias("total_spend"),
+        ),
+        ord_.where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_urgent")),
+        cust.join(
+            F.broadcast(nat), cust.c_nationkey == nat.n_nationkey
+        ).select("c_custkey", F.col("n_name").alias("nation_name")),
+        cust.select("c_custkey", "c_mktsegment"),
+    ]
+    return reduce(lambda acc, src: harmonize(acc, src, "c_custkey"), sources, spn)
+
+
+@_register(
+    "pivot_multi_values",
+    oracle="""
+    SELECT o_orderstatus,
+           count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+             AS urgent_n,
+           CAST(round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                               THEN CAST(o_totalprice AS DECIMAL(18,6))
+                          END), 2) AS DOUBLE) AS urgent_total,
+           count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS low_n,
+           CAST(round(sum(CASE WHEN o_orderpriority = '5-LOW'
+                               THEN CAST(o_totalprice AS DECIMAL(18,6))
+                          END), 2) AS DOUBLE) AS low_total
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q_pivot_multi_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2's general form — pivot_wider(values_from = c(v1, v2)): one
+    pivot producing TWO value columns per pivoted key (count and sum
+    here). Explicit pivot values keep Spark from running a distinct
+    pre-scan; the whole thing is a single hash aggregate with
+    conditional partials — identical to the oracle's CASE form."""
+    ord_ = _t(spark, sf_dir, "orders")
+    out = (
+        ord_.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "5-LOW"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum(F.col("o_totalprice"), 2).alias("total"),
+        )
+    )
+    return out.select(
+        "o_orderstatus",
+        F.col("1-URGENT_n").alias("urgent_n"),
+        F.col("1-URGENT_total").alias("urgent_total"),
+        F.col("5-LOW_n").alias("low_n"),
+        F.col("5-LOW_total").alias("low_total"),
+    )
+
+
+@_register(
+    "packed_kv_parse",
+    oracle="""
+    WITH pairs AS (
+      SELECT p_partkey,
+             unnest(string_split(
+               'size=' || CAST(p_size AS VARCHAR) || ';brand=' || p_brand
+               || ';type=' || p_type, ';')) AS kv
+      FROM part WHERE p_partkey < 200
+    )
+    SELECT p_partkey,
+           split_part(kv, '=', 1) AS attr_key,
+           split_part(kv, '=', 2) AS attr_val
+    FROM pairs
+    """,
+)
+def q_packed_kv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed key=value attribute strings → long (key, value) rows via
+    str_to_map + map explode — the reference's pipe-packed multi-value
+    idiom (R1) generalized to keyed packing. The packed string is built
+    from part attributes so the oracle derives the identical input; the
+    parse is map-side (str_to_map + explode, no Python, no shuffle)."""
+    part = _t(spark, sf_dir, "part").where(F.col("p_partkey") < 200)
+    packed = F.concat(
+        F.lit("size="), F.col("p_size").cast("string"),
+        F.lit(";brand="), F.col("p_brand"),
+        F.lit(";type="), F.col("p_type"),
+    )
+    return part.select(
+        "p_partkey",
+        F.explode(F.str_to_map(packed, F.lit(";"), F.lit("="))).alias(
+            "attr_key", "attr_val"
+        ),
+    )
+
+
+@_register(
+    "window_value_suite",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           first_value(o_orderkey) OVER w AS first_ok,
+           last_value(o_orderkey) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_ok,
+           nth_value(o_orderkey, 2) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_ok,
+           round(percent_rank() OVER w, 6) AS pr
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+)
+def q_window_value_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-window completion of window_rank_suite: first/last/nth value
+    over full-partition frames plus percent_rank — all four functions
+    share ONE custkey sort exchange (unique orderkey ordering keeps
+    every result deterministic)."""
+    from pyspark.sql import Window
+
+    ord_ = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ord_.select(
+        "o_custkey", "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(wfull).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(wfull).alias("second_ok"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+
+
+@_register(
+    "bool_agg_flags",
+    oracle="""
+    SELECT l_orderkey,
+           bool_or(l_returnflag = 'R') AS any_returned,
+           bool_and(l_quantity < 45) AS all_small,
+           CAST(max_by(l_partkey, l_linenumber * 100000000 + l_partkey)
+                AS BIGINT) AS last_part
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def q_bool_agg_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean / argmax aggregates: any/every flags per order plus the
+    deterministic max_by — one hash aggregate with map-side partials.
+    (l_orderkey, l_linenumber) is NOT unique in this data, so the argmax
+    ordering composites the partkey in as a scalar tie-break (struct
+    orderings aren't portable to the oracle engine)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.bool_or(F.col("l_returnflag") == "R").alias("any_returned"),
+        F.bool_and(F.col("l_quantity") < 45).alias("all_small"),
+        F.max_by(
+            "l_partkey",
+            F.col("l_linenumber").cast("long") * 100000000 + F.col("l_partkey"),
+        ).alias("last_part"),
+    )
+
+
+@_register(
+    "array_set_ops",
+    oracle="""
+    WITH a AS (
+      SELECT l_orderkey, list_sort(list(DISTINCT l_linenumber)) AS lns
+      FROM lineitem WHERE l_orderkey < 400 GROUP BY l_orderkey
+    )
+    SELECT l_orderkey, lns,
+           list_sort(list_filter(lns, x -> x IN (1, 2, 3))) AS kept,
+           list_sort(list_filter(lns, x -> x NOT IN (1, 2, 3))) AS extra,
+           len(lns) AS n_lines
+    FROM a
+    """,
+)
+def q_array_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set operations against a constant set: per-order distinct
+    line numbers intersected with / subtracted by {1,2,3} — results
+    array_sort-ed on BOTH engines because set-op output order is
+    implementation-defined (the determinism rule every array-valued
+    oracle follows)."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 400)
+    base = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_linenumber")).alias("lns")
+    )
+    const = F.array(F.lit(1), F.lit(2), F.lit(3))
+    return base.select(
+        "l_orderkey", "lns",
+        F.array_sort(F.array_intersect("lns", const)).alias("kept"),
+        F.array_sort(F.array_except("lns", const)).alias("extra"),
+        F.size("lns").cast("long").alias("n_lines"),
+    )
+
+
+@_register(
+    "datetime_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+           strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+             AS month_end,
+           CAST(date_diff('day', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since
+    FROM orders WHERE o_orderkey < 600
+    """,
+)
+def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar family (absent from the reference — SURVEY
+    §2.10 'date/time: none' — but table stakes for an engine): year /
+    month / day-of-week extraction, interval arithmetic, month end,
+    day difference. DuckDB numbers dayofweek from 0=Sunday vs Spark's
+    1=Sunday — the oracle shifts by one; all date math happens on the
+    calendar date so session timezones cannot perturb it."""
+    ord_ = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 600)
+    d = F.to_date("o_orderdate")
+    return ord_.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofweek(d).alias("dow"),
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since"),
+    )
+
+
+@_register(
+    "stats_profile",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sq,
+             CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(28,6)))
+                  AS DOUBLE) AS sqq,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS sp,
+             CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(28,6)))
+                  AS DOUBLE) AS sqp
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((sqq - sq * sq / n) / (n - 1), 4) AS var_qty,
+           round((sqp - sq * sp / n) / (n - 1), 4) AS covar_qty_price
+    FROM m
+    """,
+)
+def q_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates the PORTABLE way: built-in stddev/corr
+    accumulate doubles in partition order, so two engines (or two runs
+    with different partitionings) disagree in the last ulp. Here the
+    raw moments (Σx, Σx², Σxy) aggregate in exact DECIMAL — associative,
+    order-free — and variance/covariance assemble from them in identical
+    double arithmetic. One hash aggregate; same cost family as _dsum."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    p = F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q.cast("decimal(18,6)")).cast("double").alias("sq"),
+        F.sum((q * q).cast("decimal(28,6)")).cast("double").alias("sqq"),
+        F.sum(p.cast("decimal(18,6)")).cast("double").alias("sp"),
+        F.sum((q * p).cast("decimal(28,6)")).cast("double").alias("sqp"),
+    )
+    n = F.col("n")
+    return m.select(
+        "l_returnflag", "n",
+        _round_to((F.col("sqq") - F.col("sq") * F.col("sq") / n) / (n - 1), 4)
+            .alias("var_qty"),
+        _round_to((F.col("sqp") - F.col("sq") * F.col("sp") / n) / (n - 1), 4)
+            .alias("covar_qty_price"),
+    )
+
+
+@_register(
+    "streaming_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment AS tier
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    WHERE c.c_custkey < 100
+    """,
+)
+def q_streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join through an actual streaming query:
+    per-micro-batch broadcast of the static dimension, no join state
+    (the streaming complement of the stateful stream-stream interval
+    join) — result must equal the batch join."""
+    from gene_level_metadata_pipeline_spark.streaming.windows import (
+        stream_static_enrich,
+    )
+
+    return stream_static_enrich(spark, sf_dir)
+
+
+@_register(
+    "variant_props_extract",
+    oracle="""
+    WITH p AS (
+      SELECT user_id,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events WHERE user_id < 20
+    )
+    SELECT user_id, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+    FROM p GROUP BY user_id
+    """,
+)
+def q_variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's VARIANT type
+    (try_parse_json → try_variant_get): schema-flexible like a raw JSON
+    string but stored as a typed binary encoding, so repeated path
+    extraction skips re-parsing — the modern default for
+    schema-on-read columns. Same relational tail as json_props_extract;
+    the oracle is engine-neutral JSON extraction."""
+    ev = _events(spark, sf_dir).where(F.col("user_id") < 20)
+    parsed = ev.select(
+        "user_id",
+        F.try_variant_get(
+            F.try_parse_json("props"), "$.k", "bigint"
+        ).alias("k"),
+    )
+    return parsed.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("k").alias("sum_k"),
+    )
+
+
+@_register(
+    "custom_datasource_pages",
+    oracle="""
+    SELECT CAST(i // 25 AS INTEGER) AS page,
+           CAST(i AS INTEGER) AS record_id,
+           'G' || CAST(i AS VARCHAR) AS gene,
+           CAST(i % 4 AS INTEGER) AS confidence
+    FROM (SELECT unnest(generate_series(0, 99)) AS i)
+    """,
+)
+def q_custom_datasource_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source (sources/pagesource.PageSource): the
+    reference's sequential REST page loop (S11, I:211-218) re-expressed
+    as a Spark 4 DataSource whose pages ARE the input partitions —
+    fetched on executors, one page per task. 4 pages × 25 records of
+    deterministic synthetic payload; the oracle derives the identical
+    rows from generate_series."""
+    from gene_level_metadata_pipeline_spark.sources.pagesource import PageSource
+
+    spark.dataSource.register(PageSource)
+    return (
+        spark.read.format("genepages")
+        .option("pages", 4)
+        .option("perpage", 25)
+        .load()
+    )
+
+
+@_register(
+    "streaming_pages_source",
+    oracle="""
+    SELECT CAST(i // 25 AS INTEGER) AS page,
+           CAST(i AS INTEGER) AS record_id,
+           'G' || CAST(i AS VARCHAR) AS gene,
+           CAST(i % 4 AS INTEGER) AS confidence
+    FROM (SELECT unnest(generate_series(0, 74)) AS i)
+    """,
+)
+def q_streaming_pages_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming custom Python data source: the PageSource's stream
+    reader emits ONE page per micro-batch with the page number as the
+    offset (exactly-once restartable without any files). Three pages
+    drain into a memory sink; the result must equal the batch rows."""
+    import time
+    import uuid
+
+    from gene_level_metadata_pipeline_spark.sources.pagesource import PageSource
+
+    spark.dataSource.register(PageSource)
+    name = f"pages_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("genepages")
+        .option("pages", 3).option("perpage", 25).load()
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+    )
+    expected = 75
+    try:
+        for _ in range(120):
+            if spark.table(name).count() >= expected:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    out = spark.table(name)
+    rows = out.collect()
+    df = spark.createDataFrame(rows, out.schema)
+    spark.catalog.dropTempView(name)
+    return df
+
+
+_JACCARD_TRUTH_SQL = """
+    WITH words AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, lang, array_to_string(ws[i:i+2], ' ') AS shingle
+      FROM words, (SELECT unnest(generate_series(1, len(ws)-2)) AS i)
+      WHERE len(ws) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+"""
+
+
+@_register(
+    "lsh_quality_metrics",
+    oracle=f"""
+    WITH cands AS ({_minhash_oracle()}),
+    truth AS ({_JACCARD_TRUTH_SQL}),
+    tp AS (
+      SELECT count(*) AS n_tp
+      FROM cands JOIN truth USING (doc_a, doc_b)
+    )
+    SELECT (SELECT count(*) FROM truth) AS n_truth,
+           (SELECT count(*) FROM cands) AS n_cands,
+           n_tp,
+           round(n_tp * 1.0 / (SELECT count(*) FROM cands), 4) AS precision,
+           round(n_tp * 1.0 / (SELECT count(*) FROM truth), 4) AS recall
+    FROM tp
+    """,
+)
+def q_lsh_quality_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure, don't guess — the dedup stack evaluating ITSELF: MinHash
+    LSH candidates (8 hashes × 4 bands) scored against exact
+    language-blocked Jaccard ≥ 0.5 ground truth; one row of
+    precision/recall. The exact-truth side is the expensive shingle
+    join you'd never run on the full corpus — here it runs on the test
+    slice to calibrate the cheap candidate generator, which is precisely
+    how LSH parameters get validated before a 100 TB run (then
+    lsh_params picks bands/rows for the chosen operating point)."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = minhash_candidate_pairs(docs, "text", "doc_id",
+                                    n=3, num_hashes=8, bands=4)
+    truth = ngram_jaccard_pairs(docs, "text", "doc_id",
+                                n=3, threshold=0.5, block_by="lang"
+                                ).select("doc_a", "doc_b")
+    tp = cands.join(truth, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_tp")
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_cands = cands.agg(F.count(F.lit(1)).alias("n_cands"))
+    return (
+        n_truth.join(n_cands).join(tp)
+        .select(
+            "n_truth", "n_cands", "n_tp",
+            _round_to(F.col("n_tp") / F.col("n_cands"), 4).alias("precision"),
+            _round_to(F.col("n_tp") / F.col("n_truth"), 4).alias("recall"),
+        )
+    )
+
+
+@_register(
+    "funnel_stages",
+    oracle="""
+    WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+    s1 AS (
+      SELECT user_id, min(us) AS t1 FROM ev
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.us) AS t2
+      FROM ev e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.us > s1.t1
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.us) AS t3
+      FROM ev e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.us > s2.t2
+      GROUP BY e.user_id
+    ),
+    staged AS (
+      SELECT u.user_id,
+             CASE WHEN s3.t3 IS NOT NULL THEN 3
+                  WHEN s2.t2 IS NOT NULL THEN 2
+                  WHEN s1.t1 IS NOT NULL THEN 1
+                  ELSE 0 END AS stage
+      FROM (SELECT DISTINCT user_id FROM ev) u
+      LEFT JOIN s1 USING (user_id)
+      LEFT JOIN s2 USING (user_id)
+      LEFT JOIN s3 USING (user_id)
+    )
+    SELECT stage, count(*) AS n_users FROM staged GROUP BY stage
+    """,
+)
+def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click-after-view →
+    purchase-after-that-click): per-user event arrays folded through a
+    three-state machine with ONE aggregate lambda — a single user_id
+    shuffle and no self-joins, versus the oracle's three join-aggregate
+    rounds (same answer, the relational formulation). The fold carries
+    (stage, t1, t2) through the time-sorted events; epoch-micros keep
+    both engines on identical integers."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("us"), F.col("event_type").alias("et")))
+    )
+    init = F.struct(
+        F.lit(0).alias("stage"),
+        F.lit(None).cast("long").alias("t1"),
+        F.lit(None).cast("long").alias("t2"),
+    )
+
+    def step(acc, e):
+        adv1 = (acc.stage == 0) & (e.et == "view")
+        adv2 = (acc.stage == 1) & (e.et == "click") & (e.us > acc.t1)
+        adv3 = (acc.stage == 2) & (e.et == "purchase") & (e.us > acc.t2)
+        return F.struct(
+            F.when(adv1, 1).when(adv2, 2).when(adv3, 3)
+             .otherwise(acc.stage).alias("stage"),
+            F.when(adv1, e.us).otherwise(acc.t1).alias("t1"),
+            F.when(adv2, e.us).otherwise(acc.t2).alias("t2"),
+        )
+
+    staged = ev.groupBy("user_id").agg(
+        F.aggregate(arr, init, step).getField("stage").alias("stage")
+    )
+    return staged.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
+
+
