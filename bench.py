@@ -35,6 +35,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "ann_brute_force_topk",
+    "ann_ivf_kmeans_topk",
     "text_lang_id",
     "text_quality",
     "asof_join_events",
