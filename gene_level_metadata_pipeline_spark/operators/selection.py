@@ -35,7 +35,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["running_sum", "budget_select", "pack_sequences", "mixture_sample"]
+__all__ = [
+    "running_sum",
+    "budget_select",
+    "pack_sequences",
+    "mixture_sample",
+    "corpus_shuffle",
+]
 
 
 def running_sum(
@@ -125,6 +131,37 @@ def pack_sequences(
             F.floor((F.col("_cum") - size) / F.lit(context_len)).cast("long"),
         )
         .drop("_cum")
+    )
+
+
+def corpus_shuffle(
+    df: DataFrame,
+    key_col: str,
+    salt: str = "shuffle",
+    pos_col: str = "shuffle_pos",
+) -> DataFrame:
+    """Deterministic global corpus shuffle: a reproducible training order.
+
+    LLM training wants the corpus in a pseudo-random order that is (a)
+    identical across re-runs and engines (resume/repro), and (b) cheap to
+    re-derive with a different ``salt`` per epoch. ``orderBy(rand())`` is
+    neither; a naive global ``row_number`` collapses onto one task. This
+    op orders by ``md5(salt:key)`` (uniform, deterministic) and assigns
+    the global 1-based position with the distributed prefix COUNT
+    (``running_sum`` of 1) — range partition on the hash, per-partition
+    cumsum, broadcast partition offsets. The position is partitioning-
+    independent: wherever the range boundaries land, within-partition
+    count + prior-partition offset is the same global rank (the hash
+    plus ``key_col`` tiebreak is a total order).
+    """
+    h = F.md5(
+        F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string"))
+    )
+    hashed = df.withColumn("_h", h)
+    out = running_sum(hashed, ["_h", key_col], F.lit(1), out_col="_pos")
+    return (
+        out.withColumn(pos_col, F.col("_pos").cast("long"))
+        .drop("_h", "_pos")
     )
 
 

@@ -709,6 +709,31 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "corpus_shuffle_order",
+    oracle="""
+    SELECT doc_id,
+           row_number() OVER (
+             ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS shuffle_pos
+    FROM documents
+    """,
+)
+def q_corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle (operators.selection.
+    corpus_shuffle): reproducible pseudo-random training order by
+    md5(salt:key) with the global position from the distributed prefix
+    count (range partition + per-partition cumsum + broadcast offsets) —
+    never a single-task global window. Re-salting ('epoch1:...') gives a
+    fresh order per epoch with zero extra machinery; the oracle's naive
+    row_number() OVER (ORDER BY md5) is the same math the driver-killing
+    way."""
+    from gene_level_metadata_pipeline_spark.operators.selection import corpus_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return corpus_shuffle(docs, "doc_id", salt="epoch0")
+
+
+@_register(
     "mixture_sample_langs",
     oracle="""
     SELECT doc_id, lang, source FROM documents

@@ -91,3 +91,24 @@ def test_pack_sequences_bins_monotone_and_bounded(spark):
         per_bin[r.bin_id].append(r.n_tokens)
     for _b, sizes in per_bin.items():
         assert sum(sizes[:-1]) < 64
+
+
+def test_corpus_shuffle_partition_independent(spark):
+    """Shuffle positions must be identical whatever the physical split,
+    and re-salting must produce a different (but still deterministic)
+    order."""
+    from gene_level_metadata_pipeline_spark.operators.selection import (
+        corpus_shuffle,
+    )
+
+    df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["shuffle_pos"]
+         for r in corpus_shuffle(df.repartition(2), "doc_id").collect()}
+    b = {r["doc_id"]: r["shuffle_pos"]
+         for r in corpus_shuffle(df.repartition(17), "doc_id").collect()}
+    assert a == b
+    assert sorted(a.values()) == list(range(1, 201))  # dense 1..N
+    epoch1 = {r["doc_id"]: r["shuffle_pos"]
+              for r in corpus_shuffle(df, "doc_id", salt="epoch1").collect()}
+    assert epoch1 != a                       # different epoch, different order
+    assert sorted(epoch1.values()) == list(range(1, 201))
