@@ -436,6 +436,47 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(df).select("doc_id", "n_bytes", "checksum")
 
 
+@_register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS nb FROM documents
+    ),
+    f AS (
+      SELECT doc_id, text, CAST(floor(nb / 4.0) AS BIGINT) AS nf
+      FROM p WHERE nb >= 4
+    ),
+    i AS (
+      SELECT doc_id, text,
+             unnest(generate_series(0, nf - 1, 30)) AS frame_idx
+      FROM f
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           hex(encode(substring(text, CAST(frame_idx * 4 + 1 AS INT), 4)))
+             AS frame_hex
+    FROM i
+    """,
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling over the binary payload contract
+    (multimodal.sample_frames, fake codec = fixed-4-byte frames, every
+    30th): one input row fans out to one row per sampled frame, payload
+    dropped on output. The fake path is pure Catalyst — sequence +
+    explode + binary substring, zero Python — so unlike the codec-gated
+    real path it is fully hash-oracled; frames compare as hex (the
+    corpus is ASCII, so DuckDB's char positions equal byte offsets)."""
+    from gene_level_metadata_pipeline_spark.operators.multimodal import (
+        attach_binary_payload,
+        sample_frames,
+    )
+
+    df = attach_binary_payload(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    frames = sample_frames(df, every_n=30, frame_bytes=4, codec="fake")
+    return frames.select(
+        "doc_id", "frame_idx", F.hex("frame").alias("frame_hex")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data curation, continued: repetition scoring, PII scrubbing,
 # benchmark-contamination scan (operators/textanalysis.py).
