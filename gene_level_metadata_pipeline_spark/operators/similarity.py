@@ -208,6 +208,10 @@ def kmeans_centroids(
             )
             .select("cid", F.transform("pm", lambda s: s.m).alias("ce"))
         )
+        if iters > 1:
+            # truncate lineage between Lloyd rounds (k × dim rows) — the
+            # same per-round localCheckpoint discipline as graph.py
+            centroids = centroids.localCheckpoint(eager=True)
     return centroids
 
 

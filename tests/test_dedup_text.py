@@ -420,3 +420,29 @@ def test_kmeans_centroids_deterministic_shape(spark):
     assert all(len(r["ce"]) == dim for r in c1)
     assert sorted(map(tuple, ((r["cid"], tuple(r["ce"])) for r in c1))) == \
            sorted(map(tuple, ((r["cid"], tuple(r["ce"])) for r in c2)))
+
+
+def test_kmeans_multi_iteration_improves_or_holds_objective(spark):
+    """More Lloyd iterations must not worsen the mean assignment
+    similarity (monotone objective, up to the 4dp rounding grid)."""
+    from pyspark.sql import functions as F
+
+    from gene_level_metadata_pipeline_spark.operators import similarity
+    from tests.conftest import SF_SMOKE
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+    def objective(iters):
+        cent = similarity.kmeans_centroids(emb, k=4, iters=iters)
+        v = emb.withColumn(
+            "__ed",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+        )
+        scored = v.join(F.broadcast(cent)).select(
+            "vec_id",
+            F.round(similarity.cosine(F.col("__ed"), F.col("ce")), 4).alias("s"),
+        )
+        best = scored.groupBy("vec_id").agg(F.max("s").alias("b"))
+        return best.agg(F.avg("b")).first()[0]
+
+    assert objective(3) >= objective(1) - 1e-4
