@@ -52,6 +52,7 @@ HEADLINE = [
     "encode_documents",
     "inverted_index",
     "token_budget_select",
+    "corpus_shuffle_order",
     "mixture_sample_langs",
     "text_bigram_lift",
     "pagerank_suppliers",
