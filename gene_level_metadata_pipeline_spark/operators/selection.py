@@ -39,6 +39,7 @@ __all__ = [
     "running_sum",
     "budget_select",
     "pack_sequences",
+    "materialize_packed",
     "mixture_sample",
     "corpus_shuffle",
 ]
@@ -131,6 +132,40 @@ def pack_sequences(
             F.floor((F.col("_cum") - size) / F.lit(context_len)).cast("long"),
         )
         .drop("_cum")
+    )
+
+
+def materialize_packed(
+    df: DataFrame,
+    bin_col: str,
+    order_by: list[str],
+    text_col: str,
+    sep: str = "<|eos|>",
+) -> DataFrame:
+    """Materialize packed context rows: per bin, the documents joined in
+    order with a separator token — the final step of sample packing
+    (pack_sequences assigns bins; this emits the actual training rows).
+
+    One shuffle on the bin id; the in-bin order is made deterministic by
+    sorting the collected (order_key, text) structs, so the packed text
+    is identical whatever the physical partitioning (the A6 ordered
+    string-agg discipline applied to corpus packing). Returns
+    (bin, n_docs, packed_text).
+    """
+    keys = F.struct(*[F.col(c) for c in order_by], F.col(text_col))
+    return (
+        df.groupBy(F.col(bin_col).alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_sort(F.collect_list(keys)).alias("_parts"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            F.array_join(
+                F.transform(F.col("_parts"), lambda s: s[text_col]), sep
+            ).alias("packed_text"),
+        )
     )
 
 

@@ -750,6 +750,54 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pack_materialize",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, text, n_tokens,
+             sum(CAST(n_tokens AS DECIMAL(28,6))) OVER (ORDER BY doc_id)
+               AS rt
+      FROM d
+    ),
+    b AS (
+      SELECT doc_id, text,
+             CAST(floor((CAST(rt AS DOUBLE) - n_tokens) / 512.0) AS BIGINT)
+               AS bin
+      FROM c
+    )
+    SELECT bin, count(*) AS n_docs,
+           string_agg(text, '<|eos|>' ORDER BY doc_id, text) AS packed_text
+    FROM b GROUP BY bin
+    """,
+)
+def q_pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The packing pipeline end-to-end: token counts → 512-token bin
+    assignment (distributed prefix sum, pack_sequences) → materialized
+    packed training rows (selection.materialize_packed: one shuffle on
+    the bin id, in-bin order made deterministic by sorting collected
+    structs — the A6 ordered string-agg discipline applied to corpus
+    packing). The oracle rebuilds the same bins with a naive global
+    window and string_agg ORDER BY."""
+    from gene_level_metadata_pipeline_spark.operators.selection import (
+        materialize_packed,
+        pack_sequences,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast("long")
+         .alias("n_tokens"),
+    )
+    packed = pack_sequences(docs, [F.col("doc_id")], "n_tokens", 512)
+    return materialize_packed(packed, "bin_id", ["doc_id"], "text")
+
+
+@_register(
     "corpus_shuffle_order",
     oracle="""
     SELECT doc_id,

@@ -112,3 +112,25 @@ def test_corpus_shuffle_partition_independent(spark):
               for r in corpus_shuffle(df, "doc_id", salt="epoch1").collect()}
     assert epoch1 != a                       # different epoch, different order
     assert sorted(epoch1.values()) == list(range(1, 201))
+
+
+def test_materialize_packed_order_partition_independent(spark):
+    """Packed text must be byte-identical whatever the physical split."""
+    from gene_level_metadata_pipeline_spark.operators.selection import (
+        materialize_packed,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 3, "cc"), (0, 1, "aa"), (0, 2, "bb"), (1, 9, "zz")],
+        ["bin_id", "doc_id", "text"],
+    )
+    a = {r["bin"]: (r["n_docs"], r["packed_text"])
+         for r in materialize_packed(df.repartition(1), "bin_id",
+                                     ["doc_id"], "text").collect()}
+    b = {r["bin"]: (r["n_docs"], r["packed_text"])
+         for r in materialize_packed(df.repartition(7), "bin_id",
+                                     ["doc_id"], "text").collect()}
+    assert a == b == {
+        0: (3, "aa<|eos|>bb<|eos|>cc"),
+        1: (1, "zz"),
+    }
