@@ -1145,3 +1145,51 @@ def q_approx_topk_exact_regime(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.count").cast("bigint").alias("n"),
         )
     )
+
+
+@_register(
+    "collated_group_count",
+    oracle="""
+    WITH mixed AS (
+      SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_type) ELSE p_type END
+               AS t,
+             p_partkey
+      FROM part
+    )
+    SELECT lower(t) AS type_key, count(*) AS n,
+           CAST(sum(CASE WHEN t = upper(t) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_upper
+    FROM mixed GROUP BY lower(t)
+    """,
+)
+def q_collated_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collation surface: grouping ON a UTF8_LCASE-collated
+    column — the engine's hash/compare is collation-aware, no lower()
+    rewrite. Mixed-case input is manufactured (even part keys upper-
+    cased) so the collated group genuinely merges case variants;
+    n_upper proves both forms landed in one group. The output key is
+    normalized with lower() because a collated group's representative
+    value is whichever variant the aggregation saw first — collation-
+    correct but nondeterministic, exactly what an oracle-stable query
+    must not emit."""
+    p = _t(spark, sf_dir, "part").select(
+        F.when(F.col("p_partkey") % 2 == 0, F.upper("p_type"))
+        .otherwise(F.col("p_type"))
+        .alias("t")
+    )
+    return (
+        p.groupBy(F.collate(F.col("t"), "UTF8_LCASE").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("t") == F.upper("t"), 1).otherwise(0)
+            ).cast("bigint").alias("n_upper"),
+        )
+        .select(
+            # lower() of a collated value stays collated — re-collate to the
+            # default so the output schema is plain `string` for the driver
+            F.collate(F.lower("k"), "UTF8_BINARY").alias("type_key"),
+            "n",
+            "n_upper",
+        )
+    )
