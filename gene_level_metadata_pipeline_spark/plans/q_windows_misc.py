@@ -113,6 +113,66 @@ def q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_session_windows_dynamic",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CASE WHEN event_type = 'purchase' THEN 3600000000
+                  ELSE 1800000000 END AS gap
+      FROM events
+    ),
+    o AS (
+      SELECT user_id, us, gap,
+             max(us + gap) OVER (
+               PARTITION BY user_id ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_end
+      FROM ev
+    ),
+    f AS (
+      SELECT *, CASE WHEN prev_end IS NULL OR us >= prev_end
+                     THEN 1 ELSE 0 END AS brk
+      FROM o
+    ),
+    g AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM f
+    )
+    SELECT user_id, min(us) AS session_start_us,
+           max(us + gap) AS session_end_us, count(*) AS n
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def q_events_session_windows_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-gap session windows (Spark 3.2+): the gap is a per-event
+    EXPRESSION — purchases hold a session open 60 minutes, everything
+    else 30. Each event contributes the interval [ts, ts+gap); Spark
+    merges overlapping intervals per key, so session end is
+    max(ts_i + gap_i), and an event starting exactly at the running
+    end opens a new session (end-exclusive). The oracle replays the
+    same interval-union with a running max over preceding ends —
+    order-insensitive math, so us-ties need no tiebreak."""
+    ev = _events(spark, sf_dir)
+    # session_window's dynamic gap must be CalendarIntervalType — ANSI
+    # INTERVAL literals are DayTimeIntervalType, so build via make_interval
+    gap = F.when(
+        F.col("event_type") == "purchase",
+        F.expr("make_interval(0, 0, 0, 0, 0, 60, 0)"),
+    ).otherwise(F.expr("make_interval(0, 0, 0, 0, 0, 30, 0)"))
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("session_start_us"),
+            F.unix_micros("sw.end").alias("session_end_us"),
+            "n",
+        )
+    )
+
+
+@_register(
     "snapshot_diff_orders",
     oracle="""
     WITH old AS (
