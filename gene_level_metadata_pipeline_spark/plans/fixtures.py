@@ -55,6 +55,13 @@ def fixture_dir() -> str:
     # P7: real header sits in data row 1 (Rosen workbook shape, TM:107-109)
     w("promote.csv", "gene,score\ng1,1.5\ng2,2.0\n")
 
+    # S-family: RFC-4180 quoted fields with embedded newlines + "" quotes
+    # (free-text annotation columns, e.g. OMIM phenotype notes)
+    w("multiline.csv",
+      'id,note,score\n'
+      '1,"line one\nline two",3.5\n'
+      '2,"has ""quotes"" and, commas",4.0\n')
+
     # S9: two-sheet xlsx (Rosen workbook shape, IM:19-22 / TM:105-127),
     # hand-built zipped XML with inline strings — no Excel engine needed
     xpath = os.path.join(d, "workbook.xlsx")

@@ -48,6 +48,30 @@ def q_read_delim_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "read_multiline_quoted",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'line one' || chr(10) || 'line two', CAST(3.5 AS DOUBLE)),
+      (2, 'has "quotes" and, commas', CAST(4.0 AS DOUBLE))
+    ) AS t(id, note, score)
+    """,
+)
+def q_read_multiline_quoted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC-4180 quoted CSV fields with embedded newlines and "" escapes —
+    R's readers handle these silently, Spark needs multiLine + quote
+    escape (read_delim(multiline=True)). The embedded-newline value in
+    the oracle proves the record boundary survived; the scale caveat
+    (multiLine files are unsplittable: one file = one task) is
+    documented at the reader."""
+    from gene_level_metadata_pipeline_spark.plans.fixtures import fixture_dir
+    from gene_level_metadata_pipeline_spark.sources.readers import read_delim
+
+    return read_delim(
+        spark, f"{fixture_dir()}/multiline.csv", sep=",", multiline=True
+    )
+
+
+@_register(
     "read_headerless_positional",
     oracle="SELECT * FROM (VALUES ('x', 'a'), ('y', 'b'), ('z', 'c')) AS t(V3, V1)",
 )

@@ -118,6 +118,7 @@ def read_delim(
     header: bool = True,
     skip: int = 0,
     infer_schema: bool = True,
+    multiline: bool = False,
 ) -> DataFrame:
     """Delimited-file reader with the reference's quirks (S2–S8).
 
@@ -130,8 +131,29 @@ def read_delim(
       ``fread(header=FALSE)`` (S4, I:117-120) so positional consumers
       (``select(7,5)`` → ``V7``,``V5``, T:251) port verbatim.
     * ``.zip`` transparently extracted (S7); ``.gz`` handled by Spark.
+    * ``multiline=True`` — RFC-4180 quoted fields containing embedded
+      newlines and escaped ``""`` quotes (R's readers handle these by
+      default; Spark needs ``multiLine``). Scale caveat: a multiLine CSV
+      file is NOT splittable — one file = one task — so use it only for
+      the small messy sources it exists for, never a fact table.
+      Incompatible with ``skip`` (the line-oriented pre-filter would cut
+      quoted records in half).
     """
+    if multiline and skip > 0:
+        raise ValueError("read_delim: multiline and skip are incompatible")
     path = _maybe_unzip(path)
+    if multiline:
+        df = (
+            spark.read.option("sep", sep)
+            .option("header", header)
+            .option("inferSchema", infer_schema)
+            .option("multiLine", True)
+            .option("escape", '"')  # RFC-4180 "" escaping, as R reads it
+            .csv(path)
+        )
+        if not header:
+            df = df.toDF(*[f"V{i + 1}" for i in range(len(df.columns))])
+        return df
     if skip > 0:
         text = spark.read.text(path).coalesce(1)
         text = text.withColumn("__i", F.monotonically_increasing_id())
