@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "word_shingles",
     "dedup_exact",
+    "dedup_against_history",
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_candidate_pairs",
@@ -87,6 +88,85 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+def dedup_against_history(
+    new: DataFrame,
+    history: DataFrame,
+    text_col: str,
+    id_col: str,
+    expected_history: int = 1_000_000,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Incremental exact dedup: keep only new documents whose content
+    hash has never been seen in the history corpus.
+
+    The 100 TB shape: an anti join of today's batch against the FULL
+    history would shuffle the history's fingerprints every run. Instead
+    the history folds into a Bloom bitmask built WITH DataFrame ops
+    (k salted xxhash64 positions per fingerprint → explode → bit_or per
+    64-bit word: one map-side-combined aggregate over ≤ m/64 rows).
+    The finished sketch — whose size is set by ``expected_history`` /
+    ``fpp``, NOT by the data — is collected and embedded as an array
+    literal, so the k membership probes run inside the scan's
+    whole-stage codegen and discard the (1−fpp) of truly-new documents
+    with zero shuffle; only the surviving sliver — actual dups plus
+    ~fpp false positives — pays the exact anti-join confirm. The
+    driver-side collect is the same bounded-sketch discipline as
+    Spark's own InjectRuntimeFilter (which also builds its Bloom on
+    the driver); at 1% fpp the mask is ~1.2 bytes per expected item.
+
+    The final result is EXACT: the Bloom filter only pre-filters the
+    anti join's left side — false positives are re-admitted by the
+    join, never dropped — which is what makes the operator
+    oracle-checkable. The new batch is scanned twice (once per branch);
+    at scale two scans of today's batch beat one shuffle of it.
+    Returns the surviving rows of ``new`` (same schema).
+    """
+    import math
+
+    m = int(math.ceil(-expected_history * math.log(fpp) / math.log(2) ** 2))
+    m = max(64, (m + 63) // 64 * 64)  # whole 64-bit words
+    k = max(1, round(m / expected_history * math.log(2)))
+    hist_fp = history.select(F.md5(F.col(text_col)).alias("fp"))
+
+    def positions(fp_col):
+        return [F.pmod(F.xxhash64(fp_col, F.lit(s)), F.lit(m)) for s in range(k)]
+
+    words = (
+        hist_fp.select(F.explode(F.array(*positions(F.col("fp")))).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("int").alias("w"),
+            # python F.shiftleft only takes a literal shift — SQL's takes a column
+            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("word"))
+        .collect()
+    )
+    arr = [0] * (m // 64)
+    for r in words:
+        arr[r["w"]] = r["word"]
+
+    fp_new = F.md5(F.col(text_col))
+    probed = new.withColumn(
+        "__bw", F.lit(arr).cast("array<long>")
+    )
+    for s, p in enumerate(positions(fp_new)):
+        probed = probed.withColumn(f"__p{s}", p)
+    hit = F.lit(True)
+    for s in range(k):
+        hit = hit & F.expr(
+            f"(element_at(__bw, CAST(__p{s} / 64 AS INT) + 1) "
+            f"& shiftleft(1L, CAST(__p{s} % 64 AS INT))) != 0"
+        )
+    probe_cols = ["__bw"] + [f"__p{s}" for s in range(k)]
+    definitely_new = probed.where(~hit).drop(*probe_cols)
+    candidates = probed.where(hit).drop(*probe_cols)
+    confirmed_new = candidates.join(
+        hist_fp, fp_new == hist_fp.fp, "left_anti"
+    )
+    return definitely_new.unionByName(confirmed_new)
 
 
 def ngram_jaccard_pairs(

@@ -55,6 +55,38 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_incremental_bloom",
+    oracle="""
+    WITH hist AS (
+      SELECT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT d.doc_id, d.lang
+    FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM hist WHERE hist.fp = md5(d.text))
+    """,
+)
+def q_dedup_incremental_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup against a history corpus
+    (dedup.dedup_against_history): the history (even doc ids) folds into
+    one bloom_filter_agg sketch broadcast as a single row; might_contain
+    discards ~99% of truly-new documents inside the scan, and only Bloom
+    positives pay the exact anti-join confirm. The Bloom filter is a
+    pre-filter, never a decider — false positives are re-admitted by the
+    anti join — so the result is EXACT and the oracle is the plain
+    NOT EXISTS."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        dedup_against_history,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    history = docs.where(F.col("doc_id") % 2 == 0)
+    out = dedup_against_history(
+        docs, history, "text", "doc_id", expected_history=10_000
+    )
+    return out.select("doc_id", "lang")
+
+
+@_register(
     "dedup_ngram_jaccard",
     oracle="""
     WITH words AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),

@@ -187,3 +187,42 @@ def q_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_stream(spark, sf_dir)
 
 
+
+
+@_register(
+    "streaming_session_windows",
+    oracle="""
+    WITH ev AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+    o AS (
+      SELECT user_id, us, value,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w >= 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us)
+    ),
+    g AS (
+      SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           min(us) AS session_start_us,
+           max(us) + 1800000000 AS session_end_us,
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native STREAMING session windows — F.session_window under a
+    watermark in append mode, Spark's built-in window-merge state (the
+    third stateful mechanism next to tumbling-window aggregation and
+    applyInPandasWithState). The watermark-punctuation flush drains all
+    open sessions at the end of the bounded replay, so the result equals
+    the batch events_session_windows query and shares its oracle."""
+    from gene_level_metadata_pipeline_spark.streaming.windows import (
+        session_window_counts_stream,
+    )
+
+    return session_window_counts_stream(spark, sf_dir)

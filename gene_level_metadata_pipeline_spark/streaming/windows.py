@@ -19,6 +19,7 @@ from gene_level_metadata_pipeline_spark.sources.readers import normalize_event_t
 
 __all__ = [
     "hourly_event_counts_stream",
+    "session_window_counts_stream",
     "sessionize_stream",
     "stream_dedup_within_watermark_demo",
     "stream_outer_join_demo",
@@ -258,6 +259,75 @@ def sessionize_stream(
     finally:
         if stage_dir is not None:
             shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+def session_window_counts_stream(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Native streaming session windows: ``F.session_window`` under a
+    watermark in append mode — Spark's built-in window-MERGE state
+    (distinct from the tumbling-window state of
+    ``hourly_event_counts_stream`` and the custom
+    ``applyInPandasWithState`` sessionizer): per-key session windows
+    merge as events arrive and emit once the watermark passes a
+    session's end.
+
+    Append mode has the same bounded-replay horizon problem as the
+    custom sessionizer — sessions whose end the final watermark never
+    passes stay in state — so the run reuses the watermark-punctuation
+    flush (``_stage_with_flush_sentinel``): the sentinel advances the
+    final watermark past every real session's end, all sessions emit,
+    and the result provably equals the batch ``events_session_windows``
+    query, whose oracle it shares.
+
+    Returns (user_id, session_start_us, session_end_us, n, total).
+    """
+    import shutil
+
+    _events_confs(spark)
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stage_dir = _stage_with_flush_sentinel(spark, static, sf_dir, gap_minutes)
+    try:
+        src = spark.readStream.schema(static.schema).parquet(stage_dir)
+        ev = normalize_event_ts(src).withWatermark("ts", "1 hour")
+        agg = (
+            ev.groupBy(
+                "user_id",
+                F.session_window("ts", f"{gap_minutes} minutes").alias("sw"),
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+                .cast("double")
+                .alias("total"),
+            )
+        )
+        name = f"stream_swin_{uuid.uuid4().hex[:8]}"
+        with _pinned_shuffle(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+        out = (
+            spark.table(name)
+            .where(F.col("user_id") != F.lit(_FLUSH_SENTINEL_UID))
+            .select(
+                "user_id",
+                F.unix_micros("sw.start").alias("session_start_us"),
+                F.unix_micros("sw.end").alias("session_end_us"),
+                "n",
+                "total",
+            )
+        )
+        rows = out.collect()
+        spark.catalog.dropTempView(name)
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(stage_dir, ignore_errors=True)
 
 
 def stream_stream_interval_join(

@@ -446,3 +446,27 @@ def test_kmeans_multi_iteration_improves_or_holds_objective(spark):
         return best.agg(F.avg("b")).first()[0]
 
     assert objective(3) >= objective(1) - 1e-4
+
+
+def test_dedup_against_history_exact_and_selective(spark):
+    """The Bloom pre-filter must (a) never change the exact result and
+    (b) actually prune: the definitely-new branch should carry ~(1-fpp)
+    of the truly-new rows past the anti join for free."""
+    from pyspark.sql import functions as F
+
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        dedup_against_history,
+    )
+
+    hist = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("shared text "), F.col("id")).alias("text"),
+    )
+    new = spark.range(200, 800).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("shared text "), F.col("id")).alias("text"),
+    )
+    out = dedup_against_history(new, hist, "text", "doc_id",
+                                expected_history=1_000)
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == list(range(300, 800))  # exact: overlap 200-299 dropped
