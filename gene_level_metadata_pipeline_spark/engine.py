@@ -109,3 +109,42 @@ class Engine:
         from gene_level_metadata_pipeline_spark.sources.sinks import write_bronze
 
         return write_bronze(df, root, source, **kw)
+
+    # -- training-data curation front door (operators/{dedup,selection,
+    # similarity,textanalysis}.py hold the full families; these are the
+    # entry points a corpus pipeline starts from) -----------------------
+
+    def dedup_exact(self, df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.dedup import dedup_exact
+
+        return dedup_exact(df, text_col, id_col)
+
+    def dedup_against_history(
+        self, new: DataFrame, history: DataFrame, text_col: str, id_col: str, **kw
+    ) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.dedup import (
+            dedup_against_history,
+        )
+
+        return dedup_against_history(new, history, text_col, id_col, **kw)
+
+    def corpus_shuffle(self, df: DataFrame, key_col: str, **kw) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.selection import (
+            corpus_shuffle,
+        )
+
+        return corpus_shuffle(df, key_col, **kw)
+
+    def budget_select(self, df: DataFrame, order_by, cost_col, budget, **kw) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.selection import (
+            budget_select,
+        )
+
+        return budget_select(df, order_by, cost_col, budget, **kw)
+
+    def pack_sequences(self, df: DataFrame, order_by, size_col, context_len, **kw) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.selection import (
+            pack_sequences,
+        )
+
+        return pack_sequences(df, order_by, size_col, context_len, **kw)
