@@ -55,6 +55,23 @@ def fixture_dir() -> str:
     # P7: real header sits in data row 1 (Rosen workbook shape, TM:107-109)
     w("promote.csv", "gene,score\ng1,1.5\ng2,2.0\n")
 
+    # Provenance: a two-file parquet directory with STABLE file names so
+    # the hidden _metadata.file_name column is oracle-checkable
+    prov = os.path.join(d, "prov")
+    if not os.path.isdir(prov):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(prov, exist_ok=True)
+        pq.write_table(
+            pa.table({"k": [1, 2], "v": ["x", "y"]}),
+            os.path.join(prov, "batch_a.parquet"),
+        )
+        pq.write_table(
+            pa.table({"k": [3], "v": ["z"]}),
+            os.path.join(prov, "batch_b.parquet"),
+        )
+
     # S-family: RFC-4180 quoted fields with embedded newlines + "" quotes
     # (free-text annotation columns, e.g. OMIM phenotype notes)
     w("multiline.csv",

@@ -48,6 +48,37 @@ def q_read_delim_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "scan_file_provenance",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('batch_a.parquet', CAST(2 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT)),
+      ('batch_b.parquet', CAST(1 AS BIGINT), CAST(3 AS BIGINT), CAST(3 AS BIGINT))
+    ) AS t(src_file, n, k_min, k_max)
+    """,
+)
+def q_scan_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden file-metadata columns (Spark 3.3+ ``_metadata``): per-row
+    source-file provenance straight from the scan — the distributed form
+    of the reference's per-source bookkeeping (error reports keyed by
+    source file, I:248-253). Zero cost when unselected; here grouped to
+    per-file row counts + key ranges. The fixture writes stable file
+    names (Spark's own part-file names are uuid-suffixed, so provenance
+    fixtures must control naming)."""
+    from gene_level_metadata_pipeline_spark.plans.fixtures import fixture_dir
+
+    df = spark.read.parquet(f"{fixture_dir()}/prov")
+    return (
+        df.select(F.col("_metadata.file_name").alias("src_file"), "k")
+        .groupBy("src_file")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+    )
+
+
+@_register(
     "read_multiline_quoted",
     oracle="""
     SELECT * FROM (VALUES
