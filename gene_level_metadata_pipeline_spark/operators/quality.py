@@ -26,7 +26,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["Rule", "not_null", "accepted_values", "in_range", "unique",
-           "foreign_key", "validate", "histogram"]
+           "foreign_key", "validate", "histogram", "flag_outliers",
+           "winsorize"]
 
 
 class Rule:
@@ -173,4 +174,87 @@ def histogram(df: DataFrame, col: str, nbins: int) -> DataFrame:
             (F.col("__lo") + (F.col("bin") + 1) * F.col("__w")).alias("hi"),
             "n",
         )
+    )
+
+
+def flag_outliers(
+    df: DataFrame, group_col: str, value_col: str, z: float = 3.0
+) -> DataFrame:
+    """Per-group z-score outlier flags: |x − mean| > z·stddev within the
+    group — the numeric-curation gate (drop documents whose
+    length/score is pathological FOR ITS STRATUM, not globally).
+
+    Moments come from exact DECIMAL sums (sum, sum of squares — the
+    stats_profile discipline), so mean and population variance are
+    order-independent and an external engine derives bit-identical
+    flags; the group aggregate broadcasts back onto the rows (one
+    shuffle for the moments, none for the flagging). Groups of size 1
+    have zero variance — never flagged.
+
+    Adds ``z_score`` (rounded 4dp, NULL when the group variance is 0)
+    and ``is_outlier``.
+    """
+    dec = "decimal(28,8)"
+    x = F.col(value_col).cast("double")
+    moments = (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(x.cast(dec)).alias("__s"),
+            F.sum((x * x).cast(dec)).alias("__s2"),
+        )
+        .select(
+            group_col,
+            (F.col("__s").cast("double") / F.col("__n")).alias("__mean"),
+            F.sqrt(
+                F.greatest(
+                    F.lit(0.0),
+                    F.col("__s2").cast("double") / F.col("__n")
+                    - (F.col("__s").cast("double") / F.col("__n")) ** 2,
+                )
+            ).alias("__sd"),
+        )
+    )
+    zc = F.when(
+        F.col("__sd") > 0, F.round((x - F.col("__mean")) / F.col("__sd"), 4)
+    )
+    return (
+        df.join(F.broadcast(moments), group_col)
+        .withColumn("z_score", zc)
+        .withColumn(
+            "is_outlier", F.coalesce(F.abs(zc) > F.lit(z), F.lit(False))
+        )
+        .drop("__mean", "__sd")
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    out_col: str = "winsorized",
+) -> DataFrame:
+    """Per-group winsorization: clip ``value_col`` to the group's
+    [lo, hi] exact percentiles (percentile_cont interpolation) — the
+    heavy-tail taming step before averaging quality scores.
+
+    One shuffle for the per-group percentile aggregate (exact
+    percentiles sort within the aggregate's hash groups), broadcast
+    back for the clip. Exact interpolated percentiles match any ANSI
+    engine's percentile_cont bit-for-bit on identical doubles.
+    """
+    x = F.col(value_col).cast("double")
+    bounds = df.groupBy(group_col).agg(
+        F.percentile(x, F.lit(lo)).alias("__plo"),
+        F.percentile(x, F.lit(hi)).alias("__phi"),
+    )
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .withColumn(
+            out_col,
+            F.least(F.greatest(x, F.col("__plo")), F.col("__phi")),
+        )
+        .drop("__plo", "__phi")
     )

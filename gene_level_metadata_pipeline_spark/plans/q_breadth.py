@@ -896,6 +896,76 @@ def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "outlier_zscore",
+    oracle="""
+    WITH m AS (
+      SELECT p_type,
+             count(*) AS n,
+             CAST(sum(CAST(p_retailprice AS DECIMAL(28,8))) AS DOUBLE) AS s,
+             CAST(sum(CAST(p_retailprice * p_retailprice AS DECIMAL(28,8)))
+                  AS DOUBLE) AS s2
+      FROM part GROUP BY p_type
+    ),
+    j AS (
+      SELECT p.p_partkey, p.p_type, p.p_retailprice,
+             s / n AS mean,
+             sqrt(greatest(0.0, s2 / n - (s / n) * (s / n))) AS sd
+      FROM part p JOIN m USING (p_type)
+    )
+    SELECT p_partkey,
+           CASE WHEN sd > 0
+                THEN round((p_retailprice - mean) / sd, 4) END AS z_score,
+           coalesce(CASE WHEN sd > 0
+                         THEN abs(round((p_retailprice - mean) / sd, 4)) > 1.5
+                    END, false) AS is_outlier
+    FROM j
+    """,
+)
+def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier gate (quality.flag_outliers, z=1.5 so
+    the small-SF fixture actually flags rows): exact DECIMAL moments →
+    order-independent mean/population-sd → broadcast back for the
+    flagging, one shuffle total. The stratum-local numeric-curation
+    filter (a price pathological FOR ITS TYPE, not globally)."""
+    from gene_level_metadata_pipeline_spark.operators.quality import flag_outliers
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type", "p_retailprice")
+    return flag_outliers(p, "p_type", "p_retailprice", z=1.5).select(
+        "p_partkey", "z_score", "is_outlier"
+    )
+
+
+@_register(
+    "winsorize_prices",
+    oracle="""
+    WITH b AS (
+      SELECT p_type,
+             percentile_cont(0.05) WITHIN GROUP (ORDER BY CAST(p_retailprice AS DOUBLE)) AS plo,
+             percentile_cont(0.95) WITHIN GROUP (ORDER BY CAST(p_retailprice AS DOUBLE)) AS phi
+      FROM part GROUP BY p_type
+    )
+    SELECT p.p_partkey,
+           round(least(greatest(CAST(p.p_retailprice AS DOUBLE), b.plo), b.phi), 4)
+             AS winsorized
+    FROM part p JOIN b USING (p_type)
+    """,
+)
+def q_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization (quality.winsorize): clip to the group's
+    exact interpolated [5th, 95th] percentiles — heavy-tail taming
+    before averaging. Percentile INTERPOLATION differs in the last ulp
+    between engines (lo + (hi-lo)·f vs lo·(1−f) + hi·f), so the query
+    rounds the clipped output to 4dp on both sides; one percentile
+    shuffle + broadcast clip."""
+    from gene_level_metadata_pipeline_spark.operators.quality import winsorize
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type", "p_retailprice")
+    return winsorize(p, "p_type", "p_retailprice").select(
+        "p_partkey", _round_to(F.col("winsorized"), 4).alias("winsorized")
+    )
+
+
+@_register(
     "set_operations",
     oracle="""
     WITH small AS (SELECT DISTINCT p_brand FROM part WHERE p_size < 15),
