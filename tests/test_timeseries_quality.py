@@ -153,3 +153,36 @@ def test_snapshot_diff_compare_cols_subset(spark):
     new = spark.createDataFrame([(1, "a", 9.0)], "k int, s string, x double")
     # x differs but only s is compared -> no change rows
     assert snapshot_diff(old, new, "k", compare_cols=["s"]).count() == 0
+
+
+def test_flag_outliers_zero_variance_and_singleton(spark):
+    from pyspark.sql import functions as F
+
+    from gene_level_metadata_pipeline_spark.operators.quality import flag_outliers
+
+    df = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("a", 5.0),     # zero variance
+         ("b", 1.0),                              # singleton
+         ("c", 0.0), ("c", 0.0), ("c", 100.0)],   # one wild point
+        ["g", "x"],
+    )
+    out = {(r["g"], r["x"]): (r["z_score"], r["is_outlier"])
+           for r in flag_outliers(df, "g", "x", z=1.0).collect()}
+    assert out[("a", 5.0)] == (None, False)   # sd=0 -> never flagged
+    assert out[("b", 1.0)] == (None, False)   # singleton -> never flagged
+    assert out[("c", 100.0)][1] is True
+    assert out[("c", 0.0)][1] is False
+
+
+def test_winsorize_clips_to_group_percentiles(spark):
+    from gene_level_metadata_pipeline_spark.operators.quality import winsorize
+
+    rows = [("a", float(i)) for i in range(1, 11)] + [("b", 5.0)]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    out = {(r["g"], r["x"]): r["winsorized"]
+           for r in winsorize(df, "g", "x", lo=0.1, hi=0.9).collect()}
+    # group a: p10 = 1.9, p90 = 9.1 (interpolated over 1..10)
+    assert out[("a", 1.0)] == 1.9
+    assert out[("a", 10.0)] == 9.1
+    assert out[("a", 5.0)] == 5.0
+    assert out[("b", 5.0)] == 5.0  # singleton group: plo = phi = x
