@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "word_shingles",
     "dedup_exact",
+    "dedup_exact_keep_best",
     "dedup_against_history",
     "ngram_jaccard_pairs",
     "minhash_signatures",
@@ -85,6 +86,33 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         df.groupBy(F.md5(F.col(text_col)).alias("fingerprint"))
         .agg(
             F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def dedup_exact_keep_best(
+    df: DataFrame, text_col: str, id_col: str, priority_col: str
+) -> DataFrame:
+    """Exact dedup keeping the BEST copy per duplicate group, not the
+    minimum id: highest ``priority_col`` wins, lowest id breaks ties —
+    the curation policy "among identical texts, keep the one from the
+    best source / with the richest metadata".
+
+    Same single hash-groupBy shuffle as :func:`dedup_exact`; the argmax
+    is a ``max_by`` over a (priority, −id) struct, so the choice is
+    deterministic and an external engine's ``row_number() OVER
+    (ORDER BY priority DESC, id)`` reproduces it. Returns
+    (fingerprint, keep_id, best_priority, n_copies).
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("fingerprint"))
+        .agg(
+            F.max_by(
+                F.col(id_col),
+                F.struct(F.col(priority_col), -F.col(id_col)),
+            ).alias("keep_id"),
+            F.max(priority_col).alias("best_priority"),
             F.count(F.lit(1)).alias("n_copies"),
         )
     )

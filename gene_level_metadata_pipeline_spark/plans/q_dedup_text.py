@@ -55,6 +55,35 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_keep_best",
+    oracle="""
+    WITH r AS (
+      SELECT md5(text) AS fingerprint, doc_id, n_chars,
+             row_number() OVER (PARTITION BY md5(text)
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY md5(text)) AS n_copies,
+             max(n_chars) OVER (PARTITION BY md5(text)) AS best_priority
+      FROM documents
+    )
+    SELECT fingerprint, doc_id AS keep_id, best_priority, n_copies
+    FROM r WHERE rn = 1
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the BEST copy (dedup.dedup_exact_keep_best):
+    longest text wins, lowest doc_id breaks ties — the "keep the richest
+    duplicate" curation policy, same one-shuffle hash-groupBy plan as
+    min-id dedup with a deterministic max_by argmax."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        dedup_exact_keep_best,
+    )
+
+    return dedup_exact_keep_best(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", "n_chars"
+    )
+
+
+@_register(
     "dedup_incremental_bloom",
     oracle="""
     WITH hist AS (

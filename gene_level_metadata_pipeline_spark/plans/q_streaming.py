@@ -226,3 +226,28 @@ def q_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return session_window_counts_stream(spark, sf_dir)
+
+
+@_register(
+    "streaming_asof_enrich",
+    oracle="""
+    WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+    b AS (SELECT min(us) + (max(us) - min(us)) // 2 AS t0 FROM ev)
+    SELECT event_id, user_id, us,
+           CASE WHEN us >= (SELECT t0 FROM b)
+                THEN user_id % 3 + 10 ELSE user_id % 3 END AS tier
+    FROM ev
+    """,
+)
+def q_streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming as-of enrichment against a versioned dimension (the
+    feature-store lookup): temporal.as_of_join applied per micro-batch
+    in foreachBatch — each event picks the dimension version valid at
+    its event time. The dimension (two tier versions per user, cutover
+    at the corpus midpoint) is derived from the data so the oracle
+    rebuilds it exactly."""
+    from gene_level_metadata_pipeline_spark.streaming.windows import (
+        asof_enrich_stream,
+    )
+
+    return asof_enrich_stream(spark, sf_dir)

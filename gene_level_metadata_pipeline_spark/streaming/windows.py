@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from gene_level_metadata_pipeline_spark.sources.readers import normalize_event_ts
 
 __all__ = [
+    "asof_enrich_stream",
     "hourly_event_counts_stream",
     "session_window_counts_stream",
     "sessionize_stream",
@@ -328,6 +329,73 @@ def session_window_counts_stream(
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(stage_dir, ignore_errors=True)
+
+
+def asof_enrich_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming as-of enrichment against a VERSIONED dimension — the
+    feature-store lookup pattern: each event joins the dimension version
+    valid at its event time (not the latest), via the batch
+    ``temporal.as_of_join`` applied per micro-batch in ``foreachBatch``
+    (the as-of union-window is not expressible on an unbounded stream;
+    per-batch batch semantics is the standard composition).
+
+    The dimension is derived deterministically from the data so the
+    oracle can rebuild it: two versions per user — tier = user_id % 3
+    from epoch 0, then tier + 10 from the corpus' midpoint timestamp.
+    Events before the midpoint must pick version 1, the rest version 2.
+
+    Returns (event_id, user_id, us, tier).
+    """
+    from gene_level_metadata_pipeline_spark.operators.temporal import as_of_join
+
+    _events_confs(spark)
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stat_us = normalize_event_ts(static).select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    lo, hi = stat_us.agg(F.min("us"), F.max("us")).first()
+    t0 = lo + (hi - lo) // 2
+    users = stat_us.select("user_id").distinct()
+    dim = users.select(
+        "user_id",
+        F.lit(0).cast("long").alias("valid_from_us"),
+        (F.col("user_id") % 3).alias("tier"),
+    ).unionByName(
+        users.select(
+            "user_id",
+            F.lit(t0).cast("long").alias("valid_from_us"),
+            (F.col("user_id") % 3 + 10).alias("tier"),
+        )
+    )
+
+    results: list = []
+
+    def enrich(batch_df, _bid):
+        j = as_of_join(
+            batch_df, dim, on="user_id", left_ts="us", right_ts="valid_from_us"
+        )
+        results.extend(
+            j.select(
+                "event_id", "user_id", "us", F.col("right_tier").alias("tier")
+            ).collect()
+        )
+
+    src = spark.readStream.schema(static.schema).option(
+        "pathGlobFilter", "events.parquet"
+    ).parquet(sf_dir)
+    ev = normalize_event_ts(src).select(
+        "event_id", "user_id", F.unix_micros("ts").alias("us")
+    )
+    with _pinned_shuffle(spark):
+        q = (
+            ev.writeStream.foreachBatch(enrich)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.createDataFrame(
+        results, "event_id long, user_id long, us long, tier long"
+    )
 
 
 def stream_stream_interval_join(
