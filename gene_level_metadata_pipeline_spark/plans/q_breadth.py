@@ -1163,3 +1163,122 @@ def q_union_evolve_schemas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return union_evolve(old, new)
 
 
+
+
+# ---------------------------------------------------------------------------
+# EP2/EP3 pipeline-parity slices under the driver's gate: reference-shaped
+# fixtures built inline, builders from plans/gene_pipeline.py, VALUES oracles
+# (the parity goldens in tests/test_pipeline_parity.py are the local twin).
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "pipeline_constraint_scores",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('GENE1', CAST(0.11 AS DOUBLE)),
+      ('GENE2', CAST(0.22 AS DOUBLE)),
+      ('GENE3', CAST(NULL AS DOUBLE))
+    ) AS t(hgnc_gene_symbol, LOEUF)
+    """,
+)
+def q_pipeline_constraint_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TW:143-168 end-to-end under the driver's gate: the gnomAD LOEUF
+    flow — MANE/canonical transcript gate (pulled-vector %in% → semi
+    join), NULL-symbol drop, prefer-flagged conflict resolution (dup
+    genes keep only mane_select='true'), spine left join with NULL
+    padding. Fixture mirrors tests/test_pipeline_parity.py's golden."""
+    from gene_level_metadata_pipeline_spark.plans import gene_pipeline as gp
+
+    gnomad = spark.createDataFrame(
+        [
+            ("GENE1", "ENST1", "true", 0.11, 0.5, ""),
+            ("GENE1", "ENST1B", "", 0.99, 0.5, ""),
+            ("GENE2", "ENST2", "", 0.22, 0.5, ""),
+            ("GENE3", "ENSTX", "", 0.33, 0.5, ""),
+        ],
+        ["gene", "transcript", "mane_select", "lof.oe_ci.upper",
+         "mis.oe_ci.upper", "constraint_flags"],
+    )
+    mane = spark.createDataFrame(
+        [("GENE1", "ENST1", "MANE1", None),
+         ("GENE1", "ENST1B", "", 1),
+         ("GENE2", "ENST2", "", 1)],
+        "hgnc_symbol string, ensembl_transcript_id string, "
+        "transcript_mane_select string, transcript_is_canonical int",
+    )
+    pcg = spark.createDataFrame(
+        [("GENE1",), ("GENE2",), ("GENE3",)], ["symbol"]
+    )
+    return gp.constraint_scores(gnomad, mane, gp.gene_spine(pcg))
+
+
+@_register(
+    "pipeline_depmap_essentiality",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('GENE1', CAST(66.667 AS DOUBLE), CAST(-0.5 AS DOUBLE)),
+      ('GENE2', CAST(0.0 AS DOUBLE), CAST(0.067 AS DOUBLE)),
+      ('GENE3', CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))
+    ) AS t(hgnc_gene_symbol, percentage_essential, mean_score_all)
+    """,
+)
+def q_pipeline_depmap_essentiality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TW:12-51 end-to-end under the driver's gate: the DepMap melt-not-
+    transpose flow — one stack pass over the models×genes matrix, one
+    groupBy computing binarized essential counts (−0.5 threshold),
+    percentage, and mean together, half-even round-3, spine join."""
+    from gene_level_metadata_pipeline_spark.plans import gene_pipeline as gp
+
+    gene_effect = spark.createDataFrame(
+        [("M1", -0.9, 0.1), ("M2", -0.6, -0.2), ("M3", 0.0, 0.3)],
+        ["...1", "GENE1 (101)", "GENE2 (102)"],
+    )
+    pcg = spark.createDataFrame(
+        [("GENE1",), ("GENE2",), ("GENE3",)], ["symbol"]
+    )
+    return gp.depmap_essentiality(gene_effect, gp.gene_spine(pcg))
+
+
+@_register(
+    "pipeline_alphamissense_flags",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('ENST1', 'GENE1', 'mane only'),
+      ('ENST2', 'GENE2', 'canonical only'),
+      ('ENST3', 'GENE3', 'mane and canonical'),
+      ('ENST4', 'GENE1', 'neither')
+    ) AS t(ensembl_transcript_id, hgnc_symbol, flag)
+    """,
+)
+def q_pipeline_alphamissense_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TM:6-30 end-to-end under the driver's gate: version-suffix strip,
+    protein-coding-gated MANE snapshot (S12 semi join), natural left
+    join, the four-way MANE/canonical case_when with R NA-condition
+    fallthrough (null predicates skip in both engines), NULL-symbol
+    drop."""
+    from gene_level_metadata_pipeline_spark.plans import gene_pipeline as gp
+
+    alpham = spark.createDataFrame(
+        [("ENST1.5", 0.9), ("ENST2.12", 0.5), ("ENST3.1", 0.2),
+         ("ENST4.2", 0.1), ("ENST9.9", 0.7)],
+        ["transcript_id", "am_score"],
+    )
+    mane = spark.createDataFrame(
+        [("GENE1", "ENST1", "MANE1", None),
+         ("GENE2", "ENST2", "", 1),
+         ("GENE3", "ENST3", "MANE3", 1),
+         ("GENE1", "ENST4", "", None),
+         ("NOTPCG", "ENST9", "MANE9", 1)],
+        "hgnc_symbol string, ensembl_transcript_id string, "
+        "transcript_mane_select string, transcript_is_canonical int",
+    )
+    pcg = spark.createDataFrame(
+        [("GENE1", "HGNC:1", "ENSG1", 11),
+         ("GENE2", "HGNC:2", "ENSG2", 22),
+         ("GENE3", "HGNC:3", "ENSG3", 33)],
+        ["symbol", "hgnc_id", "ensembl_gene_id", "entrez_id"],
+    )
+    return gp.alphamissense(alpham, mane, pcg).select(
+        "ensembl_transcript_id", "hgnc_symbol", "flag"
+    )
