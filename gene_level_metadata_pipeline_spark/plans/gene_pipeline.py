@@ -62,6 +62,14 @@ __all__ = [
     "depmap_essentiality",
     "gtex_expression",
     "constraint_scores",
+    "hpa_bulk_expression",
+    "lymphoblastoid_expression",
+    "hpa_subcellular_location",
+    "hpa_protein_classes",
+    "ogee_connectivity",
+    "dbnsfp_haploinsufficiency",
+    "impc_window_of_lethality",
+    "dbnsfp_gwas_traits",
 ]
 
 
@@ -741,3 +749,110 @@ def constraint_scores(
         .withColumnRenamed("gnomad_lof_upper_90_ci", "LOEUF")
     )
     return harmonize(spn, g5, KEY)
+
+
+def hpa_bulk_expression(hpa: DataFrame, spn: DataFrame) -> DataFrame:
+    """TW:74-81 (HPA bulk expression): keep Reliability == 'Approved'
+    rows, drop the ensembl Gene id and the Reliability column, rename
+    `Gene name` to the spine key, spine join + distinct."""
+    src = (
+        hpa.where(F.col("Reliability") == "Approved")
+        .drop("Gene", "Reliability")
+        .withColumnRenamed("Gene name", KEY)
+    )
+    return harmonize(spn, src.dropDuplicates(), KEY)
+
+
+def lymphoblastoid_expression(lts: DataFrame, spn: DataFrame) -> DataFrame:
+    """TW:84-91 (lymphoblastoid time-series TPM): drop `Gene ID`,
+    rename `Gene Name` to the spine key, spine join + distinct."""
+    src = lts.drop("Gene ID").withColumnRenamed("Gene Name", KEY)
+    return harmonize(spn, src.dropDuplicates(), KEY)
+
+
+def hpa_subcellular_location(atlas: DataFrame, spn: DataFrame) -> DataFrame:
+    """TW:95-103 (HPA subcellular location): project (Gene, Subcellular
+    location), explode the comma-packed locations (R1 separate_rows),
+    drop NULL locations, rename, spine join + distinct."""
+    src = separate_rows(
+        atlas.select("Gene", "Subcellular location"),
+        "Subcellular location",
+        ",",
+    ).where(F.col("`Subcellular location`").isNotNull())
+    return harmonize(
+        spn, src.withColumnRenamed("Gene", KEY).dropDuplicates(), KEY
+    )
+
+
+def hpa_protein_classes(atlas: DataFrame, spn: DataFrame) -> DataFrame:
+    """TW:108-116 (HPA protein classes): comma-packed classes exploded
+    (R1), whitespace-trimmed (the packed form pads after commas),
+    rename, spine join + distinct."""
+    src = separate_rows(
+        atlas.select("Gene", "Protein class"), "Protein class", ","
+    ).withColumn("Protein class", F.trim(F.col("`Protein class`")))
+    return harmonize(
+        spn, src.withColumnRenamed("Gene", KEY).dropDuplicates(), KEY
+    )
+
+
+def ogee_connectivity(ppi: DataFrame, genes: DataFrame, spn: DataFrame) -> DataFrame:
+    """TW:119-125 (OGEE/STRING connectivity): %in% protein-coding filter
+    (semi join), project (gene, score, connectivity, percentile),
+    rename to the spine key, spine join + distinct."""
+    from gene_level_metadata_pipeline_spark.operators.joins import semi_join
+
+    src = semi_join(
+        ppi.select("gene", "score", "connectivity", "percentile"),
+        genes.select(F.col("symbol").alias("gene")),
+        "gene",
+    ).withColumnRenamed("gene", KEY)
+    return harmonize(spn, src.dropDuplicates(), KEY)
+
+
+def dbnsfp_haploinsufficiency(dbnsfp: DataFrame, spn: DataFrame) -> DataFrame:
+    """TW:131-137 (dbNSFP ClinGen HI scores): project (Gene_name, HI
+    score), drop the '.' sentinel rows (the dbNSFP missing marker),
+    rename, spine join + distinct."""
+    src = (
+        dbnsfp.select("Gene_name", "ClinGen_Haploinsufficiency_Score")
+        .where(F.col("ClinGen_Haploinsufficiency_Score") != ".")
+        .withColumnRenamed("Gene_name", KEY)
+    )
+    return harmonize(spn, src.dropDuplicates(), KEY)
+
+
+def impc_window_of_lethality(wol: DataFrame, spn: DataFrame) -> DataFrame:
+    """TW:185-192 (IMPC window of lethality): project (hs_gene_symbol,
+    wol), rename, distinct, spine join."""
+    src = (
+        wol.select("hs_gene_symbol", "wol")
+        .withColumnRenamed("hs_gene_symbol", KEY)
+        .dropDuplicates()
+    )
+    return harmonize(spn, src, KEY)
+
+
+def dbnsfp_gwas_traits(dbnsfp: DataFrame, spn: DataFrame) -> DataFrame:
+    """TW:195-216 (dbNSFP GWAS catalog traits): strip bracketed
+    citations from the packed trait string (TW:199), explode on ';'
+    (TW:201), trim and drop empties (TW:203-204), '.'-sentinel → NULL
+    across columns (TW:205), drop NULL traits, rename, spine join +
+    distinct."""
+    packed = dbnsfp.select(
+        "Gene_name",
+        F.regexp_replace(
+            F.col("`Trait_association(GWAS)`"), r"\[[^]]*\]", ""
+        ).alias("no_brackets"),
+    )
+    exploded = separate_rows(packed, "no_brackets", ";").withColumn(
+        "no_brackets", F.trim("no_brackets")
+    ).where(F.col("no_brackets") != "")
+    cleaned = (
+        nullify(exploded, ".")
+        .withColumnRenamed("no_brackets", "GWAS_trait")
+        .dropDuplicates()
+        .where(F.col("GWAS_trait").isNotNull())
+        .withColumnRenamed("Gene_name", KEY)
+    )
+    return harmonize(spn, cleaned, KEY)

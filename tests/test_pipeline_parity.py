@@ -568,3 +568,92 @@ def test_constraint_scores_golden(spark, pcg_spine):
         ("GENE2", 0.22),
         ("GENE3", None),   # gated out -> spine NULL padding
     }
+
+
+# ---------------------------------------------------------------------------
+# TW — remaining web-file tables (HPA / OGEE / dbNSFP / WoL / GWAS)
+# ---------------------------------------------------------------------------
+
+
+def test_hpa_bulk_expression_golden(spark, pcg_spine):
+    hpa = spark.createDataFrame(
+        [("ENSG1", "GENE1", "Approved", 1.5),
+         ("ENSG2", "GENE2", "Uncertain", 9.9)],   # dropped (TW:75)
+        ["Gene", "Gene name", "Reliability", "Liver"],
+    )
+    out = gp.hpa_bulk_expression(hpa, pcg_spine)
+    assert out.columns == ["hgnc_gene_symbol", "Liver"]
+    assert {tuple(r) for r in out.collect()} == {
+        ("GENE1", 1.5), ("GENE2", None), ("GENE3", None),
+    }
+
+
+def test_lymphoblastoid_expression_golden(spark, pcg_spine):
+    lts = spark.createDataFrame(
+        [("ENSG1", "GENE1", 3.0, 4.0)],
+        ["Gene ID", "Gene Name", "heart_wk4", "liver_wk4"],
+    )
+    out = gp.lymphoblastoid_expression(lts, pcg_spine)
+    assert out.columns == ["hgnc_gene_symbol", "heart_wk4", "liver_wk4"]
+    rows = {tuple(r) for r in out.collect()}
+    assert ("GENE1", 3.0, 4.0) in rows and ("GENE2", None, None) in rows
+
+
+def test_hpa_subcellular_and_classes_golden(spark, pcg_spine):
+    atlas = spark.createDataFrame(
+        [("GENE1", "Nucleoplasm,Cytosol", "Enzymes, Transporters"),
+         ("GENE2", None, "Predicted membrane proteins")],
+        ["Gene", "Subcellular location", "Protein class"],
+    )
+    loc = {(r["hgnc_gene_symbol"], r["Subcellular location"])
+           for r in gp.hpa_subcellular_location(atlas, pcg_spine).collect()}
+    # GENE1 explodes; GENE2's NULL location row is dropped then NULL-padded
+    assert loc == {("GENE1", "Nucleoplasm"), ("GENE1", "Cytosol"),
+                   ("GENE2", None), ("GENE3", None)}
+    cls = {(r["hgnc_gene_symbol"], r["Protein class"])
+           for r in gp.hpa_protein_classes(atlas, pcg_spine).collect()}
+    # trimmed after the comma split (TW:111)
+    assert cls == {("GENE1", "Enzymes"), ("GENE1", "Transporters"),
+                   ("GENE2", "Predicted membrane proteins"), ("GENE3", None)}
+
+
+def test_ogee_connectivity_golden(spark, pcg, pcg_spine):
+    ppi = spark.createDataFrame(
+        [("GENE1", 0.9, 12, 99.0), ("NOTPCG", 0.1, 1, 5.0)],
+        ["gene", "score", "connectivity", "percentile"],
+    )
+    out = gp.ogee_connectivity(ppi, pcg, pcg_spine)
+    rows = {tuple(r) for r in out.collect()}
+    assert ("GENE1", 0.9, 12, 99.0) in rows
+    assert ("GENE2", None, None, None) in rows
+
+
+def test_dbnsfp_hi_and_gwas_golden(spark, pcg_spine):
+    dbnsfp = spark.createDataFrame(
+        [("GENE1", "3", "Height[PMID123]; Weight ; ."),
+         ("GENE2", ".", "[only citation]"),
+         ("GENE3", "1", None)],
+        ["Gene_name", "ClinGen_Haploinsufficiency_Score",
+         "Trait_association(GWAS)"],
+    )
+    hi = {(r["hgnc_gene_symbol"], r["ClinGen_Haploinsufficiency_Score"])
+          for r in gp.dbnsfp_haploinsufficiency(dbnsfp, pcg_spine).collect()}
+    # GENE2's '.' sentinel row dropped (TW:133) -> spine NULL padding
+    assert hi == {("GENE1", "3"), ("GENE2", None), ("GENE3", "1")}
+
+    gw = {(r["hgnc_gene_symbol"], r["GWAS_trait"])
+          for r in gp.dbnsfp_gwas_traits(dbnsfp, pcg_spine).collect()}
+    # bracket strip, ';' explode, trim, '' and '.' dropped (TW:199-208)
+    assert gw == {("GENE1", "Height"), ("GENE1", "Weight"),
+                  ("GENE2", None), ("GENE3", None)}
+
+
+def test_impc_window_of_lethality_golden(spark, pcg_spine):
+    wol = spark.createDataFrame(
+        [("GENE1", "early"), ("GENE1", "early"), ("GENE9", "late")],
+        ["hs_gene_symbol", "wol"],
+    )
+    out = {(r["hgnc_gene_symbol"], r["wol"])
+           for r in gp.impc_window_of_lethality(wol, pcg_spine).collect()}
+    # dup collapsed by distinct; GENE9 not on the spine -> absent
+    assert out == {("GENE1", "early"), ("GENE2", None), ("GENE3", None)}
