@@ -73,3 +73,44 @@ def test_unflushed_gap_is_exactly_open_horizon_sessions(spark):
         last_by_user[uid] = max(last_by_user.get(uid, 0), end)
     for (uid, _start, end, _n) in missing:
         assert end == last_by_user[uid]
+
+
+def test_native_session_window_stream_equals_batch(spark):
+    """The native session_window streaming query (window-merge state)
+    must equal the batch session-window aggregation after the flush."""
+    from pyspark.sql import functions as F
+
+    from gene_level_metadata_pipeline_spark.streaming.windows import (
+        _events_confs,
+        session_window_counts_stream,
+    )
+    from gene_level_metadata_pipeline_spark.sources.readers import (
+        normalize_event_ts,
+    )
+
+    stream = session_window_counts_stream(spark, SF_SMOKE)
+    _events_confs(spark)
+    ev = normalize_event_ts(
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    )
+    batch = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("session_start_us"),
+            F.unix_micros("sw.end").alias("session_end_us"),
+            "n",
+            "total",
+        )
+    )
+    s = {tuple(r) for r in stream.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b, (
+        f"only-stream={sorted(s - b)[:3]} only-batch={sorted(b - s)[:3]}"
+    )
