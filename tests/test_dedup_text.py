@@ -470,3 +470,22 @@ def test_dedup_against_history_exact_and_selective(spark):
                                 expected_history=1_000)
     got = sorted(r["doc_id"] for r in out.collect())
     assert got == list(range(300, 800))  # exact: overlap 200-299 dropped
+
+
+def test_kmeans_survives_empty_clusters(spark):
+    """Seeds that attract no vectors simply drop out of the centroid
+    frame; assignment stays total (every vector gets a cell)."""
+    from pyspark.sql import functions as F
+
+    from gene_level_metadata_pipeline_spark.operators import similarity
+
+    # 20 vectors in two tight groups -> most of the 8 seeds end up empty
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(10)] + \
+           [(i, [0.0, 1.0, 0.0, 0.0]) for i in range(10, 20)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cent = similarity.kmeans_centroids(emb, k=8, iters=2)
+    n_cent = cent.count()
+    assert 1 <= n_cent <= 8
+    cells = similarity.assign_cells(emb, cent)
+    assert cells.where(F.col("cell").isNull()).count() == 0
+    assert cells.count() == 20
