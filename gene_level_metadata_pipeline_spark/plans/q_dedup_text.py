@@ -1099,3 +1099,74 @@ def q_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@_register(
+    "training_corpus_pipeline",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, lang, text,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents WHERE n_chars >= 50
+    ),
+    m AS (
+      SELECT * FROM g
+      WHERE substring(md5('mix:' || lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8)
+            < CASE lang WHEN 'en' THEN 'e6666666'
+                        WHEN 'de' THEN '80000000'
+                        ELSE '4ccccccc' END
+    ),
+    s AS (
+      SELECT *, row_number() OVER (
+        ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id
+      ) AS pos
+      FROM m
+    ),
+    c AS (
+      SELECT *, sum(CAST(n_tokens AS DECIMAL(28,6))) OVER (ORDER BY pos) AS rt
+      FROM s
+    ),
+    b AS (
+      SELECT text, pos,
+             CAST(floor((CAST(rt AS DOUBLE) - n_tokens) / 512.0) AS BIGINT)
+               AS bin
+      FROM c
+    )
+    SELECT bin, count(*) AS n_docs,
+           string_agg(text, '<|eos|>' ORDER BY pos) AS packed_text
+    FROM b GROUP BY bin
+    """,
+)
+def q_training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation flagship end-to-end: length gate → domain-mixture
+    sampling (en 90% / de 50% / rest 30%, deterministic hash-Bernoulli)
+    → epoch-salted corpus shuffle → 512-token packing IN SHUFFLE ORDER
+    → materialized packed training rows. Every stage is the certified
+    operator (mixture_sample / corpus_shuffle / pack_sequences /
+    materialize_packed) composed as a production data loader would;
+    the oracle replays the identical math with naive global windows.
+    Deterministic across re-runs, engines, partitionings, and epochs
+    (re-salt 'epoch1' for the next pass)."""
+    from gene_level_metadata_pipeline_spark.operators.selection import (
+        corpus_shuffle,
+        materialize_packed,
+        mixture_sample,
+        pack_sequences,
+    )
+
+    g = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("n_chars") >= 50)
+        .select(
+            "doc_id", "lang", "text",
+            F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+            .cast("long").alias("n_tokens"),
+        )
+    )
+    m = mixture_sample(
+        g, "doc_id", "lang", {"en": 0.9, "de": 0.5}, salt="mix", default=0.3
+    )
+    s = corpus_shuffle(m, "doc_id", salt="epoch0", pos_col="pos")
+    b = pack_sequences(s, [F.col("pos")], "n_tokens", 512)
+    return materialize_packed(b, "bin_id", ["pos"], "text")
