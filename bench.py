@@ -53,6 +53,7 @@ HEADLINE = [
     "inverted_index",
     "token_budget_select",
     "corpus_shuffle_order",
+    "training_corpus_pipeline",
     "mixture_sample_langs",
     "text_bigram_lift",
     "pagerank_suppliers",
