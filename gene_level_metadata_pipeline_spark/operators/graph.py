@@ -11,7 +11,7 @@ per-iteration skew.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 __all__ = ["connected_components", "canonicalize_duplicates", "pagerank"]
@@ -79,11 +79,17 @@ def connected_components(
                 ).alias("label"),
             )
         )
-        # checkpoint each round: truncates the exponentially-growing lineage
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.where(F.col("label") < F.col("__old")).limit(1).count()
-        )
+        # checkpoint each round: truncates the exponentially-growing lineage.
+        # The convergence metric rides on the checkpoint's own materialization
+        # job via observe() — one Spark job per round, not two.
+        obs = Observation()
+        new_labels = new_labels.observe(
+            obs,
+            F.sum((F.col("label") < F.col("__old")).cast("long")).alias(
+                "changed"
+            ),
+        ).localCheckpoint(eager=True)
+        changed = obs.get["changed"]
         labels = new_labels.drop("__old")
         if changed == 0:
             return labels.select(
@@ -117,6 +123,7 @@ def pagerank(
     iterations: int = 3,
     scale: int = 10 ** 12,
     damping_pct: int = 85,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an undirected pair list, in exact
     integer arithmetic.
@@ -132,9 +139,14 @@ def pagerank(
 
     Scale: each iteration is one join edges⋈ranks (shuffle on node id)
     plus a grouped sum — the standard power-iteration plan; hub-node skew
-    is AQE's skew-join case. ``localCheckpoint`` per round bounds lineage
-    like connected_components. N is materialized once (a count action)
-    before the loop.
+    is AQE's skew-join case. Lineage is truncated with an eager
+    ``localCheckpoint`` every ``checkpoint_every`` rounds — NOT every
+    round: each eager checkpoint blocks and materializes the full rank
+    frame, so for short unrolls (the default 3 iterations) checkpointing
+    per round triples the number of blocking jobs for no lineage benefit.
+    A plan a few joins deep is exactly what Catalyst handles; only
+    unbounded growth needs truncation. N is materialized once (a count
+    action) before the loop.
     """
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -149,7 +161,7 @@ def pagerank(
 
     nodes = deg.select(F.col("u").alias("node"), "d")
     pr = nodes.select("node", F.lit(init).cast("long").alias("pr"))
-    for _ in range(iterations):
+    for i in range(iterations):
         prd = pr.join(nodes, "node")
         contrib = (
             edges.join(prd, edges.u == prd.node)
@@ -167,6 +179,9 @@ def pagerank(
                     + F.expr(f"({damping_pct} * coalesce(s, 0)) div 100")
                 ).cast("long").alias("pr"),
             )
-            .localCheckpoint(eager=True)
         )
+        # truncate lineage periodically, never after the final round (the
+        # caller's action materializes the result anyway)
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+            pr = pr.localCheckpoint(eager=True)
     return pr
