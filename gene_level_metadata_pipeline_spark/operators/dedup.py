@@ -100,17 +100,34 @@ def dedup_exact_keep_best(
     best source / with the richest metadata".
 
     Same single hash-groupBy shuffle as :func:`dedup_exact`; the argmax
-    is a ``max_by`` over a (priority, −id) struct, so the choice is
+    is a ``min_by`` over a (−priority, id) struct — the id is never
+    negated, so STRING ids tie-break correctly (negating a string id
+    yields NULL and a silently nondeterministic pick). The choice is
     deterministic and an external engine's ``row_number() OVER
-    (ORDER BY priority DESC, id)`` reproduces it. Returns
+    (ORDER BY priority DESC, id)`` reproduces it. ``priority_col`` must
+    be numeric (it is negated); raises ``TypeError`` otherwise rather
+    than degrading to a nondeterministic tie-break. Returns
     (fingerprint, keep_id, best_priority, n_copies).
     """
+    from pyspark.sql.types import NumericType
+
+    pdt = df.schema[priority_col].dataType
+    if not isinstance(pdt, NumericType):
+        raise TypeError(
+            f"dedup_exact_keep_best: priority_col {priority_col!r} must be "
+            f"numeric (got {pdt.simpleString()}); a non-numeric priority "
+            "cannot be negated for the deterministic (-priority, id) "
+            "tie-break"
+        )
     return (
         df.groupBy(F.md5(F.col(text_col)).alias("fingerprint"))
         .agg(
-            F.max_by(
+            F.min_by(
                 F.col(id_col),
-                F.struct(F.col(priority_col), -F.col(id_col)),
+                F.struct(
+                    (-F.col(priority_col)).alias("__np"),
+                    F.col(id_col).alias("__id"),
+                ),
             ).alias("keep_id"),
             F.max(priority_col).alias("best_priority"),
             F.count(F.lit(1)).alias("n_copies"),

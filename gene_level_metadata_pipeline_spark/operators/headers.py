@@ -8,6 +8,8 @@ file-order ``__row_id`` (single-file reads only) that these ops consume.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -25,18 +27,27 @@ def _assert_ingest_edge(df: DataFrame, op: str) -> None:
 
     Two cheap checks:
 
-    * **No shuffle in the plan.** "Row order" only means file order; any
-      ``Exchange`` (groupBy/join/repartition upstream) destroys it, so
-      a shuffled input is a contract violation however small it is.
+    * **No SHUFFLE exchange in the plan.** "Row order" only means file
+      order; a shuffle (``Exchange hashpartitioning/rangepartitioning/
+      SinglePartition/...`` from groupBy/join/repartition upstream)
+      destroys it, so a shuffled input is a contract violation however
+      small it is. ``BroadcastExchange`` is explicitly LEGAL: a small
+      ingest frame decorated by a broadcast join preserves probe-side
+      file order — only the broadcast (build) side is redistributed.
       Multi-partition inputs WITHOUT a shuffle stay legal: both a
       single-file scan and a ``createDataFrame``/``parallelize`` frame
       hold contiguous in-order chunks, which ``coalesce(1)`` concatenates
       back in partition order.
     * **Bounded size.** ``limit(N+1).count()`` — the probe never scans a
-      fact table end-to-end.
+      fact table end-to-end. Note this probe IS one extra (tiny) Spark
+      job per row-order-op call; acceptable because these ops run once
+      per ingested file at the ingest edge, never in a per-row or
+      per-batch hot path.
     """
     plan = df._jdf.queryExecution().executedPlan().toString()
-    if "Exchange" in plan:
+    # \bExchange\b matches the shuffle node ("Exchange hashpartitioning…")
+    # but not "BroadcastExchange" (no word boundary inside the token)
+    if re.search(r"\bExchange\b", plan):
         raise ValueError(
             f"{op}: input plan contains a shuffle (Exchange); row-order "
             "ops are only defined for unshuffled ingest-edge reads — "

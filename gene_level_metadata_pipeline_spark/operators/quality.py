@@ -192,7 +192,10 @@ def flag_outliers(
     have zero variance — never flagged.
 
     Adds ``z_score`` (rounded 4dp, NULL when the group variance is 0)
-    and ``is_outlier``.
+    and ``is_outlier``. The moments re-attach is a NULL-SAFE equi-join
+    (``eqNullSafe``): groupBy emits a moments row for the NULL group,
+    and a plain equi-join would silently drop those documents instead
+    of flagging them.
     """
     dec = "decimal(28,8)"
     x = F.col(value_col).cast("double")
@@ -218,13 +221,16 @@ def flag_outliers(
     zc = F.when(
         F.col("__sd") > 0, F.round((x - F.col("__mean")) / F.col("__sd"), 4)
     )
+    moments = moments.withColumnRenamed(group_col, "__g")
     return (
-        df.join(F.broadcast(moments), group_col)
+        df.join(
+            F.broadcast(moments), F.col(group_col).eqNullSafe(F.col("__g"))
+        )
         .withColumn("z_score", zc)
         .withColumn(
             "is_outlier", F.coalesce(F.abs(zc) > F.lit(z), F.lit(False))
         )
-        .drop("__mean", "__sd")
+        .drop("__g", "__mean", "__sd")
     )
 
 
@@ -242,19 +248,23 @@ def winsorize(
 
     One shuffle for the per-group percentile aggregate (exact
     percentiles sort within the aggregate's hash groups), broadcast
-    back for the clip. Exact interpolated percentiles match any ANSI
-    engine's percentile_cont bit-for-bit on identical doubles.
+    back for the clip — NULL-SAFE on the group key so null-group rows
+    are clipped against their own stratum rather than dropped. Exact
+    interpolated percentiles match any ANSI engine's percentile_cont
+    bit-for-bit on identical doubles.
     """
     x = F.col(value_col).cast("double")
     bounds = df.groupBy(group_col).agg(
         F.percentile(x, F.lit(lo)).alias("__plo"),
         F.percentile(x, F.lit(hi)).alias("__phi"),
-    )
+    ).withColumnRenamed(group_col, "__g")
     return (
-        df.join(F.broadcast(bounds), group_col)
+        df.join(
+            F.broadcast(bounds), F.col(group_col).eqNullSafe(F.col("__g"))
+        )
         .withColumn(
             out_col,
             F.least(F.greatest(x, F.col("__plo")), F.col("__phi")),
         )
-        .drop("__plo", "__phi")
+        .drop("__g", "__plo", "__phi")
     )

@@ -910,7 +910,7 @@ def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT p.p_partkey, p.p_type, p.p_retailprice,
              s / n AS mean,
              sqrt(greatest(0.0, s2 / n - (s / n) * (s / n))) AS sd
-      FROM part p JOIN m USING (p_type)
+      FROM part p JOIN m ON p.p_type IS NOT DISTINCT FROM m.p_type
     )
     SELECT p_partkey,
            CASE WHEN sd > 0
@@ -947,7 +947,7 @@ def q_outlier_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.p_partkey,
            round(least(greatest(CAST(p.p_retailprice AS DOUBLE), b.plo), b.phi), 4)
              AS winsorized
-    FROM part p JOIN b USING (p_type)
+    FROM part p JOIN b ON p.p_type IS NOT DISTINCT FROM b.p_type
     """,
 )
 def q_winsorize_prices(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -588,8 +588,13 @@ def q_melt_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1-hour window counts over the events table (SURVEY §2.12
-    extension slice). Event-time normalization via normalize_event_ts."""
+    """Hourly per-event-type rollup over the events table (SURVEY §2.12
+    extension slice): count plus an order-independent DECIMAL value sum
+    (``_dsum``) per (hour, event_type) bucket. Buckets come from a
+    ``date_trunc('hour')`` groupBy — the batch twin of the streaming
+    tumbling window in ``streaming/windows.py``, which shares this
+    query's oracle. Event-time normalization (nanos → micros, UTC)
+    comes from ``_events``/``normalize_event_ts``."""
     ev = _events(spark, sf_dir)
     return (
         ev.groupBy(

@@ -115,20 +115,28 @@ def _stage_with_flush_sentinel(
     sentinel user's own (single-event) session is the only state left
     behind, and its output is filtered. This is the standard bounded-
     replay flush; on a true unbounded stream no sentinel is needed.
+
+    Returns ``None`` when the static frame is EMPTY — there is nothing
+    to flush and no row to template the sentinel from (the caller falls
+    back to the plain no-sentinel source). The sentinel row is built
+    against a NULLABLE copy of the schema: payload columns are nulled,
+    and ``createDataFrame`` would reject a null in any field the parquet
+    footer declared required.
     """
     import glob as _glob
     import os
     import shutil
     import tempfile
 
-    stage = tempfile.mkdtemp(prefix="sessionize_flush_")
-    os.symlink(
-        os.path.abspath(f"{sf_dir}/events.parquet"), f"{stage}/events.parquet"
-    )
+    from pyspark.sql.types import StructField, StructType
+
+    first = static.limit(1).collect()
+    if not first:
+        return None
     horizon_s = 3600 + gap_minutes * 60 + 1  # watermark delay + gap + margin
     fields = static.schema.fields
     ts_type = static.schema["ts"].dataType.simpleString()
-    row = static.limit(1).collect()[0].asDict()
+    row = first[0].asDict()
     for f in fields:  # null out payload columns; keep only the key + time
         if f.name not in ("ts", "user_id", "event_id"):
             row[f.name] = None
@@ -143,8 +151,15 @@ def _stage_with_flush_sentinel(
 
         max_ts = static.agg(F.max("ts")).first()[0]
         row["ts"] = max_ts + datetime.timedelta(seconds=horizon_s)
+    stage = tempfile.mkdtemp(prefix="sessionize_flush_")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/events.parquet"), f"{stage}/events.parquet"
+    )
+    nullable = StructType(
+        [StructField(f.name, f.dataType, True) for f in fields]
+    )
     sent = spark.createDataFrame(
-        [tuple(row[f.name] for f in fields)], static.schema
+        [tuple(row[f.name] for f in fields)], nullable
     )
     tmp_out = stage + "_w"
     sent.coalesce(1).write.mode("overwrite").parquet(tmp_out)
@@ -185,7 +200,9 @@ def sessionize_stream(
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     stage_dir = None
     if flush_final:
+        # None when events is empty: nothing to flush, no sentinel template
         stage_dir = _stage_with_flush_sentinel(spark, static, sf_dir, gap_minutes)
+    if stage_dir is not None:
         src = spark.readStream.schema(static.schema).parquet(stage_dir)
     else:
         src = (

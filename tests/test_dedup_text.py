@@ -489,3 +489,32 @@ def test_kmeans_survives_empty_clusters(spark):
     cells = similarity.assign_cells(emb, cent)
     assert cells.where(F.col("cell").isNull()).count() == 0
     assert cells.count() == 20
+
+
+def test_keep_best_string_ids_deterministic_tiebreak(spark):
+    """String ids must tie-break deterministically (lowest id wins among
+    max-priority copies); the old -id negation NULLed out on strings and
+    the pick became nondeterministic (ADVICE r2)."""
+    df = spark.createDataFrame(
+        [
+            ("doc-b", "same text", 2),
+            ("doc-a", "same text", 2),   # ties doc-b on priority; wins on id
+            ("doc-z", "same text", 1),
+            ("doc-x", "other text", 0),
+        ],
+        ["doc_id", "text", "priority"],
+    )
+    out = dedup.dedup_exact_keep_best(df, "text", "doc_id", "priority").collect()
+    by_fp = {r["fingerprint"]: r for r in out}
+    assert by_fp[md5("same text")]["keep_id"] == "doc-a"
+    assert by_fp[md5("same text")]["best_priority"] == 2
+    assert by_fp[md5("same text")]["n_copies"] == 3
+    assert by_fp[md5("other text")]["keep_id"] == "doc-x"
+
+
+def test_keep_best_rejects_non_numeric_priority(spark):
+    df = spark.createDataFrame(
+        [("a", "t", "high")], ["doc_id", "text", "priority"]
+    )
+    with pytest.raises(TypeError, match="priority_col.*numeric"):
+        dedup.dedup_exact_keep_best(df, "text", "doc_id", "priority")

@@ -114,3 +114,74 @@ def test_native_session_window_stream_equals_batch(spark):
     assert s == b, (
         f"only-stream={sorted(s - b)[:3]} only-batch={sorted(b - s)[:3]}"
     )
+
+
+def test_flush_sentinel_empty_events_short_circuits(spark, tmp_path):
+    """An empty events table has nothing to flush: the sentinel stager
+    returns None (no IndexError on the empty template collect), and the
+    sessionizer falls back to the plain source (ADVICE r2)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from gene_level_metadata_pipeline_spark.streaming.windows import (
+        _stage_with_flush_sentinel,
+    )
+
+    schema = StructType(
+        [
+            StructField("event_id", LongType(), False),  # non-nullable on purpose
+            StructField("user_id", LongType(), False),
+            StructField("ts", LongType(), False),
+        ]
+    )
+    empty = spark.createDataFrame([], schema)
+    empty.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    static = spark.read.parquet(str(tmp_path / "events.parquet"))
+    assert _stage_with_flush_sentinel(spark, static, str(tmp_path), 30) is None
+
+
+def test_flush_sentinel_nullable_schema_with_required_payload(spark, tmp_path):
+    """Sentinel templating nulls payload columns; a parquet-required
+    payload field must not break createDataFrame (ADVICE r2)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gene_level_metadata_pipeline_spark.streaming.windows import (
+        _FLUSH_SENTINEL_UID,
+        _stage_with_flush_sentinel,
+    )
+
+    # single-FILE events.parquet, like the testdata layout, with every
+    # field parquet-required (non-nullable)
+    table = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "user_id": pa.array([10], pa.int64()),
+            "ts": pa.array([1_700_000_000_000_000_000], pa.int64()),
+            "event_type": pa.array(["click"], pa.string()),
+            "value": pa.array([1.5], pa.float64()),
+        },
+        schema=pa.schema(
+            [
+                pa.field("event_id", pa.int64(), nullable=False),
+                pa.field("user_id", pa.int64(), nullable=False),
+                pa.field("ts", pa.int64(), nullable=False),
+                pa.field("event_type", pa.string(), nullable=False),
+                pa.field("value", pa.float64(), nullable=False),
+            ]
+        ),
+    )
+    pq.write_table(table, str(tmp_path / "events.parquet"))
+    static = spark.read.parquet(str(tmp_path / "events.parquet"))
+    stage = _stage_with_flush_sentinel(spark, static, str(tmp_path), 30)
+    assert stage is not None
+    try:
+        staged = spark.read.parquet(stage)
+        assert staged.count() == 2  # original + sentinel
+        sent = staged.where(F.col("user_id") == _FLUSH_SENTINEL_UID).collect()
+        assert len(sent) == 1
+        assert sent[0]["event_type"] is None  # payload nulled
+        assert sent[0]["ts"] > 1_700_000_000_000_000_000
+    finally:
+        import shutil
+
+        shutil.rmtree(stage, ignore_errors=True)

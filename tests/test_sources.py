@@ -352,3 +352,26 @@ def test_row_order_ops_guard(spark):
     grouped = ok.groupBy("X1").count()
     with pytest.raises(ValueError, match="shuffle"):
         promote_first_row_to_header(grouped)
+
+
+def test_row_order_ops_allow_broadcast_decorated_frames(spark):
+    """BroadcastExchange is not a shuffle: a small ingest frame decorated
+    by a broadcast join keeps probe-side file order and must stay legal
+    for row-order ops; only shuffle Exchanges reject (ADVICE r2)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from gene_level_metadata_pipeline_spark.operators.headers import with_row_id
+
+    ingest = spark.createDataFrame(
+        [("G1", "a"), ("G2", "b")], ["sym", "v"]
+    )
+    dim = spark.createDataFrame([("a", "alpha"), ("b", "beta")], ["v", "name"])
+    decorated = ingest.join(F.broadcast(dim), "v", "left")
+    plan = decorated._jdf.queryExecution().executedPlan().toString()
+    if "BroadcastExchange" in plan:  # guard the premise, not just the call
+        out = with_row_id(decorated)
+        assert out.count() == 2
+
+    with pytest.raises(ValueError, match="shuffle"):
+        with_row_id(ingest.join(dim, "v"))  # SMJ/shuffle path

@@ -186,3 +186,33 @@ def test_winsorize_clips_to_group_percentiles(spark):
     assert out[("a", 10.0)] == 9.1
     assert out[("a", 5.0)] == 5.0
     assert out[("b", 5.0)] == 5.0  # singleton group: plo = phi = x
+
+
+def test_flag_outliers_null_group_rows_survive(spark):
+    """NULL group keys must be flagged within their own stratum, not
+    silently dropped by the moments re-attach join (ADVICE r2)."""
+    from gene_level_metadata_pipeline_spark.operators.quality import flag_outliers
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.2), (None, 0.0), (None, 0.0), (None, 50.0)],
+        ["g", "x"],
+    )
+    out = flag_outliers(df, "g", "x", z=1.0)
+    assert out.count() == 5  # no rows lost
+    nulls = {r["x"]: r["is_outlier"] for r in out.where(F.col("g").isNull()).collect()}
+    assert nulls[50.0] is True
+    assert nulls[0.0] is False
+
+
+def test_winsorize_null_group_rows_survive(spark):
+    """NULL-group rows clip against their own stratum's percentiles
+    instead of vanishing (ADVICE r2)."""
+    from gene_level_metadata_pipeline_spark.operators.quality import winsorize
+
+    rows = [(None, float(i)) for i in range(1, 11)] + [("b", 5.0)]
+    df = spark.createDataFrame(rows, ["g", "x"])
+    out = winsorize(df, "g", "x", lo=0.1, hi=0.9)
+    assert out.count() == 11
+    vals = {r["x"]: r["winsorized"]
+            for r in out.where(F.col("g").isNull()).collect()}
+    assert vals[1.0] == 1.9 and vals[10.0] == 9.1 and vals[5.0] == 5.0
