@@ -40,6 +40,14 @@ def fixture_dir() -> str:
     # S4: headerless positional columns (MGI GenePheno shape, I:117-120)
     w("headerless.csv", "a,1,x\nb,2,y\nc,3,z\n")
 
+    # S6: runs-of-whitespace separators, mixed tabs/spaces + a blank line
+    # (gnomAD constraint-metrics shape read by read.table, IW:19)
+    w("whitespace.txt",
+      "gene   transcript\tpli\n"
+      "g1     ENST01   0.01\n"
+      "\n"
+      "g2\t\tENST02\t 0.99\n")
+
     # S7: TSV inside a zip (IW:22-23)
     zpath = os.path.join(d, "fixture.zip")
     if not os.path.exists(zpath):

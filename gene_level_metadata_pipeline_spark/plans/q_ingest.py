@@ -48,6 +48,27 @@ def q_read_delim_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "read_whitespace_table",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('g1', 'ENST01', CAST(0.01 AS DOUBLE)),
+      ('g2', 'ENST02', CAST(0.99 AS DOUBLE))
+    ) AS t(gene, transcript, pli)
+    """,
+)
+def q_read_whitespace_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: R ``read.table`` default separator — ANY run of whitespace
+    (IW:19, gnomAD constraint metrics). ``read_delim(sep=None)`` collapses
+    whitespace runs to tabs with one Catalyst regexp_replace and hands the
+    result to the CSV parser; blank lines drop, header + inference behave
+    like the single-char path."""
+    from gene_level_metadata_pipeline_spark.plans.fixtures import fixture_dir
+    from gene_level_metadata_pipeline_spark.sources.readers import read_delim
+
+    return read_delim(spark, f"{fixture_dir()}/whitespace.txt", sep=None)
+
+
+@_register(
     "scan_file_provenance",
     oracle="""
     SELECT * FROM (VALUES

@@ -114,7 +114,7 @@ def _maybe_unzip(path: str) -> str:
 def read_delim(
     spark: SparkSession,
     path: str,
-    sep: str = "\t",
+    sep: str | None = "\t",
     header: bool = True,
     skip: int = 0,
     infer_schema: bool = True,
@@ -131,6 +131,15 @@ def read_delim(
       ``fread(header=FALSE)`` (S4, I:117-120) so positional consumers
       (``select(7,5)`` → ``V7``,``V5``, T:251) port verbatim.
     * ``.zip`` transparently extracted (S7); ``.gz`` handled by Spark.
+    * ``sep=None`` — S6, R ``read.table`` default: ANY run of whitespace
+      separates fields and blank lines are skipped (IW:19 reads gnomAD
+      constraint metrics this way). Runs of whitespace are collapsed to a
+      single tab with one Catalyst ``regexp_replace``, then the normal
+      CSV parser takes over, so header naming and schema inference are
+      identical to the single-char path. Ingest-edge files only (the
+      re-parse routes one small file through an RDD of lines, like
+      ``skip``); a whitespace FACT table should be normalized once at
+      ingest, not re-split per query.
     * ``multiline=True`` — RFC-4180 quoted fields containing embedded
       newlines and escaped ``""`` quotes (R's readers handle these by
       default; Spark needs ``multiLine``). Scale caveat: a multiLine CSV
@@ -141,7 +150,31 @@ def read_delim(
     """
     if multiline and skip > 0:
         raise ValueError("read_delim: multiline and skip are incompatible")
+    if sep is None and multiline:
+        raise ValueError(
+            "read_delim: sep=None (whitespace runs) is line-oriented and "
+            "incompatible with multiline quoted records"
+        )
     path = _maybe_unzip(path)
+    if sep is None:
+        text = spark.read.text(path).coalesce(1)
+        text = text.withColumn("__i", F.monotonically_increasing_id())
+        body = (
+            text.where(F.col("__i") >= skip)
+            .orderBy("__i")
+            .select(
+                F.regexp_replace(
+                    F.trim(F.col("value")), r"\s+", "\t"
+                ).alias("v")
+            )
+            .where(F.col("v") != "")  # read.table drops blank lines
+        )
+        csv_opts = {"sep": "\t", "header": str(header).lower(),
+                    "inferSchema": str(infer_schema).lower()}
+        df = spark.read.options(**csv_opts).csv(body.rdd.map(lambda r: r[0]))
+        if not header:
+            df = df.toDF(*[f"V{i + 1}" for i in range(len(df.columns))])
+        return df
     if multiline:
         df = (
             spark.read.option("sep", sep)

@@ -375,3 +375,54 @@ def test_row_order_ops_allow_broadcast_decorated_frames(spark):
 
     with pytest.raises(ValueError, match="shuffle"):
         with_row_id(ingest.join(dim, "v"))  # SMJ/shuffle path
+
+
+def test_read_delim_whitespace_runs(spark, tmp_path):
+    """S6: sep=None mirrors R read.table — any RUN of whitespace (mixed
+    spaces/tabs, uneven widths) separates fields; blank lines skipped;
+    header + schema inference behave like the single-char path."""
+    from gene_level_metadata_pipeline_spark.sources.readers import read_delim
+
+    p = tmp_path / "gnomad_like.txt"
+    p.write_text(
+        "gene   transcript\tpLI\n"
+        "BRCA1     ENST0001   0.01\n"
+        "\n"
+        "TP53\t\tENST0002\t 0.99\n"
+    )
+    df = read_delim(spark, str(p), sep=None)
+    assert df.columns == ["gene", "transcript", "pLI"]
+    rows = {r["gene"]: (r["transcript"], r["pLI"]) for r in df.collect()}
+    assert rows == {"BRCA1": ("ENST0001", 0.01), "TP53": ("ENST0002", 0.99)}
+
+    # headerless + skip compose with the whitespace path
+    q = tmp_path / "nohdr.txt"
+    q.write_text("# banner\na b 1\nc d 2\n")
+    df2 = read_delim(spark, str(q), sep=None, header=False, skip=1)
+    assert df2.columns == ["V1", "V2", "V3"]
+    assert df2.count() == 2
+
+
+def test_pipeline_config_env_and_masking(monkeypatch):
+    """E2: secrets resolve from env with placeholder-default semantics
+    (empty string == unset, like the reference's gitignored overrides);
+    repr masks them; require() raises a clear error when absent."""
+    import pytest
+
+    from gene_level_metadata_pipeline_spark.config import PipelineConfig
+
+    monkeypatch.delenv("OMIM_API_KEY", raising=False)
+    monkeypatch.setenv("LETHAL_GENES_TOKEN", "")  # empty == unset
+    cfg = PipelineConfig()
+    assert cfg.omim_api_key is None
+    assert cfg.lethal_genes_token is None
+    assert cfg.impc_release_version == "22.1"  # reference pin I:16
+    with pytest.raises(RuntimeError, match="OMIM_API_KEY"):
+        cfg.require("omim_api_key")
+
+    monkeypatch.setenv("OMIM_API_KEY", "sekret")
+    monkeypatch.setenv("IMPC_RELEASE_VERSION", "23.0")
+    cfg2 = PipelineConfig()
+    assert cfg2.require("omim_api_key") == "sekret"
+    assert cfg2.impc_release_version == "23.0"
+    assert "sekret" not in repr(cfg2) and "***" in repr(cfg2)
