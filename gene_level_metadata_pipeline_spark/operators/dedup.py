@@ -37,6 +37,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "minhash_signatures",
     "minhash_candidate_pairs",
+    "near_dup_pairs",
     "simhash",
     "lsh_params",
 ]
@@ -358,6 +359,68 @@ def minhash_candidate_pairs(
         ).alias("p")
     )
     return pairs.select("p.doc_a", "p.doc_b").dropDuplicates()
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    confirm: str | None = "jaccard",
+) -> DataFrame:
+    """Scale-safe near-duplicate pairs: MinHash-LSH candidate generation,
+    exact n-gram Jaccard CONFIRM restricted to the candidates — the
+    default entry point composing the two halves the module docstring
+    prescribes ("always run MinHash candidates first at scale, Jaccard
+    only to confirm").
+
+    Returns (doc_a, doc_b, jaccard) with ``jaccard >= threshold``.
+    ``confirm=None`` returns the raw LSH candidates (no jaccard column).
+
+    Scale shape (100 TB): candidate generation is
+    :func:`minhash_candidate_pairs` — banded, bucketed, never all-pairs.
+    The confirm stage does NOT re-join on shingles (that would be the
+    quadratic bucket join this function exists to avoid); it attaches
+    each side's distinct-shingle ARRAY to the candidate pair (two
+    shuffles of candidates ⋈ per-doc arrays, both keyed on doc id) and
+    computes |A∩B| / |A∪B| with ``array_intersect`` inside codegen.
+    Candidate volume is s-curve-bounded by the banding, so both joins
+    are candidate-sized, not corpus-sized; AQE broadcasts the candidate
+    side when it is small enough.
+
+    False positives from banding are removed by the exact confirm; false
+    NEGATIVES (true near-dups the LSH never bucketed together) are the
+    recall trade-off tuned via num_hashes/bands (``lsh_params``).
+    """
+    cands = minhash_candidate_pairs(df, text_col, id_col, n, num_hashes, bands)
+    if confirm is None:
+        return cands
+    if confirm != "jaccard":
+        raise ValueError(
+            f"near_dup_pairs: unknown confirm stage {confirm!r} "
+            "(expected 'jaccard' or None)"
+        )
+    grams = shingle_array(text_col, n)
+    sh = df.select(F.col(id_col), grams.alias("__sh")).where(
+        F.size("__sh") > 0
+    )
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sha"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("__shb"))
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("__sha", "__shb")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.size("__sha") + F.size("__shb") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
 
 
 def _hex4_to_int(col):

@@ -194,6 +194,68 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _near_dup_oracle(num_hashes: int = 8, bands: int = 4) -> str:
+    """LSH candidates ∩ exact Jaccard — the minhash oracle's band CTEs
+    plus the jaccard oracle's truth arithmetic, restricted to candidate
+    pairs (confirm-stage semantics)."""
+    rows = num_hashes // bands
+    mins = ",\n             ".join(
+        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(num_hashes)
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS band_hash FROM sig".format(
+            b=b,
+            concat=" || ',' || ".join(f"h{b * rows + j}" for j in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_SHINGLE_CTE},
+    sig AS (
+      SELECT doc_id,
+             {mins}
+      FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+      {band_selects}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+    """
+
+
+@_register("near_dup_pairs", oracle=_near_dup_oracle())
+def q_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed scale-safe near-dup entry point
+    (dedup.near_dup_pairs): MinHash(8)+LSH(4×2) candidates, exact
+    Jaccard confirm on candidates only via per-pair array_intersect —
+    never a quadratic shingle bucket join. Threshold 0.1 so the
+    synthetic corpus yields rows."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import near_dup_pairs
+
+    return near_dup_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        n=3, threshold=0.1, num_hashes=8, bands=4,
+    )
+
+
 def _simhash_oracle(bits: int = 16) -> str:
     hv = " + ".join(
         f"(strpos('0123456789abcdef', substr(md5(w), {k + 1}, 1)) - 1) * {16 ** (3 - k)}"

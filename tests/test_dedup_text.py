@@ -518,3 +518,34 @@ def test_keep_best_rejects_non_numeric_priority(spark):
     )
     with pytest.raises(TypeError, match="priority_col.*numeric"):
         dedup.dedup_exact_keep_best(df, "text", "doc_id", "priority")
+
+
+def test_near_dup_pairs_composes_lsh_and_jaccard(docs, spark):
+    """near_dup_pairs = LSH candidates ∩ exact-Jaccard-confirmed truth:
+    every emitted pair is an LSH candidate AND meets the threshold, the
+    exact-dup pair scores 1.0, and confirm=None returns raw candidates."""
+    cands = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_candidate_pairs(
+            docs, "text", "doc_id", n=3, num_hashes=8, bands=4
+        ).collect()
+    }
+    truth = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.1
+        ).collect()
+    }
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.near_dup_pairs(
+            docs, "text", "doc_id", n=3, threshold=0.1
+        ).collect()
+    }
+    assert out == {p: j for p, j in truth.items() if p in cands}
+    assert out[(1, 2)] == 1.0  # exact dup survives the composition
+
+    raw = dedup.near_dup_pairs(docs, "text", "doc_id", confirm=None)
+    assert set(raw.columns) == {"doc_a", "doc_b"}
+    with pytest.raises(ValueError, match="confirm"):
+        dedup.near_dup_pairs(docs, "text", "doc_id", confirm="cosine")
