@@ -8,6 +8,13 @@ column is fully computed and materialized executor-side with zero driver
 transfer — unlike .count(), which lets Catalyst prune projection-only
 work (PLANS.md lesson 4). A warmup action amortizes JVM/session startup
 out of the measured numbers.
+
+Each query runs REPS (3) times: ``queries`` carries the per-query MIN
+(the stable estimator of plan cost under ambient load — comparable with
+earlier rounds' numbers) and ``queries_median`` the median, so a
+round-over-round swing can be read against within-round variance before
+anyone chases it (VERDICT r2: five shared queries swung >25% on single
+runs).
 """
 
 from __future__ import annotations
@@ -58,7 +65,10 @@ HEADLINE = [
     "text_bigram_lift",
     "pagerank_suppliers",
     "zorder_stats",
+    "near_dup_pairs",
 ]
+
+REPS = 3
 
 
 def main() -> None:
@@ -71,17 +81,18 @@ def main() -> None:
     # warmup: touch the biggest table so FS cache + codegen paths are hot
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
 
-    # min of two runs per query: ambient machine load inflates wall times
-    # ±40%; the min is a far more stable estimator of the plan's real cost
     times: dict[str, float] = {}
+    medians: dict[str, float] = {}
     for name in HEADLINE:
         fn = dq.QUERIES[name]
-        best = float("inf")
-        for _ in range(2):
+        runs: list[float] = []
+        for _ in range(REPS):
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        runs.sort()
+        times[name] = round(runs[0], 3)
+        medians[name] = round(runs[len(runs) // 2], 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
@@ -89,7 +100,9 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "queries_median": medians,
         "sf": float(sf),
+        "reps": REPS,
     }))
 
 
