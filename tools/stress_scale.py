@@ -1,0 +1,87 @@
+"""One-off scaling stress for the dedup/ANN families (VERDICT r2 item 7).
+
+Builds a 10x replica of sf0.1's documents/embeddings under /tmp (ids
+offset per replica; one replica-tag token appended to each text so
+near-dup structure stays per-replica instead of collapsing into 10-way
+exact dup groups), then times the three flagship scale designs at 1x vs
+10x and prints the wall-time ratio. Linear-ish ratios (~10x work on 32
+local cores => <=10x time for shuffle-bound ops, often less thanks to
+fixed overheads) are the measured evidence behind the "100 TB-safe"
+design claims in PLANS.md.
+
+Usage: python tools/stress_scale.py    (writes nothing outside /tmp)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.1"
+STRESS = "/tmp/spark_graft_stress_sf1"
+REPLICAS = 10
+QUERIES = ["dedup_minhash_lsh", "dedup_components", "ann_ivf_kmeans_topk"]
+
+
+def build(spark) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.isdir(STRESS):
+        shutil.rmtree(STRESS)
+    os.makedirs(STRESS)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n_doc = 10_000_000
+    n_vec = 10_000_000
+    reps = spark.range(REPLICAS).select(F.col("id").alias("__r"))
+    big_docs = docs.crossJoin(reps).select(
+        (F.col("doc_id") + F.col("__r") * n_doc).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" rep"), F.col("__r")).alias("text"),
+        *[c for c in docs.columns if c not in ("doc_id", "text")],
+    )
+    big_emb = emb.crossJoin(reps).select(
+        (F.col("vec_id") + F.col("__r") * n_vec).alias("vec_id"),
+        *[c for c in emb.columns if c != "vec_id"],
+    )
+    big_docs.write.mode("overwrite").parquet(f"{STRESS}/documents.parquet")
+    big_emb.write.mode("overwrite").parquet(f"{STRESS}/embeddings.parquet")
+    # remaining tables: symlink 1x copies (the three stress queries don't
+    # read them, but the loader API expects the directory layout)
+    for f in os.listdir(SF):
+        dst = os.path.join(STRESS, f)
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SF, f), dst)
+
+
+def main() -> None:
+    from gene_level_metadata_pipeline_spark.plans import driver_queries as dq
+    from gene_level_metadata_pipeline_spark.session import get_spark
+
+    spark = get_spark("stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    build(spark)
+
+    print(f"{'query':28s} {'1x_sec':>8s} {'10x_sec':>8s} {'ratio':>6s}")
+    for name in QUERIES:
+        fn = dq.QUERIES[name]
+        t = {}
+        for label, d in (("1x", SF), ("10x", STRESS)):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, d).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            t[label] = best
+        print(
+            f"{name:28s} {t['1x']:8.2f} {t['10x']:8.2f} "
+            f"{t['10x'] / t['1x']:6.2f}"
+        )
+    shutil.rmtree(STRESS, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
