@@ -152,11 +152,21 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_sig_mins(num_hashes: int) -> str:
+    """SQL twin of operators.dedup.minhash_signatures: h_i = min over
+    shingles of the i-th 8-hex-char slice of md5('{i div 4}:' || shingle)
+    — four 32-bit hash functions per digest, matching the engine's
+    ceil(k/4)-md5s-per-shingle signature exactly."""
+    return ",\n             ".join(
+        f"min(substring(md5('{i // 4}:' || shingle), {(i % 4) * 8 + 1}, 8))"
+        f" AS h{i}"
+        for i in range(num_hashes)
+    )
+
+
 def _minhash_oracle(num_hashes: int = 8, bands: int = 4) -> str:
     rows = num_hashes // bands
-    mins = ",\n             ".join(
-        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(num_hashes)
-    )
+    mins = _minhash_sig_mins(num_hashes)
     band_selects = "\n      UNION ALL\n      ".join(
         "SELECT doc_id, {b} AS band, md5({concat}) AS band_hash FROM sig".format(
             b=b,
@@ -199,9 +209,7 @@ def _near_dup_oracle(num_hashes: int = 8, bands: int = 4) -> str:
     plus the jaccard oracle's truth arithmetic, restricted to candidate
     pairs (confirm-stage semantics)."""
     rows = num_hashes // bands
-    mins = ",\n             ".join(
-        f"min(md5('{i}:' || shingle)) AS h{i}" for i in range(num_hashes)
-    )
+    mins = _minhash_sig_mins(num_hashes)
     band_selects = "\n      UNION ALL\n      ".join(
         "SELECT doc_id, {b} AS band, md5({concat}) AS band_hash FROM sig".format(
             b=b,

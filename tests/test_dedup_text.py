@@ -62,10 +62,13 @@ def test_minhash_identical_docs_share_signature(spark, docs):
            for r in dedup.minhash_signatures(docs, "text", "doc_id").collect()}
     assert sig[1] == sig[2]
     assert sig[1] != sig[4]
-    # h0 is the lexicographic min of md5('0:'||shingle) over doc-1 shingles
-    expect = min(md5("0:" + s) for s in
-                 ["the quick brown", "quick brown fox", "brown fox jumps"])
-    assert sig[1][0] == expect
+    # h_i is the lexicographic min over shingles of the i-th 8-hex slice
+    # of md5('{i div 4}:'||shingle) — 4 hash functions per digest
+    shingles = ["the quick brown", "quick brown fox", "brown fox jumps"]
+    for i in (0, 3, 4, 7):
+        salt, off = i // 4, (i % 4) * 8
+        expect = min(md5(f"{salt}:" + s)[off:off + 8] for s in shingles)
+        assert sig[1][i] == expect
     assert 5 not in sig  # no shingles -> excluded
 
 
