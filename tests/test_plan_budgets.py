@@ -1,0 +1,103 @@
+"""Shuffle-budget regression gate for the bench headline queries.
+
+Round 3 reclaimed the round-2 perf regressions (pagerank 6.75s -> 2.4s,
+components 5.12s -> 2.7s at sf0.1); this test pins the STRUCTURE behind
+those numbers so they cannot silently regress. For every headline query in
+``bench.py`` it builds the physical plan at sf0.001 and asserts:
+
+* the number of shuffle exchanges (hash/range/single-partition) does not
+  exceed the audited budget below — a new groupBy/join/repartition that
+  adds a shuffle fails the suite and must update the budget consciously;
+* no ``CartesianProduct`` anywhere (the scalar cross joins the engine uses
+  compile to BroadcastNestedLoopJoin over 1-row sides, never a cartesian).
+
+Budgets are the counts from the round-3 plan audit (2026-08-14). They are
+UPPER bounds: removing a shuffle is always legal. Iterative operators
+(``pagerank_suppliers``, ``dedup_components``) materialize rounds during
+construction via localCheckpoint, so their final-frame plan under-counts
+total work; the budget still guards the per-round plan shape because any
+extra exchange per round multiplies into the printed plan (pagerank's 13
+is 3 unrolled rounds + init; components' 0 is the fully-converged
+checkpoint scan).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+SHUFFLE_RE = re.compile(
+    r"Exchange (?:hash|range)partitioning|Exchange SinglePartition"
+)
+
+# query -> max shuffle exchanges in the physical plan (round-3 audit)
+SHUFFLE_BUDGET = {
+    "spine_harmonize": 2,
+    "tpch_q1_pricing": 1,
+    "tpch_q3_topk": 1,
+    "tpch_q5_region": 1,
+    "tpch_q6_forecast": 1,
+    "melt_metrics": 0,
+    "events_hourly": 1,
+    "sessionize": 1,
+    "dedup_exact": 1,
+    "dedup_minhash_lsh": 2,
+    "dedup_ngram_jaccard": 3,
+    "dedup_simhash": 2,
+    "ann_brute_force_topk": 1,
+    "ann_ivf_kmeans_topk": 9,
+    "text_lang_id": 0,
+    "text_quality": 0,
+    "asof_join_events": 1,
+    "hierarchical_rollup": 3,
+    "dedup_components": 0,
+    "text_tfidf_keywords": 5,
+    "tpch_q8_market_share": 1,
+    "text_repetition": 0,
+    "text_contamination": 2,
+    "window_time_range": 1,
+    "curation_pipeline": 3,
+    "validate_constraints": 10,
+    "substring_dup_spans": 2,
+    "encode_documents": 2,
+    "inverted_index": 1,
+    "token_budget_select": 5,
+    "corpus_shuffle_order": 5,
+    "training_corpus_pipeline": 16,
+    "mixture_sample_langs": 0,
+    "text_bigram_lift": 5,
+    "pagerank_suppliers": 13,
+    "zorder_stats": 1,
+    "near_dup_pairs": 2,
+}
+
+
+def test_headline_plans_within_shuffle_budget(spark):
+    from gene_level_metadata_pipeline_spark.plans import driver_queries as dq
+
+    over_budget = []
+    cartesian = []
+    for name, budget in SHUFFLE_BUDGET.items():
+        df = dq.QUERIES[name](spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        n = len(SHUFFLE_RE.findall(plan))
+        if n > budget:
+            over_budget.append(f"{name}: {n} > {budget}")
+        if "CartesianProduct" in plan:
+            cartesian.append(name)
+    assert not over_budget, (
+        "shuffle budget exceeded (new Exchange in the plan — either remove "
+        f"it or consciously raise the audited budget): {over_budget}"
+    )
+    assert not cartesian, f"CartesianProduct leaked into: {cartesian}"
+
+
+def test_budget_covers_whole_bench_headline_set():
+    """The budget dict and bench.py's HEADLINE list must stay in sync, so
+    a newly-added headline query cannot dodge the gate."""
+    import bench
+
+    assert set(SHUFFLE_BUDGET) == set(bench.HEADLINE)
