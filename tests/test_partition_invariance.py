@@ -1,0 +1,115 @@
+"""Partition-invariance for the iterative / salted / composed operators.
+
+The engine's determinism claims are stated per-operator ("exact integer
+arithmetic, partial-aggregation order cannot perturb results", "the salt
+is a deterministic spread", "candidate volume is banding-bounded");
+this suite tests the claims directly: the SAME input under wildly
+different partitionings (1 partition vs a prime fan-out) must produce
+the IDENTICAL result multiset. A failure here means an operator leaked
+partitioning into its semantics — the exact class of bug that passes
+every single-layout oracle check and then corrupts results on a real
+cluster where partitioning is never the same twice.
+"""
+
+from __future__ import annotations
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+def test_connected_components_partition_invariant(spark):
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+    from gene_level_metadata_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = minhash_candidate_pairs(_docs(spark), "text", "doc_id")
+    a = _rows(connected_components(pairs.repartition(1)))
+    b = _rows(connected_components(pairs.repartition(13)))
+    assert a == b
+    assert len(a) > 0
+
+
+def test_pagerank_bigints_partition_invariant(spark):
+    """The exact-integer-arithmetic claim: identical bigint micro-unit
+    ranks whatever the partitioning, down to the last unit."""
+    from pyspark.sql import functions as F
+
+    from gene_level_metadata_pipeline_spark.operators.graph import pagerank
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    edges = li.select(
+        F.col("l_suppkey").alias("u"),
+        (F.pmod(F.col("l_partkey"), F.lit(50)) + 1000).alias("v"),
+    ).distinct()
+    a = _rows(pagerank(edges.repartition(1)))
+    b = _rows(pagerank(edges.repartition(13)))
+    assert a == b
+    assert len(a) > 0
+
+
+def test_near_dup_pairs_partition_invariant(spark):
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        near_dup_pairs,
+    )
+
+    docs = _docs(spark)
+    a = _rows(near_dup_pairs(docs.repartition(1), "text", "doc_id"))
+    b = _rows(near_dup_pairs(docs.repartition(13), "text", "doc_id"))
+    assert a == b
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    """Salting must be pure plumbing: the two-phase salted aggregate
+    equals the plain groupBy on any partitioning."""
+    from pyspark.sql import functions as F
+
+    from gene_level_metadata_pipeline_spark.operators.skew import (
+        salted_count,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plain = _rows(
+        li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert _rows(salted_count(li.repartition(1), ["l_returnflag"])) == plain
+    assert _rows(salted_count(li.repartition(13), ["l_returnflag"])) == plain
+
+
+def test_keep_best_string_ids_partition_invariant(spark):
+    """The round-3 min_by fix under partitioning: string ids must
+    tie-break identically whatever the layout."""
+    from pyspark.sql import functions as F
+
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        dedup_exact_keep_best,
+    )
+
+    docs = _docs(spark).select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("sid"),
+        "text",
+        F.pmod(F.col("doc_id"), F.lit(3)).cast("int").alias("prio"),
+    )
+    a = _rows(
+        dedup_exact_keep_best(
+            docs.repartition(1), "text", id_col="sid", priority_col="prio"
+        )
+    )
+    b = _rows(
+        dedup_exact_keep_best(
+            docs.repartition(13), "text", id_col="sid", priority_col="prio"
+        )
+    )
+    assert a == b
+    assert len(a) > 0
