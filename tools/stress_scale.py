@@ -24,7 +24,13 @@ sys.path.insert(0, "/root/repo")
 SF = "/root/testdata/sf0.1"
 STRESS = "/tmp/spark_graft_stress_sf1"
 REPLICAS = 10
-QUERIES = ["dedup_minhash_lsh", "dedup_components", "ann_ivf_kmeans_topk"]
+QUERIES = [
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "ann_ivf_kmeans_topk",
+    "near_dup_pairs",
+    "training_corpus_pipeline",
+]
 
 
 def build(spark) -> None:
