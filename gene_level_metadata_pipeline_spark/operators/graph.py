@@ -89,7 +89,11 @@ def connected_components(
                 "changed"
             ),
         ).localCheckpoint(eager=True)
-        changed = obs.get["changed"]
+        # sum over an EMPTY frame observes NULL, not 0 — coalesce it, or a
+        # zero-pair input (a clean corpus: no near-dups found) would spin
+        # max_iter checkpoint jobs and then raise instead of returning the
+        # empty label frame
+        changed = obs.get["changed"] or 0
         labels = new_labels.drop("__old")
         if changed == 0:
             return labels.select(
@@ -156,6 +160,12 @@ def pagerank(
     )
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
     n = deg.count()
+    if n == 0:
+        # empty graph: return the empty (node, pr) frame instead of
+        # dividing the initial mass by zero
+        return deg.select(
+            F.col("u").alias("node"), F.lit(None).cast("long").alias("pr")
+        )
     init = scale // n
     base = ((100 - damping_pct) * init) // 100
 
