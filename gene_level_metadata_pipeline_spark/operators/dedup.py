@@ -79,16 +79,39 @@ def word_shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Data
     )
 
 
+def _null_safe_group_key(text_col: str, id_col: str):
+    """md5(text), except NULL text gets a per-row surrogate key.
+
+    groupBy (like SQL GROUP BY) puts every NULL in ONE group, which for
+    content dedup means "all documents with unknown content are
+    duplicates of each other" — silent data loss: one NULL-text survivor
+    per corpus. Unknown content must never collapse, so NULL-text rows
+    group under a surrogate unique per row. The ``\\x00`` prefix cannot
+    collide with an md5 hex string."""
+    fp = F.md5(F.col(text_col))
+    return F.coalesce(
+        fp, F.concat(F.lit("\x00"), F.col(id_col).cast("string"))
+    )
+
+
 def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup by content hash: one group per distinct text, keeping
     the minimum id as canonical. Returns (fingerprint, canonical_id,
-    n_copies). A hash-groupBy — one shuffle on the md5, no sort."""
+    n_copies). A hash-groupBy — one shuffle on the md5, no sort.
+
+    NULL-text rows are NOT collapsed into one group: each keeps itself
+    (fingerprint NULL, n_copies 1) — see :func:`_null_safe_group_key`.
+    """
     return (
-        df.groupBy(F.md5(F.col(text_col)).alias("fingerprint"))
+        df.groupBy(
+            _null_safe_group_key(text_col, id_col).alias("__gkey"),
+            F.md5(F.col(text_col)).alias("fingerprint"),
+        )
         .agg(
             F.min(id_col).alias("canonical_id"),
             F.count(F.lit(1)).alias("n_copies"),
         )
+        .drop("__gkey")
     )
 
 
@@ -108,7 +131,8 @@ def dedup_exact_keep_best(
     (ORDER BY priority DESC, id)`` reproduces it. ``priority_col`` must
     be numeric (it is negated); raises ``TypeError`` otherwise rather
     than degrading to a nondeterministic tie-break. Returns
-    (fingerprint, keep_id, best_priority, n_copies).
+    (fingerprint, keep_id, best_priority, n_copies). NULL-text rows are
+    never collapsed (see :func:`_null_safe_group_key`).
     """
     from pyspark.sql.types import NumericType
 
@@ -121,7 +145,10 @@ def dedup_exact_keep_best(
             "tie-break"
         )
     return (
-        df.groupBy(F.md5(F.col(text_col)).alias("fingerprint"))
+        df.groupBy(
+            _null_safe_group_key(text_col, id_col).alias("__gkey"),
+            F.md5(F.col(text_col)).alias("fingerprint"),
+        )
         .agg(
             F.min_by(
                 F.col(id_col),
@@ -133,6 +160,7 @@ def dedup_exact_keep_best(
             F.max(priority_col).alias("best_priority"),
             F.count(F.lit(1)).alias("n_copies"),
         )
+        .drop("__gkey")
     )
 
 
