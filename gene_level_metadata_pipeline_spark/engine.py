@@ -128,6 +128,24 @@ class Engine:
 
         return dedup_against_history(new, history, text_col, id_col, **kw)
 
+    def near_dup_pairs(
+        self, df: DataFrame, text_col: str, id_col: str, **kw
+    ) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.dedup import (
+            near_dup_pairs,
+        )
+
+        return near_dup_pairs(df, text_col, id_col, **kw)
+
+    def canonicalize_duplicates(
+        self, docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    ) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.graph import (
+            canonicalize_duplicates,
+        )
+
+        return canonicalize_duplicates(docs, pairs, id_col)
+
     def corpus_shuffle(self, df: DataFrame, key_col: str, **kw) -> DataFrame:
         from gene_level_metadata_pipeline_spark.operators.selection import (
             corpus_shuffle,

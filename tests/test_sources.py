@@ -426,3 +426,26 @@ def test_pipeline_config_env_and_masking(monkeypatch):
     assert cfg2.require("omim_api_key") == "sekret"
     assert cfg2.impc_release_version == "23.0"
     assert "sekret" not in repr(cfg2) and "***" in repr(cfg2)
+
+
+def test_engine_facade_curation_path(spark):
+    """The curation workflow through the facade: near-dup pairs ->
+    canonical representative per cluster."""
+    from gene_level_metadata_pipeline_spark.engine import Engine
+
+    eng = Engine(spark)
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy dog today"),
+            (3, "an entirely different document about spark shuffles"),
+        ],
+        "doc_id bigint, text string",
+    )
+    pairs = eng.near_dup_pairs(docs, "text", "doc_id", threshold=0.3)
+    assert {(r.doc_a, r.doc_b) for r in pairs.collect()} == {(1, 2)}
+    canon = {
+        (r.doc_id, r.canonical_id)
+        for r in eng.canonicalize_duplicates(docs, pairs).collect()
+    }
+    assert canon == {(1, 1), (2, 1), (3, 3)}
