@@ -70,6 +70,13 @@ class Engine:
 
         return read_xml(self.spark, path, row_tag)
 
+    def read_binary_assets(self, path: str, **kw) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.sources.readers import (
+            read_binary_assets,
+        )
+
+        return read_binary_assets(self.spark, path, **kw)
+
     def read_parquet(self, path: str) -> DataFrame:
         return self.spark.read.parquet(path)
 

@@ -121,6 +121,20 @@ def fixture_dir() -> str:
         json.dumps({"gene_symbol": "g4", "confidence_level": "3",
                     "disease_group": "", "noise": "w"}),
     ]) + "\n")
+
+    # raw media assets for the binaryFile ingest path (multimodal S-ext):
+    # two deterministic .bin payloads + a decoy the glob must exclude
+    os.makedirs(f"{d}/assets", exist_ok=True)
+
+    def wb(rel: str, content: bytes) -> None:
+        path = os.path.join(d, rel)
+        if not os.path.exists(path):
+            with open(path, "wb") as f:
+                f.write(content)
+
+    wb("assets/img_a.bin", bytes(range(16)))
+    wb("assets/img_b.bin", b"\x89FAKEPNG" + bytes(range(255, 223, -1)))
+    wb("assets/notes.txt", b"not a media asset")
     return d
 
 

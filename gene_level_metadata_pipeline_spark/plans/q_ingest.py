@@ -217,3 +217,36 @@ def q_read_json_pages_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kv.select("name", "value")
 
 
+
+
+@_register(
+    "read_binary_assets",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('img_a.bin', 'image/fake', CAST(16 AS BIGINT),
+       '1ac1ef01e96caf1be0d329331a4fc2a8'),
+      ('img_b.bin', 'image/fake', CAST(40 AS BIGINT),
+       'c64233f7fa614bbed44c41037d115209')
+    ) AS t(asset_id, modality, n_bytes, payload_md5)
+    """,
+)
+def q_read_binary_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw media ingestion (sources/readers.read_binary_assets, native
+    binaryFile source): one row per asset file, glob-filtered at the
+    LISTING level (the .txt decoy is never opened), payload carried as
+    an opaque binary column in the multimodal contract. The oracle pins
+    basename, modality, byte length, and payload md5."""
+    from gene_level_metadata_pipeline_spark.plans.fixtures import fixture_dir
+    from gene_level_metadata_pipeline_spark.sources.readers import (
+        read_binary_assets,
+    )
+
+    assets = read_binary_assets(
+        spark, f"{fixture_dir()}/assets", glob="*.bin", modality="image/fake"
+    )
+    return assets.select(
+        "asset_id",
+        F.col("meta.modality").alias("modality"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )

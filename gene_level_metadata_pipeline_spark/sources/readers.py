@@ -32,7 +32,8 @@ __all__ = [
     "read_json_pages",
     "normalize_event_ts",
     "ts_from_nanos",
- "read_xml",]
+ "read_xml",
+    "read_binary_assets",]
 
 
 def ts_from_nanos(col):
@@ -308,3 +309,37 @@ def read_xml(spark, path: str, row_tag: str):
     rows. For 100 TB exports prefer an explicit ``.schema(...)`` to skip
     the inference scan."""
     return spark.read.format("xml").option("rowTag", row_tag).load(path)
+
+
+def read_binary_assets(
+    spark,
+    path: str,
+    glob: str | None = None,
+    modality: str = "application/octet-stream",
+) -> DataFrame:
+    """Raw media ingestion via Spark's native ``binaryFile`` source — the
+    real-world entry into the multimodal payload contract
+    (operators/multimodal.py): one row per file, payload bytes never
+    touching the driver.
+
+    Returns (asset_id, payload, meta struct<modality, n_bytes>) — the
+    exact shape ``attach_binary_payload`` fakes from text, so
+    ``extract_features`` / ``sample_frames`` compose directly.
+    ``modificationTime`` is dropped (nondeterministic across copies of
+    the same dataset); ``asset_id`` is the file basename. ``glob``
+    filters at the LISTING level (``pathGlobFilter``), so excluded files
+    are never opened — at 100 TB of mixed object-store keys that is the
+    difference between listing and reading.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    df = reader.load(path)
+    return df.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("asset_id"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.lit(modality).alias("modality"),
+            F.col("length").cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )

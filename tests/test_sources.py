@@ -449,3 +449,34 @@ def test_engine_facade_curation_path(spark):
         for r in eng.canonicalize_duplicates(docs, pairs).collect()
     }
     assert canon == {(1, 1), (2, 1), (3, 3)}
+
+
+def test_read_binary_assets_feeds_multimodal_contract(spark):
+    """binaryFile ingestion composes with the Arrow featurizer: glob
+    excludes the decoy at listing time, payload bytes stay executor-side,
+    and extract_features consumes the contract unchanged."""
+    from pyspark.sql import functions as F
+
+    from gene_level_metadata_pipeline_spark.operators.multimodal import (
+        extract_features,
+    )
+    from gene_level_metadata_pipeline_spark.plans.fixtures import fixture_dir
+    from gene_level_metadata_pipeline_spark.sources.readers import (
+        read_binary_assets,
+    )
+
+    assets = read_binary_assets(
+        spark, f"{fixture_dir()}/assets", glob="*.bin", modality="image/fake"
+    )
+    rows = {r.asset_id: r for r in assets.collect()}
+    assert set(rows) == {"img_a.bin", "img_b.bin"}  # notes.txt excluded
+    assert rows["img_a.bin"].meta.n_bytes == 16
+    assert bytes(rows["img_a.bin"].payload) == bytes(range(16))
+
+    feats = extract_features(
+        assets.withColumn("doc_id", F.xxhash64("asset_id")), "doc_id"
+    )
+    got = {r.n_bytes: r for r in feats.collect()}
+    assert got[16].checksum == sum(range(16))
+    assert got[16].head_bytes == [0, 1, 2, 3]
+    assert got[40].head_bytes == [0x89, ord("F"), ord("A"), ord("K")]
