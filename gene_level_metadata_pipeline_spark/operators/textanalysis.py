@@ -16,6 +16,7 @@ __all__ = [
     "lang_scores",
     "lang_id",
     "quality_scores",
+    "gopher_quality_flags",
     "token_counts",
     "fingerprint",
     "stable_sample",
@@ -101,6 +102,103 @@ def quality_scores(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         (
             (n_words >= 5) & (n_words <= 100000) & (nospace / n_words < 12.0)
         ).alias("quality_ok"),
+    )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_wl: float = 3.0,
+    max_mean_wl: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    max_dup_line_ratio: float = 0.3,
+) -> DataFrame:
+    """The published Gopher-style document-quality rule stack (Rae et al.
+    2021 §A1.1 heuristics, public), each rule a Catalyst array
+    expression over one scan — no shuffle, no Python:
+
+    * word count within [min_words, max_words];
+    * mean word length within [min_mean_wl, max_mean_wl];
+    * symbol-to-word ratio (``#`` and ``...`` marks) ≤ max_symbol_ratio;
+    * fraction of lines starting with a bullet ≤ max_bullet_ratio;
+    * fraction of lines ending in an ellipsis ≤ max_ellipsis_ratio;
+    * fraction of words containing an alphabetic char ≥ min_alpha_ratio;
+    * duplicate-line fraction ≤ max_dup_line_ratio.
+
+    Returns per-rule ratios (rounded 4dp — the cross-engine-stable form)
+    plus the per-rule booleans and the conjunction ``gopher_ok``.
+    Documents with no words fail closed (``gopher_ok`` false)."""
+    words = F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda l: l != "")
+    n_words = F.size(words).cast("long")
+    n_lines = F.size(lines).cast("long")
+    mean_wl = F.round(
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        )
+        / n_words,
+        4,
+    )
+    hash_marks = F.length(F.col(text_col)) - F.length(
+        F.regexp_replace(F.col(text_col), "#", "")
+    )
+    ellipsis_marks = F.size(F.split(F.col(text_col), "\\.\\.\\.")) - 1
+    symbol_ratio = F.round((hash_marks + ellipsis_marks) / n_words, 4)
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*", "•"),
+        )
+    )
+    bullet_ratio = F.round(bullet_lines / n_lines, 4)
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+    )
+    ellipsis_ratio = F.round(ellipsis_lines / n_lines, 4)
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    alpha_ratio = F.round(alpha_words / n_words, 4)
+    dup_line_ratio = F.round(
+        1 - F.size(F.array_distinct(lines)) / n_lines, 4
+    )
+
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+        alpha_ratio.alias("alpha_word_ratio"),
+        dup_line_ratio.alias("dup_line_ratio"),
+    )
+    flags = {
+        "words_ok": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "mean_wl_ok": (F.col("mean_word_len") >= min_mean_wl)
+        & (F.col("mean_word_len") <= max_mean_wl),
+        "symbol_ok": F.col("symbol_ratio") <= max_symbol_ratio,
+        "bullet_ok": F.col("bullet_ratio") <= max_bullet_ratio,
+        "ellipsis_ok": F.col("ellipsis_ratio") <= max_ellipsis_ratio,
+        "alpha_ok": F.col("alpha_word_ratio") >= min_alpha_ratio,
+        "dup_line_ok": F.col("dup_line_ratio") <= max_dup_line_ratio,
+    }
+    for name, expr in flags.items():
+        out = out.withColumn(name, F.coalesce(expr, F.lit(False)))
+    return out.withColumn(
+        "gopher_ok",
+        F.col("words_ok")
+        & F.col("mean_wl_ok")
+        & F.col("symbol_ok")
+        & F.col("bullet_ok")
+        & F.col("ellipsis_ok")
+        & F.col("alpha_ok")
+        & F.col("dup_line_ok"),
     )
 
 

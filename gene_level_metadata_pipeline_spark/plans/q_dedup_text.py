@@ -1240,3 +1240,68 @@ def q_training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = corpus_shuffle(m, "doc_id", salt="epoch0", pos_col="pos")
     b = pack_sequences(s, [F.col("pos")], "n_tokens", 512)
     return materialize_packed(b, "bin_id", ["pos"], "text")
+
+
+@_register(
+    "gopher_quality_flags",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w <> '') AS words,
+             list_filter(string_split(text, chr(10)), l -> l <> '') AS lines,
+             length(text) - length(replace(text, '#', '')) AS hash_marks,
+             len(string_split(text, '...')) - 1 AS ellipsis_marks
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             CAST(len(words) AS BIGINT) AS n_words,
+             round(list_sum(list_transform(words, w -> length(w))) * 1.0
+                   / len(words), 4) AS mean_word_len,
+             round((hash_marks + ellipsis_marks) * 1.0 / len(words), 4)
+               AS symbol_ratio,
+             round(len(list_filter(lines,
+                     l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•')))
+                   * 1.0 / len(lines), 4) AS bullet_ratio,
+             round(len(list_filter(lines,
+                     l -> l LIKE '%...' OR l LIKE '%…'))
+                   * 1.0 / len(lines), 4) AS ellipsis_ratio,
+             round(len(list_filter(words,
+                     w -> regexp_matches(w, '[a-zA-Z]')))
+                   * 1.0 / len(words), 4) AS alpha_word_ratio,
+             round(1 - len(list_distinct(lines)) * 1.0 / len(lines), 4)
+               AS dup_line_ratio
+      FROM g
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+           ellipsis_ratio, alpha_word_ratio, dup_line_ratio,
+           coalesce(n_words >= 50 AND n_words <= 100000, false) AS words_ok,
+           coalesce(mean_word_len >= 3.0 AND mean_word_len <= 10.0, false)
+             AS mean_wl_ok,
+           coalesce(symbol_ratio <= 0.1, false) AS symbol_ok,
+           coalesce(bullet_ratio <= 0.9, false) AS bullet_ok,
+           coalesce(ellipsis_ratio <= 0.3, false) AS ellipsis_ok,
+           coalesce(alpha_word_ratio >= 0.8, false) AS alpha_ok,
+           coalesce(dup_line_ratio <= 0.3, false) AS dup_line_ok,
+           (coalesce(n_words >= 50 AND n_words <= 100000, false)
+            AND coalesce(mean_word_len >= 3.0 AND mean_word_len <= 10.0, false)
+            AND coalesce(symbol_ratio <= 0.1, false)
+            AND coalesce(bullet_ratio <= 0.9, false)
+            AND coalesce(ellipsis_ratio <= 0.3, false)
+            AND coalesce(alpha_word_ratio >= 0.8, false)
+            AND coalesce(dup_line_ratio <= 0.3, false)) AS gopher_ok
+    FROM m
+    """,
+)
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published Gopher-style pretraining quality rule stack
+    (operators/textanalysis.gopher_quality_flags): 7 heuristic rules as
+    Catalyst array expressions over one documents scan — word-count and
+    mean-word-length bounds, symbol/bullet/ellipsis ratios, alphabetic
+    word fraction, duplicate-line fraction — plus the conjunction.
+    Zero shuffles, zero Python; the oracle replays every rule in DuckDB
+    list lambdas."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        gopher_quality_flags,
+    )
+
+    return gopher_quality_flags(_t(spark, sf_dir, "documents"), "text", "doc_id")

@@ -552,3 +552,30 @@ def test_near_dup_pairs_composes_lsh_and_jaccard(docs, spark):
     assert set(raw.columns) == {"doc_a", "doc_b"}
     with pytest.raises(ValueError, match="confirm"):
         dedup.near_dup_pairs(docs, "text", "doc_id", confirm="cosine")
+
+
+def test_gopher_quality_flags_discriminate(spark):
+    """Each Gopher rule must actually fire on a document built to break it."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        gopher_quality_flags,
+    )
+
+    good = " ".join(["valid"] * 60)
+    bullets = "\n".join(f"- item {i}" for i in range(10))
+    dup_lines = "\n".join(["same line here"] * 10)
+    symbols = " ".join(["###"] * 30)
+    numeric = " ".join(["12345"] * 60)
+    ellipses = "\n".join(f"trailing {i}..." for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, good), (2, bullets), (3, dup_lines), (4, symbols),
+         (5, numeric), (6, ellipses)],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in
+           gopher_quality_flags(docs, "text", "doc_id").collect()}
+    assert out[1].gopher_ok  # clean doc passes every rule
+    assert not out[2].bullet_ok and out[2].bullet_ratio == 1.0
+    assert not out[3].dup_line_ok and out[3].dup_line_ratio == 0.9
+    assert not out[4].symbol_ok  # 3 hashes per word
+    assert not out[5].alpha_ok and out[5].alpha_word_ratio == 0.0
+    assert not out[6].ellipsis_ok and out[6].ellipsis_ratio == 1.0
