@@ -17,6 +17,7 @@ __all__ = [
     "lang_id",
     "quality_scores",
     "gopher_quality_flags",
+    "c4_clean",
     "token_counts",
     "fingerprint",
     "stable_sample",
@@ -199,6 +200,55 @@ def gopher_quality_flags(
         & F.col("ellipsis_ok")
         & F.col("alpha_ok")
         & F.col("dup_line_ok"),
+    )
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words_per_line: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2 heuristics,
+    public): keep only lines that end in terminal punctuation, carry at
+    least ``min_words_per_line`` words, and do not mention "javascript";
+    drop the whole page if it contains a curly brace (code marker) or
+    the phrase "lorem ipsum".
+
+    One scan, all array lambdas — the line filter is a nested
+    higher-order function (a word-count filter inside the line filter),
+    still fully inside codegen. Returns (id, clean_text, n_lines_kept,
+    n_lines_dropped, page_ok); ``clean_text`` is NULL for dropped pages
+    AND for pages where no line survived (engines disagree on joining
+    an empty array — '' vs NULL — and "nothing survived" is NULL-shaped
+    anyway).
+    """
+    lines = F.filter(F.split(F.col(text_col), "\n"), lambda l: l != "")
+    kept = F.filter(
+        lines,
+        lambda l: (
+            l.endswith(".")
+            | l.endswith("!")
+            | l.endswith("?")
+            | l.endswith('"')
+            | l.endswith("'")
+        )
+        & (
+            F.size(F.filter(F.split(l, " "), lambda w: w != ""))
+            >= min_words_per_line
+        )
+        & ~F.contains(F.lower(l), F.lit("javascript")),
+    )
+    page_ok = ~F.contains(F.col(text_col), F.lit("{")) & ~F.contains(
+        F.lower(F.col(text_col)), F.lit("lorem ipsum")
+    )
+    return df.select(
+        F.col(id_col),
+        F.when(page_ok & (F.size(kept) > 0), F.array_join(kept, "\n"))
+        .alias("clean_text"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        (F.size(lines) - F.size(kept)).cast("long").alias("n_lines_dropped"),
+        page_ok.alias("page_ok"),
     )
 
 

@@ -1305,3 +1305,40 @@ def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return gopher_quality_flags(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_register(
+    "c4_clean_docs",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, chr(10)), l -> l <> '') AS lines,
+             NOT contains(text, '{')
+               AND NOT contains(lower(text), 'lorem ipsum') AS page_ok
+      FROM documents
+    ), k AS (
+      SELECT doc_id, page_ok, lines,
+             list_filter(lines, l ->
+               (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?'
+                OR l LIKE '%"' OR l LIKE '%''')
+               AND len(list_filter(string_split(l, ' '), w -> w <> '')) >= 3
+               AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM g
+    )
+    SELECT doc_id,
+           CASE WHEN page_ok AND len(kept) > 0
+                THEN array_to_string(kept, chr(10)) END AS clean_text,
+           CAST(len(kept) AS BIGINT) AS n_lines_kept,
+           CAST(len(lines) - len(kept) AS BIGINT) AS n_lines_dropped,
+           page_ok
+    FROM k
+    """,
+)
+def q_c4_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (operators/textanalysis.c4_clean):
+    terminal-punctuation + min-words + no-javascript line filter, page
+    drops for curly braces / lorem ipsum. Nested higher-order functions
+    in one scan; the oracle replays the same lambdas in DuckDB."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import c4_clean
+
+    return c4_clean(_t(spark, sf_dir, "documents"), "text", "doc_id")

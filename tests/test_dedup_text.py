@@ -579,3 +579,29 @@ def test_gopher_quality_flags_discriminate(spark):
     assert not out[4].symbol_ok  # 3 hashes per word
     assert not out[5].alpha_ok and out[5].alpha_word_ratio == 0.0
     assert not out[6].ellipsis_ok and out[6].ellipsis_ratio == 1.0
+
+
+def test_c4_clean_line_and_page_rules(spark):
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        c4_clean,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "A good sentence stays here.\nno punct line\nAnother keeper stays!"),
+            (2, "short.\nThis enables javascript on your browser."),
+            (3, "function f() { return 1; }\nThis sentence is fine."),
+            (4, "Filler lorem ipsum dolor sit amet.\nA real sentence here."),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in c4_clean(docs, "text", "doc_id").collect()}
+    # doc 1: punctuated >=3-word lines survive, the bare line drops
+    assert out[1].clean_text == "A good sentence stays here.\nAnother keeper stays!"
+    assert (out[1].n_lines_kept, out[1].n_lines_dropped) == (2, 1)
+    # doc 2: "short." fails min-words, the javascript line is banned
+    assert out[2].clean_text is None and out[2].n_lines_kept == 0
+    assert out[2].page_ok
+    # docs 3/4: page-level drops (curly brace, lorem ipsum)
+    assert not out[3].page_ok and out[3].clean_text is None
+    assert not out[4].page_ok and out[4].clean_text is None
