@@ -35,12 +35,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+    hex_sample_bound,
+)
+
 __all__ = [
     "running_sum",
     "budget_select",
     "pack_sequences",
     "materialize_packed",
     "mixture_sample",
+    "temperature_mixture_rates",
     "corpus_shuffle",
 ]
 
@@ -200,6 +205,36 @@ def corpus_shuffle(
     )
 
 
+def temperature_mixture_rates(
+    df: DataFrame, stratum_col: str, alpha: float = 0.5
+) -> DataFrame:
+    """Temperature-based domain reweighting (the published α-sampling
+    scheme for multilingual/domain mixes — Conneau & Lample 2019 §3.1):
+    sampling rate per stratum ∝ n^(α−1), normalized so the SMALLEST
+    stratum samples at rate 1.0 — α<1 flattens the mix toward small
+    domains, α=1 keeps natural proportions.
+
+    Returns (stratum, n_docs, sample_rate) — a domain-count table
+    (bounded: one row per stratum), rate rounded 6dp. The scalar min
+    rides in as a broadcast 1-row aggregate (no driver collect, no
+    global window). Feed the rates into :func:`mixture_sample` for the
+    actual row selection. For α=0.5 the rate is ``sqrt(n_min/n)`` —
+    computed with ``sqrt`` (IEEE-correctly-rounded in every engine),
+    not ``pow(x, 0.5)`` (libm-dependent last ulp)."""
+    counts = df.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    nmin = counts.agg(F.min("n_docs").alias("__nmin"))
+    base = F.col("__nmin") / F.col("n_docs")
+    e = 1.0 - alpha
+    rate = F.sqrt(base) if e == 0.5 else F.pow(base, F.lit(e))
+    return counts.crossJoin(F.broadcast(nmin)).select(
+        "stratum",
+        "n_docs",
+        F.round(rate, 6).alias("sample_rate"),
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     key_col: str,
@@ -219,13 +254,13 @@ def mixture_sample(
     evaluated inside the scan's codegen stage."""
     bound = None
     for stratum, frac in sorted(fractions.items()):
-        hexb = F.lit(format(int(frac * 16 ** 8), "08x"))
+        hexb = F.lit(hex_sample_bound(frac))
         bound = (
             F.when(F.col(stratum_col) == stratum, hexb)
             if bound is None
             else bound.when(F.col(stratum_col) == stratum, hexb)
         )
-    bound = bound.otherwise(F.lit(format(int(default * 16 ** 8), "08x")))
+    bound = bound.otherwise(F.lit(hex_sample_bound(default)))
     h = F.md5(
         F.concat(
             F.lit(salt + ":"),

@@ -18,6 +18,7 @@ __all__ = [
     "quality_scores",
     "gopher_quality_flags",
     "c4_clean",
+    "hex_sample_bound",
     "token_counts",
     "fingerprint",
     "stable_sample",
@@ -285,6 +286,20 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFr
     )
 
 
+def hex_sample_bound(fraction: float) -> str:
+    """The 8-hex-char threshold for hash-Bernoulli sampling, saturated at
+    the boundaries: ``fraction * 16^8`` formatted to 8 hex chars — but
+    fraction ≥ 1.0 would format to NINE chars ('100000000'), which
+    compares lexicographically BELOW any hash not starting with '0' and
+    silently keeps ~6% instead of 100%. Saturate to 'g' (every hex char
+    < 'g', so every row passes) and clamp negatives to keep-nothing."""
+    if fraction >= 1.0:
+        return "g"
+    if fraction <= 0.0:
+        return "00000000"
+    return format(int(fraction * 16 ** 8), "08x")
+
+
 def stable_sample(
     df: DataFrame, key_col: str, fraction: float, salt: str = "sample"
 ) -> DataFrame:
@@ -297,7 +312,7 @@ def stable_sample(
     chars against fraction * 16^8; the same predicate re-expressed in any
     SQL engine selects the identical row set.
     """
-    bound = format(int(fraction * 16 ** 8), "08x")
+    bound = hex_sample_bound(fraction)
     h = F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
     return df.where(F.substring(h, 1, 8) < F.lit(bound))
 
@@ -310,7 +325,7 @@ def stratified_stable_sample(
     stratum participates in the hash so selection is independent across
     strata (a document keeps/loses membership only if its own stratum's
     fraction changes)."""
-    bound = format(int(fraction * 16 ** 8), "08x")
+    bound = hex_sample_bound(fraction)
     h = F.md5(
         F.concat(F.lit(salt + ":"), F.col(stratum_col).cast("string"),
                  F.lit(":"), F.col(key_col).cast("string"))
@@ -485,8 +500,8 @@ def train_split(
     """
     if abs(sum(fractions) - 1.0) > 1e-9:
         raise ValueError("fractions must sum to 1")
-    b1 = format(int(fractions[0] * 16 ** 8), "08x")
-    b2 = format(int((fractions[0] + fractions[1]) * 16 ** 8), "08x")
+    b1 = hex_sample_bound(fractions[0])
+    b2 = hex_sample_bound(fractions[0] + fractions[1])
     h = F.substring(
         F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))),
         1, 8,

@@ -1342,3 +1342,30 @@ def q_c4_clean_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gene_level_metadata_pipeline_spark.operators.textanalysis import c4_clean
 
     return c4_clean(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@_register(
+    "temperature_mixture_rates",
+    oracle="""
+    WITH c AS (
+      SELECT lang AS stratum, count(*) AS n_docs FROM documents GROUP BY lang
+    ), m AS (SELECT min(n_docs) AS nmin FROM c)
+    SELECT stratum, n_docs,
+           round(sqrt(nmin * 1.0 / n_docs), 6) AS sample_rate
+    FROM c, m
+    """,
+)
+def q_temperature_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain reweighting (selection.
+    temperature_mixture_rates, α=0.5): per-language sampling rates
+    ∝ sqrt(n_min/n) so small languages are upsampled toward a flatter
+    mix. One groupBy shuffle + a broadcast 1-row min — the scalar never
+    touches the driver; sqrt (not pow) keeps the rate IEEE-identical
+    across engines."""
+    from gene_level_metadata_pipeline_spark.operators.selection import (
+        temperature_mixture_rates,
+    )
+
+    return temperature_mixture_rates(
+        _t(spark, sf_dir, "documents"), "lang", alpha=0.5
+    )

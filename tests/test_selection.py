@@ -134,3 +134,61 @@ def test_materialize_packed_order_partition_independent(spark):
         0: (3, "aa<|eos|>bb<|eos|>cc"),
         1: (1, "zz"),
     }
+
+
+def test_temperature_rates_compose_with_mixture_sample(spark):
+    """alpha=0.5 upsamples small strata toward a flat mix, and the rate
+    table drives mixture_sample directly (bounded per-domain collect)."""
+    from pyspark.sql import functions as F
+
+    from gene_level_metadata_pipeline_spark.operators.selection import (
+        mixture_sample,
+        temperature_mixture_rates,
+    )
+
+    df = spark.range(1100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 1000, "big").otherwise("small").alias("dom"),
+    )
+    rates = {
+        r.stratum: r.sample_rate
+        for r in temperature_mixture_rates(df, "dom", alpha=0.5).collect()
+    }
+    # smallest stratum at rate 1.0; big stratum at sqrt(100/1000)
+    assert rates["small"] == 1.0
+    assert rates["big"] == round((100 / 1000) ** 0.5, 6)
+
+    kept = mixture_sample(df, "doc_id", "dom", rates, salt="t").groupBy(
+        "dom"
+    ).count().collect()
+    got = {r.dom: r["count"] for r in kept}
+    assert got["small"] == 100  # rate 1.0 keeps everything
+    # hash-Bernoulli at ~31.6% of 1000: generous deterministic bounds
+    assert 250 < got["big"] < 400
+    # alpha=1 keeps natural proportions: every rate 1.0
+    flat = {
+        r.stratum: r.sample_rate
+        for r in temperature_mixture_rates(df, "dom", alpha=1.0).collect()
+    }
+    assert set(flat.values()) == {1.0}
+
+
+def test_train_split_zero_test_fraction(spark):
+    """fractions (0.9, 0.1, 0.0): the cumulative bound hits 1.0, which
+    used to format to NINE hex chars and silently leak most of the val
+    band into test. Now every row lands in train or val only."""
+    from pyspark.sql import functions as F
+
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        train_split,
+    )
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    got = {
+        r.split: r["count"]
+        for r in train_split(df, "doc_id", fractions=(0.9, 0.1, 0.0))
+        .groupBy("split").count().collect()
+    }
+    assert "test" not in got
+    assert got["train"] + got["val"] == 2000
+    assert 1700 < got["train"] < 1900  # ~90% under hash-Bernoulli
