@@ -66,6 +66,7 @@ HEADLINE = [
     "pagerank_suppliers",
     "zorder_stats",
     "near_dup_pairs",
+    "web_curation_pipeline",
 ]
 
 REPS = 3

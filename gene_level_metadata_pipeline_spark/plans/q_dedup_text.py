@@ -1369,3 +1369,85 @@ def q_temperature_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture_rates(
         _t(spark, sf_dir, "documents"), "lang", alpha=0.5
     )
+
+
+@_register(
+    "web_curation_pipeline",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, text, lang, source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS words,
+             list_filter(string_split(text, chr(10)), l -> l <> '') AS lines,
+             length(text) - length(replace(text, '#', '')) AS hash_marks,
+             len(string_split(text, '...')) - 1 AS ellipsis_marks
+      FROM documents
+    ), good AS (
+      SELECT doc_id, text, lang, source FROM w
+      WHERE coalesce(len(words) >= 20 AND len(words) <= 100000, false)
+        AND coalesce(round(list_sum(list_transform(words, x -> length(x)))
+              * 1.0 / len(words), 4) BETWEEN 3.0 AND 10.0, false)
+        AND coalesce(round((hash_marks + ellipsis_marks) * 1.0 / len(words), 4)
+              <= 0.1, false)
+        AND coalesce(round(len(list_filter(lines,
+              l -> substr(ltrim(l), 1, 1) IN ('-', '*', '•')))
+              * 1.0 / len(lines), 4) <= 0.9, false)
+        AND coalesce(round(len(list_filter(lines,
+              l -> l LIKE '%...' OR l LIKE '%…'))
+              * 1.0 / len(lines), 4) <= 0.3, false)
+        AND coalesce(round(len(list_filter(words,
+              x -> regexp_matches(x, '[a-zA-Z]')))
+              * 1.0 / len(words), 4) >= 0.8, false)
+        AND coalesce(round(1 - len(list_distinct(lines)) * 1.0 / len(lines), 4)
+              <= 0.3, false)
+    ), canon AS (
+      SELECT min(doc_id) AS doc_id FROM good GROUP BY md5(text)
+    ), kept AS (
+      SELECT g.doc_id, g.lang, g.source FROM good g
+      JOIN canon c ON g.doc_id = c.doc_id
+    ), rates AS (
+      SELECT lang, count(*) AS n FROM kept GROUP BY lang
+    ), rmin AS (SELECT min(n) AS nmin FROM rates),
+    rr AS (
+      SELECT lang, round(sqrt(nmin * 1.0 / n), 6) AS rate FROM rates, rmin
+    )
+    SELECT k.doc_id, k.lang, k.source
+    FROM kept k JOIN rr ON k.lang = rr.lang
+    WHERE substr(md5('webmix:' || k.lang || ':'
+                     || CAST(k.doc_id AS VARCHAR)), 1, 8)
+          < CASE WHEN rate >= 1.0 THEN 'g'
+                 ELSE lpad(lower(to_hex(CAST(floor(rate * 4294967296)
+                                            AS BIGINT))), 8, '0') END
+    """,
+)
+def q_web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The published web-curation recipe end-to-end: Gopher quality gate
+    (min 20 words, default ratio rules) → exact dedup (min-id canonical)
+    → temperature-based domain rebalancing (α=0.5 rates from the
+    SURVIVING mix, smallest language at rate 1.0) → deterministic
+    hash-Bernoulli selection. The per-language rate table is collected
+    (bounded: one row per language) and folded into the scan-stage
+    when-chain; everything else is shuffle-on-key. The oracle replays
+    every stage, including the rate computation, in one SQL chain."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import dedup_exact
+    from gene_level_metadata_pipeline_spark.operators.selection import (
+        mixture_sample,
+        temperature_mixture_rates,
+    )
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        gopher_quality_flags,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    flags = gopher_quality_flags(docs, "text", "doc_id", min_words=20)
+    good = docs.join(
+        flags.where(F.col("gopher_ok")).select("doc_id"), "doc_id"
+    )
+    canon = dedup_exact(good, "text", "doc_id").select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    kept = good.join(canon, "doc_id").select("doc_id", "lang", "source")
+    rates = {
+        r.stratum: float(r.sample_rate)
+        for r in temperature_mixture_rates(kept, "lang", alpha=0.5).collect()
+    }
+    return mixture_sample(kept, "doc_id", "lang", rates, salt="webmix")

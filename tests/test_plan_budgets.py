@@ -72,6 +72,8 @@ SHUFFLE_BUDGET = {
     "pagerank_suppliers": 13,
     "zorder_stats": 1,
     "near_dup_pairs": 2,
+    # gopher gate + dedup groupBy + mix re-agg; rate table rides broadcast
+    "web_curation_pipeline": 3,
 }
 
 
