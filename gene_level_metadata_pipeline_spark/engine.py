@@ -135,6 +135,33 @@ class Engine:
 
         return dedup_against_history(new, history, text_col, id_col, **kw)
 
+    def gopher_quality_flags(
+        self, df: DataFrame, text_col: str, id_col: str, **kw
+    ) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+            gopher_quality_flags,
+        )
+
+        return gopher_quality_flags(df, text_col, id_col, **kw)
+
+    def c4_clean(
+        self, df: DataFrame, text_col: str, id_col: str, **kw
+    ) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+            c4_clean,
+        )
+
+        return c4_clean(df, text_col, id_col, **kw)
+
+    def temperature_mixture_rates(
+        self, df: DataFrame, stratum_col: str, alpha: float = 0.5
+    ) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.selection import (
+            temperature_mixture_rates,
+        )
+
+        return temperature_mixture_rates(df, stratum_col, alpha)
+
     def near_dup_pairs(
         self, df: DataFrame, text_col: str, id_col: str, **kw
     ) -> DataFrame:
