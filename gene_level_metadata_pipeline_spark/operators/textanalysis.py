@@ -28,6 +28,7 @@ __all__ = [
     "pii_redact",
     "contamination_check",
     "chunk_documents",
+    "remove_dup_spans",
     "train_split",
     "normalize_text",
 ]
@@ -478,6 +479,76 @@ def chunk_documents(
             (F.col("__start") / stride).cast("long").alias("chunk_idx"),
             F.size(chunk).cast("long").alias("n_chunk_tokens"),
             F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+def remove_dup_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    size: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document boilerplate REMOVAL — the rewrite complement of the
+    span detector (``substring_dup_spans`` reports repeated passages;
+    this drops them from the text). Non-overlapping ``size``-token
+    chunks; a full chunk whose md5 appears in ≥ ``min_docs`` distinct
+    documents is boilerplate and is removed from every document; partial
+    tail chunks are never candidates (they keep their text). Documents
+    reduced to nothing surface with ``clean_text`` NULL.
+
+    Scale shape: chunking is map-side; the dup-hash table is ONE
+    16-byte-hash groupBy, and the removal join shuffles (id, hash)
+    pairs — payload text rides only the final per-document re-assembly
+    (one shuffle on the doc id, in-order via sorted struct collect, the
+    materialize_packed discipline). Returns (id, clean_text,
+    n_chunks_kept, n_chunks_dropped).
+    """
+    chunks = chunk_documents(df, text_col, id_col, size=size, stride=size)
+    dup_hashes = (
+        chunks.where(F.col("n_chunk_tokens") == size)
+        .select(id_col, F.md5("chunk_text").alias("__h"))
+        .groupBy("__h")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__h")
+    )
+    kept = chunks.join(
+        dup_hashes,
+        F.md5(chunks.chunk_text) == dup_hashes.__h,
+        "left_anti",
+    )
+    parts = F.struct(F.col("chunk_idx"), F.col("chunk_text"))
+    rebuilt = (
+        kept.groupBy(F.col(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks_kept"),
+            F.array_sort(F.collect_list(parts)).alias("__parts"),
+        )
+        .select(
+            id_col,
+            F.array_join(
+                F.transform(F.col("__parts"), lambda s: s["chunk_text"]), " "
+            ).alias("clean_text"),
+            "n_chunks_kept",
+        )
+    )
+    totals = chunks.groupBy(F.col(id_col)).agg(
+        F.count(F.lit(1)).alias("__total")
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "clean_text",
+            F.coalesce("n_chunks_kept", F.lit(0).cast("long")).alias(
+                "n_chunks_kept"
+            ),
+            (
+                F.col("__total")
+                - F.coalesce("n_chunks_kept", F.lit(0).cast("long"))
+            ).alias("n_chunks_dropped"),
         )
     )
 

@@ -1451,3 +1451,52 @@ def q_web_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in temperature_mixture_rates(kept, "lang", alpha=0.5).collect()
     }
     return mixture_sample(kept, "doc_id", "lang", rates, salt="webmix")
+
+
+@_register(
+    "remove_dup_spans_docs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), s AS (
+      SELECT doc_id, toks, n,
+             unnest(generate_series(0, greatest(n - 1, 0), 20)) AS start
+      FROM t
+    ), c AS (
+      SELECT doc_id, CAST(start / 20 AS BIGINT) AS chunk_idx,
+             least(start + 20, n) - start AS n_chunk_tokens,
+             array_to_string(toks[start + 1 : least(start + 20, n)], ' ')
+               AS chunk_text
+      FROM s
+    ), dup AS (
+      SELECT md5(chunk_text) AS h FROM c WHERE n_chunk_tokens = 20
+      GROUP BY md5(chunk_text) HAVING count(DISTINCT doc_id) >= 2
+    ), kept AS (
+      SELECT * FROM c WHERE md5(chunk_text) NOT IN (SELECT h FROM dup)
+    ), reb AS (
+      SELECT doc_id, count(*) AS n_chunks_kept,
+             string_agg(chunk_text, ' ' ORDER BY chunk_idx) AS clean_text
+      FROM kept GROUP BY doc_id
+    ), tot AS (SELECT doc_id, count(*) AS total FROM c GROUP BY doc_id)
+    SELECT t.doc_id, r.clean_text,
+           CAST(coalesce(r.n_chunks_kept, 0) AS BIGINT) AS n_chunks_kept,
+           CAST(t.total - coalesce(r.n_chunks_kept, 0) AS BIGINT)
+             AS n_chunks_dropped
+    FROM tot t LEFT JOIN reb r ON t.doc_id = r.doc_id
+    """,
+)
+def q_remove_dup_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate REMOVAL (textanalysis.remove_dup_spans):
+    the rewrite complement of substring_dup_spans — every 20-token chunk
+    whose fingerprint appears in ≥2 distinct documents is dropped from
+    every document, texts re-assembled in chunk order. Hash-only dup
+    table, payload text shuffles once (the per-document re-assembly)."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        remove_dup_spans,
+    )
+
+    return remove_dup_spans(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", size=20, min_docs=2
+    )

@@ -605,3 +605,29 @@ def test_c4_clean_line_and_page_rules(spark):
     # docs 3/4: page-level drops (curly brace, lorem ipsum)
     assert not out[3].page_ok and out[3].clean_text is None
     assert not out[4].page_ok and out[4].clean_text is None
+
+
+def test_remove_dup_spans_drops_shared_boilerplate(spark):
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        remove_dup_spans,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(20))  # one full shared chunk
+    uniq_a = " ".join(f"a{i}" for i in range(20))
+    uniq_b = " ".join(f"c{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " " + uniq_a + " tail"),
+            (2, boiler + " " + uniq_b),
+            (3, boiler),  # nothing but boilerplate
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in
+           remove_dup_spans(docs, "text", "doc_id", size=20).collect()}
+    # the shared leading chunk vanishes from every doc; unique chunks stay
+    assert out[1].clean_text == uniq_a + " tail"
+    assert (out[1].n_chunks_kept, out[1].n_chunks_dropped) == (2, 1)
+    assert out[2].clean_text == uniq_b
+    # a pure-boilerplate doc is reduced to nothing
+    assert out[3].clean_text is None and out[3].n_chunks_kept == 0
