@@ -1282,3 +1282,49 @@ def q_pipeline_alphamissense_flags(spark: SparkSession, sf_dir: str) -> DataFram
     return gp.alphamissense(alpham, mane, pcg).select(
         "ensembl_transcript_id", "hgnc_symbol", "flag"
     )
+
+
+@_register(
+    "diversity_balanced_sample",
+    oracle=f"""
+    WITH {_IVF_KMEANS_CTES},
+    sizes AS (SELECT cell, count(*) AS n FROM vv GROUP BY cell),
+    rr AS (SELECT cell, least(1.0, round(30.0 / n, 6)) AS rate FROM sizes)
+    SELECT vv.vec_id, vv.cell
+    FROM vv JOIN rr USING (cell)
+    WHERE substr(md5('divsample:' || CAST(vv.cell AS VARCHAR) || ':'
+                     || CAST(vv.vec_id AS VARCHAR)), 1, 8)
+          < CASE WHEN rate >= 1.0 THEN 'g'
+                 ELSE lpad(lower(to_hex(CAST(floor(rate * 4294967296)
+                                             AS BIGINT))), 8, '0') END
+    """,
+)
+def q_diversity_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-balanced data selection: embeddings are assigned to the
+    LEARNED k-means cells (the certified deterministic Lloyd quantizer),
+    then each cell is sampled toward a ~30-vector target — dense regions
+    of embedding space are downsampled hard, sparse regions kept whole
+    (rate 1.0 saturates via hex_sample_bound), so the selection covers
+    the space instead of mirroring its density. The scalable form of
+    diversity sampling: no pairwise distances, one assignment broadcast
+    + one count shuffle; the bounded per-cell rate table folds into the
+    scan-stage when-chain."""
+    from pyspark.sql import functions as F
+
+    from gene_level_metadata_pipeline_spark.operators.selection import (
+        mixture_sample,
+    )
+
+    vv = _ivf_kmeans_cells(spark, sf_dir).select("vec_id", "cell")
+    rates_df = (
+        vv.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "cell",
+            F.least(F.lit(1.0), F.round(F.lit(30.0) / F.col("n"), 6)).alias(
+                "rate"
+            ),
+        )
+    )
+    rates = {r.cell: float(r.rate) for r in rates_df.collect()}  # ≤ k rows
+    return mixture_sample(vv, "vec_id", "cell", rates, salt="divsample")
