@@ -27,6 +27,7 @@ __all__ = [
     "repetition_scores",
     "pii_redact",
     "contamination_check",
+    "decontaminate",
     "chunk_documents",
     "remove_dup_spans",
     "train_split",
@@ -444,6 +445,27 @@ def contamination_check(
             F.countDistinct("bench_id").alias("n_bench_docs"),
         )
     )
+
+
+def decontaminate(
+    df: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    max_shared_grams: int = 0,
+) -> DataFrame:
+    """Benchmark decontamination — the removal half of
+    :func:`contamination_check`: drop every document sharing more than
+    ``max_shared_grams`` distinct word n-grams with the evaluation
+    corpus (default 0: ANY overlap removes). The contaminated-id set is
+    an anti join, so clean documents never shuffle; the detection side
+    keeps its broadcast-benchmark shape."""
+    hits = contamination_check(df, bench, text_col, id_col, n)
+    bad = hits.where(F.col("n_shared_grams") > max_shared_grams).select(
+        id_col
+    )
+    return df.join(bad, id_col, "left_anti")
 
 
 def chunk_documents(

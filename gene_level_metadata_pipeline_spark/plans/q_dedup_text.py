@@ -1500,3 +1500,42 @@ def q_remove_dup_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_dup_spans(
         _t(spark, sf_dir, "documents"), "text", "doc_id", size=20, min_docs=2
     )
+
+
+@_register(
+    "decontaminate_corpus",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 3),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                    || t[i+3] || ' ' || t[i+4]))) AS shingle
+      FROM toks
+    ),
+    bad AS (
+      SELECT DISTINCT c.doc_id FROM g c
+      JOIN g b ON c.shingle = b.shingle AND b.doc_id % 97 = 0
+      WHERE c.doc_id % 97 <> 0
+    )
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id % 97 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+)
+def q_decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (textanalysis.decontaminate): the
+    removal half of text_contamination — every corpus document sharing
+    ANY distinct 5-gram with the held-out benchmark slice (doc_id % 97)
+    is dropped via an anti join; clean documents never shuffle."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        decontaminate,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    corpus = docs.where(F.col("doc_id") % 97 != 0)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    return decontaminate(corpus, bench, "text", "doc_id").select(
+        "doc_id", "lang", "source"
+    )
