@@ -1329,35 +1329,3 @@ def q_diversity_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rates = {r.cell: float(r.rate) for r in rates_df.collect()}  # ≤ k rows
     return mixture_sample(vv, "vec_id", "cell", rates, salt="divsample")
 
-
-@_register(
-    "graph_triangle_count",
-    oracle="""
-    WITH e AS (
-      SELECT DISTINCT least(l_suppkey, l_partkey % 100 + 10000) AS u,
-                      greatest(l_suppkey, l_partkey % 100 + 10000) AS v
-      FROM lineitem
-      WHERE least(l_suppkey, l_partkey % 100 + 10000)
-            <> greatest(l_suppkey, l_partkey % 100 + 10000)
-    )
-    SELECT count(*) AS n_triangles
-    FROM e e1
-    JOIN e e2 ON e1.v = e2.u
-    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
-    """,
-)
-def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle counting (operators/graph.triangle_count) over the
-    supplier–part-bucket co-occurrence graph: ordered-edge wedge join +
-    closure — each triangle counted once, hub fan-out bounded by ordered
-    degree. Two payload-free shuffle joins."""
-    from gene_level_metadata_pipeline_spark.operators.graph import (
-        triangle_count,
-    )
-
-    li = _t(spark, sf_dir, "lineitem")
-    edges = li.select(
-        F.col("l_suppkey").alias("u"),
-        (F.col("l_partkey") % 100 + 10000).alias("v"),
-    )
-    return triangle_count(edges)

@@ -631,3 +631,18 @@ def test_remove_dup_spans_drops_shared_boilerplate(spark):
     assert out[2].clean_text == uniq_b
     # a pure-boilerplate doc is reduced to nothing
     assert out[3].clean_text is None and out[3].n_chunks_kept == 0
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 has 4 triangles; attaching a pendant edge adds none. The
+    operator canonicalizes edge direction, so reversed/duplicate input
+    edges must not change the count (graph_triangles certifies the same
+    enumeration relationally; this pins the reusable operator)."""
+    from gene_level_metadata_pipeline_spark.operators.graph import (
+        triangle_count,
+    )
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(b, a) for a, b in k4] + [(3, 9)]  # reversed dups + pendant
+    df = spark.createDataFrame(edges, "u bigint, v bigint")
+    assert triangle_count(df).collect()[0].n_triangles == 4
