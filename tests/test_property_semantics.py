@@ -114,3 +114,29 @@ def test_resample_locf_matches_reference(obs):
             eligible = [(t, i, v) for (t, i, v) in kobs if t <= g]
             want[(key, g)] = max(eligible)[2] if eligible else None
     assert got == want
+
+
+@given(
+    st.floats(min_value=-0.5, max_value=1.5, allow_nan=False),
+    st.floats(min_value=-0.5, max_value=1.5, allow_nan=False),
+)
+def test_hex_sample_bound_monotone_and_saturated(a, b):
+    """Bounds are string-compared against md5 prefixes, so fraction
+    monotonicity must survive the hex encoding: a <= b implies
+    bound(a) <= bound(b) under the same lexicographic order, with 'g'
+    above every hex string (saturation) and '00000000' below every
+    hash (keep-nothing)."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        hex_sample_bound,
+    )
+
+    ba, bb = hex_sample_bound(a), hex_sample_bound(b)
+    if a <= b:
+        assert ba <= bb  # 'g' > any hex char, so saturation stays on top
+    for x, bx in ((a, ba), (b, bb)):
+        if x >= 1.0:
+            assert bx == "g"
+        elif x <= 0.0:
+            assert bx == "00000000"
+        else:
+            assert len(bx) == 8 and bx <= "ffffffff"

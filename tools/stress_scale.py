@@ -23,14 +23,21 @@ sys.path.insert(0, "/root/repo")
 
 SF = "/root/testdata/sf0.1"
 STRESS = "/tmp/spark_graft_stress_sf1"
-REPLICAS = 10
-QUERIES = [
-    "dedup_minhash_lsh",
-    "dedup_components",
-    "ann_ivf_kmeans_topk",
-    "near_dup_pairs",
-    "training_corpus_pipeline",
-]
+# STRESS_REPLICAS / STRESS_QUERIES env overrides let one-off runs probe a
+# different scale point (e.g. 30x on the two hashing-bound flagships)
+# without editing the committed 10x default.
+REPLICAS = int(os.environ.get("STRESS_REPLICAS", "10"))
+QUERIES = (
+    os.environ["STRESS_QUERIES"].split(",")
+    if os.environ.get("STRESS_QUERIES")
+    else [
+        "dedup_minhash_lsh",
+        "dedup_components",
+        "ann_ivf_kmeans_topk",
+        "near_dup_pairs",
+        "training_corpus_pipeline",
+    ]
+)
 
 
 def build(spark) -> None:
