@@ -196,8 +196,13 @@ def pagerank(
             )
         )
         # truncate lineage periodically, never after the final round (the
-        # caller's action materializes the result anyway)
-        if (i + 1) % checkpoint_every == 0 and (i + 1) < iterations:
+        # caller's action materializes the result anyway);
+        # checkpoint_every <= 0 means never (not a modulo-by-zero crash)
+        if (
+            checkpoint_every > 0
+            and (i + 1) % checkpoint_every == 0
+            and (i + 1) < iterations
+        ):
             pr = pr.localCheckpoint(eager=True)
     return pr
 

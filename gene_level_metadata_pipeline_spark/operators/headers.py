@@ -31,9 +31,17 @@ def _assert_ingest_edge(df: DataFrame, op: str) -> None:
       order; a shuffle (``Exchange hashpartitioning/rangepartitioning/
       SinglePartition/...`` from groupBy/join/repartition upstream)
       destroys it, so a shuffled input is a contract violation however
-      small it is. ``BroadcastExchange`` is explicitly LEGAL: a small
-      ingest frame decorated by a broadcast join preserves probe-side
-      file order — only the broadcast (build) side is redistributed.
+      small it is. ``BroadcastExchange`` is explicitly LEGAL — with a
+      caveat: a broadcast join preserves PROBE-side order only, so the
+      resulting frame's "row order" is the probe side's file order, and
+      the order-bearing file must be the probe (left/stream) side.
+      ``BuildLeft`` joins are rejected: there the frame written FIRST is
+      the one being redistributed, which is exactly the layout a caller
+      mistakes for "my file, decorated" (the review scenario
+      ``stream.join(broadcast(ingest))`` with ingest as the build side
+      keeps STREAM order — if the stream side is the order-bearing scan
+      that is fine and accepted; put the file whose order matters on the
+      left).
       Multi-partition inputs WITHOUT a shuffle stay legal: both a
       single-file scan and a ``createDataFrame``/``parallelize`` frame
       hold contiguous in-order chunks, which ``coalesce(1)`` concatenates
@@ -52,6 +60,12 @@ def _assert_ingest_edge(df: DataFrame, op: str) -> None:
             f"{op}: input plan contains a shuffle (Exchange); row-order "
             "ops are only defined for unshuffled ingest-edge reads — "
             "apply them before any groupBy/join/repartition"
+        )
+    if "BuildLeft" in plan:
+        raise ValueError(
+            f"{op}: input plan broadcast-redistributes its LEFT side "
+            "(BuildLeft); row order follows the probe side only — put "
+            "the order-bearing file on the left of the join"
         )
     probe = df.limit(MAX_ROW_ORDER_ROWS + 1).count()
     if probe > MAX_ROW_ORDER_ROWS:

@@ -251,20 +251,36 @@ def mixture_sample(
     the same predicate) select the identical row set, and changing one
     stratum's rate never perturbs another stratum's selection. The
     rate table is a literal when-chain — zero joins, zero shuffles,
-    evaluated inside the scan's codegen stage."""
+    evaluated inside the scan's codegen stage.
+
+    A ``None`` key in ``fractions`` sets the NULL stratum's rate (an
+    equality comparison would never match NULL and silently drop the
+    stratum; groupBy-derived rate tables — temperature_mixture_rates —
+    legitimately contain it). An EMPTY dict degrades to the default
+    rate for every row. NULL strata hash under a reserved sentinel so
+    their selection is deterministic too."""
+    null_keyed = [(s, f) for s, f in fractions.items() if s is None]
     bound = None
-    for stratum, frac in sorted(fractions.items()):
+    for stratum, frac in sorted(
+        ((s, f) for s, f in fractions.items() if s is not None)
+    ):
         hexb = F.lit(hex_sample_bound(frac))
+        cond = F.col(stratum_col) == stratum
         bound = (
-            F.when(F.col(stratum_col) == stratum, hexb)
-            if bound is None
-            else bound.when(F.col(stratum_col) == stratum, hexb)
+            F.when(cond, hexb) if bound is None else bound.when(cond, hexb)
         )
-    bound = bound.otherwise(F.lit(hex_sample_bound(default)))
+    if null_keyed:
+        hexb = F.lit(hex_sample_bound(null_keyed[0][1]))
+        cond = F.col(stratum_col).isNull()
+        bound = (
+            F.when(cond, hexb) if bound is None else bound.when(cond, hexb)
+        )
+    default_bound = F.lit(hex_sample_bound(default))
+    bound = default_bound if bound is None else bound.otherwise(default_bound)
     h = F.md5(
         F.concat(
             F.lit(salt + ":"),
-            F.col(stratum_col).cast("string"),
+            F.coalesce(F.col(stratum_col).cast("string"), F.lit("\x00null")),
             F.lit(":"),
             F.col(key_col).cast("string"),
         )

@@ -142,33 +142,41 @@ def gopher_quality_flags(
     lines = F.filter(F.split(F.col(text_col), "\n"), lambda l: l != "")
     n_words = F.size(words).cast("long")
     n_lines = F.size(lines).cast("long")
+    # every ratio divides via try_divide: a zero-word / zero-line document
+    # yields NULL ratios (not DIVIDE_BY_ZERO under ANSI mode, the Spark 4
+    # default), and the flag coalesce below turns NULL into fail-closed —
+    # exactly the documented contract for degenerate pages
     mean_wl = F.round(
-        F.aggregate(
-            words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
-        )
-        / n_words,
+        F.try_divide(
+            F.aggregate(
+                words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+            ),
+            n_words,
+        ),
         4,
     )
     hash_marks = F.length(F.col(text_col)) - F.length(
         F.regexp_replace(F.col(text_col), "#", "")
     )
     ellipsis_marks = F.size(F.split(F.col(text_col), "\\.\\.\\.")) - 1
-    symbol_ratio = F.round((hash_marks + ellipsis_marks) / n_words, 4)
+    symbol_ratio = F.round(
+        F.try_divide(hash_marks + ellipsis_marks, n_words), 4
+    )
     bullet_lines = F.size(
         F.filter(
             lines,
             lambda l: F.substring(F.ltrim(l), 1, 1).isin("-", "*", "•"),
         )
     )
-    bullet_ratio = F.round(bullet_lines / n_lines, 4)
+    bullet_ratio = F.round(F.try_divide(bullet_lines, n_lines), 4)
     ellipsis_lines = F.size(
         F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
     )
-    ellipsis_ratio = F.round(ellipsis_lines / n_lines, 4)
+    ellipsis_ratio = F.round(F.try_divide(ellipsis_lines, n_lines), 4)
     alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
-    alpha_ratio = F.round(alpha_words / n_words, 4)
+    alpha_ratio = F.round(F.try_divide(alpha_words, n_words), 4)
     dup_line_ratio = F.round(
-        1 - F.size(F.array_distinct(lines)) / n_lines, 4
+        1 - F.try_divide(F.size(F.array_distinct(lines)), n_lines), 4
     )
 
     out = df.select(
@@ -527,6 +535,17 @@ def remove_dup_spans(
     materialize_packed discipline). Returns (id, clean_text,
     n_chunks_kept, n_chunks_dropped).
     """
+    # NULL-text documents bypass the chunker entirely: chunking NULL
+    # yields one NULL chunk which array_join would silently rebuild as ''
+    # — valid-looking empty content replacing unknown content. They pass
+    # through as (id, NULL, 0, 0) instead.
+    null_docs = df.where(F.col(text_col).isNull()).select(
+        F.col(id_col),
+        F.lit(None).cast("string").alias("clean_text"),
+        F.lit(0).cast("long").alias("n_chunks_kept"),
+        F.lit(0).cast("long").alias("n_chunks_dropped"),
+    )
+    df = df.where(F.col(text_col).isNotNull())
     chunks = chunk_documents(df, text_col, id_col, size=size, stride=size)
     dup_hashes = (
         chunks.where(F.col("n_chunk_tokens") == size)
@@ -572,6 +591,7 @@ def remove_dup_spans(
                 - F.coalesce("n_chunks_kept", F.lit(0).cast("long"))
             ).alias("n_chunks_dropped"),
         )
+        .unionByName(null_docs)
     )
 
 

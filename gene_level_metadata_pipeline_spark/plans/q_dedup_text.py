@@ -164,7 +164,11 @@ def _minhash_sig_mins(num_hashes: int) -> str:
     )
 
 
-def _minhash_oracle(num_hashes: int = 8, bands: int = 4) -> str:
+def _band_ctes(num_hashes: int, bands: int) -> str:
+    """The shared sig/bands CTE text (banded minhash signatures): one
+    definition so the LSH oracle and the near-dup confirm oracle cannot
+    silently diverge on banding details (hash slicing, band-hash concat
+    separator)."""
     rows = num_hashes // bands
     mins = _minhash_sig_mins(num_hashes)
     band_selects = "\n      UNION ALL\n      ".join(
@@ -174,16 +178,20 @@ def _minhash_oracle(num_hashes: int = 8, bands: int = 4) -> str:
         )
         for b in range(bands)
     )
-    return f"""
-    WITH {_SHINGLE_CTE},
-    sig AS (
+    return f"""sig AS (
       SELECT doc_id,
              {mins}
       FROM sh GROUP BY doc_id
     ),
     bands AS (
       {band_selects}
-    )
+    )"""
+
+
+def _minhash_oracle(num_hashes: int = 8, bands: int = 4) -> str:
+    return f"""
+    WITH {_SHINGLE_CTE},
+    {_band_ctes(num_hashes, bands)}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
@@ -205,28 +213,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _near_dup_oracle(num_hashes: int = 8, bands: int = 4) -> str:
-    """LSH candidates ∩ exact Jaccard — the minhash oracle's band CTEs
-    plus the jaccard oracle's truth arithmetic, restricted to candidate
-    pairs (confirm-stage semantics)."""
-    rows = num_hashes // bands
-    mins = _minhash_sig_mins(num_hashes)
-    band_selects = "\n      UNION ALL\n      ".join(
-        "SELECT doc_id, {b} AS band, md5({concat}) AS band_hash FROM sig".format(
-            b=b,
-            concat=" || ',' || ".join(f"h{b * rows + j}" for j in range(rows)),
-        )
-        for b in range(bands)
-    )
+    """LSH candidates ∩ exact Jaccard — the shared band CTEs plus the
+    jaccard oracle's truth arithmetic, restricted to candidate pairs
+    (confirm-stage semantics)."""
     return f"""
     WITH {_SHINGLE_CTE},
-    sig AS (
-      SELECT doc_id,
-             {mins}
-      FROM sh GROUP BY doc_id
-    ),
-    bands AS (
-      {band_selects}
-    ),
+    {_band_ctes(num_hashes, bands)},
     cands AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b

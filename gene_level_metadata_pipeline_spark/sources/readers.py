@@ -133,14 +133,18 @@ def read_delim(
       (``select(7,5)`` → ``V7``,``V5``, T:251) port verbatim.
     * ``.zip`` transparently extracted (S7); ``.gz`` handled by Spark.
     * ``sep=None`` — S6, R ``read.table`` default: ANY run of whitespace
-      separates fields and blank lines are skipped (IW:19 reads gnomAD
-      constraint metrics this way). Runs of whitespace are collapsed to a
-      single tab with one Catalyst ``regexp_replace``, then the normal
-      CSV parser takes over, so header naming and schema inference are
-      identical to the single-char path. Ingest-edge files only (the
-      re-parse routes one small file through an RDD of lines, like
-      ``skip``); a whitespace FACT table should be normalized once at
-      ingest, not re-split per query.
+      separates fields, blank lines are skipped, and QUOTED fields keep
+      their interior whitespace (IW:19 reads gnomAD constraint metrics
+      this way). Lines are tokenized with one Catalyst
+      ``regexp_extract_all`` (``"..."`` / ``'...'`` / bare runs — the
+      R ``quote = "\\"'"`` default; single-quoted tokens are re-quoted
+      double so the CSV parser strips them identically), tokens joined
+      with tabs, then the normal CSV parser takes over, so header naming
+      and schema inference are identical to the single-char path.
+      Unsupported corner: embedded double quotes inside single-quoted
+      fields. Ingest-edge files only (the re-parse routes one small file
+      through an RDD of lines, like ``skip``); a whitespace FACT table
+      should be normalized once at ingest, not re-split per query.
     * ``multiline=True`` — RFC-4180 quoted fields containing embedded
       newlines and escaped ``""`` quotes (R's readers handle these by
       default; Spark needs ``multiLine``). Scale caveat: a multiLine CSV
@@ -160,14 +164,27 @@ def read_delim(
     if sep is None:
         text = spark.read.text(path).coalesce(1)
         text = text.withColumn("__i", F.monotonically_increasing_id())
+        # quote-aware tokenization: a naive regexp_replace('\s+','\t')
+        # would rewrite the INSIDE of quoted fields; read.table keeps
+        # 'g1 "tumor suppressor" 0.5' as three fields
+        toks = F.regexp_extract_all(
+            F.col("value"), F.lit("\"[^\"]*\"|'[^']*'|\\S+"), 0
+        )
+        requoted = F.transform(
+            toks,
+            lambda t: F.when(
+                t.rlike("^'.*'$"),
+                F.concat(
+                    F.lit('"'),
+                    t.substr(F.lit(2), F.length(t) - 2),
+                    F.lit('"'),
+                ),
+            ).otherwise(t),
+        )
         body = (
             text.where(F.col("__i") >= skip)
             .orderBy("__i")
-            .select(
-                F.regexp_replace(
-                    F.trim(F.col("value")), r"\s+", "\t"
-                ).alias("v")
-            )
+            .select(F.array_join(requoted, "\t").alias("v"))
             .where(F.col("v") != "")  # read.table drops blank lines
         )
         csv_opts = {"sep": "\t", "header": str(header).lower(),

@@ -1,0 +1,122 @@
+"""Regression tests for the round-3 code-review findings.
+
+Each test pins a behavior that previously crashed or silently corrupted:
+ANSI divide-by-zero in the Gopher rules, NULL/empty rate tables in
+mixture sampling, NULL-text resurrection in span removal, quoted-field
+corruption in the whitespace reader, modulo-by-zero in pagerank's
+checkpoint cadence, and the BuildLeft row-order hazard.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_gopher_flags_fail_closed_on_degenerate_docs(spark):
+    """Zero-word documents must yield NULL ratios and gopher_ok=False,
+    not a DIVIDE_BY_ZERO abort (ANSI mode is the Spark 4 default)."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        gopher_quality_flags,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(["word"] * 60)), (2, ""), (3, "   "), (4, None)],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in
+           gopher_quality_flags(docs, "text", "doc_id").collect()}
+    assert out[1].gopher_ok
+    for bad in (2, 3, 4):
+        assert out[bad].gopher_ok is False
+        assert out[bad].mean_word_len is None
+
+
+def test_mixture_sample_null_stratum_and_empty_dict(spark):
+    """A None key sets the NULL stratum's rate (previously TypeError in
+    sorted(), or silent drop); an empty dict degrades to the default."""
+    from pyspark.sql import functions as F
+
+    from gene_level_metadata_pipeline_spark.operators.selection import (
+        mixture_sample,
+    )
+
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 100, "en").alias("lang"),  # 100 NULL strata
+    )
+    kept = mixture_sample(df, "doc_id", "lang", {"en": 0.5, None: 1.0})
+    got = {r.lang: r["count"] for r in
+           kept.groupBy("lang").count().collect()}
+    assert got[None] == 100  # NULL stratum at rate 1.0 keeps everything
+    assert 20 < got["en"] < 80
+
+    # empty fractions: every row falls to the default rate
+    assert mixture_sample(df, "doc_id", "lang", {}, default=1.0).count() == 200
+    assert mixture_sample(df, "doc_id", "lang", {}, default=0.0).count() == 0
+
+
+def test_remove_dup_spans_null_text_passthrough(spark):
+    """NULL-text documents must surface as (NULL, 0, 0), not be rebuilt
+    as an empty string that downstream code mistakes for real content."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        remove_dup_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "some real content here"), (2, None)],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in
+           remove_dup_spans(docs, "text", "doc_id").collect()}
+    assert out[2].clean_text is None
+    assert (out[2].n_chunks_kept, out[2].n_chunks_dropped) == (0, 0)
+    assert out[1].clean_text == "some real content here"
+
+
+def test_read_delim_whitespace_preserves_quoted_fields(spark, tmp_path):
+    """R read.table keeps quoted fields intact; the naive whitespace
+    collapse rewrote their interiors into separators."""
+    from gene_level_metadata_pipeline_spark.sources.readers import read_delim
+
+    p = tmp_path / "ws_quoted.txt"
+    p.write_text(
+        'symbol  desc   score\n'
+        'g1  "tumor suppressor"   0.5\n'
+        "g2  'ion   channel'  1.5\n"
+    )
+    df = read_delim(spark, str(p), sep=None)
+    rows = {r.symbol: r for r in df.collect()}
+    assert rows["g1"].desc == "tumor suppressor"
+    assert rows["g2"].desc == "ion   channel"
+    assert float(rows["g2"].score) == 1.5
+
+
+def test_pagerank_checkpoint_every_zero_means_never(spark):
+    from pyspark.sql import functions as F
+
+    from gene_level_metadata_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "u bigint, v bigint"
+    )
+    out = pagerank(edges, checkpoint_every=0).collect()
+    assert len(out) == 3 and all(r.pr > 0 for r in out)
+
+
+def test_row_order_op_rejects_build_left(spark):
+    """A plan that broadcast-redistributes its LEFT side has no defined
+    'my file' order for the left frame — reject, with guidance."""
+    from pyspark.sql import functions as F
+
+    from gene_level_metadata_pipeline_spark.operators.headers import (
+        with_row_id,
+    )
+
+    left = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, x string")
+    right = spark.createDataFrame([(1, "y"), (2, "z")], "k bigint, y string")
+    joined = F.broadcast(left).join(right, "k")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    if "BuildLeft" not in plan:
+        pytest.skip("planner chose a different build side")
+    with pytest.raises(ValueError, match="BuildLeft"):
+        with_row_id(joined)
