@@ -153,6 +153,25 @@ class Engine:
 
         return c4_clean(df, text_col, id_col, **kw)
 
+    def remove_dup_spans(
+        self, df: DataFrame, text_col: str, id_col: str, **kw
+    ) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+            remove_dup_spans,
+        )
+
+        return remove_dup_spans(df, text_col, id_col, **kw)
+
+    def decontaminate(
+        self, df: DataFrame, bench: DataFrame, text_col: str, id_col: str,
+        **kw,
+    ) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+            decontaminate,
+        )
+
+        return decontaminate(df, bench, text_col, id_col, **kw)
+
     def temperature_mixture_rates(
         self, df: DataFrame, stratum_col: str, alpha: float = 0.5
     ) -> DataFrame:
