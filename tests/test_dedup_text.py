@@ -646,3 +646,23 @@ def test_triangle_count_known_graph(spark):
     edges = k4 + [(b, a) for a, b in k4] + [(3, 9)]  # reversed dups + pendant
     df = spark.createDataFrame(edges, "u bigint, v bigint")
     assert triangle_count(df).collect()[0].n_triangles == 4
+
+
+def test_quantized_topk_recall_vs_float(spark):
+    """int8 quantization should barely perturb top-5 neighbor sets: the
+    audit bounds per-element error at scale/2, so recall@5 of the
+    quantized search against the float truth stays high."""
+    from gene_level_metadata_pipeline_spark.plans import driver_queries as dq
+
+    sf = "/root/testdata/sf0.001"
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in dq.QUERIES["ann_brute_force_topk"](spark, sf).collect()
+    }
+    quant = {
+        (r.query_id, r.neighbor_id)
+        for r in dq.QUERIES["ann_quantized_topk"](spark, sf).collect()
+    }
+    assert len(truth) == len(quant) == 50
+    recall = len(truth & quant) / len(truth)
+    assert recall >= 0.9, f"quantized recall@5 degraded to {recall}"
