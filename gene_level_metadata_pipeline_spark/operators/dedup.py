@@ -38,6 +38,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_candidate_pairs",
     "near_dup_pairs",
+    "warn_capped_buckets",
     "simhash",
     "lsh_params",
 ]
@@ -350,6 +351,8 @@ def minhash_candidate_pairs(
     n: int = 3,
     num_hashes: int = 8,
     bands: int = 4,
+    max_bucket_size: int | None = 1000,
+    observation=None,
 ) -> DataFrame:
     """LSH banding over MinHash signatures → candidate near-dup pairs.
 
@@ -357,7 +360,32 @@ def minhash_candidate_pairs(
     hash = md5 of the concatenated member hashes; docs sharing any
     (band, band_hash) bucket become a candidate pair. Returns distinct
     (doc_a, doc_b). Tune bands/rows for the target similarity threshold
-    (s-curve: P(candidate) = 1-(1-s^r)^b)."""
+    (s-curve: P(candidate) = 1-(1-s^r)^b).
+
+    ``max_bucket_size`` is the runaway-bucket cap — the skew lever for
+    boilerplate-heavy corpora (cookie banners, licence headers, template
+    pages), where one (band, band_hash) bucket can hold millions of
+    documents. Without a cap that bucket costs |bucket|² candidate pairs
+    AND materializes every id in a single non-spillable ``collect_set``
+    aggregation buffer; either one kills an executor long before the
+    pairs are even wrong (a million identical docs are trivially dups —
+    exact dedup already caught them — not near-dup candidates worth
+    |bucket|²/2 Jaccard confirms). Buckets larger than the cap are
+    DROPPED ENTIRELY, before the collect_set buffer ever sees them: a
+    window ``count`` over the same (band, band_hash) keys tags each row
+    with its bucket size (the window reuses the groupBy's exchange — no
+    extra shuffle — and its sort spills to disk, unlike an agg buffer),
+    and oversized rows are filtered out. Recall impact is nil in
+    practice: a doc in a capped bucket still pairs through its OTHER
+    ``bands-1`` band buckets unless those are boilerplate-saturated too.
+    ``max_bucket_size=None`` disables the cap and the window (the exact
+    pre-cap plan).
+
+    Pass a ``pyspark.sql.Observation`` as ``observation`` to count what
+    the cap dropped: after any action on the result, ``observation.get``
+    holds ``lsh_capped_rows`` (bucket-membership rows discarded) and
+    ``lsh_capped_max_bucket`` (largest bucket seen, capped or not).
+    :func:`warn_capped_buckets` turns that into a ``warnings.warn``."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"minhash_candidate_pairs: num_hashes={num_hashes} must be "
@@ -387,7 +415,32 @@ def minhash_candidate_pairs(
     # the whole signature subplan for each side; this shape computes it
     # once and shuffles only (band, band_hash, ids). Buckets are small by
     # construction (that is the point of banding) — a runaway bucket from
-    # boilerplate content is the skew case: cap or pre-filter it at scale.
+    # boilerplate content is the skew case, pre-filtered by the
+    # max_bucket_size window below BEFORE the collect_set buffer.
+    if max_bucket_size is not None:
+        if max_bucket_size < 2:
+            raise ValueError(
+                f"minhash_candidate_pairs: max_bucket_size={max_bucket_size} "
+                "must be >= 2 (a pair needs two docs per bucket) or None "
+                "to disable the cap"
+            )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "band_hash")
+        buckets = buckets.withColumn("__bsz", F.count(F.lit(1)).over(w))
+        if observation is not None:
+            buckets = buckets.observe(
+                observation,
+                F.count_if(F.col("__bsz") > max_bucket_size).alias(
+                    "lsh_capped_rows"
+                ),
+                F.coalesce(F.max("__bsz"), F.lit(0)).alias(
+                    "lsh_capped_max_bucket"
+                ),
+            )
+        buckets = buckets.where(
+            F.col("__bsz").between(2, max_bucket_size)
+        ).drop("__bsz")
     grouped = (
         buckets.groupBy("band", "band_hash")
         .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
@@ -409,6 +462,27 @@ def minhash_candidate_pairs(
     return pairs.select("p.doc_a", "p.doc_b").dropDuplicates()
 
 
+def warn_capped_buckets(observation) -> int:
+    """Read a :func:`minhash_candidate_pairs` ``observation`` AFTER an
+    action on its result and ``warnings.warn`` if the bucket cap dropped
+    anything. Returns the number of dropped bucket-membership rows.
+    (``Observation.get`` blocks until the first action completes — call
+    this post-action, e.g. after the write/collect of the pairs.)"""
+    import warnings
+
+    metrics = observation.get
+    dropped = int(metrics["lsh_capped_rows"])
+    if dropped > 0:
+        warnings.warn(
+            f"minhash LSH bucket cap dropped {dropped} bucket-membership "
+            f"rows (largest bucket: {int(metrics['lsh_capped_max_bucket'])} "
+            "docs) — boilerplate-saturated buckets were excluded from "
+            "candidate generation; run exact dedup first if you have not",
+            stacklevel=2,
+        )
+    return dropped
+
+
 def near_dup_pairs(
     df: DataFrame,
     text_col: str,
@@ -418,6 +492,8 @@ def near_dup_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     confirm: str | None = "jaccard",
+    max_bucket_size: int | None = 1000,
+    observation=None,
 ) -> DataFrame:
     """Scale-safe near-duplicate pairs: MinHash-LSH candidate generation,
     exact n-gram Jaccard CONFIRM restricted to the candidates — the
@@ -443,7 +519,10 @@ def near_dup_pairs(
     NEGATIVES (true near-dups the LSH never bucketed together) are the
     recall trade-off tuned via num_hashes/bands (``lsh_params``).
     """
-    cands = minhash_candidate_pairs(df, text_col, id_col, n, num_hashes, bands)
+    cands = minhash_candidate_pairs(
+        df, text_col, id_col, n, num_hashes, bands,
+        max_bucket_size=max_bucket_size, observation=observation,
+    )
     if confirm is None:
         return cands
     if confirm != "jaccard":
