@@ -64,8 +64,15 @@ def _assert_ingest_edge(df: DataFrame, op: str) -> None:
     if "BuildLeft" in plan:
         raise ValueError(
             f"{op}: input plan broadcast-redistributes its LEFT side "
-            "(BuildLeft); row order follows the probe side only — put "
-            "the order-bearing file on the left of the join"
+            "(BuildLeft); row order follows the probe (non-broadcast) "
+            "side only. Two ways this happens, two fixes: (1) the "
+            "order-bearing file is on the RIGHT — reorder the join so it "
+            "is the left/stream side; (2) the order-bearing file is "
+            "already on the LEFT but the planner auto-broadcast it for "
+            "being the smaller side — reordering changes nothing there; "
+            "instead force broadcast() onto the dimension side, or raise "
+            "spark.sql.autoBroadcastJoinThreshold so the order-bearing "
+            "frame stays the probe side"
         )
     probe = df.limit(MAX_ROW_ORDER_ROWS + 1).count()
     if probe > MAX_ROW_ORDER_ROWS:

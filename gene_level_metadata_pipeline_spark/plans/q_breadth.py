@@ -1308,7 +1308,11 @@ def q_diversity_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the space instead of mirroring its density. The scalable form of
     diversity sampling: no pairwise distances, one assignment broadcast
     + one count shuffle; the bounded per-cell rate table folds into the
-    scan-stage when-chain."""
+    scan-stage when-chain. Strata here are NEVER NULL by construction —
+    ``cell`` is an argmin over k centroids, so every vector gets one —
+    which is why the oracle's equality join on cell is safe; mixture
+    queries over DATA-derived strata (lang) must sentinel-coalesce
+    instead (see mixture_sample_null_stratum)."""
     from pyspark.sql import functions as F
 
     from gene_level_metadata_pipeline_spark.operators.selection import (

@@ -44,7 +44,8 @@ _SHINGLE_CTE = """
     SELECT md5(text) AS fingerprint,
            min(doc_id) AS canonical_id,
            count(*) AS n_copies
-    FROM documents GROUP BY md5(text)
+    FROM documents
+    GROUP BY coalesce(md5(text), chr(0) || CAST(doc_id AS VARCHAR)), md5(text)
     """,
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,15 +56,54 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_exact_nulls",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT * FROM (VALUES (-1, NULL), (-2, NULL),
+                                      (-3, 'same text'), (-4, 'same text'))
+                       AS v(doc_id, text)
+    )
+    SELECT md5(text) AS fingerprint,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_copies
+    FROM d
+    GROUP BY coalesce(md5(text), chr(0) || CAST(doc_id AS VARCHAR)), md5(text)
+    """,
+)
+def q_dedup_exact_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NULL-text contract of dedup_exact, oracle-certified: the
+    documents fixture has no NULL texts, so this query unions two
+    NULL-text rows (plus an ordinary duplicate pair) onto the corpus in
+    BOTH engines and certifies that unknown content never collapses —
+    each NULL-text row survives as its own (fingerprint NULL, n_copies 1)
+    singleton under the per-row surrogate key, while the real duplicates
+    still merge. Guards _null_safe_group_key against oracle drift (the
+    r3 ADVICE latent-divergence finding)."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import dedup_exact
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        [(-1, None), (-2, None), (-3, "same text"), (-4, "same text")],
+        "doc_id bigint, text string",
+    )
+    return dedup_exact(docs.unionAll(extra), "text", "doc_id")
+
+
+@_register(
     "dedup_keep_best",
     oracle="""
-    WITH r AS (
+    WITH k AS (
       SELECT md5(text) AS fingerprint, doc_id, n_chars,
-             row_number() OVER (PARTITION BY md5(text)
-                                ORDER BY n_chars DESC, doc_id) AS rn,
-             count(*) OVER (PARTITION BY md5(text)) AS n_copies,
-             max(n_chars) OVER (PARTITION BY md5(text)) AS best_priority
+             coalesce(md5(text), chr(0) || CAST(doc_id AS VARCHAR)) AS gkey
       FROM documents
+    ), r AS (
+      SELECT fingerprint, doc_id, n_chars,
+             row_number() OVER (PARTITION BY gkey
+                                ORDER BY n_chars DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY gkey) AS n_copies,
+             max(n_chars) OVER (PARTITION BY gkey) AS best_priority
+      FROM k
     )
     SELECT fingerprint, doc_id AS keep_id, best_priority, n_copies
     FROM r WHERE rn = 1
@@ -977,6 +1017,42 @@ def q_mixture_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "mixture_sample_null_stratum",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang FROM documents
+      UNION ALL SELECT * FROM (VALUES (-1, NULL), (-2, NULL), (-3, NULL))
+                       AS v(doc_id, lang)
+    )
+    SELECT doc_id, lang FROM d
+    WHERE substr(md5('mix:' || coalesce(lang, chr(0) || 'null') || ':'
+                     || CAST(doc_id AS VARCHAR)), 1, 8)
+          < CASE WHEN lang IS NULL THEN 'g'
+                 WHEN lang = 'en' THEN '80000000'
+                 ELSE '00000000' END
+    """,
+)
+def q_mixture_sample_null_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NULL-stratum contract of mixture_sample, oracle-certified: the
+    fixture has no NULL langs, so this query unions three NULL-lang rows
+    in BOTH engines and gives the NULL stratum rate 1.0 (a None key in
+    the fractions dict) — selection must keep all three deterministically
+    via the reserved ``chr(0)||'null'`` hash sentinel, not silently drop
+    them through a never-matching equality. en keeps 50%, other strata
+    drop. Guards the sentinel-coalesced hash against oracle drift (the
+    r3 ADVICE latent-divergence finding, same sentinel the
+    web_curation_pipeline oracle now mirrors)."""
+    from gene_level_metadata_pipeline_spark.operators.selection import mixture_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang").unionAll(
+        spark.createDataFrame(
+            [(-1, None), (-2, None), (-3, None)], "doc_id bigint, lang string"
+        )
+    )
+    return mixture_sample(d, "doc_id", "lang", {"en": 0.5, None: 1.0})
+
+
+@_register(
     "text_bigram_lift",
     oracle="""
     WITH d AS (
@@ -1403,8 +1479,8 @@ def q_temperature_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT lang, round(sqrt(nmin * 1.0 / n), 6) AS rate FROM rates, rmin
     )
     SELECT k.doc_id, k.lang, k.source
-    FROM kept k JOIN rr ON k.lang = rr.lang
-    WHERE substr(md5('webmix:' || k.lang || ':'
+    FROM kept k JOIN rr ON k.lang IS NOT DISTINCT FROM rr.lang
+    WHERE substr(md5('webmix:' || coalesce(k.lang, chr(0) || 'null') || ':'
                      || CAST(k.doc_id AS VARCHAR)), 1, 8)
           < CASE WHEN rate >= 1.0 THEN 'g'
                  ELSE lpad(lower(to_hex(CAST(floor(rate * 4294967296)

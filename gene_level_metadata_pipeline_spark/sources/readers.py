@@ -141,8 +141,11 @@ def read_delim(
       double so the CSV parser strips them identically), tokens joined
       with tabs, then the normal CSV parser takes over, so header naming
       and schema inference are identical to the single-char path.
-      Unsupported corner: embedded double quotes inside single-quoted
-      fields. Ingest-edge files only (the re-parse routes one small file
+      Lines with an UNBALANCED double quote raise at read time ("EOF
+      within quoted string", matching R's read.table) instead of
+      silently merging fields — which also rejects the one unsupported
+      corner, a double quote embedded in a single-quoted field.
+      Ingest-edge files only (the re-parse routes one small file
       through an RDD of lines, like ``skip``); a whitespace FACT table
       should be normalized once at ingest, not re-split per query.
     * ``multiline=True`` — RFC-4180 quoted fields containing embedded
@@ -166,9 +169,33 @@ def read_delim(
         text = text.withColumn("__i", F.monotonically_increasing_id())
         # quote-aware tokenization: a naive regexp_replace('\s+','\t')
         # would rewrite the INSIDE of quoted fields; read.table keeps
-        # 'g1 "tumor suppressor" 0.5' as three fields
+        # 'g1 "tumor suppressor" 0.5' as three fields.
+        # Unbalanced double quotes fail LOUD like R's read.table ("EOF
+        # within quoted string"): with an odd quote count the "[^"]*"
+        # alternative would silently span whitespace to the NEXT quote
+        # anywhere later on the line, merging fields into one token —
+        # a wrong-shape row is worse than an error at the ingest edge.
+        # (The check also rejects a double quote embedded in a
+        # single-quoted field, which was already a documented
+        # unsupported corner.)
+        n_dq = F.length("value") - F.length(
+            F.regexp_replace(F.col("value"), '"', "")
+        )
+        line = F.when(
+            n_dq % 2 == 1,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "read_delim(sep=None): unbalanced double quote "
+                        "(EOF within quoted string, as R's read.table "
+                        "raises) in line: "
+                    ),
+                    F.col("value"),
+                )
+            ),
+        ).otherwise(F.col("value"))
         toks = F.regexp_extract_all(
-            F.col("value"), F.lit("\"[^\"]*\"|'[^']*'|\\S+"), 0
+            line, F.lit("\"[^\"]*\"|'[^']*'|\\S+"), 0
         )
         requoted = F.transform(
             toks,

@@ -403,6 +403,28 @@ def test_read_delim_whitespace_runs(spark, tmp_path):
     assert df2.count() == 2
 
 
+def test_read_delim_whitespace_unbalanced_quote_raises(spark, tmp_path):
+    """S6 fail-loud contract (r3 ADVICE): an unbalanced double quote
+    would make the quote-aware tokenizer silently merge fields across
+    whitespace to the next quote later on the line; R's read.table
+    raises 'EOF within quoted string' instead — so do we. Balanced
+    quoted fields (including interior whitespace) still parse."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    from gene_level_metadata_pipeline_spark.sources.readers import read_delim
+
+    good = tmp_path / "balanced.txt"
+    good.write_text('gene desc score\ng1 "tumor suppressor" 0.5\n')
+    df = read_delim(spark, str(good), sep=None)
+    assert [tuple(r) for r in df.collect()] == [("g1", "tumor suppressor", 0.5)]
+
+    bad = tmp_path / "unbalanced.txt"
+    bad.write_text('gene desc score\ng1 "tumor suppressor 0.5\n')
+    with pytest.raises(SparkRuntimeException, match="EOF within quoted string"):
+        read_delim(spark, str(bad), sep=None).collect()
+
+
 def test_pipeline_config_env_and_masking(monkeypatch):
     """E2: secrets resolve from env with placeholder-default semantics
     (empty string == unset, like the reference's gitignored overrides);
