@@ -67,6 +67,7 @@ HEADLINE = [
     "zorder_stats",
     "near_dup_pairs",
     "web_curation_pipeline",
+    "harmonize_multi_source",
 ]
 
 REPS = 3
@@ -79,8 +80,16 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: touch the biggest table so FS cache + codegen paths are hot
+    # warmup: touch the biggest table so FS cache + codegen paths are hot,
+    # then run the FIRST headline query once untimed — the first noop-sink
+    # write of a session pays one-off costs (noop DataSource V2 classload,
+    # codegen compiler warmup, broadcast-thread-pool spinup) that were
+    # otherwise billed to whichever query ran first (VERDICT r3: the
+    # spine_harmonize "regression" was exactly this)
     spark.read.parquet(f"{SF_DIR}/lineitem.parquet").count()
+    dq.QUERIES[HEADLINE[0]](spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     times: dict[str, float] = {}
     medians: dict[str, float] = {}

@@ -74,6 +74,9 @@ SHUFFLE_BUDGET = {
     "near_dup_pairs": 2,
     # gopher gate + dedup groupBy + mix re-agg; rate table rides broadcast
     "web_curation_pipeline": 3,
+    # EP2 wide-table build: two orders aggregations + final distinct; all
+    # four source folds onto the spine are broadcast joins (5 BHJ, 0 SMJ)
+    "harmonize_multi_source": 3,
 }
 
 
