@@ -252,6 +252,72 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BOILER = (
+    "boilerplate cookie banner accept all cookies to continue reading "
+    "this page"
+)
+
+
+def _capped_minhash_oracle(num_hashes: int = 8, bands: int = 4,
+                           cap: int = 10) -> str:
+    """SQL twin of the max_bucket_size lever: bucket sizes via a count
+    CTE over the same (band, band_hash) keys, buckets outside [2, cap]
+    excluded before pair generation — over a corpus with 30 injected
+    identical boilerplate docs whose four band buckets (size 30) must
+    all be dropped."""
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT CAST(-x AS BIGINT), '{_BOILER}'
+      FROM generate_series(1, 30) AS g(x)
+    ),
+    words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+      FROM words, (SELECT unnest(generate_series(1, len(ws)-2)) AS i)
+      WHERE len(ws) >= 3
+    ),
+    {_band_ctes(num_hashes, bands)},
+    bsz AS (
+      SELECT band, band_hash, count(*) AS n
+      FROM bands GROUP BY band, band_hash
+    ),
+    keep AS (
+      SELECT b.doc_id, b.band, b.band_hash
+      FROM bands b JOIN bsz USING (band, band_hash)
+      WHERE bsz.n BETWEEN 2 AND {cap}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM keep a JOIN keep b
+      ON a.band = b.band AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    """
+
+
+@_register("dedup_minhash_lsh_capped", oracle=_capped_minhash_oracle())
+def q_dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The max_bucket_size runaway-bucket cap, oracle-certified
+    (VERDICT r3 item 1): 30 identical boilerplate docs are unioned onto
+    the corpus in BOTH engines — their four band buckets (30 docs each,
+    which would alone contribute 4x435 candidate pairs) exceed the cap
+    of 10 and must be dropped entirely, while every normal-sized fixture
+    bucket still pairs. The oracle replicates the cap as a bucket-size
+    count CTE filtered to [2, cap] before the pair self-join."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").unionAll(
+        spark.createDataFrame(
+            [(-x, _BOILER) for x in range(1, 31)], "doc_id bigint, text string"
+        )
+    )
+    return minhash_candidate_pairs(
+        docs, "text", "doc_id", n=3, num_hashes=8, bands=4, max_bucket_size=10
+    )
+
+
 def _near_dup_oracle(num_hashes: int = 8, bands: int = 4) -> str:
     """LSH candidates ∩ exact Jaccard — the shared band CTEs plus the
     jaccard oracle's truth arithmetic, restricted to candidate pairs
