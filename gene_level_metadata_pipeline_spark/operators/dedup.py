@@ -463,9 +463,10 @@ def minhash_candidate_pairs(
 
 
 def warn_capped_buckets(observation) -> int:
-    """Read a :func:`minhash_candidate_pairs` ``observation`` AFTER an
-    action on its result and ``warnings.warn`` if the bucket cap dropped
-    anything. Returns the number of dropped bucket-membership rows.
+    """Read a bucket-cap ``observation`` (from
+    :func:`minhash_candidate_pairs`, or the embedding-family caps in
+    ``operators.similarity`` — same metric names) AFTER an action on its
+    result and ``warnings.warn`` if the bucket cap dropped anything. Returns the number of dropped bucket-membership rows.
     (``Observation.get`` blocks until the first action completes — call
     this post-action, e.g. after the write/collect of the pairs.)"""
     import warnings
@@ -474,10 +475,10 @@ def warn_capped_buckets(observation) -> int:
     dropped = int(metrics["lsh_capped_rows"])
     if dropped > 0:
         warnings.warn(
-            f"minhash LSH bucket cap dropped {dropped} bucket-membership "
+            f"LSH bucket cap dropped {dropped} bucket-membership "
             f"rows (largest bucket: {int(metrics['lsh_capped_max_bucket'])} "
-            "docs) — boilerplate-saturated buckets were excluded from "
-            "candidate generation; run exact dedup first if you have not",
+            "docs) — saturated buckets were excluded from candidate "
+            "generation; run exact dedup first if you have not",
             stacklevel=2,
         )
     return dropped

@@ -36,6 +36,7 @@ __all__ = [
     "assign_cells",
     "ivf_topk",
     "embedding_near_dup",
+    "semantic_near_dup",
     "quantize_embeddings",
 ]
 
@@ -105,12 +106,50 @@ def sign_bucket(vec_col, planes: int = 4) -> Column:
     return b
 
 
+def _cap_buckets(
+    b: DataFrame, bucket_cols: list, max_bucket_size: int | None, observation
+) -> DataFrame:
+    """Drop bucket groups outside [2, max_bucket_size] BEFORE the
+    intra-bucket self-join — the density-skew lever of the embedding
+    family, same contract and Observation metric names
+    (``lsh_capped_rows`` / ``lsh_capped_max_bucket``) as the MinHash
+    banding cap in ``operators.dedup.minhash_candidate_pairs``; read the
+    counters post-action with ``operators.dedup.warn_capped_buckets``.
+    Singleton buckets (size 1) produce no pairs either way, so excluding
+    them is result-invariant. ``None`` disables the cap and the window.
+    """
+    if max_bucket_size is None:
+        return b
+    if max_bucket_size < 2:
+        raise ValueError(
+            f"max_bucket_size={max_bucket_size} must be >= 2 (a pair "
+            "needs two vectors per bucket) or None to disable the cap"
+        )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*bucket_cols)
+    b = b.withColumn("__bsz", F.count(F.lit(1)).over(w))
+    if observation is not None:
+        b = b.observe(
+            observation,
+            F.count_if(F.col("__bsz") > max_bucket_size).alias(
+                "lsh_capped_rows"
+            ),
+            F.coalesce(F.max("__bsz"), F.lit(0)).alias(
+                "lsh_capped_max_bucket"
+            ),
+        )
+    return b.where(F.col("__bsz").between(2, max_bucket_size)).drop("__bsz")
+
+
 def sign_lsh_pairs(
     vectors: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     planes: int = 4,
     threshold: float = 0.9,
+    max_bucket_size: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """All-pairs near-duplicate vectors via sign-LSH bucketing.
 
@@ -118,10 +157,26 @@ def sign_lsh_pairs(
     land in one bucket; cosine is computed only within buckets. Returns
     (vec_a, vec_b, cos_sim) for pairs ≥ threshold. The bucket id is the
     shuffle key — this is the embedding-space twin of MinHash banding.
+
+    Scale warning: the bucket count is FIXED at ``2**planes``, so mean
+    bucket size grows linearly with the corpus and the intra-bucket
+    self-join quadratically — grow ``planes`` with N (target bucket size
+    ≈ N / 2**planes) or, better, switch to :func:`semantic_near_dup`,
+    whose k-means cells scale with ``k`` and follow the data's density.
+    ``max_bucket_size`` is the guard rail for the buckets that blow past
+    the target anyway (near-zero or degenerate embeddings all share one
+    sign pattern the way boilerplate text shares one MinHash band):
+    oversized buckets are dropped whole before the self-join, counted by
+    the optional ``observation`` (read with
+    ``operators.dedup.warn_capped_buckets``). Default ``None`` — with
+    only 2**planes buckets a silent cap could discard most of the
+    corpus, so opting in is an explicit sizing decision here, unlike the
+    banded-MinHash default where buckets are small by construction.
     """
     b = vectors.select(
         F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), planes).alias("bucket")
     )
+    b = _cap_buckets(b, ["bucket"], max_bucket_size, observation)
     left = b.select(
         F.col("bucket"), F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va")
     )
@@ -279,6 +334,8 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     planes: int = 4,
     threshold: float = 0.9,
+    max_bucket_size: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate canonicalization.
 
@@ -301,7 +358,23 @@ def embedding_near_dup(
         connected_components,
     )
 
-    pairs = sign_lsh_pairs(vectors, id_col, vec_col, planes, threshold)
+    pairs = sign_lsh_pairs(
+        vectors, id_col, vec_col, planes, threshold,
+        max_bucket_size=max_bucket_size, observation=observation,
+    )
+    return _canonicalize_pairs(vectors, pairs, id_col)
+
+
+def _canonicalize_pairs(
+    vectors: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """Confirmed near-dup pairs → per-vector (vec_id, canonical_id,
+    is_canonical) via connected components with min-id labels — the
+    shared cluster-then-keep-one tail of the embedding dedup family."""
+    from gene_level_metadata_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
     comp = connected_components(pairs, src="vec_a", dst="vec_b")
     return (
         vectors.select(F.col(id_col))
@@ -312,6 +385,64 @@ def embedding_near_dup(
         )
         .withColumn("is_canonical", F.col(id_col) == F.col("canonical_id"))
     )
+
+
+def semantic_near_dup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 1,
+    threshold: float = 0.9,
+    max_cell_size: int | None = None,
+    observation=None,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate canonicalization: learned
+    k-means cells are the blocking key (the public method of Abbas et
+    al. 2023, *SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication* — cluster the embedding space, then compare
+    pairs only within a cluster).
+
+    Why this is the scale path over :func:`embedding_near_dup`'s
+    sign-LSH blocking: sign buckets are fixed at ``2**planes``, so
+    bucket size grows linearly with the corpus and intra-bucket pair
+    work quadratically; k-means cells scale with ``k``, which the
+    caller grows with N (target cell size ≈ N/k — at 10⁹ vectors,
+    k = 10⁵ keeps cells at ~10⁴), and cells follow the data's actual
+    density instead of axis-aligned sign patterns. Pipeline:
+
+    1. deterministic Lloyd centroids (:func:`kmeans_centroids` —
+       lowest-id seeds, DECIMAL means, oracle-reproducible);
+    2. cell assignment via broadcast cosine argmax (the vector table
+       never shuffles for assignment);
+    3. intra-cell exact cosine ≥ ``threshold`` pairs — the only
+       all-pairs work, shuffle key = cell id;
+    4. connected components → min-id canonical per near-dup cluster.
+
+    ``max_cell_size`` caps density-skew cells the same way the MinHash
+    band cap does (dropped whole pre-join, counted via ``observation``,
+    read with ``operators.dedup.warn_capped_buckets``); size it a few ×
+    N/k. Returns (vec_id, canonical_id, is_canonical); filtering
+    ``is_canonical`` keeps one vector per semantic-duplicate cluster.
+    """
+    cent = kmeans_centroids(vectors, k=k, iters=iters, id_col=id_col, vec_col=vec_col)
+    vv = assign_cells(vectors, cent, id_col=id_col, vec_col=vec_col)
+    b = vv.select(F.col(id_col), F.col(vec_col), F.col("cell"))
+    b = _cap_buckets(b, ["cell"], max_cell_size, observation)
+    left = b.select(
+        F.col("cell"), F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va")
+    )
+    right = b.select(
+        F.col("cell"), F.col(id_col).alias("vec_b"), F.col(vec_col).alias("__vb")
+    )
+    pairs = (
+        left.join(right, "cell")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("__va"), F.col("__vb")), 4))
+        .where(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b")
+    )
+    return _canonicalize_pairs(vectors, pairs, id_col)
 
 
 def quantize_embeddings(

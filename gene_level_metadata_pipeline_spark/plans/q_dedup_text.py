@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gene_level_metadata_pipeline_spark.operators.harmonize import harmonize, spine
+from gene_level_metadata_pipeline_spark.plans.q_breadth import _IVF_KMEANS_CTES
 from gene_level_metadata_pipeline_spark.plans.registry import (
     ORACLE,
     QUERIES,
@@ -506,6 +507,94 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return embedding_near_dup(
         _t(spark, sf_dir, "embeddings"), planes=4, threshold=0.15
+    )
+
+
+@_register(
+    "ann_sign_lsh_pairs_capped",
+    oracle=f"""
+    WITH all_v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      UNION ALL
+      SELECT CAST(-x AS BIGINT),
+             list_transform(generate_series(1, 64), y -> CAST(1 AS DOUBLE))
+      FROM generate_series(1, 2000) AS g(x)
+    ),
+    b AS (SELECT vec_id, e, {_bucket_sql('e')} AS bucket FROM all_v),
+    bsz AS (SELECT bucket, count(*) AS n FROM b GROUP BY bucket),
+    keep AS (
+      SELECT b.* FROM b JOIN bsz USING (bucket) WHERE bsz.n BETWEEN 2 AND 1000
+    )
+    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+           round({_COS.format(a='a.e', b='c.e')}, 4) AS cos_sim
+    FROM keep a JOIN keep c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE round({_COS.format(a='a.e', b='c.e')}, 4) >= 0.15
+    """,
+)
+def q_ann_sign_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sign-LSH runaway-bucket cap, oracle-certified — the embedding
+    twin of dedup_minhash_lsh_capped: 2000 identical all-ones vectors
+    are unioned in BOTH engines, saturating the all-positive sign bucket
+    past max_bucket_size=1000 (which alone would contribute ~2M cosine
+    pairs); that bucket is dropped whole BEFORE the self-join while
+    every natural fixture bucket (≤ ~350 members even at sf0.1) still
+    pairs. The oracle replicates the cap as a bucket-size CTE filtered
+    to [2, cap] before pair generation."""
+    from gene_level_metadata_pipeline_spark.operators.similarity import (
+        sign_lsh_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    ones = spark.range(1, 2001).select(
+        (-F.col("id")).alias("vec_id"),
+        F.array_repeat(F.lit(1.0).cast("float"), 64).alias("embedding"),
+    )
+    return sign_lsh_pairs(
+        emb.unionAll(ones), planes=4, threshold=0.15, max_bucket_size=1000
+    )
+
+
+@_register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH RECURSIVE {_IVF_KMEANS_CTES},
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM vv a JOIN vv b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE round({_COS.format(a='a.e', b='b.e')}, 4) >= 0.15
+    ),
+    edges2 AS (
+      SELECT vec_a AS u, vec_b AS v FROM pairs
+      UNION
+      SELECT vec_b, vec_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges2
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges2 e ON r.v = e.u
+    ),
+    comp AS (SELECT u AS vid, least(u, min(v)) AS component FROM reach GROUP BY u)
+    SELECT emb.vec_id,
+           coalesce(comp.component, emb.vec_id) AS canonical_id,
+           emb.vec_id = coalesce(comp.component, emb.vec_id) AS is_canonical
+    FROM embeddings emb LEFT JOIN comp ON emb.vec_id = comp.vid
+    """,
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (similarity.semantic_near_dup):
+    learned k-means cells (the shared deterministic Lloyd build of
+    ann_ivf_kmeans_topk) block the corpus, intra-cell exact cosine ≥ τ
+    confirms pairs, connected components canonicalize to the min id.
+    The scale upgrade over dedup_embedding_cosine's fixed 2**planes sign
+    buckets: cell count k grows with N, so intra-cell pair work stays
+    bounded. Oracle reuses the q_breadth Lloyd CTE chain (bit-identical
+    centroids) and the recursive component fixpoint."""
+    from gene_level_metadata_pipeline_spark.operators.similarity import (
+        semantic_near_dup,
+    )
+
+    return semantic_near_dup(
+        _t(spark, sf_dir, "embeddings"), k=8, iters=1, threshold=0.15
     )
 
 

@@ -56,6 +56,17 @@ def get_spark(app_name: str = "gene-level-metadata-pipeline-spark") -> SparkSess
     builder = SparkSession.builder.appName(app_name)
     if not os.environ.get("SPARK_GRAFT_NO_MASTER"):
         builder = builder.master(f"local[{cpus}]")
+        # In local mode the driver heap IS the executor heap: every task
+        # thread shares spark.driver.memory, which DEFAULTS TO 1g — so 32
+        # concurrent tasks would split ~300 MB of execution memory and
+        # large-input runs die in spill-reader OOMs long before the box
+        # (128 GiB) is remotely full. Only applied when WE own the master
+        # (a cluster submit sizes its own driver/executors); honored by
+        # the PySpark launcher as long as no JVM exists yet.
+        builder = builder.config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
     builder = builder.config("spark.sql.shuffle.partitions", cpus)
     for k, v in DEFAULT_CONFIG.items():
         builder = builder.config(k, v)

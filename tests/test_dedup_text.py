@@ -730,3 +730,75 @@ def test_lsh_bucket_cap_default_matches_uncapped(spark, docs):
         )
     )
     assert a == b
+
+
+def test_sign_lsh_bucket_cap_bounds_runaway_buckets(spark):
+    """Embedding twin of the minhash bucket cap: a saturated sign bucket
+    (500 identical vectors — degenerate embeddings share one sign
+    pattern the way boilerplate shares one MinHash band) is dropped
+    whole before the intra-bucket self-join, counted by the Observation
+    and surfaced by dedup.warn_capped_buckets, while the genuine
+    near-dup pair in a normal bucket still scores."""
+    import warnings
+
+    from pyspark.sql import Observation
+
+    rows = [(i, [1.0, 1.0, 1.0, 1.0]) for i in range(500)]
+    rows += [
+        (9001, [-1.0, 1.0, 1.0, 1.0]),
+        (9002, [-1.0, 1.0, 1.0, 0.99]),   # same bucket as 9001, cos ~ 1
+        (9003, [1.0, -1.0, -1.0, -1.0]),  # alone in its bucket: no pairs
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    obs = Observation("sign_cap")
+    capped = similarity.sign_lsh_pairs(
+        vecs, planes=4, threshold=0.9, max_bucket_size=100, observation=obs
+    )
+    pairs = {(r["vec_a"], r["vec_b"]) for r in capped.collect()}
+    # the 500-vector bucket would alone emit ~125k pairs uncapped
+    assert pairs == {(9001, 9002)}
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        dropped = dedup.warn_capped_buckets(obs)
+    assert dropped == 500
+    assert len(caught) == 1 and "bucket cap dropped" in str(caught[0].message)
+
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        similarity.sign_lsh_pairs(vecs, max_bucket_size=1)
+
+
+def test_semantic_near_dup_canonicalizes_within_cells(spark):
+    """semantic_near_dup (SemDeDup shape): k-means cells block the
+    corpus, intra-cell cosine >= threshold pairs canonicalize to the min
+    id. Two tight clusters seeded by the two lowest ids: each cluster's
+    near-identical pair collapses, cross-cluster vectors never compare."""
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0, 0.0]),
+            (2, [1.0, 0.01, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.01, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["vec_id"]: (r["canonical_id"], r["is_canonical"])
+        for r in similarity.semantic_near_dup(
+            vecs, k=2, iters=1, threshold=0.99
+        ).collect()
+    }
+    assert out == {0: (0, True), 1: (1, True), 2: (0, False), 3: (1, False)}
+
+    # max_cell_size plumbing: both cells have exactly 2 members, so a
+    # cap of 2 keeps them (result-invariant); a cap below the pair
+    # minimum raises
+    out2 = {
+        r["vec_id"]: r["canonical_id"]
+        for r in similarity.semantic_near_dup(
+            vecs, k=2, iters=1, threshold=0.99, max_cell_size=2
+        ).collect()
+    }
+    assert out2 == {0: 0, 1: 1, 2: 0, 3: 1}
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        similarity.semantic_near_dup(vecs, k=2, max_cell_size=1)
