@@ -75,16 +75,28 @@ def brute_force_topk(
     """
     from pyspark.sql import Window
 
+    # each side's cast + norm hoisted before the expansion: a pair costs
+    # one zip_with dot product, not three (bit-identical to cosine() —
+    # same dot / (norm_q * norm_v) association)
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    )
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("__qv"),
+    ).withColumn("__qn", F.sqrt(_dot(F.col("__qv"), F.col("__qv"))))
     v = vectors.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__vv")
-    )
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__vv"),
+    ).withColumn("__vn", F.sqrt(_dot(F.col("__vv"), F.col("__vv"))))
     scored = (
         v.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("__qv"), F.col("__vv")), 4))
-        .drop("__qv", "__vv")
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(F.col("__qv"), F.col("__vv"))
+                / (F.col("__qn") * F.col("__vn")),
+                4,
+            ),
+        )
+        .drop("__qv", "__vv", "__qn", "__vn")
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -177,39 +189,141 @@ def sign_lsh_pairs(
         F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), planes).alias("bucket")
     )
     b = _cap_buckets(b, ["bucket"], max_bucket_size, observation)
+    return _bucketed_cosine_pairs(b, "bucket", id_col, vec_col, threshold)
+
+
+def _bucketed_cosine_pairs(
+    b: DataFrame, bucket_col: str, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """Intra-bucket all-pairs exact cosine ≥ threshold over a bucketed
+    vector frame — the shared pair stage of the embedding dedup family
+    (shuffle key = the bucket column). Each side's cast + norm is hoisted
+    BEFORE the self-join, so a vector in a b-member bucket pays one cast
+    and one norm, not b of each; the pair then costs a single zip_with
+    dot product. Association order matches :func:`cosine` exactly
+    (dot / (norm_a * norm_b)), so results are bit-identical to scoring
+    cosine per pair. Returns (vec_a, vec_b, cos_sim)."""
+    b = b.select(
+        F.col(bucket_col).alias("__bkt"),
+        F.col(id_col),
+        _as_double(F.col(vec_col)).alias("__vd"),
+    ).withColumn("__n", F.sqrt(_dot(F.col("__vd"), F.col("__vd"))))
     left = b.select(
-        F.col("bucket"), F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va")
+        "__bkt", F.col(id_col).alias("vec_a"),
+        F.col("__vd").alias("__va"), F.col("__n").alias("__na"),
     )
     right = b.select(
-        F.col("bucket"), F.col(id_col).alias("vec_b"), F.col(vec_col).alias("__vb")
+        "__bkt", F.col(id_col).alias("vec_b"),
+        F.col("__vd").alias("__vb"), F.col("__n").alias("__nb"),
     )
     return (
-        left.join(right, "bucket")
+        left.join(right, "__bkt")
         .where(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_sim", F.round(cosine(F.col("__va"), F.col("__vb")), 4))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(F.col("__va"), F.col("__vb"))
+                / (F.col("__na") * F.col("__nb")),
+                4,
+            ),
+        )
         .where(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+def _score_cells(
+    vectors: DataFrame, centroids: DataFrame, vec_name: str
+) -> DataFrame:
+    """Append ``cell`` = nearest-centroid id to every row of ``vectors``
+    — ZERO-shuffle form.
+
+    The (k × dim) centroid table folds into ONE broadcast row holding a
+    cid-sorted array of (cid, ce) structs; each vector row scans it with
+    higher-order functions (``transform`` scores every centroid's
+    rounded-4dp cosine once, ``aggregate`` folds to the argmax) in a
+    single codegen projection. Ties go to the LOWEST cid — the array is
+    cid-sorted and only a strictly-better sim replaces the running best
+    — the same deterministic order as ``row_number() OVER (ORDER BY sim
+    DESC, cid)``, so the DuckDB oracles reproduce it; a NaN sim beats
+    any non-NaN (mirroring ``max_by``'s NaN-is-greatest ordering, the
+    previous implementation). vs broadcast-join + max_by groupBy: no
+    N×k row explosion, no aggregation shuffle, and no join-back to
+    recover the vector columns — assignment is a map-side projection,
+    which is what lets the Lloyd loop and cell-blocked semantic dedup
+    decorate the vector table in place. Scale: the broadcast row is
+    k × dim doubles (a 10⁵-centroid × 64-dim quantizer is ~50 MB —
+    raise ``planes``/shard the quantizer beyond that). Empty centroid
+    input yields cell = NULL (there is no nearest cell of nothing).
+    """
+    cents = centroids.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "ce"))).alias("__c0")
+    ).select(
+        # hoist each centroid's cast + norm into the broadcast row: the
+        # per-vector scan then pays ONE zip_with dot product per
+        # centroid instead of three (cosine would recompute both norms
+        # per pair). sqrt/association order matches cosine() exactly, so
+        # results stay bit-identical.
+        F.transform(
+            F.col("__c0"),
+            lambda c: F.struct(
+                c.getField("cid").alias("cid"),
+                _as_double(c.getField("ce")).alias("ce"),
+                F.sqrt(
+                    _dot(
+                        _as_double(c.getField("ce")),
+                        _as_double(c.getField("ce")),
+                    )
+                ).alias("nrm"),
+            ),
+        ).alias("__cents")
+    )
+    vd = _as_double(F.col(vec_name))
+    scored = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            F.round(
+                _dot(F.col("__vd"), c.getField("ce"))
+                / (F.col("__vn") * c.getField("nrm")),
+                4,
+            ).alias("sim"),
+            c.getField("cid").alias("cid"),
+        ),
+    )
+    best = F.aggregate(
+        scored,
+        F.struct(
+            F.lit(float("-inf")).alias("sim"),
+            F.try_element_at(F.col("__cents"), F.lit(1))
+            .getField("cid")
+            .alias("cid"),
+        ),
+        lambda acc, s: F.when(
+            (s.getField("sim") > acc.getField("sim"))
+            | (
+                F.isnan(s.getField("sim"))
+                & ~F.isnan(acc.getField("sim"))
+            ),
+            s,
+        ).otherwise(acc),
+        lambda acc: acc.getField("cid"),
+    )
+    return (
+        vectors.join(F.broadcast(cents))
+        .withColumn("__vd", vd)
+        .withColumn("__vn", F.sqrt(_dot(F.col("__vd"), F.col("__vd"))))
+        .withColumn("cell", best)
+        .drop("__cents", "__vd", "__vn")
     )
 
 
 def _argmax_cid(
     vectors: DataFrame, centroids: DataFrame, id_name: str, vec_name: str
 ) -> DataFrame:
-    """Nearest-centroid id per vector id: broadcast the (k × dim)
-    centroid table, score with rounded-4dp cosine, argmax with ties to
-    the lowest cid — the same deterministic order as ``row_number()
-    OVER (ORDER BY sim DESC, cid)`` so the DuckDB oracle reproduces it.
-    Returns (id, cell) — only the id is the grouping key, never the
-    embedding array."""
-    scored = vectors.join(F.broadcast(centroids)).select(
-        F.col(id_name),
-        F.col("cid"),
-        F.round(cosine(F.col(vec_name), F.col("ce")), 4).alias("__sim"),
-    )
-    return scored.groupBy(id_name).agg(
-        F.max_by(F.col("cid"), F.struct(F.col("__sim"), -F.col("cid"))).alias(
-            "cell"
-        )
+    """Nearest-centroid id per vector id (see :func:`_score_cells` for
+    the zero-shuffle argmax contract). Returns (id, cell)."""
+    return _score_cells(vectors, centroids, vec_name).select(
+        F.col(id_name), F.col("cell")
     )
 
 
@@ -245,8 +359,9 @@ def kmeans_centroids(
         .select(F.col("__vid").alias("cid"), F.col("__e").alias("ce"))
     )
     for _ in range(iters):
-        assigned = _argmax_cid(v, centroids, "__vid", "__e")
-        exploded = assigned.join(v, "__vid").select(
+        # zero-shuffle assignment keeps the embedding column in place —
+        # no join-back to recover it before the re-estimation explode
+        exploded = _score_cells(v, centroids, "__e").select(
             F.col("cell").alias("cid"), F.posexplode("__e").alias("pos", "x")
         )
         means = exploded.groupBy("cid", "pos").agg(
@@ -277,10 +392,9 @@ def assign_cells(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Attach the learned IVF cell id (nearest centroid) to each vector.
-    Returns the input columns plus ``cell``."""
-    v = vectors.withColumn("__ed", _as_double(F.col(vec_col)))
-    cells = _argmax_cid(v, centroids, id_col, "__ed")
-    return vectors.join(cells, id_col)
+    Returns the input columns plus ``cell`` — a zero-shuffle projection
+    (:func:`_score_cells`), no join back onto the input."""
+    return _score_cells(vectors, centroids, vec_col)
 
 
 def ivf_topk(
@@ -303,20 +417,28 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
+    # same norm-hoisting as brute_force_topk: one dot per scored pair
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
+        _as_double(F.col(vec_col)).alias("__qv"),
         F.col(cell_col).alias("__cell"),
-    )
+    ).withColumn("__qn", F.sqrt(_dot(F.col("__qv"), F.col("__qv"))))
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__vv"),
+        _as_double(F.col(vec_col)).alias("__vv"),
         F.col(cell_col).alias("__cell"),
-    )
+    ).withColumn("__vn", F.sqrt(_dot(F.col("__vv"), F.col("__vv"))))
     scored = (
         v.join(F.broadcast(q), "__cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("__qv"), F.col("__vv")), 4))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                _dot(F.col("__qv"), F.col("__vv"))
+                / (F.col("__qn") * F.col("__vn")),
+                4,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")
@@ -429,18 +551,8 @@ def semantic_near_dup(
     vv = assign_cells(vectors, cent, id_col=id_col, vec_col=vec_col)
     b = vv.select(F.col(id_col), F.col(vec_col), F.col("cell"))
     b = _cap_buckets(b, ["cell"], max_cell_size, observation)
-    left = b.select(
-        F.col("cell"), F.col(id_col).alias("vec_a"), F.col(vec_col).alias("__va")
-    )
-    right = b.select(
-        F.col("cell"), F.col(id_col).alias("vec_b"), F.col(vec_col).alias("__vb")
-    )
-    pairs = (
-        left.join(right, "cell")
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos_sim", F.round(cosine(F.col("__va"), F.col("__vb")), 4))
-        .where(F.col("cos_sim") >= threshold)
-        .select("vec_a", "vec_b")
+    pairs = _bucketed_cosine_pairs(b, "cell", id_col, vec_col, threshold).select(
+        "vec_a", "vec_b"
     )
     return _canonicalize_pairs(vectors, pairs, id_col)
 
