@@ -48,7 +48,10 @@ SHUFFLE_BUDGET = {
     "dedup_ngram_jaccard": 3,
     "dedup_simhash": 2,
     "ann_brute_force_topk": 1,
-    "ann_ivf_kmeans_topk": 9,
+    # was 9 before the zero-shuffle assignment fold (r4): cell decoration
+    # no longer shuffles or joins back, leaving Lloyd re-estimation + the
+    # per-query rank window
+    "ann_ivf_kmeans_topk": 7,
     "text_lang_id": 0,
     "text_quality": 0,
     "asof_join_events": 1,
@@ -79,13 +82,23 @@ SHUFFLE_BUDGET = {
     "harmonize_multi_source": 3,
 }
 
+# Non-headline flagships whose plan shape is still pinned (round-4 audit).
+# The zero-shuffle k-means assignment (similarity._score_cells) is what
+# keeps these this low: cell decoration is a projection, so the only
+# exchanges left are Lloyd re-estimation / components / window machinery.
+EXTRA_BUDGET = {
+    "dedup_semantic": 2,        # Lloyd re-estimation + converged components scan
+    "ann_sign_lsh_pairs": 0,    # bucket id rides the scan partitioning
+    "dedup_embedding_cosine": 2,
+}
+
 
 def test_headline_plans_within_shuffle_budget(spark):
     from gene_level_metadata_pipeline_spark.plans import driver_queries as dq
 
     over_budget = []
     cartesian = []
-    for name, budget in SHUFFLE_BUDGET.items():
+    for name, budget in {**SHUFFLE_BUDGET, **EXTRA_BUDGET}.items():
         df = dq.QUERIES[name](spark, SF)
         plan = df._jdf.queryExecution().executedPlan().toString()
         n = len(SHUFFLE_RE.findall(plan))
