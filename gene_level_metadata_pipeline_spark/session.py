@@ -27,7 +27,8 @@ DEFAULT_CONFIG: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Broadcast threshold: dimension tables (spine ~20k rows, nation,
-    # region, ID maps) must go broadcast; 64 MB is safe on 128 GiB heap.
+    # region, ID maps) must go broadcast; 64 MB is safe on the 16 GiB
+    # local heap get_spark actually configures (SPARK_GRAFT_DRIVER_MEM).
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Arrow for the pandas bridge (Excel reader, mapInPandas multimodal ops).
     "spark.sql.execution.arrow.pyspark.enabled": "true",

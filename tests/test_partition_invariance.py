@@ -113,3 +113,21 @@ def test_keep_best_string_ids_partition_invariant(spark):
     )
     assert a == b
     assert len(a) > 0
+
+
+def test_semantic_near_dup_partition_invariant(spark):
+    """The SemDeDup path's determinism claim end-to-end: Lloyd centroids
+    (DECIMAL means), fold-argmax cell assignment, intra-cell pairs, and
+    components must all be partitioning-blind — one partition vs a prime
+    fan-out yields the identical canonicalization."""
+    from gene_level_metadata_pipeline_spark.operators.similarity import (
+        semantic_near_dup,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    a = _rows(semantic_near_dup(emb.repartition(1), k=8, threshold=0.15))
+    b = _rows(semantic_near_dup(emb.repartition(13), k=8, threshold=0.15))
+    assert a == b
+    assert len(a) > 0

@@ -36,6 +36,7 @@ QUERIES = (
         "ann_ivf_kmeans_topk",
         "near_dup_pairs",
         "training_corpus_pipeline",
+        "dedup_semantic",
     ]
 )
 
