@@ -312,7 +312,14 @@ def _score_cells(
         vectors.join(F.broadcast(cents))
         .withColumn("__vd", vd)
         .withColumn("__vn", F.sqrt(_dot(F.col("__vd"), F.col("__vd"))))
-        .withColumn("cell", best)
+        # NULL vector → NULL cell (a NULL sim never beats the -inf init,
+        # so without the guard the fold's init cid — the lowest centroid
+        # — would leak out; max_by, which ignores NULL orderings,
+        # returned NULL here and callers rely on that)
+        .withColumn(
+            "cell",
+            F.when(F.col("__vd").isNull(), F.lit(None)).otherwise(best),
+        )
         .drop("__cents", "__vd", "__vn")
     )
 

@@ -802,3 +802,39 @@ def test_semantic_near_dup_canonicalizes_within_cells(spark):
     assert out2 == {0: 0, 1: 1, 2: 0, 3: 1}
     with pytest.raises(ValueError, match="max_bucket_size"):
         similarity.semantic_near_dup(vecs, k=2, max_cell_size=1)
+
+
+def test_assign_cells_null_embedding_yields_null_cell(spark):
+    """NULL-vector contract of the fold-based assignment (r4 review):
+    the old max_by implementation ignored NULL similarity orderings and
+    returned a NULL cell for a NULL embedding; the fold's -inf init
+    would otherwise leak the lowest centroid id. Pin NULL in, NULL out —
+    and downstream, semantic_near_dup keeps the NULL-vector row as its
+    own canonical singleton (NULL cells join no pairs)."""
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, None),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = vecs.where("vec_id < 2").select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    out = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.assign_cells(vecs, cents).collect()
+    }
+    assert out == {0: 0, 1: 1, 2: None}
+
+    sem = {
+        r["vec_id"]: (r["canonical_id"], r["is_canonical"])
+        for r in similarity.semantic_near_dup(
+            vecs.where("vec_id < 2").unionAll(
+                spark.createDataFrame([(2, None)], "vec_id long, embedding array<double>")
+            ),
+            k=2, threshold=0.99,
+        ).collect()
+    }
+    assert sem[2] == (2, True)
