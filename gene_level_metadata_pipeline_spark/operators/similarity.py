@@ -52,9 +52,17 @@ def _dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a, b) -> Column:
-    """Cosine similarity of two array<float|double> columns (double math)."""
+    """Cosine similarity of two array<float|double> columns (double math).
+
+    A zero-norm (all-zeros or empty) vector yields NULL, not an error:
+    Spark 4's ANSI default raises DIVIDE_BY_ZERO even for double
+    division, so one degenerate embedding in a 100 TB corpus would
+    otherwise abort the whole job (the same ANSI hazard class as the
+    round-3 Gopher-ratio fix). NULL then falls out of every ≥ threshold
+    filter and ranks after real similarities, which is the correct
+    treatment of an undefined similarity."""
     da, db = _as_double(a), _as_double(b)
-    return _dot(da, db) / (F.sqrt(_dot(da, da)) * F.sqrt(_dot(db, db)))
+    return F.try_divide(_dot(da, db), F.sqrt(_dot(da, da)) * F.sqrt(_dot(db, db)))
 
 
 def brute_force_topk(
@@ -91,11 +99,16 @@ def brute_force_topk(
         .withColumn(
             "cos_sim",
             F.round(
-                _dot(F.col("__qv"), F.col("__vv"))
-                / (F.col("__qn") * F.col("__vn")),
+                F.try_divide(
+                    _dot(F.col("__qv"), F.col("__vv")),
+                    F.col("__qn") * F.col("__vn"),
+                ),
                 4,
             ),
         )
+        # degenerate (zero-norm/NULL) vectors have no defined similarity:
+        # drop them rather than letting NULL rows pad the tail ranks
+        .where(F.col("cos_sim").isNotNull())
         .drop("__qv", "__vv", "__qn", "__vn")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -222,8 +235,10 @@ def _bucketed_cosine_pairs(
         .withColumn(
             "cos_sim",
             F.round(
-                _dot(F.col("__va"), F.col("__vb"))
-                / (F.col("__na") * F.col("__nb")),
+                F.try_divide(
+                    _dot(F.col("__va"), F.col("__vb")),
+                    F.col("__na") * F.col("__nb"),
+                ),
                 4,
             ),
         )
@@ -283,8 +298,10 @@ def _score_cells(
         F.col("__cents"),
         lambda c: F.struct(
             F.round(
-                _dot(F.col("__vd"), c.getField("ce"))
-                / (F.col("__vn") * c.getField("nrm")),
+                F.try_divide(
+                    _dot(F.col("__vd"), c.getField("ce")),
+                    F.col("__vn") * c.getField("nrm"),
+                ),
                 4,
             ).alias("sim"),
             c.getField("cid").alias("cid"),
@@ -312,13 +329,17 @@ def _score_cells(
         vectors.join(F.broadcast(cents))
         .withColumn("__vd", vd)
         .withColumn("__vn", F.sqrt(_dot(F.col("__vd"), F.col("__vd"))))
-        # NULL vector → NULL cell (a NULL sim never beats the -inf init,
-        # so without the guard the fold's init cid — the lowest centroid
-        # — would leak out; max_by, which ignores NULL orderings,
-        # returned NULL here and callers rely on that)
+        # NULL or zero-norm vector → NULL cell (their sims are all NULL
+        # via try_divide and a NULL sim never beats the -inf init, so
+        # without the guard the fold's init cid — the lowest centroid —
+        # would leak out; max_by, which ignores NULL orderings, returned
+        # NULL for the NULL-vector case and callers rely on that)
         .withColumn(
             "cell",
-            F.when(F.col("__vd").isNull(), F.lit(None)).otherwise(best),
+            F.when(
+                F.col("__vd").isNull() | (F.col("__vn") == 0),
+                F.lit(None),
+            ).otherwise(best),
         )
         .drop("__cents", "__vd", "__vn")
     )
@@ -367,9 +388,17 @@ def kmeans_centroids(
     )
     for _ in range(iters):
         # zero-shuffle assignment keeps the embedding column in place —
-        # no join-back to recover it before the re-estimation explode
-        exploded = _score_cells(v, centroids, "__e").select(
-            F.col("cell").alias("cid"), F.posexplode("__e").alias("pos", "x")
+        # no join-back to recover it before the re-estimation explode.
+        # Degenerate (NULL/zero-norm) vectors carry a NULL cell; exclude
+        # them so they neither form a phantom NULL centroid nor drag a
+        # real centroid toward the origin.
+        exploded = (
+            _score_cells(v, centroids, "__e")
+            .where(F.col("cell").isNotNull())
+            .select(
+                F.col("cell").alias("cid"),
+                F.posexplode("__e").alias("pos", "x"),
+            )
         )
         means = exploded.groupBy("cid", "pos").agg(
             F.round(
@@ -441,11 +470,14 @@ def ivf_topk(
         .withColumn(
             "cos_sim",
             F.round(
-                _dot(F.col("__qv"), F.col("__vv"))
-                / (F.col("__qn") * F.col("__vn")),
+                F.try_divide(
+                    _dot(F.col("__qv"), F.col("__vv")),
+                    F.col("__qn") * F.col("__vn"),
+                ),
                 4,
             ),
         )
+        .where(F.col("cos_sim").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id")

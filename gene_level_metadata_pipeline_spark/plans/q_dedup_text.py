@@ -555,6 +555,49 @@ def q_ann_sign_lsh_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ann_pairs_degenerate_vectors",
+    oracle=f"""
+    WITH all_v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      UNION ALL
+      SELECT CAST(-1 AS BIGINT),
+             list_transform(generate_series(1, 64), y -> CAST(0 AS DOUBLE))
+      UNION ALL
+      SELECT CAST(-2 AS BIGINT), NULL
+    ),
+    b AS (SELECT vec_id, e, {_bucket_sql('e')} AS bucket FROM all_v)
+    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+           round(list_dot_product(a.e, c.e) /
+                 nullif(sqrt(list_dot_product(a.e, a.e))
+                        * sqrt(list_dot_product(c.e, c.e)), 0), 4) AS cos_sim
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE round(list_dot_product(a.e, c.e) /
+                nullif(sqrt(list_dot_product(a.e, a.e))
+                       * sqrt(list_dot_product(c.e, c.e)), 0), 4) >= 0.15
+    """,
+)
+def q_ann_pairs_degenerate_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The degenerate-vector contract of the cosine family, oracle-
+    certified (r4 review finding): Spark 4's ANSI default raises
+    DIVIDE_BY_ZERO even for double division, so before the try_divide
+    fix ONE all-zeros embedding aborted every cosine-based operator.
+    This query unions a zero vector and a NULL vector into the corpus in
+    BOTH engines: their similarities are undefined → NULL (oracle
+    mirrors try_divide with a nullif denominator), they fall out of the
+    ≥ threshold filter, and every well-formed pair is unaffected."""
+    from gene_level_metadata_pipeline_spark.operators.similarity import (
+        sign_lsh_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    degenerate = spark.createDataFrame(
+        [(-1, [0.0] * 64), (-2, None)],
+        "vec_id bigint, embedding array<float>",
+    )
+    return sign_lsh_pairs(emb.unionAll(degenerate), planes=4, threshold=0.15)
+
+
+@_register(
     "dedup_semantic",
     oracle=f"""
     WITH RECURSIVE {_IVF_KMEANS_CTES},

@@ -838,3 +838,49 @@ def test_assign_cells_null_embedding_yields_null_cell(spark):
         ).collect()
     }
     assert sem[2] == (2, True)
+
+
+def test_cosine_family_survives_zero_norm_vectors(spark):
+    """r4 review: ANSI DIVIDE_BY_ZERO applies to double division in
+    Spark 4, so a zero-norm embedding used to ABORT every cosine-based
+    operator. Contract now: undefined similarity → NULL → degenerate
+    vectors drop out of pair thresholds and top-k ranks; assignment
+    gives them a NULL cell; real vectors are untouched."""
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [0.0, 0.0]),    # zero norm
+            (3, None),           # NULL vector
+            (4, [0.95, 0.05]),  # near-dup of 0, NOT a k=2 seed
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    # pairs: only (0,4) — the degenerate rows produce NULL sims,
+    # (0,1)/(1,4) fall under the threshold
+    pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in similarity.sign_lsh_pairs(vecs, planes=2, threshold=0.5).collect()
+    }
+    assert pairs == {(0, 4)}
+
+    # brute-force top-k: zero/NULL candidates never appear
+    out = similarity.brute_force_topk(vecs, vecs.where("vec_id = 0"), k=4).collect()
+    assert {r["neighbor_id"] for r in out} == {1, 4}
+
+    # assignment: degenerate vectors get NULL cells, real ones real cells
+    cents = vecs.where("vec_id < 2").select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    cells = {r["vec_id"]: r["cell"] for r in similarity.assign_cells(vecs, cents).collect()}
+    assert cells == {0: 0, 1: 1, 2: None, 3: None, 4: 0}
+
+    # the full Lloyd build + semantic dedup runs end-to-end: degenerate
+    # rows stay canonical singletons (no phantom NULL centroid), the
+    # real near-dup pair still collapses within its cell
+    sem = {
+        r["vec_id"]: (r["canonical_id"], r["is_canonical"])
+        for r in similarity.semantic_near_dup(vecs, k=2, threshold=0.5).collect()
+    }
+    assert sem[2] == (2, True) and sem[3] == (3, True)
+    assert sem[4] == (0, False) and sem[0] == (0, True)
