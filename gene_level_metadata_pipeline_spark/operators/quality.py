@@ -158,9 +158,19 @@ def histogram(df: DataFrame, col: str, nbins: int) -> DataFrame:
     binned = df.select(F.col(col).cast("double").alias("__x")).join(
         F.broadcast(bounds)
     ).select(
+        # a constant column makes width 0; ANSI raises DIVIDE_BY_ZERO
+        # even for doubles (r4 review), so try_divide + coalesce routes
+        # every value into bin 0 instead of aborting the profile job
+        # (least() would skip the NULL and misfile them into the LAST
+        # bin, hence coalesce before least)
         F.least(
             F.lit(nbins - 1),
-            F.floor((F.col("__x") - F.col("__lo")) / width),
+            F.coalesce(
+                F.floor(
+                    F.try_divide(F.col("__x") - F.col("__lo"), width)
+                ),
+                F.lit(0),
+            ),
         ).cast("long").alias("bin"),
         F.col("__lo"),
         width.alias("__w"),

@@ -120,3 +120,15 @@ def test_row_order_op_rejects_build_left(spark):
         pytest.skip("planner chose a different build side")
     with pytest.raises(ValueError, match="BuildLeft"):
         with_row_id(joined)
+
+
+def test_histogram_constant_column_single_bin(spark):
+    """r4 review: a constant column makes the equi-width bin width 0 and
+    ANSI double division aborted the profile; all values now land in
+    bin 0 with lo == hi (coalesce BEFORE least — least() skips NULLs and
+    would have misfiled them into the last bin)."""
+    from gene_level_metadata_pipeline_spark.operators.quality import histogram
+
+    df = spark.createDataFrame([(5.0,)] * 4, "x double")
+    rows = histogram(df, "x", 4).collect()
+    assert [tuple(r) for r in rows] == [(0, 5.0, 5.0, 4)]
