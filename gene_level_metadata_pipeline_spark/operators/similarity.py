@@ -122,12 +122,17 @@ def brute_force_topk(
 
 
 def sign_bucket(vec_col, planes: int = 4) -> Column:
-    """Axis-aligned sign-LSH bucket id from the first ``planes`` components."""
+    """Axis-aligned sign-LSH bucket id from the first ``planes`` components.
+
+    try_element_at, not element_at: ANSI raises INVALID_ARRAY_INDEX on a
+    vector shorter than ``planes`` (r4 review) — a malformed row would
+    abort the whole bucketing job. Missing components read as NULL and
+    take the 0 bit, same as a negative component."""
     b = F.lit(0)
     for i in range(planes):
-        b = b + F.when(F.element_at(vec_col, i + 1) >= 0, F.lit(2 ** i)).otherwise(
-            F.lit(0)
-        )
+        b = b + F.when(
+            F.try_element_at(vec_col, F.lit(i + 1)) >= 0, F.lit(2 ** i)
+        ).otherwise(F.lit(0))
     return b
 
 

@@ -132,3 +132,21 @@ def test_histogram_constant_column_single_bin(spark):
     df = spark.createDataFrame([(5.0,)] * 4, "x double")
     rows = histogram(df, "x", 4).collect()
     assert [tuple(r) for r in rows] == [(0, 5.0, 5.0, 4)]
+
+
+def test_sign_bucket_short_vector_does_not_abort(spark):
+    """r4 review: ANSI element_at raises INVALID_ARRAY_INDEX, so one
+    vector shorter than `planes` aborted sign-LSH bucketing. Missing
+    components now read as the 0 bit (try_element_at), and well-formed
+    vectors bucket exactly as before."""
+    from pyspark.sql import functions as F
+
+    from gene_level_metadata_pipeline_spark.operators.similarity import sign_bucket
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 1.0, 1.0, 1.0]), (1, [1.0]), (2, [-1.0, 2.0])],
+        "vec_id long, v array<double>",
+    )
+    out = {r["vec_id"]: r["b"] for r in df.select(
+        "vec_id", sign_bucket(F.col("v"), 4).alias("b")).collect()}
+    assert out == {0: 15, 1: 1, 2: 2}
