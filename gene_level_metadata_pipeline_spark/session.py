@@ -54,6 +54,12 @@ def get_spark(app_name: str = "gene-level-metadata-pipeline-spark") -> SparkSess
     200 empty reducers while cluster runs can override externally.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Shuffle partitions default to the core count (right for the small-SF
+    # rig) but scale independently: at 30x-replica stress volumes the
+    # per-partition shuffle blocks outgrow the in-memory sort buffers and
+    # spill — the "raise partitions with the data" regime tools/scale_conf
+    # computes for cluster submits.
+    shuffle_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     builder = SparkSession.builder.appName(app_name)
     if not os.environ.get("SPARK_GRAFT_NO_MASTER"):
         builder = builder.master(f"local[{cpus}]")
@@ -68,7 +74,7 @@ def get_spark(app_name: str = "gene-level-metadata-pipeline-spark") -> SparkSess
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
         )
-    builder = builder.config("spark.sql.shuffle.partitions", cpus)
+    builder = builder.config("spark.sql.shuffle.partitions", shuffle_parts)
     for k, v in DEFAULT_CONFIG.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
