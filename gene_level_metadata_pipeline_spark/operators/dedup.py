@@ -417,6 +417,14 @@ def minhash_candidate_pairs(
     # construction (that is the point of banding) — a runaway bucket from
     # boilerplate content is the skew case, pre-filtered by the
     # max_bucket_size window below BEFORE the collect_set buffer.
+    if observation is not None and max_bucket_size is None:
+        # fail loud: with no cap there is nothing to observe, and an
+        # Observation that never attaches makes a later
+        # warn_capped_buckets (Observation.get) block forever
+        raise ValueError(
+            "minhash_candidate_pairs: observation requires max_bucket_size "
+            "(no cap means no metrics; Observation.get would never return)"
+        )
     if max_bucket_size is not None:
         if max_bucket_size < 2:
             raise ValueError(

@@ -149,6 +149,14 @@ def _cap_buckets(
     them is result-invariant. ``None`` disables the cap and the window.
     """
     if max_bucket_size is None:
+        if observation is not None:
+            # fail loud: with no cap there is nothing to observe, and an
+            # Observation that never attaches makes a later
+            # warn_capped_buckets (Observation.get) block forever
+            raise ValueError(
+                "observation requires max_bucket_size (no cap means no "
+                "metrics; Observation.get would never return)"
+            )
         return b
     if max_bucket_size < 2:
         raise ValueError(

@@ -150,3 +150,30 @@ def test_sign_bucket_short_vector_does_not_abort(spark):
     out = {r["vec_id"]: r["b"] for r in df.select(
         "vec_id", sign_bucket(F.col("v"), 4).alias("b")).collect()}
     assert out == {0: 15, 1: 1, 2: 2}
+
+
+def test_observation_without_cap_fails_loud(spark):
+    """r4 review: an Observation passed with max_bucket_size=None never
+    attaches metrics, so a later warn_capped_buckets (Observation.get)
+    would block forever. Both LSH families reject the combination at
+    plan-build time instead."""
+    import pytest
+    from pyspark.sql import Observation
+
+    from gene_level_metadata_pipeline_spark.operators import dedup, similarity
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="observation requires"):
+        dedup.minhash_candidate_pairs(
+            docs, "text", "doc_id", max_bucket_size=None,
+            observation=Observation("x"),
+        )
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="observation requires"):
+        similarity.sign_lsh_pairs(
+            vecs, max_bucket_size=None, observation=Observation("y")
+        )
