@@ -140,3 +140,62 @@ def test_hex_sample_bound_monotone_and_saturated(a, b):
             assert bx == "00000000"
         else:
             assert len(bx) == 8 and bx <= "ffffffff"
+
+
+def test_blocked_dedup_pairs_are_subsets_of_exact_truth(spark):
+    """Containment laws of the blocked dedup family on real fixture data:
+    blocking (LSH bands, sign buckets, k-means cells) may only REMOVE
+    pairs relative to the unblocked exact truth at the same threshold —
+    a blocked pair that exact scoring rejects would mean the confirm
+    stage and the truth diverged."""
+    from pyspark.sql import functions as F
+
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        near_dup_pairs,
+        ngram_jaccard_pairs,
+    )
+    from gene_level_metadata_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        semantic_near_dup,
+        sign_lsh_pairs,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    thr = 0.5
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, "text", "doc_id", threshold=thr).collect()
+    }
+    confirmed = {
+        (r["doc_a"], r["doc_b"])
+        for r in near_dup_pairs(docs, "text", "doc_id", threshold=thr).collect()
+    }
+    assert confirmed <= exact
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    cos_thr = 0.15
+    # unblocked exact cosine pairs via a single-bucket sign-LSH (planes=0
+    # puts every vector in bucket 0 == all-pairs)
+    all_pairs = {
+        (r["vec_a"], r["vec_b"])
+        for r in sign_lsh_pairs(emb, planes=0, threshold=cos_thr).collect()
+    }
+    bucketed = {
+        (r["vec_a"], r["vec_b"])
+        for r in sign_lsh_pairs(emb, planes=4, threshold=cos_thr).collect()
+    }
+    assert bucketed <= all_pairs
+
+    sem_pairs = set()
+    for r in semantic_near_dup(emb, k=8, threshold=cos_thr).collect():
+        if not r["is_canonical"]:
+            sem_pairs.add(r["vec_id"])
+    # every non-canonical member of a semantic cluster must appear in at
+    # least one unblocked near-dup pair (components only connect pairs
+    # that exact cosine confirmed)
+    linked = {v for pair in all_pairs for v in pair}
+    assert sem_pairs <= linked
