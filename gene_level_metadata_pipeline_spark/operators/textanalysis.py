@@ -32,6 +32,8 @@ __all__ = [
     "remove_dup_spans",
     "train_split",
     "normalize_text",
+    "centroid_train",
+    "centroid_classify",
 ]
 
 # Tiny per-language stopword lists: enough for the n-gram-heuristic shape;
@@ -638,3 +640,131 @@ def normalize_text(df: DataFrame, text_col: str, out_col: str | None = None) -> 
     c = F.regexp_replace(c, r"[\x00-\x1f\x7f]", " ")
     c = F.regexp_replace(c, r"\s+", " ")
     return df.withColumn(out, F.trim(c))
+
+
+def _ws_tokens(text_col: str) -> Column:
+    """Non-empty single-space tokens — matches the oracle convention
+    ``unnest(string_split(text, ' ')) ... WHERE w <> ''`` used across
+    the shingle/tf-idf family."""
+    return F.filter(F.split(F.col(text_col), " "), lambda w: w != "")
+
+
+def centroid_train(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Train a Rocchio / nearest-centroid text classifier — the
+    model-driven quality/domain filter of web-curation pipelines
+    (public method: Rocchio relevance feedback applied to text
+    categorization), expressed so the DuckDB oracle is bit-exact.
+
+    The per-label centroid over bag-of-words token counts is
+    ``m(l, w) = round(Σ_docs tf(d, w) / n_docs(l), 6)`` — and
+    ``Σ_d tf(d, w)`` is just the total occurrence count of ``w`` in
+    label ``l``, so training is ONE (label, word) aggregation plus a
+    per-label doc count: exact bigint sums, one correctly-rounded
+    double division, no transcendental math anywhere (the reason this
+    is Rocchio and not Naive Bayes: ``log`` is not guaranteed
+    bit-identical across engines, ``/`` and ``sqrt`` are). Documents
+    with no tokens contribute nothing and are not counted in
+    ``n_docs``. Returns (label, word, m).
+
+    Scale: shuffle keys are (label, word) with map-side combine; the
+    model is |vocab| × |labels| rows — a dimension table that
+    :func:`centroid_classify` broadcasts.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).alias("label"),
+        F.explode(_ws_tokens(text_col)).alias("word"),
+    )
+    counts = toks.groupBy("label", "word").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    ndocs = toks.groupBy("label").agg(
+        F.count_distinct(F.col("__id")).alias("__n")
+    )
+    return counts.join(F.broadcast(ndocs), "label").select(
+        "label",
+        "word",
+        F.round(F.col("__cnt").cast("double") / F.col("__n"), 6).alias("m"),
+    )
+
+
+def centroid_classify(
+    df: DataFrame,
+    model: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Assign each document the nearest centroid label by cosine over
+    sparse bag-of-words counts.
+
+    Exactness discipline (the engine's standard): the sparse dot product
+    sums ``cnt × m`` as DECIMAL (m is 6-dp-rounded so its DECIMAL(18,6)
+    image is exact) and both norms come from exact integer/decimal
+    sums-of-squares, so every engine computes the identical rational
+    before the one correctly-rounded divide; cosine is rounded to 4 dp
+    and ties go to the LEXICOGRAPHICALLY SMALLEST label. A degenerate
+    all-zeros centroid (possible only when rounding floors every mean)
+    yields NULL cosine via try_divide and never wins. Documents with no
+    tokens — or no token shared with the vocabulary — get a NULL label
+    (kept via left join: a filterable "don't know", never a guess).
+
+    Returns (id, label, cos_sim). Scale: the model broadcasts; the only
+    shuffles are the per-(id, word) tf aggregation and the per-id
+    argmax, both map-side combinable.
+    """
+    mdec = F.col("m").cast("decimal(18,6)")
+    cnorm = model.groupBy("label").agg(
+        F.sqrt(F.sum(mdec * mdec).cast("double")).alias("__nc")
+    )
+    tf = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(_ws_tokens(text_col)).alias("word"),
+        )
+        .groupBy("__id", "word")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    dnorm = tf.groupBy("__id").agg(
+        F.sqrt(F.sum(F.col("__cnt") * F.col("__cnt")).cast("double")).alias(
+            "__nd"
+        )
+    )
+    scores = (
+        tf.join(F.broadcast(model), "word")
+        .groupBy("__id", "label")
+        .agg(F.sum(F.col("__cnt") * mdec).alias("__dot"))
+        .join(F.broadcast(cnorm), "label")
+        .join(dnorm, "__id")
+        .select(
+            "__id",
+            "label",
+            F.round(
+                F.try_divide(
+                    F.col("__dot").cast("double"),
+                    F.col("__nd") * F.col("__nc"),
+                ),
+                4,
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim").isNotNull())
+    )
+    best = scores.groupBy("__id").agg(
+        F.min_by(
+            F.struct("label", "cos_sim"),
+            F.struct((-F.col("cos_sim")).alias("s"), F.col("label")),
+        ).alias("__b")
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(best, df[id_col] == best["__id"], "left")
+        .select(
+            F.col(id_col),
+            F.col("__b.label").alias("label"),
+            F.col("__b.cos_sim").alias("cos_sim"),
+        )
+    )

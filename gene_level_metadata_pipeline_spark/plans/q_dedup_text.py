@@ -1251,6 +1251,79 @@ def q_mixture_sample_null_stratum(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @_register(
+    "text_classify_centroid",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang AS tl, w
+      FROM documents, unnest(string_split(text, ' ')) AS t(w)
+      WHERE w <> ''
+    ),
+    cw AS (SELECT tl AS label, w AS word, count(*) AS cnt
+           FROM toks GROUP BY tl, w),
+    nl AS (SELECT tl AS label, count(DISTINCT doc_id) AS n
+           FROM toks GROUP BY tl),
+    model AS (
+      SELECT label, word, round(CAST(cnt AS DOUBLE) / n, 6) AS m
+      FROM cw JOIN nl USING (label)
+    ),
+    cnorm AS (
+      SELECT label,
+             sqrt(CAST(sum(CAST(m AS DECIMAL(18,6))
+                           * CAST(m AS DECIMAL(18,6))) AS DOUBLE)) AS nc
+      FROM model GROUP BY label
+    ),
+    tf AS (SELECT doc_id, w AS word, count(*) AS cnt
+           FROM toks GROUP BY doc_id, w),
+    dnorm AS (SELECT doc_id, sqrt(CAST(sum(cnt * cnt) AS DOUBLE)) AS nd
+              FROM tf GROUP BY doc_id),
+    dots AS (
+      SELECT tf.doc_id, model.label,
+             sum(tf.cnt * CAST(model.m AS DECIMAL(18,6))) AS dot
+      FROM tf JOIN model ON tf.word = model.word
+      GROUP BY tf.doc_id, model.label
+    ),
+    scores AS (
+      SELECT d.doc_id, d.label,
+             round(CAST(d.dot AS DOUBLE) / nullif(dn.nd * cn.nc, 0), 4)
+               AS cos_sim
+      FROM dots d JOIN dnorm dn USING (doc_id) JOIN cnorm cn USING (label)
+      WHERE round(CAST(d.dot AS DOUBLE) / nullif(dn.nd * cn.nc, 0), 4)
+            IS NOT NULL
+    ),
+    best AS (
+      SELECT doc_id, label, cos_sim FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY cos_sim DESC, label
+        ) AS rn FROM scores
+      ) WHERE rn = 1
+    )
+    SELECT documents.doc_id, best.label, best.cos_sim
+    FROM documents LEFT JOIN best USING (doc_id)
+    """,
+)
+def q_text_classify_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio / nearest-centroid text classifier
+    (textanalysis.centroid_train/centroid_classify) — the model-driven
+    quality/domain filter of curation pipelines, here self-trained on
+    the corpus's lang labels and replayed over the same corpus. The
+    whole train→classify pipeline is oracle-certified BIT-EXACTLY:
+    centroids are one-divide means over exact counts, the sparse dot is
+    an exact DECIMAL sum, norms are exact sums-of-squares — no
+    transcendental math, only correctly-rounded /, sqrt (why this is
+    Rocchio, not Naive Bayes: log() differs by ulps across engines).
+    Ties go to the smallest label; token-free docs keep a NULL label."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        centroid_classify,
+        centroid_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model = centroid_train(docs, "text", "lang", "doc_id")
+    return centroid_classify(docs, model, "text", "doc_id")
+
+
+
+@_register(
     "text_bigram_lift",
     oracle="""
     WITH d AS (

@@ -884,3 +884,76 @@ def test_cosine_family_survives_zero_norm_vectors(spark):
     }
     assert sem[2] == (2, True) and sem[3] == (3, True)
     assert sem[4] == (0, False) and sem[0] == (0, True)
+
+
+def test_centroid_classifier_hand_checkable(spark):
+    """Rocchio classifier on a fixture small enough to verify by hand:
+    two one-doc classes with disjoint vocabulary classify themselves and
+    a fresh document perfectly; a doc sharing nothing with the vocab and
+    an empty doc get NULL (a filterable "don't know", never a guess)."""
+    train = spark.createDataFrame(
+        [
+            (1, "cat cat dog", "pets"),
+            (2, "stock bond stock", "finance"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    model = textanalysis.centroid_train(train, "text", "lang", "doc_id")
+    m = {(r["label"], r["word"]): r["m"] for r in model.collect()}
+    # one doc per label: centroid == that doc's raw counts
+    assert m == {
+        ("pets", "cat"): 2.0, ("pets", "dog"): 1.0,
+        ("finance", "stock"): 2.0, ("finance", "bond"): 1.0,
+    }
+
+    test = spark.createDataFrame(
+        [
+            (10, "dog dog cat"),
+            (11, "bond stock"),
+            (12, "zebra quark"),
+            (13, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["label"], r["cos_sim"])
+        for r in textanalysis.centroid_classify(test, model, "text", "doc_id").collect()
+    }
+    assert out[10][0] == "pets" and out[11][0] == "finance"
+    # cos((2,1),(1,2)) = 4/5 = 0.8 exactly
+    assert out[10][1] == 0.8
+    assert out[12] == (None, None) and out[13] == (None, None)
+
+
+def test_centroid_classifier_separates_signal_classes(spark):
+    """On a corpus with real class signal (label-specific vocabulary
+    plus heavy shared noise) the classifier must recover the labels of
+    unseen documents — the smoke check a curation pipeline runs before
+    trusting a filter model. (The parquet documents fixture is NOT used
+    here: its lang column is uncorrelated random metadata, so agreement
+    there is chance by construction.)"""
+    noise = "data table row batch merge join"
+    train = [
+        (i, f"{noise} kitten whisker paw fur meow tail", "pets")
+        for i in range(20)
+    ] + [
+        (100 + i, f"{noise} dividend ledger bond equity yield", "finance")
+        for i in range(20)
+    ]
+    tdf = spark.createDataFrame(train, "doc_id long, text string, lang string")
+    model = textanalysis.centroid_train(tdf, "text", "lang", "doc_id")
+
+    test = spark.createDataFrame(
+        [
+            (200, f"{noise} paw fur kitten"),
+            (201, f"{noise} meow tail whisker"),
+            (202, f"{noise} bond yield dividend"),
+            (203, f"{noise} ledger equity bond"),
+        ],
+        "doc_id long, text string",
+    )
+    pred = {
+        r["doc_id"]: r["label"]
+        for r in textanalysis.centroid_classify(test, model, "text", "doc_id").collect()
+    }
+    assert pred == {200: "pets", 201: "pets", 202: "finance", 203: "finance"}
