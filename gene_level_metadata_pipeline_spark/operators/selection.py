@@ -47,6 +47,7 @@ __all__ = [
     "mixture_sample",
     "temperature_mixture_rates",
     "corpus_shuffle",
+    "stratified_take",
 ]
 
 
@@ -286,3 +287,45 @@ def mixture_sample(
         )
     )
     return df.where(F.substring(h, 1, 8) < bound)
+
+
+def stratified_take(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    k: int,
+    salt: str = "take",
+) -> DataFrame:
+    """EXACT-k per-stratum sampling: keep the ``k`` rows of each stratum
+    whose salted hash ranks lowest — the fixed-budget counterpart to the
+    rate-based :func:`mixture_sample` ("exactly 10k docs per domain",
+    where a Bernoulli rate only hits the budget in expectation).
+
+    Deterministic and engine-reproducible: rank = ``row_number`` over
+    ``(md5(salt:key), key)`` within the stratum, so re-runs, other
+    engines, and ANY partitioning select the identical rows; adding rows
+    to one stratum never perturbs another stratum's selection, and
+    growing ``k`` only ever ADDS rows (nested samples, the property that
+    makes ablation corpora comparable). NULL strata form their own group
+    (partitionBy treats NULL as a key, matching the NULL-stratum
+    contract of mixture_sample). Returns the sampled rows plus
+    ``sample_rank`` (1-based within the stratum).
+
+    Scale: one hash-partition shuffle on the stratum column plus a
+    per-partition sort — the same shape as any windowed top-k; skewed
+    strata are bounded by k at the OUTPUT but still sort their full
+    input, so cap runaway strata upstream (gopher gate, exact dedup)
+    the way the LSH bucket caps do.
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError(f"stratified_take: k={k} must be >= 1")
+    h = F.md5(
+        F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))
+    )
+    w = Window.partitionBy(stratum_col).orderBy(h, F.col(key_col))
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= k)
+    )

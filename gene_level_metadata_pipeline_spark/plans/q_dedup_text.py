@@ -1215,6 +1215,34 @@ def q_mixture_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "stratified_take_k",
+    oracle="""
+    SELECT doc_id, lang, sample_rank FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('take:' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= 25
+    """,
+)
+def q_stratified_take_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-k per-stratum sampling (selection.stratified_take): exactly
+    25 docs per language by salted-hash rank — the fixed-budget
+    counterpart to rate-based mixture_sample, with the nested-sample
+    property (k'>k strictly extends the k-sample). Deterministic across
+    engines and partitionings: rank = row_number over (md5(salt:key),
+    key) within the stratum."""
+    from gene_level_metadata_pipeline_spark.operators.selection import (
+        stratified_take,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_take(docs, "doc_id", "lang", k=25)
+
+
+@_register(
     "mixture_sample_null_stratum",
     oracle="""
     WITH d AS (

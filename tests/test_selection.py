@@ -192,3 +192,36 @@ def test_train_split_zero_test_fraction(spark):
     assert "test" not in got
     assert got["train"] + got["val"] == 2000
     assert 1700 < got["train"] < 1900  # ~90% under hash-Bernoulli
+
+
+def test_stratified_take_exact_k_and_nested(spark):
+    """stratified_take: exactly min(k, |stratum|) rows per stratum, the
+    k-sample is a strict prefix of the (k+m)-sample (nested-sample
+    property), selection is partitioning-invariant, and k < 1 raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from gene_level_metadata_pipeline_spark.operators.selection import (
+        stratified_take,
+    )
+
+    rows = [(i, "a") for i in range(40)] + [(100 + i, "b") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+
+    k5 = {(r["doc_id"]) for r in stratified_take(df, "doc_id", "lang", 5).collect()}
+    sizes = {
+        r["lang"]: r["n"]
+        for r in stratified_take(df, "doc_id", "lang", 5)
+        .groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sizes == {"a": 5, "b": 3}  # small stratum keeps all it has
+
+    k8 = {(r["doc_id"]) for r in stratified_take(df, "doc_id", "lang", 8).collect()}
+    assert k5 <= k8  # nested samples
+
+    rep = {(r["doc_id"]) for r in stratified_take(
+        df.repartition(13), "doc_id", "lang", 5).collect()}
+    assert rep == k5  # partitioning-invariant
+
+    with pytest.raises(ValueError, match="k=0"):
+        stratified_take(df, "doc_id", "lang", 0)
