@@ -1278,10 +1278,11 @@ def q_mixture_sample_null_stratum(spark: SparkSession, sf_dir: str) -> DataFrame
     return mixture_sample(d, "doc_id", "lang", {"en": 0.5, None: 1.0})
 
 
-@_register(
-    "text_classify_centroid",
-    oracle="""
-    WITH toks AS (
+# Shared DuckDB CTE chain: the full Rocchio train->classify pipeline over
+# `documents` self-trained on lang (toks -> model -> norms -> dots -> best).
+# Mirrors textanalysis.centroid_train/centroid_classify bit-exactly; reused
+# by text_classify_centroid and the model_curation_pipeline composite.
+_CENTROID_CTES = """toks AS (
       SELECT doc_id, lang AS tl, w
       FROM documents, unnest(string_split(text, ' ')) AS t(w)
       WHERE w <> ''
@@ -1324,7 +1325,13 @@ def q_mixture_sample_null_stratum(spark: SparkSession, sf_dir: str) -> DataFrame
           PARTITION BY doc_id ORDER BY cos_sim DESC, label
         ) AS rn FROM scores
       ) WHERE rn = 1
-    )
+    )"""
+
+
+@_register(
+    "text_classify_centroid",
+    oracle=f"""
+    WITH {_CENTROID_CTES}
     SELECT documents.doc_id, best.label, best.cos_sim
     FROM documents LEFT JOIN best USING (doc_id)
     """,
@@ -1349,6 +1356,75 @@ def q_text_classify_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = centroid_train(docs, "text", "lang", "doc_id")
     return centroid_classify(docs, model, "text", "doc_id")
 
+
+@_register(
+    "model_curation_pipeline",
+    oracle=f"""
+    WITH {_CENTROID_CTES},
+    kept AS (
+      SELECT d.doc_id, d.lang, d.text
+      FROM documents d JOIN best b USING (doc_id)
+      WHERE b.label = d.lang
+    ),
+    canon AS (
+      SELECT min(doc_id) AS doc_id
+      FROM kept
+      GROUP BY coalesce(md5(text), chr(0) || CAST(doc_id AS VARCHAR))
+    )
+    SELECT doc_id, lang, sample_rank FROM (
+      SELECT k.doc_id, k.lang,
+             row_number() OVER (
+               PARTITION BY k.lang
+               ORDER BY md5('take:' || CAST(k.doc_id AS VARCHAR)), k.doc_id
+             ) AS sample_rank
+      FROM kept k JOIN canon USING (doc_id)
+    ) WHERE sample_rank <= 20
+    """,
+)
+def q_model_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-driven curation composite — the round-4 components chained
+    the way a production curation run would use them:
+
+    1. train the Rocchio centroid classifier on the corpus's own lang
+       labels and KEEP only label-consistent documents (consensus /
+       agreement filtering: rows whose recorded label the model cannot
+       reproduce are the likeliest mislabels or noise — the public
+       confident-learning recipe);
+    2. exact-dedup the survivors (NULL-safe surrogate key), keeping
+       canonical copies only;
+    3. draw an EXACT per-language budget (stratified_take, k=20) for
+       the final mix.
+
+    Every stage reuses an already-certified oracle twin (the shared
+    centroid CTE chain, the dedup surrogate-key GROUP BY, the salted
+    rank), so the composite is certified end-to-end, not just
+    stagewise. Returns (doc_id, lang, sample_rank)."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import dedup_exact
+    from gene_level_metadata_pipeline_spark.operators.selection import (
+        stratified_take,
+    )
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        centroid_classify,
+        centroid_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    model = centroid_train(docs, "text", "lang", "doc_id")
+    pred = centroid_classify(docs, model, "text", "doc_id").select(
+        "doc_id", F.col("label")
+    )
+    kept = (
+        docs.join(pred, "doc_id")
+        .where(F.col("label").eqNullSafe(F.col("lang")) & F.col("label").isNotNull())
+        .select("doc_id", "lang", "text")
+    )
+    canon = dedup_exact(kept, "text", "doc_id").select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    return stratified_take(
+        kept.join(canon, "doc_id").select("doc_id", "lang"),
+        "doc_id", "lang", k=20,
+    )
 
 
 @_register(
