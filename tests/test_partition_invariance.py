@@ -131,3 +131,26 @@ def test_semantic_near_dup_partition_invariant(spark):
     b = _rows(semantic_near_dup(emb.repartition(13), k=8, threshold=0.15))
     assert a == b
     assert len(a) > 0
+
+
+def test_centroid_classifier_partition_invariant(spark):
+    """The classifier's exactness discipline (integer counts, DECIMAL
+    sparse dots, rounded argmax with total tie order) means train +
+    classify must be partitioning-blind end-to-end."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        centroid_classify,
+        centroid_train,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+
+    def run(d):
+        m = centroid_train(d, "text", "lang", "doc_id")
+        return _rows(centroid_classify(d, m, "text", "doc_id"))
+
+    a = run(docs.repartition(1))
+    b = run(docs.repartition(13))
+    assert a == b
+    assert len(a) > 0
