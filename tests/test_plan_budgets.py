@@ -90,6 +90,13 @@ EXTRA_BUDGET = {
     "dedup_semantic": 2,        # Lloyd re-estimation + converged components scan
     "ann_sign_lsh_pairs": 0,    # bucket id rides the scan partitioning
     "dedup_embedding_cosine": 2,
+    # Rocchio train (label/word counts + distinct-doc counts) + classify
+    # (tf, norms, dots, argmax) — model/cnorm sides broadcast, id-keyed
+    # aggs shuffle; countDistinct expands to two phases
+    "text_classify_centroid": 13,
+    "stratified_take_k": 1,     # one stratum window
+    # classifier agreement filter + dedup + stratified budget on top
+    "model_curation_pipeline": 27,
 }
 
 
