@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["resample_locf", "scd2_intervals"]
+__all__ = ["resample_locf", "scd2_intervals", "rolling_zscore"]
 
 
 def resample_locf(
@@ -133,3 +133,62 @@ def scd2_intervals(
         F.col(ts_col).alias("valid_from"),
         F.lead(ts_col).over(w2).alias("valid_to"),
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def rolling_zscore(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tie_col: str,
+    window: int = 20,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Rolling z-score anomaly detection per series — the streaming-
+    telemetry data-quality gate (is this point surprising given the
+    last ``window`` points?) as one partition window, no self-joins.
+
+    Each row is scored against the mean/std of the PREVIOUS ``window``
+    values in its ``key_col`` series (frame: ``window`` PRECEDING to 1
+    PRECEDING — the point never scores against itself, so a level shift
+    is flagged at its first row, not absorbed). Exactness discipline
+    (the engine's standard, same as quality.zscore_outliers): moments
+    come from DECIMAL(18,6) sums and sums-of-squares — exact,
+    order-independent, and immune to the incremental add/remove rounding
+    drift of double sliding-window sums — followed by correctly-rounded
+    double division, so the oracle reproduces every z bit-exactly.
+    Rows with fewer than ``window`` predecessors or a zero/degenerate
+    std get a NULL ``z`` and ``is_anomaly`` NULL (warm-up and
+    constant-series rows are "don't know", not "normal").
+
+    Returns the input plus (z, is_anomaly). Scale: one shuffle on
+    ``key_col``; state per row is the O(window) frame — bounded,
+    skew-safe for any realistic window size.
+    """
+    if window < 2:
+        raise ValueError(f"rolling_zscore: window={window} must be >= 2")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col(tie_col))
+        .rowsBetween(-window, -1)
+    )
+    vdec = F.col(value_col).cast("decimal(18,6)")
+    cnt = F.count(vdec).over(w)
+    s1 = F.sum(vdec).over(w)
+    s2 = F.sum(vdec * vdec).over(w)
+    mean = s1.cast("double") / cnt
+    # mean * mean, never ** 2: pow() is not guaranteed ulp-identical to
+    # plain multiplication across engines, multiplication is
+    var = s2.cast("double") / cnt - mean * mean
+    sd = F.sqrt(var)
+    z = F.when(
+        (cnt >= window) & (sd > 0),
+        F.round(
+            (vdec.cast("double") - mean) / sd,
+            4,
+        ),
+    )
+    return df.withColumn("z", z).withColumn(
+        "is_anomaly",
+        F.when(F.col("z").isNotNull(), F.abs(F.col("z")) > threshold),
+    )

@@ -327,3 +327,63 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_intervals(ev, "user_id", "us", "event_type", "event_id")
 
 
+
+
+@_register(
+    "rolling_zscore_anomalies",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, ts, event_type,
+             CAST(value AS DECIMAL(18,6)) AS v
+      FROM events
+    ),
+    s AS (
+      SELECT event_id, event_type, v,
+             count(v) OVER w AS c,
+             sum(v) OVER w AS s1,
+             sum(v * v) OVER w AS s2
+      FROM e
+      WINDOW w AS (
+        PARTITION BY event_type ORDER BY ts, event_id
+        ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING
+      )
+    )
+    SELECT event_id, event_type,
+           CASE WHEN c >= 20
+                     AND sqrt(CAST(s2 AS DOUBLE) / c
+                              - (CAST(s1 AS DOUBLE) / c)
+                                * (CAST(s1 AS DOUBLE) / c)) > 0
+                THEN round((CAST(v AS DOUBLE) - CAST(s1 AS DOUBLE) / c)
+                           / sqrt(CAST(s2 AS DOUBLE) / c
+                                  - (CAST(s1 AS DOUBLE) / c)
+                                    * (CAST(s1 AS DOUBLE) / c)), 4)
+           END AS z,
+           CASE WHEN c >= 20
+                     AND sqrt(CAST(s2 AS DOUBLE) / c
+                              - (CAST(s1 AS DOUBLE) / c)
+                                * (CAST(s1 AS DOUBLE) / c)) > 0
+                THEN abs(round((CAST(v AS DOUBLE) - CAST(s1 AS DOUBLE) / c)
+                               / sqrt(CAST(s2 AS DOUBLE) / c
+                                      - (CAST(s1 AS DOUBLE) / c)
+                                        * (CAST(s1 AS DOUBLE) / c)), 4)) > 3.0
+           END AS is_anomaly
+    FROM s
+    """,
+)
+def q_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly gate (timeseries.rolling_zscore): each
+    event scored against the mean/std of the previous 20 values of its
+    event_type series — the telemetry data-quality check, one window,
+    no self-join. DECIMAL moments make the rolling sums exact and
+    order-independent (double sliding sums drift through incremental
+    add/remove rounding), so the oracle reproduces every z bit-exactly;
+    warm-up rows (< 20 predecessors) and degenerate stds stay NULL
+    rather than reading as "normal"."""
+    from gene_level_metadata_pipeline_spark.operators.timeseries import (
+        rolling_zscore,
+    )
+
+    ev = _events(spark, sf_dir).select("event_id", "ts", "event_type", "value")
+    return rolling_zscore(
+        ev, "event_type", "ts", "value", "event_id", window=20, threshold=3.0
+    ).select("event_id", "event_type", "z", "is_anomaly")

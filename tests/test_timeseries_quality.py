@@ -216,3 +216,33 @@ def test_winsorize_null_group_rows_survive(spark):
     vals = {r["x"]: r["winsorized"]
             for r in out.where(F.col("g").isNull()).collect()}
     assert vals[1.0] == 1.9 and vals[10.0] == 9.1 and vals[5.0] == 5.0
+
+
+def test_rolling_zscore_flags_spike_and_masks_warmup(spark):
+    """Hand-checkable rolling z-score: 20 alternating 1/2 values (mean
+    1.5, sd 0.5) then a 100.0 spike -> z = (100-1.5)/0.5 = 197 exactly,
+    flagged; every warm-up row (< 20 predecessors) stays NULL; a
+    constant-frame follow-up row is NULL too (sd = 0 is "don't know")."""
+    from pyspark.sql import functions as F
+
+    from gene_level_metadata_pipeline_spark.operators.timeseries import (
+        rolling_zscore,
+    )
+
+    rows = [(i, i * 1000, "m", 1.0 + (i % 2)) for i in range(20)]
+    rows.append((20, 20000, "m", 100.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, event_type string, value double"
+    )
+    out = {
+        r["event_id"]: (r["z"], r["is_anomaly"])
+        for r in rolling_zscore(
+            df, "event_type", "ts", "value", "event_id", window=20
+        ).collect()
+    }
+    assert out[20] == (197.0, True)
+    assert all(out[i] == (None, None) for i in range(20))
+
+    import pytest
+    with pytest.raises(ValueError, match="window=1"):
+        rolling_zscore(df, "event_type", "ts", "value", "event_id", window=1)
