@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["as_of_join", "range_join", "hierarchical_rollup"]
+__all__ = ["as_of_join", "range_join", "hierarchical_rollup", "funnel_steps", "retention_cohorts"]
 
 
 def as_of_join(
@@ -163,3 +163,102 @@ def hierarchical_rollup(
             )
         )
     return out
+
+
+def funnel_steps(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users performed the ``steps``
+    event types in strict timestamp order (each step strictly AFTER the
+    user's earliest completion of the previous one — a purchase logged
+    before the user's first click does not convert the purchase step).
+
+    Shape chosen for scale: one conditional min-aggregation per step —
+    ``t_i = min(ts of step_i events with ts > t_{i-1})`` — chained via
+    user-keyed joins that all reuse the same hash partitioning, instead
+    of collecting each user's event array (a power user with millions
+    of events would blow an array buffer; a per-step min never does).
+
+    Returns one row per step: (step_idx, step, n_users, pct_of_first)
+    with pct rounded to 4 dp (NULL when the first step had no users).
+    """
+    if not steps:
+        raise ValueError("funnel_steps: steps must be non-empty")
+    u = F.col(user_col).alias("__u")
+    reached = None  # DataFrame (__u, __t) of users who reached the prior step
+    counts = []
+    for i, step in enumerate(steps):
+        ev = events.where(F.col(type_col) == step).select(
+            u, F.col(ts_col).alias("__ts")
+        )
+        if reached is None:
+            reached = ev.groupBy("__u").agg(F.min("__ts").alias("__t"))
+        else:
+            reached = (
+                ev.join(reached, "__u")
+                .where(F.col("__ts") > F.col("__t"))
+                .groupBy("__u")
+                .agg(F.min("__ts").alias("__t"))
+            )
+        counts.append(
+            reached.agg(
+                F.lit(i + 1).cast("long").alias("step_idx"),
+                F.lit(step).alias("step"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+    from functools import reduce
+
+    out = reduce(DataFrame.unionByName, counts)
+    first = out.where(F.col("step_idx") == 1).select(
+        F.col("n_users").alias("__n1")
+    )
+    return out.join(F.broadcast(first)).select(
+        "step_idx",
+        "step",
+        "n_users",
+        F.round(
+            F.try_divide(F.col("n_users").cast("double"), F.col("__n1")), 4
+        ).alias("pct_of_first"),
+    )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    week_us: int = 7 * 24 * 3600 * 1_000_000,
+) -> DataFrame:
+    """Weekly retention-cohort matrix: users grouped by the calendar
+    week of their FIRST event (date_trunc('week') — Monday start in
+    both Spark and DuckDB), counted in each whole-week offset from that
+    first event. The offset is integer microsecond arithmetic
+    (floor((us - first_us) / week_us)), not calendar recursion, so both
+    engines derive the identical long. Returns (cohort_week,
+    week_offset, n_users) — offset 0 is the cohort size itself.
+
+    Shape: one user-keyed min-aggregation, one user-keyed join that
+    reuses the partitioning, one (cohort, offset) count-distinct.
+    """
+    firsts = events.groupBy(F.col(user_col).alias("__u")).agg(
+        F.min(F.col(ts_col)).alias("__first")
+    )
+    joined = events.select(
+        F.col(user_col).alias("__u"), F.col(ts_col).alias("__ts")
+    ).join(firsts, "__u")
+    return (
+        joined.select(
+            F.date_trunc("week", F.col("__first")).alias("cohort_week"),
+            F.floor(
+                (F.unix_micros("__ts") - F.unix_micros("__first"))
+                / F.lit(week_us)
+            ).alias("week_offset"),
+            F.col("__u"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("__u").alias("n_users"))
+    )

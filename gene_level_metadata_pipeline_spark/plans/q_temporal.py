@@ -387,3 +387,73 @@ def q_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_zscore(
         ev, "event_type", "ts", "value", "event_id", window=20, threshold=3.0
     ).select("event_id", "event_type", "z", "is_anomaly")
+
+
+@_register(
+    "funnel_conversion",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id
+    ),
+    c AS (
+      SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+             (SELECT count(*) FROM s1) AS n_users
+      UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+      UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+    )
+    SELECT step_idx, step, n_users,
+           round(CAST(n_users AS DOUBLE)
+                 / nullif((SELECT n_users FROM c WHERE step_idx = 1), 0), 4)
+             AS pct_of_first
+    FROM c
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view → click → purchase (temporal.funnel_steps):
+    each step counts users whose step event is strictly AFTER their
+    earliest completion of the previous step — per-step conditional min
+    aggregations chained on the user key, never per-user event arrays
+    (a power user cannot blow a buffer). pct_of_first rounds to 4 dp."""
+    from gene_level_metadata_pipeline_spark.operators.temporal import funnel_steps
+
+    ev = _events(spark, sf_dir)
+    return funnel_steps(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
+@_register(
+    "retention_cohorts",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id
+    )
+    SELECT CAST(date_trunc('week', f.first_ts) AS TIMESTAMP) AS cohort_week,
+           CAST(floor((epoch_us(e.ts) - epoch_us(f.first_ts))
+                      / 604800000000) AS BIGINT) AS week_offset,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts (temporal.retention_cohorts): cohort =
+    Monday-truncated week of each user's first event, activity bucketed
+    by whole-week offsets in integer microsecond arithmetic so both
+    engines derive identical longs. Offset 0 row is the cohort size."""
+    from gene_level_metadata_pipeline_spark.operators.temporal import (
+        retention_cohorts,
+    )
+
+    return retention_cohorts(_events(spark, sf_dir), "user_id", "ts")

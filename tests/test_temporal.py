@@ -51,3 +51,50 @@ def test_range_join_bands(spark):
     )
     out = {r["id"]: r["band"] for r in range_join(facts, bands, "v", "lo", "hi").collect()}
     assert out == {1: "lo", 2: "mid", 3: "mid", 4: "hi"}  # half-open bounds
+
+
+def test_funnel_strict_ordering_and_retention_offsets(spark):
+    """Funnel: a user whose purchase precedes their first click must NOT
+    convert the purchase step; retention: offsets are whole weeks from
+    each user's first event, offset 0 equals cohort size."""
+    from pyspark.sql import functions as F
+
+    from gene_level_metadata_pipeline_spark.operators.temporal import (
+        funnel_steps,
+        retention_cohorts,
+    )
+
+    rows = [
+        # u1 converts all three in order
+        (1, "2024-01-01 00:00:00", "view"),
+        (1, "2024-01-01 01:00:00", "click"),
+        (1, "2024-01-01 02:00:00", "purchase"),
+        # u2 purchases BEFORE clicking: converts view+click only
+        (2, "2024-01-01 00:00:00", "view"),
+        (2, "2024-01-01 00:30:00", "purchase"),
+        (2, "2024-01-01 01:00:00", "click"),
+        # u3 never views: converts nothing
+        (3, "2024-01-01 00:00:00", "click"),
+        (3, "2024-01-01 01:00:00", "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts_s string, event_type string"
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type")
+    out = {
+        r["step"]: (r["n_users"], r["pct_of_first"])
+        for r in funnel_steps(
+            ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert out == {
+        "view": (2, 1.0),
+        "click": (2, 1.0),
+        "purchase": (1, 0.5),
+    }
+
+    ret = {
+        (str(r["cohort_week"]), r["week_offset"]): r["n_users"]
+        for r in retention_cohorts(ev, "user_id", "ts").collect()
+    }
+    # all three users first appear Mon 2024-01-01; all activity in week 0
+    assert ret == {("2024-01-01 00:00:00", 0): 3}
