@@ -457,3 +457,122 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return retention_cohorts(_events(spark, sf_dir), "user_id", "ts")
+
+
+@_register(
+    "event_transition_matrix",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ),
+    pairs AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             count(*) AS n
+      FROM o WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ),
+    tot AS (
+      SELECT from_type, sum(n) AS t FROM pairs GROUP BY from_type
+    )
+    SELECT p.from_type, p.to_type, p.n,
+           round(CAST(p.n AS DOUBLE) / t.t, 4) AS p_next
+    FROM pairs p JOIN tot t USING (from_type)
+    """,
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    lead() within (user, ts, event_id) order pairs each event with its
+    successor, pair counts normalize per source state. One user-keyed
+    sort window + one pair aggregation; counts are exact, the single
+    division is correctly rounded — oracle-exact."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    o = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    pairs = o.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("__t"))
+    return pairs.join(F.broadcast(tot), "from_type").select(
+        "from_type", "to_type", "n",
+        F.round(F.col("n").cast("double") / F.col("__t"), 4).alias("p_next"),
+    )
+
+
+@_register(
+    "ab_metric_ztest",
+    oracle="""
+    WITH g AS (
+      SELECT event_type AS grp,
+             count(*) AS n,
+             sum(CAST(value AS DECIMAL(18,6))) AS s1,
+             sum(CAST(value AS DECIMAL(18,6))
+                 * CAST(value AS DECIMAL(18,6))) AS s2
+      FROM events
+      WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL
+      GROUP BY event_type
+    ),
+    m AS (
+      SELECT grp, n,
+             CAST(s1 AS DOUBLE) / n AS mean,
+             CAST(s2 AS DOUBLE) / n
+               - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) AS var
+      FROM g
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           round(a.mean, 4) AS mean_a, round(b.mean, 4) AS mean_b,
+           round((a.mean - b.mean)
+                 / sqrt(a.var / a.n + b.var / b.n), 4) AS z
+    FROM m a JOIN m b ON a.grp = 'view' AND b.grp = 'purchase'
+    """,
+)
+def q_ab_metric_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample z-test on the value metric between two event cohorts
+    (the A/B readout): per-group moments from exact DECIMAL sums, then
+    z = (mean_a - mean_b) / sqrt(var_a/n_a + var_b/n_b) — purely
+    algebraic (+ - x / sqrt are correctly rounded IEEE), so the whole
+    statistic is oracle-exact. One grouped aggregation; the two 1-row
+    cohort frames join broadcast."""
+    ev = _events(spark, sf_dir)
+    vdec = F.col("value").cast("decimal(18,6)")
+    g = (
+        ev.where(
+            F.col("event_type").isin("view", "purchase")
+            & F.col("value").isNotNull()
+        )
+        .groupBy(F.col("event_type").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(vdec).alias("s1"),
+            F.sum(vdec * vdec).alias("s2"),
+        )
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    m = g.select(
+        "grp", "n",
+        mean.alias("mean"),
+        (F.col("s2").cast("double") / F.col("n") - mean * mean).alias("var"),
+    )
+    a = m.where(F.col("grp") == "view").alias("a")
+    b = m.where(F.col("grp") == "purchase").alias("b")
+    return a.crossJoin(F.broadcast(b)).select(
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        F.round(F.col("a.mean"), 4).alias("mean_a"),
+        F.round(F.col("b.mean"), 4).alias("mean_b"),
+        F.round(
+            (F.col("a.mean") - F.col("b.mean"))
+            / F.sqrt(
+                F.col("a.var") / F.col("a.n") + F.col("b.var") / F.col("b.n")
+            ),
+            4,
+        ).alias("z"),
+    )
