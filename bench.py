@@ -68,6 +68,10 @@ HEADLINE = [
     "near_dup_pairs",
     "web_curation_pipeline",
     "harmonize_multi_source",
+    "rolling_zscore_anomalies",
+    "funnel_conversion",
+    "event_transition_matrix",
+    "ab_metric_ztest",
 ]
 
 REPS = 3

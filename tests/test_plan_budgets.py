@@ -80,6 +80,14 @@ SHUFFLE_BUDGET = {
     # EP2 wide-table build: two orders aggregations + final distinct; all
     # four source folds onto the spine are broadcast joins (5 BHJ, 0 SMJ)
     "harmonize_multi_source": 3,
+    # one event_type sort window, DECIMAL rolling moments
+    "rolling_zscore_anomalies": 1,
+    # 3 conditional-min chains on the user key + 1-row pct broadcast
+    "funnel_conversion": 10,
+    # user sort window + pair agg; per-source totals broadcast
+    "event_transition_matrix": 5,
+    # one grouped moments pass; 1-row cohort frames broadcast
+    "ab_metric_ztest": 2,
 }
 
 # Non-headline flagships whose plan shape is still pinned (round-4 audit).
