@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["Rule", "not_null", "accepted_values", "in_range", "unique",
            "foreign_key", "validate", "histogram", "flag_outliers",
-           "winsorize"]
+           "winsorize", "equi_depth_histogram"]
 
 
 class Rule:
@@ -277,4 +277,42 @@ def winsorize(
             F.least(F.greatest(x, F.col("__plo")), F.col("__phi")),
         )
         .drop("__g", "__plo", "__phi")
+    )
+
+
+def equi_depth_histogram(
+    df: DataFrame, col: str, tie_col: str, nbins: int
+) -> DataFrame:
+    """Equi-DEPTH histogram: ``ntile(nbins)`` over a TOTAL order
+    (value, then ``tie_col``), then per-bucket lo/hi/count — the
+    quantile-bucketed complement to :func:`histogram` (equi-width bins
+    starve where data clusters; equi-depth bins each hold ~n/nbins
+    rows by construction). The tie column makes bucket assignment
+    deterministic for duplicate values, so both engines place every row
+    identically and the oracle matches bit-for-bit.
+
+    Scale: ntile needs a global order — one range-partition exchange
+    (Spark plans a global sort via range partitioning, the same shape as
+    any ORDER BY); per-bucket stats ride a second small aggregation.
+    For a 100 TB column, prefer approxQuantile for cut points and a
+    broadcast-binning pass; this exact form is for profile-grade
+    accuracy on aggregable columns.
+    """
+    from pyspark.sql.window import Window
+
+    if nbins < 1:
+        raise ValueError(f"equi_depth_histogram: nbins={nbins} must be >= 1")
+    w = Window.orderBy(F.col(col), F.col(tie_col))
+    binned = df.select(
+        F.col(col).cast("double").alias("__x"),
+        F.ntile(nbins).over(w).cast("long").alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.min("__x").alias("lo"),
+            F.max("__x").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("bin", "lo", "hi", "n")
     )

@@ -896,6 +896,35 @@ def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "histogram_equi_depth",
+    oracle="""
+    WITH binned AS (
+      SELECT CAST(o_totalprice AS DOUBLE) AS x,
+             CAST(ntile(20) OVER (ORDER BY o_totalprice, o_orderkey)
+                  AS BIGINT) AS bin
+      FROM orders
+    )
+    SELECT bin, min(x) AS lo, max(x) AS hi, count(*) AS n
+    FROM binned GROUP BY bin
+    """,
+)
+def q_histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (quality.equi_depth_histogram): 20 quantile
+    buckets of order totals via ntile over a TOTAL order (value, then
+    orderkey — duplicate values land deterministically), per-bucket
+    lo/hi/count. The profile complement to histogram_prices: equi-width
+    bins starve where data clusters, equi-depth bins each hold ~n/20
+    rows by construction."""
+    from gene_level_metadata_pipeline_spark.operators.quality import (
+        equi_depth_histogram,
+    )
+
+    return equi_depth_histogram(
+        _t(spark, sf_dir, "orders"), "o_totalprice", "o_orderkey", 20
+    )
+
+
+@_register(
     "outlier_zscore",
     oracle="""
     WITH m AS (

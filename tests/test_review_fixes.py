@@ -177,3 +177,27 @@ def test_observation_without_cap_fails_loud(spark):
         similarity.sign_lsh_pairs(
             vecs, max_bucket_size=None, observation=Observation("y")
         )
+
+
+def test_equi_depth_histogram_hand_checkable(spark):
+    """10 values into 5 quantile buckets: every bucket holds exactly 2,
+    lo/hi are the actual bucket members, duplicate values split
+    deterministically by the tie column; nbins < 1 raises."""
+    import pytest
+
+    from gene_level_metadata_pipeline_spark.operators.quality import (
+        equi_depth_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([1, 1, 2, 3, 5, 8, 13, 21, 34, 55])],
+        "id long, x double",
+    )
+    out = {r["bin"]: (r["lo"], r["hi"], r["n"]) for r in
+           equi_depth_histogram(df, "x", "id", 5).collect()}
+    assert out == {
+        1: (1.0, 1.0, 2), 2: (2.0, 3.0, 2), 3: (5.0, 8.0, 2),
+        4: (13.0, 21.0, 2), 5: (34.0, 55.0, 2),
+    }
+    with pytest.raises(ValueError, match="nbins=0"):
+        equi_depth_histogram(df, "x", "id", 0)
