@@ -303,7 +303,11 @@ def equi_depth_histogram(
     if nbins < 1:
         raise ValueError(f"equi_depth_histogram: nbins={nbins} must be >= 1")
     w = Window.orderBy(F.col(col), F.col(tie_col))
-    binned = df.select(
+    # NULL values are excluded EXPLICITLY: Spark sorts NULLS FIRST
+    # ascending while DuckDB defaults to NULLS LAST, so leaving them in
+    # would silently shift every bucket boundary between engines — and a
+    # NULL has no quantile anyway
+    binned = df.where(F.col(col).isNotNull()).select(
         F.col(col).cast("double").alias("__x"),
         F.ntile(nbins).over(w).cast("long").alias("bin"),
     )

@@ -903,6 +903,7 @@ def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(ntile(20) OVER (ORDER BY o_totalprice, o_orderkey)
                   AS BIGINT) AS bin
       FROM orders
+      WHERE o_totalprice IS NOT NULL
     )
     SELECT bin, min(x) AS lo, max(x) AS hi, count(*) AS n
     FROM binned GROUP BY bin

@@ -189,10 +189,9 @@ def test_equi_depth_histogram_hand_checkable(spark):
         equi_depth_histogram,
     )
 
-    df = spark.createDataFrame(
-        [(i, float(v)) for i, v in enumerate([1, 1, 2, 3, 5, 8, 13, 21, 34, 55])],
-        "id long, x double",
-    )
+    rows = [(i, float(v)) for i, v in enumerate([1, 1, 2, 3, 5, 8, 13, 21, 34, 55])]
+    rows.append((99, None))  # NULL has no quantile: excluded in BOTH engines
+    df = spark.createDataFrame(rows, "id long, x double")
     out = {r["bin"]: (r["lo"], r["hi"], r["n"]) for r in
            equi_depth_histogram(df, "x", "id", 5).collect()}
     assert out == {
