@@ -324,7 +324,11 @@ def stratified_take(
     h = F.md5(
         F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))
     )
-    w = Window.partitionBy(stratum_col).orderBy(h, F.col(key_col))
+    # asc_nulls_last = DuckDB's default NULL ordering (Spark would sort
+    # a NULL hash/key FIRST and silently re-rank the stratum)
+    w = Window.partitionBy(stratum_col).orderBy(
+        h.asc_nulls_last(), F.col(key_col).asc_nulls_last()
+    )
     return (
         df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .where(F.col("sample_rank") <= k)

@@ -167,9 +167,12 @@ def rolling_zscore(
     """
     if window < 2:
         raise ValueError(f"rolling_zscore: window={window} must be >= 2")
+    # asc_nulls_last pins Spark to DuckDB's default NULL ordering — a
+    # NULL timestamp would otherwise sort FIRST here and LAST in the
+    # oracle, silently shifting every frame
     w = (
         Window.partitionBy(key_col)
-        .orderBy(F.col(ts_col), F.col(tie_col))
+        .orderBy(F.col(ts_col).asc_nulls_last(), F.col(tie_col).asc_nulls_last())
         .rowsBetween(-window, -1)
     )
     vdec = F.col(value_col).cast("decimal(18,6)")

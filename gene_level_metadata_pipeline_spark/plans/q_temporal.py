@@ -492,7 +492,10 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     ev = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    # asc_nulls_last matches DuckDB's default NULL ordering
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+    )
     o = ev.select(
         F.col("event_type").alias("from_type"),
         F.lead("event_type").over(w).alias("to_type"),
