@@ -109,7 +109,7 @@ def main() -> None:
         medians[name] = round(runs[len(runs) // 2], 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    detail = {
         "metric": "headline_queries_total",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
@@ -117,7 +117,22 @@ def main() -> None:
         "queries_median": medians,
         "sf": float(sf),
         "reps": REPS,
-    }))
+    }
+    # The driver tail-captures stdout and parses the last line as JSON;
+    # r3/r4 printed one ~2.8 KB line (43 queries x {min, median}) whose
+    # HEAD fell outside the capture window -> "parsed": null two rounds
+    # running (VERDICT r4 item 1). So: full detail (incl. medians) goes
+    # to bench_detail.json on disk, and stdout carries exactly ONE
+    # compact JSON line (~1.2 KB: separators stripped, medians omitted)
+    # that always survives tail truncation.
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_detail.json"), "w"
+    ) as f:
+        json.dump(detail, f, indent=1)
+    compact = dict(detail)
+    del compact["queries_median"]
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

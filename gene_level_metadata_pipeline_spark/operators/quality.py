@@ -155,7 +155,13 @@ def histogram(df: DataFrame, col: str, nbins: int) -> DataFrame:
         F.max(col).cast("double").alias("__hi"),
     )
     width = (F.col("__hi") - F.col("__lo")) / F.lit(float(nbins))
-    binned = df.select(F.col(col).cast("double").alias("__x")).join(
+    # NULL values are excluded BEFORE binning (as equi_depth_histogram
+    # does): the width==0 coalesce fallback below would otherwise be
+    # unable to distinguish "constant column" from "x IS NULL" and
+    # silently count NULLs into bin 0 alongside real minima (r4 advice)
+    binned = df.where(F.col(col).isNotNull()).select(
+        F.col(col).cast("double").alias("__x")
+    ).join(
         F.broadcast(bounds)
     ).select(
         # a constant column makes width 0; ANSI raises DIVIDE_BY_ZERO
@@ -302,7 +308,13 @@ def equi_depth_histogram(
 
     if nbins < 1:
         raise ValueError(f"equi_depth_histogram: nbins={nbins} must be >= 1")
-    w = Window.orderBy(F.col(col), F.col(tie_col))
+    # NULLS LAST pinned on BOTH keys (repo window discipline): col is
+    # filtered non-NULL below, but a NULL tie_col would otherwise sort
+    # NULLS FIRST in Spark vs NULLS LAST in DuckDB and silently shift
+    # bucket assignment between engines (r4 advice)
+    w = Window.orderBy(
+        F.col(col).asc_nulls_last(), F.col(tie_col).asc_nulls_last()
+    )
     # NULL values are excluded EXPLICITLY: Spark sorts NULLS FIRST
     # ascending while DuckDB defaults to NULLS LAST, so leaving them in
     # would silently shift every bucket boundary between engines — and a

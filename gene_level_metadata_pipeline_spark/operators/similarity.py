@@ -342,17 +342,22 @@ def _score_cells(
         vectors.join(F.broadcast(cents))
         .withColumn("__vd", vd)
         .withColumn("__vn", F.sqrt(_dot(F.col("__vd"), F.col("__vd"))))
-        # NULL or zero-norm vector → NULL cell (their sims are all NULL
-        # via try_divide and a NULL sim never beats the -inf init, so
+        # Degenerate vector → NULL cell (their sims are all NULL via
+        # try_divide and a NULL sim never beats the -inf init, so
         # without the guard the fold's init cid — the lowest centroid —
         # would leak out; max_by, which ignores NULL orderings, returned
-        # NULL for the NULL-vector case and callers rely on that)
+        # NULL for the NULL-vector case and callers rely on that).
+        # The guard is phrased POSITIVELY — keep `best` only when the
+        # norm is defined and > 0 — because a vector with a NULL
+        # ELEMENT makes __vn itself NULL: a negative guard like
+        # `__vn == 0` evaluates to NULL there, the when() falls through
+        # to otherwise(best), and the -inf init's lowest-centroid id
+        # leaks (r4 advice). `NULL > 0` is NULL → when() yields NULL.
         .withColumn(
             "cell",
             F.when(
-                F.col("__vd").isNull() | (F.col("__vn") == 0),
-                F.lit(None),
-            ).otherwise(best),
+                F.col("__vd").isNotNull() & (F.col("__vn") > 0), best
+            ),
         )
         .drop("__cents", "__vd", "__vn")
     )

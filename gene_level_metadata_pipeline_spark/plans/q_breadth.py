@@ -879,6 +879,7 @@ def q_validate_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   / ((hi0 - lo0) / 20.0)) AS BIGINT)) AS bin,
              lo0, (hi0 - lo0) / 20.0 AS w
       FROM orders, b
+      WHERE o_totalprice IS NOT NULL
     )
     SELECT bin, lo0 + bin * w AS lo, lo0 + (bin + 1) * w AS hi,
            count(*) AS n

@@ -533,7 +533,7 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.n AS n_a, b.n AS n_b,
            round(a.mean, 4) AS mean_a, round(b.mean, 4) AS mean_b,
            round((a.mean - b.mean)
-                 / sqrt(a.var / a.n + b.var / b.n), 4) AS z
+                 / nullif(sqrt(a.var / a.n + b.var / b.n), 0), 4) AS z
     FROM m a JOIN m b ON a.grp = 'view' AND b.grp = 'purchase'
     """,
 )
@@ -571,10 +571,16 @@ def q_ab_metric_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.n").alias("n_b"),
         F.round(F.col("a.mean"), 4).alias("mean_a"),
         F.round(F.col("b.mean"), 4).alias("mean_b"),
+        # try_divide: two constant-metric cohorts make the pooled SE 0
+        # and plain `/` raises DIVIDE_BY_ZERO under ANSI — z is NULL
+        # instead (oracle mirrors with nullif(se, 0)) (r4 advice)
         F.round(
-            (F.col("a.mean") - F.col("b.mean"))
-            / F.sqrt(
-                F.col("a.var") / F.col("a.n") + F.col("b.var") / F.col("b.n")
+            F.try_divide(
+                F.col("a.mean") - F.col("b.mean"),
+                F.sqrt(
+                    F.col("a.var") / F.col("a.n")
+                    + F.col("b.var") / F.col("b.n")
+                ),
             ),
             4,
         ).alias("z"),

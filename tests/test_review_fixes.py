@@ -200,3 +200,79 @@ def test_equi_depth_histogram_hand_checkable(spark):
     }
     with pytest.raises(ValueError, match="nbins=0"):
         equi_depth_histogram(df, "x", "id", 0)
+
+
+def test_histogram_excludes_null_values(spark):
+    """r4 advice: the width==0 coalesce fallback made NULL values
+    indistinguishable from real minima, silently inflating bin 0. NULLs
+    are now filtered BEFORE binning (the equi_depth_histogram contract),
+    so the bin counts sum to the non-NULL count."""
+    from gene_level_metadata_pipeline_spark.operators.quality import histogram
+
+    df = spark.createDataFrame(
+        [(0.0,), (1.0,), (2.0,), (3.0,), (None,), (None,)], "x double"
+    )
+    out = {r["bin"]: r["n"] for r in histogram(df, "x", 4).collect()}
+    assert out == {0: 1, 1: 1, 2: 1, 3: 1}
+    # the constant-column fallback still works, still NULL-free
+    const = spark.createDataFrame([(5.0,), (5.0,), (None,)], "x double")
+    rows = histogram(const, "x", 4).collect()
+    assert [tuple(r) for r in rows] == [(0, 5.0, 5.0, 2)]
+
+
+def test_assign_cells_null_element_vector_yields_null_cell(spark):
+    """r4 advice: a vector with a NULL ELEMENT makes its norm NULL; the
+    old negative guard (`__vn == 0`) evaluated to NULL there and the
+    fold's -inf init leaked the lowest centroid id. The positive guard
+    (norm defined AND > 0) pins NULL-element -> NULL cell, matching the
+    NULL-array and zero-norm contracts."""
+    from pyspark.sql import functions as F
+
+    from gene_level_metadata_pipeline_spark.operators import similarity
+
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.0, 1.0]),
+            (2, [1.0, None]),   # NULL element -> NULL norm
+            (3, [None, None]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = vecs.where("vec_id < 2").select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    cells = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.assign_cells(vecs, cents).collect()
+    }
+    assert cells == {0: 0, 1: 1, 2: None, 3: None}
+
+
+def test_ab_ztest_zero_variance_cohorts_yield_null_z(spark, tmp_path):
+    """r4 advice: two constant-metric cohorts make the pooled SE 0 and
+    plain `/` raised DIVIDE_BY_ZERO under ANSI. try_divide yields a NULL
+    z (oracle mirrors with nullif(se, 0)); means and counts survive."""
+    from pyspark.sql import functions as F
+
+    from gene_level_metadata_pipeline_spark.plans.q_temporal import (
+        q_ab_metric_ztest,
+    )
+
+    rows = [
+        (i, "2024-01-01 00:00:00", i % 7, t, v, None)
+        for i, (t, v) in enumerate(
+            [("view", 2.0)] * 3 + [("purchase", 5.0)] * 2
+        )
+    ]
+    spark.createDataFrame(
+        rows, "event_id bigint, ts string, user_id bigint, "
+        "event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts")).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "events.parquet"))
+    out = q_ab_metric_ztest(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_a"], r["n_b"], r["mean_a"], r["mean_b"]) == (3, 2, 2.0, 5.0)
+    assert r["z"] is None
