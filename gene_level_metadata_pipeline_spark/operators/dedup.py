@@ -165,12 +165,120 @@ def dedup_exact_keep_best(
     )
 
 
+# Bloom bitmask size ceiling — parity with Spark's own runtime-filter
+# default (spark.sql.runtime.bloomFilter.maxNumBits = 67108864): 8 MB of
+# words is the most we ever embed as a codegen literal. Beyond ~7M items
+# at 1% fpp the effective fpp drifts up and we warn instead of growing.
+MAX_BLOOM_BITS = 67_108_864
+
+
+def _bloom_size(n_items: int, fpp: float) -> tuple[int, int]:
+    """(m bits, k hashes) for ``n_items`` at target ``fpp``: the
+    standard m = -n·ln(p)/ln²2 rounded to whole 64-bit words and capped
+    at :data:`MAX_BLOOM_BITS`; k refit to the CAPPED m (a capped mask
+    with the ideal m's k would be strictly worse than the k that
+    minimizes fpp for the m we actually have)."""
+    import math
+
+    n_items = max(1, n_items)
+    m_ideal = int(math.ceil(-n_items * math.log(fpp) / math.log(2) ** 2))
+    m = max(64, min(MAX_BLOOM_BITS, (m_ideal + 63) // 64 * 64))
+    k = max(1, round(m / n_items * math.log(2)))
+    return m, k
+
+
+def _effective_fpp(n_items: int, m: int, k: int) -> float:
+    """Expected false-positive probability of a k-hash m-bit Bloom mask
+    holding ``n_items``: (1 − e^(−kn/m))^k."""
+    import math
+
+    return (1.0 - math.exp(-k * max(0, n_items) / m)) ** k
+
+
+def _bloom_positions(fp_col, m: int, k: int) -> list:
+    """The k salted-xxhash64 bit positions of a fingerprint column in an
+    m-bit mask — shared between mask build and probe (they MUST agree)."""
+    return [F.pmod(F.xxhash64(fp_col, F.lit(s)), F.lit(m)) for s in range(k)]
+
+
+def _history_bloom(
+    hist_fp: DataFrame, expected_history: int, fpp: float
+) -> tuple[list[int], int, int]:
+    """Fold a history fingerprint frame into Bloom words, verifying the
+    caller's size estimate against the measured row count.
+
+    Returns (words, m, k). The first build carries a free row-count
+    Observation on the same aggregation job; if the measured history
+    pushes the effective fpp past 2x the target, the mask is rebuilt
+    once at the measured size (warn), unless the MAX_BLOOM_BITS cap
+    already binds (warn with the achievable fpp — resizing cannot help).
+    """
+    import warnings
+
+    from pyspark.sql import Observation
+
+    m, k = _bloom_size(expected_history, fpp)
+
+    def build_words(m, k, observation=None):
+        src = hist_fp
+        if observation is not None:
+            src = src.observe(observation, F.count(F.lit(1)).alias("n_hist"))
+        words = (
+            src.select(
+                F.explode(
+                    F.array(*_bloom_positions(F.col("fp"), m, k))
+                ).alias("pos")
+            )
+            .select(
+                (F.col("pos") / 64).cast("int").alias("w"),
+                # python F.shiftleft only takes a literal shift — SQL's
+                # takes a column
+                F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("mask"),
+            )
+            .groupBy("w")
+            .agg(F.bit_or("mask").alias("word"))
+            .collect()
+        )
+        arr = [0] * (m // 64)
+        for r in words:
+            arr[r["w"]] = r["word"]
+        return arr
+
+    obs = Observation()
+    arr = build_words(m, k, observation=obs)
+    n_actual = int(obs.get["n_hist"] or 0)
+    if _effective_fpp(n_actual, m, k) > 2 * fpp:
+        m2, k2 = _bloom_size(n_actual, fpp)
+        if m2 > m:
+            warnings.warn(
+                f"dedup_against_history: expected_history="
+                f"{expected_history} under-estimated the measured history "
+                f"({n_actual} rows); rebuilding the Bloom mask at the "
+                "measured size (one extra history pass) to keep the "
+                "exact-confirm join bounded",
+                stacklevel=3,
+            )
+            m, k = m2, k2
+            arr = build_words(m, k)
+        else:
+            # the MAX_BLOOM_BITS cap binds — resizing cannot help
+            warnings.warn(
+                f"dedup_against_history: history ({n_actual} rows) exceeds "
+                f"what the {MAX_BLOOM_BITS}-bit mask cap can hold at "
+                f"fpp={fpp}; effective fpp ~"
+                f"{_effective_fpp(n_actual, m, k):.3g} — the result is "
+                "still exact, but the confirm join sees more candidates",
+                stacklevel=3,
+            )
+    return arr, m, k
+
+
 def dedup_against_history(
     new: DataFrame,
     history: DataFrame,
     text_col: str,
     id_col: str,
-    expected_history: int = 1_000_000,
+    expected_history: int | None = None,
     fpp: float = 0.01,
 ) -> DataFrame:
     """Incremental exact dedup: keep only new documents whose content
@@ -197,37 +305,38 @@ def dedup_against_history(
     oracle-checkable. The new batch is scanned twice (once per branch);
     at scale two scans of today's batch beat one shuffle of it.
     Returns the surviving rows of ``new`` (same schema).
+
+    SIZING (r4 advice): ``expected_history=None`` (the default) sizes
+    the mask from a ``history.count()`` — cheap for the common
+    parquet-backed history (row-group metadata, no data scan). A
+    caller-supplied estimate skips the count, but is VERIFIED, not
+    trusted: the mask-build aggregation carries a free row-count
+    Observation, and if the measured history makes the effective fpp
+    drift past 2x the target (an under-estimate silently inflating the
+    exact confirm join), the mask is rebuilt once at the measured size
+    with a ``warnings.warn`` — so a 10x under-estimate costs one extra
+    history pass, never an unbounded confirm side. m is capped at
+    :data:`MAX_BLOOM_BITS` (Spark runtime-filter parity); when the cap
+    itself binds, the drift warning reports the achievable fpp instead
+    of growing the codegen literal without bound. History row count
+    over-counts duplicate fingerprints — that only oversizes the mask,
+    the safe direction.
     """
-    import math
-
-    m = int(math.ceil(-expected_history * math.log(fpp) / math.log(2) ** 2))
-    m = max(64, (m + 63) // 64 * 64)  # whole 64-bit words
-    k = max(1, round(m / expected_history * math.log(2)))
-    hist_fp = history.select(F.md5(F.col(text_col)).alias("fp"))
-
-    def positions(fp_col):
-        return [F.pmod(F.xxhash64(fp_col, F.lit(s)), F.lit(m)) for s in range(k)]
-
-    words = (
-        hist_fp.select(F.explode(F.array(*positions(F.col("fp")))).alias("pos"))
-        .select(
-            (F.col("pos") / 64).cast("int").alias("w"),
-            # python F.shiftleft only takes a literal shift — SQL's takes a column
-            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))").alias("mask"),
+    if expected_history is not None and expected_history < 1:
+        raise ValueError(
+            f"dedup_against_history: expected_history={expected_history} "
+            "must be >= 1, or None to size from a history count"
         )
-        .groupBy("w")
-        .agg(F.bit_or("mask").alias("word"))
-        .collect()
-    )
-    arr = [0] * (m // 64)
-    for r in words:
-        arr[r["w"]] = r["word"]
+    hist_fp = history.select(F.md5(F.col(text_col)).alias("fp"))
+    if expected_history is None:
+        expected_history = max(1, history.count())
+    arr, m, k = _history_bloom(hist_fp, expected_history, fpp)
 
     fp_new = F.md5(F.col(text_col))
     probed = new.withColumn(
         "__bw", F.lit(arr).cast("array<long>")
     )
-    for s, p in enumerate(positions(fp_new)):
+    for s, p in enumerate(_bloom_positions(fp_new, m, k)):
         probed = probed.withColumn(f"__p{s}", p)
     hit = F.lit(True)
     for s in range(k):

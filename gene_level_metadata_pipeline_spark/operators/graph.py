@@ -37,13 +37,33 @@ def connected_components(
     not O(diameter) — a 30-node path converges in ~6 rounds instead of 30.
     Converges when a round changes no label; raises if ``max_iter`` is hit
     first.
+
+    Per-round shuffles are SELF-SIZED: the materialized edge count sizes
+    ``spark.sql.shuffle.partitions`` for the loop (``sizing.sized_shuffle``,
+    restored on exit) — the round-4 30x stress measured the bend in the
+    marginal cost as shuffle spill and confirmed the partitions lever
+    removes it (73.3s → 60.0s; PLANS.md). The count is a cheap scan of the
+    already-checkpointed edge blocks; every round's frame is materialized
+    inside the sizing window by the per-round eager checkpoint, so no job
+    escapes to the old sizing.
     """
+    from gene_level_metadata_pipeline_spark.sizing import sized_shuffle
+
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
     )
     edges = edges.localCheckpoint(eager=True)
+    with sized_shuffle(edges.sparkSession, edges.count()):
+        return _cc_loop(edges, max_iter)
+
+
+def _cc_loop(edges: DataFrame, max_iter: int) -> DataFrame:
+    """The per-round body of :func:`connected_components`; runs inside
+    the sized-shuffle window, and every round (and the returned frame)
+    is an eager localCheckpoint — fully materialized before the window
+    closes."""
     # round 0 fused into init: label = min(self, direct neighbors) — one
     # agg over the edges instead of a full join round
     labels = (
@@ -156,53 +176,68 @@ def pagerank(
     A plan a few joins deep is exactly what Catalyst handles; only
     unbounded growth needs truncation. N is materialized once (a count
     action) before the loop.
+
+    Per-round shuffles are SELF-SIZED from the materialized edge count
+    (``sizing.sized_shuffle`` — see :func:`connected_components` for the
+    measurement). When the sizing actually raised the conf, the FINAL
+    round is eager-checkpointed inside the window (the conf is read at
+    job run time, so a lazy result would silently execute at the old
+    sizing after restore); when it didn't — every bench/cluster-sized
+    session — the result stays lazy and the caller's action pays no
+    extra materialization, exactly the pre-sizing behavior.
     """
+    from gene_level_metadata_pipeline_spark.sizing import sized_shuffle
+
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
-    n = deg.count()
-    if n == 0:
-        # empty graph: return the empty (node, pr) frame instead of
-        # dividing the initial mass by zero
-        return deg.select(
-            F.col("u").alias("node"), F.lit(None).cast("long").alias("pr")
-        )
-    init = scale // n
-    base = ((100 - damping_pct) * init) // 100
-
-    nodes = deg.select(F.col("u").alias("node"), "d")
-    pr = nodes.select("node", F.lit(init).cast("long").alias("pr"))
-    for i in range(iterations):
-        prd = pr.join(nodes, "node")
-        contrib = (
-            edges.join(prd, edges.u == prd.node)
-            .select(F.col("v").alias("node"), F.expr("pr div d").alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("s"))
-        )
-        pr = (
-            nodes.select("node")
-            .join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.expr(f"({damping_pct} * coalesce(s, 0)) div 100")
-                ).cast("long").alias("pr"),
+    with sized_shuffle(edges.sparkSession, edges.count()) as sz:
+        deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        n = deg.count()
+        if n == 0:
+            # empty graph: return the empty (node, pr) frame instead of
+            # dividing the initial mass by zero
+            return deg.select(
+                F.col("u").alias("node"), F.lit(None).cast("long").alias("pr")
             )
-        )
-        # truncate lineage periodically, never after the final round (the
-        # caller's action materializes the result anyway);
-        # checkpoint_every <= 0 means never (not a modulo-by-zero crash)
-        if (
-            checkpoint_every > 0
-            and (i + 1) % checkpoint_every == 0
-            and (i + 1) < iterations
-        ):
+        init = scale // n
+        base = ((100 - damping_pct) * init) // 100
+
+        nodes = deg.select(F.col("u").alias("node"), "d")
+        pr = nodes.select("node", F.lit(init).cast("long").alias("pr"))
+        for i in range(iterations):
+            prd = pr.join(nodes, "node")
+            contrib = (
+                edges.join(prd, edges.u == prd.node)
+                .select(F.col("v").alias("node"), F.expr("pr div d").alias("c"))
+                .groupBy("node")
+                .agg(F.sum("c").alias("s"))
+            )
+            pr = (
+                nodes.select("node")
+                .join(contrib, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.expr(f"({damping_pct} * coalesce(s, 0)) div 100")
+                    ).cast("long").alias("pr"),
+                )
+            )
+            # truncate lineage periodically, never after the final round
+            # (the caller's action materializes the result anyway);
+            # checkpoint_every <= 0 means never (not a modulo-by-zero
+            # crash)
+            if (
+                checkpoint_every > 0
+                and (i + 1) % checkpoint_every == 0
+                and (i + 1) < iterations
+            ):
+                pr = pr.localCheckpoint(eager=True)
+        if sz.changed:
             pr = pr.localCheckpoint(eager=True)
     return pr
 

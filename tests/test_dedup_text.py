@@ -957,3 +957,77 @@ def test_centroid_classifier_separates_signal_classes(spark):
         for r in textanalysis.centroid_classify(test, model, "text", "doc_id").collect()
     }
     assert pred == {200: "pets", 201: "pets", 202: "finance", 203: "finance"}
+
+
+def test_dedup_history_bloom_underestimate_rebuilds_bounded(spark):
+    """r4 advice: a caller's 100x under-estimated expected_history used
+    to silently saturate the mask (every probe a hit -> the whole new
+    batch paid the exact confirm join). The build now verifies the
+    estimate against a free row-count Observation and rebuilds once at
+    the measured size: warning fires, the mask's measured bit-fill stays
+    near the ideal ~50% (a saturated mask is ~100%), and the result is
+    still exact."""
+    import warnings as w
+
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        _bloom_size,
+        _history_bloom,
+        dedup_against_history,
+    )
+
+    hist = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+    )
+    hist_fp = hist.select(F.md5("text").alias("fp"))
+
+    with w.catch_warnings(record=True) as caught:
+        w.simplefilter("always")
+        arr, m, k = _history_bloom(hist_fp, 50, 0.01)
+    assert any("under-estimated" in str(c.message) for c in caught)
+    # rebuilt at the measured size, not the estimate
+    assert (m, k) == _bloom_size(5000, 0.01)
+    fill = sum(bin(x & (2**64 - 1)).count("1") for x in arr) / m
+    assert 0.3 < fill < 0.6  # ideal sizing fills ~50%; saturation is ~1.0
+    # confirm-side bound follows: P(bloom hit | truly new) ~ fill^k
+    assert fill ** k < 0.05
+
+    # end to end: same under-estimate, result still exact
+    new = spark.range(4000, 6000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+    )
+    with w.catch_warnings(record=True):
+        w.simplefilter("always")
+        out = dedup_against_history(new, hist, "text", "doc_id",
+                                    expected_history=50)
+    assert sorted(r["doc_id"] for r in out.collect()) == list(range(5000, 6000))
+
+
+def test_dedup_history_bloom_auto_sizes_from_count(spark):
+    """expected_history=None (new default) sizes from history.count():
+    no drift warning, exact result."""
+    import warnings as w
+
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        dedup_against_history,
+    )
+
+    hist = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t "), F.col("id")).alias("text"),
+    )
+    new = spark.range(300, 700).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("t "), F.col("id")).alias("text"),
+    )
+    with w.catch_warnings():
+        w.simplefilter("error")  # any drift warning -> test failure
+        out = dedup_against_history(new, hist, "text", "doc_id")
+        got = sorted(r["doc_id"] for r in out.collect())
+    assert got == list(range(400, 700))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="expected_history=0"):
+        dedup_against_history(new, hist, "text", "doc_id", expected_history=0)

@@ -51,3 +51,68 @@ def test_parse_size():
     assert parse_size("100TB") == 100 * TB
     assert parse_size("1.5GB") == int(1.5 * GB)
     assert parse_size("4096") == 4096
+
+
+def test_iterative_shuffle_partitions_calibration(spark):
+    """sizing.iterative_shuffle_partitions: the 30x stress point (~4M
+    edge rows, 32 cores, session at 32) must size to >= 128 partitions —
+    the measured spill-removing setting — while the 1x bench frame stays
+    at the session default (never downsizes)."""
+    from gene_level_metadata_pipeline_spark.sizing import (
+        MAX_SHUFFLE_PARTITIONS,
+        iterative_shuffle_partitions,
+    )
+
+    cores = spark.sparkContext.defaultParallelism
+    current = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # 30x-stress shape
+    big = iterative_shuffle_partitions(spark, 4_000_000)
+    assert big >= max(128, current)
+    assert big % cores == 0
+    # 1x bench shape: small frame never shrinks the session conf
+    assert iterative_shuffle_partitions(spark, 10_000) == current
+    # scheduler-pressure cap
+    assert (
+        iterative_shuffle_partitions(spark, 10**13) == MAX_SHUFFLE_PARTITIONS
+    )
+
+
+def test_sized_shuffle_sets_and_restores(spark):
+    """The context manager pins the sized value inside the window and
+    restores the session conf on exit (also on error)."""
+    import pytest
+
+    from gene_level_metadata_pipeline_spark.sizing import sized_shuffle
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with sized_shuffle(spark, 4_000_000) as sz:
+        assert int(spark.conf.get(key)) == sz.parts >= 128
+        assert sz.changed == (int(before) != sz.parts)
+    assert spark.conf.get(key) == before
+    with pytest.raises(RuntimeError, match="boom"):
+        with sized_shuffle(spark, 4_000_000):
+            raise RuntimeError("boom")
+    assert spark.conf.get(key) == before
+
+
+def test_graph_ops_sized_and_correct(spark):
+    """connected_components/pagerank still converge to the same labels
+    under the self-sizing path, and the session conf is untouched after
+    the call."""
+    from gene_level_metadata_pipeline_spark.operators.graph import (
+        connected_components,
+        pagerank,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "doc_a bigint, doc_b bigint"
+    )
+    comp = {r["doc_id"]: r["component"]
+            for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20}
+    pr = pagerank(pairs, src="doc_a", dst="doc_b").collect()
+    assert len(pr) == 6 and all(r["pr"] > 0 for r in pr)
+    assert spark.conf.get(key) == before
