@@ -72,6 +72,7 @@ HEADLINE = [
     "funnel_conversion",
     "event_transition_matrix",
     "ab_metric_ztest",
+    "harmonize_catalog_width",
 ]
 
 REPS = 3

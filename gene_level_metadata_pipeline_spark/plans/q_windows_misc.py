@@ -696,6 +696,240 @@ def q_harmonize_multi_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "harmonize_catalog_width",
+    oracle="""
+    WITH spn AS (
+      SELECT DISTINCT c_custkey FROM customer WHERE c_custkey IS NOT NULL
+    ),
+    lio AS (
+      SELECT o_custkey AS c_custkey, l.*
+      FROM lineitem l JOIN orders ON l_orderkey = o_orderkey
+    ),
+    s01 AS (
+      SELECT o_custkey AS c_custkey, count(*) AS n_orders,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+                  AS DOUBLE) AS total_spend
+      FROM orders GROUP BY o_custkey
+    ),
+    s02 AS (
+      SELECT o_custkey AS c_custkey, count(*) AS n_urgent
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey
+    ),
+    s03 AS (
+      SELECT o_custkey AS c_custkey, count(*) AS n_low
+      FROM orders WHERE o_orderpriority = '5-LOW' GROUP BY o_custkey
+    ),
+    s04 AS (
+      SELECT o_custkey AS c_custkey,
+             strftime(min(o_orderdate), '%Y-%m-%d') AS first_order_day,
+             strftime(max(o_orderdate), '%Y-%m-%d') AS last_order_day
+      FROM orders GROUP BY o_custkey
+    ),
+    s05 AS (
+      SELECT o_custkey AS c_custkey, count(*) AS n_open
+      FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+    ),
+    s06 AS (
+      SELECT o_custkey AS c_custkey, max(o_totalprice) AS max_price
+      FROM orders GROUP BY o_custkey
+    ),
+    s07 AS (
+      SELECT o_custkey AS c_custkey,
+             round(round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                              AS DOUBLE) / count(*) * 100.0, 0) / 100.0, 2)
+               AS avg_price
+      FROM orders GROUP BY o_custkey
+    ),
+    s08 AS (
+      SELECT o_custkey AS c_custkey,
+             string_agg(DISTINCT o_orderpriority, ','
+                        ORDER BY o_orderpriority) AS priorities
+      FROM orders GROUP BY o_custkey
+    ),
+    s09 AS (
+      SELECT o_custkey AS c_custkey,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2)
+                  AS DOUBLE) AS spend_1994
+      FROM orders WHERE year(o_orderdate) = 1994 GROUP BY o_custkey
+    ),
+    s10 AS (
+      SELECT o_custkey AS c_custkey,
+             string_agg(DISTINCT o_orderstatus, ','
+                        ORDER BY o_orderstatus) AS statuses
+      FROM orders GROUP BY o_custkey
+    ),
+    s11 AS (
+      SELECT c_custkey, count(*) AS n_lineitems,
+             CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 2)
+                  AS DOUBLE) AS sum_qty,
+             count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returns
+      FROM lio GROUP BY c_custkey
+    ),
+    s12 AS (
+      SELECT c_custkey, count(DISTINCT l_partkey) AS n_parts,
+             round(round(CAST(sum(CAST(l_discount AS DECIMAL(18,6)))
+                              AS DOUBLE) / count(*) * 10000.0, 0)
+                   / 10000.0, 4) AS avg_disc,
+             strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship_day
+      FROM lio GROUP BY c_custkey
+    ),
+    s13 AS (
+      SELECT c_custkey, n_name AS nation_name
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ),
+    s14 AS (
+      SELECT c_custkey, r_name AS region_name
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+    ),
+    s15 AS (SELECT c_custkey, c_mktsegment FROM customer),
+    s16 AS (
+      SELECT c_custkey,
+             CASE WHEN c_acctbal < 0 THEN 'neg'
+                  WHEN c_acctbal < 5000 THEN 'low'
+                  ELSE 'high' END AS acct_band
+      FROM customer
+    ),
+    s17 AS (SELECT c_custkey, c_nationkey FROM customer),
+    s18 AS (SELECT c_custkey, length(c_name) AS name_len FROM customer),
+    s19 AS (
+      SELECT c_custkey, round(c_acctbal * 100.0, 0) / 100.0 AS acctbal_r
+      FROM customer
+    ),
+    s20 AS (
+      SELECT c_custkey, substr(c_name, 1, 5) AS name_prefix FROM customer
+    ),
+    s21 AS (
+      SELECT c_custkey,
+             CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT)
+               AS cust_num
+      FROM customer
+    )
+    SELECT DISTINCT spn.c_custkey,
+           s01.n_orders, s01.total_spend, s02.n_urgent, s03.n_low,
+           s04.first_order_day, s04.last_order_day, s05.n_open,
+           s06.max_price, s07.avg_price, s08.priorities, s09.spend_1994,
+           s10.statuses, s11.n_lineitems, s11.sum_qty, s11.n_returns,
+           s12.n_parts, s12.avg_disc, s12.max_ship_day, s13.nation_name,
+           s14.region_name, s15.c_mktsegment, s16.acct_band,
+           s17.c_nationkey, s18.name_len, s19.acctbal_r, s20.name_prefix,
+           s21.cust_num
+    FROM spn
+    LEFT JOIN s01 USING (c_custkey) LEFT JOIN s02 USING (c_custkey)
+    LEFT JOIN s03 USING (c_custkey) LEFT JOIN s04 USING (c_custkey)
+    LEFT JOIN s05 USING (c_custkey) LEFT JOIN s06 USING (c_custkey)
+    LEFT JOIN s07 USING (c_custkey) LEFT JOIN s08 USING (c_custkey)
+    LEFT JOIN s09 USING (c_custkey) LEFT JOIN s10 USING (c_custkey)
+    LEFT JOIN s11 USING (c_custkey) LEFT JOIN s12 USING (c_custkey)
+    LEFT JOIN s13 USING (c_custkey) LEFT JOIN s14 USING (c_custkey)
+    LEFT JOIN s15 USING (c_custkey) LEFT JOIN s16 USING (c_custkey)
+    LEFT JOIN s17 USING (c_custkey) LEFT JOIN s18 USING (c_custkey)
+    LEFT JOIN s19 USING (c_custkey) LEFT JOIN s20 USING (c_custkey)
+    LEFT JOIN s21 USING (c_custkey)
+    """,
+)
+def q_harmonize_catalog_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP2 at CATALOG width (VERDICT r4 item 6): the reference folds ~25
+    annotation tables per run (T:19-531); harmonize_multi_source guards
+    the fold pattern at width 4, this query guards the many-broadcast-
+    join plan shape at width 21 — ten single-hop order aggregates, two
+    two-hop lineitem aggregates (the ID-mapped-source shape, J7), two
+    dimension decorations, and seven attribute/recode projections, all
+    key-collapsed then folded onto the customer spine with repeated
+    harmonize calls. Every fold is a broadcast join against the growing
+    wide table, so the plan stays shuffle-bounded by the source
+    aggregations no matter how wide the catalog grows — the 20k-gene x
+    25-source annotation matrix assembly at any corpus scale."""
+    from functools import reduce
+
+    from gene_level_metadata_pipeline_spark.operators.harmonize import (
+        harmonize, spine,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    ord_ = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    spn = spine(cust, "c_custkey")
+    ock = F.col("o_custkey").alias("c_custkey")
+    lio = li.join(
+        ord_.select("o_orderkey", F.col("o_custkey").alias("c_custkey")),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    cnat = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    sagg = lambda c: F.concat_ws(",", F.array_sort(F.collect_set(c)))  # noqa: E731
+    sources = [
+        ord_.groupBy(ock).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice"), 2).alias("total_spend"),
+        ),
+        ord_.where(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(ock).agg(F.count(F.lit(1)).alias("n_urgent")),
+        ord_.where(F.col("o_orderpriority") == "5-LOW")
+        .groupBy(ock).agg(F.count(F.lit(1)).alias("n_low")),
+        ord_.groupBy(ock).agg(
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias(
+                "first_order_day"
+            ),
+            F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias(
+                "last_order_day"
+            ),
+        ),
+        ord_.where(F.col("o_orderstatus") == "O")
+        .groupBy(ock).agg(F.count(F.lit(1)).alias("n_open")),
+        ord_.groupBy(ock).agg(F.max("o_totalprice").alias("max_price")),
+        ord_.groupBy(ock).agg(
+            _davg(F.col("o_totalprice"), 2).alias("avg_price")
+        ),
+        ord_.groupBy(ock).agg(sagg("o_orderpriority").alias("priorities")),
+        ord_.where(F.year("o_orderdate") == 1994)
+        .groupBy(ock).agg(_dsum(F.col("o_totalprice"), 2).alias("spend_1994")),
+        ord_.groupBy(ock).agg(sagg("o_orderstatus").alias("statuses")),
+        lio.groupBy("c_custkey").agg(
+            F.count(F.lit(1)).alias("n_lineitems"),
+            _dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.when(F.col("l_returnflag") == "R", 1)).alias(
+                "n_returns"
+            ),
+        ),
+        lio.groupBy("c_custkey").agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            _davg(F.col("l_discount"), 4).alias("avg_disc"),
+            F.date_format(F.max("l_shipdate"), "yyyy-MM-dd").alias(
+                "max_ship_day"
+            ),
+        ),
+        cnat.select("c_custkey", F.col("n_name").alias("nation_name")),
+        cnat.join(F.broadcast(reg), cnat.n_regionkey == reg.r_regionkey)
+        .select("c_custkey", F.col("r_name").alias("region_name")),
+        cust.select("c_custkey", "c_mktsegment"),
+        cust.select(
+            "c_custkey",
+            F.when(F.col("c_acctbal") < 0, "neg")
+            .when(F.col("c_acctbal") < 5000, "low")
+            .otherwise("high")
+            .alias("acct_band"),
+        ),
+        cust.select("c_custkey", "c_nationkey"),
+        cust.select("c_custkey", F.length("c_name").cast("long").alias("name_len")),
+        cust.select(
+            "c_custkey", _round_to(F.col("c_acctbal"), 2).alias("acctbal_r")
+        ),
+        cust.select(
+            "c_custkey", F.substring("c_name", 1, 5).alias("name_prefix")
+        ),
+        cust.select(
+            "c_custkey",
+            F.regexp_extract("c_name", r"([0-9]+)$", 1)
+            .cast("bigint")
+            .alias("cust_num"),
+        ),
+    ]
+    return reduce(lambda acc, src: harmonize(acc, src, "c_custkey"), sources, spn)
+
+
+@_register(
     "pivot_multi_values",
     oracle="""
     SELECT o_orderstatus,

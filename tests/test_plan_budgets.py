@@ -88,6 +88,12 @@ SHUFFLE_BUDGET = {
     "event_transition_matrix": 5,
     # one grouped moments pass; 1-row cohort frames broadcast
     "ab_metric_ztest": 2,
+    # EP2 at catalog width (r5): 21 key-collapsed sources folded onto the
+    # customer spine — 26 broadcast joins, 0 sort-merge; the 14 exchanges
+    # are the source aggregations (10 orders aggs, 2 two-hop lineitem
+    # aggs incl. countDistinct's two phases) + the final distinct, so the
+    # fold chain itself adds NO shuffles as the catalog widens
+    "harmonize_catalog_width": 14,
 }
 
 # Non-headline flagships whose plan shape is still pinned (round-4 audit).
