@@ -17,7 +17,37 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["salted_agg", "salted_count", "salted_join"]
+__all__ = ["salted_agg", "salted_count", "salted_join", "skew_split_confs"]
+
+
+def skew_split_confs(advisory_bytes: int = 8 * 1024 * 1024) -> dict[str, str]:
+    """AQE confs that make the skew-join split actually ENGAGE for the
+    given partition sizing — measured, not folklore (r5 skew stress,
+    tools/stress_skew.py): on a 40%-hub decoration join at local scale
+    the stock pair (256 MB threshold, 64 MB advisory) never split
+    (9.6s, same as split-off), and lowering EITHER knob alone changed
+    nothing (9.6s / 8.7s); only the pair together engaged the split
+    (2.5-2.9s, 3.3x). Threshold rides at 4x the advisory size so a
+    partition must be markedly over target before the split pays its
+    re-planning cost.
+
+    Not session defaults: the small advisory size costs a non-skewed
+    workload ~30% in task overhead (measured on the bench headline
+    set) — apply these per known-skew job::
+
+        for k, v in skew_split_confs().items():
+            spark.conf.set(k, v)
+
+    For cluster submits, tools/scale_conf.py emits the 128 MB-partition
+    equivalents of the same rule.
+    """
+    return {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(advisory_bytes),
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": str(
+            4 * advisory_bytes
+        ),
+    }
 
 
 def salted_agg(

@@ -26,6 +26,14 @@ DEFAULT_CONFIG: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # AQE skew-split THRESHOLDS stay stock here: the r5 skew stress
+    # (tools/stress_skew.py, PLANS.md) measured that engaging the split
+    # at local partition sizes needs advisory 8 MB + threshold 32 MB
+    # LOWERED TOGETHER (3.3x faster on a 40%-hub join) — but the small
+    # advisory size costs the whole non-skewed bench ~30% in task
+    # overhead. Known-skew jobs apply the measured pair explicitly via
+    # operators.skew.skew_split_confs; cluster submits get the
+    # partition-sized equivalents from tools/scale_conf.py.
     # Broadcast threshold: dimension tables (spine ~20k rows, nation,
     # region, ID maps) must go broadcast; 64 MB is safe on the 16 GiB
     # local heap get_spark actually configures (SPARK_GRAFT_DRIVER_MEM).

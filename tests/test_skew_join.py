@@ -82,3 +82,29 @@ def test_quantize_error_bound(spark):
     ).collect()[0]
     assert agg.v == 0
     assert agg.m <= 127
+
+
+def test_skew_split_confs_pairing(spark):
+    """The measured engagement rule (r5 skew stress): threshold rides at
+    4x advisory, skew split on, and the pair round-trips through
+    spark.conf cleanly."""
+    from gene_level_metadata_pipeline_spark.operators.skew import (
+        skew_split_confs,
+    )
+
+    confs = skew_split_confs(16 * 1024 * 1024)
+    assert confs["spark.sql.adaptive.skewJoin.enabled"] == "true"
+    adv = int(confs["spark.sql.adaptive.advisoryPartitionSizeInBytes"])
+    thr = int(
+        confs[
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes"
+        ]
+    )
+    assert (adv, thr) == (16 * 1024 * 1024, 64 * 1024 * 1024)
+    before = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    for k, v in confs.items():
+        assert spark.conf.get(k) == v
+    for k, v in before.items():
+        spark.conf.set(k, v)
