@@ -41,6 +41,7 @@ __all__ = [
     "warn_capped_buckets",
     "simhash",
     "lsh_params",
+    "corpus_overlap_minhash",
 ]
 
 HEX = "0123456789abcdef"
@@ -727,3 +728,73 @@ def lsh_params(threshold: float, num_hashes: int) -> tuple[int, int]:
         if best is None or err < best[0]:
             best = (err, b, r)
     return best[1], best[2]
+
+
+def corpus_overlap_minhash(
+    a: DataFrame,
+    b: DataFrame,
+    text_col: str,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Corpus-level overlap estimate between two datasets WITHOUT joining
+    them: k-min-hash Jaccard over the corpora's exact-fingerprint sets.
+
+    The cross-dataset contamination / provenance question ("how much of
+    corpus B is already in corpus A?") is a set-Jaccard between the two
+    fingerprint sets. Computing it exactly joins two corpus-sized
+    distinct sets; the standard sketch answer is k independent min-hashes
+    per corpus — P(min_A(h_s) == min_B(h_s)) equals J(A, B) for each
+    salted hash h_s, so the match fraction across k salts is an unbiased
+    estimate with stderr ~= sqrt(J(1-J)/k).
+
+    Engineering: each corpus folds to ONE ROW of k minima in a single
+    map-side-combined aggregation over a projection — no distinct, no
+    explode (min over the fingerprint MULTISET equals min over the set),
+    no shuffle beyond the k-column 1-row combine. The two 1-row sketches
+    cross-join trivially. Hashes are salted md5 hex strings compared
+    lexicographically, so any SQL engine reproduces the exact minima and
+    therefore the exact estimate (no RNG, no platform hash).
+
+    Returns one row: (k, n_match, jaccard_est). Empty corpora yield NULL
+    minima; a NULL min matches nothing (NULL-safe equality against a
+    non-NULL min is false, two empty corpora estimate 0.0 — there is no
+    meaningful Jaccard between empty sets).
+    """
+    if num_hashes < 1:
+        raise ValueError(
+            f"corpus_overlap_minhash: num_hashes={num_hashes} must be >= 1"
+        )
+
+    def sketch(df: DataFrame, prefix: str) -> DataFrame:
+        fp = F.md5(F.col(text_col))
+        return df.agg(
+            *[
+                F.min(F.md5(F.concat(F.lit(f"{s}:"), fp))).alias(
+                    f"{prefix}{s}"
+                )
+                for s in range(num_hashes)
+            ]
+        )
+    sa = sketch(a, "__a")
+    sb = sketch(b, "__b")
+    # null-safe equality: an empty corpus's NULL minimum must count as a
+    # non-match (plain == yields NULL and poisons the sum into NULL)
+    matches = sum(
+        (
+            F.col(f"__a{s}").isNotNull()
+            & F.col(f"__a{s}").eqNullSafe(F.col(f"__b{s}"))
+        ).cast("long")
+        for s in range(num_hashes)
+    )
+    return (
+        sa.join(F.broadcast(sb))
+        .select(
+            F.lit(num_hashes).cast("long").alias("k"),
+            matches.alias("n_match"),
+        )
+        .select(
+            "k",
+            "n_match",
+            F.round(F.col("n_match") / F.col("k"), 4).alias("jaccard_est"),
+        )
+    )

@@ -34,6 +34,8 @@ __all__ = [
     "normalize_text",
     "centroid_train",
     "centroid_classify",
+    "bm25_topk",
+    "unigram_logprob_scores",
 ]
 
 # Tiny per-language stopword lists: enough for the n-gram-heuristic shape;
@@ -766,5 +768,133 @@ def centroid_classify(
             F.col(id_col),
             F.col("__b.label").alias("label"),
             F.col("__b.cos_sim").alias("cos_sim"),
+        )
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_col: str = "query",
+    qid_col: str = "qid",
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k document retrieval per query — the lexical-retrieval
+    complement to the embedding ANN family (the standard first-stage
+    ranker; Robertson/Spärck Jones probabilistic idf with the Okapi
+    saturation/length normalization, k1=1.2 b=0.75 defaults).
+
+    Scale shape: ``queries`` is a small frame (a broadcast dimension —
+    retrieval workloads score thousands of queries against billions of
+    docs). Exploding queries to (qid, word) and BROADCAST-joining onto
+    the per-document term-frequency table turns the scan into an
+    inverted-index probe: only postings of query words survive the join,
+    everything else is filtered in the scan's hash lookup — no
+    corpus-sized shuffle keyed on words. Per-(query, doc) scores then
+    aggregate on doc-partitioned data and a per-query window takes
+    top-k.
+
+    Cross-engine determinism: idf and the saturation term are pure IEEE
+    double ops on integer inputs (identical everywhere); the only
+    order-dependent step — summing per-word contributions — casts each
+    contribution to DECIMAL(18,6) first (the _dsum discipline:
+    deterministic nearest-6-digit rounding, exact decimal sum), so an
+    external engine reproduces scores bit-for-bit. Ranking tie-break:
+    (score desc, doc id asc). Returns (qid, id, score, rank).
+    """
+    from pyspark.sql import Window
+
+    words = docs.select(
+        F.col(id_col), F.explode(_ws_tokens(text_col)).alias("w")
+    )
+    tf = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("cnt"))
+    dlen = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("len"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    # N and avg doc length: one 1-row aggregate broadcast into the plan
+    # (no driver-side collect)
+    stats = dlen.agg(
+        F.count(F.lit(1)).alias("__n"),
+        (F.sum("len") / F.count(F.lit(1))).alias("__avglen"),
+    )
+    qwords = queries.select(
+        F.col(qid_col),
+        F.explode(F.array_distinct(_ws_tokens(query_col))).alias("w"),
+    )
+    idf = F.log(
+        (F.col("__n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    sat = (F.col("cnt") * (k1 + 1)) / (
+        F.col("cnt")
+        + k1 * (1 - b + b * F.col("len") / F.col("__avglen"))
+    )
+    contrib = (idf * sat).cast("decimal(18,6)")
+    scored = (
+        tf.join(F.broadcast(qwords), "w")
+        .join(dlen, id_col)
+        .join(F.broadcast(dfreq), "w")
+        .join(F.broadcast(stats))
+        .groupBy(qid_col, id_col)
+        .agg(F.round(F.sum(contrib), 4).cast("double").alias("score"))
+    )
+    rank_w = Window.partitionBy(qid_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rank_w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(qid_col, id_col, "score", "rank")
+    )
+
+
+def unigram_logprob_scores(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Per-document average negative log-probability under an add-one-
+    smoothed unigram LM trained on the corpus itself — the
+    perplexity-proxy quality score (the CCNet/KenLM filtering shape:
+    rank documents by how surprising they are to a corpus-level LM;
+    gibberish and boilerplate-fragment docs land in the tails).
+
+    p(w) = (c(w) + 1) / (T + V) with corpus token count T and vocabulary
+    size V — all integers, so every engine derives identical
+    probabilities; ln(p) is correctly-rounded IEEE on identical doubles.
+    Per-document sums cast each token-type contribution
+    (cnt · ln p(w)) to DECIMAL(18,6) (exact, order-free sum).
+
+    Scale: word counts aggregate with map-side combine; the model —
+    vocabulary-sized (c(w), ln p) pairs — joins back BROADCAST, and T/V
+    ride a 1-row aggregate, so scoring is one pass over (doc, word)
+    counts with zero corpus-sized shuffles beyond the count itself.
+    Empty/NULL-text documents have no tokens and are excluded (no 0/0).
+    Returns (id, n_tokens, avg_neg_logprob).
+    """
+    words = df.select(
+        F.col(id_col), F.explode(_ws_tokens(text_col)).alias("w")
+    )
+    cnt_dw = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("cnt"))
+    cw = words.groupBy("w").agg(F.count(F.lit(1)).alias("cw"))
+    totals = cw.agg(
+        F.sum("cw").alias("__t"), F.count(F.lit(1)).alias("__v")
+    )
+    probs = cw.join(F.broadcast(totals)).select(
+        "w",
+        F.log(
+            (F.col("cw") + 1).cast("double")
+            / (F.col("__t") + F.col("__v")).cast("double")
+        ).alias("lp"),
+    )
+    contrib = (F.col("cnt") * F.col("lp")).cast("decimal(18,6)")
+    return (
+        cnt_dw.join(F.broadcast(probs), "w")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.round(
+                -F.sum(contrib).cast("double") / F.sum("cnt"), 4
+            ).alias("avg_neg_logprob"),
         )
     )

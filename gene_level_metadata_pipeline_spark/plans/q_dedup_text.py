@@ -1982,3 +1982,149 @@ def q_decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(corpus, bench, "text", "doc_id").select(
         "doc_id", "lang", "source"
     )
+
+
+@_register(
+    "bm25_retrieval_topk",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      ) WHERE w <> ''
+    ),
+    tf AS (SELECT doc_id, w, count(*) AS cnt FROM words GROUP BY doc_id, w),
+    dlen AS (SELECT doc_id, count(*) AS len FROM words GROUP BY doc_id),
+    stats AS (
+      SELECT count(*) AS n, sum(len) * 1.0 / count(*) AS avglen FROM dlen
+    ),
+    dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    q(qid, w) AS (VALUES
+      (0, 'hash'), (0, 'join'), (0, 'merge'),
+      (1, 'fast'), (1, 'scan'), (1, 'filter'),
+      (2, 'window'), (2, 'sort'), (2, 'batch')
+    ),
+    scored AS (
+      SELECT q.qid, tf.doc_id,
+             CAST(round(sum(CAST(
+               ln((n - df + 0.5) / (df + 0.5) + 1.0)
+               * (cnt * 2.2)
+               / (cnt + 1.2 * (1 - 0.75 + 0.75 * len / avglen))
+             AS DECIMAL(18,6))), 4) AS DOUBLE) AS score
+      FROM q JOIN tf USING (w)
+      JOIN dlen USING (doc_id)
+      JOIN dfreq USING (w)
+      CROSS JOIN stats
+      GROUP BY q.qid, tf.doc_id
+    )
+    SELECT CAST(qid AS BIGINT) AS qid, doc_id, score, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT)
+             AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_bm25_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 retrieval for three fixed queries
+    (textanalysis.bm25_topk): the lexical first-stage ranker beside the
+    ANN family. Query words broadcast onto the per-doc term-frequency
+    table (an inverted-index probe — only query-word postings survive),
+    per-(query, doc) scores sum in DECIMAL, per-query window takes the
+    top 5 with (score desc, doc_id) tie-break."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        bm25_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(0, "hash join merge"), (1, "fast scan filter"),
+         (2, "window sort batch")],
+        "qid bigint, query string",
+    )
+    return bm25_topk(docs, queries, "text", "doc_id", k=5)
+
+
+@_register(
+    "lm_quality_scores",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      ) WHERE w <> ''
+    ),
+    cnt_dw AS (
+      SELECT doc_id, w, count(*) AS cnt FROM words GROUP BY doc_id, w
+    ),
+    cw AS (SELECT w, count(*) AS cw FROM words GROUP BY w),
+    totals AS (SELECT sum(cw) AS t, count(*) AS v FROM cw),
+    probs AS (
+      SELECT w, ln(CAST(cw + 1 AS DOUBLE) / CAST(t + v AS DOUBLE)) AS lp
+      FROM cw CROSS JOIN totals
+    )
+    SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           round(-CAST(sum(CAST(cnt * lp AS DECIMAL(18,6))) AS DOUBLE)
+                 / sum(cnt), 4) AS avg_neg_logprob
+    FROM cnt_dw JOIN probs USING (w)
+    GROUP BY doc_id
+    """,
+)
+def q_lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring
+    (textanalysis.unigram_logprob_scores): per-document average negative
+    log-probability under an add-one-smoothed unigram LM trained on the
+    corpus itself — the CCNet/KenLM-style filter shape. Integer counts
+    everywhere, vocabulary-sized model broadcast back, DECIMAL per-doc
+    sums: bit-identical across engines."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        unigram_logprob_scores,
+    )
+
+    return unigram_logprob_scores(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+def _corpus_overlap_oracle(k: int = 16) -> str:
+    """DuckDB twin of dedup.corpus_overlap_minhash at k salts: one row of
+    k lexicographic md5 minima per corpus, match fraction = estimate.
+    k = 16 keeps every possible estimate an exact 4-decimal binary
+    fraction (n/16), so the rounded column is hazard-free."""
+    mins_a = ", ".join(
+        f"min(md5('{s}:' || fp)) AS a{s}" for s in range(k)
+    )
+    mins_b = ", ".join(
+        f"min(md5('{s}:' || fp)) AS b{s}" for s in range(k)
+    )
+    match = " + ".join(
+        f"CAST(a{s} IS NOT NULL AND a{s} IS NOT DISTINCT FROM b{s} "
+        "AS BIGINT)"
+        for s in range(k)
+    )
+    return f"""
+    WITH ca AS (SELECT md5(text) AS fp FROM documents WHERE doc_id % 3 <> 0),
+    cb AS (SELECT md5(text) AS fp FROM documents WHERE doc_id % 2 = 0),
+    sa AS (SELECT {mins_a} FROM ca),
+    sb AS (SELECT {mins_b} FROM cb)
+    SELECT CAST({k} AS BIGINT) AS k, n_match,
+           round(n_match * 1.0 / {k}, 4) AS jaccard_est
+    FROM (SELECT ({match}) AS n_match FROM sa CROSS JOIN sb)
+    """
+
+
+@_register("corpus_overlap_est", oracle=_corpus_overlap_oracle())
+def q_corpus_overlap_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus overlap WITHOUT a join (dedup.corpus_overlap_minhash):
+    two overlapping slices of the documents table (doc_id % 3 != 0 vs
+    doc_id % 2 = 0, true fingerprint Jaccard ~0.4) each fold to ONE row
+    of 16 salted-md5 minima in a map-side-combined aggregation; the
+    match fraction across salts estimates the corpus-level Jaccard —
+    the contamination/provenance question ("how much of B is already in
+    A?") answered with two corpus scans and zero corpus-sized shuffles."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        corpus_overlap_minhash,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    a = docs.where(F.col("doc_id") % 3 != 0)
+    b = docs.where(F.col("doc_id") % 2 == 0)
+    return corpus_overlap_minhash(a, b, "text", num_hashes=16)

@@ -1031,3 +1031,82 @@ def test_dedup_history_bloom_auto_sizes_from_count(spark):
 
     with pytest.raises(ValueError, match="expected_history=0"):
         dedup_against_history(new, hist, "text", "doc_id", expected_history=0)
+
+
+def test_bm25_ranks_rare_term_match_first(spark):
+    """BM25 semantics on a hand-built corpus: the doc containing the
+    query's RARE word outranks docs matching only the common word
+    (idf dominance); ranks are dense from 1; ties break by doc id."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        bm25_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common"),
+            (2, "common rare"),
+            (3, "common common"),
+            (4, "other words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(0, "rare common")], "qid bigint, query string"
+    )
+    out = bm25_topk(docs, queries, "text", "doc_id", k=3).collect()
+    ranked = [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked[0] == 2  # only doc with the rare term
+    assert len(ranked) == 3 and 4 not in ranked  # no query word -> absent
+    assert all(r["score"] > 0 for r in out)
+
+
+def test_unigram_logprob_scores_contract(spark):
+    """Common-word documents score LOWER surprise than rare-word ones;
+    token counts are exact; empty/NULL docs are excluded (no 0/0)."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        unigram_logprob_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the the the the the"),
+            (2, "zyx"),
+            (3, ""),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           unigram_logprob_scores(docs, "text", "doc_id").collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_tokens"] == 8 and out[2]["n_tokens"] == 1
+    assert out[1]["avg_neg_logprob"] < out[2]["avg_neg_logprob"]
+    # hand check doc 2: p(zyx) = (1+1)/(9+2); -ln(2/11) = 1.7047
+    assert abs(out[2]["avg_neg_logprob"] - 1.7047) < 1e-4
+
+
+def test_corpus_overlap_minhash_extremes(spark):
+    """Identical corpora estimate 1.0, disjoint 0.0, empty side 0.0 (a
+    NULL minimum matches nothing); invalid k raises."""
+    import pytest
+
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        corpus_overlap_minhash,
+    )
+
+    a = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(20)], "doc_id long, text string"
+    )
+    same = corpus_overlap_minhash(a, a, "text", num_hashes=8).collect()[0]
+    assert (same["k"], same["n_match"], same["jaccard_est"]) == (8, 8, 1.0)
+    b = spark.createDataFrame(
+        [(i, f"other {i}") for i in range(20)], "doc_id long, text string"
+    )
+    disj = corpus_overlap_minhash(a, b, "text", num_hashes=8).collect()[0]
+    assert (disj["n_match"], disj["jaccard_est"]) == (0, 0.0)
+    empty = corpus_overlap_minhash(
+        a, a.where("doc_id < 0"), "text", num_hashes=4
+    ).collect()[0]
+    assert (empty["n_match"], empty["jaccard_est"]) == (0, 0.0)
+    with pytest.raises(ValueError, match="num_hashes=0"):
+        corpus_overlap_minhash(a, b, "text", num_hashes=0)
