@@ -2128,3 +2128,162 @@ def q_corpus_overlap_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = docs.where(F.col("doc_id") % 3 != 0)
     b = docs.where(F.col("doc_id") % 2 == 0)
     return corpus_overlap_minhash(a, b, "text", num_hashes=16)
+
+
+@_register(
+    "rag_chunk_retrieval",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks, n,
+             unnest(generate_series(0, greatest(n - 1, 0), 40)) AS start
+      FROM t
+    ),
+    chunks AS (
+      SELECT doc_id * 100 + start // 40 AS chunk_id,
+             array_to_string(toks[start + 1 : least(start + 40, n)], ' ')
+               AS chunk_text
+      FROM s
+    ),
+    words AS (
+      SELECT chunk_id, w FROM (
+        SELECT chunk_id, unnest(string_split(chunk_text, ' ')) AS w
+        FROM chunks
+      ) WHERE w <> ''
+    ),
+    tf AS (
+      SELECT chunk_id, w, count(*) AS cnt FROM words GROUP BY chunk_id, w
+    ),
+    dlen AS (SELECT chunk_id, count(*) AS len FROM words GROUP BY chunk_id),
+    stats AS (
+      SELECT count(*) AS n, sum(len) * 1.0 / count(*) AS avglen FROM dlen
+    ),
+    dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    q(qid, w) AS (VALUES
+      (0, 'hash'), (0, 'join'), (1, 'vector'), (1, 'scan')
+    ),
+    scored AS (
+      SELECT q.qid, tf.chunk_id,
+             CAST(round(sum(CAST(
+               ln((n - df + 0.5) / (df + 0.5) + 1.0)
+               * (cnt * 2.2)
+               / (cnt + 1.2 * (1 - 0.75 + 0.75 * len / avglen))
+             AS DECIMAL(18,6))), 4) AS DOUBLE) AS score
+      FROM q JOIN tf USING (w)
+      JOIN dlen USING (chunk_id)
+      JOIN dfreq USING (w)
+      CROSS JOIN stats
+      GROUP BY q.qid, tf.chunk_id
+    )
+    SELECT CAST(qid AS BIGINT) AS qid, chunk_id, score, rank FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY qid ORDER BY score DESC, chunk_id) AS BIGINT)
+             AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG ingestion-to-retrieval composite: token-window chunking
+    (40-token non-overlapping windows, chunk_id = doc_id*100 +
+    chunk_idx) feeding BM25 top-5 retrieval per query — retrieval
+    granularity becomes the chunk, exactly how a context-window-bounded
+    retriever consumes a corpus. Chunking is zero-shuffle codegen; the
+    BM25 stage probes only query-word postings (broadcast join)."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        bm25_topk, chunk_documents,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, "text", "doc_id", size=40, stride=40).select(
+        (F.col("doc_id") * 100 + F.col("chunk_idx")).alias("chunk_id"),
+        "chunk_text",
+    )
+    queries = spark.createDataFrame(
+        [(0, "hash join"), (1, "vector scan")], "qid bigint, query string"
+    )
+    return bm25_topk(chunks, queries, "chunk_text", "chunk_id", k=5)
+
+
+@_register(
+    "corpus_zipf_fit",
+    oracle="""
+    WITH cw AS (
+      SELECT w, count(*) AS c FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      ) WHERE w <> '' GROUP BY w
+    ),
+    ranked AS (
+      SELECT c, CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT)
+               AS rnk
+      FROM cw
+    ),
+    xy AS (
+      SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y
+      FROM ranked WHERE rnk <= 50
+    ),
+    sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x * y AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x * x AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+      FROM xy
+    )
+    SELECT n AS n_words_fit,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
+             AS zipf_slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n, 4) AS zipf_intercept
+    FROM sums
+    """,
+)
+def q_corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: least-squares slope of
+    ln(frequency) on ln(rank) for the top-50 words — the standard
+    corpus-health diagnostic (natural text slopes near -1; synthetic or
+    template-heavy corpora flatten). Word counts map-side combine; the
+    global rank is one vocabulary-sized sort (at 100 TB, restrict to a
+    top-k by count first — ranks beyond the fit window are unused); the
+    regression reduces to five DECIMAL-exact sums, so both engines
+    derive the identical slope."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+        ).alias("w")
+    )
+    cw = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    rnk_w = Window.orderBy(F.col("c").desc(), F.col("w").asc_nulls_last())
+    xy = (
+        cw.withColumn("rnk", F.row_number().over(rnk_w).cast("long"))
+        .where(F.col("rnk") <= 50)
+        .select(
+            F.log(F.col("rnk").cast("double")).alias("x"),
+            F.log(F.col("c").cast("double")).alias("y"),
+        )
+    )
+    dec = "decimal(18,6)"
+    sums = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("n").alias("n_words_fit"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
+            "zipf_intercept"
+        ),
+    )
