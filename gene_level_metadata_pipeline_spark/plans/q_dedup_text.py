@@ -2235,10 +2235,11 @@ def q_rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM xy
     )
     SELECT n AS n_words_fit,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4)
-             AS zipf_slope,
-           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
-                 / n, 4) AS zipf_intercept
+           round((n * sxy - sx * sy)
+                 / nullif(n * sxx - sx * sx, 0), 4) AS zipf_slope,
+           round((sy - (n * sxy - sx * sy)
+                       / nullif(n * sxx - sx * sx, 0) * sx)
+                 / nullif(n, 0), 4) AS zipf_intercept
     FROM sums
     """,
 )
@@ -2277,13 +2278,18 @@ def q_corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
         F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # try_divide: a 0- or 1-word vocabulary makes the regression
+    # denominator exactly 0 (single point: x = ln(1) = 0 -> sxx = sx = 0)
+    # and plain `/` raises DIVIDE_BY_ZERO under ANSI; the fit is simply
+    # undefined -> NULL (oracle mirrors with nullif)
+    slope = F.try_divide(
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
     )
     return sums.select(
         F.col("n").alias("n_words_fit"),
         F.round(slope, 4).alias("zipf_slope"),
-        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4).alias(
-            "zipf_intercept"
-        ),
+        F.round(
+            F.try_divide(F.col("sy") - slope * F.col("sx"), F.col("n")), 4
+        ).alias("zipf_intercept"),
     )

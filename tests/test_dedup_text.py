@@ -1110,3 +1110,20 @@ def test_corpus_overlap_minhash_extremes(spark):
     assert (empty["n_match"], empty["jaccard_est"]) == (0, 0.0)
     with pytest.raises(ValueError, match="num_hashes=0"):
         corpus_overlap_minhash(a, b, "text", num_hashes=0)
+
+
+def test_zipf_fit_degenerate_vocab_yields_null_fit(spark, tmp_path):
+    """A 1-word vocabulary puts the single fit point at x = ln(1) = 0,
+    making the least-squares denominator exactly 0 — the fit is NULL,
+    not an ANSI DIVIDE_BY_ZERO abort (and DuckDB's nullif mirrors it)."""
+    from gene_level_metadata_pipeline_spark.plans.q_dedup_text import (
+        q_corpus_zipf_fit,
+    )
+
+    spark.createDataFrame(
+        [(1, "word word word"), (2, "word")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    row = q_corpus_zipf_fit(spark, str(tmp_path)).collect()[0]
+    assert row["n_words_fit"] == 1
+    assert row["zipf_slope"] is None and row["zipf_intercept"] is None

@@ -154,3 +154,43 @@ def test_centroid_classifier_partition_invariant(spark):
     b = run(docs.repartition(13))
     assert a == b
     assert len(a) > 0
+
+
+def test_bm25_and_lm_scores_partition_invariant(spark):
+    """DECIMAL per-term sums mean BM25 scores and LM log-prob scores are
+    identical whatever the partitioning — the claim behind the oracle
+    certification, tested directly."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        bm25_topk, unigram_logprob_scores,
+    )
+
+    docs = _docs(spark)
+    queries = docs.sparkSession.createDataFrame(
+        [(0, "hash join merge"), (1, "fast scan filter")],
+        "qid bigint, query string",
+    )
+    a = _rows(bm25_topk(docs.repartition(1), queries, "text", "doc_id", k=5))
+    b = _rows(bm25_topk(docs.repartition(13), queries, "text", "doc_id", k=5))
+    assert a == b and len(a) > 0
+    a = _rows(unigram_logprob_scores(docs.repartition(1), "text", "doc_id"))
+    b = _rows(unigram_logprob_scores(docs.repartition(13), "text", "doc_id"))
+    assert a == b and len(a) > 0
+
+
+def test_corpus_overlap_partition_invariant(spark):
+    """min() over the fingerprint multiset is partitioning-free, so the
+    sketch row — and the estimate — must be identical."""
+    from pyspark.sql import functions as F
+
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        corpus_overlap_minhash,
+    )
+
+    docs = _docs(spark)
+    a_side = docs.where(F.col("doc_id") % 3 != 0)
+    b_side = docs.where(F.col("doc_id") % 2 == 0)
+    a = _rows(corpus_overlap_minhash(
+        a_side.repartition(1), b_side.repartition(7), "text", num_hashes=16))
+    b = _rows(corpus_overlap_minhash(
+        a_side.repartition(13), b_side.repartition(1), "text", num_hashes=16))
+    assert a == b and len(a) == 1

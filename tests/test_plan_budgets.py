@@ -111,6 +111,15 @@ EXTRA_BUDGET = {
     "stratified_take_k": 1,     # one stratum window
     # classifier agreement filter + dedup + stratified budget on top
     "model_curation_pipeline": 27,
+    # r5 additions (audited 2026-08-14): BM25 = tf/dlen/dfreq aggs +
+    # 1-row stats + score agg + per-query rank window; LM = doc-word /
+    # word counts + 1-row totals + score agg; overlap = two 1-row
+    # sketch combines; zipf = vocab agg + global rank + 1-row sums
+    "bm25_retrieval_topk": 8,
+    "lm_quality_scores": 5,
+    "corpus_overlap_est": 2,
+    "rag_chunk_retrieval": 8,
+    "corpus_zipf_fit": 1,
 }
 
 
