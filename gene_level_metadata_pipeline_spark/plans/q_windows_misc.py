@@ -1455,3 +1455,33 @@ def q_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.groupBy("stage").agg(F.count(F.lit(1)).alias("n_users"))
 
 
+
+
+@_register(
+    "streaming_incremental_corpus",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'alpha beta'),
+      (CAST(2 AS BIGINT), 'gamma delta'),
+      (CAST(5 AS BIGINT), 'epsilon zeta'),
+      (CAST(8 AS BIGINT), 'eta theta')
+    ) AS t(doc_id, text)
+    """,
+)
+def q_streaming_incremental_corpus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming incremental corpus ingestion
+    (streaming.incremental_corpus_stream): per-micro-batch in-batch
+    exact dedup + Bloom-prefiltered dedup against the accumulated
+    parquet history via foreachBatch, survivors appended — dedup state
+    lives IN THE SINK, so a restarted job resumes from the history
+    alone. The VALUES oracle pins both observables over the
+    deterministic 3-batch demo: the in-batch duplicate (id 3) and every
+    history duplicate (ids 4, 6, 7) are absent; first-seen ids 1, 2, 5,
+    8 survive exactly once."""
+    from gene_level_metadata_pipeline_spark.streaming.windows import (
+        incremental_corpus_stream,
+    )
+
+    return incremental_corpus_stream(spark)

@@ -20,6 +20,7 @@ from gene_level_metadata_pipeline_spark.sources.readers import normalize_event_t
 __all__ = [
     "asof_enrich_stream",
     "hourly_event_counts_stream",
+    "incremental_corpus_stream",
     "session_window_counts_stream",
     "sessionize_stream",
     "stream_dedup_within_watermark_demo",
@@ -927,3 +928,109 @@ def stream_outer_join_demo(spark: SparkSession, demo_dir: str | None = None) -> 
     df = spark.createDataFrame(rows, out.schema)
     spark.catalog.dropTempView(name)
     return df
+
+
+def incremental_corpus_stream(
+    spark: SparkSession, demo_dir: str | None = None
+) -> DataFrame:
+    """Incremental corpus ingestion with exact dedup against the
+    accumulated history — the streaming form of
+    ``dedup.dedup_against_history``.
+
+    The 100 TB/day ingestion contract: each micro-batch of arriving
+    documents is (1) exact-deduped WITHIN the batch (min doc_id per
+    content hash), then (2) deduped AGAINST the full history via the
+    Bloom-prefiltered exact anti join, and (3) the survivors append to
+    the history parquet — so the history only ever holds the first-seen
+    copy of every distinct text, and each batch pays one Bloom build
+    over the history (at scale: size the mask once and persist it; the
+    operator's auto-sizing re-derives it per batch here for
+    self-containment). ``foreachBatch`` is the right primitive because
+    the sink transaction (read history -> filter -> append) is a batch
+    job per trigger, not a continuous stateful operator — Spark's
+    streaming dedup (``dropDuplicates``) keeps state on the driver/state
+    store, while this keeps it IN THE SINK, which is what lets a
+    restarted job resume from the parquet history alone.
+
+    Deterministic three-batch demo (maxFilesPerTrigger=1, pinned
+    mtimes): batch 1 carries an in-batch duplicate, batches 2-3 carry
+    history duplicates and fresh texts. Returns the final history
+    (doc_id, text) — first-seen ids 1, 2, 5, 8 only.
+    """
+    import json
+    import os
+    import tempfile
+
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        dedup_against_history, dedup_exact,
+    )
+
+    d = demo_dir or tempfile.mkdtemp(prefix="inc_corpus_")
+    src_dir = os.path.join(d, "incoming")
+    hist_dir = os.path.join(d, "history")
+    os.makedirs(src_dir, exist_ok=True)
+
+    def write_batch(name: str, rows: list[tuple[int, str]], mtime: int) -> None:
+        path = os.path.join(src_dir, name)
+        if not os.path.exists(path):
+            with open(path, "w") as f:
+                for doc_id, text in rows:
+                    f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        os.utime(path, (mtime, mtime))
+
+    write_batch("batch_1.json", [
+        (1, "alpha beta"),
+        (2, "gamma delta"),
+        (3, "alpha beta"),      # in-batch duplicate of 1: dropped in (1)
+    ], mtime=1_700_000_000)
+    write_batch("batch_2.json", [
+        (4, "alpha beta"),      # history duplicate: dropped in (2)
+        (5, "epsilon zeta"),
+    ], mtime=1_700_000_600)
+    write_batch("batch_3.json", [
+        (6, "epsilon zeta"),    # history duplicate
+        (7, "gamma delta"),     # history duplicate
+        (8, "eta theta"),
+    ], mtime=1_700_001_200)
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+
+    def ingest(batch_df: DataFrame, _bid: int) -> None:
+        sp = batch_df.sparkSession
+        # (1) in-batch exact dedup: keep the minimum id per content hash
+        keep = dedup_exact(batch_df, "text", "doc_id").select(
+            F.col("canonical_id").alias("doc_id")
+        )
+        batch = batch_df.join(F.broadcast(keep), "doc_id")
+        # (2) against-history dedup (Bloom prefilter + exact confirm)
+        if os.path.isdir(hist_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(hist_dir)
+        ):
+            hist = sp.read.parquet(hist_dir)
+            batch = dedup_against_history(batch, hist, "text", "doc_id")
+        # (3) survivors become history
+        batch.write.mode("append").parquet(hist_dir)
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src_dir)
+    )
+    with _pinned_shuffle(spark, 8):
+        q = (
+            src.writeStream.foreachBatch(ingest)
+            .option(
+                "checkpointLocation", os.path.join(d, "_checkpoint")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out = spark.read.parquet(hist_dir)
+    rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)

@@ -79,3 +79,34 @@ def test_foreachbatch_incremental_merge(spark, tmp_path):
         for r in spark.read.parquet(versions[-1]).collect()
     }
     assert final == {1: ("A", 3), 2: ("B", 2), 3: ("c", 2)}
+
+
+def test_incremental_corpus_stream_restart_resumes_from_history(spark, tmp_path):
+    """The sink-state claim, tested directly: run the 3-batch demo, then
+    START A SECOND STREAM over the same directory with one more batch
+    containing a duplicate of a batch-1 text and a fresh text. The new
+    stream has no memory of the first — only the parquet history — and
+    must still drop the duplicate and admit the fresh text."""
+    import json
+    import os
+
+    from gene_level_metadata_pipeline_spark.streaming.windows import (
+        incremental_corpus_stream,
+    )
+
+    d = str(tmp_path / "demo")
+    out1 = {(r["doc_id"], r["text"])
+            for r in incremental_corpus_stream(spark, demo_dir=d).collect()}
+    assert out1 == {(1, "alpha beta"), (2, "gamma delta"),
+                    (5, "epsilon zeta"), (8, "eta theta")}
+
+    # simulate a restart: new batch file arrives, stream runs again from
+    # the same checkpoint + history
+    path = os.path.join(d, "incoming", "batch_4.json")
+    with open(path, "w") as f:
+        f.write(json.dumps({"doc_id": 9, "text": "alpha beta"}) + "\n")
+        f.write(json.dumps({"doc_id": 10, "text": "iota kappa"}) + "\n")
+    os.utime(path, (1_700_001_800, 1_700_001_800))
+    out2 = {(r["doc_id"], r["text"])
+            for r in incremental_corpus_stream(spark, demo_dir=d).collect()}
+    assert out2 == out1 | {(10, "iota kappa")}
