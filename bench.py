@@ -73,6 +73,8 @@ HEADLINE = [
     "event_transition_matrix",
     "ab_metric_ztest",
     "harmonize_catalog_width",
+    "lm_quality_scores",
+    "corpus_overlap_est",
 ]
 
 REPS = 3

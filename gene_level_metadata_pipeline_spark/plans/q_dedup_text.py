@@ -2293,3 +2293,63 @@ def q_corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_divide(F.col("sy") - slope * F.col("sx"), F.col("n")), 4
         ).alias("zipf_intercept"),
     )
+
+
+_EXACT_PAIRS_SQL = """
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+      FROM words, (SELECT unnest(generate_series(1, len(ws)-2)) AS i)
+      WHERE len(ws) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+"""
+
+
+@_register(
+    "dedup_lsh_recall",
+    oracle=f"""
+    SELECT CAST(e.n AS BIGINT) AS n_exact, CAST(l.n AS BIGINT) AS n_lsh,
+           round(l.n * 1.0 / nullif(e.n, 0), 4) AS recall
+    FROM (SELECT count(*) AS n FROM ({_EXACT_PAIRS_SQL})) e,
+         (SELECT count(*) AS n FROM ({_near_dup_oracle()})) l
+    """,
+)
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall SELF-EVALUATION — the text-side mirror of
+    ann_ivf_recall: confirmed MinHash-LSH pairs (near_dup_pairs, 8
+    hashes / 4 bands, exact-Jaccard confirm at 0.1) counted against the
+    full exact-Jaccard truth at the same threshold. The confirm stage
+    makes the LSH set a strict SUBSET of the truth, so recall is a pure
+    count ratio — the measurable cost of the banding s-curve
+    (false negatives are pairs the LSH never bucketed together). At
+    scale the truth side is the blocked/quadratic path run on a sample;
+    here the corpus is small enough to run it whole."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        near_dup_pairs, ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.1)
+    lsh = near_dup_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.1, num_hashes=8, bands=4
+    )
+    e = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    l = lsh.agg(F.count(F.lit(1)).alias("n_lsh"))
+    return e.crossJoin(F.broadcast(l)).select(
+        "n_exact", "n_lsh",
+        F.round(
+            F.try_divide(F.col("n_lsh"), F.col("n_exact")), 4
+        ).alias("recall"),
+    )

@@ -94,6 +94,9 @@ SHUFFLE_BUDGET = {
     # aggs incl. countDistinct's two phases) + the final distinct, so the
     # fold chain itself adds NO shuffles as the catalog widens
     "harmonize_catalog_width": 14,
+    # r5 LLM-pipeline additions promoted to the headline set
+    "lm_quality_scores": 5,
+    "corpus_overlap_est": 2,
 }
 
 # Non-headline flagships whose plan shape is still pinned (round-4 audit).
@@ -116,10 +119,10 @@ EXTRA_BUDGET = {
     # word counts + 1-row totals + score agg; overlap = two 1-row
     # sketch combines; zipf = vocab agg + global rank + 1-row sums
     "bm25_retrieval_topk": 8,
-    "lm_quality_scores": 5,
-    "corpus_overlap_est": 2,
     "rag_chunk_retrieval": 8,
     "corpus_zipf_fit": 1,
+    # LSH-recall self-eval: exact shingle-join truth side + LSH side
+    "dedup_lsh_recall": 9,
 }
 
 
