@@ -42,6 +42,7 @@ __all__ = [
     "simhash",
     "lsh_params",
     "corpus_overlap_minhash",
+    "fuzzy_dup_pairs",
 ]
 
 HEX = "0123456789abcdef"
@@ -797,4 +798,79 @@ def corpus_overlap_minhash(
             "n_match",
             F.round(F.col("n_match") / F.col("k"), 4).alias("jaccard_est"),
         )
+    )
+
+
+def fuzzy_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_distance: int = 1,
+) -> DataFrame:
+    """Entity-resolution fuzzy pairs: all (id_a, id_b, distance) with
+    Levenshtein distance <= ``max_distance``, WITHOUT an all-pairs join.
+
+    Blocking is the deletion neighborhood (the public FastSS/SymSpell
+    scheme): every string emits itself plus every variant obtainable by
+    deleting up to ``max_distance`` characters; two strings within edit
+    distance k ALWAYS share a <=k-deletion variant (delete the edited
+    positions from each side), so joining on the variant key is a
+    COMPLETE candidate generator — recall 1.0 by construction, certified
+    in the registered query by comparing against the exact quadratic
+    levenshtein truth. Candidates then pay one exact ``levenshtein``
+    confirm (classic integer DP, identical in every engine).
+
+    Scale: the neighborhood has ~len^k keys per record (len+1 at the
+    k=1 default) — the shingle-explosion cost family, shuffled on the
+    variant hash; an all-pairs join is never formed, and bucket sizes
+    are bounded by how many records share a variant (the boilerplate
+    caveat of the LSH families applies: dedup exact first). k is capped
+    at 2 — beyond that the neighborhood outgrows the candidate set it
+    prunes. NULL/empty ids with NULL text emit no keys and join nothing.
+    """
+    if not 1 <= max_distance <= 2:
+        raise ValueError(
+            f"fuzzy_dup_pairs: max_distance={max_distance} must be 1 or 2 "
+            "(the deletion neighborhood grows ~len^k; beyond 2 it stops "
+            "pruning)"
+        )
+    s = F.col(text_col)
+
+    def one_deletions(col):
+        # variant i = drop character i (1-based); sequence is empty for
+        # the empty string, so "" emits only itself
+        return F.transform(
+            F.sequence(F.lit(1), F.length(col)),
+            lambda i: F.concat(
+                F.substr(col, F.lit(1), i - 1),
+                F.substr(col, i + 1, F.length(col)),
+            ),
+        )
+
+    keys = F.array(s)
+    frontier = F.array(s)
+    for _ in range(max_distance):
+        frontier = F.array_distinct(
+            F.flatten(F.transform(frontier, one_deletions))
+        )
+        keys = F.array_union(keys, frontier)
+    kdf = df.where(s.isNotNull()).select(
+        F.col(id_col), s.alias("__t"), F.explode(keys).alias("__k")
+    )
+    a = kdf.select(
+        F.col(id_col).alias("id_a"), F.col("__t").alias("__ta"), "__k"
+    )
+    b = kdf.select(
+        F.col(id_col).alias("id_b"), F.col("__t").alias("__tb"), "__k"
+    )
+    return (
+        a.join(b, "__k")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ta", "__tb")
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "distance", F.levenshtein(F.col("__ta"), F.col("__tb")).cast("long")
+        )
+        .where(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", "distance")
     )

@@ -2353,3 +2353,30 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_divide(F.col("n_lsh"), F.col("n_exact")), 4
         ).alias("recall"),
     )
+
+
+@_register(
+    "fuzzy_dup_pairs",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS distance
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def q_fuzzy_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy matching (dedup.fuzzy_dup_pairs): all
+    customer-name pairs within Levenshtein distance 1, generated via
+    deletion-neighborhood (FastSS/SymSpell) blocking + exact confirm —
+    never an all-pairs join. The ORACLE is the quadratic levenshtein
+    truth, so a hash match certifies the blocking scheme's completeness
+    (recall 1.0 by construction) on 19,500 true pairs at sf0.01, not
+    just the confirm arithmetic."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        fuzzy_dup_pairs,
+    )
+
+    return fuzzy_dup_pairs(
+        _t(spark, sf_dir, "customer"), "c_name", "c_custkey",
+        max_distance=1,
+    )

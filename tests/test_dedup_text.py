@@ -1127,3 +1127,30 @@ def test_zipf_fit_degenerate_vocab_yields_null_fit(spark, tmp_path):
     row = q_corpus_zipf_fit(spark, str(tmp_path)).collect()[0]
     assert row["n_words_fit"] == 1
     assert row["zipf_slope"] is None and row["zipf_intercept"] is None
+
+
+def test_fuzzy_dup_pairs_k2_and_edges(spark):
+    """Deletion-neighborhood completeness at k=2 (hand-checkable set),
+    empty strings pair only with <=k-length strings, NULL text emits
+    nothing, and k outside [1, 2] raises."""
+    import pytest
+
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        fuzzy_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abcd"), (2, "abxy"), (3, "abc"), (4, ""), (5, "ab"), (6, None)],
+        "id long, t string",
+    )
+    out = {(r["id_a"], r["id_b"]): r["distance"]
+           for r in fuzzy_dup_pairs(df, "t", "id", max_distance=2).collect()}
+    # exact expected set by hand: ld(abcd,abxy)=2, ld(abcd,abc)=1,
+    # ld(abcd,ab)=2, ld(abxy,abc)=2, ld(abxy,ab)=2, ld(abc,ab)=1,
+    # ld("",ab)=2; "" vs abc/abcd/abxy are 3-4, absent
+    assert out == {
+        (1, 2): 2, (1, 3): 1, (1, 5): 2, (2, 3): 2, (2, 5): 2,
+        (3, 5): 1, (4, 5): 2,
+    }
+    with pytest.raises(ValueError, match="max_distance=3"):
+        fuzzy_dup_pairs(df, "t", "id", max_distance=3)
