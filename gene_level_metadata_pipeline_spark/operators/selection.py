@@ -48,6 +48,7 @@ __all__ = [
     "temperature_mixture_rates",
     "corpus_shuffle",
     "stratified_take",
+    "weighted_take_k",
 ]
 
 
@@ -332,4 +333,65 @@ def stratified_take(
     return (
         df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
         .where(F.col("sample_rank") <= k)
+    )
+
+
+def weighted_take_k(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wtake",
+) -> DataFrame:
+    """EXACT-k weighted sampling WITHOUT replacement — the
+    Efraimidis-Spirakis A-ES scheme (public algorithm: each row draws a
+    uniform u and the k largest u^(1/w) win, which selects each subset
+    with probability proportional to its weights), made deterministic
+    and engine-reproducible the `stable_sample` way: u derives from
+    md5(salt:key), not an RNG.
+
+    The sort key is ln(u)/w (monotone in u^(1/w); u from the first 8
+    md5 hex digits, u = (v+1)/2^32 in (0,1] so ln is defined) — every
+    input to the comparison is an IEEE-identical double in any engine
+    (md5 slice -> integer arithmetic -> ln -> divide), and ties (a
+    2^-32 event) break on the key, so two engines select the identical
+    set. The mixture-weighting use: weight = token count samples
+    "probability proportional to training mass"; weight = a quality
+    score samples toward the curated head without a hard cutoff.
+
+    Rows with NULL or non-positive weight CANNOT be sampled and are
+    excluded (ln(u)/w flips sign at w<0 and explodes at 0 — there is no
+    meaningful "weight 0 row that might still win").
+
+    Scale: global top-k plans as TakeOrderedAndProject (per-partition
+    heap + driver merge of k-row heads) — no global sort, no
+    single-partition window, no shuffle of the corpus. Returns
+    (key, weight, es_score) with es_score rounded 6dp (DuckDB-matching
+    double rounding).
+    """
+    if k < 1:
+        raise ValueError(f"weighted_take_k: k={k} must be >= 1")
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    u = (v + 1).cast("double") / F.lit(float(2 ** 32))
+    w = F.col(weight_col).cast("double")
+    es = F.log(u) / w
+    # round like DuckDB rounds doubles: round(x * 10^n) / 10^n
+    es_out = F.round(es * F.lit(1e6), 0) / F.lit(1e6)
+    return (
+        df.where(w > 0)
+        .select(
+            F.col(key_col),
+            F.col(weight_col),
+            es.alias("__es"),
+            es_out.alias("es_score"),
+        )
+        .orderBy(F.col("__es").desc(), F.col(key_col).asc_nulls_last())
+        .limit(k)
+        .drop("__es")
     )

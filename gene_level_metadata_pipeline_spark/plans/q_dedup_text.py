@@ -2380,3 +2380,53 @@ def q_fuzzy_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "customer"), "c_name", "c_custkey",
         max_distance=1,
     )
+
+
+def _weighted_take_oracle(k: int = 100) -> str:
+    """DuckDB twin of selection.weighted_take_k on the documents table
+    with weight = whitespace token count: u from the first 8 md5 hex
+    digits (strpos digit arithmetic — no conv() dependency), Efraimidis-
+    Spirakis key ln(u)/w, top-k by (key desc, doc_id)."""
+    v = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) "
+        f"* {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"""
+    WITH docs AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> w <> '')) AS BIGINT) AS weight,
+             md5('wtake:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, weight,
+             ln(({v} + 1) * 1.0 / 4294967296.0)
+               / CAST(weight AS DOUBLE) AS es
+      FROM docs WHERE weight > 0
+    )
+    SELECT doc_id, weight, round(es, 6) AS es_score
+    FROM scored ORDER BY es DESC, doc_id LIMIT {k}
+    """
+
+
+@_register("weighted_sample_k", oracle=_weighted_take_oracle())
+def q_weighted_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k weighted sampling without replacement
+    (selection.weighted_take_k, Efraimidis-Spirakis with md5-derived
+    uniforms): 100 documents drawn with probability proportional to
+    token count — "sample by training mass", the weighted counterpart
+    to stratified_take's fixed budgets. Plans as TakeOrderedAndProject:
+    no global sort, no corpus shuffle."""
+    from gene_level_metadata_pipeline_spark.operators.selection import (
+        weighted_take_k,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+        ).cast("long").alias("weight"),
+    )
+    return weighted_take_k(docs, "doc_id", "weight", k=100)

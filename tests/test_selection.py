@@ -225,3 +225,39 @@ def test_stratified_take_exact_k_and_nested(spark):
 
     with pytest.raises(ValueError, match="k=0"):
         stratified_take(df, "doc_id", "lang", 0)
+
+
+def test_weighted_take_k_bias_and_contract(spark):
+    """Weight bias is real: across 40 salts, a row with 50x the weight
+    of its 9 peers must win far more often than uniform; NULL/zero/
+    negative weights are unsampleable; the plan is TakeOrdered (no
+    global sort); k < 1 raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from gene_level_metadata_pipeline_spark.operators.selection import (
+        weighted_take_k,
+    )
+
+    rows = [(i, 1.0) for i in range(9)] + [(9, 50.0),
+                                           (10, None), (11, 0.0), (12, -3.0)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    wins = 0
+    for s in range(40):
+        got = weighted_take_k(df, "id", "w", k=1, salt=f"s{s}").collect()
+        assert len(got) == 1 and got[0]["id"] <= 9  # 10-12 never sampled
+        wins += got[0]["id"] == 9
+    # P(heavy wins) = 50/59 ~ 0.85; 40 draws below 20 is astronomically
+    # unlikely (and deterministic given the fixed salts anyway)
+    assert wins >= 20
+
+    out = weighted_take_k(df, "id", "w", k=100).collect()
+    assert len(out) == 10  # only positive-weight rows are sampleable
+
+    plan = weighted_take_k(
+        df, "id", "w", k=5
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+    with pytest.raises(ValueError, match="k=0"):
+        weighted_take_k(df, "id", "w", k=0)
