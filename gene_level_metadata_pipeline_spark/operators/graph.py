@@ -153,6 +153,7 @@ def pagerank(
     scale: int = 10 ** 12,
     damping_pct: int = 85,
     checkpoint_every: int = 4,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over an undirected pair list, in exact
     integer arithmetic.
@@ -185,6 +186,17 @@ def pagerank(
     sizing after restore); when it didn't — every bench/cluster-sized
     session — the result stays lazy and the caller's action pays no
     extra materialization, exactly the pre-sizing behavior.
+
+    ``seeds`` (optional, a 1-column frame of node ids) switches to
+    PERSONALIZED PageRank: the reset mass — the initial ranks and the
+    per-round (100−damping)% teleport term — concentrates uniformly on
+    the seed nodes instead of all nodes (init = scale // |S| for seeds,
+    0 otherwise), so ranks measure proximity TO THE SEED SET (the "find
+    items related to this known-good set" query). Still exact bigint
+    arithmetic: the per-node base rides the node frame as a broadcast-
+    joined column, seeds outside the graph are ignored, and an empty
+    effective seed set raises. ``seeds=None`` is bit-identical to the
+    classic uniform recurrence.
     """
     from gene_level_metadata_pipeline_spark.sizing import sized_shuffle
 
@@ -203,11 +215,41 @@ def pagerank(
             return deg.select(
                 F.col("u").alias("node"), F.lit(None).cast("long").alias("pr")
             )
-        init = scale // n
-        base = ((100 - damping_pct) * init) // 100
-
         nodes = deg.select(F.col("u").alias("node"), "d")
-        pr = nodes.select("node", F.lit(init).cast("long").alias("pr"))
+        if seeds is None:
+            init = scale // n
+            nodes = nodes.withColumn(
+                "__base",
+                F.lit(((100 - damping_pct) * init) // 100).cast("long"),
+            )
+            pr = nodes.select("node", F.lit(init).cast("long").alias("pr"))
+        else:
+            seed_df = (
+                seeds.select(F.col(seeds.columns[0]).alias("node"))
+                .distinct()
+                .withColumn("__is_seed", F.lit(True))
+            )
+            nodes = nodes.join(F.broadcast(seed_df), "node", "left")
+            ns = nodes.where(F.col("__is_seed")).count()
+            if ns == 0:
+                raise ValueError(
+                    "pagerank: no seed node appears in the graph — a "
+                    "personalized walk with an empty effective seed set "
+                    "has no reset distribution"
+                )
+            init = scale // ns
+            seed_base = ((100 - damping_pct) * init) // 100
+            nodes = nodes.withColumn(
+                "__base",
+                F.when(F.col("__is_seed"), F.lit(seed_base))
+                .otherwise(F.lit(0)).cast("long"),
+            )
+            pr = nodes.select(
+                "node",
+                F.when(F.col("__is_seed"), F.lit(init))
+                .otherwise(F.lit(0)).cast("long").alias("pr"),
+            )
+            nodes = nodes.drop("__is_seed")
         for i in range(iterations):
             prd = pr.join(nodes, "node")
             contrib = (
@@ -217,12 +259,12 @@ def pagerank(
                 .agg(F.sum("c").alias("s"))
             )
             pr = (
-                nodes.select("node")
+                nodes.select("node", "__base")
                 .join(contrib, "node", "left")
                 .select(
                     "node",
                     (
-                        F.lit(base)
+                        F.col("__base")
                         + F.expr(f"({damping_pct} * coalesce(s, 0)) div 100")
                     ).cast("long").alias("pr"),
                 )

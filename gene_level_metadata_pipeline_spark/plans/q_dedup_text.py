@@ -2430,3 +2430,69 @@ def q_weighted_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("weight"),
     )
     return weighted_take_k(docs, "doc_id", "weight", k=100)
+
+
+def _ppr_oracle(rounds: int = 3) -> str:
+    """DuckDB twin of the PERSONALIZED pagerank recurrence (seeds =
+    suppliers with suppkey % 10 = 0): same co-occurrence graph as
+    pagerank_suppliers, reset mass concentrated on the seed set, three
+    unrolled integer rounds."""
+    head = """
+    WITH os AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_suppkey AS u, b.l_suppkey AS v, count(*) AS n
+      FROM os a JOIN os b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY a.l_suppkey, b.l_suppkey
+    ),
+    und AS (SELECT u, v FROM pairs WHERE n >= 3),
+    edges AS (SELECT u, v FROM und UNION SELECT v, u FROM und),
+    deg AS (SELECT u, count(*) AS d FROM edges GROUP BY u),
+    ns AS (SELECT count(*) AS n FROM deg WHERE u % 10 = 0),
+    bb AS (SELECT u AS node,
+                  CASE WHEN u % 10 = 0
+                       THEN (15 * (1000000000000 // ns.n)) // 100
+                       ELSE 0 END AS base,
+                  CASE WHEN u % 10 = 0
+                       THEN 1000000000000 // ns.n ELSE 0 END AS init
+           FROM deg, ns),
+    p0 AS (SELECT node, init AS pr FROM bb)"""
+    rounds_sql = ""
+    for r in range(1, rounds + 1):
+        rounds_sql += f""",
+    c{r} AS (SELECT e.v AS node, sum(p.pr // g.d) AS s
+           FROM edges e JOIN p{r-1} p ON p.node = e.u
+           JOIN deg g ON g.u = e.u
+           GROUP BY e.v),
+    p{r} AS (SELECT bb.node, bb.base + (85 * COALESCE(c{r}.s, 0)) // 100 AS pr
+           FROM bb LEFT JOIN c{r} ON c{r}.node = bb.node)"""
+    return head + rounds_sql + f"""
+    SELECT node AS suppkey, pr::BIGINT AS pr_micro FROM p{rounds}
+    """
+
+
+@_register("pagerank_personalized", oracle=_ppr_oracle())
+def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank (operators.graph.pagerank with seeds):
+    reset mass concentrated on the suppkey%10==0 seed suppliers, so
+    ranks measure proximity to the seed set over the co-occurrence
+    graph — the "expand this known-good set" query. Same exact bigint
+    recurrence as pagerank_suppliers (hash-oracle-certifiable where
+    float PPR cannot be); the oracle unrolls three seeded rounds."""
+    from gene_level_metadata_pipeline_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
+    und = (
+        a.join(b, "k")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 3)
+        .select("u", "v")
+    )
+    nodes = und.select("u").union(und.select("v")).distinct()
+    seeds = nodes.where(F.col("u") % 10 == 0)
+    pr = pagerank(und, iterations=3, seeds=seeds)
+    return pr.select(F.col("node").alias("suppkey"), F.col("pr").alias("pr_micro"))

