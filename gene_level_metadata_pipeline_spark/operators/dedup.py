@@ -43,6 +43,7 @@ __all__ = [
     "lsh_params",
     "corpus_overlap_minhash",
     "fuzzy_dup_pairs",
+    "ngram_containment_pairs",
 ]
 
 HEX = "0123456789abcdef"
@@ -873,4 +874,60 @@ def fuzzy_dup_pairs(
         )
         .where(F.col("distance") <= max_distance)
         .select("id_a", "id_b", "distance")
+    )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    block_by: str | None = None,
+) -> DataFrame:
+    """Sub-document duplication: pairs where one document's shingle set
+    is mostly CONTAINED in the other's — containment
+    c(A→B) = |A∩B| / |A| — the asymmetric complement to Jaccard.
+
+    Jaccard blinds itself to size-mismatched duplication: a paragraph
+    fully copied into a 100x longer page scores J ≈ 0.01 but
+    c(small→big) = 1.0. That is the quote/aggregator/expansion case
+    every training-corpus dedup needs and near_dup_pairs structurally
+    misses (MinHash banding ALSO under-recalls it — min-hash collision
+    probability equals Jaccard, so candidates for low-J/high-c pairs
+    rarely surface; this is the documented reason this operator exists
+    as its own path rather than a confirm option). Returns
+    (doc_a, doc_b, c_ab, c_ba, containment) with containment =
+    max(c_ab, c_ba) >= threshold.
+
+    Same cost shape as :func:`ngram_jaccard_pairs` — quadratic per
+    shingle bucket, so the same two scale levers apply verbatim:
+    ``block_by`` (compare only within language/source/length-band), or
+    at full corpus scale run it on the suspect slice (e.g. docs whose
+    spans already matched in ``substring_dup_spans``).
+    """
+    cols = [F.col(id_col), F.explode(shingle_array(text_col, n)).alias("shingle")]
+    join_keys = ["shingle"]
+    if block_by is not None:
+        cols.append(F.col(block_by).alias("__blk"))
+        join_keys = ["shingle", "__blk"]
+    sh = df.select(*cols)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.withColumnRenamed(id_col, "doc_a")
+    b = sh.withColumnRenamed(id_col, "doc_b")
+    common = (
+        a.join(b, join_keys)
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.toDF("doc_a", "na")
+    sb = sizes.toDF("doc_b", "nb")
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("c_ab", F.round(F.col("n_common") / F.col("na"), 4))
+        .withColumn("c_ba", F.round(F.col("n_common") / F.col("nb"), 4))
+        .withColumn("containment", F.greatest("c_ab", "c_ba"))
+        .where(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "c_ab", "c_ba", "containment")
     )

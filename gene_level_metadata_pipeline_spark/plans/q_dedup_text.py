@@ -2496,3 +2496,48 @@ def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = nodes.where(F.col("u") % 10 == 0)
     pr = pagerank(und, iterations=3, seeds=seeds)
     return pr.select(F.col("node").alias("suppkey"), F.col("pr").alias("pr_micro"))
+
+
+@_register(
+    "dedup_containment_pairs",
+    oracle="""
+    WITH words AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, lang, array_to_string(ws[i:i+2], ' ') AS shingle
+      FROM words, (SELECT unnest(generate_series(1, len(ws)-2)) AS i)
+      WHERE len(ws) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b
+        ON a.shingle = b.shingle AND a.lang = b.lang AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(n_common * 1.0 / sa.n_sh, 4) AS c_ab,
+           round(n_common * 1.0 / sb.n_sh, 4) AS c_ba,
+           greatest(round(n_common * 1.0 / sa.n_sh, 4),
+                    round(n_common * 1.0 / sb.n_sh, 4)) AS containment
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE greatest(round(n_common * 1.0 / sa.n_sh, 4),
+                   round(n_common * 1.0 / sb.n_sh, 4)) >= 0.2
+    """,
+)
+def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplication (dedup.ngram_containment_pairs): pairs
+    where one document's shingle set is >=20% contained in the other —
+    the asymmetric case Jaccard (and MinHash banding, whose collision
+    probability IS Jaccard) structurally misses: a paragraph copied
+    into a much longer page. Blocked on language like the exact-Jaccard
+    path; threshold 0.2 so the synthetic corpus yields rows."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    return ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        n=3, threshold=0.2, block_by="lang",
+    )

@@ -1154,3 +1154,28 @@ def test_fuzzy_dup_pairs_k2_and_edges(spark):
     }
     with pytest.raises(ValueError, match="max_distance=3"):
         fuzzy_dup_pairs(df, "t", "id", max_distance=3)
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """The operator's reason to exist: a sentence fully copied into a
+    much longer page has tiny Jaccard but containment 1.0."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        ngram_containment_pairs, ngram_jaccard_pairs,
+    )
+
+    small = "the quick brown fox jumps"
+    big = small + " " + " ".join(f"w{i}" for i in range(200))
+    df = spark.createDataFrame(
+        [(1, small), (2, big)], "doc_id long, text string"
+    )
+    jac = ngram_jaccard_pairs(df, "text", "doc_id", threshold=0.5).collect()
+    assert jac == []  # J = 3/205 — invisible to the symmetric metric
+    out = ngram_containment_pairs(
+        df, "text", "doc_id", threshold=0.8
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"], r["c_ab"], r["containment"]) == (
+        1, 2, 1.0, 1.0,
+    )
+    assert r["c_ba"] < 0.05
