@@ -49,6 +49,7 @@ __all__ = [
     "corpus_shuffle",
     "stratified_take",
     "weighted_take_k",
+    "stratified_weighted_take",
 ]
 
 
@@ -394,4 +395,51 @@ def weighted_take_k(
         .orderBy(F.col("__es").desc(), F.col(key_col).asc_nulls_last())
         .limit(k)
         .drop("__es")
+    )
+
+
+def stratified_weighted_take(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "wtake",
+) -> DataFrame:
+    """EXACT-k weighted sampling WITHIN each stratum — the fixed-budget
+    weighted mixer: "exactly k documents per language, drawn with
+    probability proportional to weight". Composes the
+    :func:`weighted_take_k` Efraimidis-Spirakis key (deterministic
+    md5-derived uniforms, ln(u)/w, engine-identical doubles) with the
+    :func:`stratified_take` per-stratum window rank, and inherits both
+    contracts: NULL strata form their own group, NULL/non-positive
+    weights are unsampleable, strata are independent (adding rows to
+    one never perturbs another's selection), growing k only adds rows.
+
+    Scale: one hash-partition shuffle on the stratum plus the windowed
+    top-k sort — identical to stratified_take; the skewed-stratum
+    caveat applies verbatim. Returns the sampled rows plus
+    ``sample_rank`` (1-based within the stratum by descending ES key).
+    """
+    from pyspark.sql.window import Window
+
+    if k < 1:
+        raise ValueError(f"stratified_weighted_take: k={k} must be >= 1")
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    u = (v + 1).cast("double") / F.lit(float(2 ** 32))
+    w = F.col(weight_col).cast("double")
+    es = F.log(u) / w
+    rank_w = Window.partitionBy(stratum_col).orderBy(
+        es.desc_nulls_last(), F.col(key_col).asc_nulls_last()
+    )
+    return (
+        df.where(w > 0)
+        .withColumn("sample_rank", F.row_number().over(rank_w).cast("long"))
+        .where(F.col("sample_rank") <= k)
     )

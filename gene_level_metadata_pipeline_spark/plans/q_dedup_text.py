@@ -2541,3 +2541,57 @@ def q_dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "text", "doc_id",
         n=3, threshold=0.2, block_by="lang",
     )
+
+
+def _stratified_weighted_oracle(k: int = 20) -> str:
+    """DuckDB twin of selection.stratified_weighted_take on documents:
+    per-lang budgets of k, ES key ln(u)/w with w = token count."""
+    v = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) "
+        f"* {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(text, ' '),
+                                  w -> w <> '')) AS BIGINT) AS weight,
+             md5('wtake:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, weight,
+             ln(({v} + 1) * 1.0 / 4294967296.0)
+               / CAST(weight AS DOUBLE) AS es
+      FROM docs WHERE weight > 0
+    )
+    SELECT doc_id, lang, weight, rank AS sample_rank FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY lang ORDER BY es DESC, doc_id) AS BIGINT)
+             AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@_register(
+    "stratified_weighted_sample", oracle=_stratified_weighted_oracle()
+)
+def q_stratified_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum weighted budgets
+    (selection.stratified_weighted_take): exactly 20 documents per
+    language, drawn with probability proportional to token count — the
+    fixed-budget weighted mixer combining stratified_take's exact-k
+    windows with weighted_take_k's deterministic Efraimidis-Spirakis
+    key."""
+    from gene_level_metadata_pipeline_spark.operators.selection import (
+        stratified_weighted_take,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+        ).cast("long").alias("weight"),
+    )
+    return stratified_weighted_take(docs, "doc_id", "lang", "weight", k=20)

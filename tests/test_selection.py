@@ -261,3 +261,29 @@ def test_weighted_take_k_bias_and_contract(spark):
 
     with pytest.raises(ValueError, match="k=0"):
         weighted_take_k(df, "id", "w", k=0)
+
+
+def test_stratified_weighted_take_budgets_and_nesting(spark):
+    """Exact per-stratum budgets, weight bias within the stratum, NULL
+    stratum forms its own group, and growing k only ADDS rows (nested
+    samples)."""
+    from pyspark.sql import functions as F
+
+    from gene_level_metadata_pipeline_spark.operators.selection import (
+        stratified_weighted_take,
+    )
+
+    rows = [(i, "en" if i < 40 else None, 1.0 + 9.0 * (i % 2)) for i in range(80)]
+    df = spark.createDataFrame(rows, "id long, lang string, w double")
+    out = stratified_weighted_take(df, "id", "lang", "w", k=10)
+    got = {r["lang"]: 0 for r in out.collect()}
+    for r in out.collect():
+        got[r["lang"]] += 1
+    assert got == {"en": 10, None: 10}
+    # heavy rows (w=10) should dominate the selection
+    heavy = sum(1 for r in out.collect() if r["w"] == 10.0)
+    assert heavy >= 14  # 20 picks, ~10:1 odds per pick
+    s5 = {r["id"] for r in
+          stratified_weighted_take(df, "id", "lang", "w", k=5).collect()}
+    s10 = {r["id"] for r in out.collect()}
+    assert s5 <= s10  # nested
