@@ -2595,3 +2595,49 @@ def q_stratified_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("weight"),
     )
     return stratified_weighted_take(docs, "doc_id", "lang", "weight", k=20)
+
+
+@_register(
+    "entity_resolution_pipeline",
+    oracle="""
+    WITH RECURSIVE fp AS (
+      SELECT a.c_custkey AS u, b.c_custkey AS v
+      FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+    ),
+    edges2 AS (SELECT u, v FROM fp UNION SELECT v, u FROM fp),
+    reach(u, v) AS (
+      SELECT u, v FROM edges2
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges2 e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u
+    )
+    SELECT c.c_custkey, COALESCE(comp.component, c.c_custkey) AS canonical_id
+    FROM customer c LEFT JOIN comp ON comp.id = c.c_custkey
+    """,
+)
+def q_entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full entity-resolution flow as one certified composite:
+    deletion-neighborhood fuzzy matching (distance <= 1 on customer
+    names) -> connected components (pointer-jumping min-label) ->
+    canonical id per record (component minimum; untouched records map
+    to themselves). Every stage is an already-certified operator; the
+    oracle recomputes the same fixpoint from the quadratic levenshtein
+    truth with a recursive CTE, so the hash match certifies blocking
+    completeness AND the clustering in one shot."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        fuzzy_dup_pairs,
+    )
+    from gene_level_metadata_pipeline_spark.operators.graph import (
+        canonicalize_duplicates,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    pairs = fuzzy_dup_pairs(cust, "c_name", "c_custkey", max_distance=1)
+    return canonicalize_duplicates(
+        cust.select("c_custkey"), pairs.select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+        ), "c_custkey",
+    ).select("c_custkey", "canonical_id")
