@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["Rule", "not_null", "accepted_values", "in_range", "unique",
            "foreign_key", "validate", "histogram", "flag_outliers",
-           "winsorize", "equi_depth_histogram"]
+           "winsorize", "equi_depth_histogram", "mad_outliers"]
 
 
 class Rule:
@@ -331,4 +331,52 @@ def equi_depth_histogram(
             F.count(F.lit(1)).alias("n"),
         )
         .select("bin", "lo", "hi", "n")
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust per-group outlier flags via the Median Absolute Deviation:
+    modified z-score 0.6745·(x − median) / MAD, flagged when its
+    magnitude exceeds ``threshold`` (3.5 is the standard
+    Iglewicz-Hoaglin cut). The robust complement to
+    :func:`flag_outliers`: mean/stddev gates move WITH the outliers
+    they are hunting (one 1000x row inflates the stddev enough to hide
+    itself), while median and MAD have 50% breakdown.
+
+    Two grouped aggregates (median pass, then MAD over the deviations)
+    each broadcast back — the flag_outliers shuffle family doubled, no
+    window. NULL-safe on the group key; exact interpolated medians
+    match any ANSI engine bit-for-bit on identical doubles; an
+    all-identical group has MAD 0 → modified z NULL (try_divide, not
+    DIVIDE_BY_ZERO) → never flagged. Adds ``modified_z`` (rounded 4dp,
+    DuckDB-matching double rounding) and ``is_outlier``.
+    """
+    x = F.col(value_col).cast("double")
+    med = df.groupBy(group_col).agg(
+        F.percentile(x, F.lit(0.5)).alias("__med")
+    ).withColumnRenamed(group_col, "__g")
+    with_med = df.join(
+        F.broadcast(med), F.col(group_col).eqNullSafe(F.col("__g"))
+    ).drop("__g")
+    mad = with_med.groupBy(group_col).agg(
+        F.percentile(F.abs(x - F.col("__med")), F.lit(0.5)).alias("__mad")
+    ).withColumnRenamed(group_col, "__g2")
+    mz = F.try_divide(F.lit(0.6745) * (x - F.col("__med")), F.col("__mad"))
+    return (
+        with_med.join(
+            F.broadcast(mad), F.col(group_col).eqNullSafe(F.col("__g2"))
+        )
+        .withColumn(
+            "modified_z", F.round(mz * F.lit(1e4), 0) / F.lit(1e4)
+        )
+        .withColumn(
+            "is_outlier",
+            F.coalesce(F.abs(mz) > F.lit(threshold), F.lit(False)),
+        )
+        .drop("__g2", "__med", "__mad")
     )

@@ -1364,3 +1364,50 @@ def q_diversity_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rates = {r.cell: float(r.rate) for r in rates_df.collect()}  # ≤ k rows
     return mixture_sample(vv, "vec_id", "cell", rates, salt="divsample")
 
+
+
+@_register(
+    "outlier_mad",
+    oracle="""
+    WITH med AS (
+      SELECT o_orderpriority,
+             percentile_cont(0.5) WITHIN GROUP (
+               ORDER BY CAST(o_totalprice AS DOUBLE)) AS m
+      FROM orders GROUP BY o_orderpriority
+    ),
+    dev AS (
+      SELECT o.o_orderkey, o.o_orderpriority,
+             CAST(o.o_totalprice AS DOUBLE) AS x, med.m
+      FROM orders o
+      JOIN med ON o.o_orderpriority IS NOT DISTINCT FROM med.o_orderpriority
+    ),
+    mad AS (
+      SELECT o_orderpriority,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY abs(x - m)) AS d
+      FROM dev GROUP BY o_orderpriority
+    )
+    SELECT dev.o_orderkey,
+           round(0.6745 * (dev.x - dev.m) / nullif(mad.d, 0), 4)
+             AS modified_z
+    FROM dev
+    JOIN mad ON dev.o_orderpriority IS NOT DISTINCT FROM mad.o_orderpriority
+    WHERE abs(0.6745 * (dev.x - dev.m) / nullif(mad.d, 0)) > 1.2
+    """,
+)
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outlier gate (quality.mad_outliers): modified z-score
+    0.6745·(x − median)/MAD per priority group over order totals,
+    flagged at |mz| > 1.2 (the synthetic near-uniform totals cap the
+    modified z around 1.35, so the demo threshold sits where the
+    tails actually are). The robust complement to outlier_zscore —
+    median/MAD have 50% breakdown where mean/stddev move with the very
+    outliers they hunt."""
+    from gene_level_metadata_pipeline_spark.operators.quality import (
+        mad_outliers,
+    )
+
+    out = mad_outliers(
+        _t(spark, sf_dir, "orders"), "o_orderpriority", "o_totalprice",
+        threshold=1.2,
+    )
+    return out.where(F.col("is_outlier")).select("o_orderkey", "modified_z")

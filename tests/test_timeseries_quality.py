@@ -246,3 +246,30 @@ def test_rolling_zscore_flags_spike_and_masks_warmup(spark):
     import pytest
     with pytest.raises(ValueError, match="window=1"):
         rolling_zscore(df, "event_type", "ts", "value", "event_id", window=1)
+
+
+def test_mad_outliers_robust_to_the_outlier_itself(spark):
+    """The 50%-breakdown claim: one 1000x row must be flagged by the MAD
+    gate even though it drags the group's stddev enough that the z-score
+    gate (z=3) misses it in a small group; identical-value groups have
+    MAD 0 -> modified z NULL -> never flagged (no ANSI abort)."""
+    from pyspark.sql import functions as F
+
+    from gene_level_metadata_pipeline_spark.operators.quality import (
+        flag_outliers, mad_outliers,
+    )
+
+    rows = [(i, "g", 100.0 + i) for i in range(9)] + [(99, "g", 100000.0)]
+    rows += [(200 + i, "const", 5.0) for i in range(4)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    mad = {r["id"]: r for r in
+           mad_outliers(df, "grp", "v", threshold=3.5).collect()}
+    assert mad[99]["is_outlier"] is True
+    assert all(not mad[i]["is_outlier"] for i in range(9))
+    for i in (200, 201, 202, 203):
+        assert mad[i]["modified_z"] is None
+        assert mad[i]["is_outlier"] is False
+    # the z-score gate misses the same point at z=3 in a 10-row group
+    # (a single extreme value caps |z| at (n-1)/sqrt(n) ~ 2.85)
+    zs = {r["id"]: r for r in flag_outliers(df, "grp", "v", z=3.0).collect()}
+    assert zs[99]["is_outlier"] is False
