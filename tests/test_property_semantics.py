@@ -199,3 +199,47 @@ def test_blocked_dedup_pairs_are_subsets_of_exact_truth(spark):
     # that exact cosine confirmed)
     linked = {v for pair in all_pairs for v in pair}
     assert sem_pairs <= linked
+
+
+# --- fuzzy_dup_pairs: deletion-neighborhood blocking completeness -------
+
+# short lowercase strings over a tiny alphabet maximize collision-rich
+# edit neighborhoods — the adversarial regime for a blocking scheme
+_words = st.text(alphabet="abc", min_size=0, max_size=5)
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(words=st.lists(_words, min_size=2, max_size=12),
+       k=st.integers(min_value=1, max_value=2))
+def test_fuzzy_pairs_equal_quadratic_truth(words, k):
+    """The completeness claim of the deletion-neighborhood generator,
+    checked generatively: on random collision-rich inputs the blocked
+    result must equal the brute-force levenshtein truth exactly — any
+    pair the blocking failed to surface, or any wrong distance, fails."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        fuzzy_dup_pairs,
+    )
+
+    spark = _get_spark()
+    rows = list(enumerate(words))
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {(r["id_a"], r["id_b"]): r["distance"]
+           for r in fuzzy_dup_pairs(df, "t", "id", max_distance=k).collect()}
+    want = {
+        (i, j): _lev(words[i], words[j])
+        for i in range(len(words)) for j in range(i + 1, len(words))
+        if _lev(words[i], words[j]) <= k
+    }
+    assert got == want
