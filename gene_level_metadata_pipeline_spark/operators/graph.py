@@ -19,6 +19,7 @@ __all__ = [
     "canonicalize_duplicates",
     "pagerank",
     "triangle_count",
+    "bfs_hops",
 ]
 
 
@@ -317,3 +318,65 @@ def triangle_count(
         e, (F.col("a") == F.col("u")) & (F.col("c") == F.col("v"))
     )
     return closed.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def bfs_hops(
+    pairs: DataFrame,
+    sources: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    max_hops: int = 6,
+    directed: bool = False,
+) -> DataFrame:
+    """Minimum-hop distance from a seed set: level-synchronous BFS.
+
+    ``sources`` is a one-column DataFrame of seed node ids (column name
+    arbitrary — first column is used). Returns (node, hop) for every
+    node reachable within ``max_hops`` edges, hop = shortest distance;
+    seeds get hop 0. Undirected by default (edges traversed both ways).
+
+    The loop is the textbook frontier iteration: each round joins the
+    CURRENT frontier (not the whole visited set) to the edge list, then
+    anti-joins the visited set to keep first discoveries only — per-round
+    work is proportional to the frontier's edge boundary, the same shape
+    Pregel/GraphX uses at billions of edges. Rounds are eager
+    localCheckpoints (lineage truncation) inside a ``sized_shuffle``
+    window (the edge count sizes the per-round shuffle, the
+    connected_components discipline), and the frontier size rides on the
+    checkpoint's materialization via observe() — one job per round. The
+    loop exits when a level adds no nodes, so diameter < max_hops costs
+    no extra rounds.
+    """
+    from gene_level_metadata_pipeline_spark.sizing import sized_shuffle
+
+    edges = pairs.select(F.col(src).alias("eu"), F.col(dst).alias("ev"))
+    if not directed:
+        edges = edges.unionByName(
+            pairs.select(F.col(dst).alias("eu"), F.col(src).alias("ev"))
+        )
+    edges = edges.distinct().localCheckpoint(eager=True)
+    seed_col = sources.columns[0]
+    with sized_shuffle(edges.sparkSession, edges.count()):
+        visited = (
+            sources.select(F.col(seed_col).alias("node"))
+            .distinct()
+            .withColumn("hop", F.lit(0))
+            .localCheckpoint(eager=True)
+        )
+        frontier = visited
+        for h in range(1, max_hops + 1):
+            obs = Observation()
+            nxt = (
+                frontier.join(edges, frontier.node == edges.eu)
+                .select(F.col("ev").alias("node"))
+                .distinct()
+                .join(visited, "node", "left_anti")
+                .withColumn("hop", F.lit(h))
+                .observe(obs, F.count(F.lit(1)).alias("n"))
+                .localCheckpoint(eager=True)
+            )
+            if (obs.get["n"] or 0) == 0:
+                break
+            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        return visited

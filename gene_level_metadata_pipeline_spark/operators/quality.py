@@ -27,7 +27,9 @@ from pyspark.sql import functions as F
 
 __all__ = ["Rule", "not_null", "accepted_values", "in_range", "unique",
            "foreign_key", "validate", "histogram", "flag_outliers",
-           "winsorize", "equi_depth_histogram", "mad_outliers"]
+           "winsorize", "equi_depth_histogram", "mad_outliers",
+           "k_anonymity", "fd_violations", "benford_first_digit",
+           "group_entropy"]
 
 
 class Rule:
@@ -379,4 +381,163 @@ def mad_outliers(
             F.coalesce(F.abs(mz) > F.lit(threshold), F.lit(False)),
         )
         .drop("__g2", "__med", "__mad")
+    )
+
+
+def k_anonymity(
+    df: DataFrame, qi_cols: list[str], k: int
+) -> DataFrame:
+    """Privacy audit: equivalence classes of the quasi-identifier columns
+    with fewer than ``k`` members — the groups where a released record
+    could be re-identified (Sweeney's k-anonymity). Returns the offending
+    QI tuples with their class size, ordered nowhere (caller sorts).
+
+    One hash-aggregate over the scan (map-side partial counts), then a
+    size filter — the same shape at 100 TB; the output is bounded by the
+    number of RARE QI combinations, which is what makes the report small
+    precisely when the data is risky. NULL QI values form their own
+    class (SQL GROUP BY semantics), which is the correct reading for
+    re-identification: NULL is a visible value to an attacker.
+    """
+    if not qi_cols:
+        raise ValueError("k_anonymity: need at least one QI column")
+    if k < 2:
+        raise ValueError("k_anonymity: k must be >= 2")
+    return (
+        df.groupBy(*qi_cols)
+        .agg(F.count(F.lit(1)).alias("class_size"))
+        .where(F.col("class_size") < F.lit(k))
+    )
+
+
+def fd_violations(
+    df: DataFrame, determinant: list[str] | str, dependent: str
+) -> DataFrame:
+    """Functional-dependency audit: determinant values mapped to MORE
+    than one distinct dependent value — the rows where ``determinant →
+    dependent`` fails. Returns (determinant cols, n_dependent, lo, hi)
+    with the min/max conflicting dependents as witnesses.
+
+    Exact ``count(DISTINCT dependent)`` compiles to a two-phase
+    expand/aggregate that Spark executes with partial aggregation —
+    one shuffle on the determinant. NULL dependents are ignored by
+    COUNT(DISTINCT) in both engines (a NULL never *witnesses* a
+    violation; it is absence, not a second value).
+    """
+    dets = [determinant] if isinstance(determinant, str) else list(determinant)
+    return (
+        df.groupBy(*dets)
+        .agg(
+            F.count_distinct(F.col(dependent)).alias("n_dependent"),
+            F.min(dependent).alias("dep_lo"),
+            F.max(dependent).alias("dep_hi"),
+        )
+        .where(F.col("n_dependent") > 1)
+    )
+
+
+def benford_first_digit(df: DataFrame, col: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law for a
+    positive currency-like column. Returns one row per digit 1-9:
+    observed count, observed share, expected Benford share
+    log10(1 + 1/d), and the squared-deviation term — the standard
+    fabricated-data / corruption screen.
+
+    Digit extraction is EXACT and engine-identical: the value is scaled
+    to integer cents (round(x*100) as BIGINT — same IEEE multiply and
+    half-away rounding in Spark and DuckDB), and the leading digit is
+    read from the bigint's decimal string (bigint→string is exact in
+    both engines; no double→string formatting, no log10 of a double
+    landing just under a power of ten). Non-positive and NULL values
+    are excluded. One map-side 9-bucket aggregate — scan-bound at any
+    scale."""
+    cents = F.round(F.col(col).cast("double") * F.lit(100.0), 0).cast("long")
+    digits = (
+        df.select(cents.alias("__c"))
+        .where(F.col("__c") > 0)
+        .select(
+            F.substring(F.col("__c").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("__tot"))
+    exp_p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    obs_p = F.col("n").cast("double") / F.col("__tot").cast("double")
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            (F.round(obs_p * F.lit(1e6), 0) / F.lit(1e6)).alias("obs_p"),
+            (F.round(exp_p * F.lit(1e6), 0) / F.lit(1e6)).alias("exp_p"),
+            # explicit multiply, not pow(x, 2): Math.pow is not guaranteed
+            # correctly-rounded, x*x is — and the oracle must mirror it
+            (
+                F.round(
+                    (obs_p - exp_p) * (obs_p - exp_p) / exp_p * F.lit(1e6), 0
+                )
+                / F.lit(1e6)
+            ).alias("dev_term"),
+        )
+    )
+
+
+def group_entropy(
+    df: DataFrame, group_col: str, cat_col: str
+) -> DataFrame:
+    """Per-group Shannon entropy (bits) of a categorical column — the
+    corpus-mixing diagnostic: how evenly is each source's document mass
+    spread over languages (or any category)? Returns (group, n_cats, n,
+    entropy, entropy_norm) where entropy_norm = H / log2(n_cats) in
+    [0, 1] (NULL for a single-category group — normalization undefined,
+    not 0, mirrored by nullif in oracles).
+
+    Two stacked aggregates on the same grouping key — Catalyst keeps the
+    second one shuffle-free since the data is already hash-partitioned
+    by group. Each -p·log2(p) term is cast to DECIMAL(18,6) before the
+    sum (order-independent, ulp-proof — the _dsum discipline), so both
+    engines produce the identical double. NULL categories count as a
+    real class (an attacker-visible "unknown" bucket); NULL groups form
+    their own group.
+    """
+    from pyspark.sql import Window
+
+    pairs = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(cat_col).alias("__cat")
+    ).agg(F.count(F.lit(1)).alias("__nc"))
+    p = F.col("__nc").cast("double") / F.col("__n").cast("double")
+    term = (-p * F.log2(p)).cast("decimal(18,6)")
+    # group total via a window over the already-aggregated pairs: an
+    # equality self-join would DROP a NULL group key; window partitioning
+    # keeps it, and runs shuffle-free on the existing hash partitioning
+    sized = pairs.withColumn(
+        "__n", F.sum("__nc").over(Window.partitionBy("grp"))
+    )
+    return (
+        sized.select("grp", "__n", term.alias("__t"))
+        .groupBy("grp", "__n")
+        .agg(
+            F.count(F.lit(1)).alias("n_cats"),
+            F.sum("__t").alias("__hd"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_cats",
+            F.col("__n").alias("n"),
+            # round the EXACT decimal sum, then cast (the _dsum discipline)
+            F.round(F.col("__hd"), 4).cast("double").alias("entropy"),
+            (
+                F.round(
+                    F.try_divide(
+                        F.col("__hd").cast("double"),
+                        F.log2(F.col("n_cats").cast("double")),
+                    )
+                    * F.lit(1e4),
+                    0,
+                )
+                / F.lit(1e4)
+            ).alias("entropy_norm"),
+        )
     )

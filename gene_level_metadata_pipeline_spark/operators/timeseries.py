@@ -14,7 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["resample_locf", "scd2_intervals", "rolling_zscore"]
+__all__ = ["resample_locf", "scd2_intervals", "rolling_zscore",
+           "ewma_smooth"]
 
 
 def resample_locf(
@@ -194,4 +195,86 @@ def rolling_zscore(
     return df.withColumn("z", z).withColumn(
         "is_anomaly",
         F.when(F.col("z").isNotNull(), F.abs(F.col("z")) > threshold),
+    )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    partition_by: str,
+    order_by: list,
+    value_col: str,
+    lags: int = 20,
+) -> DataFrame:
+    """Exponentially-weighted moving average with decay 1/2 per step,
+    truncated at ``lags`` terms — the smoothing half of the anomaly
+    toolkit beside ``rolling_zscore``'s plain mean/stddev window.
+
+    The whole recurrence runs in EXACT integer arithmetic so it is
+    hash-oracle-able (the bigint-micro-unit discipline of
+    ``graph.pagerank``): values scale to micro-units
+    (round(x*1e6) as BIGINT), the weight of the d-th lag is the integer
+    2^(lags-1-d), and the weighted numerator folds over the bounded
+    window's collect_list — order-preserving inside a ROWS frame — with
+    a halving shift per step. The denominator has the closed form
+    2^lags − 2^(lags−n) for a window of n rows. Both engines then divide
+    the identical bigints (IEEE-exact) for the reported average.
+
+    Truncation at 20 lags means dropped mass < 2^-19 ≈ 2e-6 relative —
+    below micro-unit resolution — while keeping num ≤ 2^19·|x|·1e6·20,
+    safely inside bigint for |x| < 4e11. One window sort per partition
+    key, no self-join, no Python; the frame is 20 rows regardless of
+    scale, so memory per row is constant at 100 TB.
+
+    NULL values are excluded before windowing (a NULL term would poison
+    the fold; excluding keeps the lag structure defined on observed
+    points only — document the same WHERE in any oracle twin).
+    """
+    if not 1 <= lags <= 62:
+        raise ValueError("ewma_smooth: lags must be in [1, 62]")
+    vm = F.round(F.col(value_col).cast("double") * F.lit(1e6), 0).cast(
+        "long"
+    )
+    w = (
+        Window.partitionBy(partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(1 - lags, Window.currentRow)
+    )
+    # newest-first fold: weight starts at 2^(lags-1) and halves per step
+    init = F.struct(
+        F.lit(0).cast("long").alias("s"),
+        F.shiftleft(F.lit(1).cast("long"), lags - 1).alias("w"),
+    )
+    num = F.aggregate(
+        F.reverse(F.collect_list(vm).over(w)),
+        init,
+        lambda acc, x: F.struct(
+            (acc.s + x * acc.w).alias("s"),
+            F.shiftright(acc.w, 1).alias("w"),
+        ),
+        lambda acc: acc.s,
+    )
+    n = F.count(F.lit(1)).over(w)
+    # PySpark's F.shiftleft only takes a literal shift amount; the
+    # window-count-dependent shift goes through the SQL form instead
+    den = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), {lags})"
+        f" - shiftleft(CAST(1 AS BIGINT), {lags} - CAST(__wn AS INT))"
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .withColumn("ewma_num", num)
+        .withColumn("__wn", n)
+        .withColumn("ewma_den", den.cast("long"))
+        .drop("__wn")
+        .withColumn(
+            # DuckDB-matching double rounding (registry._round_to trick):
+            # round(x*10^6, 0)/10^6, never F.round(x, 6) on a raw double
+            "ewma",
+            F.round(
+                F.col("ewma_num").cast("double")
+                / F.col("ewma_den").cast("double"),
+                0,
+            )
+            / F.lit(1e6),
+        )
     )

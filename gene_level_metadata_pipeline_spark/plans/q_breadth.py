@@ -1411,3 +1411,97 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=1.2,
     )
     return out.where(F.col("is_outlier")).select("o_orderkey", "modified_z")
+
+
+# ---------------------------------------------------------------------------
+# Data-quality audits beyond validate_constraints: privacy, dependencies,
+# distributional forensics (round 5 additions)
+# ---------------------------------------------------------------------------
+
+@_register(
+    "k_anonymity_audit",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_band,
+           count(*) AS class_size
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment, CAST(floor(c_acctbal / 100) AS BIGINT)
+    HAVING count(*) < 5
+    """,
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit (quality.k_anonymity): quasi-identifier equivalence
+    classes smaller than k=5 over (nation, segment, 100-unit balance
+    band) — the release-risk screen a training-data pipeline runs before
+    shipping user-derived records. One map-side-combined aggregate plus
+    a size filter; floor() on the identical double is engine-exact
+    (negative balances floor toward -inf in both)."""
+    from gene_level_metadata_pipeline_spark.operators.quality import k_anonymity
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 100).cast("long").alias("bal_band"),
+    )
+    return k_anonymity(cust, ["c_nationkey", "c_mktsegment", "bal_band"], 5)
+
+
+@_register(
+    "fd_violations",
+    oracle="""
+    SELECT p_brand, count(DISTINCT p_type) AS n_dependent,
+           min(p_type) AS dep_lo, max(p_type) AS dep_hi
+    FROM part
+    GROUP BY p_brand
+    HAVING count(DISTINCT p_type) > 1
+    """,
+)
+def q_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit (quality.fd_violations): brands whose
+    p_brand → p_type dependency fails, with min/max conflicting types as
+    witnesses — the schema-inference / dirty-join screen. Exact distinct
+    count via Spark's expand+partial-agg, one shuffle on the
+    determinant; min/max string witnesses compare binary-identically to
+    DuckDB on this ASCII domain."""
+    from gene_level_metadata_pipeline_spark.operators.quality import fd_violations
+
+    return fd_violations(_t(spark, sf_dir, "part"), "p_brand", "p_type")
+
+
+@_register(
+    "benford_audit",
+    oracle="""
+    WITH cents AS (
+      SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+      FROM orders
+    ),
+    d AS (
+      SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM cents WHERE c > 0
+    ),
+    cnt AS (SELECT digit, count(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT sum(n) AS tot FROM cnt)
+    SELECT digit, n,
+      round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) * 1e6, 0) / 1e6
+        AS obs_p,
+      round(log10(1 + 1.0 / digit) * 1e6, 0) / 1e6 AS exp_p,
+      round((CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
+               - log10(1 + 1.0 / digit))
+            * (CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)
+               - log10(1 + 1.0 / digit))
+            / log10(1 + 1.0 / digit) * 1e6, 0) / 1e6 AS dev_term
+    FROM cnt, t
+    """,
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit forensics (quality.benford_first_digit) over
+    order totals: per-digit observed vs log10(1+1/d) expected share and
+    the squared-deviation term — the fabricated-data screen. The digit
+    is read from the EXACT integer-cents bigint's decimal string (no
+    double formatting, no log10-of-a-double edge at powers of ten), so
+    the 9-row report hash-matches bit-for-bit."""
+    from gene_level_metadata_pipeline_spark.operators.quality import (
+        benford_first_digit,
+    )
+
+    return benford_first_digit(_t(spark, sf_dir, "orders"), "o_totalprice")

@@ -2641,3 +2641,45 @@ def q_entity_resolution_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
         ), "c_custkey",
     ).select("c_custkey", "canonical_id")
+
+
+@_register(
+    "corpus_lang_entropy",
+    oracle="""
+    WITH pairs AS (
+      SELECT source AS grp, lang AS cat, count(*) AS nc
+      FROM documents GROUP BY source, lang
+    ),
+    sized AS (
+      SELECT grp, nc,
+             CAST(sum(nc) OVER (PARTITION BY grp) AS BIGINT) AS n
+      FROM pairs
+    )
+    SELECT grp AS source, count(*) AS n_cats, n,
+      CAST(round(sum(CAST(
+            -(CAST(nc AS DOUBLE) / CAST(n AS DOUBLE))
+            * log2(CAST(nc AS DOUBLE) / CAST(n AS DOUBLE))
+          AS DECIMAL(18,6))), 4) AS DOUBLE) AS entropy,
+      round(CAST(sum(CAST(
+            -(CAST(nc AS DOUBLE) / CAST(n AS DOUBLE))
+            * log2(CAST(nc AS DOUBLE) / CAST(n AS DOUBLE))
+          AS DECIMAL(18,6))) AS DOUBLE)
+            / nullif(log2(CAST(count(*) AS DOUBLE)), 0) * 1e4, 0) / 1e4
+        AS entropy_norm
+    FROM sized GROUP BY grp, n
+    """,
+)
+def q_corpus_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language entropy (quality.group_entropy): Shannon
+    entropy in bits of each source's language distribution plus the
+    log2(n_cats)-normalized evenness — the corpus-mixing diagnostic that
+    tells a curation pipeline which sources are monolingual silos vs
+    balanced mixes. Each -p*log2(p) term is cast to DECIMAL(18,6)
+    before summing (order-independent, the _dsum discipline), so both
+    engines report the identical doubles; a single-language source gets
+    entropy 0 and a NULL normalization (try_divide / nullif twin)."""
+    from gene_level_metadata_pipeline_spark.operators.quality import (
+        group_entropy,
+    )
+
+    return group_entropy(_t(spark, sf_dir, "documents"), "source", "lang")

@@ -585,3 +585,57 @@ def q_ab_metric_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z"),
     )
+
+
+@_register(
+    "ewma_smooth",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id,
+             CAST(round(value * 1e6, 0) AS BIGINT) AS vm,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST) AS rn
+      FROM events WHERE value IS NOT NULL
+    ),
+    agg AS (
+      SELECT t.user_id, t.event_id, t.rn,
+             CAST(sum(i.vm * ((CAST(1 AS BIGINT) << (19 - (t.rn - i.rn)))))
+                  AS BIGINT) AS ewma_num
+      FROM s t JOIN s i
+        ON i.user_id = t.user_id AND t.rn - i.rn BETWEEN 0 AND 19
+      GROUP BY t.user_id, t.event_id, t.rn
+    )
+    SELECT user_id, event_id, ewma_num,
+      ((CAST(1 AS BIGINT) << 20)
+        - (CAST(1 AS BIGINT) << CAST(20 - least(rn, 20) AS INT)))
+        AS ewma_den,
+      round(CAST(ewma_num AS DOUBLE)
+            / CAST((CAST(1 AS BIGINT) << 20)
+                   - (CAST(1 AS BIGINT) << CAST(20 - least(rn, 20) AS INT))
+                   AS DOUBLE), 0) / 1e6 AS ewma
+    FROM agg
+    """,
+)
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user over the event
+    stream (timeseries.ewma_smooth): decay 1/2 per event, truncated at
+    20 lags, the smoothing complement to rolling_zscore_anomalies. The
+    whole recurrence is bigint micro-units with power-of-two integer
+    weights, so the Spark window fold and the oracle's bounded self-join
+    compute the IDENTICAL integers — a float EWMA could never
+    hash-match. One window sort per user; the oracle's rn-difference
+    join is the same 20-term sum spelled relationally."""
+    from gene_level_metadata_pipeline_spark.operators.timeseries import (
+        ewma_smooth,
+    )
+
+    ev = _events(spark, sf_dir)
+    out = ewma_smooth(
+        ev,
+        "user_id",
+        [F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()],
+        "value",
+        lags=20,
+    )
+    return out.select("user_id", "event_id", "ewma_num", "ewma_den", "ewma")

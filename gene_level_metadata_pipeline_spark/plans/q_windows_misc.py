@@ -1485,3 +1485,59 @@ def q_streaming_incremental_corpus(
     )
 
     return incremental_corpus_stream(spark)
+
+
+@_register(
+    "graph_bfs_hops",
+    oracle="""
+    WITH RECURSIVE
+    op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS n
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    und AS (SELECT u, v FROM pairs WHERE n >= 2),
+    edges AS (SELECT u, v FROM und UNION SELECT v, u FROM und),
+    seed AS (SELECT min(u) AS node FROM und),
+    walk(node, hop) AS (
+      SELECT node, 0 FROM seed
+      UNION
+      SELECT e.v, w.hop + 1
+      FROM walk w JOIN edges e ON e.u = w.node
+      WHERE w.hop < 6
+    )
+    SELECT node AS partkey, min(hop) AS hop FROM walk GROUP BY node
+    """,
+)
+def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest hops (graph.bfs_hops): level-synchronous
+    BFS from the minimum part id over the part co-occurrence graph
+    (parts sharing >= 2 orders — the sparse sibling of the triangle/
+    PageRank supplier graph; at sf0.01 the frontier grows
+    1→3→8→29→94→307→672 across six real levels). The Spark loop joins
+    only the FRONTIER each round (Pregel shape, visited-set anti-join
+    keeps first discoveries); the oracle's recursive CTE enumerates
+    bounded (node, hop<=6) pairs and takes min(hop) — identical
+    integers, exact hash match."""
+    from gene_level_metadata_pipeline_spark.operators.graph import bfs_hops
+
+    op = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    und = (
+        a.join(b, "k")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    seed = und.agg(F.min("u").alias("node"))
+    out = bfs_hops(und, seed, max_hops=6, directed=False)
+    return out.select(F.col("node").alias("partkey"), "hop")
