@@ -50,6 +50,7 @@ __all__ = [
     "stratified_take",
     "weighted_take_k",
     "stratified_weighted_take",
+    "abc_classification",
 ]
 
 
@@ -442,4 +443,75 @@ def stratified_weighted_take(
         df.where(w > 0)
         .withColumn("sample_rank", F.row_number().over(rank_w).cast("long"))
         .where(F.col("sample_rank") <= k)
+    )
+
+
+def abc_classification(
+    df: DataFrame,
+    key_col: str,
+    value_col: str | Column,
+    a_cut: tuple[int, int] = (1, 2),
+    b_cut: tuple[int, int] = (4, 5),
+) -> DataFrame:
+    """Pareto / ABC contribution analysis: rank keys by contribution
+    (descending), compute each key's cumulative share of the grand
+    total, and classify A (the head up to ``a_cut`` of the total), B
+    (up to ``b_cut``), C (the tail) — the classic 80/20 inventory and
+    corpus-source triage.
+
+    Cuts are RATIONAL pairs (numerator, denominator) — e.g. (1, 2) is
+    50% — so class boundaries are decided by the EXACT decimal
+    inequality cum * den <= total * num, never by comparing a rounded
+    double to 0.5 (a hash-match killer at the boundary). The cumulative
+    sum reuses ``running_sum`` (range-repartition + per-partition
+    window + broadcast offsets — never a single-task global window);
+    the grand total is a 1-row broadcast. Shuffles: one groupBy on the
+    key, one range exchange — same shape at 100 TB.
+
+    Returns (key, contribution DECIMAL(18,6), cum_share double 6dp,
+    abc_class). Ordering ties break on the key ascending for a total
+    order.
+    """
+    val = (F.col(value_col) if isinstance(value_col, str) else value_col)
+    contrib = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.sum(val.cast("decimal(18,6)")).alias("contribution")
+    )
+    cum = running_sum(
+        contrib,
+        [F.col("contribution").desc(), F.col("key").asc_nulls_last()],
+        "contribution",
+        out_col="__cum",
+    )
+    total = contrib.agg(
+        F.sum("contribution").cast("decimal(28,6)").alias("__total")
+    )
+    an, ad = a_cut
+    bn, bd = b_cut
+    cls = (
+        F.when(
+            F.col("__cum") * F.lit(ad) <= F.col("__total") * F.lit(an), "A"
+        )
+        .when(
+            F.col("__cum") * F.lit(bd) <= F.col("__total") * F.lit(bn), "B"
+        )
+        .otherwise("C")
+    )
+    return (
+        cum.join(F.broadcast(total))
+        .select(
+            "key",
+            "contribution",
+            (
+                F.round(
+                    F.try_divide(
+                        F.col("__cum").cast("double"),
+                        F.col("__total").cast("double"),
+                    )
+                    * F.lit(1e6),
+                    0,
+                )
+                / F.lit(1e6)
+            ).alias("cum_share"),
+            cls.alias("abc_class"),
+        )
     )

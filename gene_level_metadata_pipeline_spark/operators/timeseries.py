@@ -15,7 +15,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["resample_locf", "scd2_intervals", "rolling_zscore",
-           "ewma_smooth"]
+           "ewma_smooth", "time_weighted_avg", "cusum_drift",
+           "interarrival_stats"]
 
 
 def resample_locf(
@@ -277,4 +278,181 @@ def ewma_smooth(
             )
             / F.lit(1e6),
         )
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    partition_by: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Time-weighted average per key (the TWAP shape): each observation
+    holds its value until the NEXT observation, so the mean weights each
+    value by its holding duration — the correct average for irregularly
+    sampled series (a plain AVG over-weights bursts). The final
+    observation of each key has no duration and is excluded (standard
+    TWAP; document the same in oracle twins).
+
+    Exact and hash-oracle-able: value scales to micro-unit bigints,
+    durations are microsecond bigints (unix_micros), and each
+    value x duration product is summed in DECIMAL(38,0) — associative,
+    order-independent, overflow-free (micro-value ~1e9 x a month of
+    micros ~2.6e12 x millions of rows fits 38 digits with room). The
+    reported average divides the two exact totals as doubles, identical
+    in any engine. One window shuffle on the key; NULL values excluded
+    up front (a NULL would otherwise erase its interval's weight).
+
+    Returns (key, n_intervals, twap) — rounded to 6 via the DuckDB-
+    matching round(x*1e6)/1e6.
+    """
+    lead_ts = F.lead(F.unix_micros(F.col(ts_col))).over(
+        Window.partitionBy(partition_by).orderBy(
+            F.col(ts_col).asc_nulls_last(), F.col(id_col).asc_nulls_last()
+        )
+    )
+    vm = F.round(F.col(value_col).cast("double") * F.lit(1e6), 0).cast(
+        "long"
+    )
+    spans = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(partition_by).alias("key"),
+            vm.alias("__vm"),
+            (lead_ts - F.unix_micros(F.col(ts_col))).alias("__dur"),
+        )
+        .where(F.col("__dur").isNotNull())
+    )
+    # cast BEFORE multiplying: a bigint*bigint product overflows at
+    # micro-value ~5e9 x a month of micros ~2.6e12; DECIMAL(18,0) x
+    # DECIMAL(19,0) is exact in both engines (38-digit product space)
+    num = F.sum(
+        F.col("__vm").cast("decimal(18,0)")
+        * F.col("__dur").cast("decimal(19,0)")
+    )
+    den = F.sum(F.col("__dur").cast("decimal(19,0)"))
+    return spans.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        (
+            F.round(
+                F.try_divide(num.cast("double"), den.cast("double")), 0
+            )
+            / F.lit(1e6)
+        ).alias("twap"),
+    )
+
+
+def cusum_drift(
+    df: DataFrame,
+    partition_by: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    target: float,
+    slack: float,
+    threshold: float,
+) -> DataFrame:
+    """One-sided CUSUM drift detection per key: flags the points where
+    the cumulative upward deviation from ``target + slack`` exceeds
+    ``threshold`` — the classic change-point screen for metric drift.
+
+    The textbook recurrence c_t = max(0, c_{t-1} + x_t - (target+slack))
+    is sequential, but it has a closed prefix form: with
+    S_t = Σ_{i<=t} (x_i - (target+slack)),  c_t = S_t - min_{i<=t} S_i —
+    BOTH window-expressible (running sum + running min over the same
+    partitioned window), so the whole detector is two stacked window
+    functions on one shuffle, no recursion, no Python, no state store.
+
+    Everything runs in EXACT micro-unit bigints (values, target, slack,
+    threshold scale by 1e6; sums fit bigint for |x|<4e12 over ~1e6 rows
+    per key), so the flagged set and statistics hash-match any engine.
+    Returns only the flagged rows: (key, id, cusum) with cusum in
+    original units rounded to 6dp. NULL values are excluded up front.
+    """
+    # windows run over the RENAMED projection below (key/id/__ts)
+    w = Window.partitionBy("key").orderBy(
+        F.col("__ts").asc_nulls_last(), F.col("id").asc_nulls_last()
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vm = F.round(F.col(value_col).cast("double") * F.lit(1e6), 0).cast(
+        "long"
+    )
+    ref = int(round((target + slack) * 1e6))
+    thr = int(round(threshold * 1e6))
+    dev = (vm - F.lit(ref)).alias("__dev")
+    s = F.sum("__dev").over(run)
+    out = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(partition_by).alias("key"),
+            F.col(id_col).alias("id"),
+            F.col(ts_col).alias("__ts"),
+            dev,
+        )
+        .withColumn("__s", s)
+        .withColumn("__smin", F.min("__s").over(run))
+        .withColumn("__c", F.col("__s") - F.col("__smin"))
+        .where(F.col("__c") > F.lit(thr))
+    )
+    return out.select(
+        "key",
+        "id",
+        (F.col("__c").cast("double") / F.lit(1e6)).alias("cusum"),
+    )
+
+
+def interarrival_stats(
+    df: DataFrame,
+    partition_by: list[str],
+    ts_col: str,
+    id_col: str,
+    group_by: str,
+) -> DataFrame:
+    """Inter-arrival-time profile: microsecond gaps between consecutive
+    events within each ``partition_by`` stream, aggregated per
+    ``group_by`` — the burstiness/periodicity diagnostic (bot traffic
+    shows near-constant gaps, organic traffic heavy tails).
+
+    Gaps are exact microsecond bigints (lag over one partitioned
+    window); the per-group profile reports count, mean (exact decimal
+    sum / count, then one double divide), and interpolated p50/p90
+    (percentile on identical bigints is the same double in any ANSI
+    engine — the mad_outliers precedent). Two shuffles total: the
+    stream window, then the group aggregate.
+    """
+    w = Window.partitionBy(*partition_by).orderBy(
+        F.col(ts_col).asc_nulls_last(), F.col(id_col).asc_nulls_last()
+    )
+    us = F.unix_micros(F.col(ts_col))
+    gaps = (
+        df.withColumn("__gap", us - F.lag(us).over(w))
+        .where(F.col("__gap").isNotNull())
+    )
+    mean_gap = F.round(
+        F.try_divide(
+            F.sum(F.col("__gap").cast("decimal(28,6)")).cast("double"),
+            F.count(F.lit(1)).cast("double"),
+        ),
+        0,
+    ) / F.lit(1e6)
+    return gaps.groupBy(F.col(group_by).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        mean_gap.alias("mean_gap_s"),
+        (
+            F.round(
+                F.percentile(F.col("__gap"), F.lit(0.5)) / F.lit(1e6)
+                * F.lit(1e4),
+                0,
+            )
+            / F.lit(1e4)
+        ).alias("p50_gap_s"),
+        (
+            F.round(
+                F.percentile(F.col("__gap"), F.lit(0.9)) / F.lit(1e6)
+                * F.lit(1e4),
+                0,
+            )
+            / F.lit(1e4)
+        ).alias("p90_gap_s"),
     )

@@ -639,3 +639,177 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         lags=20,
     )
     return out.select("user_id", "event_id", "ewma_num", "ewma_den", "ewma")
+
+
+@_register(
+    "attribution_last_touch",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    conv AS (SELECT * FROM s WHERE event_type = 'purchase'),
+    touch AS (SELECT * FROM s WHERE event_type IN ('click', 'view'))
+    SELECT c.user_id, c.event_id AS conv_id, t.event_id AS touch_id,
+           t.event_type AS touch_type, c.us - t.us AS gap_us
+    FROM conv c LEFT JOIN touch t
+      ON t.user_id = c.user_id
+     AND (t.us < c.us OR (t.us = c.us AND t.event_id < c.event_id))
+    QUALIFY row_number() OVER (
+      PARTITION BY c.event_id
+      ORDER BY t.us DESC NULLS LAST, t.event_id DESC NULLS LAST) = 1
+    """,
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution (temporal.attribute_last_touch): every
+    purchase joined to the user's most recent strictly-prior click/view,
+    NULL when unattributed — the marketing-analytics staple. The Spark
+    plan is ONE window (running last-touch-struct IGNORE NULLS over
+    [unbounded, -1]) — no conversions x touches self-join, no hot-user
+    skew; the oracle spells the same argmax as a lateral-style join +
+    QUALIFY. Gap stays an exact microsecond bigint."""
+    from gene_level_metadata_pipeline_spark.operators.temporal import (
+        attribute_last_touch,
+    )
+
+    ev = _events(spark, sf_dir)
+    out = attribute_last_touch(
+        ev, "user_id", "ts", "event_id", "event_type",
+        ["purchase"], ["click", "view"],
+    )
+    return out.select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        "touch_id",
+        "touch_type",
+        (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("touch_ts"))
+        ).alias("gap_us"),
+    )
+
+
+@_register(
+    "twap_user_value",
+    oracle="""
+    WITH s AS (
+      SELECT user_id AS key, event_id, epoch_us(ts) AS us,
+             CAST(round(value * 1e6, 0) AS BIGINT) AS vm
+      FROM events WHERE value IS NOT NULL
+    ),
+    sp AS (
+      SELECT key, vm,
+             lead(us) OVER (PARTITION BY key
+               ORDER BY us ASC NULLS LAST, event_id ASC NULLS LAST) - us
+               AS dur
+      FROM s
+    )
+    SELECT key, count(*) AS n_intervals,
+      round(CAST(sum(CAST(vm AS DECIMAL(18,0)) * CAST(dur AS DECIMAL(19,0)))
+                 AS DOUBLE)
+            / nullif(CAST(sum(CAST(dur AS DECIMAL(19,0))) AS DOUBLE), 0),
+            0) / 1e6 AS twap
+    FROM sp WHERE dur IS NOT NULL
+    GROUP BY key
+    """,
+)
+def q_twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user (timeseries.time_weighted_avg):
+    each observation weighted by its holding duration until the next one
+    — the correct mean for irregular sampling, where plain AVG
+    over-weights bursts. Micro-unit bigints x microsecond durations
+    summed in exact DECIMAL (cast BEFORE the product — the bigint
+    product would overflow at a month of micros), one double divide at
+    the end: hash-identical in both engines."""
+    from gene_level_metadata_pipeline_spark.operators.timeseries import (
+        time_weighted_avg,
+    )
+
+    ev = _events(spark, sf_dir)
+    return time_weighted_avg(ev, "user_id", "ts", "event_id", "value")
+
+
+@_register(
+    "cusum_drift_alerts",
+    oracle="""
+    WITH s AS (
+      SELECT user_id AS key, event_id AS id, epoch_us(ts) AS us,
+             CAST(round(value * 1e6, 0) AS BIGINT) - 55000000 AS dev
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT key, id, us,
+             CAST(sum(dev) OVER (PARTITION BY key
+               ORDER BY us ASC NULLS LAST, id ASC NULLS LAST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS s
+      FROM s
+    ),
+    c AS (
+      SELECT key, id,
+             s - CAST(min(s) OVER (PARTITION BY key
+               ORDER BY us ASC NULLS LAST, id ASC NULLS LAST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS c
+      FROM r
+    )
+    SELECT key, id, CAST(c AS DOUBLE) / 1e6 AS cusum
+    FROM c WHERE c > 300000000
+    """,
+)
+def q_cusum_drift_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point alerts (timeseries.cusum_drift): points where
+    a user's cumulative upward deviation from target 50 + slack 5
+    exceeds 300 value-units. The sequential textbook recurrence
+    c_t = max(0, c_{t-1} + x_t - ref) is rewritten to its closed prefix
+    form c_t = S_t - min(S_1..t) — two stacked windows on ONE shuffle,
+    no recursion, no state store — and runs entirely in micro-unit
+    bigints, so the alert set hash-matches exactly."""
+    from gene_level_metadata_pipeline_spark.operators.timeseries import (
+        cusum_drift,
+    )
+
+    ev = _events(spark, sf_dir)
+    return cusum_drift(
+        ev, "user_id", "ts", "event_id", "value",
+        target=50.0, slack=5.0, threshold=300.0,
+    )
+
+
+@_register(
+    "event_interarrival_profile",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events
+    ),
+    g AS (
+      SELECT event_type AS grp,
+             us - lag(us) OVER (PARTITION BY user_id, event_type
+               ORDER BY us ASC NULLS LAST, event_id ASC NULLS LAST) AS gap
+      FROM s
+    )
+    SELECT grp, count(*) AS n_gaps,
+      round(CAST(sum(CAST(gap AS DECIMAL(28,6))) AS DOUBLE)
+            / CAST(count(*) AS DOUBLE), 0) / 1e6 AS mean_gap_s,
+      round(percentile_cont(0.5) WITHIN GROUP (ORDER BY gap)
+            / 1e6 * 1e4, 0) / 1e4 AS p50_gap_s,
+      round(percentile_cont(0.9) WITHIN GROUP (ORDER BY gap)
+            / 1e6 * 1e4, 0) / 1e4 AS p90_gap_s
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY grp
+    """,
+)
+def q_event_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time profile per event type
+    (timeseries.interarrival_stats): microsecond gaps between each
+    user's consecutive events of a type, profiled as count / exact-
+    decimal mean / interpolated p50 & p90 — the burstiness diagnostic
+    that separates bot-like constant cadence from organic heavy tails.
+    Two shuffles (stream window, then group agg); percentiles on
+    identical bigints interpolate to identical doubles."""
+    from gene_level_metadata_pipeline_spark.operators.timeseries import (
+        interarrival_stats,
+    )
+
+    ev = _events(spark, sf_dir)
+    return interarrival_stats(
+        ev, ["user_id", "event_type"], "ts", "event_id", "event_type"
+    )

@@ -1541,3 +1541,59 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = und.agg(F.min("u").alias("node"))
     out = bfs_hops(und, seed, max_hops=6, directed=False)
     return out.select(F.col("node").alias("partkey"), "hop")
+
+
+@_register(
+    "abc_parts_pareto",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey AS key,
+             sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+               AS contribution
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT sum(contribution) AS total FROM rev),
+    cum AS (
+      SELECT key, contribution,
+             sum(contribution) OVER (
+               ORDER BY contribution DESC, key ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM rev
+    )
+    SELECT key AS partkey,
+      CAST(round(contribution, 2) AS DOUBLE) AS revenue,
+      round(CAST(c AS DOUBLE) / CAST(total AS DOUBLE) * 1e6, 0) / 1e6
+        AS cum_share,
+      CASE WHEN c * 2 <= total * 1 THEN 'A'
+           WHEN c * 5 <= total * 4 THEN 'B'
+           ELSE 'C' END AS abc_class
+    FROM cum, tot
+    """,
+)
+def q_abc_parts_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto contribution analysis (selection.abc_classification):
+    parts ranked by discounted revenue, cumulative share of the grand
+    total, classified A (head to 50%), B (to 80%), C (tail). Class
+    boundaries are EXACT decimal inequalities (cum*den <= total*num),
+    never rounded-double comparisons; the global cumulative sum reuses
+    running_sum's range-repartition + broadcast-offset prefix sum — the
+    oracle's single-task global window is precisely the shape the
+    operator refuses to run at scale."""
+    from gene_level_metadata_pipeline_spark.operators.selection import (
+        abc_classification,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = abc_classification(
+        li,
+        "l_partkey",
+        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+        a_cut=(1, 2),
+        b_cut=(4, 5),
+    )
+    return out.select(
+        F.col("key").alias("partkey"),
+        F.round(F.col("contribution"), 2).cast("double").alias("revenue"),
+        "cum_share",
+        "abc_class",
+    )
