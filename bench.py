@@ -75,6 +75,9 @@ HEADLINE = [
     "harmonize_catalog_width",
     "lm_quality_scores",
     "corpus_overlap_est",
+    "graph_bfs_hops",
+    "attribution_last_touch",
+    "abc_parts_pareto",
 ]
 
 REPS = 3

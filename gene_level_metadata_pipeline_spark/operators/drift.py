@@ -1,0 +1,169 @@
+"""Distribution-drift detection: PSI and an exact two-sample KS statistic.
+
+The model-monitoring half of the data-quality toolkit: given two cohorts
+of one numeric column (reference vs current — train vs serve, last week
+vs this week), quantify how far the distributions moved. Two standard
+statistics, both implemented scale-out and engine-exactly:
+
+* ``psi`` — Population Stability Index over fixed-width bins,
+  Σ (p_cur − p_ref)·ln(p_cur / p_ref). Bin counts are one map-side
+  aggregate; each term is cast to DECIMAL(18,6) before summing (the
+  registry._dsum discipline), so the reported index is bit-identical in
+  any ANSI engine.
+* ``ks_two_sample`` — the Kolmogorov-Smirnov sup|F_a − F_b| WITHOUT
+  floats: at every observed value, |cumA·nB − cumB·nA| is an exact
+  bigint, so the maximizing value and the statistic's numerator are
+  hash-comparable; only the final division to [0,1] is a double. The
+  cumulative counts come from ``selection.running_sum`` (range-
+  repartition + broadcast offsets — never a single-task global window),
+  so the sort distributes at any scale.
+
+Reference parity: the reference pipeline has no drift monitoring (batch
+R ETL, SURVEY §2); these are training-data-pipeline extensions in the
+same family as the Gopher/C4 quality gates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["psi", "ks_two_sample"]
+
+
+def _cents(col: Column) -> Column:
+    return F.round(col.cast("double") * F.lit(100.0), 0).cast("long")
+
+
+def psi(
+    df: DataFrame,
+    cohort_col: str,
+    ref_value,
+    cur_value,
+    value_col: str,
+    bin_width_cents: int,
+) -> DataFrame:
+    """PSI between the ``ref_value`` and ``cur_value`` cohorts of
+    ``cohort_col``, binning ``value_col`` by fixed-width integer-cent
+    bins (floor(cents / width) — exact, engine-identical; no
+    double-edge bins). Returns one row: (n_bins_used, psi).
+
+    Bins observed in only one cohort cannot contribute a finite
+    ln-ratio; the standard practice is an arbitrary epsilon — this
+    implementation instead EXCLUDES those bins and reports how many
+    bins were used beside the index, which keeps the statistic
+    parameter-free and exactly reproducible (document the same rule in
+    any oracle twin). NULL values are excluded. One aggregate over the
+    scan + a 2-row-per-bin reshape: scan-bound at any scale.
+    """
+    c = df.where(
+        F.col(value_col).isNotNull()
+        & F.col(cohort_col).isin([ref_value, cur_value])
+    ).select(
+        F.when(F.col(cohort_col) == ref_value, F.lit("r"))
+        .otherwise(F.lit("c"))
+        .alias("__side"),
+        F.floor(_cents(F.col(value_col)) / F.lit(bin_width_cents)).alias(
+            "__bin"
+        ),
+    )
+    binned = (
+        c.groupBy("__bin")
+        .pivot("__side", ["r", "c"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["r", "c"])
+    )
+    tot = binned.agg(
+        F.sum("r").alias("__nr"), F.sum("c").alias("__nc")
+    )
+    pr = F.col("r").cast("double") / F.col("__nr").cast("double")
+    pc = F.col("c").cast("double") / F.col("__nc").cast("double")
+    term = ((pc - pr) * F.log(pc / pr)).cast("decimal(18,6)")
+    return (
+        binned.join(F.broadcast(tot))
+        .where((F.col("r") > 0) & (F.col("c") > 0))
+        .agg(
+            F.count(F.lit(1)).alias("n_bins_used"),
+            F.round(F.sum(term), 4).cast("double").alias("psi"),
+        )
+    )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    cohort_col: str,
+    a_value,
+    b_value,
+    value_col: str,
+) -> DataFrame:
+    """Exact two-sample KS: sup over observed values of
+    |F_a(x) − F_b(x)|, computed as the bigint |cumA·nB − cumB·nA| so
+    the supremum and its location are exact (the double appears only in
+    the final ks = num / (nA·nB) report). Returns one row:
+    (n_a, n_b, ks_num, at_cents, ks) where ``at_cents`` is the SMALLEST
+    value (integer cents) achieving the supremum — a deterministic
+    argmax. NULLs excluded.
+
+    Plan: per-value per-cohort counts (one shuffle on the value), one
+    distributed prefix sum over the value order (range exchange on the
+    ALREADY AGGREGATED distinct values — tiny relative to the input),
+    then a single max_by. No single-task global window anywhere.
+    """
+    vals = (
+        df.where(
+            F.col(value_col).isNotNull()
+            & F.col(cohort_col).isin([a_value, b_value])
+        )
+        .select(
+            _cents(F.col(value_col)).alias("v"),
+            F.when(F.col(cohort_col) == a_value, 1)
+            .otherwise(0)
+            .alias("__a"),
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("__a").alias("__na"),
+            F.sum(F.lit(1) - F.col("__a")).alias("__nb"),
+        )
+    )
+    from gene_level_metadata_pipeline_spark.operators.selection import (
+        running_sum,
+    )
+
+    cum = running_sum(vals, [F.col("v").asc()], "__na", out_col="__ca")
+    cum = running_sum(cum, [F.col("v").asc()], "__nb", out_col="__cb")
+    tot = cum.agg(
+        F.sum("__na").cast("long").alias("n_a"),
+        F.sum("__nb").cast("long").alias("n_b"),
+    )
+    d = F.abs(
+        F.col("__ca").cast("long") * F.col("n_b")
+        - F.col("__cb").cast("long") * F.col("n_a")
+    )
+    scored = cum.join(F.broadcast(tot)).select(
+        "n_a", "n_b", d.alias("__d"), F.col("v")
+    )
+    # argmax with a deterministic tie-break: maximize (d, -v) lexically
+    # = largest d, then SMALLEST value achieving it
+    return scored.groupBy("n_a", "n_b").agg(
+        F.max("__d").alias("ks_num"),
+        F.max_by(
+            "v", F.struct(F.col("__d").alias("d"), (-F.col("v")).alias("nv"))
+        ).alias("__at"),
+    ).select(
+        "n_a",
+        "n_b",
+        "ks_num",
+        F.col("__at").alias("at_cents"),
+        (
+            F.round(
+                F.try_divide(
+                    F.col("ks_num").cast("double"),
+                    (F.col("n_a") * F.col("n_b")).cast("double"),
+                )
+                * F.lit(1e6),
+                0,
+            )
+            / F.lit(1e6)
+        ).alias("ks"),
+    )

@@ -20,6 +20,7 @@ __all__ = [
     "pagerank",
     "triangle_count",
     "bfs_hops",
+    "clustering_coefficient",
 ]
 
 
@@ -380,3 +381,81 @@ def bfs_hops(
             visited = visited.unionByName(nxt).localCheckpoint(eager=True)
             frontier = nxt
         return visited
+
+
+def clustering_coefficient(
+    pairs: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Local clustering coefficient per node over an undirected simple
+    graph given as ``(src, dst)`` pairs (either orientation, duplicates
+    tolerated): cc(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — how close each
+    node's neighborhood is to a clique, the standard community-structure
+    diagnostic beside the global ``triangle_count``.
+
+    Per-node triangle counts reuse the degree-ordered orientation trick:
+    enumerate each triangle ONCE on oriented wedges (u→v, v→w closed by
+    u→w), then credit all three corners with one groupBy over the
+    exploded corner list — no per-node re-enumeration. Both tri and deg
+    are exact bigints, so (cc_num, cc_den) are hash-comparable and only
+    the reported ratio is a double. Isolated or degree-1 nodes have an
+    undefined coefficient -> NULL (try_divide), not 0.
+    """
+    und = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+        )
+        .distinct()
+    )
+    edges = und.select(F.col("x").alias("u"), F.col("y").alias("v")).unionByName(
+        und.select(F.col("y").alias("u"), F.col("x").alias("v"))
+    )
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    # orient by (degree, id): each triangle appears exactly once
+    ranked = edges.join(deg.withColumnRenamed("u", "n").withColumnRenamed(
+        "deg", "du"), F.col("u") == F.col("n")).drop("n")
+    ranked = ranked.join(
+        deg.withColumnRenamed("u", "n").withColumnRenamed("deg", "dv"),
+        F.col("v") == F.col("n"),
+    ).drop("n")
+    oriented = ranked.where(
+        (F.col("du") < F.col("dv"))
+        | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    ).select("u", "v")
+    e1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tris = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .select(
+            F.explode(F.array("a", "b", "c")).alias("node")
+        )
+    )
+    tri_per_node = tris.groupBy("node").agg(
+        F.count(F.lit(1)).alias("tri")
+    )
+    return (
+        deg.withColumnRenamed("u", "node")
+        .join(tri_per_node, "node", "left")
+        .na.fill(0, ["tri"])
+        .select(
+            "node",
+            "deg",
+            "tri",
+            (
+                F.round(
+                    F.try_divide(
+                        (F.lit(2) * F.col("tri")).cast("double"),
+                        (F.col("deg") * (F.col("deg") - 1)).cast("double"),
+                    )
+                    * F.lit(1e6),
+                    0,
+                )
+                / F.lit(1e6)
+            ).alias("cc"),
+        )
+    )

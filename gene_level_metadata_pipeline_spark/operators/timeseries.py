@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["resample_locf", "scd2_intervals", "rolling_zscore",
            "ewma_smooth", "time_weighted_avg", "cusum_drift",
-           "interarrival_stats"]
+           "interarrival_stats", "debounce", "ohlc_bars"]
 
 
 def resample_locf(
@@ -455,4 +455,77 @@ def interarrival_stats(
             )
             / F.lit(1e4)
         ).alias("p90_gap_s"),
+    )
+
+
+def debounce(
+    df: DataFrame,
+    partition_by: list[str],
+    ts_col: str,
+    id_col: str,
+    min_gap_us: int,
+) -> DataFrame:
+    """Telemetry debounce: within each stream, keep an event only if at
+    least ``min_gap_us`` microseconds passed since the last KEPT event —
+    the duplicate-burst suppressor (double-clicks, retry storms,
+    at-least-once delivery echoes).
+
+    True debounce is sequential (the kept-set depends on itself), but
+    the standard lag-based approximation — keep rows whose gap from the
+    PREVIOUS ROW is >= min_gap_us, plus each stream's first row — is the
+    industry norm and window-expressible in one shuffle. The difference
+    matters only for bursts longer than one suppressed row; for the
+    dedup-echo use case (gap either ~0 or large) they coincide. All
+    arithmetic is exact microsecond bigints. Ties at one (ts) order by
+    ``id_col`` so the earliest id survives the burst.
+    """
+    w = Window.partitionBy(*partition_by).orderBy(
+        F.col(ts_col).asc_nulls_last(), F.col(id_col).asc_nulls_last()
+    )
+    us = F.unix_micros(F.col(ts_col))
+    gap = us - F.lag(us).over(w)
+    return (
+        df.withColumn("__gap", gap)
+        .where(
+            F.col("__gap").isNull() | (F.col("__gap") >= F.lit(min_gap_us))
+        )
+        .drop("__gap")
+    )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    partition_by: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    grain: str = "hour",
+) -> DataFrame:
+    """Candlestick (OHLC) bars per key per time bucket: open/close are
+    the first/last observation in (ts, id) order, high/low the extremes
+    — the standard series downsample. One hash aggregate (max_by /
+    min_by on the (ts, id) struct — no window, no sort), so the plan is
+    a map-side-combined groupBy at any scale. Deterministic because the
+    (ts, id) struct is a total order. NULL values excluded; the bucket
+    is ``date_trunc(grain, ts)`` rendered as a string for
+    engine-neutral output.
+    """
+    order = F.struct(
+        F.unix_micros(F.col(ts_col)).alias("t"), F.col(id_col).alias("i")
+    )
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(
+            F.col(partition_by).alias("key"),
+            F.date_format(
+                F.date_trunc(grain, F.col(ts_col)), "yyyy-MM-dd HH:mm:ss"
+            ).alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min_by(F.col(value_col), order).alias("open"),
+            F.max_by(F.col(value_col), order).alias("close"),
+            F.max(value_col).alias("high"),
+            F.min(value_col).alias("low"),
+        )
     )

@@ -813,3 +813,167 @@ def q_event_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interarrival_stats(
         ev, ["user_id", "event_type"], "ts", "event_id", "event_type"
     )
+
+
+@_register(
+    "psi_value_drift",
+    oracle="""
+    WITH c AS (
+      SELECT CASE WHEN event_type = 'click' THEN 'r' ELSE 'c' END AS side,
+             CAST(floor(CAST(round(value * 100, 0) AS BIGINT) / 5000)
+                  AS BIGINT) AS bin
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+    ),
+    b AS (
+      SELECT bin,
+             sum(CASE WHEN side = 'r' THEN 1 ELSE 0 END) AS r,
+             sum(CASE WHEN side = 'c' THEN 1 ELSE 0 END) AS c
+      FROM c GROUP BY bin
+    ),
+    t AS (SELECT sum(r) AS nr, sum(c) AS nc FROM b)
+    SELECT count(*) AS n_bins_used,
+      CAST(round(sum(CAST(
+            (CAST(c AS DOUBLE) / CAST(nc AS DOUBLE)
+              - CAST(r AS DOUBLE) / CAST(nr AS DOUBLE))
+            * ln((CAST(c AS DOUBLE) / CAST(nc AS DOUBLE))
+                 / (CAST(r AS DOUBLE) / CAST(nr AS DOUBLE)))
+          AS DECIMAL(18,6))), 4) AS DOUBLE) AS psi
+    FROM b, t WHERE r > 0 AND c > 0
+    """,
+)
+def q_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index (drift.psi) between the click and view
+    cohorts' value distributions over fixed 50-unit integer-cent bins —
+    the model-monitoring staple. One-cohort-only bins are EXCLUDED and
+    counted (parameter-free, exactly reproducible; no epsilon fudge);
+    each (pc-pr)*ln(pc/pr) term is decimal-cast before the sum, so both
+    engines report the identical index."""
+    from gene_level_metadata_pipeline_spark.operators.drift import psi
+
+    ev = _events(spark, sf_dir)
+    return psi(ev, "event_type", "click", "view", "value", 5000)
+
+
+@_register(
+    "ks_value_drift",
+    oracle="""
+    WITH vals AS (
+      SELECT CAST(round(value * 100, 0) AS BIGINT) AS v,
+             sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS na,
+             sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nb
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+      GROUP BY 1
+    ),
+    cum AS (
+      SELECT v,
+             CAST(sum(na) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS ca,
+             CAST(sum(nb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cb
+      FROM vals
+    ),
+    t AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+                 CAST(sum(nb) AS BIGINT) AS n_b FROM vals),
+    d AS (SELECT v, abs(ca * t.n_b - cb * t.n_a) AS dd FROM cum, t),
+    sel AS (
+      SELECT dd, v, row_number() OVER (ORDER BY dd DESC, v ASC) AS rn
+      FROM d
+    )
+    SELECT t.n_a, t.n_b, sel.dd AS ks_num, sel.v AS at_cents,
+      round(CAST(sel.dd AS DOUBLE)
+            / CAST(t.n_a * t.n_b AS DOUBLE) * 1e6, 0) / 1e6 AS ks
+    FROM sel, t WHERE rn = 1
+    """,
+)
+def q_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov (drift.ks_two_sample) between
+    the click and view value distributions: the supremum of |F_a - F_b|
+    located with BIGINT cross-multiplied cumulative counts
+    |cumA*nB - cumB*nA| — the statistic's numerator and argmax are
+    hash-exact; only the final [0,1] ratio is a double. The cumulative
+    counts run through running_sum's distributed prefix sum (the
+    oracle's single-task global window is the shape the operator
+    refuses at scale)."""
+    from gene_level_metadata_pipeline_spark.operators.drift import (
+        ks_two_sample,
+    )
+
+    ev = _events(spark, sf_dir)
+    return ks_two_sample(ev, "event_type", "click", "view", "value")
+
+
+@_register(
+    "events_debounce",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type, event_id, epoch_us(ts) AS us FROM events
+    ),
+    g AS (
+      SELECT event_id, event_type,
+             us - lag(us) OVER (PARTITION BY user_id, event_type
+               ORDER BY us ASC NULLS LAST, event_id ASC NULLS LAST) AS gap
+      FROM s
+    )
+    SELECT event_id, event_type FROM g
+    WHERE gap IS NULL OR gap >= 60000000
+    """,
+)
+def q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce (timeseries.debounce): suppress events arriving
+    within 60s of the previous event in the same (user, type) stream —
+    the duplicate-burst filter for double-clicks / retry storms /
+    at-least-once echoes. One window shuffle, exact microsecond bigint
+    gaps, earliest id survives a same-timestamp burst."""
+    from gene_level_metadata_pipeline_spark.operators.timeseries import (
+        debounce,
+    )
+
+    ev = _events(spark, sf_dir)
+    out = debounce(
+        ev, ["user_id", "event_type"], "ts", "event_id", 60_000_000
+    )
+    return out.select("event_id", "event_type")
+
+
+@_register(
+    "ohlc_bars_hourly",
+    oracle="""
+    WITH s AS (
+      SELECT user_id AS key,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS bucket,
+             value, epoch_us(ts) AS us, event_id
+      FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+      SELECT key, bucket, value,
+             row_number() OVER (PARTITION BY key, bucket
+               ORDER BY us ASC, event_id ASC) AS rf,
+             row_number() OVER (PARTITION BY key, bucket
+               ORDER BY us DESC, event_id DESC) AS rl
+      FROM s
+    )
+    SELECT key, bucket, count(*) AS n,
+      max(CASE WHEN rf = 1 THEN value END) AS open,
+      max(CASE WHEN rl = 1 THEN value END) AS close,
+      max(value) AS high, min(value) AS low
+    FROM r GROUP BY key, bucket
+    """,
+)
+def q_ohlc_bars_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick downsample (timeseries.ohlc_bars): per user per hour,
+    open/close by (ts, id)-ordered first/last observation plus high/low
+    extremes. The Spark plan is ONE map-side-combined hash aggregate
+    (min_by/max_by on the (ts, id) struct — no window, no sort); the
+    oracle spells first/last with double row_numbers. Raw double values
+    pass through unaggregated, so the match is bit-exact."""
+    from gene_level_metadata_pipeline_spark.operators.timeseries import (
+        ohlc_bars,
+    )
+
+    ev = _events(spark, sf_dir)
+    return ohlc_bars(ev, "user_id", "ts", "event_id", "value", "hour")

@@ -1597,3 +1597,76 @@ def q_abc_parts_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_share",
         "abc_class",
     )
+
+
+@_register(
+    "graph_clustering_coeff",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS n
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    und AS (SELECT u, v FROM pairs WHERE n >= 2),
+    edges AS (SELECT u, v FROM und UNION SELECT v, u FROM und),
+    deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+    orient AS (
+      SELECT CASE WHEN da.deg < db.deg
+                    OR (da.deg = db.deg AND e.u < e.v)
+                  THEN e.u ELSE e.v END AS u,
+             CASE WHEN da.deg < db.deg
+                    OR (da.deg = db.deg AND e.u < e.v)
+                  THEN e.v ELSE e.u END AS v
+      FROM und e
+      JOIN deg da ON da.u = e.u
+      JOIN deg db ON db.u = e.v
+    ),
+    tr AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM orient e1
+      JOIN orient e2 ON e2.u = e1.v
+      JOIN orient e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    corners AS (
+      SELECT a AS node FROM tr
+      UNION ALL SELECT b FROM tr
+      UNION ALL SELECT c FROM tr
+    ),
+    tpn AS (SELECT node, count(*) AS tri FROM corners GROUP BY node)
+    SELECT d.u AS node, d.deg,
+      CAST(COALESCE(t.tri, 0) AS BIGINT) AS tri,
+      round(CAST(2 * COALESCE(t.tri, 0) AS DOUBLE)
+            / nullif(CAST(d.deg * (d.deg - 1) AS DOUBLE), 0)
+            * 1e6, 0) / 1e6 AS cc
+    FROM deg d LEFT JOIN tpn t ON t.node = d.u
+    """,
+)
+def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (graph.clustering_coefficient) over
+    the same sparse part co-occurrence graph as graph_bfs_hops:
+    cc(v) = 2·tri(v)/(deg·(deg−1)), with per-node triangle credit from
+    ONE degree-ordered enumeration (each triangle counted once, corners
+    exploded — never a per-node re-enumeration). tri and deg stay exact
+    bigints; degree-1 nodes get NULL (undefined), not 0."""
+    from gene_level_metadata_pipeline_spark.operators.graph import (
+        clustering_coefficient,
+    )
+
+    op = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    und = (
+        a.join(b, "k")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    return clustering_coefficient(und)

@@ -194,3 +194,94 @@ def test_corpus_overlap_partition_invariant(spark):
     b = _rows(corpus_overlap_minhash(
         a_side.repartition(13), b_side.repartition(1), "text", num_hashes=16))
     assert a == b and len(a) == 1
+
+
+def test_ewma_partition_invariant(spark):
+    """The bigint-fold EWMA must not leak physical layout: window frames
+    are (key, ts, id)-ordered regardless of partitioning."""
+    from pyspark.sql import functions as F
+
+    from gene_level_metadata_pipeline_spark.operators.timeseries import (
+        ewma_smooth,
+    )
+    from gene_level_metadata_pipeline_spark.sources.readers import (
+        normalize_event_ts,
+    )
+
+    ev = normalize_event_ts(
+        spark.read.parquet(f"{SF}/events.parquet")
+    ).select("user_id", "ts", "event_id", "value")
+
+    def run(df):
+        out = ewma_smooth(
+            df, "user_id",
+            [F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()],
+            "value", lags=20,
+        )
+        return _rows(out.select("event_id", "ewma_num", "ewma_den"))
+
+    a = run(ev.repartition(1))
+    b = run(ev.repartition(13))
+    assert a == b and len(a) > 0
+
+
+def test_cusum_partition_invariant(spark):
+    from gene_level_metadata_pipeline_spark.operators.timeseries import (
+        cusum_drift,
+    )
+    from gene_level_metadata_pipeline_spark.sources.readers import (
+        normalize_event_ts,
+    )
+
+    ev = normalize_event_ts(
+        spark.read.parquet(f"{SF}/events.parquet")
+    ).select("user_id", "ts", "event_id", "value")
+
+    def run(df):
+        return _rows(
+            cusum_drift(df, "user_id", "ts", "event_id", "value",
+                        target=50.0, slack=5.0, threshold=50.0)
+        )
+
+    a = run(ev.repartition(1))
+    b = run(ev.repartition(13))
+    assert a == b and len(a) > 0
+
+
+def test_abc_classification_partition_invariant(spark):
+    """running_sum's range-repartition boundaries move with the input
+    layout; the prefix sums and class labels must not."""
+    from pyspark.sql import functions as F
+
+    from gene_level_metadata_pipeline_spark.operators.selection import (
+        abc_classification,
+    )
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+
+    def run(df):
+        out = abc_classification(
+            df, "l_partkey",
+            F.col("l_extendedprice") * (1 - F.col("l_discount")),
+        )
+        return _rows(out.select("key", "cum_share", "abc_class"))
+
+    a = run(li.repartition(1))
+    b = run(li.repartition(13))
+    assert a == b and len(a) > 0
+
+
+def test_bfs_hops_partition_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from gene_level_metadata_pipeline_spark.operators.graph import bfs_hops
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    edges = li.select(
+        F.col("l_suppkey").alias("u"),
+        (F.pmod(F.col("l_partkey"), F.lit(50)) + 1000).alias("v"),
+    ).distinct()
+    seed = edges.agg(F.min("u").alias("node"))
+    a = _rows(bfs_hops(edges.repartition(1), seed, max_hops=4))
+    b = _rows(bfs_hops(edges.repartition(13), seed, max_hops=4))
+    assert a == b and len(a) > 0

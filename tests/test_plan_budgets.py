@@ -97,6 +97,12 @@ SHUFFLE_BUDGET = {
     # r5 LLM-pipeline additions promoted to the headline set
     "lm_quality_scores": 5,
     "corpus_overlap_est": 2,
+    # r5 audit: BFS is a converged-checkpoint scan (0, the components
+    # discipline); attribution is ONE user-window; ABC inherits
+    # running_sum's range+offset scaffold on per-key aggregates
+    "graph_bfs_hops": 0,
+    "attribution_last_touch": 1,
+    "abc_parts_pareto": 9,
 }
 
 # Non-headline flagships whose plan shape is still pinned (round-4 audit).
