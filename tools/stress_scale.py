@@ -63,6 +63,34 @@ def build(spark) -> None:
     )
     big_docs.write.mode("overwrite").parquet(f"{STRESS}/documents.parquet")
     big_emb.write.mode("overwrite").parquet(f"{STRESS}/embeddings.parquet")
+    # r5: the temporal/graph flagships read events and lineitem — replicate
+    # those too, with per-replica id offsets so window partitions (users)
+    # and the co-occurrence graph stay per-replica instead of collapsing
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    big_ev = ev.crossJoin(reps).select(
+        (F.col("event_id") + F.col("__r") * F.lit(10 ** 9)).alias("event_id"),
+        (F.col("user_id") + F.col("__r") * F.lit(10 ** 7)).alias("user_id"),
+        *[c for c in ev.columns if c not in ("event_id", "user_id")],
+    )
+    big_ev.write.mode("overwrite").parquet(f"{STRESS}/events.parquet")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    big_li = li.crossJoin(reps).select(
+        (F.col("l_orderkey") + F.col("__r") * F.lit(10 ** 10)).alias(
+            "l_orderkey"
+        ),
+        (F.col("l_partkey") + F.col("__r") * F.lit(10 ** 8)).alias(
+            "l_partkey"
+        ),
+        (F.col("l_suppkey") + F.col("__r") * F.lit(10 ** 7)).alias(
+            "l_suppkey"
+        ),
+        *[
+            c
+            for c in li.columns
+            if c not in ("l_orderkey", "l_partkey", "l_suppkey")
+        ],
+    )
+    big_li.write.mode("overwrite").parquet(f"{STRESS}/lineitem.parquet")
     # remaining tables: symlink 1x copies (the three stress queries don't
     # read them, but the loader API expects the directory layout)
     for f in os.listdir(SF):
