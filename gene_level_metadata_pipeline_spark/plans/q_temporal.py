@@ -1182,3 +1182,86 @@ def q_ols_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept"),
         _round_to(F.col("r2_raw"), 6).alias("r2"),
     )
+
+
+@_register(
+    "seasonal_mae_backtest",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             (epoch_us(ts) // 3600000000) % 24 AS hod,
+             epoch_us(ts) // 86400000000 AS day,
+             value
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    prof AS (
+      SELECT event_type, hod,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*) AS mu,
+             count(*) AS n_train
+      FROM base WHERE day < 19743 GROUP BY event_type, hod
+    ),
+    test AS (
+      SELECT b.event_type, b.value - p.mu AS err
+      FROM base b JOIN prof p
+        ON p.event_type = b.event_type AND p.hod = b.hod
+      WHERE b.day >= 19743
+    )
+    SELECT event_type, count(*) AS n_test,
+      round(CAST(sum(CAST(abs(err) AS DECIMAL(18,6))) AS DOUBLE)
+            / count(*) * 1e6, 0) / 1e6 AS mae,
+      round(CAST(sum(CAST(err AS DECIMAL(18,6))) AS DOUBLE)
+            / count(*) * 1e6, 0) / 1e6 AS bias
+    FROM test GROUP BY event_type
+    """,
+)
+def q_seasonal_mae_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-profile forecast backtest: train an hour-of-day mean
+    profile per event type on the first 20 days (epoch day < 19743 =
+    2024-01-21; the fixture range is fixed across SFs), score the
+    remaining days against it, and report per-type MAE and bias — the
+    standard "is a seasonal-naive model good enough" evaluation loop.
+    Hour-of-day comes from exact epoch-micros arithmetic (no timezone
+    semantics to reconcile). The profile means are exact decimal sums
+    over the train rows divided once in doubles; each test error is one
+    IEEE subtraction of identical doubles, and the MAE/bias sums cast
+    each error to DECIMAL(18,6) so aggregation order cannot flip ulps
+    (the _dsum discipline). Plan: one profile aggregate (120 rows,
+    broadcast back), one per-type aggregate — the train scan and test
+    scan prune on the same day predicate; no window, no self-join. At
+    100 TB the profile side is constant-size and the backtest is a
+    scan-bound map + one map-side-combined aggregate."""
+    ev = _events(spark, sf_dir)
+    base = ev.where(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        "event_type",
+        F.expr("(unix_micros(ts) div 3600000000) % 24").alias("hod"),
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        "value",
+    )
+    vdec = F.col("value").cast("decimal(18,6)")
+    prof = (
+        base.where(F.col("day") < 19743)
+        .groupBy("event_type", "hod")
+        .agg(
+            (F.sum(vdec).cast("double") / F.count(F.lit(1))).alias("mu"),
+            F.count(F.lit(1)).alias("n_train"),
+        )
+    )
+    test = (
+        base.where(F.col("day") >= 19743)
+        .join(F.broadcast(prof), ["event_type", "hod"])
+        .select("event_type", (F.col("value") - F.col("mu")).alias("err"))
+    )
+    edec = F.col("err").cast("decimal(18,6)")
+    adec = F.abs(F.col("err")).cast("decimal(18,6)")
+    return test.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        _round_to(
+            F.sum(adec).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mae"),
+        _round_to(
+            F.sum(edec).cast("double") / F.count(F.lit(1)), 6
+        ).alias("bias"),
+    )

@@ -1846,3 +1846,171 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(
         F.col("cn").desc(), F.col("ra").desc(), "x", "y"
     ).limit(50)
+
+
+@_register(
+    "chi_square_independence",
+    oracle="""
+    WITH o AS (
+      SELECT lang, source, count(*) AS obs FROM documents
+      GROUP BY lang, source
+    ),
+    rt AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS r FROM o GROUP BY lang),
+    ct AS (SELECT source, CAST(sum(obs) AS BIGINT) AS c FROM o GROUP BY source),
+    n AS (SELECT count(*) AS total FROM documents),
+    cells AS (
+      SELECT rt.lang, ct.source,
+             coalesce(o.obs, 0) AS obs,
+             CAST(rt.r AS DOUBLE) * ct.c / total AS exp, total
+      FROM rt CROSS JOIN ct CROSS JOIN n
+      LEFT JOIN o ON o.lang = rt.lang AND o.source = ct.source
+    )
+    SELECT
+      round(CAST(sum(CAST((obs - exp) * (obs - exp) / exp
+                          AS DECIMAL(24,6))) AS DOUBLE) * 1e6, 0) / 1e6
+        AS chi2,
+      CAST((count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1)
+           AS BIGINT) AS dof,
+      CAST(max(total) AS BIGINT) AS n
+    FROM cells
+    """,
+)
+def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between two categorical columns
+    (document language x source) — the contingency-table screen beside
+    ab_metric_ztest. The FULL grid (row-marginal cross column-marginal,
+    LEFT JOIN observed so empty cells contribute their expected mass)
+    — summing only observed cells understates chi2. Expected counts
+    and each cell's (O-E)^2/E term are identical-shape double
+    arithmetic over exact bigint marginals; terms are cast to
+    DECIMAL(24,6) before summing so aggregation order cannot flip
+    ulps. The statistic and dof are returned, not a p-value — the CDF
+    is not engine-reproducible arithmetic. Marginals are tiny and
+    broadcast; at 100 TB the only data-sized pass is the one
+    contingency aggregate, which map-side combines."""
+    d = _t(spark, sf_dir, "documents")
+    o = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
+    rt = o.groupBy("lang").agg(F.sum("obs").alias("r"))
+    ct = o.groupBy("source").agg(F.sum("obs").alias("c"))
+    n = d.agg(F.count(F.lit(1)).alias("total"))
+    cells = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(n))
+        .join(F.broadcast(o), ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            F.coalesce(F.col("obs"), F.lit(0)).alias("obs"),
+            (F.col("r").cast("double") * F.col("c") / F.col("total"))
+            .alias("exp"),
+            "total",
+        )
+    )
+    term = (
+        (F.col("obs") - F.col("exp"))
+        * (F.col("obs") - F.col("exp"))
+        / F.col("exp")
+    ).cast("decimal(24,6)")
+    return cells.agg(
+        _round_to(F.sum(term).cast("double"), 6).alias("chi2"),
+        (
+            (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+        ).cast("bigint").alias("dof"),
+        F.max("total").cast("bigint").alias("n"),
+    )
+
+
+@_register(
+    "correlation_matrix_daily",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT))
+                  AS DECIMAL(18,0)) AS y
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n,
+             sum(a.y) AS sa, sum(b.y) AS sb,
+             sum(CAST(a.y AS DECIMAL(36,0)) * b.y) AS sab,
+             sum(CAST(a.y AS DECIMAL(36,0)) * a.y) AS saa,
+             sum(CAST(b.y AS DECIMAL(36,0)) * b.y) AS sbb
+      FROM d a JOIN d b
+        ON a.day = b.day AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n,
+      round(
+        (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+          - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+        / nullif(
+            sqrt(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                 - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+            * sqrt(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                   - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)), 0)
+        * 1e6, 0) / 1e6 AS corr
+    FROM p
+    """,
+)
+def q_correlation_matrix_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix between event-type daily
+    series — do types co-move day to day? Daily totals are exact bigint
+    micro-units (the ols_daily_trend discipline); the pair join on the
+    shared day axis is |days| x |types| small after the rollup, and
+    every sufficient statistic (n, sums, cross/self products widened to
+    DECIMAL(36,0) — int64 would overflow on the squares) is EXACT, so
+    only the final closed form runs in doubles. sqrt IS usable here
+    (IEEE-754 requires correct rounding for sqrt, unlike ln/exp), and
+    a zero-variance series yields NULL corr via try_divide/nullif
+    rather than an ANSI error. Deliberately not DataFrame.stat.corr:
+    double accumulation in partition order, and one pair per call. At
+    100 TB the rollup is the only data-sized pass; the matrix itself
+    is |types|^2 cells of constant state."""
+    ev = _events(spark, sf_dir)
+    vm = F.round(F.col("value") * F.lit(1e6), 0).cast("long")
+    d = (
+        ev.where(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .agg(F.sum(vm).cast("decimal(18,0)").alias("y"))
+    )
+    a = d.select(
+        F.col("event_type").alias("type_a"),
+        "day",
+        F.col("y").alias("ya"),
+    )
+    b = d.select(
+        F.col("event_type").alias("type_b"),
+        "day",
+        F.col("y").alias("yb"),
+    )
+    wide_a = F.col("ya").cast("decimal(36,0)")
+    wide_b = F.col("yb").cast("decimal(36,0)")
+    p = (
+        a.join(b, "day")
+        .where(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("ya").alias("sa"),
+            F.sum("yb").alias("sb"),
+            F.sum(wide_a * F.col("yb")).alias("sab"),
+            F.sum(wide_a * F.col("ya")).alias("saa"),
+            F.sum(wide_b * F.col("yb")).alias("sbb"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sad = F.col("sa").cast("double")
+    sbd = F.col("sb").cast("double")
+    num = nd * F.col("sab").cast("double") - sad * sbd
+    den = F.sqrt(nd * F.col("saa").cast("double") - sad * sad) * F.sqrt(
+        nd * F.col("sbb").cast("double") - sbd * sbd
+    )
+    return p.select(
+        "type_a", "type_b", "n",
+        _round_to(F.try_divide(num, den), 6).alias("corr"),
+    )

@@ -142,6 +142,12 @@ EXTRA_BUDGET = {
     "basket_part_lift": 8,
     "graph_link_prediction": 16,
     "ols_daily_trend": 2,
+    # backtest = profile agg + per-type agg (profile broadcast back);
+    # chi2 = contingency agg + marginal aggs + 1-row total (marginals
+    # broadcast); corr = daily rollup + pair agg on the shared day axis
+    "seasonal_mae_backtest": 2,
+    "chi_square_independence": 8,
+    "correlation_matrix_daily": 3,
 }
 
 
