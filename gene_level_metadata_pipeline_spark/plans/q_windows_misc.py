@@ -2014,3 +2014,77 @@ def q_correlation_matrix_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "type_a", "type_b", "n",
         _round_to(F.try_divide(num, den), 6).alias("corr"),
     )
+
+
+@_register(
+    "key_skew_gini",
+    oracle="""
+    WITH c AS (
+      SELECT l_partkey AS key, count(*) AS cnt FROM lineitem
+      GROUP BY l_partkey
+    ),
+    r AS (
+      SELECT cnt,
+             row_number() OVER (
+               ORDER BY cnt ASC NULLS LAST, key ASC NULLS LAST) AS i
+      FROM c
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(cnt) AS BIGINT) AS total,
+             CAST(sum(i * cnt) AS BIGINT) AS weighted,
+             CAST(max(cnt) AS BIGINT) AS max_cnt
+      FROM r
+    )
+    SELECT n_keys, total, max_cnt,
+      round(CAST(max_cnt AS DOUBLE) / total * 1e6, 0) / 1e6
+        AS top_key_share,
+      round((2.0 * weighted / (CAST(n_keys AS DOUBLE) * total)
+             - (CAST(n_keys AS DOUBLE) + 1) / n_keys) * 1e6, 0) / 1e6
+        AS gini
+    FROM s
+    """,
+)
+def q_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew diagnostic: the Gini coefficient of the
+    part-key frequency distribution plus the hottest key's share — the
+    numbers that tell you whether a key needs salting/AQE-skew BEFORE
+    you run the join (the measured companion to skew.salted_join and
+    skew_split_confs). Gini via the rank formula
+    G = 2*sum(i*c_i)/(n*sum(c)) - (n+1)/n over counts ranked ascending
+    (ties broken by key, so both engines rank identically): every
+    sufficient statistic is an exact bigint — the only doubles are the
+    final identical-shape divisions. The rank window is over the
+    AGGREGATED key table (|keys| rows, not raw data), the one global
+    sort this diagnostic genuinely needs; the raw scan is a map-side-
+    combined count. At 100 TB: run on the aggregate, never the facts."""
+    c = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("key"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(
+        F.col("cnt").asc_nulls_last(), F.col("key").asc_nulls_last()
+    )
+    r = c.select("cnt", F.row_number().over(w).alias("i"))
+    s = r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("total"),
+        F.sum(F.col("i") * F.col("cnt")).cast("bigint").alias("weighted"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+    )
+    nk = F.col("n_keys").cast("double")
+    tot = F.col("total")
+    return s.select(
+        "n_keys", "total", "max_cnt",
+        _round_to(F.col("max_cnt").cast("double") / tot, 6).alias(
+            "top_key_share"
+        ),
+        _round_to(
+            F.lit(2.0) * F.col("weighted") / (nk * tot)
+            - (nk + F.lit(1.0)) / F.col("n_keys"),
+            6,
+        ).alias("gini"),
+    )

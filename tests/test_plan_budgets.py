@@ -148,6 +148,8 @@ EXTRA_BUDGET = {
     "seasonal_mae_backtest": 2,
     "chi_square_independence": 8,
     "correlation_matrix_daily": 3,
+    # key count agg + the one global rank sort (over |keys| rows only)
+    "key_skew_gini": 2,
 }
 
 
