@@ -150,6 +150,11 @@ EXTRA_BUDGET = {
     "correlation_matrix_daily": 3,
     # key count agg + the one global rank sort (over |keys| rows only)
     "key_skew_gini": 2,
+    # expanded window distinct = 2-phase countDistinct; erasure audit =
+    # erase-list distinct + per-type conditional agg (countDistinct
+    # expands), erase side broadcast
+    "sliding_distinct_users": 2,
+    "gdpr_erasure_audit": 3,
 }
 
 
