@@ -78,6 +78,9 @@ HEADLINE = [
     "graph_bfs_hops",
     "attribution_last_touch",
     "abc_parts_pareto",
+    "basket_part_lift",
+    "gaps_islands_hours",
+    "correlation_matrix_daily",
 ]
 
 REPS = 3

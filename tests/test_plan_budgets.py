@@ -103,6 +103,12 @@ SHUFFLE_BUDGET = {
     "graph_bfs_hops": 0,
     "attribution_last_touch": 1,
     "abc_parts_pareto": 9,
+    # r5 analytics promotions: basket = collapse + pair agg + broadcast
+    # sides; islands = distinct grid + key window + 2 summary aggs;
+    # corr = daily rollup + day-axis pair agg
+    "basket_part_lift": 8,
+    "gaps_islands_hours": 4,
+    "correlation_matrix_daily": 3,
 }
 
 # Non-headline flagships whose plan shape is still pinned (round-4 audit).
@@ -137,9 +143,7 @@ EXTRA_BUDGET = {
     # both directions in the wedge self-join, degree, anti-join side) —
     # canonically identical exchanges, deduped by runtime exchange
     # reuse; OLS = daily rollup + sufficient-statistics agg
-    "gaps_islands_hours": 4,
     "event_path_trigrams": 2,
-    "basket_part_lift": 8,
     "graph_link_prediction": 16,
     "ols_daily_trend": 2,
     # backtest = profile agg + per-type agg (profile broadcast back);
@@ -147,7 +151,6 @@ EXTRA_BUDGET = {
     # broadcast); corr = daily rollup + pair agg on the shared day axis
     "seasonal_mae_backtest": 2,
     "chi_square_independence": 8,
-    "correlation_matrix_daily": 3,
     # key count agg + the one global rank sort (over |keys| rows only)
     "key_skew_gini": 2,
     # expanded window distinct = 2-phase countDistinct; erasure audit =

@@ -243,3 +243,46 @@ def test_fuzzy_pairs_equal_quadratic_truth(words, k):
         if _lev(words[i], words[j]) <= k
     }
     assert got == want
+
+
+# --- gaps_islands: rank-difference islands vs pure-Python reference -----
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(buckets=st.lists(
+    st.tuples(st.integers(min_value=1, max_value=3),      # key
+              st.integers(min_value=0, max_value=40)),    # hour bucket
+    min_size=1, max_size=60))
+def test_gaps_islands_matches_reference(buckets):
+    from gene_level_metadata_pipeline_spark.operators.timeseries import (
+        gaps_islands,
+    )
+    from datetime import datetime, timedelta
+
+    spark = _get_spark()
+    HOUR_US = 3_600_000_000
+    base = datetime(2024, 1, 1)
+    rows = [(k, base + timedelta(hours=h)) for k, h in buckets]
+    df = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    got = sorted(
+        (r.key, r.island_start_us, r.island_len)
+        for r in gaps_islands(df, "user_id", "ts", HOUR_US).collect()
+    )
+    # reference: sort each key's distinct buckets, split on gaps > 1
+    base_us = 1704067200 * 1_000_000
+    want = []
+    by_key: dict[int, set] = {}
+    for k, h in buckets:
+        by_key.setdefault(k, set()).add(h)
+    for k, hs in by_key.items():
+        run = []
+        for h in sorted(hs):
+            if run and h != run[-1] + 1:
+                want.append((k, base_us + run[0] * HOUR_US, len(run)))
+                run = []
+            run.append(h)
+        want.append((k, base_us + run[0] * HOUR_US, len(run)))
+    assert got == sorted(want)
+    # invariant: island lengths partition the active-bucket count
+    for k, hs in by_key.items():
+        assert sum(n for kk, _, n in want if kk == k) == len(hs)
