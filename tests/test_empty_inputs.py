@@ -56,3 +56,35 @@ def test_near_dup_pairs_empty_docs(spark):
     docs = spark.createDataFrame([], "doc_id bigint, text string")
     out = near_dup_pairs(docs, "text", "doc_id")
     assert out.count() == 0
+
+
+def test_gaps_islands_empty_and_all_null_ts(spark):
+    from gene_level_metadata_pipeline_spark.operators.timeseries import (
+        gaps_islands,
+    )
+
+    empty = spark.createDataFrame([], "user_id bigint, ts timestamp")
+    out = gaps_islands(empty, "user_id", "ts", 3_600_000_000)
+    assert out.columns == ["key", "island_start_us", "island_len"]
+    assert out.count() == 0
+    # all-NULL timestamps behave like empty, not like one giant island
+    nulls = spark.createDataFrame(
+        [(1, None), (2, None)], "user_id bigint, ts timestamp"
+    )
+    assert gaps_islands(nulls, "user_id", "ts", 3_600_000_000).count() == 0
+
+
+def test_ols_trend_empty_input(spark):
+    from pyspark.sql import functions as F
+
+    from gene_level_metadata_pipeline_spark.operators.timeseries import (
+        ols_trend,
+    )
+
+    empty = spark.createDataFrame([], "g string, x bigint, y bigint")
+    out = ols_trend(
+        empty.withColumn("y", F.col("y").cast("decimal(18,0)")),
+        "g", "x", "y",
+    )
+    assert out.count() == 0
+    assert {"slope_raw", "intercept_raw", "r2_raw"} <= set(out.columns)
