@@ -1368,3 +1368,117 @@ def q_gdpr_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("hit"), F.col("user_id"))
         ).cast("bigint").alias("n_subjects"),
     )
+
+
+@_register(
+    "attribution_position_based",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+      FROM events WHERE event_type IN ('purchase', 'click', 'view')
+    ),
+    nxt AS (
+      SELECT user_id, event_id, event_type, us,
+        first_value(CASE WHEN event_type = 'purchase' THEN event_id END
+                    IGNORE NULLS) OVER w AS conv_id
+      FROM s
+      WINDOW w AS (
+        PARTITION BY user_id
+        ORDER BY us ASC NULLS LAST, event_id ASC NULLS LAST
+        ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    ),
+    t AS (
+      SELECT user_id, event_id, event_type, conv_id,
+        row_number() OVER pw AS pos,
+        count(*) OVER (PARTITION BY user_id, conv_id) AS k
+      FROM nxt
+      WHERE event_type IN ('click', 'view') AND conv_id IS NOT NULL
+      WINDOW pw AS (
+        PARTITION BY user_id, conv_id
+        ORDER BY us ASC NULLS LAST, event_id ASC NULLS LAST)
+    ),
+    cr AS (
+      SELECT event_type,
+        CASE WHEN k = 1 THEN CAST(1 AS DOUBLE)
+             WHEN k = 2 THEN CAST(0.5 AS DOUBLE)
+             WHEN pos = 1 OR pos = k THEN CAST(0.4 AS DOUBLE)
+             ELSE CAST(0.2 AS DOUBLE) / (k - 2) END AS w
+      FROM t
+    )
+    SELECT event_type AS touch_type, count(*) AS n_touches,
+      round(CAST(sum(CAST(w AS DECIMAL(18,12))) AS DOUBLE) * 1e6, 0) / 1e6
+        AS credited
+    FROM cr GROUP BY event_type
+    """,
+)
+def q_attribution_position_based(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution — the
+    fractional-credit complement to attribution_last_touch: each
+    conversion's credit splits 40/20/40 across its first, middle, and
+    last prior touches (100% solo, 50/50 for a pair), where a
+    conversion's touch set is every click/view since the user's
+    previous conversion. Window-only plan, no conversions x touches
+    self-join: one forward-looking first_value IGNORE NULLS assigns
+    each touch to its next conversion (conv_id and pos come from the
+    same (us, id) total order both engines share), then one
+    (user, conversion) window numbers positions. Weights are the same
+    IEEE doubles in both engines (0.2/(k-2) is one division of
+    identical operands) and credit sums are exact DECIMAL(18,12)
+    accumulations, so the aggregate hash-matches. All three windows
+    share the user-key shuffle; at 100 TB hot users bound the frame,
+    not a join fan-out."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    s = ev.where(
+        F.col("event_type").isin("purchase", "click", "view")
+    ).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us").asc_nulls_last(), F.col("event_id").asc_nulls_last())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    conv_mark = F.when(
+        F.col("event_type") == "purchase", F.col("event_id")
+    )
+    nxt = s.withColumn(
+        "conv_id", F.first(conv_mark, ignorenulls=True).over(w)
+    )
+    touches = nxt.where(
+        F.col("event_type").isin("click", "view")
+        & F.col("conv_id").isNotNull()
+    )
+    pw = Window.partitionBy("user_id", "conv_id").orderBy(
+        F.col("us").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+    )
+    kw = Window.partitionBy("user_id", "conv_id")
+    t = touches.select(
+        "event_type",
+        F.row_number().over(pw).alias("pos"),
+        F.count(F.lit(1)).over(kw).alias("k"),
+    )
+    wcol = (
+        F.when(F.col("k") == 1, F.lit(1.0))
+        .when(F.col("k") == 2, F.lit(0.5))
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("k")), F.lit(0.4)
+        )
+        .otherwise(F.lit(0.2) / (F.col("k") - 2))
+    )
+    return (
+        t.select(F.col("event_type").alias("touch_type"), wcol.alias("w"))
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            _round_to(
+                F.sum(F.col("w").cast("decimal(18,12)")).cast("double"), 6
+            ).alias("credited"),
+        )
+    )

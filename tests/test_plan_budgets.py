@@ -153,6 +153,9 @@ EXTRA_BUDGET = {
     "chi_square_independence": 8,
     # key count agg + the one global rank sort (over |keys| rows only)
     "key_skew_gini": 2,
+    # all three windows (next-conv assign, position, k) share the
+    # user-key shuffle; per-conversion repartition is the second
+    "attribution_position_based": 2,
     # expanded window distinct = 2-phase countDistinct; erasure audit =
     # erase-list distinct + per-type conditional agg (countDistinct
     # expands), erase side broadcast

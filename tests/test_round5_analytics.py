@@ -145,3 +145,47 @@ def test_basket_lift_identity_holds(spark):
         # equivalently support <= confidence and all three positive
         assert 0 < r.support <= r.confidence
         assert r.lift > 0
+
+
+def test_position_attribution_credit_conserves_conversions(spark):
+    """U-shaped weights must sum to exactly 1 per attributable
+    conversion, so total credited across touch types equals the number
+    of conversions with at least one prior touch (computed here
+    independently with the same strictly-prior, since-last-conversion
+    contract)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from gene_level_metadata_pipeline_spark.plans import driver_queries as dq
+
+    out = dq.QUERIES["attribution_position_based"](spark, SF).collect()
+    total_credit = sum(r.credited for r in out)
+
+    from gene_level_metadata_pipeline_spark.plans.registry import _events
+
+    ev = _events(spark, SF).where(
+        F.col("event_type").isin("purchase", "click", "view")
+    ).select("user_id", "event_id", "event_type", F.unix_micros("ts").alias("us"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("us").asc_nulls_last(),
+                 F.col("event_id").asc_nulls_last())
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = ev.withColumn(
+        "conv_id",
+        F.first(
+            F.when(F.col("event_type") == "purchase", F.col("event_id")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    n_attributable = (
+        nxt.where(
+            F.col("event_type").isin("click", "view")
+            & F.col("conv_id").isNotNull()
+        )
+        .select("user_id", "conv_id")
+        .distinct()
+        .count()
+    )
+    assert abs(total_credit - n_attributable) < 1e-3
