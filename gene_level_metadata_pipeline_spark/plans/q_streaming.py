@@ -251,3 +251,88 @@ def q_streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return asof_enrich_stream(spark, sf_dir)
+
+
+@_register(
+    "session_bounce_rate",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, us,
+             CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ),
+    sessions AS (
+      SELECT user_id, us,
+             CAST(sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    ),
+    s AS (
+      SELECT user_id, session_id,
+             min(us) // 86400000000 AS day,
+             count(*) AS n_events,
+             CAST(max(us) - min(us) AS BIGINT) AS dur_us
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT day, count(*) AS n_sessions,
+      CAST(count(*) FILTER (WHERE n_events = 1) AS BIGINT) AS n_bounces,
+      round(CAST(count(*) FILTER (WHERE n_events = 1) AS DOUBLE)
+            / count(*) * 1e6, 0) / 1e6 AS bounce_rate,
+      CAST(sum(dur_us) FILTER (WHERE n_events > 1) AS BIGINT)
+        AS engaged_dur_us
+    FROM s GROUP BY day
+    """,
+)
+def q_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate over gap-based sessions — the web-analytics KPI
+    on top of sessionize: a session is a bounce when it contains exactly
+    one event; a day's rate is bounces over sessions started that day
+    (day = exact epoch-day of the session's FIRST event — sessions
+    straddling midnight stay with their start day, both engines agree
+    because min(us) is an exact bigint). One user-key shuffle feeds the
+    session windows and the session rollup; the daily rollup then runs
+    on the session table, which is already orders of magnitude smaller
+    than the events — the two-level aggregate discipline that holds at
+    100 TB. Engaged (non-bounce) duration is an exact micros sum."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).withColumn("us", F.unix_micros("ts"))
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    s = sessions.groupBy("user_id", "session_id").agg(
+        F.expr("min(us) div 86400000000").alias("day"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max("us") - F.min("us")).cast("bigint").alias("dur_us"),
+    )
+    bounce = F.when(F.col("n_events") == 1, 1)
+    return s.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.count(bounce).cast("bigint").alias("n_bounces"),
+        _round_to(
+            F.count(bounce).cast("double") / F.count(F.lit(1)), 6
+        ).alias("bounce_rate"),
+        F.sum(F.when(F.col("n_events") > 1, F.col("dur_us")))
+        .cast("bigint")
+        .alias("engaged_dur_us"),
+    )

@@ -2088,3 +2088,94 @@ def q_key_skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@_register(
+    "graph_degree_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT l_orderkey AS k, list_sort(list(DISTINCT l_partkey)) AS ps
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    e AS (
+      SELECT u, v FROM (
+        SELECT unnest(ps) AS u, ps FROM b
+      ), LATERAL (SELECT unnest(ps) AS v)
+      WHERE u < v
+      GROUP BY u, v HAVING count(*) >= 2
+    ),
+    deg AS (
+      SELECT node, count(*) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY node
+    ),
+    binned AS (
+      SELECT CAST(floor(log2(d)) AS BIGINT) AS bin, d FROM deg
+    )
+    SELECT bin,
+      CAST((CAST(1 AS BIGINT) << CAST(bin AS INT)) AS BIGINT) AS bin_lo,
+      CAST((CAST(1 AS BIGINT) << CAST(bin + 1 AS INT)) - 1 AS BIGINT)
+        AS bin_hi,
+      count(*) AS n_nodes, CAST(min(d) AS BIGINT) AS min_deg,
+      CAST(max(d) AS BIGINT) AS max_deg
+    FROM binned GROUP BY bin
+    """,
+)
+def q_graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part co-purchase graph in power-of-two
+    bins — the first diagnostic run on any web/citation/co-occurrence
+    graph (is it power-law? where do the hubs start?) and the direct
+    input to the degree-ceiling mitigations the wedge/triangle
+    docstrings reference. Binning is floor(log2(d)): log2 of an exact
+    integer is safe cross-engine here because bin boundaries are exact
+    powers of two and log2 is exactly k at d = 2^k with monotonicity
+    between — no irrational-boundary ambiguity (unlike ln-based
+    scores); bin edges are reconstructed with bigint shifts. Edge
+    derivation reuses the map-side basket-array pair explode; the
+    degree aggregate and the ~30-row bin rollup are both
+    key-partitioned hash aggregates."""
+    baskets = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+    )
+    edges = (
+        baskets.select(F.explode("ps").alias("u"), "ps")
+        .select("u", F.explode("ps").alias("v"))
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    binned = deg.select(
+        F.floor(F.log2("d")).cast("bigint").alias("bin"), "d"
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("d").cast("bigint").alias("min_deg"),
+            F.max("d").cast("bigint").alias("max_deg"),
+        )
+        .select(
+            "bin",
+            F.expr(
+                "cast(shiftleft(cast(1 as bigint), cast(bin as int))"
+                " as bigint)"
+            ).alias("bin_lo"),
+            F.expr(
+                "cast(shiftleft(cast(1 as bigint), cast(bin + 1 as int))"
+                " - 1 as bigint)"
+            ).alias("bin_hi"),
+            "n_nodes",
+            "min_deg",
+            "max_deg",
+        )
+    )

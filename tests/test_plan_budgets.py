@@ -142,7 +142,8 @@ EXTRA_BUDGET = {
     # basket-style edge subtree referenced 5x in the static plan (adj
     # both directions in the wedge self-join, degree, anti-join side) —
     # canonically identical exchanges, deduped by runtime exchange
-    # reuse; OLS = daily rollup + sufficient-statistics agg
+    # reuse (verified: 6 ReusedExchange nodes in the AQE final plan
+    # after collect at sf0.01); OLS = daily rollup + stats agg
     "event_path_trigrams": 2,
     "graph_link_prediction": 16,
     "ols_daily_trend": 2,
@@ -156,6 +157,11 @@ EXTRA_BUDGET = {
     # all three windows (next-conv assign, position, k) share the
     # user-key shuffle; per-conversion repartition is the second
     "attribution_position_based": 2,
+    # session windows + session rollup on the user key, then the tiny
+    # daily rollup; degree histogram = basket collapse + pair agg +
+    # degree agg + ~30-row bin agg
+    "session_bounce_rate": 2,
+    "graph_degree_histogram": 6,
     # expanded window distinct = 2-phase countDistinct; erasure audit =
     # erase-list distinct + per-type conditional agg (countDistinct
     # expands), erase side broadcast
