@@ -67,13 +67,29 @@ def running_sum(
     column). The sum is computed in DECIMAL(28,6) so it is exact and
     order-of-combination-independent (see driver_queries._dsum rationale),
     then left as decimal for the caller to cast.
+
+    The ranged+labelled frame is MATERIALIZED (lazy localCheckpoint)
+    before fanning out into the offsets aggregate and the main join:
+    ``repartitionByRange`` samples its range bounds per evaluation, and
+    without pinning, the two consumers of ``_pid`` can observe
+    DIFFERENT partitionings of the same data — offsets then join
+    against the wrong partitions and the prefix sums silently corrupt.
+    Found live at sf0.1 by the full-registry oracle gate
+    (ks_value_drift supremum inflated, non-deterministic across runs);
+    sf0.01 never hit it because the range sampler sees every row at
+    small scale, making both evaluations agree by coincidence. The
+    checkpoint input is the caller's pre-aggregated table (values /
+    parts / documents-after-groupBy), so the materialization is small
+    relative to the raw data at any scale.
     """
     n = num_partitions or df.sparkSession.conf.get(
         "spark.sql.shuffle.partitions", "32"
     )
     keys = [F.col(c) if isinstance(c, str) else c for c in order_by]
     ranged = df.repartitionByRange(int(n), *keys)
-    ranged = ranged.withColumn("_pid", F.spark_partition_id())
+    ranged = ranged.withColumn(
+        "_pid", F.spark_partition_id()
+    ).localCheckpoint(eager=False)
 
     w = Window.partitionBy("_pid").orderBy(*keys)
     val = (

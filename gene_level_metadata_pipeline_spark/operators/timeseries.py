@@ -595,8 +595,12 @@ def ols_trend(
     five numbers per group at any scale; the aggregate map-side
     combines. Returns (group, n, num, den, ssy, sx, sy) plus fitted
     ``slope_raw``/``r2_raw`` doubles — presentation rounding is the
-    caller's concern.
+    caller's concern. Rows with a NULL x or y are EXCLUDED up front:
+    Spark sums skip NULLs but ``count(*)`` would not, and an n
+    inconsistent with the sums silently fabricates a slope — the
+    worst failure mode for a stats primitive.
     """
+    df = df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
     s = df.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(x_col).alias("sx"),

@@ -26,25 +26,65 @@ from gene_level_metadata_pipeline_spark.plans.registry import (
 # sessionization — gap-based sessions over the events stream (batch form)
 # ---------------------------------------------------------------------------
 
-@_register(
-    "sessionize",
-    oracle="""
-    WITH e AS (
+# ONE definition of the session contract, shared by q_sessionize and
+# q_session_bounce_rate in both engines (review finding: the block was
+# duplicated 4x — 2 Spark + 2 SQL — and the definitions could drift).
+# NULLS LAST is pinned explicitly: Spark's default ASC ordering is NULLS
+# FIRST while DuckDB's is NULLS LAST, so an unpinned NULL timestamp
+# would merge into a different session per engine.
+_SESSION_GAP_US = 1_800_000_000
+
+
+def _assign_sessions(ev: DataFrame) -> DataFrame:
+    """events (+`us` micros col) -> rows tagged with per-user session_id."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("us").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+    )
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > _SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+
+
+_SESSION_SQL_CTES = """
+    e AS (
       SELECT user_id, event_id, epoch_us(ts) AS us,
-             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+             lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id
+               ORDER BY ts ASC NULLS LAST, event_id ASC NULLS LAST)
+               AS prev_us
       FROM events
     ),
     flagged AS (
       SELECT user_id, event_id, us,
-             CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_session
+             CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                  THEN 1 ELSE 0 END AS new_session
       FROM e
     ),
     sessions AS (
       SELECT user_id, event_id, us,
-             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
-                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+             CAST(sum(new_session) OVER (
+               PARTITION BY user_id
+               ORDER BY us ASC NULLS LAST, event_id ASC NULLS LAST
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM flagged
-    )
+    )"""
+
+@_register(
+    "sessionize",
+    oracle="WITH" + _SESSION_SQL_CTES + """
     SELECT user_id, session_id, count(*) AS n_events,
            min(us) AS start_us, max(us) AS end_us
     FROM sessions GROUP BY user_id, session_id
@@ -55,22 +95,8 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     stateful-streaming session operator (streaming/sessions.py). Extension
     beyond the reference (SURVEY §2.12); one shuffle on user_id, then two
     window passes and an aggregate over the same partitioning."""
-    from pyspark.sql import Window
-
     ev = _events(spark, sf_dir).withColumn("us", F.unix_micros("ts"))
-    w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    flagged = ev.withColumn(
-        "new_session",
-        F.when(
-            F.lag("us").over(w).isNull()
-            | ((F.col("us") - F.lag("us").over(w)) > 1_800_000_000),
-            1,
-        ).otherwise(0),
-    )
-    sessions = flagged.withColumn(
-        "session_id",
-        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
-    )
+    sessions = _assign_sessions(ev)
     return sessions.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("us").alias("start_us"),
@@ -255,26 +281,7 @@ def q_streaming_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "session_bounce_rate",
-    oracle="""
-    WITH e AS (
-      SELECT user_id, event_id, epoch_us(ts) AS us,
-             lag(epoch_us(ts)) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
-      FROM events
-    ),
-    flagged AS (
-      SELECT user_id, event_id, us,
-             CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
-                  THEN 1 ELSE 0 END AS new_session
-      FROM e
-    ),
-    sessions AS (
-      SELECT user_id, us,
-             CAST(sum(new_session) OVER (
-               PARTITION BY user_id ORDER BY us, event_id
-               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
-      FROM flagged
-    ),
+    oracle="WITH" + _SESSION_SQL_CTES + """,
     s AS (
       SELECT user_id, session_id,
              min(us) // 86400000000 AS day,
@@ -302,24 +309,8 @@ def q_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the session table, which is already orders of magnitude smaller
     than the events — the two-level aggregate discipline that holds at
     100 TB. Engaged (non-bounce) duration is an exact micros sum."""
-    from pyspark.sql import Window
-
     ev = _events(spark, sf_dir).withColumn("us", F.unix_micros("ts"))
-    w = Window.partitionBy("user_id").orderBy("us", "event_id")
-    flagged = ev.withColumn(
-        "new_session",
-        F.when(
-            F.lag("us").over(w).isNull()
-            | ((F.col("us") - F.lag("us").over(w)) > 1_800_000_000),
-            1,
-        ).otherwise(0),
-    )
-    sessions = flagged.withColumn(
-        "session_id",
-        F.sum("new_session").over(
-            w.rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
+    sessions = _assign_sessions(ev)
     s = sessions.groupBy("user_id", "session_id").agg(
         F.expr("min(us) div 86400000000").alias("day"),
         F.count(F.lit(1)).alias("n_events"),

@@ -1025,27 +1025,29 @@ def q_gaps_islands_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
         gaps_islands,
     )
 
+    from pyspark.sql.window import Window
+
     ev = _events(spark, sf_dir)
     isl = gaps_islands(ev, "user_id", "ts", 3_600_000_000)
-    agg = isl.groupBy(F.col("key").alias("user_id")).agg(
-        F.count(F.lit(1)).alias("n_islands"),
-        F.sum("island_len").alias("n_active_hours"),
-        F.max("island_len").alias("max_streak"),
-    )
-    best = isl.select(
-        F.col("key").alias("user_id"),
-        F.col("island_len").alias("len"),
-        F.col("island_start_us").alias("start_us"),
-    )
+    # earliest longest-streak start via one per-key window + a single
+    # aggregate — no self-join, no second groupBy (review finding: the
+    # previous agg-join-regroup repeated the island subtree on both
+    # sides and cost an extra shuffle)
+    mx = F.max("island_len").over(Window.partitionBy("key"))
     return (
-        agg.join(
-            best,
-            (agg.user_id == best.user_id) & (agg.max_streak == best.len),
+        isl.withColumn("__mx", mx)
+        .groupBy(F.col("key").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum("island_len").alias("n_active_hours"),
+            F.max("island_len").alias("max_streak"),
+            F.min(
+                F.when(
+                    F.col("island_len") == F.col("__mx"),
+                    F.col("island_start_us"),
+                )
+            ).alias("best_start_us"),
         )
-        .groupBy(
-            agg.user_id, "n_islands", "n_active_hours", "max_streak"
-        )
-        .agg(F.min("start_us").alias("best_start_us"))
     )
 
 

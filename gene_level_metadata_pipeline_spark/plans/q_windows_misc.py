@@ -1672,6 +1672,38 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering_coefficient(und)
 
 
+# Shared Spark-side derivation of the part co-occurrence graph (review
+# finding: the basket-collapse + map-side pair-explode block was pasted
+# into three queries, so the >=2-shared-orders sparsification could
+# silently drift between them; basket_part_lift keeps its own variant
+# because its >=2 is a SUPPORT threshold and it must retain pair and
+# item counts). The ORACLES deliberately keep their own independent SQL
+# spellings (self-join truth form) — an oracle that shares the
+# implementation stops being a check.
+_PART_EDGE_MIN_SHARED = 2
+
+
+def _part_cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected (u < v) part co-purchase edges: parts sharing at least
+    _PART_EDGE_MIN_SHARED orders. Basket arrays are bounded by order
+    fan-out, so pairs explode MAP-SIDE — 2 key-partitioned shuffles,
+    never a raw-table self-join."""
+    baskets = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+    )
+    return (
+        baskets.select(F.explode("ps").alias("u"), "ps")
+        .select("u", F.explode("ps").alias("v"))
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= _PART_EDGE_MIN_SHARED)
+        .select("u", "v")
+    )
+
+
 @_register(
     "basket_part_lift",
     oracle="""
@@ -1799,25 +1831,10 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic in hub degree — the sparsification IS the cap here; at
     100 TB the standard extra mitigation is a degree ceiling on z
     before the self-join (drop z with deg > sqrt(m))."""
-    # edge derivation mirrors basket_part_lift's map-side pair explode
-    # (basket arrays are bounded by order fan-out), NOT the oracle's
-    # basket self-join: 2 key-partitioned shuffles instead of 3, and the
-    # identical baskets exchange canonicalizes for runtime exchange
-    # reuse across the plan's repeated edge references
-    baskets = (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.collect_set("l_partkey").alias("ps"))
-    )
-    edges = (
-        baskets.select(F.explode("ps").alias("u"), "ps")
-        .select("u", F.explode("ps").alias("v"))
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= 2)
-        .select("u", "v")
-    )
+    # shared edge derivation (2 key-partitioned shuffles, map-side pair
+    # explode); the identical exchange subtrees canonicalize for runtime
+    # exchange reuse across the plan's repeated edge references
+    edges = _part_cooccurrence_edges(spark, sf_dir)
     adj = edges.select(
         F.col("u").alias("z"), F.col("v").alias("x")
     ).unionAll(edges.select(F.col("v").alias("z"), F.col("u").alias("x")))
@@ -1857,7 +1874,7 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     rt AS (SELECT lang, CAST(sum(obs) AS BIGINT) AS r FROM o GROUP BY lang),
     ct AS (SELECT source, CAST(sum(obs) AS BIGINT) AS c FROM o GROUP BY source),
-    n AS (SELECT count(*) AS total FROM documents),
+    n AS (SELECT CAST(sum(obs) AS BIGINT) AS total FROM o),
     cells AS (
       SELECT rt.lang, ct.source,
              coalesce(o.obs, 0) AS obs,
@@ -1892,7 +1909,12 @@ def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("obs"))
     rt = o.groupBy("lang").agg(F.sum("obs").alias("r"))
     ct = o.groupBy("source").agg(F.sum("obs").alias("c"))
-    n = d.agg(F.count(F.lit(1)).alias("total"))
+    # grand total from the contingency aggregate, NOT a second count(*)
+    # scan of documents (review finding: a separate aggregate subtree
+    # can never exchange-reuse, doubling the data-sized pass; every
+    # row lands in exactly one (lang, source) group — NULL groups
+    # included — so sum(obs) == count(*))
+    n = o.agg(F.sum("obs").cast("bigint").alias("total"))
     cells = (
         rt.crossJoin(F.broadcast(ct))
         .crossJoin(F.broadcast(n))
@@ -2134,20 +2156,7 @@ def q_graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     derivation reuses the map-side basket-array pair explode; the
     degree aggregate and the ~30-row bin rollup are both
     key-partitioned hash aggregates."""
-    baskets = (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.collect_set("l_partkey").alias("ps"))
-    )
-    edges = (
-        baskets.select(F.explode("ps").alias("u"), "ps")
-        .select("u", F.explode("ps").alias("v"))
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= 2)
-        .select("u", "v")
-    )
+    edges = _part_cooccurrence_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))

@@ -107,7 +107,7 @@ SHUFFLE_BUDGET = {
     # sides; islands = distinct grid + key window + 2 summary aggs;
     # corr = daily rollup + day-axis pair agg
     "basket_part_lift": 8,
-    "gaps_islands_hours": 4,
+    "gaps_islands_hours": 2,  # r5 review: join->window rewrite
     "correlation_matrix_daily": 3,
 }
 
@@ -151,7 +151,11 @@ EXTRA_BUDGET = {
     # chi2 = contingency agg + marginal aggs + 1-row total (marginals
     # broadcast); corr = daily rollup + pair agg on the shared day axis
     "seasonal_mae_backtest": 2,
-    "chi_square_independence": 8,
+    # 9 static exchanges after deriving the total from the contingency
+    # aggregate instead of a count(*) scan: one MORE printed exchange
+    # but one FEWER data-sized pass — all four o-rooted subtrees now
+    # canonicalize and dedupe at runtime (2 ReusedExchange measured)
+    "chi_square_independence": 9,
     # key count agg + the one global rank sort (over |keys| rows only)
     "key_skew_gini": 2,
     # all three windows (next-conv assign, position, k) share the

@@ -189,3 +189,16 @@ def test_position_attribution_credit_conserves_conversions(spark):
         .count()
     )
     assert abs(total_credit - n_attributable) < 1e-3
+
+
+def test_ols_excludes_null_x_or_y_rows(spark):
+    """A NULL x (or y) row must be excluded entirely, not half-counted:
+    Spark sums skip NULLs but count(*) would not, and an n inconsistent
+    with the sums fabricates a slope (review finding)."""
+    rows = [("g", 1, 1), ("g", 2, 2), ("g", None, 5), ("g", 3, None)]
+    df = spark.createDataFrame(
+        rows, "g string, x bigint, y bigint"
+    ).withColumn("y", F.col("y").cast("decimal(18,0)"))
+    r = ols_trend(df, "g", "x", "y").collect()[0]
+    assert r.n == 2
+    assert r.slope_raw == 1.0 and r.intercept_raw == 0.0

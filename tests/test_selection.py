@@ -287,3 +287,31 @@ def test_stratified_weighted_take_budgets_and_nesting(spark):
           stratified_weighted_take(df, "id", "lang", "w", k=5).collect()}
     s10 = {r["id"] for r in out.collect()}
     assert s5 <= s10  # nested
+
+
+def test_running_sum_consistent_at_sampling_scale(spark):
+    """Regression for the sf0.1 ks_value_drift corruption: with enough
+    rows that repartitionByRange SAMPLES its bounds (rather than seeing
+    every row), the offsets aggregate and the main join must observe
+    the SAME partitioning — before the lazy-localCheckpoint pin, the
+    two evaluations could draw different sampled bounds, mislabel
+    _pid, and silently corrupt ~30% of prefix sums. 40k rows in a
+    multi-partition source reproduces the regime; three repeats guard
+    against the nondeterminism masking itself."""
+    n = 40_000
+    df = (
+        spark.range(n)
+        .repartition(16)
+        .select(
+            F.col("id").alias("k"),
+            ((F.col("id") * 37) % 19 + 1).alias("w"),
+        )
+    )
+    for _ in range(3):
+        out = running_sum(df, ["k"], "w", out_col="rt")
+        rows = out.select("k", "rt").collect()
+        got = {r["k"]: int(r["rt"]) for r in rows}
+        acc = 0
+        for k in range(n):
+            acc += (k * 37) % 19 + 1
+            assert got[k] == acc, f"prefix sum wrong at k={k}"
