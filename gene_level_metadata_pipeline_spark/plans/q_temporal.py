@@ -1484,3 +1484,73 @@ def q_attribution_position_based(
             ).alias("credited"),
         )
     )
+
+
+@_register(
+    "dedup_cluster_stats",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT doc_a, doc_b FROM (
+        """ + _minhash_oracle() + """
+      )
+    ),
+    edges2 AS (
+      SELECT doc_a AS u, doc_b AS v FROM base
+      UNION
+      SELECT doc_b, doc_a FROM base
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges2
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges2 e ON r.v = e.u
+    ),
+    comp AS (
+      SELECT u AS doc_id, least(u, min(v)) AS component
+      FROM reach GROUP BY u
+    ),
+    sizes AS (
+      SELECT component, count(*) AS cluster_size
+      FROM comp GROUP BY component
+    )
+    SELECT cluster_size, count(*) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+           CAST((cluster_size - 1) * count(*) AS BIGINT) AS n_removable
+    FROM sizes GROUP BY cluster_size
+    """,
+)
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the dedup REPORT a curation
+    run ships alongside the components themselves: for each cluster
+    size, how many clusters, how many documents they hold, and how many
+    are removable (keep one canonical per cluster). Built directly on
+    connected_components over the MinHash candidate pairs (identical
+    plan to dedup_components, one extra two-level aggregate over the
+    component table — which is already tiny relative to the corpus);
+    the oracle composes the same recursive-CTE fixpoint with the same
+    rollup. All counts exact bigints. The n_removable column is the
+    number a 100 TB dedup pass reports as its expected row reduction
+    BEFORE the destructive write — the same audit-first discipline as
+    gdpr_erasure_audit."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+    from gene_level_metadata_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = minhash_candidate_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_docs"),
+        ((F.col("cluster_size") - 1) * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("n_removable"),
+    )

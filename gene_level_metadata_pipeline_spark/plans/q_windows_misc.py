@@ -2188,3 +2188,70 @@ def q_graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_deg",
         )
     )
+
+
+@_register(
+    "skyline_parts_2d",
+    oracle="""
+    WITH p AS (
+      SELECT p_partkey,
+             CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_cents,
+             p_size
+      FROM part
+      WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+    )
+    SELECT p_partkey, price_cents, p_size FROM p a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p b
+      WHERE b.price_cents <= a.price_cents AND b.p_size <= a.p_size
+        AND (b.price_cents < a.price_cents OR b.p_size < a.p_size)
+    )
+    """,
+)
+def q_skyline_parts_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts not dominated on
+    (retail price, size), both minimized — the classic operator Spark
+    has no built-in for, and the textbook case where the relational
+    spelling is QUADRATIC (the oracle's correlated NOT EXISTS) while
+    the engine's is a SORT: order by exact price cents, then a point is
+    dominated iff the minimum size among STRICTLY cheaper points
+    (RANGE frame ending at -1 on the cents axis) is <= its size, or a
+    same-price point has strictly smaller size (per-price partition
+    min). Exact-duplicate (price, size) points dominate neither way
+    and both stay on the frontier — the window form preserves that
+    contract because both comparisons require strictness somewhere.
+    One range sort on a dimension-sized table; at 100 TB the standard
+    pre-filter is a coarse grid partition that discards any cell
+    dominated by another cell's corner before the per-cell sort."""
+    from pyspark.sql.window import Window
+
+    p = (
+        _t(spark, sf_dir, "part")
+        .where(
+            F.col("p_retailprice").isNotNull() & F.col("p_size").isNotNull()
+        )
+        .select(
+            "p_partkey",
+            F.round(F.col("p_retailprice") * 100, 0)
+            .cast("long")
+            .alias("price_cents"),
+            "p_size",
+        )
+    )
+    w_cheaper = (
+        Window.orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("price_cents")
+    return (
+        p.withColumn("__m_cheaper", F.min("p_size").over(w_cheaper))
+        .withColumn("__m_same", F.min("p_size").over(w_same))
+        .where(
+            (
+                F.col("__m_cheaper").isNull()
+                | (F.col("__m_cheaper") > F.col("p_size"))
+            )
+            & (F.col("__m_same") >= F.col("p_size"))
+        )
+        .select("p_partkey", "price_cents", "p_size")
+    )

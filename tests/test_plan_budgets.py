@@ -171,6 +171,10 @@ EXTRA_BUDGET = {
     # expands), erase side broadcast
     "sliding_distinct_users": 2,
     "gdpr_erasure_audit": 3,
+    # skyline = ONE range sort (both windows share it); cluster stats =
+    # converged-components scan + two tiny rollup aggs
+    "skyline_parts_2d": 1,
+    "dedup_cluster_stats": 2,
 }
 
 
