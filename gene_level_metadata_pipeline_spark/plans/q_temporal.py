@@ -1554,3 +1554,100 @@ def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_removable"),
     )
+
+
+@_register(
+    "interval_merge_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+      FROM events WHERE ts IS NOT NULL
+    ),
+    r AS (
+      SELECT user_id, s, e,
+             max(e) OVER (
+               PARTITION BY user_id
+               ORDER BY s ASC NULLS LAST, e ASC NULLS LAST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_e
+      FROM iv
+    ),
+    g AS (
+      SELECT user_id, s, e,
+             CAST(sum(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                           THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id
+               ORDER BY s ASC NULLS LAST, e ASC NULLS LAST
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp
+      FROM r
+    ),
+    m AS (
+      SELECT user_id, grp, min(s) AS cov_start_us, max(e) AS cov_end_us
+      FROM g GROUP BY user_id, grp
+    )
+    SELECT user_id, count(*) AS n_intervals,
+           CAST(sum(cov_end_us - cov_start_us) AS BIGINT) AS covered_us,
+           min(cov_start_us) AS first_start_us,
+           max(cov_end_us) AS last_end_us
+    FROM m GROUP BY user_id
+    """,
+)
+def q_interval_merge_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (merge overlapping intervals) — the classic
+    range-union: each event claims a 5-minute activity window
+    [ts, ts+5min]; per user, overlapping or touching-with-overlap
+    windows merge into maximal coverage intervals, reported as
+    interval count + exact covered micros. The one-pass idiom: a
+    running max of interval ends over the start-sorted stream (frame
+    ending at 1 PRECEDING so a row sees only PRIOR ends) marks a new
+    group exactly when a start clears everything before it; the group
+    id is the running sum of those marks — the continuous cousin of
+    gaps_islands (bucketed grid) and the geometry behind SCD2 repair
+    and downtime/coverage reports. All arithmetic exact micros
+    bigints; one user-key shuffle shared by both windows and the two
+    rollups."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    iv = ev.where(F.col("ts").isNotNull()).select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(300_000_000)).alias("e"),
+    )
+    order = [F.col("s").asc_nulls_last(), F.col("e").asc_nulls_last()]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    g = (
+        iv.withColumn("prev_max_e", F.max("e").over(w_prev))
+        .withColumn(
+            "grp",
+            F.sum(
+                F.when(
+                    F.col("prev_max_e").isNull()
+                    | (F.col("s") > F.col("prev_max_e")),
+                    1,
+                ).otherwise(0)
+            )
+            .over(w_run)
+            .cast("bigint"),
+        )
+    )
+    m = g.groupBy("user_id", "grp").agg(
+        F.min("s").alias("cov_start_us"), F.max("e").alias("cov_end_us")
+    )
+    return m.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("cov_end_us") - F.col("cov_start_us"))
+        .cast("bigint")
+        .alias("covered_us"),
+        F.min("cov_start_us").alias("first_start_us"),
+        F.max("cov_end_us").alias("last_end_us"),
+    )

@@ -175,6 +175,8 @@ EXTRA_BUDGET = {
     # converged-components scan + two tiny rollup aggs
     "skyline_parts_2d": 1,
     "dedup_cluster_stats": 2,
+    # one user-key shuffle shared by both windows and both rollups
+    "interval_merge_coverage": 1,
 }
 
 
