@@ -1651,3 +1651,106 @@ def q_interval_merge_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cov_start_us").alias("first_start_us"),
         F.max("cov_end_us").alias("last_end_us"),
     )
+
+
+@_register(
+    "quantile_normalize_scores",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 1e6, 0) AS BIGINT) AS vm
+      FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT event_id, event_type, vm,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY vm ASC NULLS LAST, event_id ASC NULLS LAST) AS r,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM v
+    ),
+    pooled AS (
+      SELECT vm,
+             row_number() OVER (
+               ORDER BY vm ASC NULLS LAST, event_id ASC NULLS LAST) AS k
+      FROM v
+    ),
+    tot AS (SELECT count(*) AS np FROM v),
+    mapped AS (
+      SELECT rk.event_id, rk.event_type, rk.vm,
+             CAST(1 + ((rk.r - 1) * (t.np - 1)) // (rk.n - 1) AS BIGINT)
+               AS k_target
+      FROM ranked rk CROSS JOIN tot t WHERE rk.n > 1
+    )
+    SELECT m.event_type,
+           count(*) AS n,
+           CAST(sum(CASE WHEN p.vm >= m.vm THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_not_decreased,
+           CAST(min(p.vm) AS BIGINT) AS min_norm_micro,
+           CAST(max(p.vm) AS BIGINT) AS max_norm_micro
+    FROM mapped m JOIN pooled p ON p.k = m.k_target
+    GROUP BY m.event_type
+    """,
+)
+def q_quantile_normalize_scores(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile normalization — the genomics-pipeline staple the
+    reference's source distributions would need before cross-source
+    comparison (SURVEY's constraint/essentiality scores arrive on
+    incompatible scales): each value maps to the POOLED distribution's
+    order statistic at its within-group rank percentile. Nearest-rank
+    (floor) form, no interpolation — k = 1 + (r-1)(N-1)/(n-1) in exact
+    bigint integer division, so the mapping is deterministic and
+    hash-exact in both engines (interpolated quantiles would pit two
+    engines' double formulas against each other). Per-type summary:
+    how many values the mapping did not decrease, plus the mapped
+    range. Plan: two rank windows (per-type and pooled — the pooled
+    one is THE global sort this operator fundamentally needs), one
+    1-row total broadcast, one join on the target rank; groups with a
+    single value are excluded (rank percentile undefined). At 100 TB
+    the pooled ranking is running_sum's distributed-prefix-sum shape
+    over per-value counts, not a single-task window."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    v = ev.where(F.col("value").isNotNull()).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * F.lit(1e6), 0).cast("long").alias("vm"),
+    )
+    wt = Window.partitionBy("event_type").orderBy(
+        F.col("vm").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+    )
+    ranked = v.select(
+        "event_id",
+        "event_type",
+        "vm",
+        F.row_number().over(wt).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    wp = Window.orderBy(
+        F.col("vm").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+    )
+    pooled = v.select("vm", F.row_number().over(wp).alias("k"))
+    tot = v.agg(F.count(F.lit(1)).alias("np"))
+    mapped = (
+        ranked.where(F.col("n") > 1)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "vm",
+            F.expr("cast(1 + ((r - 1) * (np - 1)) div (n - 1) as bigint)")
+            .alias("k_target"),
+        )
+    )
+    p2 = pooled.select(F.col("k").alias("k_target"), F.col("vm").alias("pvm"))
+    j = mapped.join(p2, "k_target")
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("pvm") >= F.col("vm"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_not_decreased"),
+        F.min("pvm").cast("bigint").alias("min_norm_micro"),
+        F.max("pvm").cast("bigint").alias("max_norm_micro"),
+    )

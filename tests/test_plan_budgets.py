@@ -177,6 +177,9 @@ EXTRA_BUDGET = {
     "dedup_cluster_stats": 2,
     # one user-key shuffle shared by both windows and both rollups
     "interval_merge_coverage": 1,
+    # per-type rank window + THE pooled global sort (the one this
+    # operator fundamentally needs) + target-rank join
+    "quantile_normalize_scores": 3,
 }
 
 
