@@ -327,3 +327,46 @@ def q_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("engaged_dur_us"),
     )
+
+
+@_register(
+    "session_entry_exit",
+    oracle="WITH" + _SESSION_SQL_CTES.replace(
+        "SELECT user_id, event_id, epoch_us(ts) AS us,",
+        "SELECT user_id, event_id, event_type, epoch_us(ts) AS us,",
+    ).replace(
+        "SELECT user_id, event_id, us,\n             CASE",
+        "SELECT user_id, event_id, event_type, us,\n             CASE",
+    ).replace(
+        "SELECT user_id, event_id, us,\n             CAST(sum",
+        "SELECT user_id, event_id, event_type, us,\n             CAST(sum",
+    ) + """,
+    se AS (
+      SELECT user_id, session_id,
+        first(event_type ORDER BY us ASC, event_id ASC) AS entry_type,
+        last(event_type ORDER BY us ASC, event_id ASC) AS exit_type
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT entry_type, exit_type, count(*) AS n_sessions
+    FROM se GROUP BY entry_type, exit_type
+    """,
+)
+def q_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landing/exit analysis: which event type OPENS and which CLOSES
+    each gap-based session, counted over the (entry, exit) grid — the
+    web-analytics companion to session_bounce_rate, sharing the exact
+    same session contract (_assign_sessions, NULLS LAST pinned). Entry
+    and exit are min_by/max_by on the (us, event_id) total-order struct
+    — no extra window over what the session assignment already sorted,
+    and the (entry, exit) rollup runs on the session table, not the
+    events. Exact strings and bigints throughout."""
+    ev = _events(spark, sf_dir).withColumn("us", F.unix_micros("ts"))
+    sessions = _assign_sessions(ev)
+    order = F.struct(F.col("us").alias("t"), F.col("event_id").alias("i"))
+    se = sessions.groupBy("user_id", "session_id").agg(
+        F.min_by("event_type", order).alias("entry_type"),
+        F.max_by("event_type", order).alias("exit_type"),
+    )
+    return se.groupBy("entry_type", "exit_type").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )

@@ -1754,3 +1754,130 @@ def q_quantile_normalize_scores(
         F.min("pvm").cast("bigint").alias("min_norm_micro"),
         F.max("pvm").cast("bigint").alias("max_norm_micro"),
     )
+
+
+@_register(
+    "scd2_point_in_time_join",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+      FROM events WHERE event_type IN ('signup', 'error')
+    ),
+    runs AS (
+      SELECT user_id, event_id, event_type, us,
+             lag(event_type) OVER w AS prev_attr
+      FROM ch
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY us ASC NULLS LAST, event_id ASC NULLS LAST)
+    ),
+    changed AS (
+      SELECT user_id, event_type AS attr, us AS valid_from,
+             lead(us) OVER (PARTITION BY user_id
+               ORDER BY us ASC NULLS LAST, event_id ASC NULLS LAST)
+               AS valid_to
+      FROM runs
+      WHERE prev_attr IS NULL OR prev_attr <> event_type
+    ),
+    facts AS (
+      SELECT user_id, event_id, epoch_us(ts) AS us,
+             CAST(round(value * 1e6, 0) AS BIGINT) AS vm
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+    ),
+    pit AS (
+      SELECT f.user_id, f.event_id, f.vm, c.attr
+      FROM facts f LEFT JOIN changed c
+        ON c.user_id = f.user_id
+       AND c.valid_from <= f.us
+       AND (c.valid_to IS NULL OR f.us < c.valid_to)
+    )
+    SELECT coalesce(attr, 'unknown') AS state, count(*) AS n,
+           CAST(sum(vm) AS BIGINT) AS total_micro
+    FROM pit GROUP BY coalesce(attr, 'unknown')
+    """,
+)
+def q_scd2_point_in_time_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Point-in-time (PIT) join — facts against an SCD2 dimension AS OF
+    each fact's timestamp: purchases credited to the signup/error state
+    the user was in when the purchase happened, 'unknown' before the
+    first state change. The warehouse pattern behind every
+    dimension-history join, and deliberately NOT the oracle's interval
+    BETWEEN join (whose fan-out re-sorts facts against every historical
+    row of a hot key): the engine unions state-change rows (version
+    markers) with facts on one (user, time) order and carries the last
+    marker forward — the as-of trick, ONE user-key window, zero
+    interval predicates. Intervals come from the same run-collapse
+    contract as timeseries.scd2_intervals (consecutive same-attribute
+    changes merge). Exact micro-unit sums; ties at one timestamp order
+    change-before-fact by the (us, is_fact) sort so a same-instant
+    purchase sees the new state in BOTH engines (the oracle's <=
+    matches)."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    ch = (
+        ev.where(F.col("event_type").isin("signup", "error"))
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("us"),
+            F.col("event_type").alias("attr"),
+        )
+    )
+    wch = Window.partitionBy("user_id").orderBy(
+        F.col("us").asc_nulls_last(), F.col("event_id").asc_nulls_last()
+    )
+    changed = ch.withColumn("prev_attr", F.lag("attr").over(wch)).where(
+        F.col("prev_attr").isNull()
+        | (F.col("prev_attr") != F.col("attr"))
+    )
+    facts = ev.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * F.lit(1e6), 0).cast("long").alias("vm"),
+    )
+    # as-of union: markers sort BEFORE facts at the same instant
+    # (is_fact 0 < 1), so a same-us purchase sees the new state —
+    # mirroring the oracle's valid_from <= f.us
+    marked = changed.select(
+        "user_id",
+        F.col("us"),
+        F.lit(0).alias("is_fact"),
+        F.col("attr"),
+        F.col("event_id").alias("event_id2"),
+        F.lit(None).cast("long").alias("vm"),
+    ).unionByName(
+        facts.select(
+            "user_id",
+            "us",
+            F.lit(1).alias("is_fact"),
+            F.lit(None).cast("string").alias("attr"),
+            F.col("event_id").alias("event_id2"),
+            "vm",
+        )
+    )
+    wpit = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("us").asc_nulls_last(),
+            F.col("is_fact").asc_nulls_last(),
+            F.col("event_id2").asc_nulls_last(),
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pit = (
+        marked.withColumn(
+            "state", F.last("attr", ignorenulls=True).over(wpit)
+        )
+        .where(F.col("is_fact") == 1)
+    )
+    return pit.groupBy(
+        F.coalesce(F.col("state"), F.lit("unknown")).alias("state")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vm").cast("bigint").alias("total_micro"),
+    )

@@ -180,6 +180,11 @@ EXTRA_BUDGET = {
     # per-type rank window + THE pooled global sort (the one this
     # operator fundamentally needs) + target-rank join
     "quantile_normalize_scores": 3,
+    # entry/exit: session windows + min_by/max_by session rollup +
+    # grid rollup; PIT: change + fact branches union into ONE
+    # (user, time) as-of window, per-state rollup
+    "session_entry_exit": 2,
+    "scd2_point_in_time_join": 3,
 }
 
 
