@@ -1881,3 +1881,155 @@ def q_scd2_point_in_time_join(
         F.count(F.lit(1)).alias("n"),
         F.sum("vm").cast("bigint").alias("total_micro"),
     )
+
+
+@_register(
+    "cohort_ltv_curves",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, min(epoch_us(ts)) AS first_us FROM events
+      GROUP BY user_id
+    ),
+    rev AS (
+      SELECT f.first_us // 604800000000 AS cohort_week,
+             (epoch_us(e.ts) - f.first_us) // 604800000000 AS week_offset,
+             CAST(sum(CAST(round(e.value * 1e6, 0) AS BIGINT)) AS BIGINT)
+               AS rev_micro
+      FROM events e JOIN f ON e.user_id = f.user_id
+      WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    sz AS (
+      SELECT first_us // 604800000000 AS cohort_week,
+             count(*) AS cohort_size
+      FROM f GROUP BY 1
+    )
+    SELECT r.cohort_week, r.week_offset, s.cohort_size,
+      CAST(sum(r.rev_micro) OVER (
+        PARTITION BY r.cohort_week ORDER BY r.week_offset ASC NULLS LAST
+        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_micro,
+      round(CAST(sum(r.rev_micro) OVER (
+          PARTITION BY r.cohort_week ORDER BY r.week_offset ASC NULLS LAST
+          ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        / s.cohort_size / 1e6 * 1e4, 0) / 1e4 AS ltv_per_user
+    FROM rev r JOIN sz s ON s.cohort_week = r.cohort_week
+    """,
+)
+def q_cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves — cumulative purchase revenue per signup-week
+    cohort by week age, absolute and per cohort member: the
+    business-analytics companion to retention_cohorts (who stays) —
+    this is what they're worth as they age. Cohort = epoch-week of a
+    user's FIRST event (exact integer micros division, no calendar
+    semantics to reconcile); revenue in exact bigint micro-units; the
+    cumulative sum is one window over the (cohort, age) rollup, which
+    is weeks x cohorts tiny regardless of event volume — the two-level
+    aggregate discipline again. Per-user LTV divides by the exact
+    cohort size with the identical double shape in both engines."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    f = ev.groupBy("user_id").agg(
+        F.min(F.unix_micros("ts")).alias("first_us")
+    )
+    joined = ev.where(
+        (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+    ).join(F.broadcast(f), "user_id")
+    rev = joined.groupBy(
+        F.expr("first_us div 604800000000").alias("cohort_week"),
+        F.expr(
+            "(unix_micros(ts) - first_us) div 604800000000"
+        ).alias("week_offset"),
+    ).agg(
+        F.sum(
+            F.round(F.col("value") * F.lit(1e6), 0).cast("long")
+        ).cast("bigint").alias("rev_micro")
+    )
+    sz = f.groupBy(
+        F.expr("first_us div 604800000000").alias("cohort_week")
+    ).agg(F.count(F.lit(1)).alias("cohort_size"))
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy(F.col("week_offset").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = rev.join(F.broadcast(sz), "cohort_week").withColumn(
+        "cum_rev_micro", F.sum("rev_micro").over(w).cast("bigint")
+    )
+    return out.select(
+        "cohort_week",
+        "week_offset",
+        "cohort_size",
+        "cum_rev_micro",
+        _round_to(
+            F.col("cum_rev_micro").cast("double")
+            / F.col("cohort_size")
+            / F.lit(1e6),
+            4,
+        ).alias("ltv_per_user"),
+    )
+
+
+@_register(
+    "conversion_latency_quantiles",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    conv AS (SELECT * FROM s WHERE event_type = 'purchase'),
+    touch AS (SELECT * FROM s WHERE event_type IN ('click', 'view')),
+    last_touch AS (
+      SELECT c.event_id AS conv_id, t.event_type AS touch_type,
+             c.us - t.us AS gap_us
+      FROM conv c JOIN touch t
+        ON t.user_id = c.user_id
+       AND (t.us < c.us OR (t.us = c.us AND t.event_id < c.event_id))
+      QUALIFY row_number() OVER (
+        PARTITION BY c.event_id
+        ORDER BY t.us DESC NULLS LAST, t.event_id DESC NULLS LAST) = 1
+    )
+    SELECT touch_type, count(*) AS n,
+           round(quantile_cont(gap_us, 0.5) / 1e6, 4) AS p50_sec,
+           round(quantile_cont(gap_us, 0.9) / 1e6, 4) AS p90_sec,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us
+    FROM last_touch GROUP BY touch_type
+    """,
+)
+def q_conversion_latency_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conversion-latency distribution: how long after the last
+    click/view does the purchase land — p50/p90 per attributing touch
+    type, the SLA-style latency ladder on top of last-touch
+    attribution. Gaps are exact microsecond bigints from the SAME
+    single-window attribution plan (temporal.attribute_last_touch — no
+    conversions x touches self-join); quantiles use Spark
+    ``percentile`` / DuckDB ``quantile_cont``, which share the exact
+    linear-interpolation definition (the median_quantiles precedent —
+    never approx_percentile where exactness is graded). The divide-
+    then-round shape is identical in both engines."""
+    from gene_level_metadata_pipeline_spark.operators.temporal import (
+        attribute_last_touch,
+    )
+
+    ev = _events(spark, sf_dir)
+    out = attribute_last_touch(
+        ev, "user_id", "ts", "event_id", "event_type",
+        ["purchase"], ["click", "view"],
+    )
+    gaps = out.where(F.col("touch_id").isNotNull()).select(
+        "touch_type",
+        (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.col("touch_ts"))
+        ).alias("gap_us"),
+    )
+    return gaps.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _round_to(
+            F.expr("percentile(gap_us, 0.5)") / F.lit(1e6), 4
+        ).alias("p50_sec"),
+        _round_to(
+            F.expr("percentile(gap_us, 0.9)") / F.lit(1e6), 4
+        ).alias("p90_sec"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+    )

@@ -2255,3 +2255,88 @@ def q_skyline_parts_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "price_cents", "p_size")
     )
+
+
+@_register(
+    "graph_assortativity",
+    oracle="""
+    WITH b AS (
+      SELECT l_orderkey AS k, list_sort(list(DISTINCT l_partkey)) AS ps
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    e AS (
+      SELECT u, v FROM (
+        SELECT unnest(ps) AS u, ps FROM b
+      ), LATERAL (SELECT unnest(ps) AS v)
+      WHERE u < v
+      GROUP BY u, v HAVING count(*) >= 2
+    ),
+    adj AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT u AS node, count(*) AS d FROM adj GROUP BY u),
+    de AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM adj JOIN deg du ON du.node = adj.u
+               JOIN deg dv ON dv.node = adj.v
+    ),
+    s AS (
+      SELECT count(*) AS m,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x*y) AS BIGINT) AS sxy,
+             CAST(sum(x*x) AS BIGINT) AS sxx,
+             CAST(sum(y*y) AS BIGINT) AS syy
+      FROM de
+    )
+    SELECT m, sx, sxy,
+      round(
+        (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        / nullif(
+            sqrt(CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * sqrt(CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0)
+        * 1e6, 0) / 1e6 AS assortativity
+    FROM s
+    """,
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman's r) of the part co-purchase graph:
+    the Pearson correlation of endpoint degrees over the directed edge
+    list — do hubs attach to hubs (r > 0, social-network shape) or to
+    leaves (r < 0, hub-and-spoke)? The one-number summary that, with
+    the degree histogram, decides which skew mitigations the wedge
+    joins need. Sufficient statistics are exact bigints (degrees are
+    counts; their pairwise products over the edge list stay far under
+    int64), the degree table broadcasts back onto the edges, and only
+    the closed form runs in doubles — sqrt is IEEE-correctly-rounded,
+    the correlation_matrix_daily precedent. Edges reuse the shared
+    map-side basket derivation."""
+    edges = _part_cooccurrence_edges(spark, sf_dir)
+    adj = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = adj.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("x"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("y"))
+    de = adj.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    s = de.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    md = F.col("m").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    num = md * F.col("sxy").cast("double") - sxd * syd
+    den = F.sqrt(md * F.col("sxx").cast("double") - sxd * sxd) * F.sqrt(
+        md * F.col("syy").cast("double") - syd * syd
+    )
+    return s.select(
+        "m", "sx", "sxy",
+        _round_to(F.try_divide(num, den), 6).alias("assortativity"),
+    )

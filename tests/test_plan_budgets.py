@@ -185,6 +185,13 @@ EXTRA_BUDGET = {
     # (user, time) as-of window, per-state rollup
     "session_entry_exit": 2,
     "scd2_point_in_time_join": 3,
+    # LTV: first-event agg + (cohort, age) rollup + cohort-size agg +
+    # cumulative window; latency: the single attribution window + type
+    # rollup; assortativity: the shared edge subtree referenced for
+    # adj/deg (canonically identical, runtime-reused) + 1-row stats
+    "cohort_ltv_curves": 5,
+    "conversion_latency_quantiles": 2,
+    "graph_assortativity": 15,
 }
 
 
