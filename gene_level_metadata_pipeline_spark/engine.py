@@ -213,6 +213,46 @@ class Engine:
 
         return budget_select(df, order_by, cost_col, budget, **kw)
 
+    def gaps_islands(self, df: DataFrame, key_col: str, ts_col: str,
+                     bucket_us: int) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.timeseries import (
+            gaps_islands,
+        )
+
+        return gaps_islands(df, key_col, ts_col, bucket_us)
+
+    def coalesce_intervals(self, df: DataFrame, key_col: str,
+                           start_col: str, end_col: str) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.timeseries import (
+            coalesce_intervals,
+        )
+
+        return coalesce_intervals(df, key_col, start_col, end_col)
+
+    def ols_trend(self, df: DataFrame, group_col: str, x_col: str,
+                  y_col: str) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.timeseries import (
+            ols_trend,
+        )
+
+        return ols_trend(df, group_col, x_col, y_col)
+
+    def debounce(self, df: DataFrame, partition_by, ts_col: str,
+                 id_col: str, min_gap_us: int) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.timeseries import (
+            debounce,
+        )
+
+        return debounce(df, partition_by, ts_col, id_col, min_gap_us)
+
+    def ohlc_bars(self, df: DataFrame, partition_by: str, ts_col: str,
+                  id_col: str, value_col: str, grain: str = "hour") -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.timeseries import (
+            ohlc_bars,
+        )
+
+        return ohlc_bars(df, partition_by, ts_col, id_col, value_col, grain)
+
     def pack_sequences(self, df: DataFrame, order_by, size_col, context_len, **kw) -> DataFrame:
         from gene_level_metadata_pipeline_spark.operators.selection import (
             pack_sequences,

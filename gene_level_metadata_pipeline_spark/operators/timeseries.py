@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 __all__ = ["resample_locf", "scd2_intervals", "rolling_zscore",
            "ewma_smooth", "time_weighted_avg", "cusum_drift",
            "interarrival_stats", "debounce", "ohlc_bars",
-           "gaps_islands", "ols_trend"]
+           "gaps_islands", "ols_trend", "coalesce_intervals"]
 
 
 def resample_locf(
@@ -628,3 +628,55 @@ def ols_trend(
         ((syd - slope * sxd) / nd).alias("intercept_raw"),
         F.try_divide(num * num, den * ssy).alias("r2_raw"),
     )
+
+
+def coalesce_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Merge overlapping intervals per key into maximal coverage spans —
+    the classic range-union one-pass: a running max of interval ends
+    over the start-sorted stream (frame ending at 1 PRECEDING, so a row
+    sees only PRIOR ends) marks a new span exactly when a start clears
+    everything before it; the span id is the running sum of those
+    marks. Returns one row per merged span:
+    ``(key, cov_start, cov_end, n_merged)``. Touching intervals
+    (start == previous end) are treated as connected (``>`` test).
+    Exact arithmetic on whatever ordered type the bounds carry; one
+    key-partitioned shuffle shared by both windows and the rollup —
+    the continuous cousin of :func:`gaps_islands`."""
+    order = [
+        F.col(start_col).asc_nulls_last(),
+        F.col(end_col).asc_nulls_last(),
+    ]
+    w_prev = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    g = df.withColumn(
+        "__prev_max_e", F.max(end_col).over(w_prev)
+    ).withColumn(
+        "__grp",
+        F.sum(
+            F.when(
+                F.col("__prev_max_e").isNull()
+                | (F.col(start_col) > F.col("__prev_max_e")),
+                1,
+            ).otherwise(0)
+        )
+        .over(w_run)
+        .cast("bigint"),
+    )
+    return g.groupBy(F.col(key_col).alias("key"), "__grp").agg(
+        F.min(start_col).alias("cov_start"),
+        F.max(end_col).alias("cov_end"),
+        F.count(F.lit(1)).alias("n_merged"),
+    ).drop("__grp")

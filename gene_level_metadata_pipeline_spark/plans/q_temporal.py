@@ -1606,7 +1606,9 @@ def q_interval_merge_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     and downtime/coverage reports. All arithmetic exact micros
     bigints; one user-key shuffle shared by both windows and the two
     rollups."""
-    from pyspark.sql.window import Window
+    from gene_level_metadata_pipeline_spark.operators.timeseries import (
+        coalesce_intervals,
+    )
 
     ev = _events(spark, sf_dir)
     iv = ev.where(F.col("ts").isNotNull()).select(
@@ -1614,42 +1616,14 @@ def q_interval_merge_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("s"),
         (F.unix_micros("ts") + F.lit(300_000_000)).alias("e"),
     )
-    order = [F.col("s").asc_nulls_last(), F.col("e").asc_nulls_last()]
-    w_prev = (
-        Window.partitionBy("user_id")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_run = (
-        Window.partitionBy("user_id")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    g = (
-        iv.withColumn("prev_max_e", F.max("e").over(w_prev))
-        .withColumn(
-            "grp",
-            F.sum(
-                F.when(
-                    F.col("prev_max_e").isNull()
-                    | (F.col("s") > F.col("prev_max_e")),
-                    1,
-                ).otherwise(0)
-            )
-            .over(w_run)
-            .cast("bigint"),
-        )
-    )
-    m = g.groupBy("user_id", "grp").agg(
-        F.min("s").alias("cov_start_us"), F.max("e").alias("cov_end_us")
-    )
-    return m.groupBy("user_id").agg(
+    m = coalesce_intervals(iv, "user_id", "s", "e")
+    return m.groupBy(F.col("key").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_intervals"),
-        F.sum(F.col("cov_end_us") - F.col("cov_start_us"))
+        F.sum(F.col("cov_end") - F.col("cov_start"))
         .cast("bigint")
         .alias("covered_us"),
-        F.min("cov_start_us").alias("first_start_us"),
-        F.max("cov_end_us").alias("last_end_us"),
+        F.min("cov_start").alias("first_start_us"),
+        F.max("cov_end").alias("last_end_us"),
     )
 
 

@@ -202,3 +202,27 @@ def test_ols_excludes_null_x_or_y_rows(spark):
     r = ols_trend(df, "g", "x", "y").collect()[0]
     assert r.n == 2
     assert r.slope_raw == 1.0 and r.intercept_raw == 0.0
+
+
+def test_engine_facade_exposes_timeseries_family(spark):
+    """The Engine front door must pass the time-series operators
+    through unchanged (a facade method that drifts from its operator
+    is worse than no facade)."""
+    from datetime import datetime
+
+    from gene_level_metadata_pipeline_spark.engine import Engine
+
+    eng = Engine(spark)
+    df = _ev(spark, [(1, _h(0)), (1, _h(1)), (1, _h(4))])
+    assert eng.gaps_islands(df, "user_id", "ts", HOUR_US).count() == 2
+    iv = spark.createDataFrame(
+        [(1, 0, 10), (1, 5, 20), (1, 30, 40)], "k long, s long, e long"
+    )
+    merged = eng.coalesce_intervals(iv, "k", "s", "e").collect()
+    assert sorted((r.cov_start, r.cov_end, r.n_merged) for r in merged) == [
+        (0, 20, 2), (30, 40, 1)
+    ]
+    pts = spark.createDataFrame(
+        [("g", x, 2 * x + 1) for x in range(5)], "g string, x long, y long"
+    ).withColumn("y", F.col("y").cast("decimal(18,0)"))
+    assert eng.ols_trend(pts, "g", "x", "y").collect()[0].slope_raw == 2.0
