@@ -2007,3 +2007,107 @@ def q_conversion_latency_quantiles(
         ).alias("p90_sec"),
         F.max("gap_us").cast("bigint").alias("max_gap_us"),
     )
+
+
+@_register(
+    "hour_of_week_heatmap",
+    oracle="""
+    SELECT ((epoch_us(ts) // 3600000000 + 96) % 168) AS how,
+           event_type, count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total
+    FROM events WHERE ts IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q_hour_of_week_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week activity heatmap — the ops-dashboard staple: counts
+    and value totals per (hour-of-week, event type), 168 x types cells.
+    Hour-of-week comes from pure epoch arithmetic (epoch hour + 96 mod
+    168 — the Unix epoch was a Thursday, so +96 re-anchors hour 0 to
+    Monday 00:00 UTC) rather than any calendar function, so both
+    engines derive identical bigints with zero timezone/locale surface.
+    One map-side-combined aggregate over a 168-way key: the canonical
+    low-cardinality rollup that stays one shuffle at any volume."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy(
+            F.expr(
+                "(unix_micros(ts) div 3600000000 + 96) % 168"
+            ).alias("how"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum(F.col("value"), 2).alias("total"),
+        )
+    )
+
+
+@_register(
+    "weighted_median_order_value",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_cents,
+             count(*) AS wt
+      FROM orders
+      WHERE o_totalprice IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT grp, price_cents, wt,
+             sum(wt) OVER (PARTITION BY grp
+               ORDER BY price_cents ASC NULLS LAST
+               ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(wt) OVER (PARTITION BY grp) AS tot
+      FROM w
+    )
+    SELECT grp, CAST(max(tot) AS BIGINT) AS n_orders,
+           min(price_cents) AS wmedian_cents
+    FROM r WHERE cum * 2 >= tot
+    GROUP BY grp
+    """,
+)
+def q_weighted_median_order_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact weighted (lower) median per group without a full sort of
+    the raw rows: collapse to per-value weights first (the groupBy does
+    the heavy lifting map-side), then the median is the FIRST value
+    whose running weight reaches half the total — a cumulative window
+    over the collapsed (group, value) table plus a min. All exact
+    bigints (prices in cents, weights are counts; the half test is
+    cum*2 >= tot, never a double 0.5), so the hash match is trivial —
+    the integer-threshold sibling of the interpolated median_quantiles.
+    At 100 TB the windowed table is |distinct values| per group, not
+    |rows|."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_totalprice").isNotNull()
+    )
+    w = o.groupBy(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("price_cents"),
+    ).agg(F.count(F.lit(1)).alias("wt"))
+    wc = (
+        Window.partitionBy("grp")
+        .orderBy(F.col("price_cents").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt_tot = Window.partitionBy("grp")
+    r = w.withColumn("cum", F.sum("wt").over(wc)).withColumn(
+        "tot", F.sum("wt").over(wt_tot)
+    )
+    return (
+        r.where(F.col("cum") * 2 >= F.col("tot"))
+        .groupBy("grp")
+        .agg(
+            F.max("tot").cast("bigint").alias("n_orders"),
+            F.min("price_cents").alias("wmedian_cents"),
+        )
+    )

@@ -192,6 +192,10 @@ EXTRA_BUDGET = {
     "cohort_ltv_curves": 5,
     "conversion_latency_quantiles": 2,
     "graph_assortativity": 15,
+    # heatmap = one 168-way rollup; weighted median = per-value weight
+    # collapse + the cumulative/total windows on the collapsed table
+    "hour_of_week_heatmap": 1,
+    "weighted_median_order_value": 2,
 }
 
 
