@@ -2111,3 +2111,77 @@ def q_weighted_median_order_value(
             F.min("price_cents").alias("wmedian_cents"),
         )
     )
+
+
+@_register(
+    "daily_pct_change",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+               AS rev_micro
+      FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    l AS (
+      SELECT event_type, day, rev_micro,
+             lag(rev_micro) OVER (PARTITION BY event_type
+               ORDER BY day ASC NULLS LAST) AS prev_micro,
+             lag(rev_micro, 7) OVER (PARTITION BY event_type
+               ORDER BY day ASC NULLS LAST) AS prev_wk_micro
+      FROM d
+    )
+    SELECT event_type, day, rev_micro,
+      round(CAST(rev_micro - prev_micro AS DOUBLE)
+            / nullif(CAST(prev_micro AS DOUBLE), 0) * 1e6, 0) / 1e6
+        AS dod_pct,
+      round(CAST(rev_micro - prev_wk_micro AS DOUBLE)
+            / nullif(CAST(prev_wk_micro AS DOUBLE), 0) * 1e6, 0) / 1e6
+        AS wow_pct
+    FROM l
+    """,
+)
+def q_daily_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day and week-over-week percentage change of daily value
+    per event type — the dashboard delta every metrics page leads with.
+    Daily totals are exact bigint micro-units; both lags share ONE
+    per-type sort window; the ratio is the identical-shape double
+    division with try_divide/nullif so a zero-revenue predecessor
+    yields NULL, not an ANSI error (and warm-up rows with no
+    predecessor are NULL by lag's contract). The windowed table is
+    (types x days) — the raw volume never reaches the window."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir)
+    d = (
+        ev.where(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .groupBy(
+            "event_type",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("value") * F.lit(1e6), 0).cast("long")
+            ).cast("bigint").alias("rev_micro")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("day").asc_nulls_last()
+    )
+    l = d.withColumn("prev_micro", F.lag("rev_micro").over(w)).withColumn(
+        "prev_wk_micro", F.lag("rev_micro", 7).over(w)
+    )
+    def pct(cur, prev):
+        return _round_to(
+            F.try_divide(
+                (cur - prev).cast("double"), prev.cast("double")
+            ),
+            6,
+        )
+    return l.select(
+        "event_type",
+        "day",
+        "rev_micro",
+        pct(F.col("rev_micro"), F.col("prev_micro")).alias("dod_pct"),
+        pct(F.col("rev_micro"), F.col("prev_wk_micro")).alias("wow_pct"),
+    )

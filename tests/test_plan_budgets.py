@@ -196,6 +196,8 @@ EXTRA_BUDGET = {
     # collapse + the cumulative/total windows on the collapsed table
     "hour_of_week_heatmap": 1,
     "weighted_median_order_value": 2,
+    # daily rollup + the one per-type sort both lags share
+    "daily_pct_change": 2,
 }
 
 
