@@ -2185,3 +2185,60 @@ def q_daily_pct_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct(F.col("rev_micro"), F.col("prev_micro")).alias("dod_pct"),
         pct(F.col("rev_micro"), F.col("prev_wk_micro")).alias("wow_pct"),
     )
+
+
+@_register(
+    "new_vs_returning_daily",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, min(epoch_us(ts)) // 86400000000 AS first_day
+      FROM events WHERE ts IS NOT NULL GROUP BY user_id
+    ),
+    e AS (
+      SELECT ev.user_id, epoch_us(ev.ts) // 86400000000 AS day,
+             f.first_day
+      FROM events ev JOIN f ON f.user_id = ev.user_id
+      WHERE ev.ts IS NOT NULL
+    )
+    SELECT day,
+      CAST(count(DISTINCT CASE WHEN day = first_day THEN user_id END)
+           AS BIGINT) AS new_users,
+      CAST(count(DISTINCT CASE WHEN day > first_day THEN user_id END)
+           AS BIGINT) AS returning_users,
+      CAST(count(CASE WHEN day = first_day THEN 1 END) AS BIGINT)
+        AS new_events,
+      CAST(count(CASE WHEN day > first_day THEN 1 END) AS BIGINT)
+        AS returning_events
+    FROM e GROUP BY day
+    """,
+)
+def q_new_vs_returning_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """New-vs-returning split per day — the growth-dashboard staple:
+    users (and their events) counted as NEW on their first-ever active
+    day (exact epoch-day of their first event) and RETURNING after.
+    The first-event table is one per-user aggregate broadcast back
+    onto the facts; all four measures come from a single conditional
+    aggregate pass (the gdpr_erasure_audit discipline — tag once,
+    never rescan). Exact bigint day arithmetic; the distinct counts
+    expand to Spark's standard two-phase plan."""
+    ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
+    f = ev.groupBy("user_id").agg(
+        F.expr("min(unix_micros(ts)) div 86400000000").alias("first_day")
+    )
+    e = ev.select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).join(F.broadcast(f), "user_id")
+    is_new = F.col("day") == F.col("first_day")
+    is_ret = F.col("day") > F.col("first_day")
+    return e.groupBy("day").agg(
+        F.countDistinct(F.when(is_new, F.col("user_id")))
+        .cast("bigint")
+        .alias("new_users"),
+        F.countDistinct(F.when(is_ret, F.col("user_id")))
+        .cast("bigint")
+        .alias("returning_users"),
+        F.count(F.when(is_new, 1)).cast("bigint").alias("new_events"),
+        F.count(F.when(is_ret, 1)).cast("bigint").alias("returning_events"),
+    )

@@ -198,6 +198,9 @@ EXTRA_BUDGET = {
     "weighted_median_order_value": 2,
     # daily rollup + the one per-type sort both lags share
     "daily_pct_change": 2,
+    # first-event agg (broadcast back) + the day rollup whose two
+    # distinct counts expand to the standard two-phase plan
+    "new_vs_returning_daily": 3,
 }
 
 
