@@ -2683,3 +2683,69 @@ def q_corpus_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return group_entropy(_t(spark, sf_dir, "documents"), "source", "lang")
+
+
+@_register(
+    "text_readability_flesch",
+    oracle="""
+    WITH per_doc AS (
+      SELECT lang,
+        len(regexp_extract_all(text, '[A-Za-z]+')) AS w,
+        len(regexp_extract_all(text, '[.!?]+')) AS s,
+        len(regexp_extract_all(lower(text), '[aeiouy]+')) AS syl
+      FROM documents WHERE text IS NOT NULL
+    ),
+    scored AS (
+      SELECT lang, w, s, syl,
+        206.835 - 1.015 * (CAST(w AS DOUBLE) / nullif(s, 0))
+          - 84.6 * (CAST(syl AS DOUBLE) / nullif(w, 0)) AS flesch
+      FROM per_doc
+    )
+    SELECT lang, count(*) AS n_docs,
+      CAST(sum(w) AS BIGINT) AS total_words,
+      round(CAST(sum(CAST(flesch AS DECIMAL(18,6))) AS DOUBLE)
+            / count(flesch) * 1e4, 0) / 1e4 AS mean_flesch,
+      CAST(count(*) - count(flesch) AS BIGINT) AS n_unscorable
+    FROM scored GROUP BY lang
+    """,
+)
+def q_text_readability_flesch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Flesch reading-ease per language — the readability gate beside
+    the Gopher/C4 quality stack: words = letter runs, sentences =
+    terminal-punctuation runs, syllables = the standard vowel-group
+    heuristic, all from character-class regexes simple enough that
+    Java's engine and DuckDB's RE2 provably agree (the scalar_regex
+    family precedent — no backrefs, no lookaround). The per-doc score
+    is one double expression of exact integer counts — identical in
+    both engines — with nullif/try_divide making zero-sentence or
+    zero-word docs NULL (counted as unscorable, never an ANSI error);
+    the per-language mean accumulates scores in exact decimals. One
+    map-side scoring pass + one rollup."""
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    w = F.size(F.expr("regexp_extract_all(text, '[A-Za-z]+', 0)"))
+    sct = F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)"))
+    syl = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * F.try_divide(w.cast("double"), F.nullif(sct, F.lit(0)))
+        - F.lit(84.6) * F.try_divide(syl.cast("double"), F.nullif(w, F.lit(0)))
+    )
+    scored = d.select(
+        "lang", w.alias("w"), flesch.alias("flesch")
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("w").cast("bigint").alias("total_words"),
+        _round_to(
+            F.sum(F.col("flesch").cast("decimal(18,6)")).cast("double")
+            / F.count("flesch"),
+            4,
+        ).alias("mean_flesch"),
+        (F.count(F.lit(1)) - F.count("flesch"))
+        .cast("bigint")
+        .alias("n_unscorable"),
+    )

@@ -201,6 +201,8 @@ EXTRA_BUDGET = {
     # first-event agg (broadcast back) + the day rollup whose two
     # distinct counts expand to the standard two-phase plan
     "new_vs_returning_daily": 3,
+    # one map-side scoring pass + one lang rollup
+    "text_readability_flesch": 1,
 }
 
 
