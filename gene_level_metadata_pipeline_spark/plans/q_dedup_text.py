@@ -2749,3 +2749,42 @@ def q_text_readability_flesch(
         .cast("bigint")
         .alias("n_unscorable"),
     )
+
+
+@_register(
+    "dup_rate_by_source",
+    oracle="""
+    WITH t AS (
+      SELECT source, md5(text) AS h FROM documents WHERE text IS NOT NULL
+    ),
+    g AS (SELECT h, count(*) AS n FROM t GROUP BY h),
+    j AS (SELECT t.source, g.n FROM t JOIN g ON g.h = t.h)
+    SELECT source, count(*) AS n_docs,
+      CAST(count(CASE WHEN n > 1 THEN 1 END) AS BIGINT) AS n_duplicated,
+      round(CAST(count(CASE WHEN n > 1 THEN 1 END) AS DOUBLE)
+            / count(*) * 1e6, 0) / 1e6 AS dup_rate
+    FROM j GROUP BY source
+    """,
+)
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-rate report per source — which ingestion feeds are
+    polluting the corpus: a document counts as duplicated when its
+    exact text hash appears more than once CORPUS-WIDE (cross-source
+    duplication deliberately included — the question is where dups
+    come from, not whether a source self-duplicates). Hash-group
+    counts broadcast back onto the per-source tags; one conditional
+    rollup. The per-source twin of dedup_cluster_stats' size
+    distribution, and the report that decides which source gets the
+    incremental-Bloom treatment first."""
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    t = d.select("source", F.md5("text").alias("h"))
+    g = t.groupBy("h").agg(F.count(F.lit(1)).alias("n"))
+    j = t.join(g, "h")
+    dup = F.when(F.col("n") > 1, 1)
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(dup).cast("bigint").alias("n_duplicated"),
+        _round_to(
+            F.count(dup).cast("double") / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+    )

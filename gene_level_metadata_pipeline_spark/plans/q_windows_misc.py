@@ -2340,3 +2340,88 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m", "sx", "sxy",
         _round_to(F.try_divide(num, den), 6).alias("assortativity"),
     )
+
+
+@_register(
+    "customer_rfm_segments",
+    oracle="""
+    WITH mx AS (
+      SELECT max(epoch_us(o_orderdate)) // 86400000000 AS max_day
+      FROM orders
+    ),
+    c AS (
+      SELECT o_custkey,
+             CAST(mx.max_day - max(epoch_us(o_orderdate)) // 86400000000
+                  AS BIGINT) AS recency_days,
+             count(*) AS frequency,
+             sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS monetary_cents
+      FROM orders CROSS JOIN mx
+      GROUP BY o_custkey, mx.max_day
+    ),
+    seg AS (
+      SELECT o_custkey,
+        CASE WHEN recency_days <= 90 THEN 3
+             WHEN recency_days <= 365 THEN 2 ELSE 1 END AS r,
+        CASE WHEN frequency >= 20 THEN 3
+             WHEN frequency >= 10 THEN 2 ELSE 1 END AS f,
+        CASE WHEN monetary_cents >= 300000000 THEN 3
+             WHEN monetary_cents >= 100000000 THEN 2 ELSE 1 END AS m,
+        monetary_cents
+      FROM c
+    )
+    SELECT r, f, m, count(*) AS n_customers,
+      CAST(sum(monetary_cents) AS BIGINT) AS segment_value_cents
+    FROM seg GROUP BY r, f, m
+    """,
+)
+def q_customer_rfm_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RFM segmentation — the marketing-analytics classic: per customer,
+    Recency (exact epoch-days since last order, anchored to the
+    dataset's max order date from a 1-row broadcast), Frequency (order
+    count), Monetary (exact cents), each banded into 1-3 by FIXED
+    integer thresholds (deliberately not ntile: rank-split tie
+    semantics are engine-ambiguous at band edges, fixed thresholds are
+    exact comparisons) — then the 27-cell segment grid with customer
+    counts and total value. One customer aggregate + one tiny grid
+    rollup; everything bigint."""
+    o = _t(spark, sf_dir, "orders")
+    mx = o.agg(
+        F.expr("max(unix_date(cast(o_orderdate as date)))").alias(
+            "max_day"
+        )
+    )
+    c = (
+        o.crossJoin(F.broadcast(mx))
+        .groupBy("o_custkey", "max_day")
+        .agg(
+            (
+                F.col("max_day")
+                - F.expr("max(unix_date(cast(o_orderdate as date)))")
+            ).cast("bigint").alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("monetary_cents"),
+        )
+    )
+    seg = c.select(
+        F.when(F.col("recency_days") <= 90, 3)
+        .when(F.col("recency_days") <= 365, 2)
+        .otherwise(1)
+        .alias("r"),
+        F.when(F.col("frequency") >= 20, 3)
+        .when(F.col("frequency") >= 10, 2)
+        .otherwise(1)
+        .alias("f"),
+        F.when(F.col("monetary_cents") >= 300_000_000, 3)
+        .when(F.col("monetary_cents") >= 100_000_000, 2)
+        .otherwise(1)
+        .alias("m"),
+        "monetary_cents",
+    )
+    return seg.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary_cents").cast("bigint").alias("segment_value_cents"),
+    )

@@ -203,6 +203,10 @@ EXTRA_BUDGET = {
     "new_vs_returning_daily": 3,
     # one map-side scoring pass + one lang rollup
     "text_readability_flesch": 1,
+    # RFM: customer aggregate (1-row max-day broadcast) + 27-cell grid;
+    # dup rate: hash-group counts joined back + source rollup
+    "customer_rfm_segments": 3,
+    "dup_rate_by_source": 2,
 }
 
 
