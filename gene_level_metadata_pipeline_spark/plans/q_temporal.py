@@ -2242,3 +2242,63 @@ def q_new_vs_returning_daily(
         F.count(F.when(is_new, 1)).cast("bigint").alias("new_events"),
         F.count(F.when(is_ret, 1)).cast("bigint").alias("returning_events"),
     )
+
+
+@_register(
+    "rolling_conversion_rate",
+    oracle="""
+    WITH d AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             count(CASE WHEN event_type = 'purchase' THEN 1 END) AS conv,
+             count(CASE WHEN event_type IN ('click', 'view') THEN 1 END)
+               AS touches
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT day,
+      CAST(sum(conv) OVER w AS BIGINT) AS conv_7d,
+      CAST(sum(touches) OVER w AS BIGINT) AS touches_7d,
+      round(CAST(sum(conv) OVER w AS DOUBLE)
+            / nullif(CAST(sum(touches) OVER w AS DOUBLE), 0) * 1e6, 0)
+        / 1e6 AS cr_7d
+    FROM d
+    WINDOW w AS (ORDER BY day ASC NULLS LAST RANGE BETWEEN 6 PRECEDING
+                 AND CURRENT ROW)
+    """,
+)
+def q_rolling_conversion_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trailing-7-day conversion rate per day — the smoothed funnel KPI:
+    purchases over clicks+views in a RANGE window keyed on the exact
+    epoch day (RANGE, not ROWS, so missing days shorten the window
+    instead of silently stretching it across gaps — the correctness
+    trap in rolling metrics over sparse calendars). Counts are exact
+    bigints; the one global day-ordered window runs on the daily
+    rollup (|days| rows), and the ratio is the identical-shape double
+    division with NULL on zero-touch windows."""
+    from pyspark.sql.window import Window
+
+    ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
+    d = ev.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).agg(
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("conv"),
+        F.count(
+            F.when(F.col("event_type").isin("click", "view"), 1)
+        ).alias("touches"),
+    )
+    w = (
+        Window.orderBy(F.col("day").asc_nulls_last())
+        .rangeBetween(-6, 0)
+    )
+    conv7 = F.sum("conv").over(w)
+    touch7 = F.sum("touches").over(w)
+    return d.select(
+        "day",
+        conv7.cast("bigint").alias("conv_7d"),
+        touch7.cast("bigint").alias("touches_7d"),
+        _round_to(
+            F.try_divide(conv7.cast("double"), touch7.cast("double")), 6
+        ).alias("cr_7d"),
+    )

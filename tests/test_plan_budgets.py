@@ -207,6 +207,8 @@ EXTRA_BUDGET = {
     # dup rate: hash-group counts joined back + source rollup
     "customer_rfm_segments": 3,
     "dup_rate_by_source": 2,
+    # daily rollup + the one day-ordered RANGE window on |days| rows
+    "rolling_conversion_rate": 2,
 }
 
 
