@@ -2425,3 +2425,67 @@ def q_customer_rfm_segments(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("monetary_cents").cast("bigint").alias("segment_value_cents"),
     )
+
+
+@_register(
+    "supplier_concentration_hhi",
+    oracle="""
+    WITH r AS (
+      SELECT l_suppkey,
+             sum(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(18,6))) AS rev
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    s AS (
+      SELECT count(*) AS n_suppliers,
+             sum(rev) AS total,
+             sum(CAST(rev AS DECIMAL(18,6)) * rev) AS sum_sq,
+             max(rev) AS top_rev
+      FROM r
+    )
+    SELECT n_suppliers,
+      round(CAST(sum_sq AS DOUBLE)
+            / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE))
+            * 1e6, 0) / 1e6 AS hhi,
+      round(CAST(top_rev AS DOUBLE) / CAST(total AS DOUBLE) * 1e6, 0)
+        / 1e6 AS top_share
+    FROM s
+    """,
+)
+def q_supplier_concentration_hhi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of supplier revenue —
+    the antitrust-grade concentration one-number (sum of squared market
+    shares, 1/n = perfectly even, 1 = monopoly), the revenue-weighted
+    companion to key_skew_gini's count-based skew. Never computed as a
+    sum of squared double shares (order-dependent): revenues aggregate
+    as exact DECIMAL(18,6), their squares multiply exactly into
+    DECIMAL(38,12), and HHI = sum_sq/total^2 is ONE double division of
+    exact operands — algebraically identical to the share form, with
+    none of its accumulation order. Two hash aggregates total."""
+    li = _t(spark, sf_dir, "lineitem")
+    r = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).cast("decimal(18,6)")
+        ).alias("rev")
+    )
+    rev18 = F.col("rev").cast("decimal(18,6)")
+    s = r.agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.sum("rev").alias("total"),
+        F.sum(rev18 * F.col("rev")).alias("sum_sq"),
+        F.max("rev").alias("top_rev"),
+    )
+    totd = F.col("total").cast("double")
+    return s.select(
+        "n_suppliers",
+        _round_to(
+            F.col("sum_sq").cast("double") / (totd * totd), 6
+        ).alias("hhi"),
+        _round_to(F.col("top_rev").cast("double") / totd, 6).alias(
+            "top_share"
+        ),
+    )

@@ -209,6 +209,8 @@ EXTRA_BUDGET = {
     "dup_rate_by_source": 2,
     # daily rollup + the one day-ordered RANGE window on |days| rows
     "rolling_conversion_rate": 2,
+    # supplier revenue aggregate + 1-row concentration stats
+    "supplier_concentration_hhi": 2,
 }
 
 
