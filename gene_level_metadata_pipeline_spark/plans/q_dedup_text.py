@@ -2788,3 +2788,59 @@ def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(dup).cast("double") / F.count(F.lit(1)), 6
         ).alias("dup_rate"),
     )
+
+
+@_register(
+    "vocab_growth_curve",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    firsts AS (
+      SELECT w, min(doc_id) AS first_doc FROM words
+      WHERE w <> '' GROUP BY w
+    ),
+    pts AS (
+      SELECT CAST(unnest([32, 64, 128, 256, 512, 1024, 2048]) AS BIGINT)
+        AS n_docs
+    ),
+    totals AS (
+      SELECT p.n_docs,
+        CAST(count(CASE WHEN f.first_doc < p.n_docs THEN 1 END) AS BIGINT)
+          AS vocab
+      FROM pts p CROSS JOIN firsts f
+      GROUP BY p.n_docs
+    )
+    SELECT n_docs, vocab FROM totals
+    """,
+)
+def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve — distinct vocabulary after
+    the first N documents (doc_id order) at doubling checkpoints: the
+    corpus diagnostic that, with corpus_zipf_fit, tells you whether
+    more data keeps buying new tokens or the vocabulary has saturated
+    (the decision input for tokenizer vocab sizing). EXACT, no log
+    fitting: each word reduces to its first containing doc_id (one
+    aggregate), and vocab-at-N is a count of first-occurrences below
+    each checkpoint — a 7-row broadcast cross join, never a per-prefix
+    rescan. Checkpoints are fixed powers of two so the curve is
+    comparable across SFs (larger corpora simply fill more of the
+    curve)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    words = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    firsts = words.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    pts = d.sparkSession.createDataFrame(
+        [(n,) for n in (32, 64, 128, 256, 512, 1024, 2048)], "n_docs long"
+    )
+    return (
+        firsts.crossJoin(F.broadcast(pts))
+        .groupBy("n_docs")
+        .agg(
+            F.count(
+                F.when(F.col("first_doc") < F.col("n_docs"), 1)
+            ).cast("bigint").alias("vocab")
+        )
+    )

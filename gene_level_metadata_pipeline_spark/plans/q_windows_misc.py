@@ -2489,3 +2489,63 @@ def q_supplier_concentration_hhi(
             "top_share"
         ),
     )
+
+
+@_register(
+    "order_lead_time_percentiles",
+    oracle="""
+    WITH lt AS (
+      SELECT o.o_orderpriority AS priority,
+             epoch_us(l.l_shipdate) // 86400000000
+               - epoch_us(o.o_orderdate) // 86400000000 AS lead_days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL
+    )
+    SELECT priority, count(*) AS n,
+      round(quantile_cont(lead_days, 0.5), 4) AS p50_days,
+      round(quantile_cont(lead_days, 0.95), 4) AS p95_days,
+      CAST(max(lead_days) AS BIGINT) AS max_days,
+      CAST(count(CASE WHEN lead_days < 0 THEN 1 END) AS BIGINT)
+        AS n_negative
+    FROM lt GROUP BY priority
+    """,
+)
+def q_order_lead_time_percentiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-to-ship lead time ladder per priority — the supply-chain
+    SLA view: p50/p95 days between order date and each line's ship
+    date, plus the max and a negative-lead-time data-quality count
+    (ship-before-order rows surface instead of silently averaging in).
+    Day arithmetic is exact epoch-day bigints on the NTZ dates (no
+    timezone surface); percentiles are the exact interpolated pair
+    (Spark percentile == DuckDB quantile_cont, the median_quantiles
+    precedent). Orders is the small side of the fact-fact join and
+    broadcasts at these SFs; at 100 TB it's the bucketed-join case
+    test_bucketing pins."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").isNotNull()
+    )
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").isNotNull()
+    )
+    lt = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        (
+            F.expr("unix_date(cast(l_shipdate as date))")
+            - F.expr("unix_date(cast(o_orderdate as date))")
+        ).alias("lead_days"),
+    )
+    return lt.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n"),
+        _round_to(F.expr("percentile(lead_days, 0.5)"), 4).alias(
+            "p50_days"
+        ),
+        _round_to(F.expr("percentile(lead_days, 0.95)"), 4).alias(
+            "p95_days"
+        ),
+        F.max("lead_days").cast("bigint").alias("max_days"),
+        F.count(F.when(F.col("lead_days") < 0, 1))
+        .cast("bigint")
+        .alias("n_negative"),
+    )
