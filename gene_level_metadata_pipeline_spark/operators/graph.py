@@ -21,6 +21,8 @@ __all__ = [
     "triangle_count",
     "bfs_hops",
     "clustering_coefficient",
+    "kcore",
+    "sssp_weighted",
 ]
 
 
@@ -459,3 +461,150 @@ def clustering_coefficient(
             ).alias("cc"),
         )
     )
+
+
+def kcore(
+    pairs: DataFrame,
+    k: int,
+    src: str = "u",
+    dst: str = "v",
+    max_iter: int = 40,
+) -> DataFrame:
+    """The k-core of an undirected simple graph: the maximal subgraph in
+    which every node has degree >= ``k`` — the standard "dense backbone"
+    extractor (community seeds, spam-farm detection, influence floors).
+    Input pairs may carry either orientation and duplicates; self-loops
+    are dropped. Returns (node, core_deg) for k-core members, where
+    ``core_deg`` is the node's degree WITHIN the core (>= k by
+    construction) — exact bigints, hash-comparable.
+
+    Algorithm is iterative peeling (Matula-Beck without the ordering):
+    each round recomputes degrees over the surviving edge set and drops
+    every edge touching a node of degree < k; the fixpoint is the
+    k-core. Rounds are O(peeling depth), each a single groupBy +
+    broadcast-or-shuffle join over the shrinking edge frame — the frame
+    only ever SHRINKS, so the first round bounds the cost and
+    ``sized_shuffle`` sizes partitions from the initial edge count.
+    Rounds eagerly localCheckpoint (lineage truncation, the
+    connected_components discipline) and ride an Observation for the
+    edge count, so convergence detection costs no extra job. Raises if
+    ``max_iter`` rounds don't converge (fail loud, never silently
+    return a non-core)."""
+    from gene_level_metadata_pipeline_spark.sizing import sized_shuffle
+
+    if k < 1:
+        raise ValueError(f"kcore: k={k} must be >= 1")
+    und = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y"))
+        .distinct()
+    )
+    edges = (
+        und.select(F.col("x").alias("u"), F.col("y").alias("v"))
+        .unionByName(und.select(F.col("y").alias("u"), F.col("x").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    n_edges = edges.count()
+    with sized_shuffle(edges.sparkSession, n_edges):
+        for _ in range(max_iter):
+            if n_edges == 0:
+                break
+            deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+            keep = deg.where(F.col("d") >= k).select("u")
+            obs = Observation()
+            nxt = (
+                edges.join(keep, "u")
+                .join(keep.withColumnRenamed("u", "v"), "v")
+                .select("u", "v")
+                .observe(obs, F.count(F.lit(1)).alias("n"))
+                .localCheckpoint(eager=True)
+            )
+            n_next = obs.get["n"] or 0
+            if n_next == n_edges:
+                edges = nxt
+                break
+            edges, n_edges = nxt, n_next
+        else:
+            raise RuntimeError(
+                f"kcore: no fixpoint after {max_iter} peeling rounds"
+            )
+    return edges.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("core_deg")
+    )
+
+
+def sssp_weighted(
+    pairs: DataFrame,
+    sources: DataFrame,
+    weight: str = "w",
+    src: str = "u",
+    dst: str = "v",
+    max_hops: int = 4,
+    directed: bool = False,
+) -> DataFrame:
+    """Single-source shortest WEIGHTED path, bounded at ``max_hops``
+    edges: Bellman-Ford relaxation, the weighted sibling of
+    :func:`bfs_hops`. Returns (node, dist) where ``dist`` is the minimum
+    total edge weight over paths of <= max_hops edges from the seed set
+    (seeds get 0). Weights must be non-negative integers (exact bigint
+    arithmetic end-to-end — hash-comparable, no float accumulation).
+
+    Round h relaxes every edge out of the CURRENT distance table and
+    min-folds: dist_h(v) = min(dist_{h-1}(v), min over edges (u,v) of
+    dist_{h-1}(u) + w) — after h rounds the table holds exact
+    <=h-edge shortest distances, the textbook Bellman-Ford invariant
+    (and the bounded-hop semantics make the result well-defined even
+    with cycles, no negative-cycle caveats). Each round is one
+    join + groupBy-min over (node, dist) rows; rounds eagerly
+    localCheckpoint inside a ``sized_shuffle`` window, and an
+    Observation on the changed-row count exits early once no distance
+    improves (diameter < max_hops costs no extra rounds)."""
+    from gene_level_metadata_pipeline_spark.sizing import sized_shuffle
+
+    edges = pairs.select(
+        F.col(src).alias("eu"), F.col(dst).alias("ev"),
+        F.col(weight).cast("bigint").alias("ew"),
+    )
+    if not directed:
+        edges = edges.unionByName(
+            pairs.select(
+                F.col(dst).alias("eu"), F.col(src).alias("ev"),
+                F.col(weight).cast("bigint").alias("ew"),
+            )
+        )
+    edges = edges.distinct().localCheckpoint(eager=True)
+    seed_col = sources.columns[0]
+    with sized_shuffle(edges.sparkSession, edges.count()):
+        dist = (
+            sources.select(F.col(seed_col).alias("node"))
+            .distinct()
+            .withColumn("dist", F.lit(0).cast("bigint"))
+            .localCheckpoint(eager=True)
+        )
+        for _ in range(max_hops):
+            relaxed = (
+                dist.join(edges, dist.node == edges.eu)
+                .select(
+                    F.col("ev").alias("node"),
+                    (F.col("dist") + F.col("ew")).alias("dist"),
+                )
+            )
+            obs = Observation()
+            nxt = (
+                dist.unionByName(relaxed)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+                .observe(obs, F.count(F.lit(1)).alias("n"))
+                .localCheckpoint(eager=True)
+            )
+            # convergence: a round that adds no node AND improves no
+            # distance leaves the (node, dist) multiset identical —
+            # detect via an exact anti-join count only when the node
+            # count stalled (cheap: both frames are checkpointed).
+            if (obs.get["n"] or 0) == dist.count():
+                changed = nxt.join(dist, ["node", "dist"], "left_anti").count()
+                if changed == 0:
+                    return nxt
+            dist = nxt
+        return dist

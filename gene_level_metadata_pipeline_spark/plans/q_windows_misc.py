@@ -2549,3 +2549,119 @@ def q_order_lead_time_percentiles(
         .cast("bigint")
         .alias("n_negative"),
     )
+
+
+@_register(
+    "graph_kcore",
+    oracle="""
+    WITH RECURSIVE
+    op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS n
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    und AS (SELECT u, v FROM pairs WHERE n >= 2),
+    sym AS (SELECT u, v FROM und UNION SELECT v, u FROM und),
+    peel(iter, u, v) AS (
+      SELECT 0, u, v FROM sym
+      UNION ALL
+      SELECT iter + 1, u, v FROM (
+        SELECT iter, u, v,
+               count(*) OVER (PARTITION BY iter, u) AS du,
+               count(*) OVER (PARTITION BY iter, v) AS dv
+        FROM peel
+      ) WHERE du >= 2 AND dv >= 2 AND iter < 40
+    )
+    SELECT u AS node, count(*) AS core_deg
+    FROM peel WHERE iter = 40 GROUP BY u
+    """,
+)
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the part co-occurrence graph (graph.kcore): iterative
+    peeling drops every node of degree < 2 until the fixpoint — the
+    dense-backbone extractor that strips pendant trees before community
+    detection. Spark peels to the FIXPOINT over a shrinking
+    checkpointed edge frame (Observation-counted rounds, fail-loud
+    max_iter); the oracle runs the identical peel as 40 bounded
+    recursive rounds — converged copies are no-ops, so iter=40 IS the
+    fixpoint (both SFs converge far earlier: sf0.01 by round 3, sf0.1
+    by round 38 — pendant-chain peeling is O(depth), the reason the
+    bound is generous). Exact bigint (node, core_deg), hash match."""
+    from gene_level_metadata_pipeline_spark.operators.graph import kcore
+
+    op = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    und = (
+        a.join(b, "k")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    return kcore(und, k=2)
+
+
+@_register(
+    "graph_sssp_weighted",
+    oracle="""
+    WITH RECURSIVE
+    op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS n
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    ),
+    und AS (SELECT u, v, n FROM pairs WHERE n >= 2),
+    edges AS (SELECT u, v, n AS w FROM und UNION SELECT v, u, n FROM und),
+    seed AS (SELECT min(u) AS node FROM und),
+    walk(node, d, hop) AS (
+      SELECT node, CAST(0 AS BIGINT), 0 FROM seed
+      UNION
+      SELECT e.v, w.d + e.w, w.hop + 1
+      FROM walk w JOIN edges e ON e.u = w.node
+      WHERE w.hop < 4
+    )
+    SELECT node AS partkey, min(d) AS dist FROM walk GROUP BY node
+    """,
+)
+def q_graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest WEIGHTED path, bounded at 4 hops
+    (graph.sssp_weighted): Bellman-Ford over the part co-occurrence
+    graph with edge weight = shared-order count — the weighted sibling
+    of graph_bfs_hops (hop-minimal != weight-minimal: a 2-hop detour
+    through light edges beats a heavy direct edge). Spark relaxes the
+    full distance table once per round with a groupBy-min fold
+    (<=h-edge-optimal after h rounds, the Bellman-Ford invariant;
+    Observation-gated early exit); the oracle enumerates distinct
+    (node, cumulative-weight, hop<=4) walk states recursively and takes
+    min — identical exact bigints. Bounded-hop semantics keep the
+    recursion finite on cycles in BOTH engines."""
+    from gene_level_metadata_pipeline_spark.operators.graph import sssp_weighted
+
+    op = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    und = (
+        a.join(b, "k")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("u", "v", F.col("n").alias("w"))
+    )
+    seed = und.agg(F.min("u").alias("node"))
+    out = sssp_weighted(und, seed, weight="w", max_hops=4, directed=False)
+    return out.select(F.col("node").alias("partkey"), F.col("dist"))
