@@ -11,7 +11,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["as_of_join", "range_join", "hierarchical_rollup", "funnel_steps",
-           "retention_cohorts", "attribute_last_touch"]
+           "retention_cohorts", "attribute_last_touch",
+           "attribute_time_decay"]
 
 
 def as_of_join(
@@ -318,4 +319,93 @@ def attribute_last_touch(
         .withColumn("touch_id", F.col("__touch.i"))
         .withColumn("touch_type", F.col("__touch.y"))
         .drop("__touch")
+    )
+
+
+def attribute_time_decay(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    type_col: str,
+    conversion_types: list[str],
+    touch_types: list[str],
+    max_days: int = 10,
+) -> DataFrame:
+    """Time-decay multi-touch attribution: every conversion splits its
+    credit across ALL strictly-prior touches within a ``max_days``
+    lookback, weighted by 2^-(whole days elapsed) — recent touches earn
+    exponentially more, the standard middle ground between last-touch
+    (all credit to one) and linear (equal split).
+
+    EXACT arithmetic end-to-end: the weight is carried as the bigint
+    ``1 << (max_days - days)`` (days floored from the microsecond gap),
+    so numerator and denominator are integers any engine reproduces
+    bit-for-bit; the only float is the final single division, rounded
+    to 6dp — the pagerank/ewma hash-match discipline. Returns one row
+    per (conversion, touch channel): (user, conv_id, touch_type, w_num,
+    w_den, credit) where w_den sums over all the conversion's touches
+    and credit = round(w_num / w_den, 6). Conversions with no in-window
+    prior touch produce no rows (the unattributed bucket is
+    attribute_last_touch's NULL row).
+
+    Plan: the multi-touch fan-out is inherently a per-user bounded
+    range join (unlike last-touch, the decay anchors on EACH
+    conversion's timestamp, so no single running window can carry it);
+    the join shuffles both sides once on the user key and the lookback
+    bound caps the fan-out per pair — hot users are AQE's skew-join
+    case. Two aggregations follow: channel sums groupBy (conv, channel),
+    then the per-conversion denominator as a window over conv id.
+    """
+    us = F.unix_micros(F.col(ts_col))
+    conv = events.where(F.col(type_col).isin(conversion_types)).select(
+        F.col(user_col).alias("__cu"),
+        F.col(id_col).alias("conv_id"),
+        us.alias("__cus"),
+    )
+    touch = events.where(F.col(type_col).isin(touch_types)).select(
+        F.col(user_col).alias("__tu"),
+        F.col(id_col).alias("__tid"),
+        F.col(type_col).alias("touch_type"),
+        us.alias("__tus"),
+    )
+    day_us = 86_400_000_000
+    j = conv.join(
+        touch,
+        (F.col("__cu") == F.col("__tu"))
+        & (
+            (F.col("__tus") < F.col("__cus"))
+            | (
+                (F.col("__tus") == F.col("__cus"))
+                & (F.col("__tid") < F.col("conv_id"))
+            )
+        )
+        & (F.col("__cus") - F.col("__tus") < F.lit((max_days + 1) * day_us)),
+    )
+    # integer `div`, not float floor(/): exact whole-day buckets; the
+    # SQL form because pyspark's shiftleft() only takes a literal int
+    # shift, not a per-row Column
+    w = F.expr(
+        f"shiftleft(cast(1 as bigint), "
+        f"cast({max_days} - ((__cus - __tus) div {day_us}) as int))"
+    )
+    num = (
+        j.withColumn("__w", w)
+        .groupBy(
+            F.col("__cu").alias("user_id"), F.col("conv_id"), F.col("touch_type")
+        )
+        .agg(F.sum("__w").alias("w_num"))
+    )
+    from pyspark.sql import Window
+
+    den_w = Window.partitionBy("conv_id")
+    return num.select(
+        "user_id",
+        "conv_id",
+        "touch_type",
+        "w_num",
+        F.sum("w_num").over(den_w).alias("w_den"),
+    ).withColumn(
+        "credit",
+        F.round(F.col("w_num").cast("double") / F.col("w_den").cast("double"), 6),
     )

@@ -2302,3 +2302,59 @@ def q_rolling_conversion_rate(
             F.try_divide(conv7.cast("double"), touch7.cast("double")), 6
         ).alias("cr_7d"),
     )
+
+
+@_register(
+    "attribution_time_decay",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+    ),
+    conv AS (
+      SELECT user_id, event_id AS conv_id, us FROM s
+      WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id, event_id AS tid, event_type AS touch_type, us AS tus
+      FROM s WHERE event_type IN ('click', 'view')
+    ),
+    j AS (
+      SELECT c.user_id, c.conv_id, t.touch_type,
+             (CAST(1 AS BIGINT)
+               << CAST(10 - ((c.us - t.tus) // 86400000000) AS INT)) AS w
+      FROM conv c JOIN touch t ON t.user_id = c.user_id
+       AND (t.tus < c.us OR (t.tus = c.us AND t.tid < c.conv_id))
+       AND c.us - t.tus < 11 * 86400000000
+    ),
+    num AS (
+      SELECT user_id, conv_id, touch_type, sum(w) AS w_num
+      FROM j GROUP BY user_id, conv_id, touch_type
+    )
+    SELECT user_id, conv_id, touch_type, w_num,
+           sum(w_num) OVER (PARTITION BY conv_id) AS w_den,
+           round(CAST(w_num AS DOUBLE)
+                 / CAST(sum(w_num) OVER (PARTITION BY conv_id) AS DOUBLE),
+                 6) AS credit
+    FROM num
+    """,
+)
+def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution (temporal.attribute_time_decay):
+    each purchase splits credit across every strictly-prior click/view in
+    a 10-day lookback, halving per elapsed day — completing the
+    attribution family (last-touch argmax, position-based U-shape, and
+    now the exponential-decay split). Weights are the bigint
+    ``1 << (10 - days)``; numerator/denominator stay exact integers in
+    both engines and only the final per-row credit ratio is a rounded
+    double — hash-exact. The fan-out join is user-key bounded-range (the
+    decay anchors on each conversion's own timestamp, so no running
+    window can replace it); both aggregates ride the same conv-id key."""
+    from gene_level_metadata_pipeline_spark.operators.temporal import (
+        attribute_time_decay,
+    )
+
+    ev = _events(spark, sf_dir)
+    return attribute_time_decay(
+        ev, "user_id", "ts", "event_id", "event_type",
+        ["purchase"], ["click", "view"], max_days=10,
+    )

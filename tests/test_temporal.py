@@ -98,3 +98,58 @@ def test_funnel_strict_ordering_and_retention_offsets(spark):
     }
     # all three users first appear Mon 2024-01-01; all activity in week 0
     assert ret == {("2024-01-01 00:00:00", 0): 3}
+
+
+def test_attribute_time_decay_weights_and_cutoff(spark):
+    """Hand-computed decay split: purchase at day 10; touches at day 10
+    (same-ts tie, id smaller -> counted, gap 0d -> w=1024), day 9
+    (1d -> 512), day 0 (10d -> 1), day -1 (11d -> outside lookback),
+    and one later touch (never counted)."""
+    from datetime import datetime, timedelta
+
+    from gene_level_metadata_pipeline_spark.operators.temporal import (
+        attribute_time_decay,
+    )
+
+    base = datetime(2024, 3, 1)
+    d = lambda days: base + timedelta(days=days)
+    rows = [
+        ("u1", 100, "purchase", d(11)),
+        ("u1", 50, "click", d(11)),       # same ts, id < conv -> day 0
+        ("u1", 40, "view", d(10)),        # 1 day -> 512
+        ("u1", 30, "click", d(1)),        # 10 days -> 1
+        ("u1", 20, "view", d(0)),         # 11 days -> dropped
+        ("u1", 200, "click", d(12)),      # after conversion -> dropped
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id string, event_id long, event_type string, ts timestamp"
+    )
+    out = {
+        (r["touch_type"]): (r["w_num"], r["w_den"], r["credit"])
+        for r in attribute_time_decay(
+            ev, "user_id", "ts", "event_id", "event_type",
+            ["purchase"], ["click", "view"], max_days=10,
+        ).collect()
+    }
+    den = 1024 + 512 + 1
+    assert out == {
+        "click": (1025, den, round(1025 / den, 6)),
+        "view": (512, den, round(512 / den, 6)),
+    }
+
+
+def test_attribute_time_decay_no_prior_touch_yields_no_rows(spark):
+    from datetime import datetime
+
+    from gene_level_metadata_pipeline_spark.operators.temporal import (
+        attribute_time_decay,
+    )
+
+    ev = spark.createDataFrame(
+        [("u1", 1, "purchase", datetime(2024, 1, 1))],
+        "user_id string, event_id long, event_type string, ts timestamp",
+    )
+    assert attribute_time_decay(
+        ev, "user_id", "ts", "event_id", "event_type",
+        ["purchase"], ["click"], max_days=10,
+    ).count() == 0
