@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "STOPWORDS",
+    "bpe_train",
     "lang_scores",
     "lang_id",
     "quality_scores",
@@ -897,4 +898,101 @@ def unigram_logprob_scores(
                 -F.sum(contrib).cast("double") / F.sum("cnt"), 4
             ).alias("avg_neg_logprob"),
         )
+    )
+
+
+# Unit separator: can never appear in [a-z]+ word tokens, so it is a
+# safe symbol-boundary marker for the BPE wrapped-string representation.
+_BPE_SEP = "\x1f"
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    rounds: int = 4,
+    max_word_len: int = 20,
+) -> DataFrame:
+    """Byte-pair-encoding merge training — the tokenizer-training core of
+    an LLM data pipeline (Sennrich et al. 2016): start from characters,
+    repeatedly merge the corpus-wide most frequent adjacent symbol pair.
+    Returns the learned merge table (round, sym_a, sym_b, pair_count),
+    one row per merge, exact bigint counts.
+
+    Word model: lowercase ``[a-z]+`` tokens (length <= ``max_word_len``),
+    merges stay word-internal (no end-of-word marker — documented
+    divergence from the classic </w> variant). Ties in the argmax break
+    on (count DESC, sym_a ASC, sym_b ASC) — fully deterministic, so any
+    engine replaying the recurrence reproduces the same merges.
+
+    Representation is the key trick: each word is ONE string with every
+    symbol individually wrapped in unit separators (``\\x1f a \\x1f
+    \\x1f b \\x1f ...``), so applying a merge is a single built-in
+    ``replace(s, SEP+a+SEP+SEP+b+SEP, SEP+ab+SEP)`` — left-to-right
+    non-overlapping, exactly the greedy BPE merge order, and because
+    every symbol carries BOTH its own delimiters, consecutive merge
+    sites share no characters (``a b a b`` merges twice). No UDF
+    anywhere: pair extraction is split + slice/transform lambdas, the
+    merge is replace — all whole-stage-codegen expressions.
+
+    Scale: the shuffled unit is the WORD-FREQUENCY table (vocabulary),
+    which grows sublinearly with corpus size (Heaps' law — the
+    vocab_growth_curve diagnostic measures exactly this), not the
+    corpus; each round is one groupBy over vocab-many rows plus a
+    driver-side 1-row argmax collect (a global top-1 necessarily
+    reduces to the driver; the header-peek discipline) and a narrow
+    map for the merge. Rounds eagerly localCheckpoint: each round's
+    collect would otherwise replay the whole merge lineage.
+    """
+    sep = _BPE_SEP
+    spark = docs.sparkSession
+    words = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+            ).alias("w")
+        )
+        .where(F.length("w").between(1, max_word_len))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.regexp_replace("w", "(.)", sep + "$1" + sep).alias("s"), "freq"
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(1, rounds + 1):
+        syms = words.withColumn(
+            "__syms", F.split(F.btrim(F.col("s"), F.lit(sep)), sep + sep)
+        )
+        pairs = syms.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(__syms, 1, size(__syms)-1), (x, i) -> "
+                    "struct(x as a, element_at(__syms, i+2) as b))"
+                )
+            ).alias("p"),
+            "freq",
+        )
+        top = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
+        merges.append((r, a, b, int(cnt)))
+        words = words.select(
+            F.replace(
+                F.col("s"),
+                F.lit(sep + a + sep + sep + b + sep),
+                F.lit(sep + a + b + sep),
+            ).alias("s"),
+            "freq",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "round int, sym_a string, sym_b string, pair_count bigint"
     )

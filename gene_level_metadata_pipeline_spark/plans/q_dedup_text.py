@@ -2844,3 +2844,65 @@ def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("vocab")
         )
     )
+
+
+def _bpe_oracle(rounds: int) -> str:
+    """Unrolled BPE recurrence: round r = pair counts over the wrapped
+    word strings, argmax with the (cnt DESC, a, b) tie-break, then one
+    global replace. Mirrors operators.textanalysis.bpe_train exactly —
+    the wrapped-string representation makes the merge a plain replace()
+    in BOTH engines."""
+    ctes = [
+        """w0 AS (
+      SELECT regexp_replace(w, '(.)', chr(31)||'\\1'||chr(31), 'g') AS s,
+             count(*) AS freq
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+            FROM documents WHERE text IS NOT NULL)
+      WHERE len(w) BETWEEN 1 AND 20
+      GROUP BY 1
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""s{r} AS (
+      SELECT string_split(trim(s, chr(31)), chr(31)||chr(31)) AS syms, freq
+      FROM w{r - 1}
+    ),
+    p{r} AS (
+      SELECT z[1] AS a, z[2] AS b, sum(freq) AS cnt
+      FROM (SELECT unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)]))
+                     AS z,
+                   freq FROM s{r})
+      GROUP BY 1, 2
+    ),
+    t{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+    w{r} AS (
+      SELECT replace(s,
+        chr(31)||(SELECT a FROM t{r})||chr(31)||chr(31)
+                ||(SELECT b FROM t{r})||chr(31),
+        chr(31)||(SELECT a FROM t{r})||(SELECT b FROM t{r})||chr(31)) AS s,
+        freq
+      FROM w{r - 1}
+    )""")
+    finals = " UNION ALL ".join(
+        f"SELECT {r} AS round, a AS sym_a, b AS sym_b, cnt AS pair_count"
+        f" FROM t{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + finals
+
+
+@_register("bpe_train_merges", oracle=_bpe_oracle(4))
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer merge training (textanalysis.bpe_train): 4 rounds of
+    most-frequent-adjacent-pair merging over the corpus vocabulary,
+    starting from characters — the tokenizer-training stage of the LLM
+    data pipeline, beside encode_documents (application) and
+    vocab_growth_curve (vocab sizing). Deterministic tie-break, exact
+    bigint pair counts; the oracle unrolls the identical 4-round
+    recurrence with the same wrapped-string replace trick, so the
+    learned merges hash-match exactly."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        bpe_train,
+    )
+
+    return bpe_train(_t(spark, sf_dir, "documents"), rounds=4)

@@ -1179,3 +1179,40 @@ def test_containment_catches_what_jaccard_misses(spark):
         1, 2, 1.0, 1.0,
     )
     assert r["c_ba"] < 0.05
+
+
+def test_bpe_train_greedy_and_multichar_merges(spark):
+    """Hand-checkable corpus: 'abab' must merge (a,b) TWICE per word
+    (consecutive merge sites share no chars in the wrapped form), 'aaa'
+    merges greedily left-to-right into [aa, a], and a later round must
+    merge a MULTI-CHAR symbol produced earlier."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab abx"), (2, "abab abx aaa")],
+        "doc_id long, text string",
+    )
+    out = {r["round"]: (r["sym_a"], r["sym_b"], r["pair_count"])
+           for r in bpe_train(docs, rounds=3).collect()}
+    # vocab: abab freq 3, abx freq 2, aaa freq 1
+    # round 1 pairs: (a,b)=3*2+2=8, (b,a)=3, (b,x)=2, (a,a)=2 -> merge (a,b)
+    assert out[1] == ("a", "b", 8)
+    # round 2: abab->[ab,ab], abx->[ab,x], aaa->[aa,a] (greedy);
+    # pairs: (ab,ab)=3, (ab,x)=2, (a,a)=2 -> merge (ab,ab): multi-char
+    assert out[2] == ("ab", "ab", 3)
+    # round 3: remaining pairs (ab,x)=2, (a,a)=2 -> tie broken on sym_a:
+    # 'a' < 'ab' -> (a,a)
+    assert out[3] == ("a", "a", 2)
+
+
+def test_bpe_train_empty_corpus(spark):
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame([(1, "123 456")], "doc_id long, text string")
+    out = bpe_train(docs, rounds=2)
+    assert out.count() == 0
+    assert out.columns == ["round", "sym_a", "sym_b", "pair_count"]
