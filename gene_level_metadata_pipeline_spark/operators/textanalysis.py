@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "STOPWORDS",
     "bpe_train",
+    "bpe_encode",
     "lang_scores",
     "lang_id",
     "quality_scores",
@@ -995,4 +996,76 @@ def bpe_train(
         ).localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges, "round int, sym_a string, sym_b string, pair_count bigint"
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: DataFrame | list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_word_len: int = 20,
+) -> DataFrame:
+    """Apply learned BPE merges to the corpus and account tokens per
+    document — the tokenizer-APPLICATION half of :func:`bpe_train`
+    (train learns the merge table; encode measures what it buys).
+    Returns (id, n_words, n_chars, n_tokens, compression) per document
+    with >= 1 word, where ``compression = chars/token`` rounded to 6dp
+    (higher = better merges) and the counts are exact bigints.
+
+    ``merges`` is the bpe_train output frame (collected driver-side —
+    bounded at the merge-round count, the header-peek discipline) or a
+    literal [(sym_a, sym_b), ...] in merge order. Each merge compiles
+    to one built-in replace() over the wrapped-string form; the whole
+    encode is a single narrow projection per word plus one groupBy on
+    the document id — no UDFs, no joins, and the merge chain is
+    codegen'd as nested string expressions.
+
+    Scale: unlike training (vocabulary-sized), encoding touches every
+    word occurrence — but grouped at (id, word) first, so repeated
+    words within a document wrap and merge once and the per-word token
+    count multiplies by the occurrence count.
+    """
+    sep = _BPE_SEP
+    if isinstance(merges, DataFrame):
+        pairs = [
+            (r["sym_a"], r["sym_b"])
+            for r in merges.orderBy("round").collect()
+        ]
+    else:
+        pairs = list(merges)
+    words = (
+        docs.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+            ).alias("w"),
+        )
+        .where(F.length("w").between(1, max_word_len))
+        .groupBy("__id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = F.regexp_replace("w", "(.)", sep + "$1" + sep)
+    for a, b in pairs:
+        s = F.replace(
+            s, F.lit(sep + a + sep + sep + b + sep), F.lit(sep + a + b + sep)
+        )
+    toks = F.size(F.split(F.btrim(s, F.lit(sep)), sep + sep))
+    return (
+        words.withColumn("__toks", toks)
+        .groupBy(F.col("__id").alias(id_col))
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.sum(F.col("c") * F.length("w")).alias("n_chars"),
+            F.sum(F.col("c") * F.col("__toks")).alias("n_tokens"),
+        )
+        .withColumn(
+            "compression",
+            F.round(
+                F.col("n_chars").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ),
+        )
     )

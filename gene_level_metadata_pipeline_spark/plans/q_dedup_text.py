@@ -2906,3 +2906,60 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return bpe_train(_t(spark, sf_dir, "documents"), rounds=4)
+
+
+def _bpe_encode_oracle(rounds: int) -> str:
+    """Training CTEs from _bpe_oracle, then the encode pass: every
+    (doc, word) wrapped and pushed through the learned merge chain as
+    nested replace() calls whose search/replace strings are scalar
+    subqueries against the per-round argmax CTEs."""
+    train = _bpe_oracle(rounds)
+    train_ctes = train[: train.rindex(")") + 1]  # strip the final UNION
+    chain = "regexp_replace(w, '(.)', chr(31)||'\\1'||chr(31), 'g')"
+    for r in range(1, rounds + 1):
+        pat = (
+            f"chr(31)||(SELECT a FROM t{r})||chr(31)||chr(31)"
+            f"||(SELECT b FROM t{r})||chr(31)"
+        )
+        rep = f"chr(31)||(SELECT a FROM t{r})||(SELECT b FROM t{r})||chr(31)"
+        chain = f"replace({chain}, {pat}, {rep})"
+    return f"""{train_ctes},
+    dwf AS (
+      SELECT doc_id, w, count(*) AS c
+      FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                     AS w
+            FROM documents WHERE text IS NOT NULL)
+      WHERE len(w) BETWEEN 1 AND 20
+      GROUP BY doc_id, w
+    ),
+    enc AS (
+      SELECT doc_id, c, len(w) AS wl,
+             len(string_split(trim({chain}, chr(31)), chr(31)||chr(31)))
+               AS toks
+      FROM dwf
+    )
+    SELECT doc_id, sum(c) AS n_words,
+           sum(c * wl) AS n_chars,
+           sum(c * toks) AS n_tokens,
+           round(CAST(sum(c * wl) AS DOUBLE)
+                 / CAST(sum(c * toks) AS DOUBLE), 6) AS compression
+    FROM enc GROUP BY doc_id"""
+
+
+@_register("bpe_encode_docs", oracle=_bpe_encode_oracle(4))
+def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer application (textanalysis.bpe_encode): train 4
+    merges on the corpus, then encode every document with them and
+    report per-doc word/char/token counts and the chars-per-token
+    compression ratio — the measure-what-the-tokenizer-buys step that
+    closes the train (bpe_train_merges) / size (vocab_growth_curve) /
+    apply triad. The merge chain compiles to nested built-in replace()
+    calls over the wrapped-string form in BOTH engines; all counts are
+    exact bigints, the ratio is one rounded divide."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_encode(docs, bpe_train(docs, rounds=4))

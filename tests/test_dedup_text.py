@@ -1216,3 +1216,38 @@ def test_bpe_train_empty_corpus(spark):
     out = bpe_train(docs, rounds=2)
     assert out.count() == 0
     assert out.columns == ["round", "sym_a", "sym_b", "pair_count"]
+
+
+def test_bpe_encode_counts_and_compression(spark):
+    """doc 1 = 'abab abab cd', merges [(a,b),(ab,ab)]: 'abab' encodes to
+    1 token (abab), 'cd' stays 2 tokens (c,d) -> 2 words 'abab' (x2) +
+    'cd': n_words=3, n_chars=10, n_tokens=2*1+2=4, compression=2.5."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        bpe_encode,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab cd"), (2, None)], "doc_id long, text string"
+    )
+    out = bpe_encode(docs, [("a", "b"), ("ab", "ab")]).collect()
+    assert len(out) == 1  # NULL-text doc produces no row
+    r = out[0]
+    assert (r["doc_id"], r["n_words"], r["n_chars"], r["n_tokens"],
+            r["compression"]) == (1, 3, 10, 4, 2.5)
+
+
+def test_bpe_encode_accepts_trained_frame(spark):
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello hello world")], "doc_id long, text string"
+    )
+    m = bpe_train(docs, rounds=2)
+    r = bpe_encode(docs, m).collect()[0]
+    # 2 merges shave exactly 2 symbols off every word containing the
+    # merged pairs; counts stay consistent
+    assert r["n_words"] == 3 and r["n_chars"] == 15
+    assert r["n_tokens"] < 15 and r["n_tokens"] >= 3
