@@ -22,7 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["keep_unique", "null_conflicts", "drop_dup_keys", "dup_keys", "prefer_flagged"]
+__all__ = ["keep_unique", "null_conflicts", "drop_dup_keys", "dup_keys",
+           "prefer_flagged", "golden_record"]
 
 
 def _group_count(key: str | list[str]) -> Column:
@@ -90,3 +91,60 @@ def prefer_flagged(
         .where((F.col("__n") == 1) | (F.col(flag_col) == F.lit(flag_value)))
         .drop("__n")
     )
+
+
+def golden_record(
+    df: DataFrame,
+    key: str | list[str],
+    rules: dict[str, str],
+) -> DataFrame:
+    """Survivorship: merge each duplicate cluster into ONE golden record,
+    attribute by attribute — the master-data-management step after
+    entity resolution (cluster ids from ``canonicalize_duplicates`` /
+    ``entity_resolution_pipeline`` or any blocking key).
+
+    ``rules`` maps column -> one of:
+
+    * ``"min"`` / ``"max"`` — extreme value (ids, timestamps, sizes);
+    * ``"mode"`` — most frequent NON-NULL value, ties broken on the
+      smaller value: deterministic, engine-independent (plain mode()
+      is tie-ambiguous across engines). All-NULL clusters yield NULL.
+
+    Always emits ``n_members`` (cluster size). Plan shape: min/max ride
+    ONE aggregation on the cluster key; each mode column adds a
+    (key, value) count and an argmax fold — the argmax is
+    ``min(struct(-count, value))``, a single aggregate, no window, and
+    its input is the already-collapsed (key, value) table (vocabulary-
+    sized, not row-sized). All aggregations share the cluster-key hash
+    partitioning, so a wide rule set widens the plan, not the shuffle
+    count on the fact table.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    aggs = [F.count(F.lit(1)).alias("n_members")]
+    mode_cols = []
+    for col, rule in rules.items():
+        if rule == "min":
+            aggs.append(F.min(col).alias(col))
+        elif rule == "max":
+            aggs.append(F.max(col).alias(col))
+        elif rule == "mode":
+            mode_cols.append(col)
+        else:
+            raise ValueError(f"golden_record: unknown rule {rule!r} for {col}")
+    out = df.groupBy(*keys).agg(*aggs)
+    for col in mode_cols:
+        counted = (
+            df.where(F.col(col).isNotNull())
+            .groupBy(*keys, col)
+            .agg(F.count(F.lit(1)).alias("__n"))
+        )
+        picked = (
+            counted.groupBy(*keys)
+            .agg(
+                F.min(
+                    F.struct((-F.col("__n")).alias("nc"), F.col(col).alias("v"))
+                )["v"].alias(col)
+            )
+        )
+        out = out.join(picked, keys, "left")
+    return out

@@ -2963,3 +2963,68 @@ def q_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return bpe_encode(docs, bpe_train(docs, rounds=4))
+
+
+@_register(
+    "golden_record_docs",
+    oracle="""
+    WITH d AS (
+      SELECT md5(text) AS cluster, doc_id, lang, source, n_chars
+      FROM documents WHERE text IS NOT NULL
+    ),
+    base AS (
+      SELECT cluster, count(*) AS n_members,
+             min(doc_id) AS canonical_id, max(n_chars) AS n_chars
+      FROM d GROUP BY cluster
+    ),
+    lm AS (
+      SELECT cluster, lang, count(*) AS n FROM d
+      WHERE lang IS NOT NULL GROUP BY cluster, lang
+      QUALIFY row_number() OVER (
+        PARTITION BY cluster ORDER BY n DESC, lang ASC) = 1
+    ),
+    sm AS (
+      SELECT cluster, source, count(*) AS n FROM d
+      WHERE source IS NOT NULL GROUP BY cluster, source
+      QUALIFY row_number() OVER (
+        PARTITION BY cluster ORDER BY n DESC, source ASC) = 1
+    )
+    SELECT b.cluster, b.n_members, b.canonical_id, b.n_chars,
+           lm.lang, sm.source
+    FROM base b
+    LEFT JOIN lm ON lm.cluster = b.cluster
+    LEFT JOIN sm ON sm.cluster = b.cluster
+    """,
+)
+def q_golden_record_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship (conflicts.golden_record): exact-text
+    duplicate clusters merged into one record each — canonical id = min,
+    size = max, lang/source = deterministic mode (count DESC, value ASC
+    tie-break; plain mode() is tie-ambiguous across engines) — the
+    master-data step between dedup clustering and the destructive write.
+    NULL-text docs are excluded (no golden text to survive); all-NULL
+    attributes yield NULL. The Spark argmax is min(struct(-count,
+    value)) on the collapsed (cluster, value) table; the oracle spells
+    the same argmax as QUALIFY windows."""
+    from gene_level_metadata_pipeline_spark.operators.conflicts import (
+        golden_record,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select(
+            F.md5("text").alias("cluster"),
+            "doc_id", "lang", "source", "n_chars",
+        )
+    )
+    out = golden_record(
+        d,
+        "cluster",
+        {"doc_id": "min", "n_chars": "max", "lang": "mode", "source": "mode"},
+    )
+    return out.select(
+        "cluster", "n_members",
+        F.col("doc_id").alias("canonical_id"),
+        "n_chars", "lang", "source",
+    )

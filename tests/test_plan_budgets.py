@@ -211,6 +211,23 @@ EXTRA_BUDGET = {
     "rolling_conversion_rate": 2,
     # supplier revenue aggregate + 1-row concentration stats
     "supplier_concentration_hhi": 2,
+    # r5 batch 2 (audited 2026-08-15): Heaps curve = word first-doc agg
+    # + 7-point rollup (checkpoint frame broadcast); lead time = one
+    # priority rollup (orders side broadcasts into the fact join);
+    # k-core final = converged-checkpoint degree agg; SSSP final =
+    # converged-checkpoint scan (both iterate via eager checkpoints,
+    # the components discipline — per-round shape audited in PLANS.md);
+    # decay attribution = fan-out join + channel agg + the conv-id
+    # denominator window; BPE train = checkpointed-vocab argmax rounds
+    # (driver frame, 0 printed); BPE encode = (doc, word) collapse +
+    # doc rollup
+    "vocab_growth_curve": 2,
+    "order_lead_time_percentiles": 1,
+    "graph_kcore": 1,
+    "graph_sssp_weighted": 0,
+    "attribution_time_decay": 2,
+    "bpe_train_merges": 0,
+    "bpe_encode_docs": 2,
 }
 
 

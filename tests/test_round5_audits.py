@@ -182,3 +182,44 @@ def test_bfs_early_exit_and_min_hop_first_discovery(spark):
     rows = out.collect()
     assert len(rows) == 4  # no duplicate discoveries
     assert {r.node: r.hop for r in rows} == {1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_golden_record_mode_tiebreak_and_nulls(spark):
+    """Survivorship rules on a hand-built cluster: mode tie (2 'en' vs
+    2 'fr') breaks to the SMALLER value; NULLs never win mode; an
+    all-NULL attribute survives as NULL."""
+    from gene_level_metadata_pipeline_spark.operators.conflicts import (
+        golden_record,
+    )
+
+    rows = [
+        ("c1", 5, "fr", None, 10),
+        ("c1", 3, "en", None, 20),
+        ("c1", 9, "fr", None, 30),
+        ("c1", 7, "en", None, 40),
+        ("c2", 1, None, "s1", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "cluster string, id long, lang string, src string, n long"
+    )
+    out = {r["cluster"]: r for r in golden_record(
+        df, "cluster",
+        {"id": "min", "n": "max", "lang": "mode", "src": "mode"},
+    ).collect()}
+    c1, c2 = out["c1"], out["c2"]
+    assert (c1["n_members"], c1["id"], c1["n"], c1["lang"], c1["src"]) == (
+        4, 3, 40, "en", None)
+    assert (c2["n_members"], c2["id"], c2["lang"], c2["src"]) == (
+        1, 1, None, "s1")
+
+
+def test_golden_record_rejects_unknown_rule(spark):
+    import pytest
+
+    from gene_level_metadata_pipeline_spark.operators.conflicts import (
+        golden_record,
+    )
+
+    df = spark.createDataFrame([("a", 1)], "k string, v long")
+    with pytest.raises(ValueError, match="unknown rule"):
+        golden_record(df, "k", {"v": "median"})
