@@ -35,6 +35,8 @@ __all__ = [
     "kmeans_centroids",
     "assign_cells",
     "ivf_topk",
+    "probe_cells",
+    "ivf_multiprobe_topk",
     "embedding_near_dup",
     "semantic_near_dup",
     "quantize_embeddings",
@@ -640,4 +642,149 @@ def quantize_embeddings(
             F.col(vec_col),
             lambda x: F.round(x.cast("double") / F.col("q_scale"), 0).cast("long"),
         ),
+    )
+
+
+def probe_cells(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    probes: int = 2,
+) -> DataFrame:
+    """Multi-probe cell assignment: each row fans out to its ``probes``
+    NEAREST centroid cells (one output row per probe, ``cell`` +
+    1-based ``probe_rank``) — the standard IVF recall lever: a query
+    near a cell boundary finds its true neighbors in the second-closest
+    cell, which single-probe assignment structurally misses.
+
+    Same zero-shuffle contract as the single-cell assignment
+    (:func:`assign_cells` / ``_score_cells``): the centroid table folds
+    into one broadcast row, every vector scores all centroids in one
+    codegen projection (hoisted norms, one dot each), then the scored
+    array is sorted by (sim DESC, cid ASC) — spelled as an ascending
+    sort on (-sim, cid), exact on the rounded sims — and sliced to the
+    top ``probes`` before a single explode. Ties therefore match
+    ``row_number() OVER (ORDER BY sim DESC, cid)`` exactly, the same
+    order the DuckDB twins replay. Degenerate vectors (NULL / zero
+    norm / NULL element) score NULL on every centroid, are filtered
+    before the sort, and fan out to ZERO rows — the multi-probe analog
+    of the NULL-cell contract.
+    """
+    if probes < 1:
+        raise ValueError(f"probe_cells: probes={probes} must be >= 1")
+    cents = centroids.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "ce"))).alias("__c0")
+    ).select(
+        F.transform(
+            F.col("__c0"),
+            lambda c: F.struct(
+                c.getField("cid").alias("cid"),
+                _as_double(c.getField("ce")).alias("ce"),
+                F.sqrt(
+                    _dot(
+                        _as_double(c.getField("ce")),
+                        _as_double(c.getField("ce")),
+                    )
+                ).alias("nrm"),
+            ),
+        ).alias("__cents")
+    )
+    scored = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            (
+                -F.round(
+                    F.try_divide(
+                        _dot(F.col("__vd"), c.getField("ce")),
+                        F.col("__vn") * c.getField("nrm"),
+                    ),
+                    4,
+                )
+            ).alias("negsim"),
+            c.getField("cid").alias("cid"),
+        ),
+    )
+    top = F.slice(
+        F.sort_array(
+            F.filter(scored, lambda s: s.getField("negsim").isNotNull())
+        ),
+        1,
+        probes,
+    )
+    return (
+        vectors.join(F.broadcast(cents))
+        .withColumn("__vd", _as_double(F.col(vec_col)))
+        .withColumn("__vn", F.sqrt(_dot(F.col("__vd"), F.col("__vd"))))
+        .withColumn("__top", top)
+        .select("*", F.posexplode("__top").alias("__pos", "__pc"))
+        .select(
+            "*",
+            (F.col("__pos") + 1).alias("probe_rank"),
+            F.col("__pc.cid").alias("cell"),
+        )
+        .drop("__cents", "__vd", "__vn", "__top", "__pos", "__pc")
+    )
+
+
+def ivf_multiprobe_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    cell_col: str = "cell",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    probes: int = 2,
+) -> DataFrame:
+    """IVF top-k with multi-probe queries: ``vectors`` carry their
+    single assigned ``cell_col``; each query probes its ``probes``
+    nearest cells and searches their union — recall strictly >= the
+    single-probe :func:`ivf_topk` at ``probes`` x the scored
+    candidates (still ~probes·N/cells per query, never N). Because
+    every vector lives in exactly ONE cell and a query's probe cells
+    are distinct, the probe fan-out can never score the same
+    (query, neighbor) pair twice — no dedup pass needed. Returns
+    (query_id, neighbor_id, cos_sim, rank).
+    """
+    from pyspark.sql import Window
+
+    q = probe_cells(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__q")
+        ),
+        centroids,
+        vec_col="__q",
+        probes=probes,
+    ).select(
+        "query_id",
+        _as_double(F.col("__q")).alias("__qv"),
+        F.col("cell").alias("__cell"),
+    ).withColumn("__qn", F.sqrt(_dot(F.col("__qv"), F.col("__qv"))))
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("__vv"),
+        F.col(cell_col).alias("__cell"),
+    ).withColumn("__vn", F.sqrt(_dot(F.col("__vv"), F.col("__vv"))))
+    scored = (
+        v.join(F.broadcast(q), "__cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                F.try_divide(
+                    _dot(F.col("__qv"), F.col("__vv")),
+                    F.col("__qn") * F.col("__vn"),
+                ),
+                4,
+            ),
+        )
+        .where(F.col("cos_sim").isNotNull())
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
     )

@@ -226,3 +226,52 @@ def test_engine_facade_exposes_timeseries_family(spark):
         [("g", x, 2 * x + 1) for x in range(5)], "g string, x long, y long"
     ).withColumn("y", F.col("y").cast("decimal(18,0)"))
     assert eng.ols_trend(pts, "g", "x", "y").collect()[0].slope_raw == 2.0
+
+
+def test_probe_cells_fanout_order_and_degenerate(spark):
+    """2-probe assignment: probe_rank 1 = nearest centroid, 2 = second;
+    ties break to the lower cid; a zero-norm vector fans out to ZERO
+    rows (the multi-probe NULL-cell contract)."""
+    from pyspark.sql import functions as F
+
+    from gene_level_metadata_pipeline_spark.operators.similarity import (
+        probe_cells,
+    )
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (20, [0.0, 1.0]), (30, [1.0, 1.0])],
+        "cid long, ce array<double>",
+    )
+    out = sorted(
+        (r["vec_id"], r["probe_rank"], r["cell"])
+        for r in probe_cells(vecs, cents, probes=2).collect()
+    )
+    # v1=[1,0]: sims 1.0/0.0/0.7071 -> cells (10, 30); v2 degenerate;
+    # v3=[1,1]: sims 0.7071/0.7071/1.0 -> cell 30 first, then the
+    # 0.7071 tie breaks to cid 10
+    assert out == [(1, 1, 10), (1, 2, 30), (3, 1, 30), (3, 2, 10)]
+
+
+def test_multiprobe_recall_superset_of_single_probe(spark):
+    """Every single-probe result pair must appear in the 2-probe
+    results (candidate superset ⇒ per-query top-k can only improve
+    toward truth, never lose a pair that truth had)."""
+    from pyspark.sql import functions as F
+
+    from gene_level_metadata_pipeline_spark.plans import driver_queries as dq
+
+    sf = "/root/testdata/sf0.001"
+    single = dq.QUERIES["ann_ivf_kmeans_topk"](spark, sf).select(
+        "query_id", "neighbor_id"
+    )
+    multi = dq.QUERIES["ann_ivf_multiprobe_topk"](spark, sf)
+    truth = dq.QUERIES["ann_brute_force_topk"](spark, sf).select(
+        "query_id", "neighbor_id"
+    )
+    tp_single = truth.join(single, ["query_id", "neighbor_id"]).count()
+    tp_multi = truth.join(multi, ["query_id", "neighbor_id"]).count()
+    assert tp_multi >= tp_single
