@@ -81,3 +81,49 @@ def upsert(current: DataFrame, updates: DataFrame, key: str | list[str]) -> Data
     keys = [key] if isinstance(key, str) else list(key)
     kept = current.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
     return kept.unionByName(updates)
+
+
+def cdc_apply(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key: str | list[str],
+    version_col: str = "version",
+    op_col: str = "op",
+    delete_op: str = "delete",
+) -> DataFrame:
+    """Apply a change-data-capture feed onto a snapshot — the lakehouse
+    MERGE with tombstones that plain :func:`upsert` lacks: the feed may
+    carry MULTIPLE versions per key (out-of-order capture replays,
+    at-least-once delivery) and delete markers.
+
+    Per key, the change with the highest ``version_col`` wins (ties
+    break to the LAST op in ascending ``op_col`` order — deterministic;
+    feeds with unique versions per key never hit it). If the winner's
+    ``op_col`` equals ``delete_op`` the key is dropped; otherwise the
+    winner's row replaces the snapshot row (or inserts it). Snapshot
+    rows with no change survive untouched.
+
+    Plan: ONE aggregation collapses the feed to its winners
+    (``max_by`` over the (version, op) total order — no window, no
+    sort), one anti-join removes all changed keys from the snapshot,
+    and the surviving upserts union back. Both the aggregation and the
+    anti-join hash on the key, so at scale the feed — typically <<
+    snapshot — is the only shuffled side beyond the snapshot's own
+    key shuffle; writing the result bucketed by key makes the next
+    apply co-located.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    payload = [c for c in changes.columns if c not in (version_col, op_col)]
+    ordk = F.struct(F.col(version_col), F.col(op_col))
+    winners = changes.groupBy(*keys).agg(
+        F.max_by(F.struct(*payload, F.col(op_col).alias("__op")), ordk).alias(
+            "__w"
+        )
+    )
+    upserts = winners.where(F.col("__w.__op") != delete_op).select(
+        *[F.col(f"__w.{c}").alias(c) for c in payload]
+    )
+    kept = snapshot.join(
+        winners.select(*keys).distinct(), on=keys, how="left_anti"
+    )
+    return kept.unionByName(upserts)

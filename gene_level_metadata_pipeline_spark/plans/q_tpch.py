@@ -1275,3 +1275,72 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@_register(
+    "cdc_apply_orders",
+    oracle="""
+    WITH ch AS (
+      SELECT o_orderkey, 1 AS version, 'upsert' AS op, 'U1' AS status
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT o_orderkey, 2, 'delete', NULL
+      FROM orders WHERE o_orderkey % 21 = 0
+      UNION ALL
+      SELECT o_orderkey, 2, 'upsert', 'U2'
+      FROM orders WHERE o_orderkey % 14 = 0 AND o_orderkey % 21 <> 0
+    ),
+    win AS (
+      SELECT o_orderkey, status, op FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY o_orderkey ORDER BY version DESC, op DESC) AS rn
+        FROM ch
+      ) WHERE rn = 1
+    ),
+    kept AS (
+      SELECT o_orderkey, o_orderstatus AS status FROM orders
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM win)
+    )
+    SELECT o_orderkey, status FROM kept
+    UNION ALL
+    SELECT o_orderkey, status FROM win WHERE op <> 'delete'
+    """,
+)
+def q_cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change-feed apply with tombstones (harmonize.cdc_apply): a
+    multi-version feed — every 7th key upserted at v1, every 21st key
+    tombstoned at v2 (net delete), every other 14th key re-upserted at
+    v2 (net latest-wins) — applied onto the orders snapshot. The
+    MERGE-with-deletes that plain upsert_merge lacks: per-key winner is
+    ONE max_by aggregation over the (version, op) total order (no
+    window sort), then anti-join + union. Deletes must REMOVE rows and
+    stale v1 updates must lose to v2 — both outcomes the oracle's
+    row_number replay certifies exactly."""
+    from gene_level_metadata_pipeline_spark.operators.harmonize import (
+        cdc_apply,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderstatus").alias("status")
+    )
+    k = F.col("o_orderkey")
+    ch1 = o.where(k % 7 == 0).select(
+        "o_orderkey",
+        F.lit("U1").alias("status"),
+        F.lit(1).alias("version"),
+        F.lit("upsert").alias("op"),
+    )
+    ch2 = o.where(k % 21 == 0).select(
+        "o_orderkey",
+        F.lit(None).cast("string").alias("status"),
+        F.lit(2).alias("version"),
+        F.lit("delete").alias("op"),
+    )
+    ch3 = o.where((k % 14 == 0) & (k % 21 != 0)).select(
+        "o_orderkey",
+        F.lit("U2").alias("status"),
+        F.lit(2).alias("version"),
+        F.lit("upsert").alias("op"),
+    )
+    changes = ch1.unionByName(ch2).unionByName(ch3)
+    return cdc_apply(o, changes, "o_orderkey")

@@ -69,3 +69,31 @@ def test_upsert_semantics(spark):
     upd = spark.createDataFrame([("B", 20), ("D", 40)], ["k", "v"])
     rows = {(r["k"], r["v"]) for r in upsert(cur, upd, "k").collect()}
     assert rows == {("A", 1), ("B", 20), ("C", 3), ("D", 40)}
+
+
+def test_cdc_apply_tombstones_and_latest_wins(spark):
+    """Hand-built feed: key 1 untouched; key 2 upserted once; key 3
+    tombstoned after an earlier upsert (net delete); key 4 upserted
+    twice (v2 wins); key 5 inserted (not in snapshot); key 6 delete of
+    a never-seen key (no-op on the snapshot, no phantom row)."""
+    from gene_level_metadata_pipeline_spark.operators.harmonize import (
+        cdc_apply,
+    )
+
+    snap = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, val string"
+    )
+    ch = spark.createDataFrame(
+        [
+            (2, "B", 1, "upsert"),
+            (3, "X", 1, "upsert"),
+            (3, None, 2, "delete"),
+            (4, "D1", 1, "upsert"),
+            (4, "D2", 2, "upsert"),
+            (5, "E", 1, "upsert"),
+            (6, None, 1, "delete"),
+        ],
+        "k long, val string, version int, op string",
+    )
+    out = {r["k"]: r["val"] for r in cdc_apply(snap, ch, "k").collect()}
+    assert out == {1: "a", 2: "B", 4: "D2", 5: "E"}
