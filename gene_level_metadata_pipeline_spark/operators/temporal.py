@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["as_of_join", "range_join", "hierarchical_rollup", "funnel_steps",
            "retention_cohorts", "attribute_last_touch",
-           "attribute_time_decay"]
+           "attribute_time_decay", "interval_overlap_join"]
 
 
 def as_of_join(
@@ -408,4 +408,64 @@ def attribute_time_decay(
     ).withColumn(
         "credit",
         F.round(F.col("w_num").cast("double") / F.col("w_den").cast("double"), 6),
+    )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | list[str],
+    lo: str = "lo",
+    hi: str = "hi",
+    bucket_width: int = 3_600_000_000,
+) -> DataFrame:
+    """Interval-INTERVAL overlap join per key — the two-sided sibling of
+    :func:`range_join` (point-in-interval): emit one row per pair of
+    half-open intervals ``[lo, hi)`` that truly overlap
+    (``a.lo < b.hi AND b.lo < a.hi``), with the exact overlap length.
+    Both sides carry (key, lo, hi) with integer bounds (epoch micros);
+    columns come back prefixed ``a_`` / ``b_``.
+
+    Scale shape: NEVER the keyed quadratic join (a hot key with
+    thousands of spans fans out to millions of comparisons before any
+    filter). Each interval explodes to the fixed-width buckets it
+    covers (``sequence(lo div w, (hi-1) div w)``), the join runs on
+    (key, bucket) — an equi-join AQE can split — and each surviving
+    pair is COUNTED EXACTLY ONCE without a distinct: only the bucket
+    containing ``greatest(a.lo, b.lo)`` (the overlap's start) emits it.
+    ``bucket_width`` trades fan-out (long spans explode to more rows)
+    against bucket occupancy (wide buckets pack more candidates);
+    default 1h for session-scale spans.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    w = int(bucket_width)
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            *keys,
+            F.col(lo).alias(f"{tag}_lo"),
+            F.col(hi).alias(f"{tag}_hi"),
+            F.explode(
+                F.sequence(
+                    F.expr(f"{lo} div {w}"), F.expr(f"({hi} - 1) div {w}")
+                )
+            ).alias("__bkt"),
+        )
+    a = side(left, "a")
+    b = side(right, "b")
+    pair_start_bkt = F.expr(f"greatest(a_lo, b_lo) div {w}")
+    return (
+        a.join(b, [*keys, "__bkt"])
+        .where(
+            (F.col("a_lo") < F.col("b_hi"))
+            & (F.col("b_lo") < F.col("a_hi"))
+            & (F.col("__bkt") == pair_start_bkt)
+        )
+        .select(
+            *keys,
+            "a_lo", "a_hi", "b_lo", "b_hi",
+            (
+                F.least("a_hi", "b_hi") - F.greatest("a_lo", "b_lo")
+            ).alias("overlap"),
+        )
     )

@@ -2358,3 +2358,85 @@ def q_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", "ts", "event_id", "event_type",
         ["purchase"], ["click", "view"], max_days=10,
     )
+
+
+def _merged_spans_sql(types_pred: str) -> str:
+    """The coalesce_intervals SQL idiom over 5-min event windows,
+    filtered to ``types_pred`` — shared by the overlap-join oracle's
+    two sides."""
+    return f"""(
+      WITH iv AS (
+        SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+        FROM events WHERE ts IS NOT NULL AND {types_pred}
+      ),
+      r AS (
+        SELECT user_id, s, e,
+               max(e) OVER (
+                 PARTITION BY user_id
+                 ORDER BY s ASC NULLS LAST, e ASC NULLS LAST
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS prev_max_e
+        FROM iv
+      ),
+      g AS (
+        SELECT user_id, s, e,
+               CAST(sum(CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                             THEN 1 ELSE 0 END) OVER (
+                 PARTITION BY user_id
+                 ORDER BY s ASC NULLS LAST, e ASC NULLS LAST
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp
+        FROM r
+      )
+      SELECT user_id, min(s) AS lo, max(e) AS hi
+      FROM g GROUP BY user_id, grp
+    )"""
+
+
+@_register(
+    "interval_overlap_sessions",
+    oracle=f"""
+    WITH a AS (SELECT * FROM {_merged_spans_sql(
+        "event_type IN ('click', 'view')")}),
+    b AS (SELECT * FROM {_merged_spans_sql("event_type = 'error'")})
+    SELECT a.user_id, a.lo AS a_lo, a.hi AS a_hi,
+           b.lo AS b_lo, b.hi AS b_hi,
+           least(a.hi, b.hi) - greatest(a.lo, b.lo) AS overlap
+    FROM a JOIN b ON a.user_id = b.user_id
+     AND a.lo < b.hi AND b.lo < a.hi
+    """,
+)
+def q_interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-interval overlap join (temporal.interval_overlap_join):
+    which of each user's browsing spans (merged 5-min click/view
+    windows) overlap their error spans, and for exactly how long — the
+    incident-correlation shape (downtime x activity, med dosing x lab
+    windows). The operator buckets both interval sets to the hour and
+    joins (user, bucket) — an AQE-splittable equi-join, never the keyed
+    quadratic fan-out — and emits each pair exactly once from the
+    bucket holding the overlap's start (no distinct pass). The oracle
+    IS the quadratic join, so the hash match certifies the banding is
+    lossless and duplicate-free."""
+    from gene_level_metadata_pipeline_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+    from gene_level_metadata_pipeline_spark.operators.timeseries import (
+        coalesce_intervals,
+    )
+
+    ev = _events(spark, sf_dir).where(F.col("ts").isNotNull())
+
+    def spans(pred):
+        iv = ev.where(pred).select(
+            "user_id",
+            F.unix_micros("ts").alias("s"),
+            (F.unix_micros("ts") + F.lit(300_000_000)).alias("e"),
+        )
+        return coalesce_intervals(iv, "user_id", "s", "e").select(
+            F.col("key").alias("user_id"),
+            F.col("cov_start").alias("lo"),
+            F.col("cov_end").alias("hi"),
+        )
+
+    a = spans(F.col("event_type").isin("click", "view"))
+    b = spans(F.col("event_type") == "error")
+    return interval_overlap_join(a, b, "user_id")

@@ -153,3 +153,32 @@ def test_attribute_time_decay_no_prior_touch_yields_no_rows(spark):
         ev, "user_id", "ts", "event_id", "event_type",
         ["purchase"], ["click"], max_days=10,
     ).count() == 0
+
+
+def test_interval_overlap_join_banding_lossless(spark):
+    """Banding must emit each overlapping pair exactly once, including
+    pairs whose spans cross many buckets, touching-only pairs excluded
+    (half-open semantics), and different keys never matched."""
+    from gene_level_metadata_pipeline_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    W = 10  # tiny bucket for the test
+    a = spark.createDataFrame(
+        [("u", 0, 35), ("u", 50, 55), ("v", 0, 100)],
+        "k string, lo long, hi long",
+    )
+    b = spark.createDataFrame(
+        [("u", 30, 60), ("u", 35, 40), ("w", 0, 100)],
+        "k string, lo long, hi long",
+    )
+    out = sorted(
+        (r["k"], r["a_lo"], r["b_lo"], r["overlap"])
+        for r in interval_overlap_join(
+            a, b, "k", bucket_width=W
+        ).collect()
+    )
+    # (0,35)x(30,60) overlap 5 — crosses 4 buckets, emitted once;
+    # (0,35)x(35,40) touching only -> excluded; (50,55)x(30,60)
+    # overlap 5; v/w keys never match
+    assert out == [("u", 0, 30, 5), ("u", 50, 30, 5)]
