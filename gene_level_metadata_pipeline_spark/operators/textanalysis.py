@@ -15,6 +15,7 @@ __all__ = [
     "STOPWORDS",
     "bpe_train",
     "bpe_encode",
+    "feature_hash",
     "lang_scores",
     "lang_id",
     "quality_scores",
@@ -1068,4 +1069,63 @@ def bpe_encode(
                 6,
             ),
         )
+    )
+
+
+def feature_hash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 64,
+    signed: bool = True,
+) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009): project each document
+    onto a FIXED ``n_features``-dimensional space with no vocabulary —
+    bucket = hash(word) mod n, entry = sum of per-occurrence signs —
+    the vectorizer that feeds linear classifiers/regressors at corpus
+    scale because it needs no global vocabulary pass, no broadcast
+    dictionary, and no OOV handling (new words at inference hash to the
+    same fixed space). ``signed`` applies the sign-hash bias correction
+    (collisions cancel in expectation instead of accumulating).
+
+    Returns LONG-form sparse vectors (id, bucket, val) — the relational
+    representation every downstream op here uses (matrix ops, Rocchio
+    dots); zero-sum cancelled buckets are kept (they are real entries).
+    Determinism: bucket and sign derive from md5 hex-digit arithmetic
+    (two digits -> 0..255 mod n; third digit's high bit -> sign),
+    reproducible in any engine — no conv()/hash() dependency. One
+    explode + one (id, bucket) aggregation; n_features caps the
+    per-doc output at a constant, so the vectorized corpus is O(docs),
+    not O(docs x vocab).
+    """
+    if not 1 <= n_features <= 256:
+        raise ValueError(
+            f"feature_hash: n_features={n_features} not in [1, 256]"
+        )
+    hexd = "0123456789abcdef"
+    words = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)")
+        ).alias("w"),
+    )
+    # SQL form: pyspark's F.locate only takes a LITERAL needle, and the
+    # needle here is the per-row hex digit
+    dig = (
+        f"(locate(substring(md5(w), {{i}}, 1), '{hexd}') - 1)"
+    )
+    d1 = F.expr(dig.format(i=1))
+    d2 = F.expr(dig.format(i=2))
+    d3 = F.expr(dig.format(i=3))
+    bucket = ((d1 * 16 + d2) % n_features).cast("bigint")
+    sign = (
+        F.when(d3 < 8, F.lit(1)).otherwise(F.lit(-1))
+        if signed
+        else F.lit(1)
+    )
+    return (
+        words.select(F.col("__id").alias(id_col), bucket.alias("bucket"),
+                     sign.alias("__s"))
+        .groupBy(id_col, "bucket")
+        .agg(F.sum("__s").cast("bigint").alias("val"))
     )

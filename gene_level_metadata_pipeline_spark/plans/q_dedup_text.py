@@ -3028,3 +3028,41 @@ def q_golden_record_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("canonical_id"),
         "n_chars", "lang", "source",
     )
+
+
+@_register(
+    "feature_hash_docs",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    h AS (
+      SELECT doc_id,
+             ((strpos('0123456789abcdef', substring(md5(w), 1, 1)) - 1) * 16
+              + strpos('0123456789abcdef', substring(md5(w), 2, 1)) - 1)
+               % 64 AS bucket,
+             CASE WHEN strpos('0123456789abcdef', substring(md5(w), 3, 1))
+                       - 1 < 8
+                  THEN 1 ELSE -1 END AS s
+      FROM w
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(sum(s) AS BIGINT) AS val
+    FROM h GROUP BY doc_id, bucket
+    """,
+)
+def q_feature_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorizer (textanalysis.feature_hash): every doc
+    projected onto a fixed 64-dim signed-hash space with NO vocabulary
+    pass — the corpus-scale featurizer for linear models (no broadcast
+    dictionary, no OOV; new inference-time words hash into the same
+    space). Long-form sparse output; bucket/sign from md5 hex-digit
+    arithmetic identical in both engines. One explode + one (doc,
+    bucket) aggregation — output is O(docs x 64), never O(docs x
+    vocab)."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        feature_hash,
+    )
+
+    return feature_hash(_t(spark, sf_dir, "documents"), n_features=64)

@@ -1251,3 +1251,35 @@ def test_bpe_encode_accepts_trained_frame(spark):
     # merged pairs; counts stay consistent
     assert r["n_words"] == 3 and r["n_chars"] == 15
     assert r["n_tokens"] < 15 and r["n_tokens"] >= 3
+
+
+def test_feature_hash_fixed_space_and_sign_cancellation(spark):
+    """Same word always lands in the same bucket with the same sign
+    (engine-independent md5 arithmetic); repeated occurrences
+    accumulate; unsigned mode counts plainly; bounds validated."""
+    import pytest
+
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        feature_hash,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha alpha beta"), (2, "alpha")], "doc_id long, text string"
+    )
+    out = feature_hash(docs, n_features=8)
+    rows = {(r["doc_id"], r["bucket"]): r["val"] for r in out.collect()}
+    # alpha's (bucket, sign) identical across docs: doc2's single alpha
+    # val must be half doc1's double-alpha val (same sign, 1 vs 2) when
+    # they don't collide with beta
+    import hashlib
+    h = hashlib.md5(b"alpha").hexdigest()
+    ab = (int(h[0], 16) * 16 + int(h[1], 16)) % 8
+    asg = 1 if int(h[2], 16) < 8 else -1
+    assert rows[(2, ab)] == asg
+    unsigned = feature_hash(docs, n_features=8, signed=False)
+    totals = {r["doc_id"]: r["val"] for r in unsigned.groupBy("doc_id")
+              .agg(__import__("pyspark.sql.functions", fromlist=["F"])
+                   .sum("val").alias("val")).collect()}
+    assert totals == {1: 3, 2: 1}  # unsigned sums = word counts
+    with pytest.raises(ValueError, match="n_features"):
+        feature_hash(docs, n_features=0)
