@@ -228,6 +228,22 @@ EXTRA_BUDGET = {
     "attribution_time_decay": 2,
     "bpe_train_merges": 0,
     "bpe_encode_docs": 2,
+    # r5 batch 3 (audited 2026-08-15): golden record = base agg + one
+    # (cluster, value) count + argmax pair per mode column (picked
+    # sides broadcast back); multiprobe = Lloyd re-estimation pair +
+    # probe/candidate aggs with broadcast query side; its recall twin
+    # references the scored subtrees for truth/approx/tp/counts
+    # (canonically identical exchanges, runtime-reused); CDC = winner
+    # max_by agg + anti-join key side; overlap = the two
+    # coalesce_intervals user windows (the banded join itself adds
+    # none — both sides ride the user-key partitioning); hashing =
+    # ONE (doc, bucket) agg, vocabulary-free by design
+    "golden_record_docs": 5,
+    "ann_ivf_multiprobe_topk": 7,
+    "ann_ivf_multiprobe_recall": 21,
+    "cdc_apply_orders": 2,
+    "interval_overlap_sessions": 2,
+    "feature_hash_docs": 1,
 }
 
 
