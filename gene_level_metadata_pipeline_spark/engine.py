@@ -259,3 +259,75 @@ class Engine:
         )
 
         return pack_sequences(df, order_by, size_col, context_len, **kw)
+
+    def golden_record(self, df: DataFrame, key, rules: dict) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.conflicts import (
+            golden_record,
+        )
+
+        return golden_record(df, key, rules)
+
+    def cdc_apply(self, snapshot: DataFrame, changes: DataFrame, key,
+                  **kw) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.harmonize import (
+            cdc_apply,
+        )
+
+        return cdc_apply(snapshot, changes, key, **kw)
+
+    def interval_overlap_join(self, left: DataFrame, right: DataFrame,
+                              key, **kw) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.temporal import (
+            interval_overlap_join,
+        )
+
+        return interval_overlap_join(left, right, key, **kw)
+
+    def bpe_train(self, docs: DataFrame, **kw) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+            bpe_train,
+        )
+
+        return bpe_train(docs, **kw)
+
+    def bpe_encode(self, docs: DataFrame, merges, **kw) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+            bpe_encode,
+        )
+
+        return bpe_encode(docs, merges, **kw)
+
+    def feature_hash(self, docs: DataFrame, **kw) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+            feature_hash,
+        )
+
+        return feature_hash(docs, **kw)
+
+    def kcore(self, pairs: DataFrame, k: int, **kw) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.graph import kcore
+
+        return kcore(pairs, k, **kw)
+
+    def sssp_weighted(self, pairs: DataFrame, sources: DataFrame,
+                      **kw) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.graph import (
+            sssp_weighted,
+        )
+
+        return sssp_weighted(pairs, sources, **kw)
+
+    def attribute_time_decay(self, events: DataFrame, *args, **kw) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.temporal import (
+            attribute_time_decay,
+        )
+
+        return attribute_time_decay(events, *args, **kw)
+
+    def ivf_multiprobe_topk(self, vectors: DataFrame, queries: DataFrame,
+                            centroids: DataFrame, **kw) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.similarity import (
+            ivf_multiprobe_topk,
+        )
+
+        return ivf_multiprobe_topk(vectors, queries, centroids, **kw)

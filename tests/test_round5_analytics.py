@@ -275,3 +275,30 @@ def test_multiprobe_recall_superset_of_single_probe(spark):
     tp_single = truth.join(single, ["query_id", "neighbor_id"]).count()
     tp_multi = truth.join(multi, ["query_id", "neighbor_id"]).count()
     assert tp_multi >= tp_single
+
+
+def test_engine_facade_exposes_batch3_family(spark):
+    """The round-5 batch-2/3 operators are reachable through Engine —
+    one smoke call per delegation (semantics are certified by their
+    own oracles/units; this pins the facade wiring)."""
+    from gene_level_metadata_pipeline_spark.engine import Engine
+
+    eng = Engine(spark)
+    g = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "u long, v long")
+    assert eng.kcore(g, k=2).count() == 3
+    seed = spark.createDataFrame([(1,)], "node long")
+    gw = spark.createDataFrame([(1, 2, 4)], "u long, v long, w long")
+    assert eng.sssp_weighted(gw, seed, max_hops=2).count() == 2
+    docs = spark.createDataFrame([(1, "ab ab")], "doc_id long, text string")
+    m = eng.bpe_train(docs, rounds=1)
+    assert m.count() == 1
+    assert eng.bpe_encode(docs, m).count() == 1
+    assert eng.feature_hash(docs, n_features=4).count() >= 1
+    snap = spark.createDataFrame([(1, "a")], "k long, v string")
+    ch = spark.createDataFrame(
+        [(1, None, 1, "delete")], "k long, v string, version int, op string"
+    )
+    assert eng.cdc_apply(snap, ch, "k").count() == 0
+    iv = spark.createDataFrame([("u", 0, 10)], "k string, lo long, hi long")
+    assert eng.interval_overlap_join(iv, iv, "k").count() == 1
+    assert eng.golden_record(snap, "k", {"v": "mode"}).count() == 1
