@@ -81,6 +81,16 @@ HEADLINE = [
     "basket_part_lift",
     "gaps_islands_hours",
     "correlation_matrix_daily",
+    # r5 batch-2/3 flagships: tokenizer train/apply, lakehouse CDC,
+    # vocabulary-free featurizer, survivorship, interval overlap,
+    # decay attribution
+    "bpe_train_merges",
+    "bpe_encode_docs",
+    "cdc_apply_orders",
+    "feature_hash_docs",
+    "golden_record_docs",
+    "interval_overlap_sessions",
+    "attribution_time_decay",
 ]
 
 REPS = 3

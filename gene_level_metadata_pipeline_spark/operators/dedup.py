@@ -38,6 +38,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_candidate_pairs",
     "near_dup_pairs",
+    "near_dup_against_history",
     "warn_capped_buckets",
     "simhash",
     "lsh_params",
@@ -930,4 +931,116 @@ def ngram_containment_pairs(
         .withColumn("containment", F.greatest("c_ab", "c_ba"))
         .where(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", "c_ab", "c_ba", "containment")
+    )
+
+
+def _band_rows(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    num_hashes: int,
+    bands: int,
+) -> DataFrame:
+    """(id, band, band_hash) LSH bucket membership — the banding
+    projection of :func:`minhash_candidate_pairs`, factored for callers
+    that band TWO frames (incremental new-vs-history) instead of
+    self-joining one. Same band hash construction (md5 of the
+    comma-joined member minima), same one-generator-projection shape."""
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    band_structs = [
+        F.struct(
+            F.lit(bidx).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",", *[F.col(f"h{bidx * rows + j}") for j in range(rows)]
+                )
+            ).alias("band_hash"),
+        )
+        for bidx in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("__b")
+    ).select(id_col, F.col("__b.band").alias("band"),
+             F.col("__b.band_hash").alias("band_hash"))
+
+
+def near_dup_against_history(
+    new: DataFrame,
+    history: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_history_bucket: int | None = 1000,
+) -> DataFrame:
+    """Incremental NEAR-duplicate detection: which new-batch documents
+    are near-dups of the already-ingested history — the fuzzy sibling
+    of :func:`dedup_against_history` (exact) and the shape a daily
+    corpus refresh actually runs: the history is never re-paired with
+    itself (that work happened when those docs arrived); only the
+    new x history bipartite candidates are generated.
+
+    Both sides band identically (:func:`_band_rows`); candidates come
+    from the (band, band_hash) equi-join of new bands against history
+    bands — cost ~ |new| x bucket occupancy, independent of |history|²
+    — then the exact n-gram Jaccard confirm runs on candidates only
+    (array_intersect per pair, the near_dup_pairs discipline). Returns
+    (new_id, hist_id, jaccard >= threshold).
+
+    ``max_history_bucket`` is the boilerplate lever on the HISTORY side
+    (a template bucket holding a million archived docs would fan every
+    matching new doc out a million ways); oversized history buckets
+    drop whole, same cap semantics as minhash_candidate_pairs. New-side
+    buckets are per-batch small by construction.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"near_dup_against_history: num_hashes={num_hashes} must be "
+            f"divisible by bands={bands}"
+        )
+    nb = _band_rows(new, text_col, id_col, n, num_hashes, bands).select(
+        F.col(id_col).alias("new_id"), "band", "band_hash"
+    )
+    hb = _band_rows(history, text_col, id_col, n, num_hashes, bands).select(
+        F.col(id_col).alias("hist_id"), "band", "band_hash"
+    )
+    if max_history_bucket is not None:
+        if max_history_bucket < 1:
+            raise ValueError(
+                f"near_dup_against_history: max_history_bucket="
+                f"{max_history_bucket} must be >= 1"
+            )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "band_hash")
+        hb = (
+            hb.withColumn("__bsz", F.count(F.lit(1)).over(w))
+            .where(F.col("__bsz") <= max_history_bucket)
+            .drop("__bsz")
+        )
+    cands = (
+        nb.join(hb, ["band", "band_hash"])
+        .select("new_id", "hist_id")
+        .distinct()
+    )
+    grams = shingle_array(text_col, n)
+    sh_new = new.select(F.col(id_col).alias("new_id"), grams.alias("__sha"))
+    sh_hist = history.select(
+        F.col(id_col).alias("hist_id"), grams.alias("__shb")
+    )
+    return (
+        cands.join(sh_new, "new_id")
+        .join(sh_hist, "hist_id")
+        .withColumn("n_common", F.size(F.array_intersect("__sha", "__shb")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.size("__sha") + F.size("__shb") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("new_id", "hist_id", F.round("jaccard", 4).alias("jaccard"))
     )

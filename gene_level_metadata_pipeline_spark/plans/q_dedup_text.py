@@ -3066,3 +3066,65 @@ def q_feature_hash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return feature_hash(_t(spark, sf_dir, "documents"), n_features=64)
+
+
+def _incremental_near_oracle(num_hashes: int = 8, bands: int = 4,
+                             cap: int = 1000) -> str:
+    """Bipartite (new x history) banding + Jaccard confirm: the shared
+    sig/bands CTEs over the whole corpus, sides split by doc_id parity,
+    history buckets capped — the SQL twin of
+    dedup.near_dup_against_history."""
+    return f"""
+    WITH {_SHINGLE_CTE},
+    {_band_ctes(num_hashes, bands)},
+    nb AS (SELECT doc_id AS new_id, band, band_hash FROM bands
+           WHERE doc_id % 2 = 1),
+    hb0 AS (SELECT doc_id AS hist_id, band, band_hash FROM bands
+            WHERE doc_id % 2 = 0),
+    hsz AS (SELECT band, band_hash, count(*) AS n FROM hb0
+            GROUP BY band, band_hash),
+    hb AS (
+      SELECT hb0.* FROM hb0 JOIN hsz USING (band, band_hash)
+      WHERE hsz.n <= {cap}
+    ),
+    cands AS (
+      SELECT DISTINCT nb.new_id, hb.hist_id
+      FROM nb JOIN hb USING (band, band_hash)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+      SELECT c.new_id, c.hist_id, count(*) AS n_common
+      FROM cands c
+      JOIN sh a ON a.doc_id = c.new_id
+      JOIN sh b ON b.doc_id = c.hist_id AND a.shingle = b.shingle
+      GROUP BY c.new_id, c.hist_id
+    )
+    SELECT c.new_id, c.hist_id,
+           round(n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common), 4)
+             AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.new_id
+    JOIN sizes sb ON sb.doc_id = c.hist_id
+    WHERE n_common * 1.0 / (sa.n_sh + sb.n_sh - n_common) >= 0.1
+    """
+
+
+@_register("dedup_incremental_near", oracle=_incremental_near_oracle())
+def q_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup detection (dedup.near_dup_against_history):
+    odd-id docs arrive as the new batch, even-id docs are the ingested
+    history — candidates come from the bipartite (band, band_hash)
+    join only (history never re-pairs with itself, the daily-refresh
+    cost model), history boilerplate buckets capped, exact Jaccard
+    confirm on candidates. The fuzzy sibling of
+    dedup_incremental_bloom's exact path."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        near_dup_against_history,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return near_dup_against_history(
+        d.where(F.col("doc_id") % 2 == 1),
+        d.where(F.col("doc_id") % 2 == 0),
+        "text", "doc_id", n=3, threshold=0.1, num_hashes=8, bands=4,
+    )

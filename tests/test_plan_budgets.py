@@ -109,6 +109,15 @@ SHUFFLE_BUDGET = {
     "basket_part_lift": 8,
     "gaps_islands_hours": 2,  # r5 review: join->window rewrite
     "correlation_matrix_daily": 3,
+    # r5 batch-2/3 headline promotions (audited 2026-08-15; rationale
+    # in the EXTRA_BUDGET comment block where they were first pinned)
+    "bpe_train_merges": 0,
+    "bpe_encode_docs": 2,
+    "cdc_apply_orders": 2,
+    "feature_hash_docs": 1,
+    "golden_record_docs": 5,
+    "interval_overlap_sessions": 2,
+    "attribution_time_decay": 2,
 }
 
 # Non-headline flagships whose plan shape is still pinned (round-4 audit).
@@ -225,9 +234,6 @@ EXTRA_BUDGET = {
     "order_lead_time_percentiles": 1,
     "graph_kcore": 1,
     "graph_sssp_weighted": 0,
-    "attribution_time_decay": 2,
-    "bpe_train_merges": 0,
-    "bpe_encode_docs": 2,
     # r5 batch 3 (audited 2026-08-15): golden record = base agg + one
     # (cluster, value) count + argmax pair per mode column (picked
     # sides broadcast back); multiprobe = Lloyd re-estimation pair +
@@ -238,12 +244,8 @@ EXTRA_BUDGET = {
     # coalesce_intervals user windows (the banded join itself adds
     # none — both sides ride the user-key partitioning); hashing =
     # ONE (doc, bucket) agg, vocabulary-free by design
-    "golden_record_docs": 5,
     "ann_ivf_multiprobe_topk": 7,
     "ann_ivf_multiprobe_recall": 21,
-    "cdc_apply_orders": 2,
-    "interval_overlap_sessions": 2,
-    "feature_hash_docs": 1,
 }
 
 
