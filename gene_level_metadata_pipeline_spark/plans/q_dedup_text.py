@@ -2868,7 +2868,7 @@ def _bpe_oracle(rounds: int) -> str:
       FROM w{r - 1}
     ),
     p{r} AS (
-      SELECT z[1] AS a, z[2] AS b, sum(freq) AS cnt
+      SELECT z[1] AS a, z[2] AS b, CAST(sum(freq) AS BIGINT) AS cnt
       FROM (SELECT unnest(list_zip(syms[1:len(syms)-1], syms[2:len(syms)]))
                      AS z,
                    freq FROM s{r})
@@ -2938,9 +2938,9 @@ def _bpe_encode_oracle(rounds: int) -> str:
                AS toks
       FROM dwf
     )
-    SELECT doc_id, sum(c) AS n_words,
-           sum(c * wl) AS n_chars,
-           sum(c * toks) AS n_tokens,
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+           CAST(sum(c * wl) AS BIGINT) AS n_chars,
+           CAST(sum(c * toks) AS BIGINT) AS n_tokens,
            round(CAST(sum(c * wl) AS DOUBLE)
                  / CAST(sum(c * toks) AS DOUBLE), 6) AS compression
     FROM enc GROUP BY doc_id"""

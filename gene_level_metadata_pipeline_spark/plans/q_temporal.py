@@ -2327,11 +2327,12 @@ def q_rolling_conversion_rate(
        AND c.us - t.tus < 11 * 86400000000
     ),
     num AS (
-      SELECT user_id, conv_id, touch_type, sum(w) AS w_num
+      SELECT user_id, conv_id, touch_type,
+             CAST(sum(w) AS BIGINT) AS w_num
       FROM j GROUP BY user_id, conv_id, touch_type
     )
     SELECT user_id, conv_id, touch_type, w_num,
-           sum(w_num) OVER (PARTITION BY conv_id) AS w_den,
+           CAST(sum(w_num) OVER (PARTITION BY conv_id) AS BIGINT) AS w_den,
            round(CAST(w_num AS DOUBLE)
                  / CAST(sum(w_num) OVER (PARTITION BY conv_id) AS DOUBLE),
                  6) AS credit

@@ -220,6 +220,10 @@ EXTRA_BUDGET = {
     "rolling_conversion_rate": 2,
     # supplier revenue aggregate + 1-row concentration stats
     "supplier_concentration_hhi": 2,
+    # bipartite banding: history-bucket cap window (reuses the band
+    # exchange) + candidate distinct; confirm joins are id-keyed on the
+    # already-shuffled candidate side (audited 2026-08-15)
+    "dedup_incremental_near": 2,
     # r5 batch 2 (audited 2026-08-15): Heaps curve = word first-doc agg
     # + 7-point rollup (checkpoint frame broadcast); lead time = one
     # priority rollup (orders side broadcasts into the fact join);
