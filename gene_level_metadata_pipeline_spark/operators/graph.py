@@ -23,6 +23,7 @@ __all__ = [
     "clustering_coefficient",
     "kcore",
     "sssp_weighted",
+    "hits_bipartite",
 ]
 
 
@@ -608,3 +609,66 @@ def sssp_weighted(
                     return nxt
             dist = nxt
         return dist
+
+
+def hits_bipartite(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    iterations: int = 2,
+    scale: int = 10 ** 6,
+) -> DataFrame:
+    """HITS hubs-and-authorities over a bipartite edge list (src side =
+    hubs, dst side = authorities) in EXACT integer arithmetic — the
+    companion eigenvector ranking to :func:`pagerank`: an authority is
+    good because good hubs point at it, a hub is good because it points
+    at good authorities (Kleinberg 1999). On customer→supplier purchase
+    edges: authoritative suppliers serve broadly-connected customers.
+
+    The float HITS normalizes by the L2 norm each half-step (not
+    engine-reproducible: sqrt + order-dependent sums); here every
+    half-step renormalizes by integer division against the CURRENT MAX
+    (``x * scale // max(x)``) — max is exact, division floors
+    identically everywhere, and the invariant max-score == ``scale``
+    bounds the bigints, so any SQL engine unrolling the same recurrence
+    reproduces the scores bit-for-bit. Returns (node, side, score)
+    with side ∈ {'hub', 'authority'}, score in [0, scale].
+
+    Scale shape: each half-step is one edges⋈scores join (shuffle on
+    the joined side's key) + a grouped sum + a 1-row max broadcast —
+    the power-iteration plan; hub-node skew is AQE's skew-join case.
+    """
+    e = edges.select(F.col(src).alias("eu"), F.col(dst).alias("ev")).distinct()
+    e = e.localCheckpoint(eager=True)
+    hubs = e.select("eu").distinct().withColumn(
+        "h", F.lit(scale).cast("bigint")
+    )
+    auth = None
+    for _ in range(iterations):
+        raw_a = (
+            e.join(hubs, "eu")
+            .groupBy("ev")
+            .agg(F.sum("h").alias("ra"))
+        )
+        mx_a = raw_a.agg(F.max("ra").alias("__m"))
+        auth = raw_a.join(F.broadcast(mx_a)).select(
+            "ev", F.expr(f"ra * {scale} div __m").alias("a")
+        )
+        raw_h = (
+            e.join(auth, "ev")
+            .groupBy("eu")
+            .agg(F.sum("a").alias("rh"))
+        )
+        mx_h = raw_h.agg(F.max("rh").alias("__m"))
+        hubs = raw_h.join(F.broadcast(mx_h)).select(
+            "eu", F.expr(f"rh * {scale} div __m").alias("h")
+        )
+    return hubs.select(
+        F.col("eu").alias("node"), F.lit("hub").alias("side"),
+        F.col("h").alias("score"),
+    ).unionByName(
+        auth.select(
+            F.col("ev").alias("node"), F.lit("authority").alias("side"),
+            F.col("a").alias("score"),
+        )
+    )

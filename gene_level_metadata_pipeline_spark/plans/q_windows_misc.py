@@ -2665,3 +2665,61 @@ def q_graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = und.agg(F.min("u").alias("node"))
     out = sssp_weighted(und, seed, weight="w", max_hops=4, directed=False)
     return out.select(F.col("node").alias("partkey"), F.col("dist"))
+
+
+def _hits_oracle(iterations: int = 2, scale: int = 10 ** 6) -> str:
+    """Unrolled HITS recurrence (integer max-renormalization per
+    half-step) — the SQL twin of graph.hits_bipartite."""
+    ctes = ["""e AS (
+      SELECT DISTINCT o.o_custkey AS cu, l.l_suppkey AS su
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    )""",
+            f"""h0 AS (
+      SELECT DISTINCT cu, CAST({scale} AS BIGINT) AS h FROM e
+    )"""]
+    for i in range(1, iterations + 1):
+        ctes.append(f"""ra{i} AS (
+      SELECT su, sum(h) AS ra FROM e JOIN h{i - 1} USING (cu) GROUP BY su
+    ),
+    a{i} AS (
+      SELECT su, ra * {scale} // (SELECT max(ra) FROM ra{i}) AS a FROM ra{i}
+    ),
+    rh{i} AS (
+      SELECT cu, sum(a) AS rh FROM e JOIN a{i} USING (su) GROUP BY cu
+    ),
+    h{i} AS (
+      SELECT cu, rh * {scale} // (SELECT max(rh) FROM rh{i}) AS h FROM rh{i}
+    )""")
+    n = iterations
+    joined = ",\n    ".join(ctes)
+    return (
+        f"WITH {joined}\n"
+        f"    SELECT cu AS node, 'hub' AS side, CAST(h AS BIGINT) AS score"
+        f" FROM h{n}\n"
+        f"    UNION ALL\n"
+        f"    SELECT su, 'authority', CAST(a AS BIGINT) FROM a{n}"
+    )
+
+
+@_register("hits_customer_supplier", oracle=_hits_oracle(2))
+def q_hits_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (graph.hits_bipartite) over the bipartite
+    customer→supplier purchase graph, 2 iterations — the companion
+    eigenvector ranking to pagerank_suppliers: authoritative suppliers
+    serve broadly-connected customers, hub customers buy from
+    authoritative suppliers. Exact-integer max-renormalization per
+    half-step (never the float L2 norm — sqrt + order-dependent sums
+    are not engine-reproducible), so the oracle's unrolled recurrence
+    hash-matches bit-for-bit."""
+    from gene_level_metadata_pipeline_spark.operators.graph import (
+        hits_bipartite,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_custkey").alias("u")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v")
+    )
+    e = o.join(li, "k").select("u", "v").distinct()
+    return hits_bipartite(e, iterations=2)

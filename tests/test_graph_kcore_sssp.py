@@ -92,3 +92,22 @@ def test_sssp_directed_respects_orientation(spark):
     out = {r["node"]: r["dist"] for r in
            sssp_weighted(g, seed, max_hops=3, directed=True).collect()}
     assert out == {1: 0, 2: 1}  # 3 unreachable along direction
+
+
+def test_hits_bipartite_hand_computed(spark):
+    """Star bipartite graph: hub c1 points at both authorities, c2 at
+    one. After one iteration: a(s1)=2M/2M=1M(max), a(s2)=1M*1M//2M=0.5M;
+    h(c1)=1.5M -> 1M (max), h(c2)=1M*1M//1.5M=666666."""
+    from gene_level_metadata_pipeline_spark.operators.graph import (
+        hits_bipartite,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10)], "u long, v long"
+    )
+    out = {(r["side"], r["node"]): r["score"]
+           for r in hits_bipartite(e, iterations=1).collect()}
+    assert out[("authority", 10)] == 1_000_000
+    assert out[("authority", 20)] == 500_000
+    assert out[("hub", 1)] == 1_000_000
+    assert out[("hub", 2)] == 666_666
