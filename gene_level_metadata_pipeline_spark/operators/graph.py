@@ -650,19 +650,27 @@ def hits_bipartite(
             .groupBy("ev")
             .agg(F.sum("h").alias("ra"))
         )
+        # checkpoint each normalized half-step: the raw frame is
+        # referenced TWICE (its own max + the renormalize join), so an
+        # unbroken lineage doubles the plan per half-step — 134 static
+        # exchanges after 2 iterations; checkpointed, the plan is the
+        # constant-size power-iteration shape (scores are node-sized,
+        # the cheap side to materialize)
+        raw_a = raw_a.localCheckpoint(eager=True)
         mx_a = raw_a.agg(F.max("ra").alias("__m"))
         auth = raw_a.join(F.broadcast(mx_a)).select(
             "ev", F.expr(f"ra * {scale} div __m").alias("a")
-        )
+        ).localCheckpoint(eager=True)
         raw_h = (
             e.join(auth, "ev")
             .groupBy("eu")
             .agg(F.sum("a").alias("rh"))
         )
+        raw_h = raw_h.localCheckpoint(eager=True)
         mx_h = raw_h.agg(F.max("rh").alias("__m"))
         hubs = raw_h.join(F.broadcast(mx_h)).select(
             "eu", F.expr(f"rh * {scale} div __m").alias("h")
-        )
+        ).localCheckpoint(eager=True)
     return hubs.select(
         F.col("eu").alias("node"), F.lit("hub").alias("side"),
         F.col("h").alias("score"),

@@ -224,6 +224,11 @@ EXTRA_BUDGET = {
     # exchange) + candidate distinct; confirm joins are id-keyed on the
     # already-shuffled candidate side (audited 2026-08-15)
     "dedup_incremental_near": 2,
+    # HITS: fully-checkpointed power iteration — the printed final
+    # plan is the converged-scores union scan (the components/BFS
+    # discipline); per-half-step shape is edges join + grouped sum +
+    # 1-row max broadcast (audited 2026-08-15)
+    "hits_customer_supplier": 0,
     # r5 batch 2 (audited 2026-08-15): Heaps curve = word first-doc agg
     # + 7-point rollup (checkpoint frame broadcast); lead time = one
     # priority rollup (orders side broadcasts into the fact join);
