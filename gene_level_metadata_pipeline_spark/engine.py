@@ -331,3 +331,20 @@ class Engine:
         )
 
         return ivf_multiprobe_topk(vectors, queries, centroids, **kw)
+
+    def hits_bipartite(self, edges: DataFrame, **kw) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.graph import (
+            hits_bipartite,
+        )
+
+        return hits_bipartite(edges, **kw)
+
+    def near_dup_against_history(
+        self, new: DataFrame, history: DataFrame, text_col: str,
+        id_col: str, **kw
+    ) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.dedup import (
+            near_dup_against_history,
+        )
+
+        return near_dup_against_history(new, history, text_col, id_col, **kw)

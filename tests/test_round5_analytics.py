@@ -302,3 +302,8 @@ def test_engine_facade_exposes_batch3_family(spark):
     iv = spark.createDataFrame([("u", 0, 10)], "k string, lo long, hi long")
     assert eng.interval_overlap_join(iv, iv, "k").count() == 1
     assert eng.golden_record(snap, "k", {"v": "mode"}).count() == 1
+    assert eng.hits_bipartite(g.limit(1), iterations=1).count() == 2
+    assert eng.near_dup_against_history(
+        docs, docs.select((docs.doc_id + 10).alias("doc_id"), "text"),
+        "text", "doc_id", threshold=0.1,
+    ).count() >= 0
