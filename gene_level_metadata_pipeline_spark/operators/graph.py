@@ -638,6 +638,10 @@ def hits_bipartite(
     the joined side's key) + a grouped sum + a 1-row max broadcast —
     the power-iteration plan; hub-node skew is AQE's skew-join case.
     """
+    if iterations < 1:
+        raise ValueError(
+            f"hits_bipartite: iterations={iterations} must be >= 1"
+        )
     e = edges.select(F.col(src).alias("eu"), F.col(dst).alias("ev")).distinct()
     e = e.localCheckpoint(eager=True)
     hubs = e.select("eu").distinct().withColumn(
