@@ -441,7 +441,12 @@ def interval_overlap_join(
     w = int(bucket_width)
 
     def side(df: DataFrame, tag: str) -> DataFrame:
-        return df.select(
+        # drop empty/degenerate intervals (hi <= lo): a half-open
+        # [lo, hi) with hi <= lo contains nothing, so it can overlap
+        # nothing — and left in, Spark's sequence(start, stop) would
+        # generate a DESCENDING bucket range for it and the overlap
+        # predicate alone would wrongly admit pairs straddling its lo
+        return df.where(F.col(hi) > F.col(lo)).select(
             *keys,
             F.col(lo).alias(f"{tag}_lo"),
             F.col(hi).alias(f"{tag}_hi"),

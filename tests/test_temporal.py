@@ -182,3 +182,15 @@ def test_interval_overlap_join_banding_lossless(spark):
     # (0,35)x(35,40) touching only -> excluded; (50,55)x(30,60)
     # overlap 5; v/w keys never match
     assert out == [("u", 0, 30, 5), ("u", 50, 30, 5)]
+
+
+def test_interval_overlap_join_drops_empty_intervals(spark):
+    from gene_level_metadata_pipeline_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    a = spark.createDataFrame(
+        [("u", 5, 5), ("u", 7, 3)], "k string, lo long, hi long"
+    )
+    b = spark.createDataFrame([("u", 0, 10)], "k string, lo long, hi long")
+    assert interval_overlap_join(a, b, "k", bucket_width=10).count() == 0
