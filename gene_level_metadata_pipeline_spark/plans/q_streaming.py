@@ -370,3 +370,30 @@ def q_session_entry_exit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return se.groupBy("entry_type", "exit_type").agg(
         F.count(F.lit(1)).alias("n_sessions")
     )
+
+
+@_register(
+    "streaming_cdc_apply",
+    oracle="""
+    SELECT * FROM (VALUES
+      (CAST(1 AS BIGINT), 'A3'),
+      (CAST(2 AS BIGINT), 'B'),
+      (CAST(4 AS BIGINT), 'd'),
+      (CAST(6 AS BIGINT), 'F')
+    ) AS t(k, val)
+    """,
+)
+def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC materialization (streaming.cdc_stream_apply): a
+    parquet snapshot maintained in the sink, each micro-batch of change
+    events applied with harmonize.cdc_apply (tombstones, multi-version
+    latest-wins) into the NEXT copy-on-write snapshot version —
+    restart-safe from the latest version + checkpoint alone. The
+    deterministic 3-batch demo certifies delete-after-insert,
+    update-after-update, and tombstone semantics end-to-end against a
+    VALUES oracle."""
+    from gene_level_metadata_pipeline_spark.streaming.windows import (
+        cdc_stream_apply,
+    )
+
+    return cdc_stream_apply(spark)

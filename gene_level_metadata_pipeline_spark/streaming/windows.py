@@ -1034,3 +1034,106 @@ def incremental_corpus_stream(
     out = spark.read.parquet(hist_dir)
     rows = out.collect()
     return spark.createDataFrame(rows, out.schema)
+
+
+def cdc_stream_apply(
+    spark: SparkSession, demo_dir: str | None = None
+) -> DataFrame:
+    """Streaming CDC materialization: a snapshot table maintained in the
+    sink, each micro-batch of change events applied with
+    ``harmonize.cdc_apply`` (tombstones + multi-version latest-wins) and
+    the result written as the next snapshot VERSION — the
+    materialized-view-maintenance pattern (what Delta/Iceberg MERGE
+    does per commit), with ``foreachBatch`` as the transaction
+    boundary and ALL state in the sink: a restarted job resumes from
+    the latest snapshot version + the source checkpoint alone.
+    Versioned directories (never overwrite-in-place: the job reading
+    snap_v{n} writes snap_v{n+1}) are the copy-on-write discipline.
+
+    Deterministic three-batch demo (maxFilesPerTrigger=1, pinned
+    mtimes): upsert + insert, then a tombstone + a re-upsert, then a
+    delete-of-inserted + update + fresh insert. Final snapshot:
+    {1: A3, 2: B, 4: d, 6: F} — key 3 tombstoned, key 5 inserted then
+    deleted."""
+    import json
+    import os
+    import re as _re
+    import tempfile
+
+    from gene_level_metadata_pipeline_spark.operators.harmonize import (
+        cdc_apply,
+    )
+
+    d = demo_dir or tempfile.mkdtemp(prefix="cdc_stream_")
+    src_dir = os.path.join(d, "changes")
+    os.makedirs(src_dir, exist_ok=True)
+    snap0 = os.path.join(d, "snap_v0")
+    if not os.path.isdir(snap0):
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, val string"
+        ).write.mode("overwrite").parquet(snap0)
+
+    def write_batch(name: str, rows: list, mtime: int) -> None:
+        path = os.path.join(src_dir, name)
+        if not os.path.exists(path):
+            with open(path, "w") as f:
+                for k, val, version, op in rows:
+                    f.write(json.dumps(
+                        {"k": k, "val": val, "version": version, "op": op}
+                    ) + "\n")
+        os.utime(path, (mtime, mtime))
+
+    write_batch("b1.json", [
+        (2, "B", 1, "upsert"), (5, "E", 1, "upsert"),
+    ], mtime=1_700_000_000)
+    write_batch("b2.json", [
+        (3, None, 2, "delete"), (5, "E2", 2, "upsert"),
+    ], mtime=1_700_000_600)
+    write_batch("b3.json", [
+        (5, None, 3, "delete"), (1, "A3", 3, "upsert"), (6, "F", 1, "upsert"),
+    ], mtime=1_700_001_200)
+
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("k", LongType()),
+        StructField("val", StringType()),
+        StructField("version", IntegerType()),
+        StructField("op", StringType()),
+    ])
+
+    def latest_version() -> int:
+        vs = [
+            int(m.group(1))
+            for f in os.listdir(d)
+            if (m := _re.fullmatch(r"snap_v(\d+)", f))
+        ]
+        return max(vs)
+
+    def apply_batch(batch_df: DataFrame, bid: int) -> None:
+        sp = batch_df.sparkSession
+        cur = latest_version()
+        snap = sp.read.parquet(os.path.join(d, f"snap_v{cur}"))
+        out = cdc_apply(snap, batch_df, "k")
+        out.write.mode("overwrite").parquet(
+            os.path.join(d, f"snap_v{cur + 1}")
+        )
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src_dir)
+    )
+    with _pinned_shuffle(spark, 8):
+        q = (
+            src.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(d, "_checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out = spark.read.parquet(os.path.join(d, f"snap_v{latest_version()}"))
+    rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)

@@ -110,3 +110,18 @@ def test_incremental_corpus_stream_restart_resumes_from_history(spark, tmp_path)
     out2 = {(r["doc_id"], r["text"])
             for r in incremental_corpus_stream(spark, demo_dir=d).collect()}
     assert out2 == out1 | {(10, "iota kappa")}
+
+
+def test_cdc_stream_apply_restart_resumes_from_latest_snapshot(spark, tmp_path):
+    """Run the CDC stream once, then run it AGAIN over the same demo dir:
+    the checkpoint replays nothing, the latest snapshot version is
+    reread, and the final table is unchanged — the restart-safety
+    contract (state lives in the sink + checkpoint, not the driver)."""
+    from gene_level_metadata_pipeline_spark.streaming.windows import (
+        cdc_stream_apply,
+    )
+
+    d = str(tmp_path / "cdc_demo")
+    first = {(r["k"], r["val"]) for r in cdc_stream_apply(spark, d).collect()}
+    second = {(r["k"], r["val"]) for r in cdc_stream_apply(spark, d).collect()}
+    assert first == second == {(1, "A3"), (2, "B"), (4, "d"), (6, "F")}
