@@ -127,3 +127,58 @@ def cdc_apply(
         winners.select(*keys).distinct(), on=keys, how="left_anti"
     )
     return kept.unionByName(upserts)
+
+
+def retract_aggregate(
+    agg: DataFrame,
+    deltas: DataFrame,
+    key: str | list[str],
+    value_col: str,
+    op_col: str = "op",
+    delete_op: str = "delete",
+    count_col: str = "n",
+    sum_col: str = "total",
+) -> DataFrame:
+    """Retractable incremental aggregate maintenance — the
+    deletion-aware sibling of the insert-only partial-aggregate merge
+    (``delta_agg_merge``): a maintained (key, count, sum) aggregate
+    absorbs a CDC fact feed where each row INSERTS or RETRACTS one
+    fact, without rescanning the base facts.
+
+    Deletes contribute (-1, -value); inserts (+1, +value); the feed
+    collapses to one signed partial aggregate per key (map-side
+    combine), then a single full-outer merge with the maintained
+    table adds the partials — counts are exact bigints and sums stay
+    DECIMAL through the merge (associative, order-independent), the
+    delta_agg_merge identity. Keys whose count reaches zero drop out
+    (full retraction); keys driven NEGATIVE (retracting facts that
+    were never aggregated — an upstream bug) are also dropped rather
+    than silently emitted, and callers auditing for them should count
+    ``retract_aggregate(...).where(col(count) < 0)`` BEFORE this
+    filter — or simply reconcile against a full recompute, which is
+    exactly what the oracle twin does.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    sign = F.when(F.col(op_col) == delete_op, F.lit(-1)).otherwise(F.lit(1))
+    d = deltas.groupBy(*keys).agg(
+        F.sum(sign).alias("__dn"),
+        F.sum(
+            sign.cast("decimal(18,6)")
+            * F.col(value_col).cast("decimal(18,6)")
+        ).alias("__dt"),
+    )
+    merged = agg.join(d, keys, "full_outer").select(
+        *keys,
+        (
+            F.coalesce(F.col(count_col), F.lit(0))
+            + F.coalesce(F.col("__dn"), F.lit(0))
+        ).cast("bigint").alias(count_col),
+        (
+            F.coalesce(
+                F.col(sum_col).cast("decimal(28,6)"), F.lit(0).cast("decimal(28,6)")
+            )
+            + F.coalesce(F.col("__dt").cast("decimal(28,6)"),
+                         F.lit(0).cast("decimal(28,6)"))
+        ).alias(sum_col),
+    )
+    return merged.where(F.col(count_col) > 0)

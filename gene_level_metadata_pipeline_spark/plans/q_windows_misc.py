@@ -2723,3 +2723,54 @@ def q_hits_customer_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = o.join(li, "k").select("u", "v").distinct()
     return hits_bipartite(e, iterations=2)
+
+
+@_register(
+    "agg_retract_merge",
+    oracle="""
+    WITH survivors AS (
+      SELECT o_custkey, o_totalprice FROM orders WHERE o_orderkey % 21 <> 0
+      UNION ALL
+      SELECT o_custkey, o_totalprice + 1000 FROM orders
+      WHERE o_orderkey % 17 = 0
+    )
+    SELECT o_custkey,
+           count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE)
+             AS total
+    FROM survivors GROUP BY o_custkey
+    """,
+)
+def q_agg_retract_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retractable aggregate maintenance (harmonize.retract_aggregate):
+    the maintained per-customer (count, spend) aggregate absorbs a CDC
+    feed — every 21st order RETRACTED, every 17th re-inserted at a new
+    price — via one signed partial aggregate + one full-outer merge,
+    never a fact rescan. The oracle IS the full recompute over the
+    surviving facts, so the hash match certifies the retraction
+    identity (including customers whose counts hit zero and drop out).
+    The deletion-aware completion of delta_agg_merge."""
+    from gene_level_metadata_pipeline_spark.operators.harmonize import (
+        retract_aggregate,
+    )
+
+    o = _t(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)")).alias("total"),
+    )
+    k = F.col("o_orderkey")
+    feed = o.where(k % 21 == 0).select(
+        "o_custkey", F.col("o_totalprice").alias("v"),
+        F.lit("delete").alias("op"),
+    ).unionByName(
+        o.where(k % 17 == 0).select(
+            "o_custkey", (F.col("o_totalprice") + 1000).alias("v"),
+            F.lit("insert").alias("op"),
+        )
+    )
+    out = retract_aggregate(base, feed, "o_custkey", "v")
+    return out.select(
+        "o_custkey", "n",
+        F.round("total", 2).cast("double").alias("total"),
+    )

@@ -97,3 +97,31 @@ def test_cdc_apply_tombstones_and_latest_wins(spark):
     )
     out = {r["k"]: r["val"] for r in cdc_apply(snap, ch, "k").collect()}
     assert out == {1: "a", 2: "B", 4: "D2", 5: "E"}
+
+
+def test_retract_aggregate_zero_and_negative_counts_drop(spark):
+    """Full retraction removes the key; over-retraction (count < 0)
+    is dropped, not emitted; inserts create new keys."""
+    from pyspark.sql import functions as F
+
+    from gene_level_metadata_pipeline_spark.operators.harmonize import (
+        retract_aggregate,
+    )
+
+    from decimal import Decimal
+
+    base = spark.createDataFrame(
+        [(1, 2, Decimal("10.0")), (2, 1, Decimal("5.0"))],
+        "k long, n long, total decimal(18,6)",
+    )
+    feed = spark.createDataFrame(
+        [
+            (1, 4.0, "delete"), (1, 6.0, "delete"),   # full retraction
+            (2, 1.0, "delete"), (2, 2.0, "delete"),   # OVER-retraction
+            (3, 7.0, "insert"),                        # new key
+        ],
+        "k long, v double, op string",
+    )
+    out = {r["k"]: (r["n"], float(r["total"]))
+           for r in retract_aggregate(base, feed, "k", "v").collect()}
+    assert out == {3: (1, 7.0)}
