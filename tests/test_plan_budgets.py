@@ -229,6 +229,10 @@ EXTRA_BUDGET = {
     # discipline); per-half-step shape is edges join + grouped sum +
     # 1-row max broadcast (audited 2026-08-15)
     "hits_customer_supplier": 0,
+    # retractable agg: base aggregate + signed delta aggregate sharing
+    # the customer key; the full-outer merge rides the same hash
+    # partitioning (audited 2026-08-15)
+    "agg_retract_merge": 2,
     # r5 batch 2 (audited 2026-08-15): Heaps curve = word first-doc agg
     # + 7-point rollup (checkpoint frame broadcast); lead time = one
     # priority rollup (orders side broadcasts into the fact join);
