@@ -43,6 +43,7 @@ __all__ = [
     "simhash",
     "lsh_params",
     "corpus_overlap_minhash",
+    "source_overlap_matrix",
     "fuzzy_dup_pairs",
     "ngram_containment_pairs",
 ]
@@ -1043,4 +1044,66 @@ def near_dup_against_history(
         )
         .where(F.col("jaccard") >= threshold)
         .select("new_id", "hist_id", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Pairwise content-overlap matrix across sources/feeds in ONE pass —
+    the N-way generalization of :func:`corpus_overlap_minhash`: per
+    source, k salted min-hashes over the exact text fingerprints (one
+    groupBy, map-side combined, k columns per source row); every source
+    PAIR then compares sketches on the |sources|-row table — a
+    broadcast self-join on rows of k hex strings, never anything
+    corpus-sized. The provenance triage view ("which feeds duplicate
+    each other?") that decides who shares an incremental-dedup history.
+
+    Returns (src_a, src_b, k, n_match, jaccard_est) for src_a < src_b,
+    estimate stderr ~= sqrt(J(1-J)/k). Same determinism/NULL contract
+    as the two-corpus op: salted md5 minima compare lexicographically
+    in any engine; an empty/NULL-text source has NULL minima which
+    match nothing.
+    """
+    if num_hashes < 1:
+        raise ValueError(
+            f"source_overlap_matrix: num_hashes={num_hashes} must be >= 1"
+        )
+    fp = F.md5(F.col(text_col))
+    sk = df.groupBy(F.col(group_col).alias("__g")).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), fp))).alias(f"__m{s}")
+            for s in range(num_hashes)
+        ]
+    )
+    a = sk.select(
+        F.col("__g").alias("src_a"),
+        *[F.col(f"__m{s}").alias(f"__a{s}") for s in range(num_hashes)],
+    )
+    b = sk.select(
+        F.col("__g").alias("src_b"),
+        *[F.col(f"__m{s}").alias(f"__b{s}") for s in range(num_hashes)],
+    )
+    matches = sum(
+        (
+            F.col(f"__a{s}").isNotNull()
+            & F.col(f"__a{s}").eqNullSafe(F.col(f"__b{s}"))
+        ).cast("long")
+        for s in range(num_hashes)
+    )
+    return (
+        a.join(F.broadcast(b), F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            F.lit(num_hashes).cast("long").alias("k"),
+            matches.alias("n_match"),
+        )
+        .select(
+            "src_a", "src_b", "k", "n_match",
+            F.round(F.col("n_match") / F.col("k"), 4).alias("jaccard_est"),
+        )
     )

@@ -3128,3 +3128,44 @@ def q_dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.where(F.col("doc_id") % 2 == 0),
         "text", "doc_id", n=3, threshold=0.1, num_hashes=8, bands=4,
     )
+
+
+def _source_overlap_oracle(k: int = 16) -> str:
+    mins = ",\n             ".join(
+        f"min(md5('{s}:' || md5(text))) AS m{s}" for s in range(k)
+    )
+    match = " + ".join(
+        f"CASE WHEN a.m{s} IS NOT NULL AND a.m{s} = b.m{s} "
+        f"THEN 1 ELSE 0 END"
+        for s in range(k)
+    )
+    return f"""
+    WITH sk AS (
+      SELECT source AS g,
+             {mins}
+      FROM documents GROUP BY source
+    )
+    SELECT a.g AS src_a, b.g AS src_b,
+           CAST({k} AS BIGINT) AS k,
+           CAST({match} AS BIGINT) AS n_match,
+           round(CAST({match} AS BIGINT) * 1.0 / {k}, 4) AS jaccard_est
+    FROM sk a JOIN sk b ON a.g < b.g
+    """
+
+
+@_register("source_overlap_matrix", oracle=_source_overlap_oracle(16))
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix (dedup.source_overlap_matrix):
+    k-min-hash Jaccard estimates between every pair of document feeds
+    in one corpus pass — per-source sketches are one map-side-combined
+    groupBy, pair comparison is a broadcast self-join on the
+    |sources|-row sketch table; the provenance triage that decides
+    which feeds share an incremental-dedup history (the N-way
+    generalization of corpus_overlap_est)."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        source_overlap_matrix,
+    )
+
+    return source_overlap_matrix(
+        _t(spark, sf_dir, "documents"), "source", "text", num_hashes=16
+    )

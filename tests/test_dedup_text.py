@@ -1318,3 +1318,26 @@ def test_near_dup_against_history_bipartite_only(spark):
         new, hist2, "text", "doc_id", threshold=0.5, max_history_bucket=1
     )
     assert capped.count() == 0  # both history copies share every bucket
+
+
+def test_source_overlap_matrix_identical_disjoint_empty(spark):
+    """Identical feeds estimate 1.0, disjoint ~0, a NULL-text feed
+    matches nothing; rows only for src_a < src_b."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        source_overlap_matrix,
+    )
+
+    rows = (
+        [("a", f"doc {i}") for i in range(12)]
+        + [("b", f"doc {i}") for i in range(12)]       # identical to a
+        + [("c", f"other {i}") for i in range(12)]      # disjoint
+        + [("d", None)]                                  # empty sketch
+    )
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = {(r["src_a"], r["src_b"]): r["jaccard_est"]
+           for r in source_overlap_matrix(df, "source", "text", 16).collect()}
+    assert set(out) == {("a", "b"), ("a", "c"), ("a", "d"),
+                        ("b", "c"), ("b", "d"), ("c", "d")}
+    assert out[("a", "b")] == 1.0
+    assert out[("a", "c")] <= 0.25          # disjoint: few chance matches
+    assert out[("a", "d")] == 0.0 and out[("c", "d")] == 0.0
