@@ -233,6 +233,10 @@ EXTRA_BUDGET = {
     # the customer key; the full-outer merge rides the same hash
     # partitioning (audited 2026-08-15)
     "agg_retract_merge": 2,
+    # per-source sketch groupBy (two sides of the tiny self-join share
+    # the canonically-identical aggregate; runtime-reused) — pair
+    # comparison is a broadcast NLJ over |sources| rows
+    "source_overlap_matrix": 2,
     # r5 batch 2 (audited 2026-08-15): Heaps curve = word first-doc agg
     # + 7-point rollup (checkpoint frame broadcast); lead time = one
     # priority rollup (orders side broadcasts into the fact join);
