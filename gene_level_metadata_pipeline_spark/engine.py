@@ -348,3 +348,19 @@ class Engine:
         )
 
         return near_dup_against_history(new, history, text_col, id_col, **kw)
+
+    def retract_aggregate(self, agg: DataFrame, deltas: DataFrame, key,
+                          value_col: str, **kw) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.harmonize import (
+            retract_aggregate,
+        )
+
+        return retract_aggregate(agg, deltas, key, value_col, **kw)
+
+    def source_overlap_matrix(self, df: DataFrame, group_col: str,
+                              text_col: str, **kw) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.dedup import (
+            source_overlap_matrix,
+        )
+
+        return source_overlap_matrix(df, group_col, text_col, **kw)

@@ -303,6 +303,17 @@ def test_engine_facade_exposes_batch3_family(spark):
     assert eng.interval_overlap_join(iv, iv, "k").count() == 1
     assert eng.golden_record(snap, "k", {"v": "mode"}).count() == 1
     assert eng.hits_bipartite(g.limit(1), iterations=1).count() == 2
+    base = spark.createDataFrame([(1, 1, None)],
+                                 "k long, n long, total decimal(18,6)")
+    feed = spark.createDataFrame([(1, 2.0, "insert")],
+                                 "k long, v double, op string")
+    assert eng.retract_aggregate(base, feed, "k", "v").count() == 1
+    two = spark.createDataFrame(
+        [(1, "ab ab"), (2, "cd cd")], "doc_id long, text string"
+    )
+    assert eng.source_overlap_matrix(
+        two.withColumn("src", two.doc_id % 2), "src", "text", num_hashes=4
+    ).count() == 1
     assert eng.near_dup_against_history(
         docs, docs.select((docs.doc_id + 10).alias("doc_id"), "text"),
         "text", "doc_id", threshold=0.1,
