@@ -155,3 +155,71 @@ def test_interval_overlap_matches_quadratic(a, b, width):
         ).collect()
     )
     assert got == expected
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7), st.integers(1, 9)),
+    min_size=1, max_size=18,
+), hops=st.integers(1, 4))
+def test_sssp_matches_bounded_bellman_ford(edges, hops):
+    from gene_level_metadata_pipeline_spark.operators.graph import (
+        sssp_weighted,
+    )
+
+    spark = _get_spark()
+    # undirected; duplicates collapse to min weight? No — the operator
+    # distinct()s exact (u, v, w) triples and relaxes ALL of them, so
+    # the reference must too: keep distinct triples both directions.
+    sym = {(u, v, w) for u, v, w in edges} | {
+        (v, u, w) for u, v, w in edges
+    }
+    seed = min(u for u, _, _ in sym)
+    dist = {seed: 0}
+    for _ in range(hops):
+        nxt = dict(dist)
+        for u, v, w in sym:
+            if u in dist and dist[u] + w < nxt.get(v, float("inf")):
+                nxt[v] = dist[u] + w
+        dist = nxt
+    df = spark.createDataFrame(list(sym), "u long, v long, w long")
+    sdf = spark.createDataFrame([(seed,)], "node long")
+    got = {r["node"]: r["dist"] for r in
+           sssp_weighted(df, sdf, max_hops=hops).collect()}
+    assert got == dist
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(edges=st.lists(
+    st.tuples(st.integers(0, 5), st.integers(10, 14)),
+    min_size=1, max_size=15,
+), iters=st.integers(1, 3))
+def test_hits_matches_integer_replay(edges, iters):
+    from gene_level_metadata_pipeline_spark.operators.graph import (
+        hits_bipartite,
+    )
+
+    spark = _get_spark()
+    SCALE = 10 ** 6
+    e = sorted(set(edges))
+    h = {u: SCALE for u, _ in e}
+    a = {}
+    for _ in range(iters):
+        ra = {}
+        for u, v in e:
+            ra[v] = ra.get(v, 0) + h[u]
+        m = max(ra.values())
+        a = {v: x * SCALE // m for v, x in ra.items()}
+        rh = {}
+        for u, v in e:
+            rh[u] = rh.get(u, 0) + a[v]
+        m = max(rh.values())
+        h = {u: x * SCALE // m for u, x in rh.items()}
+    expected = {("hub", u): s for u, s in h.items()}
+    expected |= {("authority", v): s for v, s in a.items()}
+    df = spark.createDataFrame(e, "u long, v long")
+    got = {(r["side"], r["node"]): r["score"]
+           for r in hits_bipartite(df, iterations=iters).collect()}
+    assert got == expected
