@@ -173,6 +173,7 @@ def funnel_steps(
     ts_col: str,
     type_col: str,
     steps: list[str],
+    max_gap_us: int | None = None,
 ) -> DataFrame:
     """Ordered-funnel analysis: how many users performed the ``steps``
     event types in strict timestamp order (each step strictly AFTER the
@@ -187,6 +188,14 @@ def funnel_steps(
 
     Returns one row per step: (step_idx, step, n_users, pct_of_first)
     with pct rounded to 4 dp (NULL when the first step had no users).
+
+    ``max_gap_us`` makes the funnel TIME-WINDOWED: each step must also
+    land within that many microseconds of the user's earliest previous-
+    step completion (the "purchase within 48h of click" product
+    question). Semantics stay the greedy earliest-completion chain —
+    the window anchors on the earliest prior step, the convention
+    product-analytics funnels use; a user who re-enters later is not
+    re-anchored. Requires a timestamp-typed ``ts_col``.
     """
     if not steps:
         raise ValueError("funnel_steps: steps must be non-empty")
@@ -200,9 +209,16 @@ def funnel_steps(
         if reached is None:
             reached = ev.groupBy("__u").agg(F.min("__ts").alias("__t"))
         else:
+            cond = F.col("__ts") > F.col("__t")
+            if max_gap_us is not None:
+                cond = cond & (
+                    F.unix_micros(F.col("__ts"))
+                    - F.unix_micros(F.col("__t"))
+                    <= F.lit(max_gap_us)
+                )
             reached = (
                 ev.join(reached, "__u")
-                .where(F.col("__ts") > F.col("__t"))
+                .where(cond)
                 .groupBy("__u")
                 .agg(F.min("__ts").alias("__t"))
             )

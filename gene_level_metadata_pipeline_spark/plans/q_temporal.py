@@ -2441,3 +2441,58 @@ def q_interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = spans(F.col("event_type").isin("click", "view"))
     b = spans(F.col("event_type") == "error")
     return interval_overlap_join(a, b, "user_id")
+
+
+@_register(
+    "funnel_windowed",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, min(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t
+        AND epoch_us(e.ts) - epoch_us(s1.t) <= 172800000000
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, min(e.ts) AS t
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t
+        AND epoch_us(e.ts) - epoch_us(s2.t) <= 172800000000
+      GROUP BY e.user_id
+    ),
+    c AS (
+      SELECT CAST(1 AS BIGINT) AS step_idx, 'view' AS step,
+             (SELECT count(*) FROM s1) AS n_users
+      UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+      UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)
+    )
+    SELECT step_idx, step, n_users,
+           round(CAST(n_users AS DOUBLE)
+                 / nullif((SELECT n_users FROM c WHERE step_idx = 1), 0), 4)
+             AS pct_of_first
+    FROM c
+    """,
+)
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-windowed funnel view → click → purchase with a 48h per-step
+    deadline (temporal.funnel_steps(max_gap_us=...)): each step counts
+    only when it lands within 48h of the user's earliest previous-step
+    completion — the conversion-deadline semantics product funnels
+    actually report (a purchase a month after the click is not this
+    campaign's conversion). Same per-step conditional-min chain as
+    funnel_conversion (no per-user arrays, one shared user-key
+    partitioning); exact microsecond window arithmetic both engines."""
+    from gene_level_metadata_pipeline_spark.operators.temporal import (
+        funnel_steps,
+    )
+
+    ev = _events(spark, sf_dir)
+    return funnel_steps(
+        ev, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"],
+        max_gap_us=172_800_000_000,
+    )

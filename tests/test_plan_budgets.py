@@ -237,6 +237,10 @@ EXTRA_BUDGET = {
     # the canonically-identical aggregate; runtime-reused) — pair
     # comparison is a broadcast NLJ over |sources| rows
     "source_overlap_matrix": 2,
+    # windowed funnel inherits funnel_conversion's 3 conditional-min
+    # chains + 1-row pct broadcast (the deadline predicate adds no
+    # exchange)
+    "funnel_windowed": 10,
     # r5 batch 2 (audited 2026-08-15): Heaps curve = word first-doc agg
     # + 7-point rollup (checkpoint frame broadcast); lead time = one
     # priority rollup (orders side broadcasts into the fact join);

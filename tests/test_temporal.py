@@ -194,3 +194,29 @@ def test_interval_overlap_join_drops_empty_intervals(spark):
     )
     b = spark.createDataFrame([("u", 0, 10)], "k string, lo long, hi long")
     assert interval_overlap_join(a, b, "k", bucket_width=10).count() == 0
+
+
+def test_funnel_windowed_deadline_binds(spark):
+    """A step completed AFTER the deadline does not convert; within it,
+    does. Anchoring stays on the earliest previous-step completion."""
+    from datetime import datetime, timedelta
+
+    from gene_level_metadata_pipeline_spark.operators.temporal import (
+        funnel_steps,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        ("u1", "view", base),
+        ("u1", "click", base + timedelta(hours=1)),       # in window
+        ("u2", "view", base),
+        ("u2", "click", base + timedelta(hours=50)),      # past 48h
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id string, event_type string, ts timestamp"
+    )
+    out = {r["step_idx"]: r["n_users"] for r in funnel_steps(
+        ev, "user_id", "ts", "event_type", ["view", "click"],
+        max_gap_us=48 * 3600 * 1_000_000,
+    ).collect()}
+    assert out == {1: 2, 2: 1}
