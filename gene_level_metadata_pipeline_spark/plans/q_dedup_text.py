@@ -3169,3 +3169,52 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap_matrix(
         _t(spark, sf_dir, "documents"), "source", "text", num_hashes=16
     )
+
+
+def _tokenizer_pipeline_oracle(rounds: int = 4) -> str:
+    """The bpe_encode oracle's train+encode chain, rolled up per
+    language: the corpus-level tokenizer report."""
+    enc = _bpe_encode_oracle(rounds)
+    return f"""
+    WITH enc_out AS ({enc})
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(e.n_tokens) AS BIGINT) AS total_tokens,
+           round(CAST(sum(e.n_chars) AS DOUBLE)
+                 / CAST(sum(e.n_tokens) AS DOUBLE), 6) AS compression
+    FROM enc_out e JOIN documents d ON d.doc_id = e.doc_id
+    GROUP BY d.lang
+    """
+
+
+@_register("tokenizer_pipeline", oracle=_tokenizer_pipeline_oracle(4))
+def q_tokenizer_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-training composite end-to-end: learn 4 BPE merges
+    on the corpus (bpe_train), encode every document with them
+    (bpe_encode), and roll the result up per language — docs, total
+    token budget, and chars-per-token compression. The report that
+    decides whether the tokenizer under-serves a language (lower
+    compression = more tokens per char = that language pays more
+    context budget) — the fairness check every multilingual tokenizer
+    ships with. Every stage is the certified operator; exact bigint
+    counts, one rounded ratio per language."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = bpe_encode(docs, bpe_train(docs, rounds=4))
+    return (
+        enc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.sum("n_chars").cast("double")
+                / F.sum("n_tokens").cast("double"),
+                6,
+            ).alias("compression"),
+        )
+    )

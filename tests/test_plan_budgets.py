@@ -241,6 +241,10 @@ EXTRA_BUDGET = {
     # chains + 1-row pct broadcast (the deadline predicate adds no
     # exchange)
     "funnel_windowed": 10,
+    # tokenizer composite: encode's (doc, word) collapse + doc rollup
+    # + the per-language rollup (train's per-round frames are
+    # checkpointed driver-side, 0 printed)
+    "tokenizer_pipeline": 3,
     # r5 batch 2 (audited 2026-08-15): Heaps curve = word first-doc agg
     # + 7-point rollup (checkpoint frame broadcast); lead time = one
     # priority rollup (orders side broadcasts into the fact join);
