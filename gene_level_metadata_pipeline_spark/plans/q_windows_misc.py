@@ -2774,3 +2774,70 @@ def q_agg_retract_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "n",
         F.round("total", 2).cast("double").alias("total"),
     )
+
+
+@_register(
+    "approx_percentile_bound",
+    oracle="""
+    WITH v AS (
+      SELECT event_type, CAST(round(value * 1e6, 0) AS BIGINT) AS vm
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(quantile_cont(vm, 0.5), 0) AS BIGINT) AS exact_p50,
+           TRUE AS within_bound
+    FROM v GROUP BY event_type
+    """,
+)
+def q_approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certifies Spark's approx_percentile RANK-ERROR GUARANTEE with an
+    exact oracle — the pattern for hash-certifying a sketch whose
+    output no other engine can reproduce: the sketch value itself never
+    leaves Spark; what ships is the exact p50 (both engines) plus a
+    BOOLEAN asserting the sketch landed within its documented rank
+    error (accuracy=100 -> rank error <= n/100). The oracle emits TRUE
+    unconditionally, so any guarantee violation hash-mismatches. The
+    exact-regime companion to approx_profile's rows-only check —
+    stronger, because THIS one is value-hashed. Rank check is exact
+    integer arithmetic on micro-units (|#{v <= approx} - n/2| within
+    n/100 + 1 of the target, the GK-sketch contract)."""
+    ev = _events(spark, sf_dir).where(F.col("value").isNotNull())
+    v = ev.select(
+        "event_type",
+        F.round(F.col("value") * 1e6, 0).cast("bigint").alias("vm"),
+    )
+    stats = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("approx_percentile(vm, 0.5, 100)").alias("ap"),
+        F.round(F.expr("percentile(vm, 0.5)"), 0).cast("bigint").alias(
+            "exact_p50"
+        ),
+    )
+    rank_at_ap = (
+        v.join(stats.select("event_type", "ap"), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("vm") <= F.col("ap"), 1)).alias("r_le"),
+            F.count(F.when(F.col("vm") < F.col("ap"), 1)).alias("r_lt"),
+        )
+    )
+    # the returned value's rank interval [r_lt+1, r_le] must come
+    # within n/100 (+1 for the floor) of the target rank n/2
+    return (
+        stats.join(rank_at_ap, "event_type")
+        .select(
+            "event_type",
+            "n",
+            "exact_p50",
+            (
+                (
+                    F.least(
+                        F.abs(F.col("r_le") - F.col("n") / 2),
+                        F.abs(F.col("r_lt") + 1 - F.col("n") / 2),
+                    )
+                )
+                <= (F.col("n") / 100 + 1)
+            ).alias("within_bound"),
+        )
+    )

@@ -245,6 +245,9 @@ EXTRA_BUDGET = {
     # + the per-language rollup (train's per-round frames are
     # checkpointed driver-side, 0 printed)
     "tokenizer_pipeline": 3,
+    # sketch-bound certification: per-type stats agg + the rank-check
+    # re-agg + the tiny stats join back
+    "approx_percentile_bound": 3,
     # r5 batch 2 (audited 2026-08-15): Heaps curve = word first-doc agg
     # + 7-point rollup (checkpoint frame broadcast); lead time = one
     # priority rollup (orders side broadcasts into the fact join);
