@@ -12,12 +12,22 @@ Usage:  python tools/check_oracle.py [query ...]
 confs, America/New_York session timezone, 8 cores) instead of the
 engine's tuned session — replicating the driver, which builds ITS OWN
 session. Every query must self-configure whatever it needs.
+
+DuckDB oracle results are cached on disk (``.oracle_cache/``), keyed by
+sha256(oracle SQL + resolved sf dir + parquet sizes/mtimes) — the oracle
+side is pure (same SQL + same parquet = same result), and the quadratic
+oracles (ER composite: 225M levenshtein + transitive closure) dominate
+the sf0.1 gate's ~45-min wall. The SPARK side is never cached — it's the
+thing under test. ``ORACLE_CACHE=0`` disables; the key self-invalidates
+when the SQL text or the testdata changes.
 """
 
 from __future__ import annotations
 
+import hashlib
 import math
 import os
+import pickle
 import sys
 import time
 
@@ -28,6 +38,47 @@ TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
 ).split()
+
+CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".oracle_cache")
+CACHE_ON = os.environ.get("ORACLE_CACHE", "1") != "0"
+
+
+def _data_fingerprint(sf_dir: str) -> str:
+    """Identity of the oracle's input data: path + size + mtime of every
+    table file. Cheap (10 stats) and invalidates on any testdata swap."""
+    parts = [os.path.realpath(sf_dir)]
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            st = os.stat(p)
+            parts.append(f"{t}:{st.st_size}:{st.st_mtime_ns}")
+        except OSError:
+            parts.append(f"{t}:missing")
+    return "|".join(parts)
+
+
+def _cache_key(sql: str, data_fp: str) -> str:
+    return hashlib.sha256((sql + "\x00" + data_fp).encode()).hexdigest()[:24]
+
+
+def cache_get(key: str):
+    if not CACHE_ON:
+        return None
+    try:
+        with open(os.path.join(CACHE_DIR, key + ".pkl"), "rb") as f:
+            return pickle.load(f)
+    except Exception:  # noqa: BLE001 — miss/corrupt = recompute
+        return None
+
+
+def cache_put(key: str, value) -> None:
+    if not CACHE_ON:
+        return
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    tmp = os.path.join(CACHE_DIR, f".{key}.{os.getpid()}.tmp")
+    with open(tmp, "wb") as f:
+        pickle.dump(value, f)
+    os.replace(tmp, os.path.join(CACHE_DIR, key + ".pkl"))
 
 
 def norm_cell(v):
@@ -59,11 +110,11 @@ TYPE_COMPAT = {
 }
 
 
-def type_mismatches(sdf, rel) -> list:
+def type_mismatches(sdf, dcols, dtype_names) -> list:
     """Columns whose Spark type has no compatible DuckDB counterpart —
     the driver compares schemas, so int-vs-bigint style drift is a
     latent FAIL even when values hash equal."""
-    dtypes = {c.lower(): str(t).lower() for c, t in zip(rel.columns, rel.types)}
+    dtypes = {c.lower(): t.lower() for c, t in zip(dcols, dtype_names)}
     out = []
     for f in sdf.schema.fields:
         st = f.dataType.simpleString()
@@ -114,6 +165,7 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    data_fp = _data_fingerprint(SF_DIR)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -133,20 +185,29 @@ def main() -> int:
             if len(srows) == 0:
                 print(f"      WARNING: zero rows")
             continue
-        try:
-            rel = con.sql(oracles[name])
-            dcols = rel.columns
-            drows = rel.fetchall()
-        except Exception as e:  # noqa: BLE001
-            failures.append(name)
-            print(f"FAIL  {name}: duckdb error: {e}")
-            continue
+        key = _cache_key(oracles[name], data_fp)
+        cached = cache_get(key)
+        if cached is not None:
+            dcols, dtype_names, drows = cached
+            hit = " [oracle cached]"
+        else:
+            try:
+                rel = con.sql(oracles[name])
+                dcols = rel.columns
+                dtype_names = [str(t) for t in rel.types]
+                drows = rel.fetchall()
+            except Exception as e:  # noqa: BLE001
+                failures.append(name)
+                print(f"FAIL  {name}: duckdb error: {e}")
+                continue
+            cache_put(key, (dcols, dtype_names, drows))
+            hit = ""
         sc, sm = frame_to_multiset(scols, srows)
         dc, dm = frame_to_multiset(dcols, drows)
         status = []
         if len(srows) != len(drows):
             status.append(f"rowcount {len(srows)} vs {len(drows)}")
-        tmix = type_mismatches(sdf, rel)
+        tmix = type_mismatches(sdf, dcols, dtype_names)
         if tmix:
             status.append(f"types {tmix}")
         if sc != dc:
@@ -158,7 +219,7 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(status)}")
         else:
-            print(f"PASS  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            print(f"PASS  {name}: {len(srows)} rows ({time.time()-t0:.1f}s){hit}")
 
     print(f"\n{len(failures)} failures" if failures else "\nall green")
     return 1 if failures else 0
