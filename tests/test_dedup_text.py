@@ -1341,3 +1341,74 @@ def test_source_overlap_matrix_identical_disjoint_empty(spark):
     assert out[("a", "b")] == 1.0
     assert out[("a", "c")] <= 0.25          # disjoint: few chance matches
     assert out[("a", "d")] == 0.0 and out[("c", "d")] == 0.0
+
+
+def test_bpe_train_batched_batch1_replays_sequential(spark):
+    """batch=1 must be EXACTLY bpe_train: same argmax, same tie-break,
+    same application — the equivalence anchor for the batched path."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        bpe_train,
+        bpe_train_batched,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abab abab abx"), (2, "abab abx aaa zqzq zq")],
+        "doc_id long, text string",
+    )
+    seq = [tuple(r) for r in bpe_train(docs, rounds=5).collect()]
+    b1 = [tuple(r) for r in bpe_train_batched(docs, rounds=5, batch=1).collect()]
+    assert seq == b1 and len(seq) > 0
+
+
+def test_bpe_train_batched_disjoint_selection(spark):
+    """Within one job the selected merges must be symbol-disjoint: the
+    corpus makes (a,b) the top pair and (b,c)/(a,b)-touching pairs the
+    runners-up, so batch=2 must SKIP to the best non-touching pair.
+    vocab: 'abc' freq 4 -> pairs (a,b)=4, (b,c)=4; 'xy' freq 3 -> (x,y)=3.
+    Sequential would merge (a,b) then (ab,c); one batched job must pick
+    (a,b) [tie-break beats (b,c) on sym_a] then skip (b,c) [shares b]
+    and take (x,y)."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        bpe_train_batched,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abc abc abc abc xy xy xy")], "doc_id long, text string"
+    )
+    out = [tuple(r) for r in
+           bpe_train_batched(docs, rounds=1, batch=2).collect()]
+    assert out == [(1, "a", "b", 4), (2, "x", "y", 3)]
+
+
+def test_bpe_train_batched_merged_symbol_blocked(spark):
+    """Used-set contract over real data: within each job's batch, no
+    selection may share a symbol with an earlier one OR name an earlier
+    pick's merged concatenation (the a+b guard matters from job 2 on,
+    when multi-char symbols exist in the vocabulary)."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        bpe_train_batched,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = [tuple(r) for r in
+           bpe_train_batched(docs, rounds=2, batch=4).collect()]
+    assert len(out) >= 4
+    # reconstruct per-job batches (4 per job) and check the invariant
+    for j in (0, 1):
+        batch = out[j * 4:(j + 1) * 4]
+        used = set()
+        for _, a, b, _c in batch:
+            assert a not in used and b not in used and (a + b) not in used
+            used.update((a, b, a + b))
+
+
+def test_bpe_train_batched_bad_batch_raises(spark):
+    import pytest as _pytest
+
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        bpe_train_batched,
+    )
+
+    docs = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        bpe_train_batched(docs, batch=0)
