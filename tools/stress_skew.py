@@ -67,7 +67,10 @@ def build(spark) -> None:
 def main() -> None:
     from pyspark.sql import functions as F
 
-    from gene_level_metadata_pipeline_spark.operators.skew import salted_join
+    from gene_level_metadata_pipeline_spark.operators.skew import (
+        auto_skew_join,
+        salted_join,
+    )
     from gene_level_metadata_pipeline_spark.session import get_spark
 
     spark = get_spark("stress-skew")
@@ -97,6 +100,22 @@ def main() -> None:
             {SKEW: "true", THRESH: "33554432", ADVISE: "8388608", BCAST: "-1"},
         ),
         ("salted_join (8 buckets)", salted, {SKEW: "false", BCAST: "-1"}),
+        # the r6 auto path: stock session confs, the operator detects the
+        # hub itself and scopes the tuned pair around its own execution
+        (
+            "auto_skew_join (stock confs)",
+            lambda: auto_skew_join(edges, attrs, "v", "node"),
+            {BCAST: "-1"},
+        ),
+        # sampled detection: the 100 TB shape — a 1% seeded sample finds
+        # a 40% hub with certainty at a fraction of the histogram cost
+        (
+            "auto_skew_join (1% sample)",
+            lambda: auto_skew_join(
+                edges, attrs, "v", "node", sample_fraction=0.01
+            ),
+            {BCAST: "-1"},
+        ),
     ]
     print(f"hub share {HUB_SHARE:.0%} of {N_EDGES} edges, {N_NODES} nodes")
     print(f"{'variant':30s} {'sec':>8s}")
