@@ -91,6 +91,30 @@ def build(spark) -> None:
         ],
     )
     big_li.write.mode("overwrite").parquet(f"{STRESS}/lineitem.parquet")
+    # r6: harmonize_catalog_width folds orders+lineitem aggregates onto the
+    # customer spine — replicate orders (o_orderkey offset matching
+    # lineitem's l_orderkey so the two-hop join stays consistent) and
+    # customer (c_custkey offset matching o_custkey) so row-scale stress
+    # keeps the join cardinalities of the 1x shape per replica
+    ords = spark.read.parquet(f"{SF}/orders.parquet")
+    big_ord = ords.crossJoin(reps).select(
+        (F.col("o_orderkey") + F.col("__r") * F.lit(10 ** 10)).alias(
+            "o_orderkey"
+        ),
+        (F.col("o_custkey") + F.col("__r") * F.lit(10 ** 7)).alias(
+            "o_custkey"
+        ),
+        *[c for c in ords.columns if c not in ("o_orderkey", "o_custkey")],
+    )
+    big_ord.write.mode("overwrite").parquet(f"{STRESS}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    big_cust = cust.crossJoin(reps).select(
+        (F.col("c_custkey") + F.col("__r") * F.lit(10 ** 7)).alias(
+            "c_custkey"
+        ),
+        *[c for c in cust.columns if c != "c_custkey"],
+    )
+    big_cust.write.mode("overwrite").parquet(f"{STRESS}/customer.parquet")
     # remaining tables: symlink 1x copies (the three stress queries don't
     # read them, but the loader API expects the directory layout)
     for f in os.listdir(SF):
