@@ -1222,3 +1222,165 @@ def feature_hash(
         .groupBy(id_col, "bucket")
         .agg(F.sum("__s").cast("bigint").alias("val"))
     )
+
+
+def _hard_sigmoid(z):
+    """Piecewise-linear sigmoid ``clamp(0.5 + z/4, 0, 1)`` in exact
+    DECIMAL arithmetic — the link function of :func:`linear_classifier_
+    train`. Chosen over the logistic exp() PRECISELY because it is
+    division- and transcendental-free: every value it produces is an
+    exact decimal any engine reproduces bit-for-bit (the Rocchio
+    rationale, q_dedup_text's centroid oracle, applied to a TRAINED
+    model)."""
+    half = F.lit("0.5").cast("decimal(2,1)")
+    quarter = F.lit("0.25").cast("decimal(3,2)")
+    lo = F.lit(0).cast("decimal(29,14)")
+    hi = F.lit(1).cast("decimal(29,14)")
+    return F.least(F.greatest(half + z * quarter, lo), hi).cast(
+        "decimal(16,14)"
+    )
+
+
+def linear_classifier_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    label_col: str = "lang",
+    positive: str = "en",
+    id_col: str = "doc_id",
+    n_features: int = 16,
+    rounds: int = 3,
+    lr: str = "0.001",
+) -> DataFrame:
+    """Train a binary linear classifier on hashing-trick features by
+    full-batch gradient descent — the fastText-style model-in-the-loop
+    quality filter of LLM curation pipelines (a tiny trained linear
+    model scores every document; CCNet/Gopher-class pipelines use
+    exactly this shape), as a DISTRIBUTED iterative DataFrame program:
+    per round, one (doc) aggregation computes every document's margin,
+    one (bucket) aggregation computes the full gradient, and the ~
+    ``n_features``-row weight vector round-trips through the driver
+    (bounded by construction — the header-peek discipline, same as the
+    Lloyd and BPE trainers).
+
+    Arithmetic contract: everything is exact DECIMAL — features are
+    integer sign-hash counts, the link is :func:`_hard_sigmoid`
+    (piecewise linear), the learning rate is a decimal literal, and
+    each round re-quantizes weights to scale 12. No floats, no
+    transcendentals, no divides ⇒ an unrolled SQL CTE chain replays
+    training bit-for-bit in any engine (the oracle twin in
+    plans/q_dedup_text.py does exactly that). Labels: ``y = 1`` where
+    ``label_col == positive`` else 0 (NULL ⇒ 0).
+
+    Update rule per round (classic LSM/perceptron hybrid — with the
+    clamped link the gradient is the residual):
+    ``w_j ← round(w_j + lr · round(Σ_i (y_i − p_i)·x_ij, 12), 12)``
+    with ``p_i = clamp(0.5 + (w·x_i)/4, 0, 1)``.
+
+    Scale: the corpus is touched twice per round (margin pass, gradient
+    pass) through a checkpointed O(docs × n_features) sparse feature
+    table; the only driver state is the weight vector. Rounds are
+    sequential by nature (SGD dependency), but each round is two
+    shuffles regardless of corpus size — at 100 TB you cap rounds, not
+    data. Returns the learned weights (bucket, w) — feed to
+    :func:`linear_classifier_score`.
+    """
+    from decimal import Decimal
+
+    spark = docs.sparkSession
+    feats = feature_hash(docs, text_col, id_col, n_features)
+    y = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("__yid"),
+        F.when(F.col(label_col) == positive, 1)
+        .otherwise(0)
+        .cast("decimal(2,0)")
+        .alias("__y"),
+    )
+    base = (
+        feats.join(y, feats[id_col] == y["__yid"])
+        .select(
+            F.col(id_col),
+            "bucket",
+            F.col("val").cast("decimal(12,0)").alias("val"),
+            "__y",
+        )
+        .localCheckpoint(eager=True)  # re-scanned twice per round
+    )
+    w: dict[int, Decimal] = {j: Decimal(0) for j in range(n_features)}
+    lr_lit = F.lit(lr).cast("decimal(4,3)")
+    for _ in range(rounds):
+        wdf = F.broadcast(
+            spark.createDataFrame(
+                sorted(w.items()), "bucket bigint, w decimal(24,12)"
+            )
+        )
+        z = (
+            base.join(wdf, "bucket")
+            .groupBy(id_col)
+            .agg(
+                F.sum(F.col("w") * F.col("val"))
+                .cast("decimal(24,12)")
+                .alias("z")
+            )
+        )
+        p = z.select(F.col(id_col), _hard_sigmoid(F.col("z")).alias("p"))
+        grad = (
+            base.join(p, id_col)
+            .select(
+                "bucket",
+                ((F.col("__y") - F.col("p")) * F.col("val")).alias("__t"),
+            )
+            .groupBy("bucket")
+            .agg(F.round(F.sum("__t"), 12).cast("decimal(24,12)").alias("g"))
+        )
+        upd = grad.join(wdf, "bucket").select(
+            "bucket",
+            F.round(F.col("w") + lr_lit * F.col("g"), 12)
+            .cast("decimal(24,12)")
+            .alias("w"),
+        )
+        for row in upd.collect():  # <= n_features rows — bounded
+            w[int(row["bucket"])] = row["w"]
+    return spark.createDataFrame(
+        sorted(w.items()), "bucket bigint, w decimal(24,12)"
+    )
+
+
+def linear_classifier_score(
+    docs: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_features: int = 16,
+) -> DataFrame:
+    """Score every document with a :func:`linear_classifier_train` model:
+    hash features, one broadcast join against the tiny weight vector,
+    one (doc) aggregation — O(corpus) with no driver participation.
+    Documents with no hashable tokens (or NULL text) score the
+    zero-margin ``p = 0.5`` (and therefore ``pred = 1`` — the clamp's
+    decision boundary is inclusive). Returns (id, score DOUBLE rounded
+    6dp, pred int)."""
+    feats = feature_hash(docs, text_col, id_col, n_features)
+    z = (
+        feats.join(F.broadcast(weights), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("w") * F.col("val").cast("decimal(12,0)"))
+            .cast("decimal(24,12)")
+            .alias("z")
+        )
+    )
+    p = _hard_sigmoid(
+        F.coalesce(F.col("z"), F.lit(0).cast("decimal(24,12)"))
+    )
+    return (
+        docs.select(id_col)
+        .join(z, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.round(p.cast("double"), 6).alias("score"),
+            F.when(p >= F.lit("0.5").cast("decimal(2,1)"), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("pred"),
+        )
+    )

@@ -3303,3 +3303,104 @@ def q_bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_batched(
         _t(spark, sf_dir, "documents"), rounds=2, batch=2
     )
+
+
+def _lr_oracle(rounds: int = 3, n: int = 16, lr: str = "0.001",
+               positive: str = "en") -> str:
+    """Unrolled gradient-descent replay of textanalysis.
+    linear_classifier_train + _score: the feature CTE is the shared
+    md5-hex hashing trick (feature_hash_docs), then one (z, p, g, w)
+    CTE quartet per training round — every cast/round mirrors the Spark
+    operator exactly, so the exact-DECIMAL contract makes the trained
+    weights and all scores hash-identical."""
+    hexd = "0123456789abcdef"
+    ctes = [
+        f"""wrd AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    fh AS (
+      SELECT doc_id,
+             ((strpos('{hexd}', substring(md5(w), 1, 1)) - 1) * 16
+              + strpos('{hexd}', substring(md5(w), 2, 1)) - 1)
+               % {n} AS bucket,
+             CASE WHEN strpos('{hexd}', substring(md5(w), 3, 1)) - 1 < 8
+                  THEN 1 ELSE -1 END AS s
+      FROM wrd
+    ),
+    feats AS (
+      SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+             CAST(CAST(sum(s) AS BIGINT) AS DECIMAL(12,0)) AS val
+      FROM fh GROUP BY doc_id, bucket
+    ),
+    lab AS (
+      SELECT doc_id,
+             CAST(CASE WHEN lang = '{positive}' THEN 1 ELSE 0 END
+                  AS DECIMAL(2,0)) AS y
+      FROM documents WHERE text IS NOT NULL
+    ),
+    w0 AS (SELECT DISTINCT bucket, CAST(0 AS DECIMAL(24,12)) AS w
+           FROM feats)"""
+    ]
+    sig = ("CAST(least(greatest(CAST(0.5 AS DECIMAL(2,1)) + {z} "
+           "* CAST(0.25 AS DECIMAL(3,2)), CAST(0 AS DECIMAL(29,14))), "
+           "CAST(1 AS DECIMAL(29,14))) AS DECIMAL(16,14))")
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""z{r} AS (
+      SELECT f.doc_id, CAST(sum(w.w * f.val) AS DECIMAL(24,12)) AS z
+      FROM feats f JOIN w{r - 1} w USING (bucket) GROUP BY f.doc_id
+    ),
+    p{r} AS (SELECT doc_id, {sig.format(z='z')} AS p FROM z{r}),
+    g{r} AS (
+      SELECT f.bucket,
+             CAST(round(sum((lab.y - p.p) * f.val), 12)
+                  AS DECIMAL(24,12)) AS g
+      FROM feats f JOIN p{r} p USING (doc_id) JOIN lab USING (doc_id)
+      GROUP BY f.bucket
+    ),
+    w{r} AS (
+      SELECT w.bucket,
+             CAST(round(w.w + CAST({lr} AS DECIMAL(4,3)) * g.g, 12)
+                  AS DECIMAL(24,12)) AS w
+      FROM w{r - 1} w JOIN g{r} g USING (bucket)
+    )"""
+        )
+    zf = ("COALESCE(z.z, CAST(0 AS DECIMAL(24,12)))")
+    return f"""
+    WITH {','.join(ctes)},
+    zf AS (
+      SELECT f.doc_id, CAST(sum(w.w * f.val) AS DECIMAL(24,12)) AS z
+      FROM feats f JOIN w{rounds} w USING (bucket) GROUP BY f.doc_id
+    ),
+    scored AS (
+      SELECT d.doc_id, {sig.format(z=zf)} AS p
+      FROM documents d LEFT JOIN zf z USING (doc_id)
+    )
+    SELECT doc_id, round(CAST(p AS DOUBLE), 6) AS score,
+           CAST(CASE WHEN p >= CAST(0.5 AS DECIMAL(2,1)) THEN 1 ELSE 0 END
+                AS INTEGER) AS pred
+    FROM scored
+    """
+
+
+@_register("classifier_lr_scores", oracle=_lr_oracle())
+def q_classifier_lr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained model-in-the-loop curation (textanalysis.
+    linear_classifier_train/_score): a fastText-style binary linear
+    classifier over 16-dim hashing-trick features, trained by 3 rounds
+    of full-batch gradient descent (y = lang=='en'), then scoring every
+    document. The whole TRAINING RUN is oracle-certified bit-exactly —
+    exact-DECIMAL arithmetic, piecewise-linear hard-sigmoid link, fixed
+    weight re-quantization — the discriminative sibling of the
+    closed-form Rocchio centroid query. Per round: two shuffles
+    (doc-margin agg, bucket-gradient agg) independent of corpus size;
+    driver state is the 16-row weight vector only."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        linear_classifier_score,
+        linear_classifier_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    wts = linear_classifier_train(docs)
+    return linear_classifier_score(docs, wts)

@@ -1412,3 +1412,54 @@ def test_bpe_train_batched_bad_batch_raises(spark):
     docs = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         bpe_train_batched(docs, batch=0)
+
+
+class TestLinearClassifier:
+    """textanalysis.linear_classifier_train/_score — exact-DECIMAL GD."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        # 'alpha' appears only in positives, 'omega' only in negatives;
+        # with n_features=16 they hash to distinct buckets (md5-dependent
+        # but stable), so 3 GD rounds must separate the classes.
+        return spark.createDataFrame(
+            [
+                (1, "alpha alpha alpha", "en"),
+                (2, "alpha alpha", "en"),
+                (3, "omega omega omega", "fr"),
+                (4, "omega omega", "fr"),
+                (5, None, "en"),          # NULL text: excluded from training
+                (6, "12345 !!!", "fr"),   # no [a-z] tokens: zero features
+            ],
+            ["doc_id", "text", "lang"],
+        )
+
+    def test_training_separates_classes(self, spark, corpus):
+        w = textanalysis.linear_classifier_train(corpus, rounds=3)
+        scores = {
+            r["doc_id"]: (r["score"], r["pred"])
+            for r in textanalysis.linear_classifier_score(
+                corpus, w
+            ).collect()
+        }
+        assert scores[1][0] > scores[3][0]
+        assert scores[1][1] == 1 and scores[2][1] == 1
+        assert scores[3][1] == 0 and scores[4][1] == 0
+        # featureless docs sit exactly on the (inclusive) 0.5 boundary
+        assert scores[5] == (0.5, 1)
+        assert scores[6] == (0.5, 1)
+        # scores are clamped probabilities
+        assert all(0.0 <= s <= 1.0 for s, _ in scores.values())
+
+    def test_zero_rounds_is_untrained_half(self, spark, corpus):
+        w = textanalysis.linear_classifier_train(corpus, rounds=0)
+        assert all(r["w"] == 0 for r in w.collect())
+        got = textanalysis.linear_classifier_score(corpus, w).collect()
+        assert all(r["score"] == 0.5 and r["pred"] == 1 for r in got)
+
+    def test_weights_are_exact_decimals_and_replayable(self, spark, corpus):
+        a = textanalysis.linear_classifier_train(corpus, rounds=2)
+        b = textanalysis.linear_classifier_train(corpus, rounds=2)
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        )

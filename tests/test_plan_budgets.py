@@ -139,6 +139,10 @@ EXTRA_BUDGET = {
     # 1-row stats + score agg + per-query rank window; LM = doc-word /
     # word counts + 1-row totals + score agg; overlap = two 1-row
     # sketch combines; zipf = vocab agg + global rank + 1-row sums
+    # r6: trained-LR scoring plan (training ran eagerly) — feature agg
+    # (doc,bucket), doc-margin agg, one side of the final id join; the
+    # weight join is a broadcast
+    "classifier_lr_scores": 3,
     "bm25_retrieval_topk": 8,
     "rag_chunk_retrieval": 8,
     "corpus_zipf_fit": 1,
