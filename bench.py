@@ -91,6 +91,11 @@ HEADLINE = [
     "golden_record_docs",
     "interval_overlap_sessions",
     "attribution_time_decay",
+    # r6 flagships: batched tokenizer training (rounds-axis scale path),
+    # self-mitigating skew join, trained-LR curation classifier
+    "bpe_train_batched",
+    "decorate_hot_status",
+    "classifier_lr_scores",
 ]
 
 REPS = 3

@@ -2777,6 +2777,44 @@ def q_agg_retract_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "approx_distinct_bound",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def q_approx_distinct_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certifies HyperLogLog++'s RELATIVE-ERROR GUARANTEE with an exact
+    oracle — the approx_percentile_bound pattern applied to
+    approx_count_distinct, closing the other half of approx_profile's
+    rows-only sketch pair: the HLL estimate itself never leaves Spark
+    (implementation-defined); what ships is the exact distinct count
+    (both engines) plus a BOOLEAN asserting the estimate landed within
+    5x its configured rsd (0.02 -> 10%, a ~5-sigma tail for the HLL++
+    estimator — Heule et al. 2013). The oracle emits TRUE
+    unconditionally, so any violation hash-mismatches. At 100 TB the
+    mergeable HLL partials are the distinct-count path (exact
+    countDistinct's two-phase expansion shuffles every distinct value);
+    this query is the standing evidence the cheap path stays inside
+    its contract."""
+    ev = _events(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("hll"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("hll") - F.col("exact_users"))
+            <= F.col("exact_users") * 0.10 + 1
+        ).alias("within_bound"),
+    )
+
+
+@_register(
     "approx_percentile_bound",
     oracle="""
     WITH v AS (

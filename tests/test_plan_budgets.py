@@ -118,6 +118,15 @@ SHUFFLE_BUDGET = {
     "golden_record_docs": 5,
     "interval_overlap_sessions": 2,
     "attribution_time_decay": 2,
+    # r6 flagships (audited 2026-08-15): batched BPE = checkpointed-
+    # vocab candidate rounds, driver frame, 0 printed (the bpe_train
+    # discipline); auto skew join = hot-key histogram agg + the salted
+    # join's dim side (fact side rides the scan); LR classifier scoring
+    # = feature agg + doc-margin agg + final id-join side (training ran
+    # eagerly; weight join broadcasts)
+    "bpe_train_batched": 0,
+    "decorate_hot_status": 2,
+    "classifier_lr_scores": 3,
 }
 
 # Non-headline flagships whose plan shape is still pinned (round-4 audit).
@@ -139,10 +148,6 @@ EXTRA_BUDGET = {
     # 1-row stats + score agg + per-query rank window; LM = doc-word /
     # word counts + 1-row totals + score agg; overlap = two 1-row
     # sketch combines; zipf = vocab agg + global rank + 1-row sums
-    # r6: trained-LR scoring plan (training ran eagerly) — feature agg
-    # (doc,bucket), doc-margin agg, one side of the final id join; the
-    # weight join is a broadcast
-    "classifier_lr_scores": 3,
     "bm25_retrieval_topk": 8,
     "rag_chunk_retrieval": 8,
     "corpus_zipf_fit": 1,
@@ -252,6 +257,9 @@ EXTRA_BUDGET = {
     # sketch-bound certification: per-type stats agg + the rank-check
     # re-agg + the tiny stats join back
     "approx_percentile_bound": 3,
+    # HLL twin: one event_type agg whose countDistinct expands two-phase
+    # (the HLL partial rides the same shuffle)
+    "approx_distinct_bound": 2,
     # r5 batch 2 (audited 2026-08-15): Heaps curve = word first-doc agg
     # + 7-point rollup (checkpoint frame broadcast); lead time = one
     # priority rollup (orders side broadcasts into the fact join);
