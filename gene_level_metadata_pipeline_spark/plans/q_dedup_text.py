@@ -3404,3 +3404,72 @@ def q_classifier_lr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     wts = linear_classifier_train(docs)
     return linear_classifier_score(docs, wts)
+
+
+@_register(
+    "pca_power_topk",
+    oracle="""
+    WITH m AS (
+      SELECT vec_id, label,
+             list_transform(embedding, e ->
+               CAST(round(CAST(e AS DOUBLE) * 1e6, 0) AS HUGEINT)) AS mi
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    x AS (
+      SELECT vec_id, label, i - 1 AS i, mi[i] AS x
+      FROM m, (SELECT unnest(generate_series(1, 64)) AS i)
+    ),
+    sxx AS (
+      SELECT a.i AS i, b.i AS j, sum(a.x * b.x) AS sxx
+      FROM x a JOIN x b USING (vec_id)
+      GROUP BY a.i, b.i
+    ),
+    s AS (SELECT i, sum(x) AS s FROM x GROUP BY i),
+    nn AS (SELECT count(*) AS n FROM m),
+    num AS (
+      SELECT sxx.i, sxx.j, nn.n * sxx.sxx - sa.s * sb.s AS num
+      FROM sxx
+      JOIN s sa ON sa.i = sxx.i
+      JOIN s sb ON sb.i = sxx.j
+      CROSS JOIN nn
+    ),
+    cp AS (
+      -- exact FLOOR division by 10^10: duckdb's '/' is FLOAT division,
+      -- '//' is integer (truncating toward 0) — subtract the floor-mod
+      -- first so truncation equals floor (matches Python's // exactly)
+      SELECT i, j,
+             (num - (((num % 10000000000) + 10000000000) % 10000000000))
+               // 10000000000 AS c
+      FROM num
+    ),
+    v1 AS (SELECT i, sum(c) AS v FROM cp GROUP BY i),
+    v2 AS (SELECT cp.i, sum(cp.c * v1.v) AS v
+           FROM cp JOIN v1 ON v1.i = cp.j GROUP BY cp.i),
+    v3 AS (SELECT cp.i, sum(cp.c * v2.v) AS v
+           FROM cp JOIN v2 ON v2.i = cp.j GROUP BY cp.i),
+    pr AS (
+      SELECT x.vec_id, x.label, sum(x.x * v3.v) AS pr
+      FROM x JOIN v3 USING (i) GROUP BY x.vec_id, x.label
+    )
+    SELECT vec_id, label, CAST(pr AS VARCHAR) AS proj
+    FROM pr
+    ORDER BY abs(pr) DESC, vec_id
+    LIMIT 50
+    """,
+)
+def q_pca_power_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component + top-|projection| documents
+    (similarity.pca_top_component): exact-integer power iteration on
+    the micro-unit scaled covariance — embedding analytics' drift /
+    batch-effect axis finder, certified bit-exactly because every step
+    is integer arithmetic (one corpus pair-expansion pass; 3
+    unnormalized power steps on the driver's 64x64 bounded matrix; one
+    broadcast projection pass; exact-decimal top-k ordering). The
+    DuckDB twin replays the identical recurrence in HUGEINT, including
+    Python floor-division semantics built from the floor-mod."""
+    from gene_level_metadata_pipeline_spark.operators.similarity import (
+        pca_top_component,
+    )
+
+    return pca_top_component(_t(spark, sf_dir, "embeddings"))

@@ -1463,3 +1463,58 @@ class TestLinearClassifier:
         assert sorted(map(tuple, a.collect())) == sorted(
             map(tuple, b.collect())
         )
+
+
+class TestPcaTopComponent:
+    """similarity.pca_top_component — exact-integer power iteration."""
+
+    def test_dominant_axis_wins(self, spark):
+        # variance lives on axis 0 (values +-8); axis 2 has tiny spread.
+        rows = [
+            (1, [8.0, 0.0, 0.1, 0.0], 0),
+            (2, [-8.0, 0.0, 0.2, 0.0], 0),
+            (3, [4.0, 0.0, 0.15, 0.0], 1),
+            (4, [-4.0, 0.0, 0.05, 0.0], 1),
+            (5, [0.5, 0.0, 0.1, 0.0], 2),
+            (6, None, 2),                     # NULL vector: excluded
+            (7, [1.0, 2.0], 2),               # wrong dim: excluded
+        ]
+        from gene_level_metadata_pipeline_spark.operators.similarity import (
+            pca_top_component,
+        )
+
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>, label int"
+        )
+        got = pca_top_component(
+            df, dim=4, scale_down=10, k=3
+        ).collect()
+        # top-|projection| docs are the extreme axis-0 vectors (the
+        # projection is uncentered, so the axis-0 mean offset decides
+        # order within the +-8 pair; the component still dominates)
+        assert {r["vec_id"] for r in got[:2]} == {1, 2}
+        assert got[2]["vec_id"] in (3, 4)
+        # projections are exact integer digit strings (sign allowed)
+        assert all(
+            r["proj"].lstrip("-").isdigit() for r in got
+        )
+        # opposite extremes project with opposite signs
+        assert (got[0]["proj"].startswith("-")) != (
+            got[1]["proj"].startswith("-")
+        )
+
+    def test_deterministic_replay(self, spark):
+        from gene_level_metadata_pipeline_spark.operators.similarity import (
+            pca_top_component,
+        )
+
+        rows = [
+            (i, [float((i * 7) % 5 - 2), float(i % 3), 0.5, -1.0], i % 2)
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>, label int"
+        )
+        a = pca_top_component(df, dim=4, k=10).collect()
+        b = pca_top_component(df, dim=4, k=10).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]

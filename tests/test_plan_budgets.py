@@ -260,6 +260,10 @@ EXTRA_BUDGET = {
     # HLL twin: one event_type agg whose countDistinct expands two-phase
     # (the HLL partial rides the same shuffle)
     "approx_distinct_bound": 2,
+    # exact-integer PCA: the printed plan is the final projection pass
+    # (per-id agg; weights broadcast) + TakeOrderedAndProject — the
+    # Gram/driver phases ran eagerly at build time
+    "pca_power_topk": 1,
     # r5 batch 2 (audited 2026-08-15): Heaps curve = word first-doc agg
     # + 7-point rollup (checkpoint frame broadcast); lead time = one
     # priority rollup (orders side broadcasts into the fact join);
