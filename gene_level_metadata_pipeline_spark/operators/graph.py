@@ -684,3 +684,78 @@ def hits_bipartite(
             F.col("a").alias("score"),
         )
     )
+
+
+def label_propagation(
+    pairs: DataFrame,
+    rounds: int = 3,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (LPA,
+    Raghavan et al. 2007) over an undirected simple graph, run for a
+    FIXED number of rounds with a total deterministic tie-break — the
+    cheap community detector that needs no modularity objective and no
+    parameter beyond the round count (the classic pre-clustering step
+    the reference's downstream grouping implies at scale).
+
+    Free-running LPA is nondeterministic (asynchronous updates, random
+    tie-breaks); this variant is the reproducible one: every node
+    updates SIMULTANEOUSLY each round to the most frequent label among
+    its neighbors, ties broken by (count DESC, label ASC) — a total
+    order, so round k's labeling is a pure function of round k-1's and
+    any engine unrolling the same recurrence reproduces it bit-for-bit
+    (the hits_bipartite certification discipline). Labels start as the
+    node's own id. Returns (node, community) after ``rounds`` rounds;
+    isolated nodes never appear (no neighbors => no vote).
+
+    Scale shape: each round is one edges⋈labels shuffle join, one
+    (node, label) count aggregation, and one per-node top-1 window —
+    all key-partitioned, no driver state; rounds eagerly
+    localCheckpoint (lineage truncation, the connected_components
+    discipline) inside a ``sized_shuffle`` window sized from the edge
+    count. Hub-node skew is AQE's skew-join case; the frame never
+    grows, so round 1 bounds the cost.
+    """
+    from pyspark.sql import Window
+
+    from gene_level_metadata_pipeline_spark.sizing import sized_shuffle
+
+    if rounds < 1:
+        raise ValueError(f"label_propagation: rounds={rounds} must be >= 1")
+    und = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y"))
+        .distinct()
+    )
+    edges = (
+        und.select(F.col("x").alias("eu"), F.col("y").alias("ev"))
+        .unionByName(
+            und.select(F.col("y").alias("eu"), F.col("x").alias("ev"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    n_edges = edges.count()
+    labels = edges.select(F.col("eu").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    top1 = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("lbl").asc()
+    )
+    with sized_shuffle(edges.sparkSession, n_edges):
+        for _ in range(rounds):
+            votes = (
+                edges.join(
+                    labels.withColumnRenamed("node", "ev"), "ev"
+                )
+                .groupBy(F.col("eu").alias("node"), "lbl")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            labels = (
+                votes.withColumn("rn", F.row_number().over(top1))
+                .where(F.col("rn") == 1)
+                .select("node", "lbl")
+                .localCheckpoint(eager=True)
+            )
+    return labels.select("node", F.col("lbl").alias("community"))

@@ -904,3 +904,88 @@ def pca_top_component(
             F.col("__pr").cast("string").alias("proj"),
         )
     )
+
+
+def grid_nn_join_2d(
+    points: DataFrame,
+    id_col: str = "vec_id",
+    x_col: str = "x",
+    y_col: str = "y",
+    cell_micro: int = 250_000,
+) -> DataFrame:
+    """Grid-bucketed 2-D nearest-neighbor self-join: the classic
+    spatial-join pattern that replaces the O(N²) all-pairs distance
+    matrix with a 9-cell candidate join. Points are snapped to integer
+    MICRO-coordinates (round(coord*1e6) — exact bigint arithmetic from
+    there on), hashed to a square grid cell of side ``cell_micro``,
+    and each point is compared only against points in its own cell and
+    the 8 neighbors — the shuffle key is the cell id, so candidate
+    work is local and quadratic only within a cell neighborhood.
+
+    Returns (id, nn_id, d2_micro): the nearest GRID-VISIBLE neighbor
+    (the closest candidate within the 3×3 window; a point whose true
+    NN lies farther than one cell width away reports the nearest
+    in-window candidate, or no row if the window is empty) and the
+    exact squared distance in micro-units². Ties break on the smaller
+    candidate id — a total order, hash-reproducible. These are the
+    standard bounded-radius NN semantics: with cell size >= the radius
+    of interest, the result is exact for every pair that matters.
+
+    Scale shape: one shuffle on cell id; the left side replicates 9×
+    (the neighbor offsets), never the whole frame; dense-cell skew is
+    AQE's skew-join case and ``cell_micro`` is the knob (smaller cells
+    = more, smaller buckets). At 100 TB this is the plan you want —
+    candidate counts scale with local density, not corpus size.
+    """
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    snapped = points.select(
+        F.col(id_col).alias("pid"),
+        F.round(F.col(x_col).cast("double") * 1e6, 0).cast("bigint").alias("xm"),
+        F.round(F.col(y_col).cast("double") * 1e6, 0).cast("bigint").alias("ym"),
+    ).where(F.col("xm").isNotNull() & F.col("ym").isNotNull())
+    cell = snapped.select(
+        "pid", "xm", "ym",
+        F.floor(F.col("xm") / cell_micro).alias("cx"),
+        F.floor(F.col("ym") / cell_micro).alias("cy"),
+    )
+    probes = cell.select(
+        "pid", "xm", "ym",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    (F.col("cx") + dx).alias("cx"),
+                    (F.col("cy") + dy).alias("cy"),
+                )
+                for dx, dy in offs
+            ])
+        ).alias("nc"),
+    ).select("pid", "xm", "ym", F.col("nc.cx").alias("cx"),
+             F.col("nc.cy").alias("cy"))
+    cands = probes.join(
+        cell.select(
+            F.col("pid").alias("qid"), F.col("xm").alias("qx"),
+            F.col("ym").alias("qy"), "cx", "cy",
+        ),
+        ["cx", "cy"],
+    ).where(F.col("pid") != F.col("qid"))
+    d2 = cands.select(
+        "pid", "qid",
+        (
+            (F.col("xm") - F.col("qx")) * (F.col("xm") - F.col("qx"))
+            + (F.col("ym") - F.col("qy")) * (F.col("ym") - F.col("qy"))
+        ).alias("d2"),
+    )
+    from pyspark.sql import Window
+
+    best = Window.partitionBy("pid").orderBy(
+        F.col("d2").asc(), F.col("qid").asc()
+    )
+    return (
+        d2.withColumn("rn", F.row_number().over(best))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("pid").alias("id"),
+            F.col("qid").alias("nn_id"),
+            F.col("d2").alias("d2_micro"),
+        )
+    )

@@ -1384,3 +1384,76 @@ def linear_classifier_score(
             .alias("pred"),
         )
     )
+
+
+def _cms_bucket(word_col, seed: int, width: int):
+    """Row j's CMS bucket for a token: the first two hex digits of
+    md5(seed ':' token) — hex-digit arithmetic reproducible in any
+    engine with md5 (the feature_hash discipline), uniform over
+    [0, 256) and reduced mod ``width``."""
+    h = F.md5(F.concat(F.lit(f"{seed}:"), word_col))
+    return (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % width).alias(
+        "bucket"
+    )
+
+
+def count_min_estimates(
+    word_counts: DataFrame,
+    word_col: str = "word",
+    n_col: str = "n",
+    width: int = 256,
+    depth: int = 4,
+) -> DataFrame:
+    """Count-min-sketch frequency estimates (Cormode & Muthukrishnan
+    2005) for every word in an exact (word, count) table: ``depth``
+    hash rows of ``width`` counters each; a word's estimate is the MIN
+    over rows of its bucket's total. Returns (word, est).
+
+    The sketch is built FROM the aggregated counts (bucket total =
+    sum of member-word counts), so the input scan is vocabulary-sized,
+    and the sketch itself is a fixed depth×width frame — trivially
+    broadcastable, mergeable across partitions/streams by addition
+    (the property that makes CMS the standard distributed heavy-hitter
+    sketch at 100 TB: each executor sketches locally, the driver adds).
+
+    Estimates carry CMS's one-sided guarantee: est >= true ALWAYS
+    (buckets only ever add counts), and est <= true + eps*N with
+    probability 1 - (1/k)^depth for eps = k/width (Markov per row,
+    independent rows) — the certifiable contract the registry query
+    asserts against an exact oracle."""
+    wc = word_counts.select(
+        F.col(word_col).alias("word"), F.col(n_col).cast("bigint").alias("n")
+    )
+    rows = wc.select(
+        "word", "n",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    _cms_bucket(F.col(word_col), j, width),
+                )
+                for j in range(depth)
+            ])
+        ).alias("jb"),
+    ).select("word", "n", F.col("jb.j").alias("j"),
+             F.col("jb.bucket").alias("bucket"))
+    sketch = rows.groupBy("j", "bucket").agg(F.sum("n").alias("tot"))
+    probes = wc.select(
+        "word",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    _cms_bucket(F.col("word"), j, width),
+                )
+                for j in range(depth)
+            ])
+        ).alias("jb"),
+    ).select("word", F.col("jb.j").alias("j"),
+             F.col("jb.bucket").alias("bucket"))
+    est = (
+        probes.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("word")
+        .agg(F.min("tot").alias("est"))
+    )
+    return est

@@ -680,3 +680,64 @@ def coalesce_intervals(
         F.max(end_col).alias("cov_end"),
         F.count(F.lit(1)).alias("n_merged"),
     ).drop("__grp")
+
+
+def theil_sen_slope(
+    df: DataFrame,
+    group: str,
+    t_col: str,
+    y_col: str,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Theil–Sen robust trend per group: the (lower) MEDIAN of all
+    pairwise slopes (y_j - y_i) / (t_j - t_i), i < j — the estimator
+    with a 29.3% breakdown point that OLS trend lines (ols_trend) lack:
+    a handful of corrupted months cannot move it. Inputs must be exact
+    integers (``t_col`` an ordinal like months-since-epoch, ``y_col``
+    e.g. cents); slopes are fixed-point bigints scaled by ``scale``
+    with FLOOR semantics implemented engine-portably as
+    (num - pmod(num, dt)) / dt — exact in any engine, no IEEE division
+    in sight. Ties and even counts resolve to the LOWER median (rank
+    ceil(n/2) under (slope, t_i, t_j) total order) — deterministic,
+    hash-comparable.
+
+    Returns (group, n_pairs, slope_scaled).
+
+    Scale shape: the pairwise self-join is quadratic IN THE GROUP's
+    point count, never in row count — the intended use is trend over
+    pre-aggregated series (months, days), where n_points is hundreds
+    and n_pairs bounded; the join key is the group, so work is
+    key-local and the plan is one shuffle + one per-group window. For
+    long series, pre-thin the series (e.g. monthly rollup) — the
+    estimator is robust to the aggregation by construction.
+    """
+    a = df.select(
+        F.col(group).alias("g"),
+        F.col(t_col).cast("bigint").alias("ta"),
+        F.col(y_col).cast("bigint").alias("ya"),
+    )
+    b = df.select(
+        F.col(group).alias("g"),
+        F.col(t_col).cast("bigint").alias("tb"),
+        F.col(y_col).cast("bigint").alias("yb"),
+    )
+    pairs = a.join(b, "g").where(F.col("ta") < F.col("tb"))
+    num = (F.col("yb") - F.col("ya")) * F.lit(scale)
+    dt = F.col("tb") - F.col("ta")
+    slopes = pairs.select(
+        "g", "ta", "tb",
+        ((num - F.pmod(num, dt)) / dt).cast("bigint").alias("slope"),
+    )
+    w = Window.partitionBy("g").orderBy("slope", "ta", "tb")
+    ranked = slopes.select(
+        "g", "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("n_pairs"),
+    )
+    return ranked.where(
+        F.col("rn") == F.ceil(F.col("n_pairs") / 2).cast("bigint")
+    ).select(
+        F.col("g").alias(group),
+        "n_pairs",
+        F.col("slope").alias("slope_scaled"),
+    )

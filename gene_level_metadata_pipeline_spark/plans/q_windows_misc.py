@@ -2879,3 +2879,276 @@ def q_approx_percentile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bound"),
         )
     )
+
+
+def _lpa_oracle(rounds: int = 3) -> str:
+    """Unrolled synchronous-LPA recurrence: each round is one
+    neighbor-vote aggregation + a QUALIFY top-1 with the identical
+    (count DESC, label ASC) total tie-break the Spark operator uses —
+    converging engines must agree bit-for-bit (the kcore/HITS
+    unrolled-recurrence certification discipline)."""
+    ctes = [
+        "op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS n
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    )""",
+        "und AS (SELECT u, v FROM pairs WHERE n >= 2)",
+        "sym AS (SELECT u, v FROM und UNION SELECT v, u FROM und)",
+        "l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""v{r} AS (
+      SELECT s.u AS node, l.lbl, count(*) AS c
+      FROM sym s JOIN l{r - 1} l ON s.v = l.node
+      GROUP BY s.u, l.lbl
+    )""")
+        ctes.append(f"""l{r} AS (
+      SELECT node, lbl FROM v{r}
+      QUALIFY row_number()
+        OVER (PARTITION BY node ORDER BY c DESC, lbl) = 1
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+    FROM l{rounds} GROUP BY lbl"""
+    )
+
+
+@_register("graph_label_propagation", oracle=_lpa_oracle(3))
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation
+    (graph.label_propagation) over the part co-occurrence graph (edges
+    = part pairs sharing >= 2 orders, the kcore/sssp graph): three
+    deterministic rounds of most-frequent-neighbor-label with the
+    (count DESC, label ASC) total tie-break, then a community-size
+    histogram. The oracle unrolls the identical recurrence as three
+    vote+QUALIFY CTE pairs — exact bigint hash match certifies every
+    round end-to-end. Scale shape: one edges⋈labels shuffle + one
+    top-1 window per round over a never-growing frame, checkpointed
+    per round (no lineage blowup), shuffle width self-sized from the
+    edge count."""
+    from gene_level_metadata_pipeline_spark.operators.graph import (
+        label_propagation,
+    )
+
+    op = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    und = (
+        a.join(b, "k")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    labels = label_propagation(und, rounds=3)
+    return labels.groupBy("community").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+
+
+@_register(
+    "ann_grid_nn_2d",
+    oracle="""
+    WITH p AS (
+      SELECT vec_id AS pid,
+             CAST(round(CAST(embedding[1] AS DOUBLE) * 1e6, 0) AS BIGINT)
+               AS xm,
+             CAST(round(CAST(embedding[2] AS DOUBLE) * 1e6, 0) AS BIGINT)
+               AS ym
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) >= 2
+    ),
+    c AS (
+      SELECT pid, xm, ym,
+             CAST(floor(xm / 250000.0) AS BIGINT) AS cx,
+             CAST(floor(ym / 250000.0) AS BIGINT) AS cy
+      FROM p
+    ),
+    probes AS (
+      SELECT pid, xm, ym, cx + dx.o AS cx, cy + dy.o AS cy
+      FROM c, (VALUES (-1), (0), (1)) dx(o), (VALUES (-1), (0), (1)) dy(o)
+    ),
+    cand AS (
+      SELECT pr.pid, q.pid AS qid,
+             (pr.xm - q.xm) * (pr.xm - q.xm)
+             + (pr.ym - q.ym) * (pr.ym - q.ym) AS d2
+      FROM probes pr
+      JOIN c q ON pr.cx = q.cx AND pr.cy = q.cy AND pr.pid <> q.pid
+    )
+    SELECT pid AS id, qid AS nn_id, d2 AS d2_micro FROM cand
+    QUALIFY row_number() OVER (PARTITION BY pid ORDER BY d2, qid) = 1
+    """,
+)
+def q_ann_grid_nn_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed 2-D nearest-neighbor self-join
+    (similarity.grid_nn_join_2d) over the embeddings' first two
+    components: snap to exact micro-int coordinates, bucket into
+    0.25-wide grid cells, compare each point only against its 3×3 cell
+    neighborhood, keep the per-point nearest candidate (ties -> min
+    id). The spatial sibling of the LSH families: candidate counts
+    scale with LOCAL density, not corpus size — the shuffle key is the
+    cell id and the only replication is the fixed 9 neighbor offsets.
+    The oracle replicates grid, window, and tie-break exactly in
+    bigint micro-units² — hash match certifies the whole join
+    geometry. element_at is avoided for F.get (NULL, never ANSI
+    error, on short arrays)."""
+    from gene_level_metadata_pipeline_spark.operators.similarity import (
+        grid_nn_join_2d,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.get("embedding", 0).alias("x"),
+        F.get("embedding", 1).alias("y"),
+    )
+    return grid_nn_join_2d(pts, id_col="vec_id", x_col="x", y_col="y")
+
+
+@_register(
+    "theil_sen_trend",
+    oracle="""
+    WITH m AS (
+      SELECT n.n_name AS nation,
+             CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) AS BIGINT)
+               AS t,
+             CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.nation, a.t AS ta, b.t AS tb,
+             (b.cents - a.cents) * 10000 AS num, b.t - a.t AS dt
+      FROM m a JOIN m b ON a.nation = b.nation AND a.t < b.t
+    ),
+    s AS (
+      SELECT nation, ta, tb,
+             CAST((num - ((num % dt) + dt) % dt) / dt AS BIGINT) AS slope
+      FROM p
+    ),
+    r AS (
+      SELECT nation, slope,
+             row_number() OVER (PARTITION BY nation ORDER BY slope, ta, tb)
+               AS rn,
+             count(*) OVER (PARTITION BY nation) AS n_pairs
+      FROM s
+    )
+    SELECT nation, CAST(n_pairs AS BIGINT) AS n_pairs,
+           slope AS slope_scaled
+    FROM r WHERE rn = CAST(ceil(n_pairs / 2.0) AS BIGINT)
+    """,
+)
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-nation revenue trend (timeseries.theil_sen_slope):
+    lower median of all pairwise monthly-revenue slopes — the
+    29.3%-breakdown robust counterpart to ols_daily_trend, immune to a
+    quarter of the months being corrupted. All arithmetic exact:
+    decimal cents, months-since-epoch ordinals, fixed-point slopes via
+    the engine-portable floor division (num - pmod(num, dt)) / dt, and
+    a (slope, ta, tb) total order for the median rank. The pairwise
+    join is quadratic only in MONTHS per nation (~84 => ~3.5k pairs),
+    never in order rows — the monthly rollup happens first, so the
+    expensive scan is one aggregation and the quadratic stage runs on
+    a dimension-sized frame."""
+    from gene_level_metadata_pipeline_spark.operators.timeseries import (
+        theil_sen_slope,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    m = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("t"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    return theil_sen_slope(m, group="nation", t_col="t", y_col="cents")
+
+
+@_register(
+    "approx_cms_heavy_hitters",
+    oracle="""
+    WITH wc AS (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS exact_n
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+      GROUP BY w
+    )
+    SELECT word, exact_n,
+           TRUE AS never_underestimates, TRUE AS within_eps
+    FROM wc
+    QUALIFY row_number() OVER (ORDER BY exact_n DESC, word) <= 30
+    """,
+)
+def q_approx_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Certifies the COUNT-MIN SKETCH's frequency-estimate contract
+    against an exact oracle (textanalysis.count_min_estimates) — the
+    approx_distinct_bound pattern applied to the third classic sketch:
+    the CMS estimate itself never leaves Spark; what ships per top-30
+    word is the exact count (both engines) plus TWO booleans — the
+    deterministic one-sided guarantee est >= true (bucket sums only
+    ever add mass) and the probabilistic est <= true + 8N/width bound
+    (Markov per hash row at k=8 -> miss probability (1/8)^4 per word
+    at depth 4). The oracle emits TRUE unconditionally, so any
+    violation hash-mismatches. The sketch is a fixed 4x256 frame built
+    from the exact vocabulary counts — mergeable by addition, the
+    100 TB heavy-hitter path where exact top-k's full shuffle isn't
+    affordable."""
+    from pyspark.sql import Window
+
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        count_min_estimates,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    est = count_min_estimates(wc, word_col="word", n_col="n",
+                              width=256, depth=4)
+    total = wc.agg(F.sum("n").alias("big_n"))
+    w30 = Window.orderBy(F.col("n").desc(), F.col("word"))
+    top = (
+        wc.withColumn("rk", F.row_number().over(w30))
+        .where(F.col("rk") <= 30)
+        .select("word", F.col("n").alias("exact_n"))
+    )
+    return (
+        top.join(est, "word")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "word", "exact_n",
+            (F.col("est") >= F.col("exact_n")).alias("never_underestimates"),
+            (
+                F.col("est")
+                <= F.col("exact_n") + (F.col("big_n") * 8) / 256 + 1
+            ).alias("within_eps"),
+        )
+    )
