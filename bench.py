@@ -96,6 +96,10 @@ HEADLINE = [
     "bpe_train_batched",
     "decorate_hot_status",
     "classifier_lr_scores",
+    # r6 batch 2: synchronous LPA communities (iterative graph surface),
+    # grid-bucketed 2-D NN join (density-local spatial surface)
+    "graph_label_propagation",
+    "ann_grid_nn_2d",
 ]
 
 REPS = 3

@@ -127,6 +127,13 @@ SHUFFLE_BUDGET = {
     "bpe_train_batched": 0,
     "decorate_hot_status": 2,
     "classifier_lr_scores": 3,
+    # r6 batch 2 (audited 2026-08-15): LPA's printed plan is the final
+    # checkpointed labels frame + the community-size agg (1, the
+    # converged-scan discipline — per-round joins/windows checkpoint
+    # away); grid NN's single exchange is the cell-id join, with the
+    # per-point window riding the same partitioning
+    "graph_label_propagation": 1,
+    "ann_grid_nn_2d": 1,
 }
 
 # Non-headline flagships whose plan shape is still pinned (round-4 audit).
@@ -290,6 +297,12 @@ EXTRA_BUDGET = {
     # ONE (doc, bucket) agg, vocabulary-free by design
     "ann_ivf_multiprobe_topk": 7,
     "ann_ivf_multiprobe_recall": 21,
+    # r6 batch 2 (audited 2026-08-15): Theil-Sen = monthly rollup +
+    # nation pair join/median window machinery on the ~84-row-per-
+    # nation frame; CMS = vocab agg + sketch/probe aggs + top-30 rank
+    # (sketch side broadcast by hint)
+    "theil_sen_trend": 4,
+    "approx_cms_heavy_hitters": 6,
 }
 
 
