@@ -759,3 +759,84 @@ def label_propagation(
                 .localCheckpoint(eager=True)
             )
     return labels.select("node", F.col("lbl").alias("community"))
+
+
+def random_walks(
+    pairs: DataFrame,
+    walk_len: int = 3,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Deterministic random-walk corpus over an undirected simple graph
+    — the DeepWalk/node2vec sentence generator (walks become token
+    sequences for embedding training), made REPLAYABLE: step s of the
+    walk started at node ``start`` standing at ``cur`` moves to the
+    neighbor whose (v-sorted) adjacency rank is
+    md5("start:s:cur")'s leading 4 hex digits mod degree(cur) —
+    a pure function of (start, s, cur), so any engine unrolling the
+    same recurrence reproduces every walk bit-for-bit (no RNG state,
+    no seed plumbing; the hash IS the seed). One walk starts at every
+    non-isolated node. Returns (start, step, node) rows, step 0..walk_len.
+
+    Scale shape: the walk table is nodes-sized and each step is ONE
+    join against the ranked adjacency (shuffle on the current node
+    key) — never edge-quadratic; steps eagerly localCheckpoint
+    (lineage truncation). Hot-hub adjacency skew is AQE's skew-join
+    case. At 100 TB the adjacency ranking is computed once and
+    bucketable; walks extend in O(walk_len) rounds regardless of graph
+    size."""
+    from pyspark.sql import Window
+
+    if walk_len < 1:
+        raise ValueError(f"random_walks: walk_len={walk_len} must be >= 1")
+    und = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y"))
+        .distinct()
+    )
+    sym = (
+        und.select(F.col("x").alias("eu"), F.col("y").alias("ev"))
+        .unionByName(und.select(F.col("y").alias("eu"), F.col("x").alias("ev")))
+    )
+    adj = sym.select(
+        "eu", "ev",
+        (F.row_number().over(
+            Window.partitionBy("eu").orderBy("ev")
+        ) - 1).cast("bigint").alias("r"),
+    )
+    deg = sym.groupBy("eu").agg(F.count(F.lit(1)).alias("d"))
+    adj = adj.join(deg, "eu").localCheckpoint(eager=True)
+    frontier = deg.select(
+        F.col("eu").alias("start"), F.col("eu").alias("cur")
+    ).localCheckpoint(eager=True)
+    out = frontier.select(
+        "start", F.lit(0).cast("int").alias("step"),
+        F.col("cur").alias("node"),
+    )
+    for s in range(1, walk_len + 1):
+        pick = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(
+                        ":", F.col("start"), F.lit(s), F.col("cur")
+                    )),
+                    1, 4,
+                ),
+                16, 10,
+            ).cast("bigint"),
+            F.col("d"),
+        )
+        frontier = (
+            frontier.join(adj, frontier.cur == adj.eu)
+            .where(F.col("r") == pick)
+            .select("start", F.col("ev").alias("cur"))
+            .localCheckpoint(eager=True)
+        )
+        out = out.unionByName(
+            frontier.select(
+                "start", F.lit(s).cast("int").alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    return out

@@ -989,3 +989,85 @@ def grid_nn_join_2d(
             F.col("d2").alias("d2_micro"),
         )
     )
+
+
+def kcenter_sample(
+    points: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Greedy k-center (Gonzalez farthest-point traversal) over 2-D
+    micro-int coordinates — the classic 2-approximation for maximally
+    DIVERSE subset selection (coreset seeding, training-data diversity
+    sampling: each pick is the point farthest from everything already
+    chosen). Deterministic end-to-end: the seed is the MIN id, every
+    subsequent pick maximizes the min-distance-to-chosen with ties on
+    the smaller id, and distances are exact bigint micro-units² — so a
+    k-round unrolled SQL recurrence reproduces every pick bit-for-bit.
+    Returns (sel_round, id, mind2_micro): the chosen point per round
+    and its distance² to the previously-chosen set (0 for the seed;
+    round k's value is the 2-approx covering radius lower bound).
+
+    Scale shape: each round is one full scan updating the running
+    min-distance column against ONE broadcast center (a projection,
+    no shuffle) plus one deterministic top-1 (TakeOrdered, never a
+    global sort); rounds eagerly localCheckpoint. O(k) scans total —
+    the standard distributed formulation (k is small; the scan is
+    embarrassingly parallel)."""
+    if k < 1:
+        raise ValueError(f"kcenter_sample: k={k} must be >= 1")
+    pts = points.select(
+        F.col(id_col).alias("pid"),
+        F.round(F.col(x_col).cast("double") * 1e6, 0).cast("bigint").alias(
+            "xm"
+        ),
+        F.round(F.col(y_col).cast("double") * 1e6, 0).cast("bigint").alias(
+            "ym"
+        ),
+    ).where(F.col("xm").isNotNull() & F.col("ym").isNotNull())
+    seed = pts.orderBy("pid").limit(1).select(
+        "pid", "xm", "ym", F.lit(0).cast("bigint").alias("md")
+    )
+    picks = seed.select(
+        F.lit(1).cast("int").alias("sel_round"),
+        F.col("pid").alias("id"),
+        F.col("md").alias("mind2_micro"),
+    )
+    cur = pts.join(
+        F.broadcast(seed.select(
+            F.col("xm").alias("cx"), F.col("ym").alias("cy"),
+            F.col("pid").alias("cpid"),
+        ))
+    ).select(
+        "pid", "xm", "ym",
+        (
+            (F.col("xm") - F.col("cx")) * (F.col("xm") - F.col("cx"))
+            + (F.col("ym") - F.col("cy")) * (F.col("ym") - F.col("cy"))
+        ).alias("md"),
+    ).where(F.col("pid") != F.col("cpid")).localCheckpoint(eager=True)
+    for r in range(2, k + 1):
+        pick = cur.orderBy(F.col("md").desc(), F.col("pid").asc()).limit(1)
+        picks = picks.unionByName(
+            pick.select(
+                F.lit(r).cast("int").alias("sel_round"),
+                F.col("pid").alias("id"),
+                F.col("md").alias("mind2_micro"),
+            )
+        )
+        if r == k:
+            break
+        c = F.broadcast(pick.select(
+            F.col("pid").alias("cpid"), F.col("xm").alias("cx"),
+            F.col("ym").alias("cy"),
+        ))
+        cur = cur.join(c).select(
+            "pid", "xm", "ym",
+            F.least(
+                F.col("md"),
+                (F.col("xm") - F.col("cx")) * (F.col("xm") - F.col("cx"))
+                + (F.col("ym") - F.col("cy")) * (F.col("ym") - F.col("cy")),
+            ).alias("md"),
+        ).where(F.col("pid") != F.col("cpid")).localCheckpoint(eager=True)
+    return picks

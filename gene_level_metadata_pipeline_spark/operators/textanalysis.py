@@ -1424,22 +1424,14 @@ def count_min_estimates(
     wc = word_counts.select(
         F.col(word_col).alias("word"), F.col(n_col).cast("bigint").alias("n")
     )
-    rows = wc.select(
-        "word", "n",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(j).alias("j"),
-                    _cms_bucket(F.col(word_col), j, width),
-                )
-                for j in range(depth)
-            ])
-        ).alias("jb"),
-    ).select("word", "n", F.col("jb.j").alias("j"),
-             F.col("jb.bucket").alias("bucket"))
-    sketch = rows.groupBy("j", "bucket").agg(F.sum("n").alias("tot"))
-    probes = wc.select(
-        "word",
+    sketch = cms_sketch(wc, width=width, depth=depth)
+    return cms_lookup(wc.select("word"), sketch, width=width, depth=depth)
+
+
+def _cms_probe_rows(words: DataFrame, width: int, depth: int) -> DataFrame:
+    """(word, j, bucket) probe rows for every word × hash row."""
+    return words.select(
+        "*",
         F.explode(
             F.array(*[
                 F.struct(
@@ -1449,11 +1441,181 @@ def count_min_estimates(
                 for j in range(depth)
             ])
         ).alias("jb"),
-    ).select("word", F.col("jb.j").alias("j"),
-             F.col("jb.bucket").alias("bucket"))
-    est = (
-        probes.join(F.broadcast(sketch), ["j", "bucket"])
-        .groupBy("word")
-        .agg(F.min("tot").alias("est"))
+    ).select(
+        *[c for c in words.columns],
+        F.col("jb.j").alias("j"),
+        F.col("jb.bucket").alias("bucket"),
     )
-    return est
+
+
+def cms_sketch(
+    word_counts: DataFrame, width: int = 256, depth: int = 4
+) -> DataFrame:
+    """Build the (j, bucket, tot) count-min sketch frame from an exact
+    (word, n) table — fixed depth×width rows, MERGEABLE BY ADDITION:
+    union two sketches and re-sum (j, bucket) and you have the sketch
+    of the concatenated corpora, the property streaming/incremental
+    pipelines rely on (see streaming.cms_stream_merge)."""
+    rows = _cms_probe_rows(word_counts, width, depth)
+    return rows.groupBy("j", "bucket").agg(F.sum("n").alias("tot"))
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge CMS sketches built with identical (width, depth, hash):
+    union + re-sum — the additivity that makes CMS the distributed /
+    streaming heavy-hitter sketch."""
+    if not sketches:
+        raise ValueError("cms_merge: need at least one sketch")
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("j", "bucket").agg(F.sum("tot").alias("tot"))
+
+
+def cms_lookup(
+    words: DataFrame, sketch: DataFrame, width: int = 256, depth: int = 4
+) -> DataFrame:
+    """Frequency estimates for a (word) frame against a (j, bucket,
+    tot) sketch: min over hash rows of the bucket total. Returns
+    (word, est); a word probing only empty buckets gets est=0 via the
+    left join (an absent word's buckets may legitimately be empty)."""
+    probes = _cms_probe_rows(words.select("word").distinct(), width, depth)
+    return (
+        probes.join(F.broadcast(sketch), ["j", "bucket"], "left")
+        .groupBy("word")
+        .agg(F.min(F.coalesce(F.col("tot"), F.lit(0))).alias("est"))
+    )
+
+
+def rrf_fuse(
+    *rankings: DataFrame,
+    rrf_k: int = 60,
+    scale: int = 10 ** 9,
+    topk: int = 5,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of two or more
+    per-query rankings — the standard hybrid-retrieval combiner (BM25 +
+    ANN, sparse + dense) that needs NO score calibration: each ranker
+    contributes 1/(rrf_k + rank) per (query, doc), missing docs
+    contribute 0, and the fused top-k is re-ranked on the summed
+    contribution. Inputs are (qid, doc_id, rank) frames; returns
+    (qid, doc_id, fused_e9, fused_rank) for the per-query top ``topk``.
+
+    Contributions are FIXED-POINT bigints — floor(scale/(rrf_k+rank))
+    — so the fused scores are exact integers any engine reproduces
+    (IEEE 1/(k+r) sums are order-dependent; integer sums are not).
+    Ties break on (fused DESC, doc_id ASC), a total order.
+
+    Scale shape: rankings are already top-k-bounded per query (the
+    expensive retrieval happened upstream), so fusion is a union +
+    one (qid, doc) aggregation + one per-query window over frames of
+    |queries| x k rows — dimension-sized work, broadcastable
+    downstream. At 100 TB the rankers bound the cost; RRF never
+    touches the corpus."""
+    from pyspark.sql import Window
+
+    if len(rankings) < 2:
+        raise ValueError("rrf_fuse: need at least two rankings")
+    contribs = None
+    for r in rankings:
+        c = r.select(
+            "qid", "doc_id",
+            F.expr(f"{scale} div ({rrf_k} + rank)").cast("bigint").alias(
+                "contrib"
+            ),
+        )
+        contribs = c if contribs is None else contribs.unionByName(c)
+    fused = contribs.groupBy("qid", "doc_id").agg(
+        F.sum("contrib").alias("fused_e9")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("fused_e9").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("fused_rank") <= topk)
+    )
+
+
+def term_overlap_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_col: str = "query",
+    qid_col: str = "qid",
+    k: int = 20,
+) -> DataFrame:
+    """Distinct-term-overlap ranking — the deliberately simple second
+    ranker for fusion demos and a useful recall-oriented first stage:
+    score(q, d) = |distinct query words present in d|, ties on doc_id.
+    Same inverted-index probe shape as bm25_topk (queries broadcast
+    onto the doc term table; only query-word postings survive).
+    Returns (qid, doc_id, overlap, rank) for the per-query top k."""
+    from pyspark.sql import Window
+
+    qw = queries.select(
+        F.col(qid_col).alias("qid"),
+        F.explode(F.array_distinct(F.split(query_col, " "))).alias("w"),
+    ).where(F.col("w") != "")
+    dw = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(F.split(text_col, " "))).alias("w"),
+    ).where(F.col("w") != "")
+    hits = dw.join(F.broadcast(qw), "w").groupBy("qid", "doc_id").agg(
+        F.count(F.lit(1)).alias("overlap")
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("overlap").desc(), F.col("doc_id").asc()
+    )
+    return (
+        hits.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def skipgram_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 2,
+) -> DataFrame:
+    """Skip-gram (center, context) pair extraction — the word2vec /
+    GloVe co-occurrence data generator: every ordered token pair at
+    distance 1..``window`` inside a document yields both (a→b) and
+    (b→a) training pairs, aggregated to (center, context, n). Token
+    positions come from the raw whitespace split (empties keep their
+    position, then drop — engine-independent positions), so any engine
+    re-deriving the same positional join reproduces the counts
+    exactly.
+
+    Scale shape: the positional self-join keys on the document id with
+    a bounded position-range predicate — work is O(tokens × window)
+    and document-local (no cross-doc pairs, the shuffle key is the doc
+    id), then one map-side-combinable aggregation onto the pair
+    vocabulary. The classic formulation at 100 TB: pair generation
+    never materializes more than window rows per token."""
+    toks = docs.select(
+        F.col(id_col).alias("did"),
+        F.posexplode(F.split(text_col, " ")).alias("p", "w"),
+    ).where(F.col("w") != "")
+    a = toks.select(
+        F.col("did"), F.col("p").alias("pa"), F.col("w").alias("wa")
+    )
+    b = toks.select(
+        F.col("did"), F.col("p").alias("pb"), F.col("w").alias("wb")
+    )
+    ordered = a.join(b, "did").where(
+        (F.col("pb") >= F.col("pa") + 1)
+        & (F.col("pb") <= F.col("pa") + window)
+    )
+    sym = ordered.select(
+        F.col("wa").alias("center"), F.col("wb").alias("context")
+    ).unionByName(
+        ordered.select(
+            F.col("wb").alias("center"), F.col("wa").alias("context")
+        )
+    )
+    return sym.groupBy("center", "context").agg(
+        F.count(F.lit(1)).alias("n")
+    )

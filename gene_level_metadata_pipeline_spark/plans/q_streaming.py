@@ -397,3 +397,31 @@ def q_streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return cdc_stream_apply(spark)
+
+
+@_register(
+    "streaming_cms_merge",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('apple',      CAST(6 AS BIGINT), TRUE, TRUE, TRUE),
+      ('banana',     CAST(3 AS BIGINT), TRUE, TRUE, TRUE),
+      ('cherry',     CAST(3 AS BIGINT), TRUE, TRUE, TRUE),
+      ('durian',     CAST(4 AS BIGINT), TRUE, TRUE, TRUE),
+      ('elderberry', CAST(5 AS BIGINT), TRUE, TRUE, TRUE)
+    ) AS t(word, exact_n, never_underestimates, within_eps, merge_exact)
+    """,
+)
+def q_streaming_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming count-min-sketch maintenance
+    (streaming.cms_stream_merge): per-micro-batch sketches merged by
+    addition into copy-on-write sketch versions — the streaming half of
+    approx_cms_heavy_hitters. The deterministic 3-batch demo certifies,
+    per word, the one-sided guarantee and the eps bound against exact
+    union counts AND that the merged sketch's estimates equal a
+    one-shot sketch over the concatenated batches (additivity proven,
+    not assumed)."""
+    from gene_level_metadata_pipeline_spark.streaming.windows import (
+        cms_stream_merge,
+    )
+
+    return cms_stream_merge(spark)

@@ -3152,3 +3152,408 @@ def q_approx_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_eps"),
         )
     )
+
+
+@_register(
+    "rag_rrf_fusion",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      ) WHERE w <> ''
+    ),
+    tf AS (SELECT doc_id, w, count(*) AS cnt FROM words GROUP BY doc_id, w),
+    dlen AS (SELECT doc_id, count(*) AS len FROM words GROUP BY doc_id),
+    stats AS (
+      SELECT count(*) AS n, sum(len) * 1.0 / count(*) AS avglen FROM dlen
+    ),
+    dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    q(qid, w) AS (VALUES
+      (0, 'hash'), (0, 'join'), (0, 'merge'),
+      (1, 'fast'), (1, 'scan'), (1, 'filter'),
+      (2, 'window'), (2, 'sort'), (2, 'batch')
+    ),
+    bm25 AS (
+      SELECT qid, doc_id, rank FROM (
+        SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM (
+          SELECT q.qid, tf.doc_id,
+                 CAST(round(sum(CAST(
+                   ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                   * (cnt * 2.2)
+                   / (cnt + 1.2 * (1 - 0.75 + 0.75 * len / avglen))
+                 AS DECIMAL(18,6))), 4) AS DOUBLE) AS score
+          FROM q JOIN tf USING (w)
+          JOIN dlen USING (doc_id)
+          JOIN dfreq USING (w)
+          CROSS JOIN stats
+          GROUP BY q.qid, tf.doc_id
+        )
+      ) WHERE rank <= 20
+    ),
+    ov AS (
+      SELECT qid, doc_id, rank FROM (
+        SELECT qid, doc_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY overlap DESC, doc_id) AS rank
+        FROM (
+          SELECT q.qid, tf.doc_id, count(*) AS overlap
+          FROM q JOIN tf USING (w)
+          GROUP BY q.qid, tf.doc_id
+        )
+      ) WHERE rank <= 20
+    ),
+    contrib AS (
+      SELECT qid, doc_id, 1000000000 // (60 + rank) AS c FROM bm25
+      UNION ALL
+      SELECT qid, doc_id, 1000000000 // (60 + rank) AS c FROM ov
+    ),
+    fused AS (
+      SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS fused_e9
+      FROM contrib GROUP BY qid, doc_id
+    )
+    SELECT CAST(qid AS BIGINT) AS qid, doc_id, fused_e9,
+           CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY fused_e9 DESC, doc_id) AS BIGINT) AS fused_rank
+    FROM fused
+    QUALIFY fused_rank <= 5
+    """,
+)
+def q_rag_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval rank fusion (textanalysis.rrf_fuse): BM25 top-20
+    and distinct-term-overlap top-20 for the three fixed queries, fused
+    by reciprocal-rank fusion with fixed-point bigint contributions
+    floor(1e9/(60+rank)) — no score calibration, exact integer sums any
+    engine reproduces — then the per-query fused top-5. Both rankers
+    are the certified inverted-index probes (queries broadcast, only
+    query-word postings survive); fusion itself is dimension-sized.
+    The oracle rebuilds both rankings and the identical fixed-point
+    fusion — hash match certifies ranker + fusion end-to-end."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        bm25_topk,
+        rrf_fuse,
+        term_overlap_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(0, "hash join merge"), (1, "fast scan filter"),
+         (2, "window sort batch")],
+        "qid bigint, query string",
+    )
+    bm = bm25_topk(docs, queries, text_col="text", id_col="doc_id", k=20)
+    ov = term_overlap_topk(docs, queries, text_col="text", id_col="doc_id",
+                           k=20)
+    fused = rrf_fuse(
+        bm.select("qid", "doc_id", "rank"),
+        ov.select("qid", "doc_id", "rank"),
+    )
+    return fused.select("qid", "doc_id", "fused_e9", "fused_rank")
+
+
+def _walk_oracle(walk_len: int = 3) -> str:
+    """Unrolled deterministic-walk recurrence: step s joins the ranked
+    adjacency at rank md5('start:s:cur')[0:4] % degree — hex-digit
+    arithmetic identical to the Spark operator (the feature_hash /
+    CMS discipline), one CTE per step."""
+    def d(i: int, e: str) -> str:
+        return (
+            f"(strpos('0123456789abcdef', substring(md5({e}), {i}, 1)) - 1)"
+        )
+
+    def hex4(e: str) -> str:
+        return (
+            f"((({d(1, e)} * 16 + {d(2, e)}) * 16 + {d(3, e)}) * 16 "
+            f"+ {d(4, e)})"
+        )
+
+    ctes = [
+        "op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS n
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+    )""",
+        "und AS (SELECT u, v FROM pairs WHERE n >= 2)",
+        "sym AS (SELECT u, v FROM und UNION SELECT v, u FROM und)",
+        """adj AS (
+      SELECT u, v,
+             CAST(row_number() OVER (PARTITION BY u ORDER BY v) - 1
+                  AS BIGINT) AS r
+      FROM sym
+    )""",
+        "deg AS (SELECT u, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY u)",
+        "w0 AS (SELECT u AS start, u AS cur FROM deg)",
+    ]
+    for s in range(1, walk_len + 1):
+        key = (
+            f"CAST(w{s - 1}.start AS VARCHAR) || ':{s}:' "
+            f"|| CAST(w{s - 1}.cur AS VARCHAR)"
+        )
+        ctes.append(f"""w{s} AS (
+      SELECT w{s - 1}.start, a.v AS cur
+      FROM w{s - 1}
+      JOIN deg ON deg.u = w{s - 1}.cur
+      JOIN adj a ON a.u = w{s - 1}.cur
+       AND a.r = {hex4(key)} % deg.d
+    )""")
+    selects = [
+        f"SELECT start, CAST({s} AS INTEGER) AS step, cur AS node FROM w{s}"
+        for s in range(0, walk_len + 1)
+    ]
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(
+        selects
+    )
+
+
+@_register("graph_random_walks", oracle=_walk_oracle(3))
+def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk-style walk corpus (graph.random_walks)
+    over the part co-occurrence graph: one 3-step walk per node, next
+    hop = md5("start:step:cur") leading hex digits mod degree against
+    the v-sorted adjacency ranking — replayable with NO RNG state, so
+    the oracle unrolls the identical recurrence one CTE per step and
+    the hash match certifies every hop. The walk table is nodes-sized;
+    each step is one join against the once-ranked adjacency — the
+    sentence generator for graph-embedding training at corpus scale."""
+    from gene_level_metadata_pipeline_spark.operators.graph import (
+        random_walks,
+    )
+
+    op = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    und = (
+        a.join(b, "k")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("u", "v")
+    )
+    return random_walks(und, walk_len=3)
+
+
+@_register(
+    "bootstrap_mean_ci",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS g, o_orderkey AS id,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS x
+      FROM orders
+    ),
+    hashed AS (
+      SELECT g, x, r.range AS b,
+             md5(CAST(r.range // 5 AS VARCHAR) || ':'
+                 || CAST(id AS VARCHAR)) AS h,
+             CAST(1 + 6 * (r.range % 5) AS INTEGER) AS o
+      FROM base CROSS JOIN range(32) r
+    ),
+    uni AS (
+      SELECT g, x, b,
+             ((((((strpos('0123456789abcdef', substring(h, o, 1)) - 1)
+               * 16 + strpos('0123456789abcdef', substring(h, o + 1, 1)) - 1)
+               * 16 + strpos('0123456789abcdef', substring(h, o + 2, 1)) - 1)
+               * 16 + strpos('0123456789abcdef', substring(h, o + 3, 1)) - 1)
+               * 16 + strpos('0123456789abcdef', substring(h, o + 4, 1)) - 1)
+               * 16 + strpos('0123456789abcdef', substring(h, o + 5, 1)) - 1)
+               / 16777216.0 AS u
+      FROM hashed
+    ),
+    rep AS (
+      SELECT g, x, b,
+             CASE
+               WHEN u < 0.367879 THEN 0
+               WHEN u < 0.735759 THEN 1
+               WHEN u < 0.919699 THEN 2
+               WHEN u < 0.981012 THEN 3
+               WHEN u < 0.996340 THEN 4
+               ELSE 5
+             END AS w
+      FROM uni
+    ),
+    agg AS (
+      SELECT g, b, sum(w * x) AS sw, sum(w) AS nw
+      FROM rep GROUP BY g, b HAVING sum(w) > 0
+    ),
+    means AS (
+      SELECT g, b,
+             CAST((sw * 10000 - (((sw * 10000) % nw) + nw) % nw) / nw
+                  AS BIGINT) AS m
+      FROM agg
+    ),
+    ranked AS (
+      SELECT g, m, row_number() OVER (PARTITION BY g ORDER BY m, b) AS rn
+      FROM means
+    ),
+    ci AS (
+      SELECT g,
+             max(CASE WHEN rn = 2 THEN m END) AS ci_lo_scaled,
+             max(CASE WHEN rn = 31 THEN m END) AS ci_hi_scaled
+      FROM ranked GROUP BY g
+    ),
+    point AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST((sum(x) * 10000
+                   - (((sum(x) * 10000) % count(*)) + count(*)) % count(*))
+                  / count(*) AS BIGINT) AS mean_scaled
+      FROM base GROUP BY g
+    )
+    SELECT point.g AS o_orderpriority, n_rows, mean_scaled,
+           ci_lo_scaled, ci_hi_scaled
+    FROM point JOIN ci ON point.g = ci.g
+    """,
+)
+def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Poisson-bootstrap CI for mean order value per
+    priority (drift.bootstrap_mean_ci): 32 hash-seeded resamples
+    (weight = Poisson(1) inverse-CDF of md5("b:orderkey")/16^6 — the
+    one-pass distributed bootstrap, no multinomial coordination),
+    fixed-point bigint means, rank-2/rank-31 interval. The oracle
+    replays the identical hash arithmetic, weights, and floor
+    divisions — hash match certifies the whole resampling machinery,
+    something a float bootstrap could never do cross-engine."""
+    from gene_level_metadata_pipeline_spark.operators.drift import (
+        bootstrap_mean_ci,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    return bootstrap_mean_ci(
+        orders, group="o_orderpriority", value="cents", id_col="o_orderkey",
+        replicates=32,
+    )
+
+
+@_register(
+    "skipgram_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, t.i - 1 AS p, t.w
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(text, ' ')) AS w,
+                    generate_subscripts(string_split(text, ' '), 1) AS i) t
+      WHERE t.w <> ''
+    ),
+    ordered AS (
+      SELECT a.w AS center, b.w AS context
+      FROM toks a JOIN toks b
+        ON a.doc_id = b.doc_id
+       AND b.p BETWEEN a.p + 1 AND a.p + 2
+    ),
+    sym AS (
+      SELECT center, context FROM ordered
+      UNION ALL
+      SELECT context, center FROM ordered
+    ),
+    agg AS (
+      SELECT center, context, CAST(count(*) AS BIGINT) AS n
+      FROM sym GROUP BY center, context
+    )
+    SELECT center, context, n,
+           CAST(row_number() OVER (ORDER BY n DESC, center, context)
+                AS BIGINT) AS rank
+    FROM agg QUALIFY rank <= 200
+    """,
+)
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence pairs (textanalysis.skipgram_pairs),
+    window ±2 — the word2vec training-data generator: doc-local
+    positional self-join (positions from the raw split so empties
+    can't shift engines apart), both pair directions, exact counts,
+    top-200 under the (n DESC, center, context) total order. Pair
+    generation is O(tokens x window) and shuffles only on the doc
+    key; the aggregation is map-side combinable onto the pair
+    vocabulary."""
+    from pyspark.sql import Window
+
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        skipgram_pairs,
+    )
+
+    agg = skipgram_pairs(_t(spark, sf_dir, "documents"), window=2)
+    w = Window.orderBy(F.col("n").desc(), F.col("center"), F.col("context"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 200)
+    )
+
+
+def _kcenter_oracle(k: int = 4) -> str:
+    """Unrolled Gonzalez farthest-point recurrence: round r picks the
+    (md DESC, pid) top-1 of the running min-distance table, then
+    least-folds the new center in — exact bigint micro-units², one CTE
+    pair per round."""
+    ctes = [
+        """p AS (
+      SELECT vec_id AS pid,
+             CAST(round(CAST(embedding[1] AS DOUBLE) * 1e6, 0) AS BIGINT)
+               AS xm,
+             CAST(round(CAST(embedding[2] AS DOUBLE) * 1e6, 0) AS BIGINT)
+               AS ym
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) >= 2
+    )""",
+        "c1 AS (SELECT pid, xm, ym FROM p"
+        " QUALIFY row_number() OVER (ORDER BY pid) = 1)",
+        """d1 AS (
+      SELECT p.pid, p.xm, p.ym,
+             (p.xm - c.xm) * (p.xm - c.xm)
+             + (p.ym - c.ym) * (p.ym - c.ym) AS md
+      FROM p, c1 c WHERE p.pid <> c.pid
+    )""",
+    ]
+    for r in range(2, k + 1):
+        ctes.append(
+            f"c{r} AS (SELECT pid, xm, ym, md FROM d{r - 1}"
+            f" QUALIFY row_number() OVER (ORDER BY md DESC, pid) = 1)"
+        )
+        if r < k:
+            ctes.append(f"""d{r} AS (
+      SELECT d.pid, d.xm, d.ym,
+             least(d.md, (d.xm - c.xm) * (d.xm - c.xm)
+                   + (d.ym - c.ym) * (d.ym - c.ym)) AS md
+      FROM d{r - 1} d, c{r} c WHERE d.pid <> c.pid
+    )""")
+    sel = [
+        "SELECT CAST(1 AS INTEGER) AS sel_round, pid AS id,"
+        " CAST(0 AS BIGINT) AS mind2_micro FROM c1"
+    ] + [
+        f"SELECT CAST({r} AS INTEGER) AS sel_round, pid AS id,"
+        f" CAST(md AS BIGINT) AS mind2_micro FROM c{r}"
+        for r in range(2, k + 1)
+    ]
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(sel)
+
+
+@_register("kcenter_diverse_sample", oracle=_kcenter_oracle(4))
+def q_kcenter_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center diversity sample (similarity.kcenter_sample),
+    k=4, over the embeddings' first two components: min-id seed, then
+    three farthest-point picks under the (min-distance DESC, id) total
+    order — the 2-approximation diverse-subset selector for coreset
+    seeding and training-data diversity. Each round is one broadcast-
+    center scan + one TakeOrdered top-1, O(k) scans total, exact
+    bigint micro-units² end-to-end; the oracle unrolls the identical
+    recurrence one CTE pair per round, so the hash match certifies
+    every pick and the final covering-radius bound."""
+    from gene_level_metadata_pipeline_spark.operators.similarity import (
+        kcenter_sample,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.get("embedding", 0).alias("x"),
+        F.get("embedding", 1).alias("y"),
+    )
+    return kcenter_sample(pts, k=4, id_col="vec_id", x_col="x", y_col="y")

@@ -1137,3 +1137,124 @@ def cdc_stream_apply(
     out = spark.read.parquet(os.path.join(d, f"snap_v{latest_version()}"))
     rows = out.collect()
     return spark.createDataFrame(rows, out.schema)
+
+
+def cms_stream_merge(
+    spark: SparkSession, demo_dir: str | None = None
+) -> DataFrame:
+    """Streaming heavy-hitter sketch maintenance: each micro-batch of
+    tokens becomes a count-min sketch (textanalysis.cms_sketch) and is
+    MERGED BY ADDITION into the sink's running sketch — the property
+    that makes CMS the streaming/distributed frequency sketch (executors
+    sketch locally, merges are sums; here the foreachBatch commit is the
+    merge boundary, copy-on-write sketch versions like cdc_stream_apply,
+    restart-safe from latest version + checkpoint).
+
+    Deterministic three-batch demo; the returned frame certifies, per
+    distinct word, against the exact union counts:
+      * never_underestimates — est >= true, CMS's deterministic
+        one-sided guarantee, SURVIVES merging;
+      * within_eps — est <= true + 8N/width + 1 (Markov at k=8,
+        depth 4);
+      * merge_exact — the merged sketch's estimate EQUALS the estimate
+        from a sketch built over the concatenated batches in one shot:
+        additivity certified end-to-end, not assumed.
+    """
+    import os
+    import re as _re
+    import tempfile
+
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        cms_lookup,
+        cms_merge,
+        cms_sketch,
+    )
+
+    width, depth = 256, 4
+    d = demo_dir or tempfile.mkdtemp(prefix="cms_stream_")
+    src_dir = os.path.join(d, "tokens")
+    os.makedirs(src_dir, exist_ok=True)
+
+    batches = {
+        "b1.txt": ["apple"] * 3 + ["banana"] * 2 + ["cherry"],
+        "b2.txt": ["apple"] * 2 + ["durian"] * 4,
+        "b3.txt": ["banana"] + ["cherry"] * 2 + ["elderberry"] * 5
+                  + ["apple"],
+    }
+    for i, (name, words) in enumerate(sorted(batches.items())):
+        path = os.path.join(src_dir, name)
+        if not os.path.exists(path):
+            with open(path, "w") as f:
+                f.write("\n".join(words) + "\n")
+        mt = 1_700_000_000 + i * 600
+        os.utime(path, (mt, mt))
+
+    def latest_version() -> int:
+        vs = [
+            int(m.group(1))
+            for f in os.listdir(d)
+            if (m := _re.fullmatch(r"cms_v(\d+)", f))
+        ]
+        return max(vs, default=-1)
+
+    def sketch_of(df: DataFrame) -> DataFrame:
+        wc = df.groupBy(F.col("value").alias("word")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        return cms_sketch(wc, width=width, depth=depth)
+
+    def apply_batch(batch_df: DataFrame, bid: int) -> None:
+        sp = batch_df.sparkSession
+        cur = latest_version()
+        batch_sketch = sketch_of(batch_df)
+        if cur < 0:
+            merged = batch_sketch
+        else:
+            prev = sp.read.parquet(os.path.join(d, f"cms_v{cur}"))
+            merged = cms_merge(prev, batch_sketch)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(d, f"cms_v{cur + 1}")
+        )
+
+    src = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", 1)
+        .load(src_dir)
+    )
+    with _pinned_shuffle(spark, 8):
+        q = (
+            src.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(d, "_checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    merged = spark.read.parquet(os.path.join(d, f"cms_v{latest_version()}"))
+    allw = spark.read.format("text").load(src_dir)
+    exact = allw.groupBy(F.col("value").alias("word")).agg(
+        F.count(F.lit(1)).alias("exact_n")
+    )
+    one_shot = cms_sketch(exact.select("word", F.col("exact_n").alias("n")),
+                          width=width, depth=depth)
+    est_m = cms_lookup(exact.select("word"), merged, width=width, depth=depth)
+    est_o = (
+        cms_lookup(exact.select("word"), one_shot, width=width, depth=depth)
+        .withColumnRenamed("est", "est_once")
+    )
+    total = exact.agg(F.sum("exact_n").alias("big_n"))
+    out = (
+        exact.join(est_m, "word").join(est_o, "word")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "word", "exact_n",
+            (F.col("est") >= F.col("exact_n")).alias("never_underestimates"),
+            (
+                F.col("est")
+                <= F.col("exact_n") + (F.col("big_n") * 8) / width + 1
+            ).alias("within_eps"),
+            (F.col("est") == F.col("est_once")).alias("merge_exact"),
+        )
+    )
+    rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)

@@ -303,6 +303,24 @@ EXTRA_BUDGET = {
     # (sketch side broadcast by hint)
     "theil_sen_trend": 4,
     "approx_cms_heavy_hitters": 6,
+    # r6 batch 3 (audited 2026-08-15): RRF = the two rankers' tf/dlen/
+    # dfreq/score aggs + rank windows (fusion itself adds one tiny agg
+    # + window on |queries|x40 rows); walks = checkpointed per-step
+    # frames union (0 printed, the converged-scan discipline);
+    # bootstrap = replicate agg + rank window + point agg (CI side
+    # broadcast back)
+    "rag_rrf_fusion": 10,
+    "graph_random_walks": 0,
+    # columnar bootstrap: ONE grouped pass over the 2B weight-agg
+    # expressions + the rank window on |groups|xB stacked cells
+    "bootstrap_mean_ci": 2,
+    # r6 batch 4 (audited 2026-08-15): skip-gram = the doc-key
+    # positional self-join (pair agg map-side combines onto it);
+    # k-center = checkpointed per-round picks union (converged-scan
+    # discipline); streaming CMS = collected 5-row certification frame
+    "skipgram_pairs": 1,
+    "kcenter_diverse_sample": 0,
+    "streaming_cms_merge": 0,
 }
 
 

@@ -177,3 +177,224 @@ def test_cms_collision_inflates_but_min_recovers(spark):
     est = {r["word"]: r["est"]
            for r in count_min_estimates(wc, width=1, depth=3).collect()}
     assert est == {"a": 12, "b": 12}
+
+
+# ------------------------------------------------------- RRF fusion
+
+def test_rrf_exact_contributions_and_tiebreak(spark):
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        rrf_fuse,
+    )
+
+    ra = spark.createDataFrame(
+        [(0, 100, 1), (0, 200, 2)], "qid long, doc_id long, rank long"
+    )
+    rb = spark.createDataFrame(
+        [(0, 200, 1), (0, 300, 2)], "qid long, doc_id long, rank long"
+    )
+    out = {r["doc_id"]: (r["fused_e9"], r["fused_rank"])
+           for r in rrf_fuse(ra, rb, topk=3).collect()}
+    c1, c2 = 10 ** 9 // 61, 10 ** 9 // 62
+    # doc 200 appears in both lists (rank 2 + rank 1) and must win
+    assert out[200] == (c2 + c1, 1)
+    assert out[100] == (c1, 2)   # ties with 300 on c-value? no: c1 > c2
+    assert out[300] == (c2, 3)
+
+
+def test_rrf_requires_two_rankings(spark):
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        rrf_fuse,
+    )
+
+    ra = spark.createDataFrame([(0, 1, 1)], "qid long, doc_id long, rank long")
+    try:
+        rrf_fuse(ra)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_term_overlap_counts_distinct_words_only(spark):
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        term_overlap_topk,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "cat fish")], "doc_id long, text string"
+    )
+    qs = spark.createDataFrame([(0, "cat dog dog")], "qid long, query string")
+    out = {r["doc_id"]: r["overlap"]
+           for r in term_overlap_topk(docs, qs, "text", "doc_id").collect()}
+    # repeated words count once on both sides: doc1 matches {cat, dog}=2
+    assert out == {1: 2, 2: 1}
+
+
+# ------------------------------------------------------ random walks
+
+def test_random_walks_deterministic_and_valid_edges(spark):
+    from gene_level_metadata_pipeline_spark.operators.graph import (
+        random_walks,
+    )
+
+    g = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "u long, v long"
+    )
+    w1 = sorted(map(tuple, random_walks(g, walk_len=3).collect()))
+    w2 = sorted(map(tuple, random_walks(g, walk_len=3).collect()))
+    assert w1 == w2  # replayable: the hash is the seed
+    # every walk has steps 0..3 and every hop is a real edge
+    edges = {(1, 2), (2, 3), (3, 1), (3, 4)}
+    edges |= {(b, a) for a, b in edges}
+    walks = {}
+    for start, step, node in w1:
+        walks.setdefault(start, {})[step] = node
+    assert set(walks) == {1, 2, 3, 4}
+    for start, seq in walks.items():
+        assert seq[0] == start and len(seq) == 4
+        for s in range(1, 4):
+            assert (seq[s - 1], seq[s]) in edges, (start, s, seq)
+
+
+def test_random_walks_isolated_node_excluded(spark):
+    from gene_level_metadata_pipeline_spark.operators.graph import (
+        random_walks,
+    )
+
+    g = spark.createDataFrame([(1, 2), (5, 5)], "u long, v long")
+    starts = {r["start"] for r in random_walks(g, walk_len=2).collect()}
+    assert starts == {1, 2}  # self-loop-only node 5 never walks
+
+
+# --------------------------------------------------------- bootstrap
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from gene_level_metadata_pipeline_spark.operators.drift import (
+        bootstrap_mean_ci,
+    )
+
+    rows = [("a", i, 1000 + (i * 37) % 200) for i in range(200)]
+    df = spark.createDataFrame(rows, "g string, id long, x long")
+    out1 = bootstrap_mean_ci(df, "g", "x", "id").collect()
+    out2 = bootstrap_mean_ci(df, "g", "x", "id").collect()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
+    r = out1[0]
+    assert r["n_rows"] == 200
+    assert r["ci_lo_scaled"] <= r["mean_scaled"] <= r["ci_hi_scaled"]
+    assert r["ci_lo_scaled"] < r["ci_hi_scaled"]
+
+
+def test_bootstrap_rejects_too_few_replicates(spark):
+    from gene_level_metadata_pipeline_spark.operators.drift import (
+        bootstrap_mean_ci,
+    )
+
+    df = spark.createDataFrame([("a", 1, 5)], "g string, id long, x long")
+    try:
+        bootstrap_mean_ci(df, "g", "x", "id", replicates=2)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+# --------------------------------------------------------- skip-gram
+
+def test_skipgram_window_and_symmetry(spark):
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        skipgram_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    )
+    out = {(r["center"], r["context"]): r["n"]
+           for r in skipgram_pairs(docs, window=2).collect()}
+    # pairs within distance <=2: (a,b), (a,c), (b,c) — both directions
+    assert out == {("a", "b"): 1, ("b", "a"): 1,
+                   ("a", "c"): 1, ("c", "a"): 1,
+                   ("b", "c"): 1, ("c", "b"): 1}
+
+
+def test_skipgram_empty_tokens_keep_positions(spark):
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        skipgram_pairs,
+    )
+
+    # double space: 'a' and 'b' are at positions 0 and 2 — still within
+    # window 2, but 'a'..'c' (position 3) is out of window.
+    docs = spark.createDataFrame(
+        [(1, "a  b c")], "doc_id long, text string"
+    )
+    out = {(r["center"], r["context"])
+           for r in skipgram_pairs(docs, window=2).collect()}
+    assert ("a", "b") in out and ("b", "c") in out
+    assert ("a", "c") not in out  # distance 3 > window
+
+
+def test_skipgram_no_cross_document_pairs(spark):
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        skipgram_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    )
+    assert skipgram_pairs(docs, window=2).count() == 0
+
+
+# ----------------------------------------------------------- k-center
+
+def test_kcenter_picks_farthest_point_each_round(spark):
+    from gene_level_metadata_pipeline_spark.operators.similarity import (
+        kcenter_sample,
+    )
+
+    # colinear points: seed = min id (at 0.0); the farthest is 1.0,
+    # then 0.5 (farthest from {0.0, 1.0}), then 0.25 (ties 0.75 on
+    # distance 0.25^2 -> min id wins).
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 0.25, 0.0), (3, 0.5, 0.0), (4, 0.75, 0.0),
+         (5, 1.0, 0.0)],
+        "vec_id long, x double, y double",
+    )
+    out = {r["sel_round"]: (r["id"], r["mind2_micro"])
+           for r in kcenter_sample(pts, k=4).collect()}
+    assert out[1] == (1, 0)
+    assert out[2] == (5, 1_000_000 ** 2)
+    assert out[3] == (3, 500_000 ** 2)
+    assert out[4] == (2, 250_000 ** 2)
+
+
+def test_kcenter_k1_returns_seed_only(spark):
+    from gene_level_metadata_pipeline_spark.operators.similarity import (
+        kcenter_sample,
+    )
+
+    pts = spark.createDataFrame(
+        [(7, 0.1, 0.2), (9, 0.3, 0.4)], "vec_id long, x double, y double"
+    )
+    out = kcenter_sample(pts, k=1).collect()
+    assert len(out) == 1 and out[0]["id"] == 7
+
+
+# ------------------------------------------------- streaming CMS merge
+
+def test_cms_merge_equals_one_shot_sketch(spark):
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        cms_lookup,
+        cms_merge,
+        cms_sketch,
+    )
+
+    wc1 = spark.createDataFrame([("x", 3), ("y", 1)], "word string, n long")
+    wc2 = spark.createDataFrame([("x", 2), ("z", 5)], "word string, n long")
+    merged = cms_merge(cms_sketch(wc1), cms_sketch(wc2))
+    union = spark.createDataFrame(
+        [("x", 5), ("y", 1), ("z", 5)], "word string, n long"
+    )
+    once = cms_sketch(union)
+    words = union.select("word")
+    em = {r["word"]: r["est"] for r in cms_lookup(words, merged).collect()}
+    eo = {r["word"]: r["est"] for r in cms_lookup(words, once).collect()}
+    assert em == eo  # additivity: merge of sketches == sketch of union
+    for w, true_n in (("x", 5), ("y", 1), ("z", 5)):
+        assert em[w] >= true_n
