@@ -280,3 +280,212 @@ def bootstrap_mean_ci(
         F.col("g").alias(group), "n_rows", "mean_scaled",
         "ci_lo_scaled", "ci_hi_scaled",
     )
+
+
+def _floor_div_exact(num: Column, den: Column) -> Column:
+    """Engine-portable floor division on exact (decimal/bigint)
+    columns: (num - pmod(num, den)) / den — identical in any engine
+    with C-style %, exact because the adjusted numerator is divisible."""
+    p = ((num % den) + den) % den
+    return (num - p) / den
+
+
+def cuped_adjust(
+    units: DataFrame,
+    arm_col: str = "arm",
+    x_col: str = "x",
+    y_col: str = "y",
+    theta_scale: int = 10 ** 6,
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013) for per-unit
+    experiment metrics: the industry-standard A/B adjustment — shift
+    each unit's metric y by theta * (x - mean(x)) where x is the
+    PRE-period covariate and theta = cov(x, y)/var(x), cutting metric
+    variance by the squared x-y correlation without biasing the
+    treatment contrast. Inputs are exact integer columns (fixed-point
+    units); theta and the adjusted means are exact fixed-point floor
+    divisions over DECIMAL(38) sums — the closed forms
+    theta = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) and
+    adj_a = (Sy_a*n*S - theta_s*(Sx_a*n - Sx*n_a)) / (n_a*n*S)
+    (S = theta_scale) never touch IEEE floats, so any engine with
+    128-bit integer sums replays them bit-for-bit.
+
+    Returns (arm, n_units, mean_y_scaled, adj_mean_y_scaled,
+    theta_scaled): raw and CUPED-adjusted per-arm means (floored to
+    the input fixed-point scale) plus the pooled theta.
+
+    Scale shape: ONE grouped pass for the per-arm sums + a 1-row
+    broadcast of the pooled moments — the covariate adjustment costs
+    one scan regardless of corpus size, the reason CUPED is standard
+    at fleet scale."""
+    dec = "decimal(38,0)"
+    u = units.select(
+        F.col(arm_col).alias("arm"),
+        F.col(x_col).cast("decimal(18,0)").alias("x"),
+        F.col(y_col).cast("decimal(18,0)").alias("y"),
+    )
+    per_arm = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast(dec).alias("n_a"),
+        F.sum("x").cast(dec).alias("sx_a"),
+        F.sum("y").cast(dec).alias("sy_a"),
+    )
+    pooled = u.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+    ).select(
+        "n", "sx", "sy",
+        _floor_div_exact(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * F.lit(theta_scale).cast(dec),
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
+        ).cast(dec).alias("theta_s"),
+    )
+    s = F.lit(theta_scale).cast(dec)
+    j = per_arm.join(F.broadcast(pooled))
+    return j.select(
+        "arm",
+        F.col("n_a").cast("bigint").alias("n_units"),
+        _floor_div_exact(F.col("sy_a"), F.col("n_a"))
+        .cast("bigint")
+        .alias("mean_y_scaled"),
+        _floor_div_exact(
+            F.col("sy_a") * F.col("n") * s
+            - F.col("theta_s")
+            * (F.col("sx_a") * F.col("n") - F.col("sx") * F.col("n_a")),
+            F.col("n_a") * F.col("n") * s,
+        ).cast("bigint").alias("adj_mean_y_scaled"),
+        F.col("theta_s").cast("bigint").alias("theta_scaled"),
+    )
+
+
+def conformal_split_interval(
+    units: DataFrame,
+    group: str,
+    y_col: str,
+    id_col: str,
+    alpha_pct: int = 10,
+) -> DataFrame:
+    """Split-conformal prediction interval per group (Vovk; Lei et al.
+    2018): fit on the TRAIN split (even ids), take q = the
+    ceil((1-alpha)(n_cal+1))-th smallest absolute residual on the
+    CALIBRATION split (odd ids) — then [pred ± q] carries a finite-
+    sample marginal coverage >= 1-alpha guarantee with NO distributional
+    assumption. The fitted model here is the per-group train mean (the
+    simplest regressor — the conformal wrapper is the operator; swap
+    any predictor in). Everything is exact integer arithmetic: the
+    train mean is a fixed-point floor division, residuals are exact
+    |y - pred| bigints, q is an exact order statistic under the
+    (residual, id) total order, and the shipped cover_ok boolean
+    re-verifies the >= k coverage ON the calibration set — the
+    guarantee certified, not assumed.
+
+    Returns (group, n_train, n_cal, pred_scaled, q_resid, cover_cnt,
+    cover_ok).
+
+    Scale shape: one grouped pass for the train means (broadcast
+    back), one residual projection, one per-group rank window over
+    calibration rows only. The conformal step adds a dimension-sized
+    window to whatever the model cost."""
+    from pyspark.sql import Window
+
+    tr = units.where(F.pmod(F.col(id_col), F.lit(2)) == 0)
+    cal = units.where(F.pmod(F.col(id_col), F.lit(2)) == 1)
+    fit = tr.groupBy(F.col(group).alias("g")).agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.sum(F.col(y_col).cast("bigint")).alias("sy"),
+    ).select(
+        "g", "n_train",
+        _floor_div_exact(
+            F.col("sy"), F.col("n_train").cast("bigint")
+        ).cast("bigint").alias("pred_scaled"),
+    )
+    res = cal.select(
+        F.col(group).alias("g"),
+        F.col(id_col).alias("rid"),
+        F.col(y_col).cast("bigint").alias("y"),
+    ).join(F.broadcast(fit), "g").select(
+        "g", "rid", "n_train", "pred_scaled",
+        F.abs(F.col("y") - F.col("pred_scaled")).alias("r"),
+    )
+    w = Window.partitionBy("g").orderBy("r", "rid")
+    ranked = res.select(
+        "g", "n_train", "pred_scaled", "r",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("g")).alias("n_cal"),
+    )
+    k = F.ceil(
+        (F.lit(100 - alpha_pct) * (F.col("n_cal") + 1)) / 100
+    ).cast("bigint")
+    q = ranked.where(F.col("rn") == F.least(k, F.col("n_cal"))).select(
+        "g", "n_train", "n_cal", "pred_scaled",
+        F.col("r").alias("q_resid"), k.alias("k_rank"),
+    )
+    cover = res.join(
+        q.select("g", "q_resid"), "g"
+    ).groupBy("g").agg(
+        F.count(F.when(F.col("r") <= F.col("q_resid"), 1)).alias(
+            "cover_cnt"
+        )
+    )
+    return q.join(cover, "g").select(
+        F.col("g").alias(group), "n_train", "n_cal", "pred_scaled",
+        "q_resid", "cover_cnt",
+        (F.col("cover_cnt") >= F.least(F.col("k_rank"), F.col("n_cal")))
+        .alias("cover_ok"),
+    )
+
+
+def target_encode_kfold(
+    df: DataFrame,
+    cat_col: str,
+    target_col: str,
+    id_col: str,
+    folds: int = 5,
+    scale: int = 10_000,
+) -> DataFrame:
+    """K-fold (leave-fold-out) mean target encoding — the standard
+    leakage-safe categorical feature for gradient models: a row in fold
+    f is encoded with the category's target mean computed WITHOUT fold
+    f's rows, so no row's own target leaks into its feature. Folds are
+    hash-assigned (md5 leading hex of the id — deterministic, engine-
+    portable, the bootstrap discipline); encodings are exact
+    fixed-point floor divisions of (S_cat - S_fold) / (n_cat - n_fold).
+    A fold holding ALL of a category's rows gets NULL (no out-of-fold
+    evidence), never a fabricated prior. Returns (cat, fold,
+    n_out_of_fold, enc_scaled).
+
+    Scale shape: ONE (cat, fold) aggregation; the category totals
+    derive from it by a second tiny rollup — the encoding table is
+    |cats| x folds, broadcastable to the feature join that consumes
+    it."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit("fold"), F.col(id_col))),
+                    1, 4),
+        16, 10,
+    ).cast("bigint")
+    per = df.select(
+        F.col(cat_col).alias("cat"),
+        F.col(target_col).cast("bigint").alias("t"),
+        F.pmod(h, F.lit(folds)).cast("int").alias("fold"),
+    ).groupBy("cat", "fold").agg(
+        F.count(F.lit(1)).alias("n_f"),
+        F.sum("t").alias("s_f"),
+    )
+    tot = per.groupBy("cat").agg(
+        F.sum("n_f").alias("n_c"), F.sum("s_f").alias("s_c")
+    )
+    j = per.join(tot, "cat").select(
+        "cat", "fold",
+        (F.col("n_c") - F.col("n_f")).alias("n_out_of_fold"),
+        F.when(
+            F.col("n_c") > F.col("n_f"),
+            _floor_div_exact(
+                (F.col("s_c") - F.col("s_f")) * F.lit(scale),
+                F.col("n_c") - F.col("n_f"),
+            ).cast("bigint"),
+        ).alias("enc_scaled"),
+    )
+    return j

@@ -3557,3 +3557,226 @@ def q_kcenter_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get("embedding", 1).alias("y"),
     )
     return kcenter_sample(pts, k=4, id_col="vec_id", x_col="x", y_col="y")
+
+
+@_register(
+    "ab_cuped_adjusted",
+    oracle="""
+    WITH e AS (
+      SELECT user_id,
+             CAST(round(value * 10000, 0) AS BIGINT) AS v4,
+             ts < TIMESTAMP '2024-01-16' AS pre
+      FROM events WHERE value IS NOT NULL
+    ),
+    u AS (
+      SELECT user_id,
+             CAST(user_id % 2 AS INTEGER) AS arm,
+             CAST(coalesce(sum(v4) FILTER (WHERE pre), 0) AS HUGEINT) AS x,
+             CAST(coalesce(sum(v4) FILTER (WHERE NOT pre), 0) AS HUGEINT)
+               AS y
+      FROM e GROUP BY user_id
+    ),
+    pooled AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM u
+    ),
+    theta AS (
+      SELECT n, sx, sy,
+             (SELECT nm - (((nm % dn) + dn) % dn) FROM (
+                SELECT (n * sxy - sx * sy) * 1000000 AS nm,
+                       n * sxx - sx * sx AS dn)) //
+             (n * sxx - sx * sx) AS theta_s
+      FROM pooled
+    ),
+    per_arm AS (
+      SELECT arm, CAST(count(*) AS HUGEINT) AS n_a,
+             sum(x) AS sx_a, sum(y) AS sy_a
+      FROM u GROUP BY arm
+    )
+    SELECT arm,
+           CAST(n_a AS BIGINT) AS n_units,
+           CAST((sy_a - ((sy_a % n_a) + n_a) % n_a) // n_a AS BIGINT)
+             AS mean_y_scaled,
+           CAST((adj_nm - ((adj_nm % adj_dn) + adj_dn) % adj_dn) // adj_dn
+                AS BIGINT) AS adj_mean_y_scaled,
+           CAST(theta_s AS BIGINT) AS theta_scaled
+    FROM (
+      SELECT a.arm, a.n_a, a.sy_a,
+             a.sy_a * t.n * 1000000
+               - t.theta_s * (a.sx_a * t.n - t.sx * a.n_a) AS adj_nm,
+             a.n_a * t.n * 1000000 AS adj_dn,
+             t.theta_s
+      FROM per_arm a CROSS JOIN theta t
+    )
+    """,
+)
+def q_ab_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED-adjusted experiment readout (drift.cuped_adjust): per-user
+    pre-period value sum (days 1-15) as the covariate, experiment-period
+    sum (days 16-30) as the metric, arm = user_id parity; theta and the
+    adjusted per-arm means are exact fixed-point floor divisions over
+    128-bit integer sums (DECIMAL(38) in Spark, HUGEINT in the oracle)
+    — the variance-reduction standard of every experimentation
+    platform, certified bit-for-bit cross-engine. One grouped pass per
+    level + a 1-row pooled broadcast; cost is one scan at any corpus
+    size."""
+    from gene_level_metadata_pipeline_spark.operators.drift import (
+        cuped_adjust,
+    )
+
+    ev = _events(spark, sf_dir).where(F.col("value").isNotNull())
+    per_user = ev.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("ts") < F.lit("2024-01-16").cast("timestamp"),
+                    F.round(F.col("value") * 10000, 0).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        ).alias("x"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("ts") >= F.lit("2024-01-16").cast("timestamp"),
+                    F.round(F.col("value") * 10000, 0).cast("bigint"),
+                )
+            ),
+            F.lit(0),
+        ).alias("y"),
+    ).select(
+        F.pmod(F.col("user_id"), F.lit(2)).cast("int").alias("arm"),
+        "x", "y",
+    )
+    return cuped_adjust(per_user, arm_col="arm", x_col="x", y_col="y")
+
+
+@_register(
+    "conformal_order_value",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS g, o_orderkey AS id,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS y
+      FROM orders
+    ),
+    fit AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS n_train,
+             CAST((sum(y) - ((sum(y) % count(*)) + count(*)) % count(*))
+                  / count(*) AS BIGINT) AS pred_scaled
+      FROM base WHERE id % 2 = 0 GROUP BY g
+    ),
+    res AS (
+      SELECT b.g, b.id AS rid, f.n_train, f.pred_scaled,
+             abs(b.y - f.pred_scaled) AS r
+      FROM base b JOIN fit f ON b.g = f.g
+      WHERE b.id % 2 = 1
+    ),
+    ranked AS (
+      SELECT g, n_train, pred_scaled, r,
+             row_number() OVER (PARTITION BY g ORDER BY r, rid) AS rn,
+             count(*) OVER (PARTITION BY g) AS n_cal
+      FROM res
+    ),
+    q AS (
+      SELECT g, n_train, CAST(n_cal AS BIGINT) AS n_cal, pred_scaled,
+             r AS q_resid,
+             CAST(least(CAST(ceil(90 * (n_cal + 1) / 100.0) AS BIGINT),
+                        n_cal) AS BIGINT) AS k_rank
+      FROM ranked
+      WHERE rn = least(CAST(ceil(90 * (n_cal + 1) / 100.0) AS BIGINT),
+                       n_cal)
+    ),
+    cover AS (
+      SELECT res.g, CAST(count(*) FILTER (WHERE res.r <= q.q_resid)
+                         AS BIGINT) AS cover_cnt
+      FROM res JOIN q ON res.g = q.g GROUP BY res.g
+    )
+    SELECT q.g AS o_orderpriority, n_train, n_cal, pred_scaled, q_resid,
+           cover_cnt, cover_cnt >= least(k_rank, n_cal) AS cover_ok
+    FROM q JOIN cover ON q.g = cover.g
+    """,
+)
+def q_conformal_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval per order priority
+    (drift.conformal_split_interval): train mean on even order keys,
+    exact order-statistic residual quantile on odd keys — the
+    assumption-free >= 90% coverage construction, with the coverage
+    count re-verified in the output (cover_ok). Every quantity is an
+    exact bigint (fixed-point means, |y - pred| residuals, rank-based
+    q), so the oracle replays the whole conformal recipe and the hash
+    match certifies the guarantee machinery itself."""
+    from gene_level_metadata_pipeline_spark.operators.drift import (
+        conformal_split_interval,
+    )
+
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority"), F.col("o_orderkey"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("y"),
+    )
+    return conformal_split_interval(
+        base, group="o_orderpriority", y_col="y", id_col="o_orderkey",
+        alpha_pct=10,
+    )
+
+
+@_register(
+    "target_encode_kfold",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderpriority AS cat, o_orderkey AS id,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS t
+      FROM orders
+    ),
+    folded AS (
+      SELECT cat, t,
+             CAST((((strpos('0123456789abcdef', substring(h, 1, 1)) - 1)
+                * 16 + strpos('0123456789abcdef', substring(h, 2, 1)) - 1)
+                * 16 + strpos('0123456789abcdef', substring(h, 3, 1)) - 1)
+                * 16 + strpos('0123456789abcdef', substring(h, 4, 1)) - 1
+                AS BIGINT) % 5 AS fold
+      FROM (SELECT cat, t,
+                   md5('fold:' || CAST(id AS VARCHAR)) AS h
+            FROM base)
+    ),
+    per AS (
+      SELECT cat, CAST(fold AS INTEGER) AS fold,
+             CAST(count(*) AS BIGINT) AS n_f,
+             CAST(sum(t) AS BIGINT) AS s_f
+      FROM folded GROUP BY cat, fold
+    ),
+    tot AS (
+      SELECT cat, sum(n_f) AS n_c, sum(s_f) AS s_c FROM per GROUP BY cat
+    )
+    SELECT per.cat, per.fold,
+           CAST(n_c - n_f AS BIGINT) AS n_out_of_fold,
+           CASE WHEN n_c > n_f THEN
+             CAST(((s_c - s_f) * 10000
+                   - ((((s_c - s_f) * 10000) % (n_c - n_f)) + (n_c - n_f))
+                     % (n_c - n_f)) / (n_c - n_f) AS BIGINT)
+           END AS enc_scaled
+    FROM per JOIN tot ON per.cat = tot.cat
+    """,
+)
+def q_target_encode_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe K-fold target encoding (drift.target_encode_kfold)
+    of order priority against order value: each fold's encoding uses
+    only out-of-fold rows (the gradient-model feature-engineering
+    standard), folds hash-assigned from md5 hex digits (deterministic
+    cross-engine), encodings exact fixed-point floor divisions. The
+    |cats| x folds output table is the broadcastable feature the
+    downstream join consumes — one aggregation pass at any scale."""
+    from gene_level_metadata_pipeline_spark.operators.drift import (
+        target_encode_kfold,
+    )
+
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority"),
+        F.col("o_orderkey"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("t"),
+    )
+    return target_encode_kfold(
+        base, cat_col="o_orderpriority", target_col="t",
+        id_col="o_orderkey", folds=5,
+    ).withColumnRenamed("cat", "cat")

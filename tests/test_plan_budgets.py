@@ -321,6 +321,13 @@ EXTRA_BUDGET = {
     "skipgram_pairs": 1,
     "kcenter_diverse_sample": 0,
     "streaming_cms_merge": 0,
+    # r6 batch 5 (audited 2026-08-15): CUPED = per-user event rollup +
+    # arm rollup + 1-row pooled moments (broadcast back); conformal =
+    # train-mean agg + calibration rank window + coverage agg;
+    # target-encode = (cat, fold) agg + cat rollup + the result join
+    "ab_cuped_adjusted": 4,
+    "conformal_order_value": 6,
+    "target_encode_kfold": 3,
 }
 
 

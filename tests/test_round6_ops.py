@@ -398,3 +398,101 @@ def test_cms_merge_equals_one_shot_sketch(spark):
     assert em == eo  # additivity: merge of sketches == sketch of union
     for w, true_n in (("x", 5), ("y", 1), ("z", 5)):
         assert em[w] >= true_n
+
+
+# --------------------------------------------------------------- CUPED
+
+def test_cuped_perfect_covariate_collapses_variance(spark):
+    from gene_level_metadata_pipeline_spark.operators.drift import (
+        cuped_adjust,
+    )
+
+    # y == x exactly -> theta == 1 (scaled), and every unit's adjusted
+    # value equals the global mean: both arms' adjusted means coincide.
+    rows = [(i % 2, 100 + i * 10, 100 + i * 10) for i in range(10)]
+    df = spark.createDataFrame(rows, "arm int, x long, y long")
+    out = {r["arm"]: r for r in cuped_adjust(df).collect()}
+    assert out[0]["theta_scaled"] == 10 ** 6
+    assert out[0]["adj_mean_y_scaled"] == out[1]["adj_mean_y_scaled"]
+    assert out[0]["mean_y_scaled"] != out[1]["mean_y_scaled"]
+
+
+def test_cuped_uncorrelated_covariate_is_noop(spark):
+    from gene_level_metadata_pipeline_spark.operators.drift import (
+        cuped_adjust,
+    )
+
+    # x constant-per-pattern with zero covariance against y -> theta 0,
+    # adjusted means == raw means.
+    rows = [(0, 1, 10), (0, 2, 20), (1, 1, 20), (1, 2, 10)]
+    df = spark.createDataFrame(rows, "arm int, x long, y long")
+    out = {r["arm"]: r for r in cuped_adjust(df).collect()}
+    assert out[0]["theta_scaled"] == 0
+    assert out[0]["adj_mean_y_scaled"] == out[0]["mean_y_scaled"]
+
+
+# ----------------------------------------------------------- conformal
+
+def test_conformal_quantile_rank_and_coverage(spark):
+    from gene_level_metadata_pipeline_spark.operators.drift import (
+        conformal_split_interval,
+    )
+
+    # train (even ids): y = 100 -> pred 100. calibration (odd ids):
+    # residuals 0,10,20,...,90 (10 rows) -> k = ceil(0.9*11) = 10 ->
+    # q = 90, coverage 10/10.
+    rows = [("a", 2 * i, 100) for i in range(10)] + [
+        ("a", 2 * i + 1, 100 + 10 * i) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, y long")
+    out = conformal_split_interval(df, "g", "y", "id").collect()[0]
+    assert out["pred_scaled"] == 100
+    assert out["n_cal"] == 10 and out["q_resid"] == 90
+    assert out["cover_cnt"] == 10 and out["cover_ok"]
+
+
+def test_conformal_small_calibration_clamps_rank(spark):
+    from gene_level_metadata_pipeline_spark.operators.drift import (
+        conformal_split_interval,
+    )
+
+    # 2 calibration rows: k = ceil(0.9*3) = 3 > n_cal -> clamped to 2.
+    rows = [("a", 0, 50), ("a", 2, 50), ("a", 1, 60), ("a", 3, 80)]
+    df = spark.createDataFrame(rows, "g string, id long, y long")
+    out = conformal_split_interval(df, "g", "y", "id").collect()[0]
+    assert out["n_cal"] == 2 and out["q_resid"] == 30 and out["cover_ok"]
+
+
+# ------------------------------------------------------ target encode
+
+def test_target_encode_excludes_own_fold(spark):
+    from gene_level_metadata_pipeline_spark.operators.drift import (
+        target_encode_kfold,
+    )
+
+    rows = [("a", i, 100 * (i + 1)) for i in range(50)]
+    df = spark.createDataFrame(rows, "cat string, id long, t long")
+    out = target_encode_kfold(df, "cat", "t", "id", folds=5).collect()
+    tot_n, tot_s = 50, sum(100 * (i + 1) for i in range(50))
+    assert len(out) == 5
+    for r in out:
+        n_in = tot_n - r["n_out_of_fold"]
+        assert 0 < n_in < tot_n
+        # out-of-fold mean never equals the all-rows mean unless the
+        # fold mean coincides — verify exact arithmetic instead:
+        s_out = r["enc_scaled"]
+        # enc = floor((tot_s - s_fold)*1e4 / n_out): reconstructable
+        assert s_out * r["n_out_of_fold"] <= (tot_s) * 10_000
+
+
+def test_target_encode_single_fold_category_gets_null(spark):
+    from gene_level_metadata_pipeline_spark.operators.drift import (
+        target_encode_kfold,
+    )
+
+    # one row -> its category has rows in exactly one fold -> that
+    # fold's encoding must be NULL (no out-of-fold evidence).
+    df = spark.createDataFrame([("solo", 7, 123)], "cat string, id long, t long")
+    out = target_encode_kfold(df, "cat", "t", "id", folds=5).collect()
+    assert len(out) == 1
+    assert out[0]["n_out_of_fold"] == 0 and out[0]["enc_scaled"] is None
