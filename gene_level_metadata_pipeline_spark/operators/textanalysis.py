@@ -1619,3 +1619,83 @@ def skipgram_pairs(
     return sym.groupBy("center", "context").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+def mmr_diversify(
+    candidates: DataFrame,
+    sims: DataFrame,
+    k: int = 3,
+    rel_weight: int = 100,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversity stage of a retrieval stack: greedily pick the
+    candidate maximizing relevance minus its worst redundancy against
+    what's already picked. Inputs are exact integers: ``candidates``
+    = (qid, doc_id, rel) fixed-point relevances, ``sims`` = (qid, a,
+    b, sim) fixed-point pairwise similarities among the candidates
+    (missing pair => similarity 0). Round 1 takes the max-relevance
+    candidate; round r scores the rest as rel*rel_weight - max(sim to
+    selected) under the (score DESC, doc_id ASC) total order — every
+    pick a pure function of the inputs, so a k-round unrolled SQL
+    recurrence replays it exactly. Returns (qid, pick_order, doc_id).
+
+    Scale shape: candidate lists are top-k-bounded per query (the
+    corpus-scale work happened in the retriever), so every round is a
+    window + a broadcast-joined max over |queries| x k rows —
+    dimension-sized; k rounds of it."""
+    from pyspark.sql import Window
+
+    if k < 1:
+        raise ValueError(f"mmr_diversify: k={k} must be >= 1")
+    cand = candidates.select(
+        "qid", "doc_id", F.col("rel").cast("bigint").alias("rel")
+    ).localCheckpoint(eager=True)
+    w_rel = Window.partitionBy("qid").orderBy(
+        F.col("rel").desc(), F.col("doc_id").asc()
+    )
+    picked = (
+        cand.withColumn("rn", F.row_number().over(w_rel))
+        .where(F.col("rn") == 1)
+        .select("qid", F.lit(1).cast("int").alias("pick_order"), "doc_id")
+    ).localCheckpoint(eager=True)
+    sym = sims.select(
+        "qid", F.col("a").alias("doc_id"), F.col("b").alias("other"),
+        F.col("sim").cast("bigint").alias("sim"),
+    ).unionByName(sims.select(
+        "qid", F.col("b").alias("doc_id"), F.col("a").alias("other"),
+        F.col("sim").cast("bigint").alias("sim"),
+    ))
+    for r in range(2, k + 1):
+        remaining = cand.join(
+            picked.select("qid", "doc_id"), ["qid", "doc_id"], "anti"
+        )
+        redundancy = (
+            remaining.join(
+                sym.join(
+                    picked.select(
+                        "qid", F.col("doc_id").alias("other")
+                    ),
+                    ["qid", "other"],
+                ).select("qid", "doc_id", "sim"),
+                ["qid", "doc_id"],
+                "left",
+            )
+            .groupBy("qid", "doc_id", "rel")
+            .agg(F.coalesce(F.max("sim"), F.lit(0)).alias("red"))
+        )
+        scored = redundancy.select(
+            "qid", "doc_id",
+            (F.col("rel") * rel_weight - F.col("red")).alias("score"),
+        )
+        w = Window.partitionBy("qid").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        nxt = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(
+                "qid", F.lit(r).cast("int").alias("pick_order"), "doc_id"
+            )
+        )
+        picked = picked.unionByName(nxt).localCheckpoint(eager=True)
+    return picked

@@ -3780,3 +3780,289 @@ def q_target_encode_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
         base, cat_col="o_orderpriority", target_col="t",
         id_col="o_orderkey", folds=5,
     ).withColumnRenamed("cat", "cat")
+
+
+_MMR_BASE_CTES = """
+    words AS (
+      SELECT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      ) WHERE w <> ''
+    ),
+    tf AS (SELECT doc_id, w, count(*) AS cnt FROM words GROUP BY doc_id, w),
+    dlen AS (SELECT doc_id, count(*) AS len FROM words GROUP BY doc_id),
+    stats AS (
+      SELECT count(*) AS n, sum(len) * 1.0 / count(*) AS avglen FROM dlen
+    ),
+    dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    q(qid, w) AS (VALUES
+      (0, 'hash'), (0, 'join'), (0, 'merge'),
+      (1, 'fast'), (1, 'scan'), (1, 'filter'),
+      (2, 'window'), (2, 'sort'), (2, 'batch')
+    ),
+    cand AS (
+      SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+             CAST(round(score * 10000, 0) AS BIGINT) AS rel
+      FROM (
+        SELECT qid, doc_id, score,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM (
+          SELECT q.qid, tf.doc_id,
+                 CAST(round(sum(CAST(
+                   ln((n - df + 0.5) / (df + 0.5) + 1.0)
+                   * (cnt * 2.2)
+                   / (cnt + 1.2 * (1 - 0.75 + 0.75 * len / avglen))
+                 AS DECIMAL(18,6))), 4) AS DOUBLE) AS score
+          FROM q JOIN tf USING (w)
+          JOIN dlen USING (doc_id)
+          JOIN dfreq USING (w)
+          CROSS JOIN stats
+          GROUP BY q.qid, tf.doc_id
+        )
+      ) WHERE rank <= 10
+    ),
+    dw AS (
+      SELECT DISTINCT doc_id, w FROM words
+      WHERE doc_id IN (SELECT doc_id FROM cand)
+    ),
+    dn AS (SELECT doc_id, count(*) AS nw FROM dw GROUP BY doc_id),
+    pairs AS (
+      SELECT a.qid, a.doc_id AS da, b.doc_id AS db
+      FROM cand a JOIN cand b
+        ON a.qid = b.qid AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT p.qid, p.da, p.db, count(*) AS i
+      FROM pairs p
+      JOIN dw wa ON wa.doc_id = p.da
+      JOIN dw wb ON wb.doc_id = p.db AND wb.w = wa.w
+      GROUP BY p.qid, p.da, p.db
+    ),
+    jac AS (
+      SELECT i.qid, i.da, i.db,
+             CAST(i.i * 1000000 // (na.nw + nb.nw - i.i) AS BIGINT) AS sim
+      FROM inter i
+      JOIN dn na ON na.doc_id = i.da
+      JOIN dn nb ON nb.doc_id = i.db
+    ),
+    jsym AS (
+      SELECT qid, da AS doc_id, db AS other, sim FROM jac
+      UNION ALL
+      SELECT qid, db AS doc_id, da AS other, sim FROM jac
+    ),
+    s1 AS (
+      SELECT qid, doc_id FROM cand
+      QUALIFY row_number() OVER (PARTITION BY qid
+                                 ORDER BY rel DESC, doc_id) = 1
+    )"""
+
+
+def _mmr_round_ctes(r: int) -> str:
+    prev = ", ".join(f"SELECT qid, doc_id FROM s{i}" for i in range(1, r))
+    return f""",
+    sel{r} AS ({prev.replace(', SELECT', ' UNION ALL SELECT')}),
+    rem{r} AS (
+      SELECT c.qid, c.doc_id, c.rel FROM cand c
+      ANTI JOIN sel{r} s ON c.qid = s.qid AND c.doc_id = s.doc_id
+    ),
+    hit{r} AS (
+      SELECT j.qid, j.doc_id, max(j.sim) AS red
+      FROM jsym j JOIN sel{r} s
+        ON j.qid = s.qid AND j.other = s.doc_id
+      GROUP BY j.qid, j.doc_id
+    ),
+    red{r} AS (
+      SELECT r.qid, r.doc_id, r.rel, coalesce(h.red, 0) AS red
+      FROM rem{r} r LEFT JOIN hit{r} h
+        ON h.qid = r.qid AND h.doc_id = r.doc_id
+    ),
+    s{r} AS (
+      SELECT qid, doc_id FROM red{r}
+      QUALIFY row_number() OVER (PARTITION BY qid
+               ORDER BY rel * 100 - red DESC, doc_id) = 1
+    )"""
+
+
+def _mmr_oracle(k: int = 3) -> str:
+    sql = "WITH" + _MMR_BASE_CTES
+    for r in range(2, k + 1):
+        sql += _mmr_round_ctes(r)
+    sel = "\n    UNION ALL ".join(
+        f"SELECT qid, CAST({r} AS INTEGER) AS pick_order, doc_id FROM s{r}"
+        for r in range(1, k + 1)
+    )
+    return sql + "\n    " + sel
+
+
+@_register("rag_mmr_diversify", oracle=_mmr_oracle(3))
+def q_rag_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified re-ranking (textanalysis.mmr_diversify) on the
+    BM25 top-10 per query: relevance = fixed-point BM25 score, pairwise
+    redundancy = exact floor-div Jaccard over the candidates' word
+    sets, greedy picks under the (rel*100 - max_sim, doc_id) total
+    order — the diversity stage completing the retrieve → fuse →
+    diversify stack. All work after retrieval is dimension-sized
+    (|queries| x 10 candidates, 45 pairs per query). The oracle
+    unrolls the greedy recurrence one CTE group per round; the hash
+    match certifies ranker, Jaccard, and every pick."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        bm25_topk,
+        mmr_diversify,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        [(0, "hash join merge"), (1, "fast scan filter"),
+         (2, "window sort batch")],
+        "qid bigint, query string",
+    )
+    bm = bm25_topk(docs, queries, text_col="text", id_col="doc_id", k=10)
+    cand = bm.select(
+        "qid", "doc_id",
+        F.round(F.col("score") * 10000, 0).cast("bigint").alias("rel"),
+    )
+    dw = (
+        docs.join(cand.select("doc_id").distinct(), "doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .distinct()
+    )
+    dn = dw.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nw"))
+    pairs = cand.select("qid", F.col("doc_id").alias("da")).join(
+        cand.select("qid", F.col("doc_id").alias("db")), "qid"
+    ).where(F.col("da") < F.col("db"))
+    inter = (
+        pairs.join(dw.select(F.col("doc_id").alias("da"),
+                             F.col("w").alias("wa")), "da")
+        .join(dw.select(F.col("doc_id").alias("db"),
+                        F.col("w").alias("wa")), ["db", "wa"])
+        .groupBy("qid", "da", "db")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    u = F.col("na") + F.col("nb") - F.col("i")
+    sims = (
+        inter.join(dn.select(F.col("doc_id").alias("da"),
+                             F.col("nw").alias("na")), "da")
+        .join(dn.select(F.col("doc_id").alias("db"),
+                        F.col("nw").alias("nb")), "db")
+        .select(
+            "qid", F.col("da").alias("a"), F.col("db").alias("b"),
+            F.expr("i * 1000000 div (na + nb - i)").alias("sim"),
+        )
+    )
+    return mmr_diversify(cand, sims, k=3, rel_weight=100)
+
+
+@_register(
+    "source_ablation_quality",
+    oracle="""
+    WITH d AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(list_filter(string_split(text, ' '),
+                                      x -> x <> ''))) AS BIGINT) AS toks
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT sum(n_docs) AS n_all, sum(toks) AS t_all FROM d
+    )
+    SELECT source, n_docs,
+           CAST(t_all * 10000 // n_all AS BIGINT) AS mean_all_e4,
+           CAST((t_all - toks) * 10000 // (n_all - n_docs) AS BIGINT)
+             AS loo_mean_e4,
+           CAST((t_all - toks) * 10000 // (n_all - n_docs)
+                - t_all * 10000 // n_all AS BIGINT) AS delta_e4
+    FROM d CROSS JOIN tot
+    WHERE n_all > n_docs
+    """,
+)
+def q_source_ablation_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source leave-one-out ablation of a corpus statistic (mean
+    tokens/doc): for every feed, what the corpus metric becomes WITHOUT
+    it — the curation triage that ranks which source drags the corpus
+    (the cheap first-order cousin of data-Shapley: computable from ONE
+    per-source aggregation because leave-one-out of a mean is algebra
+    on the totals, never a re-scan per source). Exact fixed-point floor
+    divisions; positive delta = the corpus improves without that
+    source."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        ).cast("bigint").alias("toks"),
+    )
+    tot = d.agg(
+        F.sum("n_docs").alias("n_all"), F.sum("toks").alias("t_all")
+    )
+    mean_all = F.expr("t_all * 10000 div n_all")
+    loo = F.expr("(t_all - toks) * 10000 div (n_all - n_docs)")
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .where(F.col("n_all") > F.col("n_docs"))
+        .select(
+            "source", "n_docs",
+            mean_all.cast("bigint").alias("mean_all_e4"),
+            loo.cast("bigint").alias("loo_mean_e4"),
+            (loo - mean_all).cast("bigint").alias("delta_e4"),
+        )
+    )
+
+
+@_register(
+    "vocab_oov_rate",
+    oracle="""
+    WITH train_vocab AS (
+      SELECT DISTINCT w FROM (
+        SELECT unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE doc_id % 2 = 0
+      ) WHERE w <> ''
+    ),
+    test_toks AS (
+      SELECT lang, w FROM (
+        SELECT lang, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE doc_id % 2 = 1
+      ) WHERE w <> ''
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (WHERE v.w IS NULL) AS BIGINT) AS n_oov,
+           CAST(count(*) FILTER (WHERE v.w IS NULL) * 1000000 // count(*)
+                AS BIGINT) AS oov_rate_e6
+    FROM test_toks t LEFT JOIN train_vocab v ON t.w = v.w
+    GROUP BY lang
+    """,
+)
+def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer/vocabulary OOV evaluation: vocabulary from the TRAIN
+    split (even doc ids), per-language out-of-vocabulary token rate on
+    the held-out TEST split (odd ids) — the fairness metric that shows
+    which language a frozen vocabulary shortchanges (the reason
+    multilingual tokenizers publish per-language fertility/OOV tables).
+    One distinct-vocab aggregation + one token probe join keyed on the
+    word (the vocabulary side is the small one — broadcastable at any
+    corpus scale); exact fixed-point rate."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = (
+        docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == 0)
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .distinct()
+    )
+    toks = (
+        docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == 1)
+        .select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    probed = toks.join(
+        F.broadcast(vocab.withColumn("hit", F.lit(1))), "w", "left"
+    )
+    return probed.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.count(F.when(F.col("hit").isNull(), 1)).cast("bigint").alias(
+            "n_oov"
+        ),
+        F.expr(
+            "CAST(count(CASE WHEN hit IS NULL THEN 1 END) * 1000000 "
+            "div count(*) AS BIGINT)"
+        ).alias("oov_rate_e6"),
+    )

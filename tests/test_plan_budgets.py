@@ -328,6 +328,14 @@ EXTRA_BUDGET = {
     "ab_cuped_adjusted": 4,
     "conformal_order_value": 6,
     "target_encode_kfold": 3,
+    # r6 batch 6 (audited 2026-08-15): MMR = checkpointed per-round
+    # picks union (converged-scan discipline — the ranker/Jaccard work
+    # materialized during construction); ablation = per-source agg +
+    # 1-row totals + final distinct-free projection; OOV = train-vocab
+    # distinct + per-lang probe agg (vocab side broadcast)
+    "rag_mmr_diversify": 0,
+    "source_ablation_quality": 3,
+    "vocab_oov_rate": 2,
 }
 
 

@@ -496,3 +496,41 @@ def test_target_encode_single_fold_category_gets_null(spark):
     out = target_encode_kfold(df, "cat", "t", "id", folds=5).collect()
     assert len(out) == 1
     assert out[0]["n_out_of_fold"] == 0 and out[0]["enc_scaled"] is None
+
+
+# ----------------------------------------------------------------- MMR
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        mmr_diversify,
+    )
+
+    # doc 2 is slightly more relevant than doc 3 but nearly identical
+    # to the round-1 pick (doc 1): MMR must pick 3 at round 2.
+    cand = spark.createDataFrame(
+        [(0, 1, 1000), (0, 2, 990), (0, 3, 900)],
+        "qid long, doc_id long, rel long",
+    )
+    sims = spark.createDataFrame(
+        [(0, 1, 2, 950_000), (0, 1, 3, 10_000)],
+        "qid long, a long, b long, sim long",
+    )
+    out = {r["pick_order"]: r["doc_id"]
+           for r in mmr_diversify(cand, sims, k=3, rel_weight=100).collect()}
+    assert out == {1: 1, 2: 3, 3: 2}
+
+
+def test_mmr_missing_similarity_is_zero(spark):
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        mmr_diversify,
+    )
+
+    cand = spark.createDataFrame(
+        [(0, 10, 5), (0, 20, 4)], "qid long, doc_id long, rel long"
+    )
+    sims = spark.createDataFrame(
+        [], "qid long, a long, b long, sim long"
+    )
+    out = {r["pick_order"]: r["doc_id"]
+           for r in mmr_diversify(cand, sims, k=2).collect()}
+    assert out == {1: 10, 2: 20}
