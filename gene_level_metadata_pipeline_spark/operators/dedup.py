@@ -1107,3 +1107,96 @@ def source_overlap_matrix(
             F.round(F.col("n_match") / F.col("k"), 4).alias("jaccard_est"),
         )
     )
+
+
+def set_similarity_join(
+    tokens: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "w",
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """EXACT Jaccard-threshold self-join with PREFIX FILTERING (the
+    PPJoin family, Chaudhuri/Xiao 2006-2011) — the third point in the
+    dedup design space beside the hash-exact groupBy (exact duplicates
+    only) and MinHash LSH (probabilistic recall): every pair with
+    Jaccard >= tn/td, no false negatives, without the quadratic join.
+
+    The prefix-filter theorem: order each set by a GLOBAL token order
+    (ascending document frequency, rarest first — ties on the token);
+    two sets with Jaccard >= t MUST share a token among each set's
+    first |s| - ceil(t*|s|) + 1 tokens. Candidates therefore come from
+    an equi-join on PREFIX tokens only — rare tokens, so candidate
+    lists are small where it matters — and each candidate is verified
+    with the exact integer predicate (td+tn)*i >= tn*(|a|+|b|)
+    (equivalent to i/union >= tn/td, no floats). Input is the distinct
+    (id, token) table; returns (a, b, inter_n, union_n, jac_e6) for
+    a < b, jac_e6 the exact floor-scaled Jaccard.
+
+    Scale shape: one token-frequency aggregation, one per-set rank
+    window, an equi-join keyed on prefix tokens (shuffle key = token;
+    stop-word-like hot tokens are excluded from prefixes by
+    construction — they rank LAST in the frequency order), and a
+    verification join proportional to candidates, not pairs. The
+    registry query certifies LOSSLESSNESS by hash-matching the
+    quadratic oracle (the interval_overlap_join discipline)."""
+    from pyspark.sql import Window
+
+    t = tokens.select(
+        F.col(id_col).alias("id"), F.col(token_col).alias("tok")
+    ).distinct()
+    sizes = t.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = t.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        t.join(dfreq, "tok")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(
+                    F.col("df").asc(), F.col("tok").asc()
+                )
+            ),
+        )
+        .join(sizes, "id")
+    )
+    # prefix length |s| - ceil(tn*|s|/td) + 1, ceil via (a+b-1) div b
+    p = (
+        F.col("sz")
+        - F.expr(
+            f"(sz * {threshold_num} + {threshold_den} - 1) "
+            f"div {threshold_den}"
+        )
+        + 1
+    )
+    prefix = ranked.where(F.col("rn") <= p).select("id", "tok")
+    cand = (
+        prefix.alias("x")
+        .join(prefix.alias("y"), "tok")
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    inter = (
+        cand.join(t.select(F.col("id").alias("a"), "tok"), "a")
+        .join(t.select(F.col("id").alias("b"), "tok"), ["b", "tok"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter_n"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("id").alias("a"),
+                                F.col("sz").alias("sa")), "a")
+        .join(sizes.select(F.col("id").alias("b"),
+                           F.col("sz").alias("sb")), "b")
+        .where(
+            (threshold_den + threshold_num) * F.col("inter_n")
+            >= threshold_num * (F.col("sa") + F.col("sb"))
+        )
+        .select(
+            "a", "b", "inter_n",
+            (F.col("sa") + F.col("sb") - F.col("inter_n")).alias("union_n"),
+            F.expr(
+                "CAST(inter_n * 1000000 div (sa + sb - inter_n) AS BIGINT)"
+            ).alias("jac_e6"),
+        )
+    )
+    return out

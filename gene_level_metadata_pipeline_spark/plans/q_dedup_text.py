@@ -3473,3 +3473,54 @@ def q_pca_power_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return pca_top_component(_t(spark, sf_dir, "embeddings"))
+
+
+@_register(
+    "dedup_set_similarity_exact",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id AS id, count(*) AS sz FROM sh GROUP BY doc_id),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    ),
+    inter AS (
+      SELECT c.a, c.b, count(*) AS inter_n
+      FROM cand c
+      JOIN sh ta ON ta.doc_id = c.a
+      JOIN sh tb ON tb.doc_id = c.b AND tb.shingle = ta.shingle
+      GROUP BY c.a, c.b
+    )
+    SELECT i.a, i.b, CAST(i.inter_n AS BIGINT) AS inter_n,
+           CAST(sa.sz + sb.sz - i.inter_n AS BIGINT) AS union_n,
+           CAST(i.inter_n * 1000000 // (sa.sz + sb.sz - i.inter_n)
+                AS BIGINT) AS jac_e6
+    FROM inter i
+    JOIN sizes sa ON sa.id = i.a
+    JOIN sizes sb ON sb.id = i.b
+    WHERE 3 * i.inter_n >= sa.sz + sb.sz
+    """,
+)
+def q_dedup_set_similarity_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT Jaccard>=0.5 self-join
+    (dedup.set_similarity_join) over 3-word-shingle sets — the PPJoin
+    point of the dedup design space: no false negatives (unlike the
+    LSH families), no quadratic join (unlike the oracle). The oracle
+    IS the quadratic join (all shingle-sharing pairs: 11.5k at sf0.01,
+    1.13M at sf0.1, vs 25/256 true pairs), so the hash match is the
+    prefix-filter theorem certified empirically: the rare-shingle
+    prefix equi-join loses no qualifying pair. Exact integer predicate
+    3i >= |a|+|b| end-to-end; word SETS were measured too corpus-
+    homogeneous to discriminate (74% of doc pairs above 0.5 — shingles
+    are the textbook input for a reason)."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        set_similarity_join,
+        word_shingles,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = word_shingles(docs, text_col="text", id_col="doc_id", n=3)
+    return set_similarity_join(
+        sh, id_col="doc_id", token_col="shingle",
+        threshold_num=1, threshold_den=2,
+    )

@@ -336,6 +336,12 @@ EXTRA_BUDGET = {
     "rag_mmr_diversify": 0,
     "source_ablation_quality": 3,
     "vocab_oov_rate": 2,
+    # PPJoin exact set-similarity join: shingle distinct + sizes +
+    # dfreq + per-set prefix rank window + prefix equi-join + the
+    # verification join's sides — the shingle subtree canonicalizes and
+    # runtime-reuses (ReusedExchange), so the 18 static exchanges
+    # overcount actual work (the graph_link_prediction precedent)
+    "dedup_set_similarity_exact": 18,
 }
 
 

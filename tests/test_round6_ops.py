@@ -534,3 +534,42 @@ def test_mmr_missing_similarity_is_zero(spark):
     out = {r["pick_order"]: r["doc_id"]
            for r in mmr_diversify(cand, sims, k=2).collect()}
     assert out == {1: 10, 2: 20}
+
+
+# ------------------------------------------------ exact set-sim join
+
+def test_set_similarity_join_exact_no_false_negatives(spark):
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        set_similarity_join,
+    )
+
+    # sets: A={1,2,3,4}, B={1,2,3}, C={9}. jac(A,B)=3/4 >= 1/2 -> pair;
+    # jac with C = 0. Also verify the exact fields.
+    rows = (
+        [(1, f"t{i}") for i in (1, 2, 3, 4)]
+        + [(2, f"t{i}") for i in (1, 2, 3)]
+        + [(3, "t9")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, w string")
+    out = set_similarity_join(df, "doc_id", "w", 1, 2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["a"], r["b"], r["inter_n"], r["union_n"]) == (1, 2, 3, 4)
+    assert r["jac_e6"] == 750_000
+
+
+def test_set_similarity_join_boundary_threshold(spark):
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        set_similarity_join,
+    )
+
+    # jac exactly 1/2: A={1,2}, B={1,3} -> i=1, u=3 -> 1/3 < 1/2 (no);
+    # A={1,2,3,4}, B={1,2,5,6}: i=2, u=6 -> 1/3 (no);
+    # A={1,2,3}, B={1,2,3,4,5,6... need exactly 0.5: i=2,u=4: A={1,2,3},B={1,2,4} -> i=2,u=4 -> keep.
+    rows = (
+        [(1, "a"), (1, "b"), (1, "c")]
+        + [(2, "a"), (2, "b"), (2, "d")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, w string")
+    out = set_similarity_join(df, "doc_id", "w", 1, 2).collect()
+    assert len(out) == 1 and out[0]["jac_e6"] == 500_000
