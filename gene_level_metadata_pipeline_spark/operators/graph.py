@@ -840,3 +840,64 @@ def random_walks(
             )
         )
     return out
+
+
+def temporal_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src: str = "u",
+    dst: str = "v",
+    t_col: str = "t",
+) -> DataFrame:
+    """Time-respecting reachability (earliest-arrival): which nodes a
+    seed set can reach through paths whose edge timestamps NEVER
+    DECREASE — the semantics of information/contagion flow (a message
+    can only continue along an edge that happens after it arrived),
+    which plain BFS gets wrong on temporal graphs. Bounded at
+    ``max_hops`` edges; edges are undirected pairs with an integer
+    timestamp. Returns (node, arrival) — the minimum achievable
+    arrival time over all time-respecting paths of <= max_hops edges
+    (seeds arrive at 0).
+
+    The recurrence is Bellman-Ford-shaped with a temporal guard:
+    arr_h(v) = min(arr_{h-1}(v), min over edges (u,v,t) with
+    t >= arr_{h-1}(u) of t) — monotone, exact bigint, so a k-round
+    unrolled SQL twin replays it bit-for-bit (the sssp_weighted
+    discipline plus the guard). One edges⋈arrivals join + one min-fold
+    per round over a node-sized frame, eagerly checkpointed inside a
+    sized-shuffle window."""
+    from gene_level_metadata_pipeline_spark.sizing import sized_shuffle
+
+    if max_hops < 1:
+        raise ValueError(
+            f"temporal_reachability: max_hops={max_hops} must be >= 1"
+        )
+    e = edges.select(
+        F.col(src).alias("eu"), F.col(dst).alias("ev"),
+        F.col(t_col).cast("bigint").alias("et"),
+    ).where(F.col("eu") != F.col("ev"))
+    sym = e.unionByName(
+        e.select(
+            F.col("ev").alias("eu"), F.col("eu").alias("ev"), "et"
+        )
+    ).localCheckpoint(eager=True)
+    n_edges = sym.count()
+    arr = seeds.select(
+        F.col(seeds.columns[0]).alias("node"),
+        F.lit(0).cast("bigint").alias("arrival"),
+    ).distinct().localCheckpoint(eager=True)
+    with sized_shuffle(sym.sparkSession, n_edges):
+        for _ in range(max_hops):
+            relaxed = (
+                sym.join(arr.withColumnRenamed("node", "eu"), "eu")
+                .where(F.col("et") >= F.col("arrival"))
+                .select(F.col("ev").alias("node"), F.col("et").alias("arrival"))
+            )
+            arr = (
+                arr.unionByName(relaxed)
+                .groupBy("node")
+                .agg(F.min("arrival").alias("arrival"))
+                .localCheckpoint(eager=True)
+            )
+    return arr

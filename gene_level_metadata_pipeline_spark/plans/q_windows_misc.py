@@ -4066,3 +4066,85 @@ def q_vocab_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div count(*) AS BIGINT)"
         ).alias("oov_rate_e6"),
     )
+
+
+def _treach_oracle(hops: int = 3) -> str:
+    """Unrolled earliest-arrival recurrence with the temporal guard
+    t >= arrival(u) — one union+min-fold CTE per hop."""
+    ctes = [
+        "op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)",
+        """od AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS d
+      FROM orders
+    )""",
+        """pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v,
+             CAST(min(od.d) AS BIGINT) AS t
+      FROM op a
+      JOIN op b ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+      JOIN od ON od.o_orderkey = a.l_orderkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING count(*) >= 2
+    )""",
+        "sym AS (SELECT u, v, t FROM pairs"
+        " UNION ALL SELECT v, u, t FROM pairs)",
+        "a0 AS (SELECT min(u) AS node, CAST(0 AS BIGINT) AS arrival"
+        " FROM pairs)",
+    ]
+    for h in range(1, hops + 1):
+        ctes.append(f"""a{h} AS (
+      SELECT node, min(arrival) AS arrival FROM (
+        SELECT node, arrival FROM a{h - 1}
+        UNION ALL
+        SELECT s.v AS node, s.t AS arrival
+        FROM sym s JOIN a{h - 1} p ON s.u = p.node AND s.t >= p.arrival
+      ) GROUP BY node
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT node, arrival FROM a{hops}"
+    )
+
+
+@_register("graph_temporal_reachability", oracle=_treach_oracle(3))
+def q_graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-respecting reachability (graph.temporal_reachability) over
+    the part co-occurrence graph with edge time = earliest shared
+    order's epoch day: earliest ARRIVAL at every node within 3 hops
+    from the min-id seed, where a path's edge days never decrease —
+    the information-flow semantics plain BFS gets wrong on temporal
+    graphs (a hop cannot use an edge that happened before the signal
+    arrived). Exact bigint day arithmetic, min-fold per hop; the
+    oracle unrolls the guarded Bellman-Ford recurrence one CTE per
+    hop. UTC pinned for the date cast (the tpch discipline)."""
+    from gene_level_metadata_pipeline_spark.operators.graph import (
+        temporal_reachability,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    od = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1970-01-01").cast("date"),
+        ).cast("bigint").alias("d"),
+    )
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    pairs = (
+        a.join(b, "k")
+        .where(F.col("u") < F.col("v"))
+        .join(od.withColumnRenamed("o_orderkey", "k"), "k")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("d").alias("t"))
+        .where(F.col("n") >= 2)
+        .select("u", "v", "t")
+    )
+    seeds = pairs.agg(F.min("u").alias("node"))
+    return temporal_reachability(pairs, seeds, max_hops=3)

@@ -342,6 +342,9 @@ EXTRA_BUDGET = {
     # runtime-reuses (ReusedExchange), so the 18 static exchanges
     # overcount actual work (the graph_link_prediction precedent)
     "dedup_set_similarity_exact": 18,
+    # temporal reachability: checkpointed per-hop min-folds (converged-
+    # scan discipline — the printed plan is the final arrivals frame)
+    "graph_temporal_reachability": 0,
 }
 
 

@@ -573,3 +573,53 @@ def test_set_similarity_join_boundary_threshold(spark):
     df = spark.createDataFrame(rows, "doc_id long, w string")
     out = set_similarity_join(df, "doc_id", "w", 1, 2).collect()
     assert len(out) == 1 and out[0]["jac_e6"] == 500_000
+
+
+# ------------------------------------------------ temporal reachability
+
+def test_temporal_guard_blocks_backward_in_time_paths(spark):
+    from gene_level_metadata_pipeline_spark.operators.graph import (
+        temporal_reachability,
+    )
+
+    # 1 -(t=5)- 2 -(t=3)- 3: plain BFS reaches 3 in 2 hops, but the
+    # signal arrives at 2 at t=5 and the 2-3 edge happened at t=3 —
+    # time-respecting reachability must NOT include 3.
+    e = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 3)], "u long, v long, t long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {r["node"]: r["arrival"]
+           for r in temporal_reachability(e, seeds, max_hops=3).collect()}
+    assert out == {1: 0, 2: 5}
+
+
+def test_temporal_forward_path_and_earliest_arrival(spark):
+    from gene_level_metadata_pipeline_spark.operators.graph import (
+        temporal_reachability,
+    )
+
+    # two time-respecting routes to 4: via 2 arrives at 7, via 3 at 6 —
+    # earliest-arrival must report 6.
+    e = spark.createDataFrame(
+        [(1, 2, 1), (2, 4, 7), (1, 3, 2), (3, 4, 6)],
+        "u long, v long, t long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {r["node"]: r["arrival"]
+           for r in temporal_reachability(e, seeds, max_hops=2).collect()}
+    assert out[4] == 6 and out[2] == 1 and out[3] == 2
+
+
+def test_temporal_hop_bound_binds(spark):
+    from gene_level_metadata_pipeline_spark.operators.graph import (
+        temporal_reachability,
+    )
+
+    e = spark.createDataFrame(
+        [(1, 2, 1), (2, 3, 2), (3, 4, 3)], "u long, v long, t long"
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r["node"]
+           for r in temporal_reachability(e, seeds, max_hops=2).collect()}
+    assert got == {1, 2, 3}  # 4 needs 3 hops
