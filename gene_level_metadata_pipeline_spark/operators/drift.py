@@ -253,7 +253,7 @@ def bootstrap_mean_ci(
         "g", f"stack({replicates}, {stack_args}) AS (b, sw, nw)"
     ).where(F.col("nw") > 0)
     num = F.col("sw") * F.lit(scale)
-    mean_b = ((num - F.pmod(num, F.col("nw"))) / F.col("nw")).cast("bigint")
+    mean_b = _floor_div_exact(num, F.col("nw")).cast("bigint")
     means = agg.select("g", "b", mean_b.alias("m"))
     rk = Window.partitionBy("g").orderBy("m", "b")
     lo_rank, hi_rank = 2, replicates - 1
@@ -272,7 +272,7 @@ def bootstrap_mean_ci(
     pnum = F.col("sx") * F.lit(scale)
     point = base.select(
         "g", "n_rows",
-        ((pnum - F.pmod(pnum, F.col("n_rows"))) / F.col("n_rows"))
+        _floor_div_exact(pnum, F.col("n_rows"))
         .cast("bigint")
         .alias("mean_scaled"),
     )
@@ -284,10 +284,17 @@ def bootstrap_mean_ci(
 
 def _floor_div_exact(num: Column, den: Column) -> Column:
     """Engine-portable floor division on exact (decimal/bigint)
-    columns: (num - pmod(num, den)) / den — identical in any engine
-    with C-style %, exact because the adjusted numerator is divisible."""
+    columns: subtract the positive remainder, then INTEGRAL divide.
+    The adjusted numerator is exactly divisible, so Spark's `div`
+    (truncating integral division, exact on bigint AND decimal
+    operands) returns precisely floor(num/den). The earlier
+    `(num - p) / den` idiom silently routed bigints through IEEE
+    double division (`/` on bigint is DoubleType in Spark) and lost
+    ulps past 2^53 — caught by the round-6 advisor; pinned by
+    tests/test_exact_floor_div.py. Result is LongType: every caller's
+    quotient is a (scaled) mean or ratio, well inside bigint."""
     p = ((num % den) + den) % den
-    return (num - p) / den
+    return F.call_function("div", num - p, den)
 
 
 def cuped_adjust(

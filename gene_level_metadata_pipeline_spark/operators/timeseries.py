@@ -696,8 +696,10 @@ def theil_sen_slope(
     integers (``t_col`` an ordinal like months-since-epoch, ``y_col``
     e.g. cents); slopes are fixed-point bigints scaled by ``scale``
     with FLOOR semantics implemented engine-portably as
-    (num - pmod(num, dt)) / dt — exact in any engine, no IEEE division
-    in sight. Ties and even counts resolve to the LOWER median (rank
+    (num - pmod(num, dt)) div dt — the pmod adjustment makes the
+    numerator exactly divisible, so Spark's integral `div` (exact on
+    bigint, unlike `/` which is IEEE double past 2^53) returns
+    precisely the floor. Ties and even counts resolve to the LOWER median (rank
     ceil(n/2) under (slope, t_i, t_j) total order) — deterministic,
     hash-comparable.
 
@@ -726,7 +728,7 @@ def theil_sen_slope(
     dt = F.col("tb") - F.col("ta")
     slopes = pairs.select(
         "g", "ta", "tb",
-        ((num - F.pmod(num, dt)) / dt).cast("bigint").alias("slope"),
+        F.call_function("div", num - F.pmod(num, dt), dt).alias("slope"),
     )
     w = Window.partitionBy("g").orderBy("slope", "ta", "tb")
     ranked = slopes.select(

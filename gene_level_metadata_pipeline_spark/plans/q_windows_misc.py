@@ -3036,7 +3036,7 @@ def q_ann_grid_nn_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT nation, ta, tb,
-             CAST((num - ((num % dt) + dt) % dt) / dt AS BIGINT) AS slope
+             CAST((num - ((num % dt) + dt) % dt) // dt AS BIGINT) AS slope
       FROM p
     ),
     r AS (
@@ -3385,7 +3385,7 @@ def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     means AS (
       SELECT g, b,
-             CAST((sw * 10000 - (((sw * 10000) % nw) + nw) % nw) / nw
+             CAST((sw * 10000 - (((sw * 10000) % nw) + nw) % nw) // nw
                   AS BIGINT) AS m
       FROM agg
     ),
@@ -3403,7 +3403,7 @@ def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
              CAST((sum(x) * 10000
                    - (((sum(x) * 10000) % count(*)) + count(*)) % count(*))
-                  / count(*) AS BIGINT) AS mean_scaled
+                  // count(*) AS BIGINT) AS mean_scaled
       FROM base GROUP BY g
     )
     SELECT point.g AS o_orderpriority, n_rows, mean_scaled,
@@ -3664,7 +3664,7 @@ def q_ab_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit AS (
       SELECT g, CAST(count(*) AS BIGINT) AS n_train,
              CAST((sum(y) - ((sum(y) % count(*)) + count(*)) % count(*))
-                  / count(*) AS BIGINT) AS pred_scaled
+                  // count(*) AS BIGINT) AS pred_scaled
       FROM base WHERE id % 2 = 0 GROUP BY g
     ),
     res AS (
@@ -3754,7 +3754,7 @@ def q_conformal_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN n_c > n_f THEN
              CAST(((s_c - s_f) * 10000
                    - ((((s_c - s_f) * 10000) % (n_c - n_f)) + (n_c - n_f))
-                     % (n_c - n_f)) / (n_c - n_f) AS BIGINT)
+                     % (n_c - n_f)) // (n_c - n_f) AS BIGINT)
            END AS enc_scaled
     FROM per JOIN tot ON per.cat = tot.cat
     """,
