@@ -1390,7 +1390,22 @@ def _cms_bucket(word_col, seed: int, width: int):
     """Row j's CMS bucket for a token: the first two hex digits of
     md5(seed ':' token) — hex-digit arithmetic reproducible in any
     engine with md5 (the feature_hash discipline), uniform over
-    [0, 256) and reduced mod ``width``."""
+    [0, 256) and reduced mod ``width``.
+
+    The two-digit source has only 256 distinct values, so ``width``
+    must divide 256: a width > 256 would leave buckets >= 256
+    permanently empty (silently degrading eps below the documented
+    k/width), and a width not dividing 256 would get modulo-biased
+    buckets — the round-6 advisor's catch; fail loud instead of
+    degrading. (Widening to 4 hex digits would fix arbitrary widths
+    but change every certified bucket assignment and its DuckDB
+    oracle twin; all real callers use width <= 256, so validation is
+    the behavior-preserving fix.)"""
+    if width <= 0 or width > 256 or 256 % width != 0:
+        raise ValueError(
+            f"CMS width must be a divisor of 256 in (0, 256] "
+            f"(2 md5 hex digits = 256 distinct hash values); got {width}"
+        )
     h = F.md5(F.concat(F.lit(f"{seed}:"), word_col))
     return (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % width).alias(
         "bucket"

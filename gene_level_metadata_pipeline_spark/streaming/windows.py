@@ -1147,8 +1147,16 @@ def cms_stream_merge(
     MERGED BY ADDITION into the sink's running sketch — the property
     that makes CMS the streaming/distributed frequency sketch (executors
     sketch locally, merges are sums; here the foreachBatch commit is the
-    merge boundary, copy-on-write sketch versions like cdc_stream_apply,
-    restart-safe from latest version + checkpoint).
+    merge boundary, copy-on-write sketch versions like cdc_stream_apply).
+
+    Restart safety is BY BATCH ID, not latest-version+1: foreachBatch
+    is at-least-once, and CMS addition — unlike cdc_apply — is NOT
+    idempotent, so a batch replayed after its snapshot write committed
+    but before the streaming checkpoint commit must OVERWRITE its own
+    snapshot (cms_v{bid}, merged from the max version < bid), never
+    re-add into a newer one. The round-6 advisor caught the original
+    latest()+1 scheme double-adding in exactly that crash window;
+    tests/test_streaming_foreachbatch.py pins the replay.
 
     Deterministic three-batch demo; the returned frame certifies, per
     distinct word, against the exact union counts:
@@ -1189,13 +1197,16 @@ def cms_stream_merge(
         mt = 1_700_000_000 + i * 600
         os.utime(path, (mt, mt))
 
-    def latest_version() -> int:
-        vs = [
+    def versions() -> list[int]:
+        return sorted(
             int(m.group(1))
             for f in os.listdir(d)
             if (m := _re.fullmatch(r"cms_v(\d+)", f))
-        ]
-        return max(vs, default=-1)
+        )
+
+    def latest_version() -> int:
+        vs = versions()
+        return vs[-1] if vs else -1
 
     def sketch_of(df: DataFrame) -> DataFrame:
         wc = df.groupBy(F.col("value").alias("word")).agg(
@@ -1205,15 +1216,19 @@ def cms_stream_merge(
 
     def apply_batch(batch_df: DataFrame, bid: int) -> None:
         sp = batch_df.sparkSession
-        cur = latest_version()
+        # Snapshot keyed by BATCH ID: a replayed batch (at-least-once
+        # foreachBatch) merges from the same predecessor (max version
+        # strictly below bid) and OVERWRITES cms_v{bid} — byte-identical
+        # rewrite instead of a non-idempotent double-add.
+        prevs = [v for v in versions() if v < bid]
         batch_sketch = sketch_of(batch_df)
-        if cur < 0:
+        if not prevs:
             merged = batch_sketch
         else:
-            prev = sp.read.parquet(os.path.join(d, f"cms_v{cur}"))
+            prev = sp.read.parquet(os.path.join(d, f"cms_v{prevs[-1]}"))
             merged = cms_merge(prev, batch_sketch)
         merged.write.mode("overwrite").parquet(
-            os.path.join(d, f"cms_v{cur + 1}")
+            os.path.join(d, f"cms_v{bid}")
         )
 
     src = (

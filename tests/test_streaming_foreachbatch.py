@@ -178,3 +178,77 @@ def test_cdc_stream_replayed_batch_cannot_double_apply(spark, tmp_path):
     ) == commits
     # ...but the table is value-identical: no double-apply
     assert replayed == final
+
+
+def test_cms_stream_replayed_batch_cannot_double_add(spark, tmp_path):
+    """Kill-between-commit for the CMS stream (round-6 advisor): CMS
+    merge is ADDITION, which is NOT idempotent, so the latest()+1
+    versioning that cdc_stream_apply gets away with would double-add a
+    batch replayed after its snapshot write but before the checkpoint
+    commit. The fix keys snapshots by batch id (cms_v{bid}, merged from
+    the max version < bid), so the replay overwrites its own snapshot
+    byte-for-byte. Simulated through the engine: run to completion,
+    delete the newest checkpoint commit marker, restart."""
+    import os
+
+    from gene_level_metadata_pipeline_spark.streaming.windows import (
+        cms_stream_merge,
+    )
+
+    d = str(tmp_path / "cms_crash")
+    final = {
+        (r["word"], r["exact_n"], r["never_underestimates"],
+         r["merge_exact"])
+        for r in cms_stream_merge(spark, d).collect()
+    }
+    assert all(ok for _, _, ok, _ in final)
+    assert all(me for _, _, _, me in final)
+    versions_before = sorted(
+        f for f in os.listdir(d) if f.startswith("cms_v")
+    )
+
+    commits_dir = os.path.join(d, "_checkpoint", "commits")
+    commits = sorted(
+        (f for f in os.listdir(commits_dir) if f.isdigit()), key=int
+    )
+    assert len(commits) == 3
+    os.remove(os.path.join(commits_dir, commits[-1]))
+    crc = os.path.join(commits_dir, f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    replayed = {
+        (r["word"], r["exact_n"], r["never_underestimates"],
+         r["merge_exact"])
+        for r in cms_stream_merge(spark, d).collect()
+    }
+    versions_after = sorted(
+        f for f in os.listdir(d) if f.startswith("cms_v")
+    )
+    # the replay overwrote cms_v{bid} in place: NO new version appears
+    assert versions_after == versions_before
+    # the commit marker is back (the batch re-committed)
+    assert sorted(
+        (f for f in os.listdir(commits_dir) if f.isdigit()), key=int
+    ) == commits
+    # and every estimate is value-identical: no double-add
+    assert replayed == final
+
+
+def test_cms_bucket_rejects_unsupported_width(spark):
+    """_cms_bucket draws from 256 distinct md5 values; widths that do
+    not divide 256 (or exceed it) must fail loud, not silently bias or
+    empty buckets (round-6 advisor)."""
+    import pytest
+
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        cms_sketch,
+    )
+
+    wc = spark.createDataFrame([("a", 1)], "word string, n bigint")
+    for bad in (0, -8, 257, 512, 100, 3):
+        with pytest.raises(ValueError, match="divisor of 256"):
+            cms_sketch(wc, width=bad, depth=2)
+    # supported widths still build
+    for ok in (256, 128, 64, 32, 16, 8, 4, 2, 1):
+        assert cms_sketch(wc, width=ok, depth=1).count() >= 1
