@@ -15,6 +15,18 @@ earlier rounds' numbers) and ``queries_median`` the median, so a
 round-over-round swing can be read against within-round variance before
 anyone chases it (VERDICT r2: five shared queries swung >25% on single
 runs).
+
+Ambient calibration (VERDICT r6 task 2): the driver's BENCH floor
+shifted +15-20% on byte-identical code two rounds running, and
+attributing it took manual isolation reps every time. Every bench run
+now brackets the suite with a fixed CONTROL query
+(ann_brute_force_topk — the stable dense-scan shape tools/ab_ann.py
+already uses as its A/B control) and records 1-minute load averages:
+``control_pre``/``control_post`` (sorted reps, before/after the suite)
+and ``load_start``/``load_end`` land in BOTH the stdout line and
+bench_detail.json. To compare rounds, deflate by the control ratio —
+if control_sec moved with the totals, the host floor shifted, not the
+code.
 """
 
 from __future__ import annotations
@@ -103,6 +115,15 @@ HEADLINE = [
 ]
 
 REPS = 3
+CONTROL = "ann_brute_force_topk"
+CONTROL_REPS = 3
+
+
+def _loadavg_1m() -> float:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover - platform without getloadavg
+        return -1.0
 
 
 def main() -> None:
@@ -123,6 +144,19 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    def run_control() -> list[float]:
+        runs = []
+        for _ in range(CONTROL_REPS):
+            t0 = time.time()
+            dq.QUERIES[CONTROL](spark, SF_DIR).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(round(time.time() - t0, 3))
+        return sorted(runs)
+
+    load_start = _loadavg_1m()
+    control_pre = run_control()
+
     times: dict[str, float] = {}
     medians: dict[str, float] = {}
     for name in HEADLINE:
@@ -136,6 +170,9 @@ def main() -> None:
         times[name] = round(runs[0], 3)
         medians[name] = round(runs[len(runs) // 2], 3)
 
+    control_post = run_control()
+    load_end = _loadavg_1m()
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     detail = {
         "metric": "headline_queries_total",
@@ -145,6 +182,15 @@ def main() -> None:
         "queries_median": medians,
         "sf": float(sf),
         "reps": REPS,
+        # ambient calibration: fixed control query bracketing the suite
+        # + 1-min load averages; deflate cross-round totals by
+        # control_sec before attributing a swing to code
+        "control_query": CONTROL,
+        "control_sec": min(control_pre + control_post),
+        "control_pre": control_pre,
+        "control_post": control_post,
+        "load_start": load_start,
+        "load_end": load_end,
     }
     # The driver tail-captures stdout and parses the last line as JSON;
     # r3/r4 printed one ~2.8 KB line (43 queries x {min, median}) whose
