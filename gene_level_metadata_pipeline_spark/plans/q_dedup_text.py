@@ -18,6 +18,7 @@ from gene_level_metadata_pipeline_spark.plans.registry import (
     _davg,
     _dsum,
     _events,
+    _cooccur_pairs,
     _register,
     _round_to,
     _t,
@@ -1547,14 +1548,10 @@ def q_pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolls the identical recurrence as three CTE rounds."""
     from gene_level_metadata_pipeline_spark.operators.graph import pagerank
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
     und = (
-        a.join(b, "k")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("n"))
+        _cooccur_pairs(
+            _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_suppkey"
+        )
         .where(F.col("n") >= 3)
         .select("u", "v")
     )
@@ -2481,14 +2478,10 @@ def q_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     float PPR cannot be); the oracle unrolls three seeded rounds."""
     from gene_level_metadata_pipeline_spark.operators.graph import pagerank
 
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
     und = (
-        a.join(b, "k")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("n"))
+        _cooccur_pairs(
+            _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_suppkey"
+        )
         .where(F.col("n") >= 3)
         .select("u", "v")
     )

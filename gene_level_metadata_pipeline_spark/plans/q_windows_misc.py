@@ -17,6 +17,7 @@ from gene_level_metadata_pipeline_spark.plans.registry import (
     ORACLE,
     QUERIES,
     _COS,
+    _cooccur_pairs,
     _davg,
     _dsum,
     _events,
@@ -259,14 +260,10 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs on the sparsified edge set. At 100 TB the standard mitigation
     is degree-ordered orientation (orient edges from lower-degree to
     higher-degree node) which bounds the join fan-out by sqrt(m)."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("v"))
     edges = (
-        a.join(b, "k")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("n"))
+        _cooccur_pairs(
+            _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_suppkey"
+        )
         .where(F.col("n") >= 3)
         .select("u", "v")
     )
@@ -1523,21 +1520,7 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers, exact hash match."""
     from gene_level_metadata_pipeline_spark.operators.graph import bfs_hops
 
-    op = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
-    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
-    und = (
-        a.join(b, "k")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= 2)
-        .select("u", "v")
-    )
+    und = _part_cooccurrence_edges(spark, sf_dir)
     seed = und.agg(F.min("u").alias("node"))
     out = bfs_hops(und, seed, max_hops=6, directed=False)
     return out.select(F.col("node").alias("partkey"), "hop")
@@ -1654,21 +1637,7 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         clustering_coefficient,
     )
 
-    op = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
-    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
-    und = (
-        a.join(b, "k")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= 2)
-        .select("u", "v")
-    )
+    und = _part_cooccurrence_edges(spark, sf_dir)
     return clustering_coefficient(und)
 
 
@@ -1683,25 +1652,21 @@ def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PART_EDGE_MIN_SHARED = 2
 
 
-def _part_cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _part_cooccurrence_edges(
+    spark: SparkSession, sf_dir: str, keep_weight: bool = False
+) -> DataFrame:
     """Undirected (u < v) part co-purchase edges: parts sharing at least
     _PART_EDGE_MIN_SHARED orders. Basket arrays are bounded by order
     fan-out, so pairs explode MAP-SIDE — 2 key-partitioned shuffles,
-    never a raw-table self-join."""
-    baskets = (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.collect_set("l_partkey").alias("ps"))
-    )
-    return (
-        baskets.select(F.explode("ps").alias("u"), "ps")
-        .select("u", F.explode("ps").alias("v"))
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= _PART_EDGE_MIN_SHARED)
-        .select("u", "v")
-    )
+    never a raw-table self-join (registry._cooccur_pairs). With
+    ``keep_weight`` the shared-order count rides along as ``w``
+    (graph_sssp_weighted's edge weight)."""
+    pairs = _cooccur_pairs(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey"
+    ).where(F.col("n") >= _PART_EDGE_MIN_SHARED)
+    if keep_weight:
+        return pairs.select("u", "v", F.col("n").alias("w"))
+    return pairs.select("u", "v")
 
 
 @_register(
@@ -2591,21 +2556,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound is generous). Exact bigint (node, core_deg), hash match."""
     from gene_level_metadata_pipeline_spark.operators.graph import kcore
 
-    op = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
-    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
-    und = (
-        a.join(b, "k")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= 2)
-        .select("u", "v")
-    )
+    und = _part_cooccurrence_edges(spark, sf_dir)
     return kcore(und, k=2)
 
 
@@ -2647,21 +2598,7 @@ def q_graph_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursion finite on cycles in BOTH engines."""
     from gene_level_metadata_pipeline_spark.operators.graph import sssp_weighted
 
-    op = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
-    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
-    und = (
-        a.join(b, "k")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= 2)
-        .select("u", "v", F.col("n").alias("w"))
-    )
+    und = _part_cooccurrence_edges(spark, sf_dir, keep_weight=True)
     seed = und.agg(F.min("u").alias("node"))
     out = sssp_weighted(und, seed, weight="w", max_hops=4, directed=False)
     return out.select(F.col("node").alias("partkey"), F.col("dist"))
@@ -2935,21 +2872,7 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         label_propagation,
     )
 
-    op = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
-    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
-    und = (
-        a.join(b, "k")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= 2)
-        .select("u", "v")
-    )
+    und = _part_cooccurrence_edges(spark, sf_dir)
     labels = label_propagation(und, rounds=3)
     return labels.groupBy("community").agg(
         F.count(F.lit(1)).alias("n_members")
@@ -3323,21 +3246,7 @@ def q_graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         random_walks,
     )
 
-    op = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
-    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
-    und = (
-        a.join(b, "k")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= 2)
-        .select("u", "v")
-    )
+    und = _part_cooccurrence_edges(spark, sf_dir)
     return random_walks(und, walk_len=3)
 
 
@@ -4135,12 +4044,21 @@ def q_graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame
             F.lit("1970-01-01").cast("date"),
         ).cast("bigint").alias("d"),
     )
-    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("u"))
-    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("v"))
+    # basket-array pair explode with the order day riding along (the
+    # _cooccur_pairs idiom, plus one per-basket attribute): the date
+    # join lands BEFORE the collapse on the same orderkey the groupBy
+    # shuffles on, pairs explode map-side from the bounded array —
+    # never a raw self-join (VERDICT r6 watch item 1)
+    baskets = (
+        li.join(od.withColumnRenamed("o_orderkey", "l_orderkey"),
+                "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"), F.min("d").alias("d"))
+    )
     pairs = (
-        a.join(b, "k")
+        baskets.select(F.explode("ps").alias("u"), "ps", "d")
+        .select("u", F.explode("ps").alias("v"), "d")
         .where(F.col("u") < F.col("v"))
-        .join(od.withColumnRenamed("o_orderkey", "k"), "k")
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("n"), F.min("d").alias("t"))
         .where(F.col("n") >= 2)

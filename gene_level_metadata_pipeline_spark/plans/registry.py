@@ -104,3 +104,26 @@ _COS = (
     "list_dot_product({a}, {b}) / "
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
 )
+
+
+def _cooccur_pairs(df: DataFrame, key: str, item: str) -> DataFrame:
+    """(u, v, n) co-occurrence pair counts — n = how many distinct
+    ``key`` groups contain both items, pairs oriented u < v — via
+    basket-collapse + MAP-SIDE pair explode, never a raw self-join:
+    one groupBy collapses each key to its item set (collect_set dedups,
+    so a prior .distinct() is unnecessary), pairs explode from the
+    bounded array executor-side, one hash aggregate counts them. Two
+    key-partitioned shuffles total; a skewed basket key costs one fat
+    ARRAY ROW (bounded by per-key fan-out), not a quadratic join
+    straggler — the reason this replaced the a.join(b, "k") idiom in
+    every graph-edge builder (VERDICT r6 watch item 1). Equivalent to
+    the oracle's DISTINCT self-join truth form, which the oracle SQL
+    deliberately KEEPS so the check stays independent."""
+    baskets = df.groupBy(key).agg(F.collect_set(item).alias("ps"))
+    return (
+        baskets.select(F.explode("ps").alias("u"), "ps")
+        .select("u", F.explode("ps").alias("v"))
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
