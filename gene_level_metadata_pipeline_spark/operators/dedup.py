@@ -1133,6 +1133,28 @@ def set_similarity_join(
     (id, token) table; returns (a, b, inter_n, union_n, jac_e6) for
     a < b, jac_e6 the exact floor-scaled Jaccard.
 
+    Two further PPJoin filters prune candidates BEFORE the
+    verification join (round-7, VERDICT r6 task 6), both exact:
+
+    * LENGTH filter — Jaccard >= tn/td forces
+      td*min(|a|,|b|) >= tn*max(|a|,|b|) (intersection <= min, union
+      >= max), applied on the prefix-token equi-join output;
+    * POSITIONAL filter — both sets are sorted by the SAME global
+      order, so shared-token positions increase monotonically in
+      both, and the first/last shared-PREFIX occurrences give two
+      exact intersection bounds from one (a, b) aggregate:
+      ub_first = 1 + min(|a|-i_min, |b|-j_min) (any shared token
+      before the first shared-prefix token would itself sit in both
+      prefixes and BE an earlier occurrence — so nothing precedes
+      it), and ub_last = c + min(|a|-i_max, |b|-j_max) (every shared
+      token <= the last shared-prefix token lies in both prefixes,
+      so exactly c = the occurrence count precede-or-equal it). A
+      pair is pruned when min(ub_first, ub_last) falls below
+      minoverlap = ceil(tn*(|a|+|b|)/(tn+td)), compared as
+      ub*(tn+td) >= tn*(|a|+|b|) — still no floats, still zero false
+      negatives (the registry query hash-matches the quadratic
+      oracle).
+
     Scale shape: one token-frequency aggregation, one per-set rank
     window, an equi-join keyed on prefix tokens (shuffle key = token;
     stop-word-like hot tokens are excluded from prefixes by
@@ -1168,13 +1190,42 @@ def set_similarity_join(
         )
         + 1
     )
-    prefix = ranked.where(F.col("rn") <= p).select("id", "tok")
-    cand = (
+    prefix = ranked.where(F.col("rn") <= p).select("id", "tok", "rn", "sz")
+    tn, td = threshold_num, threshold_den
+    occ = (
         prefix.alias("x")
         .join(prefix.alias("y"), "tok")
         .where(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
-        .distinct()
+        # length filter: a qualifying pair needs td*min_sz >= tn*max_sz
+        .where(
+            F.lit(td) * F.least(F.col("x.sz"), F.col("y.sz"))
+            >= F.lit(tn) * F.greatest(F.col("x.sz"), F.col("y.sz"))
+        )
+        .select(
+            F.col("x.id").alias("a"),
+            F.col("y.id").alias("b"),
+            F.col("x.sz").alias("sa0"),
+            F.col("y.sz").alias("sb0"),
+            F.col("x.rn").alias("ia"),
+            F.col("y.rn").alias("jb"),
+        )
+    )
+    ub_first = F.lit(1) + F.least(
+        F.col("sa0") - F.min("ia"), F.col("sb0") - F.min("jb")
+    )
+    ub_last = F.count(F.lit(1)) + F.least(
+        F.col("sa0") - F.max("ia"), F.col("sb0") - F.max("jb")
+    )
+    cand = (
+        occ.groupBy("a", "b", "sa0", "sb0")
+        .agg(F.least(ub_first, ub_last).alias("ub"))
+        # positional filter: the bound must reach minoverlap,
+        # ub >= ceil(tn*(sa+sb)/(tn+td))  <=>  ub*(tn+td) >= tn*(sa+sb)
+        .where(
+            F.col("ub") * F.lit(tn + td)
+            >= F.lit(tn) * (F.col("sa0") + F.col("sb0"))
+        )
+        .select("a", "b")
     )
     inter = (
         cand.join(t.select(F.col("id").alias("a"), "tok"), "a")
