@@ -125,7 +125,19 @@ def hot_keys(
     One aggregation pass over the (optionally sampled) frame; the
     key-cardinality-sized count table is pinned with a localCheckpoint
     so the total and the top-k read it twice without rescanning the
-    input. Seeded sampling keeps re-runs identical."""
+    input. Seeded sampling keeps re-runs identical.
+
+    Sampling bound (round-7, tests/test_property_skew.py): a Bernoulli
+    sample at fraction f estimates a key's share with
+    std ~ sqrt(n_k*(1-f)/f)/N, so detection agrees with the full scan
+    only OUTSIDE a margin around ``hot_share`` — the pinned property
+    is that keys at >= 2x hot_share are always detected and keys at
+    <= 0.5x never are (>= 5 sigma at the tested row counts), while the
+    band in between may flip. That is acceptable ONLY because
+    :func:`auto_skew_join` is bit-identical to the plain join under
+    any detection outcome (also property-pinned): a gray-band miss
+    costs straggler time, never rows. Size ``sample_fraction`` so the
+    hottest key you must catch keeps n_k*f >> 1/(margin^2)."""
     scanned = df if sample_fraction is None else df.sample(
         fraction=sample_fraction, seed=seed
     )

@@ -1,0 +1,116 @@
+"""Property tests for auto_skew_join's sampled hot-key detection
+(VERDICT r6 task 7): a missed hot key silently degrades to the plain-
+join straggler, so the sampling behavior needs a pinned guarantee.
+
+The guarantee pinned here is the honest one: sampled detection at
+fraction f CANNOT promise agreement with full-scan detection for keys
+sitting exactly at ``hot_share`` (a Bernoulli sample's share estimate
+has std ~ sqrt(n_k)/N at f=0.5), so the property is margin-based —
+
+* every key with true share >= 2x hot_share IS detected from the
+  sample (>= 5 sigma above threshold for the row counts drawn here);
+* no key with true share <= 0.5x hot_share is detected;
+* the gray band in between is explicitly unconstrained;
+* detection is deterministic (seeded sampler): two runs agree exactly;
+* and the SAFETY property that makes the gray band acceptable:
+  auto_skew_join output is bit-identical to the plain join whatever
+  the detection outcome — a misclassified key costs wall time, never
+  rows.
+
+``derandomize=True`` keeps hypothesis' exploration itself
+reproducible: for fixed data + seed the sampler is deterministic, so
+flakiness could only come from hypothesis drawing new datasets per CI
+run."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_spark = None
+
+
+def _get_spark():
+    global _spark
+    if _spark is None:
+        from gene_level_metadata_pipeline_spark.session import get_spark
+
+        _spark = get_spark("property-skew")
+    return _spark
+
+
+# key histograms: up to 8 distinct keys, each 50-400 rows, so every
+# comfortably-hot key carries >= 50 sampled rows in expectation and the
+# 2x / 0.5x margins sit >= 5 sigma from the threshold at f=0.5
+key_histograms = st.dictionaries(
+    keys=st.integers(min_value=0, max_value=7),
+    values=st.integers(min_value=50, max_value=400),
+    min_size=2, max_size=8,
+)
+
+HOT_SHARE = 0.10
+FRACTION = 0.5
+
+
+def _fact_df(spark, hist):
+    rows = [(k, i) for k, n in sorted(hist.items()) for i in range(n)]
+    return spark.createDataFrame(rows, "k long, payload long")
+
+
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(hist=key_histograms)
+def test_sampled_hot_key_detection_margin(hist):
+    from gene_level_metadata_pipeline_spark.operators.skew import hot_keys
+
+    spark = _get_spark()
+    df = _fact_df(spark, hist)
+    total = sum(hist.values())
+    detected = set(hot_keys(df, "k", hot_share=HOT_SHARE,
+                            sample_fraction=FRACTION))
+    must_detect = {k for k, n in hist.items()
+                   if n >= 2 * HOT_SHARE * total}
+    must_not = {k for k, n in hist.items()
+                if n <= 0.5 * HOT_SHARE * total}
+    assert must_detect <= detected, (
+        f"comfortably-hot keys missed: {must_detect - detected} "
+        f"(hist={hist})"
+    )
+    assert not (detected & must_not), (
+        f"comfortably-cold keys detected: {detected & must_not} "
+        f"(hist={hist})"
+    )
+    # seeded sampler: detection is a pure function of (data, f, seed)
+    again = set(hot_keys(df, "k", hot_share=HOT_SHARE,
+                         sample_fraction=FRACTION))
+    assert again == detected
+
+
+@settings(max_examples=6, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(hist=key_histograms,
+       dim_keys=st.sets(st.integers(min_value=0, max_value=9),
+                        min_size=1, max_size=10))
+def test_auto_skew_join_bit_identical_under_any_detection(hist, dim_keys):
+    """The safety property behind the margin-based guarantee: whatever
+    the sampler detects (including nothing, including gray-band keys),
+    auto_skew_join returns exactly the plain join's multiset — so the
+    only cost of a sampling miss is the straggler, never wrong rows."""
+    from gene_level_metadata_pipeline_spark.operators.skew import (
+        auto_skew_join,
+    )
+
+    spark = _get_spark()
+    fact = _fact_df(spark, hist)
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in sorted(dim_keys)], "dk long, label string"
+    )
+    for how in ("inner", "left", "semi", "anti"):
+        got = auto_skew_join(
+            fact, dim, "k", "dk", how=how,
+            hot_share=HOT_SHARE, sample_fraction=FRACTION,
+        )
+        plain = fact.join(dim, fact["k"] == dim["dk"], how)
+        g = sorted(map(tuple, got.collect()))
+        p = sorted(map(tuple, plain.collect()))
+        assert g == p, f"how={how}: salted join diverged from plain"
