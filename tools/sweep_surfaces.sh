@@ -4,14 +4,16 @@
 # cache per (SQL, data) so the vanilla legs re-run only the Spark side.
 # Usage: bash tools/sweep_surfaces.sh [logdir]
 set -u
-LOG=${1:-/tmp/sweep_r6}
+LOG=${1:-/tmp/sweep_r7}
 mkdir -p "$LOG"
 cd /root/repo
 run() {
   local name=$1; shift
   echo "=== $name start $(date +%H:%M:%S)"
+  local t0=$(date +%s)
   "$@" > "$LOG/$name.log" 2>&1
   local rc=$?
+  echo "$name $t0 $(date +%s)" >> "$LOG/times.txt"
   # Spark progress bars write \r-terminated fragments into the log;
   # normalize CR->LF before counting status lines
   echo "=== $name rc=$rc $(date +%H:%M:%S): $(tr '\r' '\n' < "$LOG/$name.log" | grep -cE '^PASS') pass, $(tr '\r' '\n' < "$LOG/$name.log" | grep -cE '^ok\?') rows-only, $(tr '\r' '\n' < "$LOG/$name.log" | grep -cE '^FAIL') fail, $(tail -1 "$LOG/$name.log")"
@@ -21,4 +23,6 @@ run tuned_sf01     python tools/check_oracle.py
 run vanilla_sf01   python tools/check_oracle.py --vanilla
 run tuned_sf1      env CHECK_SF_DIR=/root/testdata/sf0.1 python tools/check_oracle.py
 run vanilla_sf1    env CHECK_SF_DIR=/root/testdata/sf0.1 python tools/check_oracle.py --vanilla
+# machine-readable evidence goes to certification/ (committed), not /tmp
+python tools/summarize_sweep.py "$LOG"
 echo "sweep complete $(date +%H:%M:%S)"
