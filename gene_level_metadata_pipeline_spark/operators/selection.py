@@ -531,3 +531,87 @@ def abc_classification(
             cls.alias("abc_class"),
         )
     )
+
+
+def mixture_reweight_mw(
+    df: DataFrame,
+    domain_col: str,
+    stat_col: str,
+    rounds: int = 4,
+    scale: int = 10 ** 6,
+    max_step_e6: int = 250_000,
+) -> DataFrame:
+    """Multiplicative-weights domain-mixture reweighting — the DoReMi
+    shape (Xie et al. 2023) in exact integer arithmetic: start from
+    uniform domain weights, and each round move weight toward domains
+    whose statistic sits above the current MIXTURE average (the
+    weighted mean under the evolving weights), by a clamped relative
+    step. The recurrence per round t:
+
+        mix_t  = floor(sum_d w_t(d)*m(d) / sum_d w_t(d))
+        rel(d) = floor(m(d)*1e6 / mix_t) - 1e6          # signed e6
+        w_{t+1}(d) = max(1, floor(w_t(d) *
+                        (1e6 + clamp(rel, ±max_step_e6)) / 1e6))
+
+    with m(d) = floor(sum(stat)*scale / n_d) the scaled per-domain
+    mean. Every quantity is a bigint; every division has a POSITIVE
+    divisor and numerator (the signed part is a subtraction, never a
+    division), so Spark's integral `div` and DuckDB's `//` replay the
+    whole training loop bit-for-bit — the trained-operator
+    certification discipline of classifier_lr_scores, applied to data
+    mixing. The clamp bounds per-round drift at ±25% so one outlier
+    domain cannot saturate the mixture in a step (the standard MW
+    stability trade).
+
+    Returns (domain, n_rows, stat_scaled, w_final, w_share_e6) with
+    w_share_e6 the final normalized mixture share.
+
+    Scale shape: ONE grouped pass over the corpus builds the
+    |domains|-row stat table; each round is a 1-row aggregate plus a
+    broadcast projection over |domains| rows — training cost is
+    independent of corpus size after the first scan, the property a
+    mixture optimizer must have at 100 TB. No driver state at all:
+    the recurrence stays lazy in the plan (|domains| is
+    dimension-sized; 4 rounds of 1-row crossJoin broadcasts)."""
+    stats = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(stat_col).cast("bigint")).alias("__s"),
+    ).select(
+        "domain", "n_rows",
+        F.call_function(
+            "div", F.col("__s") * F.lit(scale), F.col("n_rows")
+        ).alias("m"),
+    )
+    w = stats.withColumn("w", F.lit(scale).cast("bigint"))
+    e6 = F.lit(10 ** 6).cast("bigint")
+    for _ in range(rounds):
+        tot = w.agg(
+            F.sum(F.col("w") * F.col("m")).alias("__sm"),
+            F.sum("w").alias("__sw"),
+        ).select(
+            F.call_function("div", F.col("__sm"), F.col("__sw"))
+            .alias("__mix")
+        )
+        rel = (
+            F.call_function("div", F.col("m") * e6, F.col("__mix")) - e6
+        )
+        relc = F.least(
+            F.lit(max_step_e6).cast("bigint"),
+            F.greatest(F.lit(-max_step_e6).cast("bigint"), rel),
+        )
+        w = w.crossJoin(F.broadcast(tot)).select(
+            "domain", "n_rows", "m",
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.call_function("div", F.col("w") * (e6 + relc), e6),
+            ).alias("w"),
+        )
+    total = w.agg(F.sum("w").alias("__tw"))
+    return w.crossJoin(F.broadcast(total)).select(
+        "domain", "n_rows",
+        F.col("m").alias("stat_scaled"),
+        F.col("w").alias("w_final"),
+        F.call_function(
+            "div", F.col("w") * e6, F.col("__tw")
+        ).alias("w_share_e6"),
+    )

@@ -4066,3 +4066,58 @@ def q_graph_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     seeds = pairs.agg(F.min("u").alias("node"))
     return temporal_reachability(pairs, seeds, max_hops=3)
+
+
+def _mw_oracle(rounds: int = 4, step: int = 250_000) -> str:
+    """Unrolled multiplicative-weights recurrence — the SQL twin of
+    selection.mixture_reweight_mw. One CTE pair (mix scalar, weight
+    projection) per round; every division positive, `//` exact."""
+    ctes = ["""st AS (
+      SELECT source AS domain, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(n_chars) * 1000000 // count(*) AS BIGINT) AS m
+      FROM documents GROUP BY source
+    )""",
+            """w0 AS (
+      SELECT domain, n_rows, m, CAST(1000000 AS BIGINT) AS w FROM st
+    )"""]
+    for t in range(1, rounds + 1):
+        ctes.append(f"""x{t} AS (
+      SELECT sum(w * m) // sum(w) AS mix FROM w{t - 1}
+    )""")
+        ctes.append(f"""w{t} AS (
+      SELECT domain, n_rows, m,
+             CAST(greatest(1, w * (1000000 + least({step},
+                 greatest(-{step}, (m * 1000000 // mix) - 1000000)))
+                 // 1000000) AS BIGINT) AS w
+      FROM w{t - 1} CROSS JOIN x{t}
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes) + f""",
+    tot AS (SELECT sum(w) AS tw FROM w{rounds})
+    SELECT domain, n_rows, m AS stat_scaled, w AS w_final,
+           CAST(w * 1000000 // tw AS BIGINT) AS w_share_e6
+    FROM w{rounds} CROSS JOIN tot
+    """
+    )
+
+
+@_register("mixture_reweight_mw", oracle=_mw_oracle())
+def q_mixture_reweight_mw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained data-mixing weights (selection.mixture_reweight_mw): 4
+    multiplicative-weights rounds move mixture share toward document
+    sources whose mean length sits above the evolving weighted
+    average — the DoReMi shape with every quantity an exact bigint
+    (scaled means, positive-divisor integral divisions, clamped ±25%
+    steps), so the ENTIRE training loop is hash-certified against the
+    unrolled 4-round CTE recurrence, the classifier_lr_scores
+    discipline applied to mixture optimization. Cost after the one
+    corpus scan is |domains|-sized per round — corpus-size-independent
+    training, zero driver state."""
+    from gene_level_metadata_pipeline_spark.operators.selection import (
+        mixture_reweight_mw,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return mixture_reweight_mw(
+        docs, domain_col="source", stat_col="n_chars", rounds=4,
+    )

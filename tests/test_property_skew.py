@@ -114,3 +114,50 @@ def test_auto_skew_join_bit_identical_under_any_detection(hist, dim_keys):
         g = sorted(map(tuple, got.collect()))
         p = sorted(map(tuple, plain.collect()))
         assert g == p, f"how={how}: salted join diverged from plain"
+
+
+# --- multiplicative-weights mixture reweighting (round 7) ----------------
+
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(hist=st.dictionaries(
+    keys=st.sampled_from(["a", "b", "c", "d", "e"]),
+    values=st.lists(st.integers(min_value=1, max_value=5000),
+                    min_size=1, max_size=6),
+    min_size=2, max_size=5,
+))
+def test_mixture_reweight_mw_matches_python_replay(hist):
+    """The whole 4-round MW training loop replayed in pure Python —
+    scaled means, evolving mixture average, clamped relative steps,
+    final shares — must agree bigint-for-bigint."""
+    from gene_level_metadata_pipeline_spark.operators.selection import (
+        mixture_reweight_mw,
+    )
+
+    spark = _get_spark()
+    rows = [(d, v) for d, vs in sorted(hist.items()) for v in vs]
+    df = spark.createDataFrame(rows, "domain string, x long")
+    got = {
+        r["domain"]: (r["n_rows"], r["stat_scaled"], r["w_final"],
+                      r["w_share_e6"])
+        for r in mixture_reweight_mw(
+            df, domain_col="domain", stat_col="x", rounds=4
+        ).collect()
+    }
+
+    scale, step = 10 ** 6, 250_000
+    m = {d: (sum(vs) * scale) // len(vs) for d, vs in hist.items()}
+    w = {d: scale for d in hist}
+    for _ in range(4):
+        mix = sum(w[d] * m[d] for d in w) // sum(w.values())
+        w = {
+            d: max(1, w[d] * (10 ** 6 + max(-step, min(
+                step, (m[d] * 10 ** 6) // mix - 10 ** 6))) // 10 ** 6)
+            for d in w
+        }
+    tw = sum(w.values())
+    want = {
+        d: (len(hist[d]), m[d], w[d], (w[d] * 10 ** 6) // tw)
+        for d in hist
+    }
+    assert got == want
