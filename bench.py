@@ -112,6 +112,13 @@ HEADLINE = [
     # grid-bucketed 2-D NN join (density-local spatial surface)
     "graph_label_propagation",
     "ann_grid_nn_2d",
+    # r7 flagships: PPJoin with length+positional filters (the candidate
+    # count dropped 3.4x this round — the bench row tracks it), MOSS
+    # winnowing overlap, MW mixture training loop, dedup policy curve
+    "dedup_set_similarity_exact",
+    "winnow_overlap_pairs",
+    "mixture_reweight_mw",
+    "dedup_threshold_curve",
 ]
 
 REPS = 3

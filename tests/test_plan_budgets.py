@@ -134,6 +134,24 @@ SHUFFLE_BUDGET = {
     # per-point window riding the same partitioning
     "graph_label_propagation": 1,
     "ann_grid_nn_2d": 1,
+    # r7 flagships (audited 2026-08-15): PPJoin = shingle distinct +
+    # sizes + dfreq + prefix rank window + prefix equi-join + length/
+    # positional candidate groupBy + verification join — the shingle
+    # subtree canonicalizes and runtime-reuses (ReusedExchange), so the
+    # 18 static exchanges overcount actual work (the
+    # graph_link_prediction precedent); threshold curve = the same join
+    # + one bucket agg + one 1-row-window (19); winnow overlap = fp
+    # build window sort + distinct + df agg + pair join + pair agg (6);
+    # MW mixer = checkpointed |domains| stat table (0 hash/range
+    # exchanges — the corpus lineage is truncated), but each of the 4
+    # rounds folds two 1-row aggregates + the final share divide, and
+    # THIS regex counts Exchange SinglePartition too: 31 counted, all
+    # over <= 20-row frames; curve = the PPJoin 18 + bucket agg + the
+    # 1-partition cumulative window
+    "dedup_set_similarity_exact": 18,
+    "winnow_overlap_pairs": 6,
+    "mixture_reweight_mw": 31,
+    "dedup_threshold_curve": 20,
 }
 
 # Non-headline flagships whose plan shape is still pinned (round-4 audit).
@@ -336,12 +354,6 @@ EXTRA_BUDGET = {
     "rag_mmr_diversify": 0,
     "source_ablation_quality": 3,
     "vocab_oov_rate": 2,
-    # PPJoin exact set-similarity join: shingle distinct + sizes +
-    # dfreq + per-set prefix rank window + prefix equi-join + the
-    # verification join's sides — the shingle subtree canonicalizes and
-    # runtime-reuses (ReusedExchange), so the 18 static exchanges
-    # overcount actual work (the graph_link_prediction precedent)
-    "dedup_set_similarity_exact": 18,
     # temporal reachability: checkpointed per-hop min-folds (converged-
     # scan discipline — the printed plan is the final arrivals frame)
     "graph_temporal_reachability": 0,
