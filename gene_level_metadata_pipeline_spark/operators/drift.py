@@ -496,3 +496,84 @@ def target_encode_kfold(
         ).alias("enc_scaled"),
     )
     return j
+
+
+def isotonic_fit(
+    buckets: DataFrame,
+    bucket_col: str = "bucket",
+    sum_col: str = "s",
+    n_col: str = "n",
+    scale: int = 10 ** 6,
+) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration fit over scored
+    buckets — the standard model-score calibrator (pool-adjacent-
+    violators), in EXACT fixed-point arithmetic via the minimax closed
+    form: iso(i) = max_{j<=i} min_{k>=i} mean(y over buckets j..k),
+    which equals the PAVA solution (Ayer et al. 1955 / Robertson-
+    Wright-Dykstra 1988, the minimax characterization). Here every
+    pooled mean is the FLOORED fixed-point floor(S*scale/N) — floor is
+    monotone, so max-of-min of floored means is still monotone
+    non-decreasing and differs from the rational PAVA value by < 1 ulp
+    at ``scale``; in exchange the whole fit is bigint-exact and
+    hash-certifiable cross-engine, which a float PAVA never is.
+
+    Input is the PRE-BUCKETED (bucket, sum_y, n) table (one corpus
+    aggregation upstream); returns (bucket, n, mean_e6, iso_e6) with
+    mean_e6 the raw bucket mean and iso_e6 the monotone fit.
+
+    Scale shape: everything after the upstream corpus aggregation is
+    DIMENSION-sized — buckets get a dense rank (one tiny window),
+    pooled means come from prefix sums over B rows, the minimax
+    enumerates (j <= k) pairs exploded to their covered i's: O(B^3)
+    rows at B buckets (B=20 -> 1.5k rows). The classic sequential
+    PAVA is O(B) but inherently serial; at dimension-sized B the
+    relational minimax is the better distributed trade (and the
+    oracle can replay it)."""
+    from pyspark.sql import Window
+
+    w_ord = Window.orderBy(bucket_col)
+    b = buckets.select(
+        F.col(bucket_col).alias("bucket"),
+        F.col(sum_col).cast("bigint").alias("s"),
+        F.col(n_col).cast("bigint").alias("n"),
+    ).select(
+        "*",
+        F.row_number().over(w_ord).alias("idx"),
+        F.sum("s").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cs"),
+        F.sum("n").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cn"),
+    ).localCheckpoint(eager=True)
+    lo = b.select(
+        F.col("idx").alias("j"),
+        (F.col("cs") - F.col("s")).alias("ps_j"),
+        (F.col("cn") - F.col("n")).alias("pn_j"),
+    )
+    hi = b.select(
+        F.col("idx").alias("k"), F.col("cs").alias("cs_k"),
+        F.col("cn").alias("cn_k"),
+    )
+    pairs = lo.join(hi, F.col("j") <= F.col("k")).select(
+        "j", "k",
+        F.call_function(
+            "div",
+            (F.col("cs_k") - F.col("ps_j")) * F.lit(scale),
+            F.col("cn_k") - F.col("pn_j"),
+        ).alias("m"),
+    )
+    tri = pairs.select(
+        "j", "m", F.explode(F.expr("sequence(j, k)")).alias("i")
+    )
+    iso = (
+        tri.groupBy("i", "j").agg(F.min("m").alias("mn"))
+        .groupBy("i").agg(F.max("mn").alias("iso_e6"))
+    )
+    return b.join(iso, b["idx"] == iso["i"]).select(
+        "bucket", "n",
+        F.call_function(
+            "div", F.col("s") * F.lit(scale), F.col("n")
+        ).alias("mean_e6"),
+        "iso_e6",
+    )

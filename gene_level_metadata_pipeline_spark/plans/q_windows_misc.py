@@ -4121,3 +4121,70 @@ def q_mixture_reweight_mw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_reweight_mw(
         docs, domain_col="source", stat_col="n_chars", rounds=4,
     )
+
+
+@_register(
+    "isotonic_calibration",
+    oracle="""
+    WITH bk AS (
+      SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) // 2500000
+               AS bucket,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    ),
+    idxd AS (
+      SELECT bucket, s, n,
+             row_number() OVER (ORDER BY bucket) AS idx,
+             sum(s) OVER (ORDER BY bucket) AS cs,
+             sum(n) OVER (ORDER BY bucket) AS cn
+      FROM bk
+    ),
+    pairs AS (
+      SELECT lo.idx AS j, hi.idx AS k,
+             (hi.cs - lo.cs + lo.s) * 1000000
+               // (hi.cn - lo.cn + lo.n) AS m
+      FROM idxd lo JOIN idxd hi ON lo.idx <= hi.idx
+    ),
+    tri AS (
+      SELECT j, m, u.i
+      FROM pairs, LATERAL (SELECT unnest(generate_series(j, k)) AS i) u
+    ),
+    inner_min AS (SELECT i, j, min(m) AS mn FROM tri GROUP BY i, j),
+    iso AS (SELECT i, max(mn) AS iso_e6 FROM inner_min GROUP BY i)
+    SELECT b.bucket, b.n,
+           CAST(b.s * 1000000 // b.n AS BIGINT) AS mean_e6,
+           CAST(iso.iso_e6 AS BIGINT) AS iso_e6
+    FROM idxd b JOIN iso ON iso.i = b.idx
+    """,
+)
+def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic calibration (drift.isotonic_fit): monotone fit of the
+    urgent-priority rate against order-value buckets ($25k bins) — the
+    PAVA score calibrator in exact fixed-point minimax form
+    (iso(i) = max_{j<=i} min_{k>=i} floored pooled mean), so the WHOLE
+    fit hash-matches the oracle's replay of the same closed form; the
+    flat-priority TPC-H data is the adversarial case (violators
+    everywhere, heavy pooling). Everything after the one corpus
+    aggregation is dimension-sized (B buckets -> O(B^3) tiny rows)."""
+    from gene_level_metadata_pipeline_spark.operators.drift import (
+        isotonic_fit,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    bk = orders.groupBy(
+        F.call_function(
+            "div",
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint"),
+            F.lit(2_500_000),
+        ).alias("bucket")
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            ).otherwise(0)
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return isotonic_fit(bk, bucket_col="bucket", sum_col="s", n_col="n")

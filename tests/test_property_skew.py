@@ -161,3 +161,62 @@ def test_mixture_reweight_mw_matches_python_replay(hist):
         for d in hist
     }
     assert got == want
+
+
+# --- exact fixed-point isotonic fit (round 7) -----------------------------
+
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(bk=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=30),     # s successes
+              st.integers(min_value=1, max_value=30)),    # extra trials
+    min_size=1, max_size=8,
+))
+def test_isotonic_fit_matches_minimax_replay_and_is_monotone(bk):
+    """drift.isotonic_fit vs the pure-Python minimax closed form —
+    bigint-for-bigint — plus the two semantic guarantees: the fit is
+    monotone non-decreasing, and on violator-free input it equals the
+    raw floored bucket means exactly."""
+    from gene_level_metadata_pipeline_spark.operators.drift import (
+        isotonic_fit,
+    )
+
+    spark = _get_spark()
+    rows = [(i, s, s + extra) for i, (s, extra) in enumerate(bk)]
+    df = spark.createDataFrame(rows, "bucket long, s long, n long")
+    got = {
+        r["bucket"]: (r["n"], r["mean_e6"], r["iso_e6"])
+        for r in isotonic_fit(df).collect()
+    }
+
+    s = [r[1] for r in rows]
+    n = [r[2] for r in rows]
+    B = len(rows)
+
+    def m(j, k):  # floored pooled mean over buckets j..k (0-based)
+        return sum(s[j:k + 1]) * 10 ** 6 // sum(n[j:k + 1])
+
+    iso = [
+        max(min(m(j, k) for k in range(i, B)) for j in range(i + 1))
+        for i in range(B)
+    ]
+    want = {i: (n[i], s[i] * 10 ** 6 // n[i], iso[i]) for i in range(B)}
+    assert got == want
+    assert all(iso[i] <= iso[i + 1] for i in range(B - 1)), iso
+    means = [s[i] * 10 ** 6 // n[i] for i in range(B)]
+    if all(means[i] <= means[i + 1] for i in range(B - 1)):
+        assert iso == means  # violator-free input passes through
+
+
+def test_isotonic_fit_pools_violators():
+    """Hand case: a decreasing pair pools to its weighted mean."""
+    from gene_level_metadata_pipeline_spark.operators.drift import (
+        isotonic_fit,
+    )
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(0, 9, 10), (1, 1, 10)], "bucket long, s long, n long"
+    )
+    out = {r["bucket"]: r["iso_e6"] for r in isotonic_fit(df).collect()}
+    assert out[0] == out[1] == 10 * 10 ** 6 // 20  # pooled 10/20 = 0.5
