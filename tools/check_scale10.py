@@ -47,7 +47,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import check_oracle as co  # noqa: E402 — comparison machinery reuse
 import stress_scale as ss  # noqa: E402 — replica builder reuse
 
-OUT_PATH = os.path.join(
+OUT_PATH = os.environ.get("SCALE10_OUT") or os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "certification", "scale10_sweep.json",
 )
@@ -84,6 +84,13 @@ CURATED = [
     "mixture_sample_langs",
     "weighted_sample_k",
     "kcenter_diverse_sample",
+    # round-7 additions: df-capped winnow join, sampled policy curve,
+    # iterative MW training, dimension-quadratic isotonic minimax
+    "winnow_fingerprints",
+    "winnow_overlap_pairs",
+    "dedup_threshold_curve",
+    "mixture_reweight_mw",
+    "isotonic_calibration",
 ]
 
 # Oracles quadratic in candidate/pair count: Spark side still runs and

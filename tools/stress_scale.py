@@ -57,9 +57,24 @@ def build(spark) -> None:
         F.concat(F.col("text"), F.lit(" rep"), F.col("__r")).alias("text"),
         *[c for c in docs.columns if c not in ("doc_id", "text")],
     )
+    # r7 fix: replicate embeddings with a PER-REPLICA cyclic dimension
+    # rotation — an orthogonal transform, so every replica's internal
+    # geometry (distances, cosines, neighbor structure) is EXACTLY the
+    # 1x shape, while cross-replica similarity is scrambled. Without it
+    # every vector had 9 exact clones across replicas and pair-shaped
+    # similarity outputs (semantic dedup, near-dup, ANN ties) blew up
+    # quadratically instead of scaling 10x — the embedding analogue of
+    # the " repN" text tag above.
+    dim = len(emb.select("embedding").first()["embedding"])
+    rot = F.expr(
+        f"concat(slice(embedding, pmod(__r, {dim}) + 1, "
+        f"{dim} - pmod(__r, {dim})), "
+        f"slice(embedding, 1, pmod(__r, {dim})))"
+    )
     big_emb = emb.crossJoin(reps).select(
         (F.col("vec_id") + F.col("__r") * n_vec).alias("vec_id"),
-        *[c for c in emb.columns if c != "vec_id"],
+        rot.alias("embedding"),
+        *[c for c in emb.columns if c not in ("vec_id", "embedding")],
     )
     big_docs.write.mode("overwrite").parquet(f"{STRESS}/documents.parquet")
     big_emb.write.mode("overwrite").parquet(f"{STRESS}/embeddings.parquet")
