@@ -3735,3 +3735,82 @@ def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pairs").cast("bigint").alias("n_pairs"),
         F.sum("n_pairs").over(w).cast("bigint").alias("cum_pairs_ge"),
     )
+
+
+# 44-byte canonical PCM WAV header for 8 mono 16-bit samples @ 8 kHz —
+# constant because the synthesized signal is fixed-length; only the 16
+# data bytes vary per row. Layout: RIFF/52/WAVE fmt/16/PCM/1ch/8000Hz/
+# 16000Bps/align2/16bit data/16.
+_WAV8_HEADER_HEX = (
+    "52494646" "34000000" "57415645" "666d7420" "10000000"
+    "0100" "0100" "401f0000" "803e0000" "0200" "1000"
+    "64617461" "10000000"
+)
+
+
+@_register(
+    "audio_wav_decode",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, u.i,
+             ((doc_id * (u.i + 1)) % 200 + 200) % 200 - 100 AS v
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(0, 7)) AS i) u
+    )
+    SELECT doc_id,
+           8000 AS sample_rate,
+           1 AS n_channels,
+           CAST(8 AS BIGINT) AS n_frames,
+           CAST(max(abs(v)) AS INTEGER) AS peak,
+           CAST(sum(v * (i + 1)) AS BIGINT) AS head_checksum
+    FROM s GROUP BY doc_id
+    """,
+)
+def q_audio_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec multimodal certification (multimodal.decode_audio):
+    a valid RIFF/PCM WAV file is constructed PER ROW in pure Catalyst
+    (constant 44-byte header + 16 data bytes of little-endian
+    two's-complement int16 samples derived from doc_id — unhex/concat
+    binary expressions, zero Python), decoded by the stdlib `wave`
+    parser inside the Arrow mapInPandas stage, and the decoded header
+    fields + signal features are hash-matched against an oracle that
+    never sees a WAV at all — it predicts what the decoder MUST output
+    from the same integer arithmetic. A decoder bug (endianness, header
+    offset, sign handling) or a byte-construction bug on either side
+    breaks the hash; this upgrades the audio modality from
+    unit-tested to oracle-certified. One narrow projection + one
+    Arrow batch stage; payload dropped at decode (featurize-then-drop
+    discipline)."""
+    from gene_level_metadata_pipeline_spark.operators.multimodal import (
+        decode_audio,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    # s_i = pmod(doc_id*(i+1), 200) - 100 for i in 0..7, as LE16 hex
+    sample_hex = []
+    for i in range(8):
+        v = F.pmod(F.col("doc_id") * (i + 1), F.lit(200)) - 100
+        tc = F.pmod(v, F.lit(65536)).cast("bigint")     # two's complement
+        h4 = F.lpad(F.lower(F.conv(tc, 10, 16)), 4, "0")
+        sample_hex.append(F.concat(F.substring(h4, 3, 2),
+                                   F.substring(h4, 1, 2)))
+    payload = F.concat(
+        F.unhex(F.lit(_WAV8_HEADER_HEX)),
+        F.unhex(F.concat(*sample_hex)),
+    )
+    wav = docs.select("doc_id", payload.alias("payload"))
+    dec = decode_audio(wav, payload_col="payload", codec="wav", head_n=8)
+    return dec.select(
+        "doc_id", "sample_rate", "n_channels",
+        "n_frames",
+        "peak",
+        F.aggregate(
+            F.zip_with(
+                F.col("head_samples"),
+                F.sequence(F.lit(1), F.lit(8)),
+                lambda s, i: s.cast("bigint") * i.cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("head_checksum"),
+    )

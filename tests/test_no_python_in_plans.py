@@ -16,7 +16,12 @@ EXECUTING = {
     "streaming_dedup_watermark", "streaming_static_enrich",
     "streaming_pages_source",
 }
-ARROW_PYTHON_OK = {"applyinpandas_normalize", "multimodal_features", "cogroup_asof_join"}
+ARROW_PYTHON_OK = {
+    "applyinpandas_normalize", "multimodal_features", "cogroup_asof_join",
+    # r7: REAL stdlib WAV decoder inside the Arrow stage — the payload
+    # is Catalyst-built, only the codec runs in Python (by necessity)
+    "audio_wav_decode",
+}
 # Python DATA SOURCES are intentional executor-side Python (ingestion,
 # not relational compute) — allowed, asserted positively
 PYTHON_SOURCE_OK = {"custom_datasource_pages"}
