@@ -71,3 +71,47 @@ def snapshot_diff(
             "change",
         )
     )
+
+
+def join_view_delta(
+    a_new: DataFrame,
+    delta_a: DataFrame,
+    b_old: DataFrame,
+    delta_b: DataFrame,
+    on: str | list[str],
+    sign_col: str = "sign",
+) -> DataFrame:
+    """Signed row-delta of a two-table join view — incremental view
+    maintenance's core identity, the join sibling of
+    ``harmonize.retract_aggregate`` (which maintains aggregates but
+    must be handed the changed FACTS; this derives the changed facts of
+    a JOIN from the base-table deltas without re-joining the bases):
+
+        Δ(A ⋈ B) = ΔA ⋈ B_old  ∪  A_new ⋈ ΔB
+
+    the standard asymmetric expansion of (A_old + ΔA) ⋈ (B_old + ΔB)
+    — the ΔA ⋈ ΔB cross term is absorbed by using A_NEW (not A_old) in
+    the second term; getting either state wrong double-counts or drops
+    exactly the delta-delta pairs, which is what the oracle's full
+    recompute certifies against.
+
+    ``delta_a`` / ``delta_b`` carry ``sign_col`` (+1 insert / -1
+    delete) and otherwise the same columns as their base tables; the
+    output carries both payloads and the pair's sign (a deleted A row
+    joining surviving B rows emits -1 rows, etc. — signs multiply, and
+    a base-side row always has implicit sign +1, so each term's sign
+    is just its delta side's).
+
+    Scale shape: two key-partitioned equi-joins whose LEFT inputs are
+    delta-sized — the view is maintained by shuffling the deltas and
+    re-reading only the join-relevant base partitions (bucketed bases
+    make both joins co-located); the O(|A|·|B|-scan) full re-join never
+    runs. Downstream, one signed aggregate + a merge with the stored
+    view (agg_retract_merge's discipline) completes the maintenance.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    t1 = delta_a.join(b_old, keys)
+    t2 = a_new.join(
+        delta_b.withColumnRenamed(sign_col, f"__{sign_col}"), keys
+    ).withColumnRenamed(f"__{sign_col}", sign_col)
+    return t1.unionByName(t2.select(*t1.columns))

@@ -577,3 +577,118 @@ def isotonic_fit(
         ).alias("mean_e6"),
         "iso_e6",
     )
+
+
+def fdr_bh(
+    df: DataFrame,
+    p_col: str = "p_e6",
+    key_col: str = "id",
+    scale: int = 10 ** 6,
+    alpha_e6: int = 50_000,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Benjamini-Hochberg step-up FDR adjustment — the multiple-testing
+    correction every gene-level screen runs before calling a hit list
+    (the reference pipeline's constraint/lethality tables are exactly
+    the kind of per-gene evidence a BH pass gates downstream).
+
+    Input: one row per test with a FIXED-POINT p-value ``p_col``
+    (integer in [0, scale]) and a unique ``key_col`` tie-breaker.
+    Output: (key, p_e6, rnk, adj_e6, reject) where
+    ``adj_e6 = min_{j >= i} floor(p_(j) * m / j)`` clipped at ``scale``
+    (BH adjusted p in the same fixed point; floor is monotone, so the
+    step-up decision differs from rational BH only when the rational
+    value straddles an adj ulp — the certified semantics is the floored
+    form, replayed exactly by the oracle) and
+    ``reject = adj_e6 <= alpha_e6``.
+
+    Scale shape — never a single-task global window: the global rank is
+    a distributed prefix COUNT (range repartition on (p, key), local
+    row_number per partition, broadcast per-partition-count offsets —
+    the selection.running_sum discipline, including the mandatory
+    localCheckpoint: repartitionByRange samples bounds per evaluation
+    and unpinned _pid labels corrupt silently at scale, found live at
+    sf0.1 by running_sum), and the step-up suffix min
+    ``min_{rank >= i}`` reuses the SAME pinned partition labels: a
+    descending local cummin per partition plus a broadcast
+    min-over-higher-partitions offset. Two broadcast-joined ≤P-row
+    frames; the tests table itself is shuffled once by range and once
+    by the _pid window hash — O(1) passes at any m.
+    """
+    from pyspark.sql import Window
+
+    n = int(
+        num_partitions
+        or df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    p = F.col(p_col).cast("bigint")
+    k = F.col(key_col)
+    ranged = (
+        df.select(k.alias("key"), p.alias("p_e6"))
+        .repartitionByRange(n, F.col("p_e6"), F.col("key"))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+
+    w_asc = Window.partitionBy("_pid").orderBy("p_e6", "key")
+    local = ranged.withColumn("_lrank", F.row_number().over(w_asc))
+
+    # One row per partition: counts -> rank offsets (prefix) and, later,
+    # partition-level raw minima -> suffix-min offsets. Both windows run
+    # on <= num_partitions rows.
+    wp = Window.orderBy("_pid")
+    counts = local.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    offs = counts.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_cnt").over(wp.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("bigint"),
+    ).select("_pid", "_off")
+    m_df = counts.agg(F.sum("_cnt").cast("bigint").alias("_m"))
+
+    ranked = (
+        local.join(F.broadcast(offs), "_pid")
+        .crossJoin(F.broadcast(m_df))
+        .withColumn("rnk", (F.col("_lrank") + F.col("_off")).cast("bigint"))
+        .withColumn(
+            "raw_e6",
+            F.least(
+                F.lit(scale).cast("bigint"),
+                _floor_div_exact(F.col("p_e6") * F.col("_m"), F.col("rnk")),
+            ),
+        )
+        .drop("_lrank", "_off", "_m")
+    )
+
+    # Suffix min over global rank == (local cummin in DESC order within
+    # the pinned _pid) combined with (min over all HIGHER _pids).
+    w_desc = Window.partitionBy("_pid").orderBy(
+        F.col("p_e6").desc(), F.col("key").desc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    loc2 = ranked.withColumn("_lmin", F.min("raw_e6").over(w_desc))
+    wp_desc = Window.orderBy(F.col("_pid").desc())
+    suf = (
+        loc2.groupBy("_pid").agg(F.min("raw_e6").alias("_pmin"))
+        .withColumn(
+            "_sufmin",
+            F.min("_pmin").over(
+                wp_desc.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .select("_pid", "_sufmin")
+    )
+    return (
+        loc2.join(F.broadcast(suf), "_pid")
+        .select(
+            "key", "p_e6", "rnk",
+            F.least(
+                F.col("_lmin"),
+                F.coalesce(F.col("_sufmin"), F.lit(scale).cast("bigint")),
+            ).alias("adj_e6"),
+        )
+        .withColumn(
+            "reject",
+            (F.col("adj_e6") <= F.lit(int(alpha_e6))).cast("boolean"),
+        )
+    )

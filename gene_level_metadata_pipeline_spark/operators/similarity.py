@@ -1071,3 +1071,85 @@ def kcenter_sample(
             ).alias("md"),
         ).where(F.col("pid") != F.col("cpid")).localCheckpoint(eager=True)
     return picks
+
+
+def reciprocal_best_hits(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reciprocal best hits (RBH): pairs (q, c) where c is q's single
+    nearest corpus vector AND q is c's single nearest query vector —
+    the classic bioinformatics ortholog-calling criterion (mutual best
+    BLAST hit), here over embedding cosine. RBH is the high-precision
+    subset of 1-NN matching: a one-direction best hit tolerates hubs
+    (one corpus vector claimed by many queries); mutuality kills them.
+
+    Scale shape: ``queries`` is the small side by construction (a probe
+    panel / reference set) and is broadcast; the corpus is scanned ONCE
+    for the cross expansion, and BOTH argmax directions reduce from
+    that single scored stream — max_by per corpus id (corpus-sized
+    aggregate) and max_by per query id (panel-sized aggregate) — so
+    the whole operator is one corpus scan plus two key-partitioned
+    aggregations, no corpus self-join, no window over the corpus. At a
+    large query side, swap the broadcast expansion for the IVF
+    cell-bucketed scorer (semantic_near_dup's path); the mutual-argmax
+    reduction is unchanged.
+
+    Ties break on the smaller candidate id in both directions (after
+    4dp rounding of the cosine, the brute_force_topk discipline), so
+    the result is engine-replayable. Returns (query_id, corpus_id,
+    cos_sim).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("__qv"),
+    ).withColumn("__qn", F.sqrt(_dot(F.col("__qv"), F.col("__qv"))))
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        _as_double(F.col(vec_col)).alias("__cv"),
+    ).withColumn("__cn", F.sqrt(_dot(F.col("__cv"), F.col("__cv"))))
+    scored = (
+        c.join(F.broadcast(q), F.lit(True))
+        .withColumn(
+            "cos_sim",
+            F.round(
+                F.try_divide(
+                    _dot(F.col("__qv"), F.col("__cv")),
+                    F.col("__qn") * F.col("__cn"),
+                ),
+                4,
+            ),
+        )
+        .where(F.col("cos_sim").isNotNull())
+        .select("query_id", "corpus_id", "cos_sim")
+    )
+    # argmax by (cos desc, id asc) == max_by over a sortable struct with
+    # the id negated — one hash aggregate per direction, no windows.
+    best_c = scored.groupBy("query_id").agg(
+        F.max(
+            F.struct(
+                F.col("cos_sim"), (-F.col("corpus_id")).alias("nid")
+            )
+        ).alias("b")
+    ).select(
+        "query_id",
+        (-F.col("b.nid")).alias("corpus_id"),
+        F.col("b.cos_sim").alias("q_best"),
+    )
+    best_q = scored.groupBy("corpus_id").agg(
+        F.max(
+            F.struct(
+                F.col("cos_sim"), (-F.col("query_id")).alias("nid")
+            )
+        ).alias("b")
+    ).select(
+        "corpus_id",
+        (-F.col("b.nid")).alias("query_id"),
+        F.col("b.cos_sim").alias("c_best"),
+    )
+    return (
+        best_c.join(best_q, ["query_id", "corpus_id"])
+        .select("query_id", "corpus_id", F.col("q_best").alias("cos_sim"))
+    )

@@ -3814,3 +3814,50 @@ def q_audio_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("head_checksum"),
     )
+
+
+@_register(
+    "rbh_mutual_nn",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 17 = 0),
+    c AS (SELECT vec_id AS corpus_id, e AS ce FROM v WHERE vec_id % 17 <> 0),
+    scored AS (
+      SELECT q.query_id, c.corpus_id,
+             round({_COS.format(a='q.qe', b='c.ce')}, 4) AS cos_sim
+      FROM q CROSS JOIN c
+    ),
+    bq AS (
+      SELECT query_id, corpus_id, cos_sim, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id
+      ) AS rn FROM scored
+    ),
+    bc AS (
+      SELECT query_id, corpus_id, row_number() OVER (
+        PARTITION BY corpus_id ORDER BY cos_sim DESC, query_id
+      ) AS rn FROM scored
+    )
+    SELECT b1.query_id, b1.corpus_id, b1.cos_sim
+    FROM (SELECT * FROM bq WHERE rn = 1) b1
+    JOIN (SELECT * FROM bc WHERE rn = 1) b2
+      ON b1.query_id = b2.query_id AND b1.corpus_id = b2.corpus_id
+    """,
+)
+def q_rbh_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal best hits (similarity.reciprocal_best_hits): mutual
+    1-NN pairs between a probe panel (every 17th embedding) and the
+    rest of the corpus — the ortholog-calling criterion of the
+    reference's biology domain (mutual best BLAST hit) lifted to
+    embedding cosine. One corpus scan (panel broadcast), two max_by
+    hash aggregates, no corpus self-join and no corpus-wide window;
+    the oracle independently takes both argmax directions with windows
+    and intersects."""
+    from gene_level_metadata_pipeline_spark.operators.similarity import (
+        reciprocal_best_hits,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return reciprocal_best_hits(
+        emb.where(F.col("vec_id") % 17 == 0),
+        emb.where(F.col("vec_id") % 17 != 0),
+    )

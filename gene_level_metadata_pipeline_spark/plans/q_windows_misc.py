@@ -4188,3 +4188,166 @@ def q_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
     )
     return isotonic_fit(bk, bucket_col="bucket", sum_col="s", n_col="n")
+
+
+def _md5_hex8_int(prefix: str, key_sql: str) -> str:
+    """DuckDB twin of F.conv(substr(md5(prefix:key),1,8),16,10): the
+    first 8 md5 hex digits as a bigint via strpos digit arithmetic (no
+    conv() dependency) — the weighted_take / stable_sample idiom."""
+    h = f"md5('{prefix}:' || CAST({key_sql} AS VARCHAR))"
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+@_register(
+    "fdr_bh_adjust",
+    oracle=f"""
+    WITH t AS (
+      SELECT p_partkey AS key,
+             ({_md5_hex8_int('pval', 'p_partkey')}) % 1000001 AS p_e6
+      FROM part
+    ),
+    r AS (
+      SELECT key, p_e6,
+             row_number() OVER (ORDER BY p_e6, key) AS rnk,
+             count(*) OVER () AS m
+      FROM t
+    ),
+    w AS (
+      SELECT key, p_e6, rnk,
+             least(1000000, (p_e6 * m) // rnk) AS raw_e6
+      FROM r
+    )
+    SELECT key, p_e6, CAST(rnk AS BIGINT) AS rnk,
+           CAST(min(raw_e6) OVER (
+             ORDER BY rnk
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+           ) AS BIGINT) AS adj_e6,
+           (min(raw_e6) OVER (
+             ORDER BY rnk
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+           ) <= 50000) AS reject
+    FROM w
+    """,
+)
+def q_fdr_bh_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR step-up (drift.fdr_bh) over one fixed-point
+    p-value per part — the multiple-testing gate every gene-level screen
+    applies before calling hits. The p-values are engine-portable md5
+    pseudo-uniforms (the stable_sample idiom) so the operator under
+    certification is BH itself: global rank = distributed prefix count
+    (range repartition + broadcast offsets, localCheckpoint-pinned), the
+    step-up min_{{j>=i}} = a suffix min over the SAME pinned partition
+    labels — never a single-task global window; the oracle replays the
+    floored fixed-point form with one ordinary window."""
+    from gene_level_metadata_pipeline_spark.operators.drift import fdr_bh
+
+    part = _t(spark, sf_dir, "part")
+    tests = part.select(
+        F.col("p_partkey").alias("id"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("pval:"),
+                            F.col("p_partkey").cast("string"),
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long") % F.lit(1_000_001)
+        ).alias("p_e6"),
+    )
+    return fdr_bh(tests, p_col="p_e6", key_col="id", alpha_e6=50_000)
+
+
+@_register(
+    "ivm_join_view",
+    oracle="""
+    WITH l AS (
+      SELECT l_orderkey AS okey,
+             (CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+              * (100 - CAST(round(l_discount * 100, 0) AS BIGINT))
+              + 50) // 100 AS cents
+      FROM lineitem WHERE l_orderkey % 100 <> 34
+    )
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(l.cents) AS BIGINT) AS revenue_cents
+    FROM orders o JOIN l ON o.o_orderkey = l.okey
+    WHERE o.o_orderkey % 100 <> 13
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view (cdc.join_view_delta):
+    the per-priority (row count, revenue) view over orders ⋈ lineitem
+    is maintained under base-table deltas on BOTH sides — orders get
+    inserts (okey%100==7) and deletes (==13), lineitem gets inserts
+    (%100 in 7,21 — the 7s exist only via the new orders, exercising
+    the ΔA⋈ΔB cross term that the asymmetric A_NEW⋈ΔB expansion must
+    absorb) and deletes (==34). Spark computes old view + signed join
+    delta + retract-merge; the oracle is the FULL RECOMPUTE on the new
+    base states, so the hash match certifies the IVM identity
+    end-to-end, deletions included. Revenue is exact bigint cents
+    (price cents × (100 − discount bp), half-up integral divide by
+    100 — pure bigint in both engines), so the signed arithmetic is
+    hash-stable."""
+    from gene_level_metadata_pipeline_spark.operators.cdc import (
+        join_view_delta,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    o = orders.select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    l = lineitem.select(
+        F.col("l_orderkey").alias("okey"),
+        F.call_function(
+            "div",
+            F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+            * (
+                F.lit(100)
+                - F.round(F.col("l_discount") * 100, 0).cast("bigint")
+            )
+            + F.lit(50),
+            F.lit(100),
+        ).alias("cents"),
+    )
+    m = F.col("okey") % 100
+
+    a_old, a_new = o.where(m != 7), o.where(m != 13)
+    delta_a = (
+        o.where(m == 7).withColumn("sign", F.lit(1))
+        .unionByName(o.where(m == 13).withColumn("sign", F.lit(-1)))
+    )
+    b_old = l.where(~m.isin(7, 21))
+    delta_b = (
+        l.where(m.isin(7, 21)).withColumn("sign", F.lit(1))
+        .unionByName(l.where(m == 34).withColumn("sign", F.lit(-1)))
+    )
+
+    view_old = a_old.join(b_old, "okey").groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("c"),
+    )
+    d = join_view_delta(a_new, delta_a, b_old, delta_b, on="okey")
+    d_agg = d.groupBy("o_orderpriority").agg(
+        F.sum("sign").alias("n"),
+        F.sum(F.col("sign") * F.col("cents")).alias("c"),
+    )
+    return (
+        view_old.unionByName(d_agg)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.sum("c").cast("bigint").alias("revenue_cents"),
+        )
+        .where(F.col("n_rows") > 0)
+    )

@@ -1,0 +1,238 @@
+"""Property tests for the round-7 sitting-2 operators, each replayed
+against an independent pure-Python reference on randomized inputs:
+
+* drift.fdr_bh vs a sequential Benjamini-Hochberg replay (exact
+  fixed-point form), across partition counts that straddle the row
+  count — the distributed prefix-count rank and the partition-offset
+  suffix min must agree with the single-machine recurrence exactly.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_spark = None
+
+
+def _get_spark():
+    global _spark
+    if _spark is None:
+        from gene_level_metadata_pipeline_spark.session import get_spark
+
+        _spark = get_spark("property-round7")
+    return _spark
+
+
+def _bh_reference(pvals: dict[int, int], scale: int = 10 ** 6):
+    """Sequential BH in the same floored fixed point: rank by (p, key),
+    raw = min(scale, p*m // rank), adj = suffix min of raw."""
+    m = len(pvals)
+    s = sorted(pvals.items(), key=lambda kv: (kv[1], kv[0]))
+    raw = [min(scale, p * m // (i + 1)) for i, (_, p) in enumerate(s)]
+    adj = raw[:]
+    for i in range(m - 2, -1, -1):
+        adj[i] = min(adj[i], adj[i + 1])
+    return {k: (i + 1, adj[i]) for i, (k, _) in enumerate(s)}
+
+
+p_tables = st.dictionaries(
+    keys=st.integers(min_value=0, max_value=10 ** 9),
+    values=st.integers(min_value=0, max_value=10 ** 6),
+    min_size=1, max_size=40,
+)
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(pvals=p_tables, n_parts=st.integers(min_value=1, max_value=7))
+def test_fdr_bh_matches_sequential_reference(pvals, n_parts):
+    from gene_level_metadata_pipeline_spark.operators.drift import fdr_bh
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(k, p) for k, p in pvals.items()], "id bigint, p_e6 bigint"
+    )
+    got = {
+        r["key"]: (r["rnk"], r["adj_e6"], r["reject"])
+        for r in fdr_bh(
+            df, p_col="p_e6", key_col="id", num_partitions=n_parts
+        ).collect()
+    }
+    want = _bh_reference(pvals)
+    assert set(got) == set(want)
+    for k, (rnk, adj) in want.items():
+        assert got[k][0] == rnk, (k, got[k], rnk, adj)
+        assert got[k][1] == adj, (k, got[k], rnk, adj)
+        assert got[k][2] == (adj <= 50_000)
+
+
+def test_fdr_bh_monotone_and_clipped():
+    """Adjusted p is non-decreasing in rank and never exceeds scale;
+    duplicate p-values share neither rank nor (necessarily) adj, but
+    order stays total via the key tie-break."""
+    from gene_level_metadata_pipeline_spark.operators.drift import fdr_bh
+
+    spark = _get_spark()
+    rows = [(i, (i * 37) % 5) for i in range(50)]  # heavy p ties
+    out = (
+        fdr_bh(
+            spark.createDataFrame(rows, "id bigint, p_e6 bigint"),
+            num_partitions=4,
+        )
+        .orderBy("rnk")
+        .collect()
+    )
+    assert [r["rnk"] for r in out] == list(range(1, 51))
+    adjs = [r["adj_e6"] for r in out]
+    assert all(a <= 10 ** 6 for a in adjs)
+    assert all(a <= b for a, b in zip(adjs, adjs[1:]))
+
+
+# --- reciprocal best hits vs pure-Python mutual argmax --------------------
+
+def _rbh_reference(qs, cs):
+    """qs/cs: {id: vector}. Same 4dp rounding + smaller-id tie-break."""
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        if na == 0 or nb == 0:
+            return None
+        return round(d / (na * nb), 4)
+
+    best_c = {}
+    for q, qv in qs.items():
+        cand = [(cos(qv, cv), c) for c, cv in cs.items()]
+        cand = [(s, c) for s, c in cand if s is not None]
+        if cand:
+            best_c[q] = max(cand, key=lambda t: (t[0], -t[1]))
+    best_q = {}
+    for c, cv in cs.items():
+        cand = [(cos(qv, cv), q) for q, qv in qs.items()]
+        cand = [(s, q) for s, q in cand if s is not None]
+        if cand:
+            best_q[c] = max(cand, key=lambda t: (t[0], -t[1]))
+    return {
+        (q, c): s
+        for q, (s, c) in best_c.items()
+        if best_q.get(c, (None, None))[1] == q
+    }
+
+
+vec = st.lists(
+    st.integers(min_value=-5, max_value=5).map(float), min_size=3, max_size=3
+)
+vec_tables = st.tuples(
+    st.dictionaries(st.integers(0, 50), vec, min_size=1, max_size=8),
+    st.dictionaries(st.integers(51, 120), vec, min_size=1, max_size=12),
+)
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(tables=vec_tables)
+def test_rbh_matches_reference(tables):
+    from gene_level_metadata_pipeline_spark.operators.similarity import (
+        reciprocal_best_hits,
+    )
+
+    qs, cs = tables
+    spark = _get_spark()
+    mk = lambda d: spark.createDataFrame(
+        [(k, v) for k, v in d.items()], "vec_id bigint, embedding array<double>"
+    )
+    got = {
+        (r["query_id"], r["corpus_id"]): r["cos_sim"]
+        for r in reciprocal_best_hits(mk(qs), mk(cs)).collect()
+    }
+    want = _rbh_reference(qs, cs)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] is not None and abs(got[k] - want[k]) < 1e-9
+
+
+# --- join-view delta vs full recompute ------------------------------------
+
+delta_plans = st.tuples(
+    # base A rows: key -> payload
+    st.dictionaries(st.integers(0, 9), st.integers(0, 99),
+                    min_size=1, max_size=8),
+    # base B rows: list of (key, payload) — duplicates allowed
+    st.lists(st.tuples(st.integers(0, 9), st.integers(0, 99)),
+             min_size=0, max_size=12),
+    # inserted A keys (disjointified below), deleted A keys
+    st.sets(st.integers(10, 14), max_size=3),
+    st.sets(st.integers(0, 9), max_size=3),
+    # inserted B rows, deleted B row indices
+    st.lists(st.tuples(st.integers(0, 14), st.integers(0, 99)), max_size=5),
+    st.sets(st.integers(0, 11), max_size=4),
+)
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(plan=delta_plans)
+def test_join_view_delta_equals_full_recompute(plan):
+    from collections import Counter
+
+    from gene_level_metadata_pipeline_spark.operators.cdc import (
+        join_view_delta,
+    )
+
+    a_base, b_base, a_ins, a_del, b_ins, b_del_idx = plan
+    a_old = [(k, v) for k, v in a_base.items()]
+    a_new = [r for r in a_old if r[0] not in a_del] + [
+        (k, k * 7) for k in a_ins
+    ]
+    b_old = list(b_base)
+    b_new = [r for i, r in enumerate(b_old) if i not in b_del_idx] + list(
+        b_ins
+    )
+
+    spark = _get_spark()
+    mk = lambda rows, schema: spark.createDataFrame(rows, schema)
+    da = [(k, v, 1) for k, v in a_new if k in a_ins] + [
+        (k, v, -1) for k, v in a_old if k in a_del
+    ]
+    db = [(k, v, 1) for k, v in b_ins] + [
+        (k, v, -1)
+        for i, (k, v) in enumerate(b_old)
+        if i in b_del_idx
+    ]
+    d = join_view_delta(
+        mk(a_new, "k long, av long"),
+        mk(da or [(None, None, None)], "k long, av long, sign long").where(
+            "k is not null"
+        ),
+        mk(b_old or [(None, None)], "k long, bv long").where("k is not null"),
+        mk(db or [(None, None, None)], "k long, bv long, sign long").where(
+            "k is not null"
+        ),
+        on="k",
+    ).collect()
+
+    signed = Counter()
+    for k, av in a_old:
+        for kb, bv in b_old:
+            if k == kb:
+                signed[(k, av, bv)] += 1
+    for r in d:
+        signed[(r["k"], r["av"], r["bv"])] += r["sign"]
+
+    want = Counter()
+    for k, av in a_new:
+        for kb, bv in b_new:
+            if k == kb:
+                want[(k, av, bv)] += 1
+    assert {k: n for k, n in signed.items() if n} == {
+        k: n for k, n in want.items() if n
+    }
