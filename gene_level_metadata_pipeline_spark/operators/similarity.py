@@ -1153,3 +1153,131 @@ def reciprocal_best_hits(
         best_c.join(best_q, ["query_id", "corpus_id"])
         .select("query_id", "corpus_id", F.col("q_best").alias("cos_sim"))
     )
+
+
+def dbscan_grid_2d(
+    points: DataFrame,
+    id_col: str = "vec_id",
+    x_col: str = "x",
+    y_col: str = "y",
+    eps_micro: int = 20_000,
+    min_pts: int = 4,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Deterministic grid-blocked DBSCAN in 2-D: density clustering as a
+    COMPOSITION of already-certified pieces — the grid_nn_join_2d
+    9-cell candidate geometry (cell side = eps, so every true
+    eps-neighbor pair is grid-visible), exact bigint micro-unit
+    distances, and graph.connected_components for the core graph.
+
+    Semantics (the deterministic variant): a point is CORE when its
+    eps-ball holds >= min_pts points (itself included); clusters are
+    the connected components of the core-core eps-graph labelled by
+    MIN core id; a BORDER point (non-core with >= 1 core neighbor)
+    joins the MINIMUM cluster label among its core neighbors — classic
+    DBSCAN leaves border assignment to visit order, which is
+    nondeterministic and unhashable; taking the min is the
+    engine-replayable refinement. Everything else is NOISE
+    (cluster NULL). Returns (id, role, cluster).
+
+    Scale shape: one cell-id shuffle builds all candidate pairs (9
+    fixed probe offsets, never a corpus self-join), degree/core/border
+    are key-partitioned aggregates, and the component loop runs on the
+    CORE EDGE subgraph only, with connected_components' self-sized
+    per-round shuffles + pointer jumping. Dense-cell skew is bounded by
+    cell width = eps — exactly the DBSCAN regime where candidates are
+    genuinely local.
+    """
+    eps2 = int(eps_micro) * int(eps_micro)
+    snapped = points.select(
+        F.col(id_col).alias("pid"),
+        F.round(F.col(x_col).cast("double") * 1e6, 0).cast("bigint").alias("xm"),
+        F.round(F.col(y_col).cast("double") * 1e6, 0).cast("bigint").alias("ym"),
+    ).where(F.col("xm").isNotNull() & F.col("ym").isNotNull())
+    cell = snapped.select(
+        "pid", "xm", "ym",
+        F.floor(F.col("xm") / eps_micro).alias("cx"),
+        F.floor(F.col("ym") / eps_micro).alias("cy"),
+    )
+    probes = cell.select(
+        "pid", "xm", "ym",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    (F.col("cx") + dx).alias("cx"),
+                    (F.col("cy") + dy).alias("cy"),
+                )
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ])
+        ).alias("nc"),
+    ).select(
+        "pid", "xm", "ym",
+        F.col("nc.cx").alias("cx"), F.col("nc.cy").alias("cy"),
+    )
+    pairs = (
+        probes.join(
+            cell.select(
+                F.col("pid").alias("qid"), F.col("xm").alias("qx"),
+                F.col("ym").alias("qy"), "cx", "cy",
+            ),
+            ["cx", "cy"],
+        )
+        .where(F.col("pid") != F.col("qid"))
+        .where(
+            (F.col("xm") - F.col("qx")) * (F.col("xm") - F.col("qx"))
+            + (F.col("ym") - F.col("qy")) * (F.col("ym") - F.col("qy"))
+            <= F.lit(eps2)
+        )
+        .select("pid", "qid")
+    )
+    pairs = pairs.localCheckpoint(eager=False)
+
+    deg = pairs.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
+    core = deg.where(F.col("n") + 1 >= min_pts).select("pid")
+    core_edges = (
+        pairs.join(core, "pid")
+        .join(core.select(F.col("pid").alias("qid")), "qid")
+        .where(F.col("pid") < F.col("qid"))
+        .select("pid", "qid")
+    )
+    from gene_level_metadata_pipeline_spark.operators.graph import (
+        connected_components,
+    )
+
+    comps = connected_components(
+        core_edges, src="pid", dst="qid", max_iter=max_iter
+    )
+    core_lab = (
+        core.join(comps, core["pid"] == comps["doc_id"], "left")
+        .select(
+            core["pid"],
+            F.coalesce(F.col("component"), core["pid"]).alias("cluster"),
+        )
+    )
+    border = (
+        pairs.join(
+            core_lab.select(
+                F.col("pid").alias("qid"), F.col("cluster")
+            ),
+            "qid",
+        )
+        .join(core, "pid", "left_anti")
+        .groupBy("pid")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    labelled = (
+        core_lab.withColumn("role", F.lit("core"))
+        .unionByName(border.withColumn("role", F.lit("border")))
+    )
+    noise = (
+        snapped.select("pid")
+        .join(labelled.select("pid"), "pid", "left_anti")
+        .select(
+            "pid", F.lit(None).cast("bigint").alias("cluster"),
+            F.lit("noise").alias("role"),
+        )
+    )
+    return labelled.unionByName(noise).select(
+        F.col("pid").alias("id"), "role", "cluster"
+    )

@@ -1834,3 +1834,86 @@ def mmr_diversify(
         )
         picked = picked.unionByName(nxt).localCheckpoint(eager=True)
     return picked
+
+
+def kneser_ney_bigram(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    d_num: int = 3,
+    d_den: int = 4,
+    scale: int = 10 ** 12,
+    min_count: int = 1,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram language model, trained corpus-
+    wide in EXACT fixed point — the standard n-gram smoother (Kneser &
+    Ney 1995; Chen & Goodman 1999's interpolated form) that unigram
+    add-one smoothing (unigram_logprob_scores) cannot approach, because
+    its backoff weight is the CONTINUATION count (in how many distinct
+    contexts does w2 appear), not the raw frequency:
+
+        P(w2|w1) = max(c(w1,w2) - D, 0)/c(w1)
+                   + (D·N1+(w1·)/c(w1)) · N1+(·w2)/T
+
+    with discount D = d_num/d_den (default 3/4) and T the number of
+    distinct bigram types. Every quantity is an integer, so with the
+    discount kept RATIONAL the probability is the exact fraction
+       (max(d_den·c12 − d_num, 0)·T + d_num·N1+(w1·)·N1+(·w2))
+       / (d_den·c(w1)·T)
+    floored at ``scale`` — DECIMAL(38,0) intermediates (≈4e26 at a
+    10M-token corpus, well inside 38 digits; the HUGEINT PCA
+    discipline), so the trained model is hash-certifiable cross-engine,
+    which a float KN never is.
+
+    Scale shape: one corpus pass builds bigram counts (map-side
+    combine); c(w1)/N1+(w1·), N1+(·w2) and T are aggregates OF THE
+    COUNT TABLE (vocabulary²-bounded, far smaller than the corpus),
+    joined back on their own keys; T rides a broadcast 1-row frame.
+    Returns (w1, w2, c12, p_kn_e12) for bigrams with c12 >= min_count.
+    """
+    from gene_level_metadata_pipeline_spark.operators.drift import (
+        _floor_div_exact,
+    )
+
+    toks = df.select(_ws_tokens(text_col).alias("a")).where(
+        F.size("a") >= 2
+    )
+    bg = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(2, size(a)), "
+                "i -> struct(a[i-2] AS w1, a[i-1] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c12 = c12.localCheckpoint(eager=False)
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("nfol")
+    )
+    cw2 = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("nprec"))
+    tt = c12.agg(F.count(F.lit(1)).alias("t"))
+    d38 = "decimal(38,0)"
+    num = (
+        F.greatest(
+            F.lit(d_den) * F.col("c12") - F.lit(d_num), F.lit(0)
+        ).cast(d38)
+        * F.col("t").cast(d38)
+        + F.lit(d_num).cast(d38)
+        * F.col("nfol").cast(d38)
+        * F.col("nprec").cast(d38)
+    ) * F.lit(scale).cast(d38)
+    den = (
+        F.lit(d_den).cast(d38) * F.col("c1").cast(d38)
+        * F.col("t").cast(d38)
+    )
+    return (
+        c12.where(F.col("c12") >= min_count)
+        .join(c1, "w1")
+        .join(cw2, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1", "w2", "c12",
+            _floor_div_exact(num, den).cast("bigint").alias("p_kn_e12"),
+        )
+    )

@@ -3861,3 +3861,63 @@ def q_rbh_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.where(F.col("vec_id") % 17 == 0),
         emb.where(F.col("vec_id") % 17 != 0),
     )
+
+
+@_register(
+    "kneser_ney_bigram_lm",
+    oracle="""
+    WITH toks AS (
+      SELECT list_filter(string_split(text, ' '), w -> w <> '') AS a
+      FROM documents
+      WHERE text IS NOT NULL
+    ),
+    bg AS (
+      SELECT a[i - 1] AS w1, a[i] AS w2
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(2, len(a))) AS i
+      ) u
+      WHERE len(a) >= 2
+    ),
+    c12 AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2
+    ),
+    c1 AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS nfol
+      FROM c12 GROUP BY 1
+    ),
+    cw2 AS (
+      SELECT w2, CAST(count(*) AS BIGINT) AS nprec FROM c12 GROUP BY 1
+    ),
+    tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM c12)
+    SELECT c12.w1, c12.w2, c12.c12,
+           CAST(
+             (CAST(greatest(4 * c12.c12 - 3, 0) AS HUGEINT) * t
+              + CAST(3 AS HUGEINT) * nfol * nprec)
+             * CAST(1000000000000 AS HUGEINT)
+             // (CAST(4 AS HUGEINT) * c1 * t)
+           AS BIGINT) AS p_kn_e12
+    FROM c12
+    JOIN c1 ON c12.w1 = c1.w1
+    JOIN cw2 ON c12.w2 = cw2.w2
+    CROSS JOIN tt
+    WHERE c12.c12 >= 5
+    """,
+)
+def q_kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (textanalysis.kneser_ney_bigram)
+    trained on the documents corpus with rational discount 3/4 — the
+    continuation-count smoother behind every serious n-gram LM
+    (KenLM-style perplexity filtering at corpus scale), here in exact
+    DECIMAL(38,0) fixed point so the ENTIRE trained model hash-matches
+    the oracle's HUGEINT replay. One corpus pass for bigram counts;
+    everything downstream is aggregates of the vocabulary²-bounded
+    count table; T rides a broadcast 1-row frame."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        kneser_ney_bigram,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return kneser_ney_bigram(
+        docs, text_col="text", id_col="doc_id", min_count=5
+    )

@@ -4351,3 +4351,168 @@ def q_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_rows") > 0)
     )
+
+
+@_register(
+    "dbscan_clusters_2d",
+    oracle="""
+    WITH RECURSIVE p AS (
+      SELECT vec_id AS pid,
+             CAST(round(CAST(embedding[1] AS DOUBLE) * 1e6, 0) AS BIGINT)
+               AS xm,
+             CAST(round(CAST(embedding[2] AS DOUBLE) * 1e6, 0) AS BIGINT)
+               AS ym
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) >= 2
+    ),
+    pairs AS (
+      SELECT a.pid AS u, b.pid AS v
+      FROM p a JOIN p b ON a.pid <> b.pid
+       AND (a.xm - b.xm) * (a.xm - b.xm)
+           + (a.ym - b.ym) * (a.ym - b.ym) <= 400000000
+    ),
+    deg AS (SELECT u AS pid, count(*) AS n FROM pairs GROUP BY 1),
+    core AS (SELECT pid FROM deg WHERE n + 1 >= 4),
+    ce AS (
+      SELECT pr.u, pr.v FROM pairs pr
+      JOIN core c1 ON pr.u = c1.pid JOIN core c2 ON pr.v = c2.pid
+    ),
+    reach AS (
+      SELECT pid, pid AS r FROM core
+      UNION
+      SELECT ce.v AS pid, reach.r FROM reach JOIN ce ON ce.u = reach.pid
+    ),
+    lab AS (SELECT pid, min(r) AS cluster FROM reach GROUP BY pid),
+    border AS (
+      SELECT pr.u AS pid, min(lab.cluster) AS cluster
+      FROM pairs pr JOIN lab ON pr.v = lab.pid
+      WHERE pr.u NOT IN (SELECT pid FROM core)
+      GROUP BY pr.u
+    )
+    SELECT pid AS id, 'core' AS role, cluster FROM lab
+    UNION ALL
+    SELECT pid, 'border', cluster FROM border
+    UNION ALL
+    SELECT pid, 'noise', CAST(NULL AS BIGINT) FROM p
+    WHERE pid NOT IN (SELECT pid FROM lab)
+      AND pid NOT IN (SELECT pid FROM border)
+    """,
+)
+def q_dbscan_clusters_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-blocked deterministic DBSCAN (similarity.dbscan_grid_2d)
+    over the embeddings' first two components: eps=0.02 cells, exact
+    micro-int distances, core = >= 4 points in the eps-ball, clusters =
+    min-id connected components of the core graph (the certified
+    pointer-jumping operator), border -> min core-neighbor cluster
+    (the engine-replayable refinement of classic visit-order
+    assignment), rest noise. The oracle recomputes the whole thing
+    QUADRATICALLY with a recursive-CTE closure — the hash match
+    certifies both the 9-cell candidate geometry (cell side = eps sees
+    every true pair) and the component labelling."""
+    from gene_level_metadata_pipeline_spark.operators.similarity import (
+        dbscan_grid_2d,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.get("embedding", 0).alias("x"),
+        F.get("embedding", 1).alias("y"),
+    )
+    return dbscan_grid_2d(
+        pts, id_col="vec_id", x_col="x", y_col="y",
+        eps_micro=20_000, min_pts=4,
+    )
+
+
+@_register(
+    "enrichment_fold_or",
+    oracle="""
+    WITH thr AS (
+      SELECT percentile_disc(0.9) WITHIN GROUP (ORDER BY p_retailprice)
+               AS t
+      FROM part
+    ),
+    f AS (
+      SELECT p_brand,
+             CASE WHEN p_retailprice > (SELECT t FROM thr)
+                  THEN 1 ELSE 0 END AS hit
+      FROM part
+    ),
+    g AS (
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n_set,
+             CAST(sum(hit) AS BIGINT) AS a
+      FROM f GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n_set) AS BIGINT) AS n,
+             CAST(sum(a) AS BIGINT) AS sel
+      FROM g
+    )
+    SELECT p_brand, n_set, a AS n_hit,
+           CAST(CAST(a AS HUGEINT) * n * 1000000
+                // (CAST(n_set AS HUGEINT) * sel) AS BIGINT) AS fold_e6,
+           CAST(CAST(2 * a + 1 AS HUGEINT)
+                * (2 * (n - n_set - sel + a) + 1) * 1000000
+                // (CAST(2 * (n_set - a) + 1 AS HUGEINT)
+                   * (2 * (sel - a) + 1)) AS BIGINT) AS or_e6
+    FROM g CROSS JOIN tot
+    """,
+)
+def q_enrichment_fold_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gene-set over-representation statistics — the enrichment screen
+    a gene-metadata pipeline runs over its annotation sets (GO /
+    Reactome membership vs a hit list), here brands vs the top-decile
+    price 'hit list': per set, exact fixed-point FOLD enrichment
+    a·N/(n_set·sel) and the Haldane-corrected ODDS RATIO
+    (2a+1)(2d+1)/((2b+1)(2c+1)) — both floored at 1e6 in DECIMAL(38,0)
+    so the whole contingency algebra hash-matches the oracle's HUGEINT
+    replay (a float OR never would). The hit threshold is an exact
+    order statistic (percentile_disc), so selection itself is
+    engine-identical. One fact aggregate; the totals ride a broadcast
+    1-row frame."""
+    from gene_level_metadata_pipeline_spark.operators.drift import (
+        _floor_div_exact,
+    )
+
+    part = _t(spark, sf_dir, "part")
+    thr = part.agg(
+        F.expr(
+            "percentile_disc(0.9) WITHIN GROUP (ORDER BY p_retailprice)"
+        ).alias("t")
+    )
+    g = (
+        part.crossJoin(F.broadcast(thr))
+        .select(
+            "p_brand",
+            F.when(F.col("p_retailprice") > F.col("t"), 1)
+            .otherwise(0).alias("hit"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_set"),
+            F.sum("hit").cast("bigint").alias("a"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n_set").cast("bigint").alias("n"),
+        F.sum("a").cast("bigint").alias("sel"),
+    )
+    d38 = "decimal(38,0)"
+    a, n_set = F.col("a"), F.col("n_set")
+    n, sel = F.col("n"), F.col("sel")
+    fold = _floor_div_exact(
+        a.cast(d38) * n.cast(d38) * F.lit(1_000_000).cast(d38),
+        n_set.cast(d38) * sel.cast(d38),
+    )
+    d_cell = n - n_set - sel + a
+    orr = _floor_div_exact(
+        (2 * a + 1).cast(d38) * (2 * d_cell + 1).cast(d38)
+        * F.lit(1_000_000).cast(d38),
+        (2 * (n_set - a) + 1).cast(d38) * (2 * (sel - a) + 1).cast(d38),
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "p_brand", "n_set", a.alias("n_hit"),
+        fold.cast("bigint").alias("fold_e6"),
+        orr.cast("bigint").alias("or_e6"),
+    )

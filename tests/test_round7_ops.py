@@ -236,3 +236,151 @@ def test_join_view_delta_equals_full_recompute(plan):
     assert {k: n for k, n in signed.items() if n} == {
         k: n for k, n in want.items() if n
     }
+
+
+# --- Kneser-Ney bigram LM vs exact-fraction replay -------------------------
+
+def _kn_reference(texts, d_num=3, d_den=4, scale=10 ** 12, min_count=1):
+    from collections import Counter
+
+    c12 = Counter()
+    for t in texts:
+        ws = [w for w in t.split(" ") if w]
+        for a, b in zip(ws, ws[1:]):
+            c12[(a, b)] += 1
+    c1, nfol, nprec = Counter(), Counter(), Counter()
+    for (a, b), c in c12.items():
+        c1[a] += c
+        nfol[a] += 1
+        nprec[b] += 1
+    t_types = len(c12)
+    out = {}
+    for (a, b), c in c12.items():
+        if c < min_count:
+            continue
+        num = (max(d_den * c - d_num, 0) * t_types
+               + d_num * nfol[a] * nprec[b]) * scale
+        out[(a, b)] = (c, num // (d_den * c1[a] * t_types))
+    return out
+
+
+corpus = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "dd", "e"]), min_size=0, max_size=8
+    ).map(" ".join),
+    min_size=1, max_size=6,
+)
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=corpus)
+def test_kneser_ney_matches_fraction_replay(texts):
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        kneser_ney_bigram,
+    )
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        (r["w1"], r["w2"]): (r["c12"], r["p_kn_e12"])
+        for r in kneser_ney_bigram(df, "text", "doc_id").collect()
+    }
+    assert got == _kn_reference(texts)
+
+
+def test_kneser_ney_probability_identity():
+    """With D=3/4 the interpolated-KN mass identity holds exactly in the
+    fixed point up to floor error: for every context w1,
+    sum over observed w2 of p  <=  scale, and adding the continuation
+    mass of UNOBSERVED w2 types reaches scale to within one ulp per
+    emitted row (the definition of a proper smoother)."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        kneser_ney_bigram,
+    )
+
+    spark = _get_spark()
+    texts = ["a b a c a b d", "b a b c d a", "c a a b"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = kneser_ney_bigram(df, "text", "doc_id").collect()
+    ref = _kn_reference(texts)
+    by_w1 = {}
+    for r in rows:
+        by_w1.setdefault(r["w1"], []).append(r)
+    for w1, rs in by_w1.items():
+        assert sum(r["p_kn_e12"] for r in rs) <= 10 ** 12
+    assert {(r["w1"], r["w2"]) for r in rows} == set(ref)
+
+
+# --- grid DBSCAN vs quadratic reference ------------------------------------
+
+def _dbscan_reference(pts, eps_micro, min_pts):
+    """pts: {id: (xm, ym)} already in micro ints."""
+    eps2 = eps_micro * eps_micro
+    ids = sorted(pts)
+    nbr = {
+        i: [
+            j for j in ids
+            if j != i
+            and (pts[i][0] - pts[j][0]) ** 2
+            + (pts[i][1] - pts[j][1]) ** 2 <= eps2
+        ]
+        for i in ids
+    }
+    core = {i for i in ids if len(nbr[i]) + 1 >= min_pts}
+    # min-label components over the core graph
+    lbl = {i: i for i in core}
+    changed = True
+    while changed:
+        changed = False
+        for i in core:
+            for j in nbr[i]:
+                if j in core and lbl[j] < lbl[i]:
+                    lbl[i] = lbl[j]
+                    changed = True
+    out = {}
+    for i in ids:
+        if i in core:
+            out[i] = ("core", lbl[i])
+        else:
+            cands = [lbl[j] for j in nbr[i] if j in core]
+            out[i] = ("border", min(cands)) if cands else ("noise", None)
+    return out
+
+
+point_sets = st.dictionaries(
+    st.integers(0, 40),
+    st.tuples(st.integers(-50, 50), st.integers(-50, 50)),
+    min_size=1, max_size=25,
+)
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(pts=point_sets, eps=st.sampled_from([10, 20, 35]),
+       min_pts=st.integers(2, 5))
+def test_dbscan_matches_quadratic_reference(pts, eps, min_pts):
+    from gene_level_metadata_pipeline_spark.operators.similarity import (
+        dbscan_grid_2d,
+    )
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(k, x / 1e6, y / 1e6) for k, (x, y) in pts.items()],
+        "vec_id long, x double, y double",
+    )
+    got = {
+        r["id"]: (r["role"], r["cluster"])
+        for r in dbscan_grid_2d(
+            df, eps_micro=eps, min_pts=min_pts
+        ).collect()
+    }
+    assert got == _dbscan_reference(pts, eps, min_pts)
