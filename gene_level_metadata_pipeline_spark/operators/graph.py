@@ -901,3 +901,84 @@ def temporal_reachability(
                 .localCheckpoint(eager=True)
             )
     return arr
+
+
+def truss_peel(
+    pairs: DataFrame,
+    k: int = 4,
+    rounds: int = 2,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """k-truss peeling (Cohen 2008) for a FIXED number of rounds: each
+    round computes every surviving edge's triangle SUPPORT (common
+    neighbors within the surviving subgraph) and drops edges with
+    support < k-2 — the cohesion filter one notch stronger than
+    triangle counting and the standard community-core extractor.
+
+    Free-running truss decomposition iterates to a fixpoint; this is
+    the REPRODUCIBLE fixed-round variant (the label_propagation /
+    hits_bipartite certification discipline): round r's edge set is a
+    pure function of round r-1's, so any engine unrolling the same
+    recurrence replays it bit-for-bit, and the certified semantics is
+    the ``rounds``-round peel state. Returns (u, v, support) for the
+    surviving edges with their support in the FINAL surviving subgraph
+    (0 for triangle-free survivors when rounds under-peels — visible,
+    not hidden).
+
+    Scale shape: support is the wedge join — edges ⋈ adjacency on u
+    then an equi-join on (v, w) — i.e. 2 key-partitioned shuffles + one
+    count per round, never an all-pairs pass; per-round frames eagerly
+    localCheckpoint inside a ``sized_shuffle`` window (lineage
+    truncation + shuffle sizing from the measured edge count, the
+    connected_components discipline). The frame only shrinks, so round
+    1 bounds the cost; hub-vertex fan-out is AQE's skew-join case and
+    the degree-histogram diagnostic picks the ceiling mitigation when
+    a graph needs one.
+    """
+    from gene_level_metadata_pipeline_spark.sizing import sized_shuffle
+
+    if rounds < 1:
+        raise ValueError(f"truss_peel: rounds={rounds} must be >= 1")
+    if k < 3:
+        raise ValueError(f"truss_peel: k={k} must be >= 3")
+    e = (
+        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = e.count()
+
+    def support(edges: DataFrame) -> DataFrame:
+        und = edges.select(
+            F.col("u").alias("x"), F.col("v").alias("w")
+        ).unionByName(
+            edges.select(F.col("v").alias("x"), F.col("u").alias("w"))
+        )
+        a = und.select(F.col("x").alias("u"), "w")
+        b = und.select(F.col("x").alias("v"), "w")
+        return (
+            edges.join(a, "u").join(b, ["v", "w"])
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).alias("sup"))
+        )
+
+    with sized_shuffle(e.sparkSession, n_edges):
+        for _ in range(rounds):
+            s = support(e)
+            e = (
+                e.join(s, ["u", "v"], "left")
+                .where(F.coalesce(F.col("sup"), F.lit(0)) >= k - 2)
+                .select("u", "v")
+                .localCheckpoint(eager=True)
+            )
+        final = e.join(support(e), ["u", "v"], "left").select(
+            "u", "v",
+            F.coalesce(F.col("sup"), F.lit(0)).cast("bigint")
+            .alias("support"),
+        )
+    return final

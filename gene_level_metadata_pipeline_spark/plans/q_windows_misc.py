@@ -4516,3 +4516,71 @@ def q_enrichment_fold_or(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold.cast("bigint").alias("fold_e6"),
         orr.cast("bigint").alias("or_e6"),
     )
+
+
+@_register(
+    "graph_truss_peel",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT l_orderkey AS bk, l_partkey AS p
+      FROM lineitem WHERE l_partkey % 5 = 0
+    ),
+    e0 AS (
+      SELECT a.p AS u, b2.p AS v
+      FROM b a JOIN b b2 ON a.bk = b2.bk AND a.p < b2.p
+      GROUP BY 1, 2
+    ),
+    u0 AS (SELECT u AS x, v AS w FROM e0 UNION ALL SELECT v, u FROM e0),
+    s0 AS (
+      SELECT e.u, e.v, count(*) AS sup
+      FROM e0 e JOIN u0 a ON a.x = e.u
+      JOIN u0 b2 ON b2.x = e.v AND a.w = b2.w
+      GROUP BY 1, 2
+    ),
+    e1 AS (
+      SELECT e.u, e.v FROM e0 e
+      LEFT JOIN s0 ON e.u = s0.u AND e.v = s0.v
+      WHERE coalesce(s0.sup, 0) >= 2
+    ),
+    u1 AS (SELECT u AS x, v AS w FROM e1 UNION ALL SELECT v, u FROM e1),
+    s1 AS (
+      SELECT e.u, e.v, count(*) AS sup
+      FROM e1 e JOIN u1 a ON a.x = e.u
+      JOIN u1 b2 ON b2.x = e.v AND a.w = b2.w
+      GROUP BY 1, 2
+    ),
+    e2 AS (
+      SELECT e.u, e.v FROM e1 e
+      LEFT JOIN s1 ON e.u = s1.u AND e.v = s1.v
+      WHERE coalesce(s1.sup, 0) >= 2
+    ),
+    u2 AS (SELECT u AS x, v AS w FROM e2 UNION ALL SELECT v, u FROM e2),
+    s2 AS (
+      SELECT e.u, e.v, count(*) AS sup
+      FROM e2 e JOIN u2 a ON a.x = e.u
+      JOIN u2 b2 ON b2.x = e.v AND a.w = b2.w
+      GROUP BY 1, 2
+    )
+    SELECT e.u, e.v,
+           CAST(coalesce(s2.sup, 0) AS BIGINT) AS support
+    FROM e2 e LEFT JOIN s2 ON e.u = s2.u AND e.v = s2.v
+    """,
+)
+def q_graph_truss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss peeling, 2 rounds (graph.truss_peel) over the sampled
+    (1-in-5 parts) co-purchase graph — order baskets are cliques, so
+    the graph has real truss structure (sf0.01: 4551 -> 2776 -> 2125
+    edges) and the peel genuinely discriminates. Fixed-round
+    reproducible variant; the oracle unrolls both peel rounds plus the
+    final support pass (the LPA recurrence-unroll discipline), so the
+    hash match certifies every wedge-join support count and both
+    peel decisions. Edges build via the basket-array map-side explode,
+    never a raw self-join (the oracle deliberately KEEPS its
+    independent self-join truth form)."""
+    from gene_level_metadata_pipeline_spark.operators.graph import (
+        truss_peel,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_partkey") % 5 == 0)
+    edges = _cooccur_pairs(li, "l_orderkey", "l_partkey").select("u", "v")
+    return truss_peel(edges, k=4, rounds=2)

@@ -384,3 +384,50 @@ def test_dbscan_matches_quadratic_reference(pts, eps, min_pts):
         ).collect()
     }
     assert got == _dbscan_reference(pts, eps, min_pts)
+
+
+# --- k-truss fixed-round peel vs pure-Python replay -------------------------
+
+def _truss_reference(edges, k, rounds):
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+
+    def sup(es_):
+        adj = {}
+        for u, v in es_:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        return {
+            (u, v): len(adj[u] & adj[v]) for u, v in es_
+        }
+    for _ in range(rounds):
+        s = sup(es)
+        es = {e for e in es if s[e] >= k - 2}
+    s = sup(es)
+    return {e: s[e] for e in es}
+
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)),
+    min_size=0, max_size=40,
+)
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(edges=edge_lists, k=st.integers(3, 5), rounds=st.integers(1, 3))
+def test_truss_peel_matches_reference(edges, k, rounds):
+    from gene_level_metadata_pipeline_spark.operators.graph import (
+        truss_peel,
+    )
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        edges or [(None, None)], "u long, v long"
+    ).where("u is not null")
+    got = {
+        (r["u"], r["v"]): r["support"]
+        for r in truss_peel(df, k=k, rounds=rounds).collect()
+    }
+    assert got == _truss_reference(edges, k, rounds)
