@@ -119,6 +119,15 @@ HEADLINE = [
     "winnow_overlap_pairs",
     "mixture_reweight_mw",
     "dedup_threshold_curve",
+    # r7 sitting-2 flagships: fixed-round k-truss (wedge-join iterative
+    # surface), grid DBSCAN (density clustering over the certified CC
+    # operator), exact Kneser-Ney LM training, distributed BH FDR
+    # (prefix-count rank + suffix-min, no global window), join-view IVM
+    "graph_truss_peel",
+    "dbscan_clusters_2d",
+    "kneser_ney_bigram_lm",
+    "fdr_bh_adjust",
+    "ivm_join_view",
 ]
 
 REPS = 3

@@ -630,8 +630,15 @@ def fdr_bh(
         .localCheckpoint(eager=False)
     )
 
+    # The ranked frame feeds THREE consumers (offsets, m, the join) and
+    # the suffix-min frame feeds two (partition minima, the final join);
+    # without pinning, Spark replays the _pid window per branch — the
+    # mixture_reweight_mw lesson. Lazy localCheckpoints share one
+    # materialization each.
     w_asc = Window.partitionBy("_pid").orderBy("p_e6", "key")
-    local = ranged.withColumn("_lrank", F.row_number().over(w_asc))
+    local = ranged.withColumn(
+        "_lrank", F.row_number().over(w_asc)
+    ).localCheckpoint(eager=False)
 
     # One row per partition: counts -> rank offsets (prefix) and, later,
     # partition-level raw minima -> suffix-min offsets. Both windows run
@@ -666,7 +673,9 @@ def fdr_bh(
     w_desc = Window.partitionBy("_pid").orderBy(
         F.col("p_e6").desc(), F.col("key").desc()
     ).rowsBetween(Window.unboundedPreceding, 0)
-    loc2 = ranked.withColumn("_lmin", F.min("raw_e6").over(w_desc))
+    loc2 = ranked.withColumn(
+        "_lmin", F.min("raw_e6").over(w_desc)
+    ).localCheckpoint(eager=False)
     wp_desc = Window.orderBy(F.col("_pid").desc())
     suf = (
         loc2.groupBy("_pid").agg(F.min("raw_e6").alias("_pmin"))

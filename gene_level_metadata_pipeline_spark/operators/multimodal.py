@@ -2,11 +2,13 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; decode / feature-extraction / resize / frame-sampling run
-as Arrow-batched ``mapInPandas`` stages. Audio has a REAL codec path:
-WAV/PCM decodes with the pure-stdlib ``wave`` + ``array`` modules
-(:func:`decode_audio`, round-7 — no container codecs needed), so one
-modality runs real bytes end-to-end. The remaining media libraries (PIL,
-ffmpeg) are NOT in this container, so image decode and video frame
+as Arrow-batched ``mapInPandas`` stages. TWO modalities have REAL codec
+paths: WAV/PCM audio decodes with the pure-stdlib ``wave`` + ``array``
+modules (:func:`decode_audio`) and uncompressed 24-bit BMP images parse
+with pure-stdlib ``struct`` (:func:`decode_image` ``codec='bmp'``) — no
+container codecs needed, real bytes end-to-end. The remaining media
+libraries (PIL, ffmpeg) are NOT in this container, so compressed-format
+image decode and video frame
 sampling stay stubbed behind ``NotImplementedError`` — but everything
 Spark-side is real and tested: schema, partition-preserving batch
 iteration, UDF signatures, and the deterministic fake extractor that
@@ -92,19 +94,71 @@ def decode_image(
     """Decode binary → (width, height, mode, pixel array) via Arrow-batched
     mapInPandas.
 
-    ``codec='pil'`` is the real path, gated behind an import-try (PIL is
-    not in this container → clearly-marked NotImplementedError).
-    ``codec='fake'`` is the deterministic stand-in that exercises the
-    identical Spark-side plumbing — schema, batch iteration, payload-in /
-    fixed-width-out shape — and is what the unit tests certify: a 2×2
-    "image" whose pixels are the first 4 payload bytes (zero-padded).
+    ``codec='bmp'`` is a REAL decoder (round-7 sitting 2, the
+    decode_audio precedent): uncompressed 24-bit BI_RGB Windows bitmaps
+    parse with pure-stdlib ``struct`` — no PIL, no libjpeg — emitting
+    exact integer luma pixels ``(299·R + 587·G + 114·B) // 1000`` in
+    row-major TOP-DOWN order (bottom-up storage un-flipped; negative
+    biHeight top-down files honored). Malformed headers / unsupported
+    bpp / compression fail LOUD. ``codec='pil'`` is the general-format
+    path, gated behind an import-try (PIL is not in this container →
+    clearly-marked NotImplementedError). ``codec='fake'`` is the
+    deterministic stand-in that exercises the identical Spark-side
+    plumbing — schema, batch iteration, payload-in / fixed-width-out
+    shape: a 2×2 "image" whose pixels are the first 4 payload bytes
+    (zero-padded).
     """
+    if codec == "bmp":
+        def batches(it: Iterator) -> Iterator:
+            import struct
+
+            import pandas as pd
+
+            def parse(raw) -> tuple[int, int, list[int]]:
+                b = bytes(raw)
+                if b[:2] != b"BM":
+                    raise ValueError("decode_image[bmp]: not a BMP payload")
+                (pix_off,) = struct.unpack_from("<I", b, 10)
+                hdr_size, w, h, planes, bpp, comp = struct.unpack_from(
+                    "<IiiHHI", b, 14
+                )
+                if hdr_size < 40 or planes != 1:
+                    raise ValueError("decode_image[bmp]: bad info header")
+                if bpp != 24 or comp != 0:
+                    raise ValueError(
+                        f"decode_image[bmp]: only uncompressed 24-bit "
+                        f"BI_RGB supported (bpp={bpp}, compression={comp})"
+                    )
+                topdown, hh = h < 0, abs(h)
+                stride = (w * 3 + 3) // 4 * 4
+                px: list[int] = []
+                for y in range(hh):
+                    off = pix_off + (y if topdown else hh - 1 - y) * stride
+                    for x in range(w):
+                        bb = b[off + 3 * x]
+                        gg = b[off + 3 * x + 1]
+                        rr = b[off + 3 * x + 2]
+                        px.append((299 * rr + 587 * gg + 114 * bb) // 1000)
+                return w, hh, px
+
+            for pdf in it:
+                recs = []
+                for doc_id, raw in zip(pdf["doc_id"], pdf[payload_col]):
+                    w, hh, px = parse(raw)
+                    recs.append((doc_id, w, hh, "bmp24", px))
+                yield pd.DataFrame(recs, columns=[
+                    "doc_id", "width", "height", "mode", "pixels",
+                ])
+
+        return df.mapInPandas(batches, schema=DECODE_SCHEMA)
     if codec == "pil":
         try:
             from PIL import Image  # noqa: F401
         except ImportError as e:
             raise NotImplementedError(
-                "image decode requires PIL/libjpeg (not in this container); "
+                "compressed-format image decode requires PIL/libjpeg (not "
+                "in this container); 24-bit BMP decodes for real via "
+                "codec='bmp'; "
                 "use codec='fake' for the plumbing-certified stand-in"
             ) from e
 

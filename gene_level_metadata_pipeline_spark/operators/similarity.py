@@ -1234,7 +1234,15 @@ def dbscan_grid_2d(
     pairs = pairs.localCheckpoint(eager=False)
 
     deg = pairs.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
-    core = deg.where(F.col("n") + 1 >= min_pts).select("pid")
+    # core feeds three consumers (edge filter both sides, labelling,
+    # border anti-join) and core_lab two — lazy checkpoints share one
+    # materialization each instead of re-aggregating the pair table
+    # per branch (the fdr_bh / mixture_reweight_mw plan lesson).
+    core = (
+        deg.where(F.col("n") + 1 >= min_pts)
+        .select("pid")
+        .localCheckpoint(eager=False)
+    )
     core_edges = (
         pairs.join(core, "pid")
         .join(core.select(F.col("pid").alias("qid")), "qid")
@@ -1254,6 +1262,7 @@ def dbscan_grid_2d(
             core["pid"],
             F.coalesce(F.col("component"), core["pid"]).alias("cluster"),
         )
+        .localCheckpoint(eager=False)
     )
     border = (
         pairs.join(

@@ -3921,3 +3921,86 @@ def q_kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kneser_ney_bigram(
         docs, text_col="text", id_col="doc_id", min_count=5
     )
+
+
+# 54-byte canonical 2x2 24-bit BI_RGB bottom-up BMP header (14-byte file
+# header + 40-byte BITMAPINFOHEADER): BM / filesize 70 / offset 54 /
+# hdr 40 / w 2 / h 2 / planes 1 / bpp 24 / BI_RGB / image size 16.
+_BMP2X2_HEADER_HEX = (
+    "424d" "46000000" "00000000" "36000000"
+    "28000000" "02000000" "02000000" "0100" "1800"
+    "00000000" "10000000" "00000000" "00000000" "00000000" "00000000"
+)
+
+
+@_register(
+    "image_bmp_decode",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, u.p,
+             (299 * ((doc_id * (3 * u.p + 1)) % 256)
+              + 587 * ((doc_id * (3 * u.p + 2)) % 256)
+              + 114 * ((doc_id * (3 * u.p + 3)) % 256)) // 1000 AS luma
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(0, 3)) AS p) u
+    )
+    SELECT doc_id, 2 AS width, 2 AS height, 'bmp24' AS mode,
+           CAST(count(*) AS INTEGER) AS n_px,
+           CAST(sum((p + 1) * luma) AS BIGINT) AS luma_checksum
+    FROM s GROUP BY doc_id
+    """,
+)
+def q_image_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec image certification (multimodal.decode_image
+    codec='bmp' — the audio_wav_decode discipline applied to the image
+    modality): a valid 2x2 24-bit BI_RGB bottom-up BMP is built PER ROW
+    in pure Catalyst (constant 54-byte header + 16 pixel-section bytes
+    with BGR channels from doc_id arithmetic, rows stored bottom-up
+    with 2-byte stride padding), parsed by the pure-stdlib struct
+    decoder in the Arrow stage (which must honor the pixel offset,
+    un-flip the bottom-up rows, read BGR order, and apply the exact
+    integer luma), and hash-matched against an oracle that never sees
+    a BMP — it predicts the decoder's mandatory luma output from the
+    same arithmetic. Any header-offset / stride / channel-order /
+    row-flip bug on either side breaks the hash."""
+    from gene_level_metadata_pipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def _bhex(v):
+        return F.lpad(
+            F.lower(F.conv(F.pmod(v, F.lit(256)).cast("bigint"), 10, 16)),
+            2, "0",
+        )
+
+    d = F.col("doc_id")
+    parts = []
+    for row_p in ((2, 3), (0, 1)):  # bottom-up: top-down row 1 first
+        for p in row_p:
+            parts.extend([
+                _bhex(d * (3 * p + 3)),   # B
+                _bhex(d * (3 * p + 2)),   # G
+                _bhex(d * (3 * p + 1)),   # R
+            ])
+        parts.append(F.lit("0000"))       # 4-byte stride padding
+    payload = F.concat(
+        F.unhex(F.lit(_BMP2X2_HEADER_HEX)),
+        F.unhex(F.concat(*parts)),
+    )
+    bmp = docs.select("doc_id", payload.alias("payload"))
+    dec = decode_image(bmp, payload_col="payload", codec="bmp")
+    return dec.select(
+        "doc_id", "width", "height", "mode",
+        F.size("pixels").alias("n_px"),
+        F.aggregate(
+            F.zip_with(
+                F.col("pixels"),
+                F.sequence(F.lit(1), F.lit(4)),
+                lambda s, i: s.cast("bigint") * i.cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("luma_checksum"),
+    )

@@ -1604,3 +1604,71 @@ def test_decode_audio_compressed_still_gated(spark):
         mm.decode_audio(df, codec="ffmpeg")
     with pytest.raises(ValueError, match="unknown codec"):
         mm.decode_audio(df, codec="flac")
+
+
+def _mk_bmp(w, h, rgb_rows, topdown=False):
+    """Build a 24-bit BI_RGB BMP from rgb_rows[y][x] = (r, g, b),
+    y=0 the TOP row. Stored bottom-up unless topdown (negative height)."""
+    import struct
+
+    stride = (w * 3 + 3) // 4 * 4
+    body = bytearray()
+    ys = range(h) if topdown else range(h - 1, -1, -1)
+    for y in ys:
+        row = bytearray()
+        for x in range(w):
+            r, g, b = rgb_rows[y][x]
+            row += bytes((b, g, r))
+        row += b"\x00" * (stride - len(row))
+        body += row
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if topdown else h), 1, 24, 0,
+        len(body), 0, 0, 0, 0,
+    )
+    return bytes(hdr + info + body)
+
+
+def test_decode_image_bmp_real_bytes(spark):
+    from gene_level_metadata_pipeline_spark.operators import multimodal as mm
+
+    rows = [[(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+            [(10, 20, 30), (200, 100, 50), (0, 0, 0)]]
+    lumas = [
+        (299 * r + 587 * g + 114 * b) // 1000
+        for row in rows for (r, g, b) in row
+    ]
+    df = spark.createDataFrame(
+        [(1, bytearray(_mk_bmp(3, 2, rows))),
+         (2, bytearray(_mk_bmp(3, 2, rows, topdown=True)))],
+        "doc_id long, payload binary",
+    )
+    out = {r.doc_id: r for r in mm.decode_image(df, codec="bmp").collect()}
+    for i in (1, 2):
+        assert (out[i].width, out[i].height, out[i].mode) == (3, 2, "bmp24")
+        # both storage orders decode to the same TOP-DOWN pixel list
+        assert out[i].pixels == lumas
+
+
+def test_decode_image_bmp_fail_loud(spark):
+    import pytest
+
+    from gene_level_metadata_pipeline_spark.operators import multimodal as mm
+
+    garbage = spark.createDataFrame(
+        [(1, bytearray(b"NOTABMP" * 10))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="not a BMP"):
+        mm.decode_image(garbage, codec="bmp").collect()
+
+    # 8-bit palette BMPs are unsupported -> loud, not silent nulls
+    import struct
+
+    hdr = b"BM" + struct.pack("<IHHI", 54, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 8, 0, 4, 0, 0, 0, 0)
+    palette = spark.createDataFrame(
+        [(1, bytearray(hdr + info + b"\x00\x00\x00\x00"))],
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(Exception, match="only uncompressed 24-bit"):
+        mm.decode_image(palette, codec="bmp").collect()

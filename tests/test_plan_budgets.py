@@ -152,6 +152,17 @@ SHUFFLE_BUDGET = {
     "winnow_overlap_pairs": 6,
     "mixture_reweight_mw": 31,
     "dedup_threshold_curve": 20,
+    # r7 sitting-2 audit (2026-08-16): truss = final wedge-join support
+    # pass over the checkpointed peeled edges (per-round plans are
+    # materialized behind localCheckpoint, the pagerank convention);
+    # dbscan = pair build + degree/border aggregates + union scans (CC
+    # rounds checkpointed); kn = bigram count + the two vocabulary-table
+    # aggregates; fdr/ivm are the checkpoint-shared frames.
+    "graph_truss_peel": 6,
+    "dbscan_clusters_2d": 12,
+    "kneser_ney_bigram_lm": 3,
+    "fdr_bh_adjust": 2,
+    "ivm_join_view": 2,
 }
 
 # Non-headline flagships whose plan shape is still pinned (round-4 audit).
