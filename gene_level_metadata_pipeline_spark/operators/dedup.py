@@ -1251,3 +1251,80 @@ def set_similarity_join(
         )
     )
     return out
+
+
+def repeated_substring_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    gram_len: int = 20,
+) -> DataFrame:
+    """EXACT cross-document repeated-substring spans at ARBITRARY
+    alignment — the Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better") exact-substring criterion that
+    chunk-fingerprint span dedup (``substring_dup_spans``) only
+    approximates: chunked fingerprints miss a copied passage shifted
+    by one character; a ROLLING gram at every position cannot.
+
+    Every ``gram_len``-char gram of every document is hashed; grams
+    whose hash occurs in >= 2 DISTINCT documents mark their positions,
+    and per document the marked [p, p+L-1] windows merge into MAXIMAL
+    spans (the interval-union running-max idiom). Returns
+    (id, span_start, span_end, span_len), 1-based inclusive char
+    positions — the byte ranges an exact-substring dedup pass would
+    cut.
+
+    Scale shape: the gram explosion is O(total corpus chars) rows but
+    carries only (id, pos, hash) — the shuffle is hash-keyed and THIN
+    (never the text); duplicate detection is min(id) <> max(id) on one
+    aggregate (no count-distinct state); the span merge windows are
+    per-document (key-partitioned, document-length-bounded). At 100 TB
+    the gram table is the dominant shuffle — gram_len trades recall
+    floor against row count, and a Bloom pre-filter on hot hashes
+    (dedup_incremental_bloom's helper) slots in front of the join
+    unchanged.
+    """
+    from pyspark.sql import Window
+
+    L = int(gram_len)
+    if L < 2:
+        raise ValueError(f"repeated_substring_spans: gram_len={L} < 2")
+    g = (
+        df.where(F.length(text_col) >= L)
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.sequence(F.lit(1), F.length(text_col) - (L - 1))
+            ).alias("p"),
+            F.col(text_col).alias("__t"),
+        )
+        .select(
+            "id", "p",
+            F.md5(F.expr(f"substring(__t, p, {L})")).alias("h"),
+        )
+    )
+    dup = g.groupBy("h").agg(
+        F.min("id").alias("__mn"), F.max("id").alias("__mx")
+    ).where(F.col("__mn") != F.col("__mx")).select("h")
+    marked = g.join(dup, "h").select("id", "p")
+
+    w = Window.partitionBy("id").orderBy("p")
+    prev_end = F.max(F.col("p") + (L - 1)).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = marked.withColumn(
+        "__new",
+        F.when(
+            F.col("p") > F.coalesce(prev_end, F.lit(-1)) + 1, 1
+        ).otherwise(0),
+    ).withColumn(
+        "__isl",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return islands.groupBy("id", "__isl").agg(
+        F.min("p").cast("bigint").alias("span_start"),
+        (F.max("p") + (L - 1)).cast("bigint").alias("span_end"),
+    ).select(
+        "id", "span_start", "span_end",
+        (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+    )

@@ -1234,15 +1234,15 @@ def dbscan_grid_2d(
     pairs = pairs.localCheckpoint(eager=False)
 
     deg = pairs.groupBy("pid").agg(F.count(F.lit(1)).alias("n"))
-    # core feeds three consumers (edge filter both sides, labelling,
-    # border anti-join) and core_lab two — lazy checkpoints share one
-    # materialization each instead of re-aggregating the pair table
-    # per branch (the fdr_bh / mixture_reweight_mw plan lesson).
-    core = (
-        deg.where(F.col("n") + 1 >= min_pts)
-        .select("pid")
-        .localCheckpoint(eager=False)
-    )
+    # core feeds three consumers and core_lab two; they are REBUILT per
+    # branch from the checkpointed pair table rather than checkpointed
+    # themselves — measured the other way (r7 sitting 2): checkpointing
+    # them erases Catalyst's size stats, the joins below stop
+    # broadcasting, and the sf0.1 wall went 9.7s -> 25s. Re-aggregating
+    # a pinned pair table per branch is cheap; losing the broadcasts is
+    # not (the inverse of the fdr_bh lesson — pin corpus-sized frames
+    # that get REPLAYED, never the small frames Catalyst must size).
+    core = deg.where(F.col("n") + 1 >= min_pts).select("pid")
     core_edges = (
         pairs.join(core, "pid")
         .join(core.select(F.col("pid").alias("qid")), "qid")
@@ -1262,7 +1262,6 @@ def dbscan_grid_2d(
             core["pid"],
             F.coalesce(F.col("component"), core["pid"]).alias("cluster"),
         )
-        .localCheckpoint(eager=False)
     )
     border = (
         pairs.join(

@@ -4004,3 +4004,60 @@ def q_image_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("luma_checksum"),
     )
+
+
+@_register(
+    "repeated_substring_spans",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id AS id, u.p, md5(substr(text, u.p, 20)) AS h
+      FROM documents,
+           LATERAL (
+             SELECT unnest(generate_series(1, len(text) - 19)) AS p
+           ) u
+      WHERE text IS NOT NULL AND len(text) >= 20
+    ),
+    dup AS (
+      SELECT h FROM g GROUP BY h HAVING min(id) <> max(id)
+    ),
+    m AS (SELECT g.id, g.p FROM g JOIN dup ON g.h = dup.h),
+    isl AS (
+      SELECT id, p,
+             CASE WHEN p > coalesce(max(p + 19) OVER (
+                    PARTITION BY id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), -1) + 1 THEN 1 ELSE 0 END AS nw
+      FROM m
+    ),
+    grp AS (
+      SELECT id, p,
+             sum(nw) OVER (
+               PARTITION BY id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS g_id
+      FROM isl
+    )
+    SELECT id, CAST(min(p) AS BIGINT) AS span_start,
+           CAST(max(p) + 19 AS BIGINT) AS span_end,
+           CAST(max(p) + 19 - min(p) + 1 AS BIGINT) AS span_len
+    FROM grp GROUP BY id, g_id
+    """,
+)
+def q_repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact arbitrary-alignment repeated-substring spans
+    (dedup.repeated_substring_spans, the Lee et al. exact-substring
+    dedup criterion): every 20-char rolling gram hashed, grams present
+    in >= 2 distinct documents mark positions, marked windows merge to
+    maximal spans per document — catches the 1-char-shifted copies the
+    chunk-fingerprint detector (substring_dup_spans) structurally
+    misses. Thin (id, pos, hash) shuffle, min<>max duplicate test (no
+    count-distinct state), per-document merge windows; the oracle
+    replays grams, duplicate test, and the interval-union windows."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        repeated_substring_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return repeated_substring_spans(
+        docs, text_col="text", id_col="doc_id", gram_len=20
+    )

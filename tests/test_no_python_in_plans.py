@@ -21,6 +21,8 @@ ARROW_PYTHON_OK = {
     # r7: REAL stdlib WAV decoder inside the Arrow stage — the payload
     # is Catalyst-built, only the codec runs in Python (by necessity)
     "audio_wav_decode",
+    # r7 sitting 2: same discipline for the stdlib BMP raster decoder
+    "image_bmp_decode",
 }
 # Python DATA SOURCES are intentional executor-side Python (ingestion,
 # not relational compute) — allowed, asserted positively

@@ -159,7 +159,12 @@ SHUFFLE_BUDGET = {
     # rounds checkpointed); kn = bigram count + the two vocabulary-table
     # aggregates; fdr/ivm are the checkpoint-shared frames.
     "graph_truss_peel": 6,
-    "dbscan_clusters_2d": 12,
+    # 17, not 12: core/core_lab are deliberately NOT checkpointed — the
+    # extra exchanges are cheap re-aggregations of the PINNED pair
+    # table, while checkpointing them erased Catalyst's size stats,
+    # dropped the broadcasts, and tripled the sf0.1 wall (25s vs 2.3s
+    # measured; see dbscan_grid_2d's comment)
+    "dbscan_clusters_2d": 17,
     "kneser_ney_bigram_lm": 3,
     "fdr_bh_adjust": 2,
     "ivm_join_view": 2,

@@ -431,3 +431,64 @@ def test_truss_peel_matches_reference(edges, k, rounds):
         for r in truss_peel(df, k=k, rounds=rounds).collect()
     }
     assert got == _truss_reference(edges, k, rounds)
+
+
+# --- exact repeated-substring spans vs pure-Python reference ---------------
+
+def _spans_reference(texts, L):
+    from collections import defaultdict
+
+    occ = defaultdict(set)
+    for i, t in texts.items():
+        for p in range(len(t) - L + 1):
+            occ[t[p:p + L]].add(i)
+    out = {}
+    for i, t in texts.items():
+        marked = sorted(
+            p for p in range(len(t) - L + 1)
+            if len(occ[t[p:p + L]]) >= 2
+        )
+        spans = []
+        for p in marked:
+            s, e = p + 1, p + L  # 1-based inclusive
+            if spans and s <= spans[-1][1] + 1:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], e))
+            else:
+                spans.append((s, e))
+        if spans:
+            out[i] = spans
+    return out
+
+
+texts_strategy = st.dictionaries(
+    st.integers(0, 20),
+    st.text(alphabet="abc", min_size=0, max_size=18),
+    min_size=1, max_size=8,
+)
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=texts_strategy, L=st.sampled_from([2, 3, 5]))
+def test_repeated_substring_spans_matches_reference(texts, L):
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        repeated_substring_spans,
+    )
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    rows = repeated_substring_spans(
+        df, "text", "doc_id", gram_len=L
+    ).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+        assert r["span_len"] == r["span_end"] - r["span_start"] + 1
+    got = {k: sorted(v) for k, v in got.items()}
+    assert got == _spans_reference(texts, L)
