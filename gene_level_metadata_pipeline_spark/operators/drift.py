@@ -701,3 +701,88 @@ def fdr_bh(
             (F.col("adj_e6") <= F.lit(int(alpha_e6))).cast("boolean"),
         )
     )
+
+
+def brier_decomposition(
+    buckets: DataFrame,
+    bucket_col: str = "bucket",
+    sum_col: str = "s",
+    n_col: str = "n",
+    pred_col: str = "p_e6",
+    scale: int = 10 ** 6,
+) -> DataFrame:
+    """Murphy (1973) Brier-score decomposition of a bucketed
+    probabilistic predictor — RELIABILITY (calibration error),
+    RESOLUTION (how much the buckets separate the base rate), and
+    UNCERTAINTY (base-rate variance): Brier = REL − RES + UNC. The
+    standard forecast-quality audit to run over a calibrated model
+    (pair with :func:`isotonic_fit`: feed the monotone fit as
+    ``pred_col`` and REL measures what calibration left behind).
+
+    Exact fixed point at ``scale²`` (e12 for the e6 default), the
+    BH/isotonic floored-form discipline — each bucket's term is one
+    exact integral division, so the whole decomposition is
+    hash-certifiable:
+
+        REL_e12 = Σ_b div((n_b·p_b − s_b·scale)², n_b·N)
+        RES_e12 = Σ_b div((s_b·N − S·n_b)²·scale², n_b·N³)
+        UNC_e12 = div(S·(N−S)·scale², N²)
+
+    DECIMAL(38,0) intermediates bound N at ~10⁷ in this single-shot
+    form (the RES numerator carries N³·scale²); past that, decompose
+    per partition and combine — the terms are sums, so partial
+    decomposition merges exactly.
+
+    Input is the PRE-BUCKETED (bucket, s, n, p_e6) table; output is ONE
+    row (n_buckets, n, rel_e12, res_e12, unc_e12) — everything after
+    the upstream corpus aggregation is dimension-sized, and the totals
+    ride a broadcast 1-row frame.
+    """
+    d38 = "decimal(38,0)"
+    b = buckets.select(
+        F.col(bucket_col).alias("bucket"),
+        F.col(sum_col).cast("bigint").alias("s"),
+        F.col(n_col).cast("bigint").alias("n"),
+        F.col(pred_col).cast("bigint").alias("p"),
+    )
+    # "S"/"N" would collide with "s"/"n" under Spark's default
+    # case-insensitive resolution — totals get distinct names
+    tot = b.agg(
+        F.sum("s").cast("bigint").alias("tot_s"),
+        F.sum("n").cast("bigint").alias("tot_n"),
+    )
+    sc = F.lit(scale).cast(d38)
+    t = b.crossJoin(F.broadcast(tot))
+    big_n = F.col("tot_n").cast(d38)
+    big_s = F.col("tot_s").cast(d38)
+    rel_num = (
+        F.col("n").cast(d38) * F.col("p").cast(d38)
+        - F.col("s").cast(d38) * sc
+    )
+    rel_t = _floor_div_exact(
+        rel_num * rel_num, F.col("n").cast(d38) * big_n
+    )
+    res_num = big_n * F.col("s").cast(d38) - big_s * F.col("n").cast(d38)
+    res_t = _floor_div_exact(
+        res_num * res_num * sc * sc,
+        F.col("n").cast(d38) * big_n * big_n * big_n,
+    )
+    per = t.select(
+        rel_t.alias("rel_t"), res_t.alias("res_t"), "tot_s", "tot_n",
+    )
+    return (
+        per.groupBy("tot_s", "tot_n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.sum("rel_t").cast("bigint").alias("rel_e12"),
+            F.sum("res_t").cast("bigint").alias("res_e12"),
+        )
+        .select(
+            "n_buckets",
+            F.col("tot_n").alias("n"),
+            "rel_e12", "res_e12",
+            _floor_div_exact(
+                big_s * (big_n - big_s) * sc * sc, big_n * big_n
+            ).cast("bigint").alias("unc_e12"),
+        )
+    )

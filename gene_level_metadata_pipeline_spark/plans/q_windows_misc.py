@@ -4584,3 +4584,100 @@ def q_graph_truss_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").where(F.col("l_partkey") % 5 == 0)
     edges = _cooccur_pairs(li, "l_orderkey", "l_partkey").select("u", "v")
     return truss_peel(edges, k=4, rounds=2)
+
+
+@_register(
+    "brier_decomposition",
+    oracle="""
+    WITH bk AS (
+      SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) // 2500000
+               AS bucket,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1
+    ),
+    idxd AS (
+      SELECT bucket, s, n,
+             row_number() OVER (ORDER BY bucket) AS idx,
+             sum(s) OVER (ORDER BY bucket) AS cs,
+             sum(n) OVER (ORDER BY bucket) AS cn
+      FROM bk
+    ),
+    pairs AS (
+      SELECT lo.idx AS j, hi.idx AS k,
+             (hi.cs - lo.cs + lo.s) * 1000000
+               // (hi.cn - lo.cn + lo.n) AS m
+      FROM idxd lo JOIN idxd hi ON lo.idx <= hi.idx
+    ),
+    tri AS (
+      SELECT j, m, u.i
+      FROM pairs, LATERAL (SELECT unnest(generate_series(j, k)) AS i) u
+    ),
+    inner_min AS (SELECT i, j, min(m) AS mn FROM tri GROUP BY i, j),
+    iso AS (SELECT i, max(mn) AS iso_e6 FROM inner_min GROUP BY i),
+    fit AS (
+      SELECT b.bucket, b.s, b.n, CAST(iso.iso_e6 AS BIGINT) AS p
+      FROM idxd b JOIN iso ON iso.i = b.idx
+    ),
+    tot AS (
+      SELECT CAST(sum(s) AS BIGINT) AS ts, CAST(sum(n) AS BIGINT) AS tn
+      FROM fit
+    ),
+    terms AS (
+      SELECT
+        (CAST(fit.n AS HUGEINT) * p - CAST(fit.s AS HUGEINT) * 1000000)
+          * (CAST(fit.n AS HUGEINT) * p - CAST(fit.s AS HUGEINT) * 1000000)
+          // (CAST(fit.n AS HUGEINT) * tn) AS rel_t,
+        (CAST(fit.s AS HUGEINT) * tn - CAST(ts AS HUGEINT) * fit.n)
+          * (CAST(fit.s AS HUGEINT) * tn - CAST(ts AS HUGEINT) * fit.n)
+          * CAST(1000000 AS HUGEINT) * 1000000
+          // (CAST(fit.n AS HUGEINT) * tn * tn * tn) AS res_t,
+        ts, tn
+      FROM fit CROSS JOIN tot
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           tn AS n,
+           CAST(sum(rel_t) AS BIGINT) AS rel_e12,
+           CAST(sum(res_t) AS BIGINT) AS res_e12,
+           CAST(CAST(ts AS HUGEINT) * (tn - ts) * 1000000 * 1000000
+                // (CAST(tn AS HUGEINT) * tn) AS BIGINT) AS unc_e12
+    FROM terms GROUP BY ts, tn
+    """,
+)
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy Brier-score decomposition (drift.brier_decomposition) of
+    the ISOTONIC-calibrated urgent-priority predictor — REL measures
+    exactly what calibration left behind (floor dust + pooling bias),
+    RES how much the order-value buckets separate the base rate, UNC
+    the base-rate variance; Brier = REL − RES + UNC. Every term one
+    exact integral division at e12 (the BH/isotonic floored-form
+    discipline), DECIMAL(38,0) vs the oracle's HUGEINT replay of the
+    same closed-form fit + decomposition. Dimension-sized after the
+    one corpus aggregation; totals ride a broadcast 1-row frame."""
+    from gene_level_metadata_pipeline_spark.operators.drift import (
+        brier_decomposition,
+        isotonic_fit,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    bk = orders.groupBy(
+        F.call_function(
+            "div",
+            F.round(F.col("o_totalprice") * 100, 0).cast("bigint"),
+            F.lit(2_500_000),
+        ).alias("bucket")
+    ).agg(
+        F.sum(
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            ).otherwise(0)
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    ).localCheckpoint(eager=False)
+    fit = isotonic_fit(bk, bucket_col="bucket", sum_col="s", n_col="n")
+    with_s = fit.join(bk.select("bucket", "s"), "bucket")
+    return brier_decomposition(
+        with_s, bucket_col="bucket", sum_col="s", n_col="n",
+        pred_col="iso_e6",
+    )

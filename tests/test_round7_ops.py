@@ -492,3 +492,73 @@ def test_repeated_substring_spans_matches_reference(texts, L):
         assert r["span_len"] == r["span_end"] - r["span_start"] + 1
     got = {k: sorted(v) for k, v in got.items()}
     assert got == _spans_reference(texts, L)
+
+
+# --- Brier decomposition vs exact integer replay ----------------------------
+
+def _brier_reference(buckets, scale=10 ** 6):
+    """buckets: list of (s, n, p_scaled)."""
+    S = sum(s for s, _, _ in buckets)
+    N = sum(n for _, n, _ in buckets)
+    rel = sum((n * p - s * scale) ** 2 // (n * N) for s, n, p in buckets)
+    res = sum(
+        (s * N - S * n) ** 2 * scale * scale // (n * N ** 3)
+        for s, n, p in buckets
+    )
+    unc = S * (N - S) * scale * scale // (N * N)
+    return len(buckets), N, rel, res, unc
+
+
+bucket_tables = st.lists(
+    st.tuples(st.integers(0, 50), st.integers(1, 60),
+              st.integers(0, 10 ** 6)).filter(lambda t: t[0] <= t[1]),
+    min_size=1, max_size=10,
+)
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(bks=bucket_tables)
+def test_brier_decomposition_matches_integer_replay(bks):
+    from gene_level_metadata_pipeline_spark.operators.drift import (
+        brier_decomposition,
+    )
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(i, s, n, p) for i, (s, n, p) in enumerate(bks)],
+        "bucket long, s long, n long, p_e6 long",
+    )
+    r = brier_decomposition(df).collect()
+    assert len(r) == 1
+    got = (r[0]["n_buckets"], r[0]["n"], r[0]["rel_e12"],
+           r[0]["res_e12"], r[0]["unc_e12"])
+    assert got == _brier_reference(bks)
+
+
+def test_brier_identity_on_calibrated_predictor():
+    """When the predictor IS each bucket's exact scaled mean, REL is
+    only floor dust (< n_buckets ulps) and Brier = REL - RES + UNC
+    matches the directly-computed mean squared error to the same dust."""
+    from gene_level_metadata_pipeline_spark.operators.drift import (
+        brier_decomposition,
+    )
+
+    spark = _get_spark()
+    bks = [(3, 10, 300000), (7, 10, 700000), (1, 4, 250000)]
+    df = spark.createDataFrame(
+        [(i, s, n, p) for i, (s, n, p) in enumerate(bks)],
+        "bucket long, s long, n long, p_e6 long",
+    )
+    r = brier_decomposition(df).collect()[0]
+    assert r["rel_e12"] <= len(bks)  # pure floor dust
+    # direct Brier at e12: sum over rows of (p - y)^2 / N
+    S = sum(s for s, _, _ in bks); N = sum(n for _, n, _ in bks)
+    direct = sum(
+        (s * (p - 10 ** 6) ** 2 + (n - s) * p ** 2) // N
+        for s, n, p in bks
+    )
+    recon = r["rel_e12"] - r["res_e12"] + r["unc_e12"]
+    assert abs(recon - direct) <= 3 * len(bks)
