@@ -4061,3 +4061,163 @@ def q_repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_substring_spans(
         docs, text_col="text", id_col="doc_id", gram_len=20
     )
+
+
+def _lr_cv_oracle(k: int = 3, rounds: int = 3, n: int = 16,
+                  lr: str = "0.001", positive: str = "en") -> str:
+    """K-fold cross-validation twin of _lr_oracle: the SHARED feature /
+    label CTEs once, then per fold an independent unrolled GD replay
+    trained on doc_id % k <> f and scored on doc_id % k = f (inner
+    join against trained buckets = weight-0 for unseen buckets, the
+    linear_classifier_score contract), reduced to per-fold accuracy."""
+    hexd = "0123456789abcdef"
+    ctes = [
+        f"""wrd AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    fh AS (
+      SELECT doc_id,
+             ((strpos('{hexd}', substring(md5(w), 1, 1)) - 1) * 16
+              + strpos('{hexd}', substring(md5(w), 2, 1)) - 1)
+               % {n} AS bucket,
+             CASE WHEN strpos('{hexd}', substring(md5(w), 3, 1)) - 1 < 8
+                  THEN 1 ELSE -1 END AS s
+      FROM wrd
+    ),
+    feats AS (
+      SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+             CAST(CAST(sum(s) AS BIGINT) AS DECIMAL(12,0)) AS val
+      FROM fh GROUP BY doc_id, bucket
+    ),
+    lab AS (
+      SELECT doc_id,
+             CAST(CASE WHEN lang = '{positive}' THEN 1 ELSE 0 END
+                  AS DECIMAL(2,0)) AS y
+      FROM documents WHERE text IS NOT NULL
+    ),
+    yall AS (
+      SELECT doc_id,
+             CASE WHEN lang = '{positive}' THEN 1 ELSE 0 END AS y
+      FROM documents
+    )"""
+    ]
+    sig = ("CAST(least(greatest(CAST(0.5 AS DECIMAL(2,1)) + {z} "
+           "* CAST(0.25 AS DECIMAL(3,2)), CAST(0 AS DECIMAL(29,14))), "
+           "CAST(1 AS DECIMAL(29,14))) AS DECIMAL(16,14))")
+    fold_sel = []
+    for f in range(k):
+        ctes.append(
+            f"""f{f}w0 AS (SELECT DISTINCT bucket,
+           CAST(0 AS DECIMAL(24,12)) AS w
+      FROM feats WHERE doc_id % {k} <> {f})"""
+        )
+        for r in range(1, rounds + 1):
+            ctes.append(
+                f"""f{f}z{r} AS (
+      SELECT ft.doc_id, CAST(sum(w.w * ft.val) AS DECIMAL(24,12)) AS z
+      FROM feats ft JOIN f{f}w{r - 1} w USING (bucket)
+      WHERE ft.doc_id % {k} <> {f} GROUP BY ft.doc_id
+    ),
+    f{f}p{r} AS (SELECT doc_id, {sig.format(z='z')} AS p FROM f{f}z{r}),
+    f{f}g{r} AS (
+      SELECT ft.bucket,
+             CAST(round(sum((lab.y - p.p) * ft.val), 12)
+                  AS DECIMAL(24,12)) AS g
+      FROM feats ft JOIN f{f}p{r} p USING (doc_id) JOIN lab USING (doc_id)
+      GROUP BY ft.bucket
+    ),
+    f{f}w{r} AS (
+      SELECT w.bucket,
+             CAST(round(w.w + CAST({lr} AS DECIMAL(4,3)) * g.g, 12)
+                  AS DECIMAL(24,12)) AS w
+      FROM f{f}w{r - 1} w JOIN f{f}g{r} g USING (bucket)
+    )"""
+            )
+        zc = "COALESCE(z.z, CAST(0 AS DECIMAL(24,12)))"
+        ctes.append(
+            f"""f{f}zf AS (
+      SELECT ft.doc_id, CAST(sum(w.w * ft.val) AS DECIMAL(24,12)) AS z
+      FROM feats ft JOIN f{f}w{rounds} w USING (bucket)
+      WHERE ft.doc_id % {k} = {f} GROUP BY ft.doc_id
+    ),
+    f{f}sc AS (
+      SELECT d.doc_id, y.y,
+             CASE WHEN {sig.format(z=zc)} >= CAST(0.5 AS DECIMAL(2,1))
+                  THEN 1 ELSE 0 END AS pred
+      FROM (SELECT doc_id FROM documents WHERE doc_id % {k} = {f}) d
+      LEFT JOIN f{f}zf z USING (doc_id)
+      JOIN yall y USING (doc_id)
+    )"""
+        )
+        fold_sel.append(
+            f"""SELECT CAST({f} AS BIGINT) AS fold,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct
+    FROM f{f}sc"""
+        )
+    unions = " UNION ALL ".join(fold_sel)
+    return f"""
+    WITH {','.join(ctes)},
+    per_fold AS ({unions})
+    SELECT fold, n_test, n_correct,
+           n_correct * 1000000 // n_test AS acc_e6
+    FROM per_fold
+    """
+
+
+@_register("classifier_cv_accuracy", oracle=_lr_cv_oracle())
+def q_classifier_cv_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validated evaluation of the trained curation
+    classifier — MODEL SELECTION inside the engine: 3 disjoint
+    deterministic folds (doc_id % 3), each fold's model trained by 3
+    exact-DECIMAL GD rounds on the other two folds
+    (textanalysis.linear_classifier_train) and scored on its held-out
+    fold, reduced to per-fold exact accuracy (floored e6). The oracle
+    unrolls ALL THREE training runs (9 GD rounds of CTE quartets) plus
+    the held-out scoring joins — the entire cross-validation loop is
+    hash-certified, which is the strongest form of 'the engine can
+    evaluate the models it trains'. Per fold: 2 shuffles per GD round
+    on the TRAIN slice + one broadcast-scored test pass; 16-row driver
+    state per fold."""
+    from gene_level_metadata_pipeline_spark.operators.drift import (
+        _floor_div_exact,
+    )
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        linear_classifier_score,
+        linear_classifier_train,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    k = 3
+    y = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    per_fold = []
+    for f in range(k):
+        train = docs.where(F.col("doc_id") % k != f)
+        test = docs.where(F.col("doc_id") % k == f)
+        wts = linear_classifier_train(train)
+        sc = linear_classifier_score(test, wts)
+        per_fold.append(
+            sc.join(y, "doc_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_test"),
+                F.sum(
+                    F.when(F.col("pred") == F.col("y"), 1).otherwise(0)
+                ).cast("bigint").alias("n_correct"),
+            )
+            .select(F.lit(f).cast("bigint").alias("fold"), "n_test",
+                    "n_correct")
+        )
+    out = per_fold[0]
+    for p in per_fold[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "fold", "n_test", "n_correct",
+        _floor_div_exact(
+            F.col("n_correct") * F.lit(1_000_000), F.col("n_test")
+        ).alias("acc_e6"),
+    )
