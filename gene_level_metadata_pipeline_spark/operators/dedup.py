@@ -1328,3 +1328,96 @@ def repeated_substring_spans(
         "id", "span_start", "span_end",
         (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
     )
+
+
+def remove_repeated_substrings(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    gram_len: int = 20,
+) -> DataFrame:
+    """DESTRUCTIVE half of :func:`repeated_substring_spans` — the Lee
+    et al. exact-substring dedup actually applied: every maximal
+    cross-document repeated span is CUT from every document and the
+    survivors re-assemble in order (the remove_dup_spans contract,
+    upgraded from chunk alignment to arbitrary alignment).
+
+    Mechanics are fully relational: spans lag-window into KEPT segments
+    (the gap before each span + the tail after the last), each segment
+    substrings out of the original text, and the ordered concat uses
+    the array_sort + concat_ws idiom (never a collect). Documents with
+    no repeated span pass through untouched; documents that are pure
+    boilerplate (every char covered) come back as the empty string
+    with everything counted in ``removed_chars``. Returns
+    (id, n_spans, removed_chars, kept_text).
+
+    Scale: repeated_substring_spans' gram shuffle dominates; the
+    removal adds one per-document window over the (few) spans and one
+    join back to the text — both keyed on the document id.
+    """
+    from pyspark.sql import Window
+
+    spans = repeated_substring_spans(df, text_col, id_col, gram_len)
+    w = Window.partitionBy("id").orderBy("span_start")
+    segs = spans.select(
+        "id", "span_start", "span_end",
+        (F.coalesce(
+            F.lag("span_end").over(w), F.lit(0)
+        ) + 1).alias("seg_start"),
+        (F.col("span_start") - 1).alias("seg_end"),
+    )
+    stats = spans.groupBy("id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+        .cast("bigint").alias("removed_chars"),
+        F.max("span_end").alias("__last_end"),
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("__t")
+    )
+    # head/mid segments (may be empty when spans touch) + the tail
+    mids = segs.where(F.col("seg_end") >= F.col("seg_start")).select(
+        "id", "seg_start", "seg_end"
+    )
+    tails = stats.join(base, "id").select(
+        "id",
+        (F.col("__last_end") + 1).alias("seg_start"),
+        F.length("__t").alias("seg_end"),
+    ).where(F.col("seg_end") >= F.col("seg_start"))
+    pieces = (
+        mids.unionByName(tails)
+        .join(base, "id")
+        .select(
+            "id",
+            F.struct(
+                F.col("seg_start"),
+                F.expr(
+                    "substring(__t, seg_start, seg_end - seg_start + 1)"
+                ).alias("piece"),
+            ).alias("sp"),
+        )
+        .groupBy("id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list("sp")), lambda s: s["piece"]
+                ),
+            ).alias("kept_text")
+        )
+    )
+    return (
+        base.join(stats, "id", "left")
+        .join(pieces, "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("n_spans"), F.lit(0)).alias("n_spans"),
+            F.coalesce(F.col("removed_chars"), F.lit(0))
+            .alias("removed_chars"),
+            F.coalesce(
+                F.col("kept_text"),
+                F.when(F.col("n_spans").isNull(), F.col("__t"))
+                .otherwise(F.lit("")),
+            ).alias("kept_text"),
+        )
+    )

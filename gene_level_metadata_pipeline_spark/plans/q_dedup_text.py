@@ -4221,3 +4221,93 @@ def q_classifier_cv_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_correct") * F.lit(1_000_000), F.col("n_test")
         ).alias("acc_e6"),
     )
+
+
+@_register(
+    "remove_repeated_substrings",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id AS id, u.p, md5(substr(text, u.p, 20)) AS h
+      FROM documents,
+           LATERAL (
+             SELECT unnest(generate_series(1, len(text) - 19)) AS p
+           ) u
+      WHERE text IS NOT NULL AND len(text) >= 20
+    ),
+    dup AS (SELECT h FROM g GROUP BY h HAVING min(id) <> max(id)),
+    m AS (SELECT g.id, g.p FROM g JOIN dup ON g.h = dup.h),
+    isl AS (
+      SELECT id, p,
+             CASE WHEN p > coalesce(max(p + 19) OVER (
+                    PARTITION BY id ORDER BY p
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ), -1) + 1 THEN 1 ELSE 0 END AS nw
+      FROM m
+    ),
+    grp AS (
+      SELECT id, p,
+             sum(nw) OVER (
+               PARTITION BY id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS g_id
+      FROM isl
+    ),
+    spans AS (
+      SELECT id, min(p) AS s1, max(p) + 19 AS e1
+      FROM grp GROUP BY id, g_id
+    ),
+    stats AS (
+      SELECT id, count(*) AS n_spans, sum(e1 - s1 + 1) AS removed,
+             max(e1) AS last_end
+      FROM spans GROUP BY id
+    ),
+    base AS (
+      SELECT doc_id AS id, text AS t FROM documents
+      WHERE text IS NOT NULL
+    ),
+    segs AS (
+      SELECT id,
+             coalesce(lag(e1) OVER (PARTITION BY id ORDER BY s1), 0) + 1
+               AS a,
+             s1 - 1 AS b
+      FROM spans
+    ),
+    tails AS (
+      SELECT st.id, st.last_end + 1 AS a, len(b.t) AS b
+      FROM stats st JOIN base b USING (id)
+    ),
+    pieces AS (
+      SELECT s.id,
+             string_agg(substr(b.t, s.a, s.b - s.a + 1), ''
+                        ORDER BY s.a) AS kept
+      FROM (SELECT * FROM segs WHERE b >= a
+            UNION ALL SELECT * FROM tails WHERE b >= a) s
+      JOIN base b USING (id)
+      GROUP BY s.id
+    )
+    SELECT b.id, CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(st.removed, 0) AS BIGINT) AS removed_chars,
+           CASE WHEN st.id IS NULL THEN b.t
+                ELSE coalesce(p.kept, '') END AS kept_text
+    FROM base b
+    LEFT JOIN stats st USING (id)
+    LEFT JOIN pieces p USING (id)
+    """,
+)
+def q_remove_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup APPLIED (dedup.remove_repeated_substrings):
+    every maximal arbitrary-alignment repeated span cut from every
+    document, survivors re-assembled in order (array_sort + concat_ws,
+    never a collect); untouched docs pass through, pure-boilerplate
+    docs come back empty with the loss counted. Completes the Lee et
+    al. detect-then-cut pair started by repeated_substring_spans; the
+    oracle replays spans, lag-window segmentation, and the ordered
+    string_agg re-assembly."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        remove_repeated_substrings,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return remove_repeated_substrings(
+        docs, text_col="text", id_col="doc_id", gram_len=20
+    )

@@ -562,3 +562,38 @@ def test_brier_identity_on_calibrated_predictor():
     )
     recon = r["rel_e12"] - r["res_e12"] + r["unc_e12"]
     assert abs(recon - direct) <= 3 * len(bks)
+
+
+# --- exact-substring removal vs pure-Python reference -----------------------
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(texts=texts_strategy, L=st.sampled_from([2, 3, 5]))
+def test_remove_repeated_substrings_matches_reference(texts, L):
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        remove_repeated_substrings,
+    )
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    got = {
+        r["id"]: (r["n_spans"], r["removed_chars"], r["kept_text"])
+        for r in remove_repeated_substrings(
+            df, "text", "doc_id", gram_len=L
+        ).collect()
+    }
+    spans = _spans_reference(texts, L)
+    for i, t in texts.items():
+        ss = spans.get(i, [])
+        kept = ""
+        pos = 1
+        for a, b in ss:
+            kept += t[pos - 1:a - 1]
+            pos = b + 1
+        kept += t[pos - 1:]
+        removed = sum(b - a + 1 for a, b in ss)
+        assert got[i] == (len(ss), removed, kept), (i, t, got[i])
