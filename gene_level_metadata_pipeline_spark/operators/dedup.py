@@ -1421,3 +1421,86 @@ def remove_repeated_substrings(
             ).alias("kept_text"),
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    window: int = 5,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood entity-resolution blocking (Hernández &
+    Stolfo 1995): rank records by a sort key and compare each record
+    only against its ``window`` nearest ranks, then confirm candidates
+    with exact Levenshtein <= ``max_distance``. The classic COMPLEMENT
+    to :func:`fuzzy_dup_pairs`' deletion neighborhood — SNM is
+    recall-lossy by DESIGN (a typo in the first character sorts far
+    away) but its candidate count is exactly n·w regardless of value
+    distribution, which is the bound you want when a hot block would
+    blow up a key-equality scheme. Returns (id_a, id_b, distance) with
+    id_a < id_b over DISTINCT (key, id) records.
+
+    Scale shape — no adjacency window over the global sort: the global
+    rank is the distributed prefix COUNT (range repartition + broadcast
+    per-partition offsets, the running_sum/fdr_bh machinery), and
+    rank-adjacency becomes a BUCKET equi-join in rank space — each
+    record lands in bucket rank div w and probes bucket+1 as well (the
+    interval_overlap_join two-bucket trick: any pair within w ranks
+    shares a bucket or sits in adjacent ones), pairs dedup by the
+    |Δrank| <= w predicate plus u < v orientation, never a distinct
+    pass. Shuffles: one range (rank), one hash (bucket join), one
+    confirm filter — all thin (id, key, rank).
+    """
+    from gene_level_metadata_pipeline_spark.operators.selection import (
+        running_sum,
+    )
+
+    w = int(window)
+    if w < 1:
+        raise ValueError(f"sorted_neighborhood_pairs: window={w} < 1")
+    recs = (
+        df.select(
+            F.col(key_col).cast("string").alias("k"),
+            F.col(id_col).alias("rid"),
+        )
+        .where(F.col("k").isNotNull())
+        .distinct()
+    )
+    ranked = running_sum(
+        recs.withColumn("__one", F.lit(1)),
+        [F.col("k").asc(), F.col("rid").asc()],
+        "__one",
+        out_col="rnk",
+    ).select("k", "rid", F.col("rnk").cast("bigint").alias("rnk"))
+    probes = ranked.select(
+        "k", "rid", "rnk",
+        F.explode(
+            F.array(
+                F.call_function("div", F.col("rnk"), F.lit(w)),
+                F.call_function("div", F.col("rnk"), F.lit(w)) + 1,
+            )
+        ).alias("bkt"),
+    )
+    home = ranked.select(
+        F.col("k").alias("k2"), F.col("rid").alias("rid2"),
+        F.col("rnk").alias("rnk2"),
+        F.call_function("div", F.col("rnk"), F.lit(w)).alias("bkt"),
+    )
+    cands = (
+        probes.join(home, "bkt")
+        .where(
+            (F.col("rnk2") > F.col("rnk"))
+            & (F.col("rnk2") - F.col("rnk") <= w)
+        )
+        .select("k", "rid", "k2", "rid2")
+    )
+    return (
+        cands.withColumn("distance", F.levenshtein("k", "k2"))
+        .where(F.col("distance") <= int(max_distance))
+        .select(
+            F.least("rid", "rid2").alias("id_a"),
+            F.greatest("rid", "rid2").alias("id_b"),
+            "distance",
+        )
+    )

@@ -4311,3 +4311,154 @@ def q_remove_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_repeated_substrings(
         docs, text_col="text", id_col="doc_id", gram_len=20
     )
+
+
+@_register(
+    "er_sorted_neighborhood",
+    oracle="""
+    WITH recs AS (
+      SELECT DISTINCT c_name AS k, c_custkey AS rid FROM customer
+      WHERE c_name IS NOT NULL
+    ),
+    ranked AS (
+      SELECT k, rid, row_number() OVER (ORDER BY k, rid) AS rnk
+      FROM recs
+    ),
+    cands AS (
+      SELECT a.k, a.rid, b.k AS k2, b.rid AS rid2
+      FROM ranked a JOIN ranked b
+        ON b.rnk > a.rnk AND b.rnk - a.rnk <= 5
+    )
+    SELECT least(rid, rid2) AS id_a,
+           greatest(rid, rid2) AS id_b,
+           CAST(levenshtein(k, k2) AS INTEGER) AS distance
+    FROM cands
+    WHERE levenshtein(k, k2) <= 2
+    """,
+)
+def q_er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER blocking (dedup.sorted_neighborhood_pairs,
+    Hernández-Stolfo 1995) over customer names: rank by the sort key
+    DISTRIBUTED (prefix-count rank, the running_sum machinery — no
+    global window), turn rank adjacency into a two-bucket equi-join in
+    rank space (the interval_overlap_join trick), confirm candidates
+    with exact Levenshtein <= 2. The n·w-bounded complement to the
+    deletion-neighborhood blocker: candidate volume is immune to hot
+    key blocks, recall trades for it by design. The oracle replays
+    rank, windowed join, and confirm with an ordinary window."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    return sorted_neighborhood_pairs(
+        cust, key_col="c_name", id_col="c_custkey",
+        window=5, max_distance=2,
+    )
+
+
+@_register(
+    "heaps_law_curve",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, u.i AS pos, a[i] AS w
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS a
+        FROM documents WHERE text IS NOT NULL
+      ), LATERAL (SELECT unnest(generate_series(1, len(a))) AS i) u
+    ),
+    dlen AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+    offs AS (
+      SELECT doc_id,
+             sum(n) OVER (ORDER BY doc_id) - n AS off
+      FROM dlen
+    ),
+    firsts AS (
+      SELECT w, min(doc_id * 10000000 + pos) AS packed
+      FROM toks GROUP BY w
+    ),
+    g AS (
+      SELECT f.w, o.off + (f.packed % 10000000) AS gi
+      FROM firsts f JOIN offs o ON o.doc_id = f.packed // 10000000
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM dlen),
+    cuts AS (
+      SELECT d.d, (d.d * t) // 10 AS cut
+      FROM tot, (SELECT unnest(generate_series(1, 10)) AS d) d
+    )
+    SELECT CAST(c.d AS BIGINT) AS decile,
+           CAST(c.cut AS BIGINT) AS tokens_n,
+           CAST(sum(CASE WHEN g.gi <= c.cut THEN 1 ELSE 0 END) AS BIGINT)
+             AS vocab_n
+    FROM cuts c CROSS JOIN g
+    GROUP BY c.d, c.cut
+    """,
+)
+def q_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: distinct-vocabulary size at
+    each corpus-prefix decile (corpus order = (doc_id, position)) —
+    the companion diagnostic to corpus_zipf_fit: a curve that flattens
+    early says new documents stop contributing vocabulary (template-
+    heavy corpus); unbounded growth says the tokenizer's OOV budget
+    must scale. Exact and window-free at token scale: each word's
+    FIRST-OCCURRENCE global index = (prefix sum of earlier docs'
+    token counts — a DOC-count-sized window, never a token-rank sort)
+    + its in-doc position via one min-struct aggregate; decile
+    cutoffs ride a broadcast 1-row total. Packed (doc_id, pos) min
+    uses doc_id*1e7+pos (positions bounded by document length; the
+    winnow packed-min trick)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        _ws_tokens,
+    )
+
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(_ws_tokens("text")).alias("pos0", "w"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    dlen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    from gene_level_metadata_pipeline_spark.operators.selection import (
+        running_sum,
+    )
+
+    offs = running_sum(
+        dlen, [F.col("doc_id").asc()], "n", out_col="__cum"
+    ).select(
+        "doc_id",
+        (F.col("__cum").cast("bigint") - F.col("n")).alias("off"),
+    )
+    firsts = toks.groupBy("w").agg(
+        F.min(F.col("doc_id") * F.lit(10_000_000) + F.col("pos"))
+        .alias("packed")
+    )
+    g = firsts.join(
+        offs,
+        F.call_function("div", F.col("packed"), F.lit(10_000_000))
+        == F.col("doc_id"),
+    ).select(
+        (F.col("off") + F.pmod(F.col("packed"), F.lit(10_000_000)))
+        .alias("gi")
+    )
+    tot = dlen.agg(F.sum("n").cast("bigint").alias("t"))
+    cuts = tot.select(
+        F.explode(F.sequence(F.lit(1), F.lit(10))).alias("d"), "t"
+    ).select(
+        "d",
+        F.call_function("div", F.col("d") * F.col("t"), F.lit(10))
+        .alias("cut"),
+    )
+    return (
+        F.broadcast(cuts).crossJoin(g)
+        .groupBy("d", "cut")
+        .agg(
+            F.sum(
+                F.when(F.col("gi") <= F.col("cut"), 1).otherwise(0)
+            ).cast("bigint").alias("vocab_n")
+        )
+        .select(
+            F.col("d").cast("bigint").alias("decile"),
+            F.col("cut").cast("bigint").alias("tokens_n"),
+            "vocab_n",
+        )
+    )

@@ -100,6 +100,13 @@ ORACLE_TOO_QUADRATIC = {
     "entity_resolution_pipeline",
     "near_dup_pairs",
     "substring_dup_spans",
+    # r7 sitting 2: the DBSCAN truth is an all-pairs distance join +
+    # reach closure (400M pairs at 10x) and the RBH truth is an
+    # all-pairs 64-dim cosine (22M list dot products + two full-width
+    # windows) — both measured >1 CPU-hour at 10x; their losslessness
+    # is hash-certified at sf0.01 AND sf0.1 by the main gate
+    "dbscan_clusters_2d",
+    "rbh_mutual_nn",
 }
 
 PLAN_MARKERS = (
