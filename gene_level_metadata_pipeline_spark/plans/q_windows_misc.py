@@ -4521,41 +4521,41 @@ def q_enrichment_fold_or(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "graph_truss_peel",
     oracle="""
-    WITH b AS (
+    WITH b AS MATERIALIZED (
       SELECT DISTINCT l_orderkey AS bk, l_partkey AS p
       FROM lineitem WHERE l_partkey % 5 = 0
     ),
-    e0 AS (
+    e0 AS MATERIALIZED (
       SELECT a.p AS u, b2.p AS v
       FROM b a JOIN b b2 ON a.bk = b2.bk AND a.p < b2.p
       GROUP BY 1, 2
     ),
-    u0 AS (SELECT u AS x, v AS w FROM e0 UNION ALL SELECT v, u FROM e0),
-    s0 AS (
+    u0 AS MATERIALIZED (SELECT u AS x, v AS w FROM e0 UNION ALL SELECT v, u FROM e0),
+    s0 AS MATERIALIZED (
       SELECT e.u, e.v, count(*) AS sup
       FROM e0 e JOIN u0 a ON a.x = e.u
       JOIN u0 b2 ON b2.x = e.v AND a.w = b2.w
       GROUP BY 1, 2
     ),
-    e1 AS (
+    e1 AS MATERIALIZED (
       SELECT e.u, e.v FROM e0 e
       LEFT JOIN s0 ON e.u = s0.u AND e.v = s0.v
       WHERE coalesce(s0.sup, 0) >= 2
     ),
-    u1 AS (SELECT u AS x, v AS w FROM e1 UNION ALL SELECT v, u FROM e1),
-    s1 AS (
+    u1 AS MATERIALIZED (SELECT u AS x, v AS w FROM e1 UNION ALL SELECT v, u FROM e1),
+    s1 AS MATERIALIZED (
       SELECT e.u, e.v, count(*) AS sup
       FROM e1 e JOIN u1 a ON a.x = e.u
       JOIN u1 b2 ON b2.x = e.v AND a.w = b2.w
       GROUP BY 1, 2
     ),
-    e2 AS (
+    e2 AS MATERIALIZED (
       SELECT e.u, e.v FROM e1 e
       LEFT JOIN s1 ON e.u = s1.u AND e.v = s1.v
       WHERE coalesce(s1.sup, 0) >= 2
     ),
-    u2 AS (SELECT u AS x, v AS w FROM e2 UNION ALL SELECT v, u FROM e2),
-    s2 AS (
+    u2 AS MATERIALIZED (SELECT u AS x, v AS w FROM e2 UNION ALL SELECT v, u FROM e2),
+    s2 AS MATERIALIZED (
       SELECT e.u, e.v, count(*) AS sup
       FROM e2 e JOIN u2 a ON a.x = e.u
       JOIN u2 b2 ON b2.x = e.v AND a.w = b2.w
