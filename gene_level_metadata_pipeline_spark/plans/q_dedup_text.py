@@ -4462,3 +4462,122 @@ def q_heaps_law_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vocab_n",
         )
     )
+
+
+def _padding_rank_cte(order: str) -> str:
+    return (
+        "row_number() OVER (ORDER BY " + order + ")"
+    )
+
+
+@_register(
+    "padding_waste_audit",
+    oracle=f"""
+    WITH lens AS (
+      SELECT doc_id,
+             least(CAST(len(list_filter(string_split(text, ' '),
+                                         w -> w <> '')) AS BIGINT),
+                   512) AS len_eff
+      FROM documents
+      WHERE text IS NOT NULL
+    ),
+    arrival AS (
+      SELECT len_eff,
+             ({_padding_rank_cte('doc_id')} - 1) // 8 AS batch
+      FROM lens
+    ),
+    sorted_o AS (
+      SELECT len_eff,
+             ({_padding_rank_cte('len_eff DESC, doc_id')} - 1) // 8
+               AS batch
+      FROM lens
+    ),
+    a_b AS (
+      SELECT batch, count(*) AS nb, max(len_eff) AS mx,
+             sum(len_eff) AS useful
+      FROM arrival GROUP BY batch
+    ),
+    s_b AS (
+      SELECT batch, count(*) AS nb, max(len_eff) AS mx,
+             sum(len_eff) AS useful
+      FROM sorted_o GROUP BY batch
+    ),
+    both_s AS (
+      SELECT 'arrival' AS strategy, count(*) AS n_batches,
+             CAST(sum(useful) AS BIGINT) AS useful_tokens,
+             CAST(sum(nb * mx) AS BIGINT) AS padded_tokens
+      FROM a_b
+      UNION ALL
+      SELECT 'length_sorted', count(*),
+             CAST(sum(useful) AS BIGINT),
+             CAST(sum(nb * mx) AS BIGINT)
+      FROM s_b
+    )
+    SELECT strategy, CAST(n_batches AS BIGINT) AS n_batches,
+           useful_tokens, padded_tokens,
+           (padded_tokens - useful_tokens) * 1000000 // padded_tokens
+             AS waste_e6
+    FROM both_s
+    """,
+)
+def q_padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inference/training batching diagnostic: padded-token waste of
+    ARRIVAL-order batching vs LENGTH-SORTED batching (batch = 8 docs,
+    each batch padded to its own max length, lengths capped at 512) —
+    the measurement that justifies length-bucketed serving; on mixed
+    corpora sorting typically reclaims most of the padding. Both
+    global orders are DISTRIBUTED prefix-count ranks (the
+    running_sum/fdr_bh machinery — no global window at any corpus
+    size); per-batch padding is one aggregate. All integers; waste
+    reported as floored e6."""
+    from gene_level_metadata_pipeline_spark.operators.drift import (
+        _floor_div_exact,
+    )
+    from gene_level_metadata_pipeline_spark.operators.selection import (
+        running_sum,
+    )
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        _ws_tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    lens = docs.select(
+        "doc_id",
+        F.least(
+            F.size(_ws_tokens("text")).cast("bigint"), F.lit(512)
+        ).alias("len_eff"),
+    ).withColumn("__one", F.lit(1))
+
+    def audit(order_cols, tag: str) -> DataFrame:
+        ranked = running_sum(lens, order_cols, "__one", out_col="rnk")
+        b = ranked.select(
+            "len_eff",
+            F.call_function(
+                "div", F.col("rnk").cast("bigint") - 1, F.lit(8)
+            ).alias("batch"),
+        ).groupBy("batch").agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.max("len_eff").alias("mx"),
+            F.sum("len_eff").alias("useful"),
+        )
+        return b.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_batches"),
+            F.sum("useful").cast("bigint").alias("useful_tokens"),
+            F.sum(F.col("nb") * F.col("mx")).cast("bigint")
+            .alias("padded_tokens"),
+        ).select(F.lit(tag).alias("strategy"), "*")
+
+    out = audit([F.col("doc_id").asc()], "arrival").unionByName(
+        audit(
+            [F.col("len_eff").desc(), F.col("doc_id").asc()],
+            "length_sorted",
+        )
+    )
+    return out.select(
+        "strategy", "n_batches", "useful_tokens", "padded_tokens",
+        _floor_div_exact(
+            (F.col("padded_tokens") - F.col("useful_tokens"))
+            * F.lit(1_000_000),
+            F.col("padded_tokens"),
+        ).alias("waste_e6"),
+    )
