@@ -425,3 +425,29 @@ def q_streaming_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return cms_stream_merge(spark)
+
+
+@_register(
+    "streaming_ivm_join",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('HIGH', CAST(2 AS BIGINT), CAST(800 AS BIGINT)),
+      ('LOW',  CAST(1 AS BIGINT), CAST(400 AS BIGINT))
+    ) AS t(prio, n_rows, cents_total)
+    """,
+)
+def q_streaming_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming join-view maintenance (streaming.ivm_stream_join):
+    the foreachBatch completion of cdc.join_view_delta — per
+    micro-batch, ONLY the signed A-side delta joins the static B side
+    (the base join never re-runs) and retract-merges into the next
+    copy-on-write view version, keyed BY BATCH ID (signed merges are
+    additive, not idempotent — the cms_stream_merge replay discipline,
+    kill-between-commit pinned in tests). The deterministic 3-batch
+    demo exercises inserts into both groups, a 2-row retraction, and a
+    join-empty delta, against a VALUES oracle."""
+    from gene_level_metadata_pipeline_spark.streaming.windows import (
+        ivm_stream_join,
+    )
+
+    return ivm_stream_join(spark)

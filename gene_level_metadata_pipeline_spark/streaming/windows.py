@@ -1273,3 +1273,133 @@ def cms_stream_merge(
     )
     rows = out.collect()
     return spark.createDataFrame(rows, out.schema)
+
+
+def ivm_stream_join(
+    spark: SparkSession, demo_dir: str | None = None
+) -> DataFrame:
+    """STREAMING incremental view maintenance of a JOIN view — the
+    foreachBatch completion of ``cdc.join_view_delta``: a per-priority
+    (row count, revenue) view over A ⋈ B is kept materialized in the
+    sink while signed A-side deltas stream in; each micro-batch joins
+    ONLY the delta against the static B side (ΔA ⋈ B — the base join
+    never re-runs), aggregates with signs, and retract-merges into the
+    next view version.
+
+    Restart safety is BY BATCH ID (the cms_stream_merge discipline,
+    NOT cdc_stream_apply's latest()+1): a signed merge is additive and
+    therefore NOT idempotent, so a batch replayed after its snapshot
+    write but before the checkpoint commit must overwrite its OWN
+    version (view_v{bid+1}, merged from the max version < bid+1),
+    never re-add into a newer one.
+    tests/test_streaming_foreachbatch.py pins the kill-between-commit
+    replay.
+
+    Deterministic three-batch demo: inserts into both groups, a
+    delete that retracts a 2-row order, and a delete + an insert whose
+    key has no B rows (a join-empty delta). Final view:
+    HIGH (2 rows, 800 cents), LOW (1 row, 400 cents).
+    """
+    import json
+    import os
+    import re as _re
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        IntegerType, LongType, StringType, StructField, StructType,
+    )
+
+    d = demo_dir or tempfile.mkdtemp(prefix="ivm_stream_")
+    src_dir = os.path.join(d, "deltas")
+    os.makedirs(src_dir, exist_ok=True)
+    b_dir = os.path.join(d, "base_b")
+    if not os.path.isdir(b_dir):
+        spark.createDataFrame(
+            [(1, 100), (1, 50), (2, 200), (3, 300), (4, 400), (5, 500)],
+            "k long, cents long",
+        ).write.mode("overwrite").parquet(b_dir)
+    v0 = os.path.join(d, "view_v0")
+    if not os.path.isdir(v0):
+        a_old = spark.createDataFrame(
+            [(1, "HIGH"), (2, "LOW"), (3, "HIGH")], "k long, prio string"
+        )
+        b = spark.read.parquet(b_dir)
+        a_old.join(b, "k").groupBy("prio").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum("cents").cast("bigint").alias("cents_total"),
+        ).write.mode("overwrite").parquet(v0)
+
+    def write_batch(name: str, rows: list, mtime: int) -> None:
+        path = os.path.join(src_dir, name)
+        if not os.path.exists(path):
+            with open(path, "w") as f:
+                for k, prio, sign in rows:
+                    f.write(json.dumps(
+                        {"k": k, "prio": prio, "sign": sign}
+                    ) + "\n")
+        os.utime(path, (mtime, mtime))
+
+    write_batch("b1.json", [(4, "LOW", 1), (5, "HIGH", 1)],
+                mtime=1_700_000_000)
+    write_batch("b2.json", [(1, "HIGH", -1)], mtime=1_700_000_600)
+    write_batch("b3.json", [(2, "LOW", -1), (6, "LOW", 1)],
+                mtime=1_700_001_200)
+
+    schema = StructType([
+        StructField("k", LongType()),
+        StructField("prio", StringType()),
+        StructField("sign", IntegerType()),
+    ])
+
+    def versions() -> list:
+        return sorted(
+            int(m.group(1))
+            for f in os.listdir(d)
+            if (m := _re.fullmatch(r"view_v(\d+)", f))
+        )
+
+    def apply_batch(batch_df: DataFrame, bid: int) -> None:
+        sp = batch_df.sparkSession
+        target = bid + 1
+        prev = max(v for v in versions() if v < target)
+        view = sp.read.parquet(os.path.join(d, f"view_v{prev}"))
+        b = sp.read.parquet(b_dir)
+        delta = (
+            batch_df.join(b, "k")
+            .groupBy("prio")
+            .agg(
+                F.sum("sign").cast("bigint").alias("n_rows"),
+                F.sum(F.col("sign") * F.col("cents")).cast("bigint")
+                .alias("cents_total"),
+            )
+        )
+        merged = (
+            view.unionByName(delta)
+            .groupBy("prio")
+            .agg(
+                F.sum("n_rows").cast("bigint").alias("n_rows"),
+                F.sum("cents_total").cast("bigint").alias("cents_total"),
+            )
+            .where(F.col("n_rows") > 0)
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(d, f"view_v{target}")
+        )
+
+    src = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(src_dir)
+    )
+    with _pinned_shuffle(spark, 8):
+        q = (
+            src.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(d, "_checkpoint"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out = spark.read.parquet(os.path.join(d, f"view_v{max(versions())}"))
+    rows = out.collect()
+    return spark.createDataFrame(rows, out.schema)

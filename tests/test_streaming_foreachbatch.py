@@ -252,3 +252,45 @@ def test_cms_bucket_rejects_unsupported_width(spark):
     # supported widths still build
     for ok in (256, 128, 64, 32, 16, 8, 4, 2, 1):
         assert cms_sketch(wc, width=ok, depth=1).count() >= 1
+
+
+def test_ivm_stream_replayed_batch_cannot_double_merge(spark, tmp_path):
+    """Kill-between-commit for the streaming join-view: the signed
+    retract-merge is additive (not idempotent), so versions key by
+    batch id — a replayed batch overwrites view_v{bid+1} built from
+    the max version below it, never re-merges into a newer one."""
+    import os
+
+    from gene_level_metadata_pipeline_spark.streaming.windows import (
+        ivm_stream_join,
+    )
+
+    d = str(tmp_path / "ivm_crash")
+    final = {
+        (r["prio"], r["n_rows"], r["cents_total"])
+        for r in ivm_stream_join(spark, d).collect()
+    }
+    assert final == {("HIGH", 2, 800), ("LOW", 1, 400)}
+    versions_before = sorted(
+        f for f in os.listdir(d) if f.startswith("view_v")
+    )
+
+    commits_dir = os.path.join(d, "_checkpoint", "commits")
+    commits = sorted(
+        (f for f in os.listdir(commits_dir) if f.isdigit()), key=int
+    )
+    assert len(commits) == 3
+    os.remove(os.path.join(commits_dir, commits[-1]))
+    crc = os.path.join(commits_dir, f".{commits[-1]}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    replayed = {
+        (r["prio"], r["n_rows"], r["cents_total"])
+        for r in ivm_stream_join(spark, d).collect()
+    }
+    versions_after = sorted(
+        f for f in os.listdir(d) if f.startswith("view_v")
+    )
+    assert versions_after == versions_before
+    assert replayed == final
