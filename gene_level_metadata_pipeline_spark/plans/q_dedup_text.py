@@ -4581,3 +4581,194 @@ def q_padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("padded_tokens"),
         ).alias("waste_e6"),
     )
+
+
+@_register(
+    "vocab_coverage_curve",
+    oracle="""
+    WITH cw AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c
+      FROM (
+        SELECT unnest(list_filter(string_split(text, ' '),
+                                  x -> x <> '')) AS w
+        FROM documents WHERE text IS NOT NULL
+      ) GROUP BY w
+    ),
+    ranked AS (
+      SELECT w, c,
+             row_number() OVER (ORDER BY c DESC, w) AS rnk,
+             sum(c) OVER (ORDER BY c DESC, w) AS cum
+      FROM cw
+    ),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS v
+      FROM cw
+    )
+    SELECT CAST(d.d AS BIGINT) AS decile,
+           CAST(r.rnk AS BIGINT) AS vocab_n,
+           CAST(r.cum AS BIGINT) AS covered_tokens,
+           r.cum * 1000000 // t AS share_e6
+    FROM tot, (SELECT unnest(generate_series(1, 10)) AS d) d
+    JOIN ranked r ON r.rnk = (d.d * (SELECT v FROM tot)) // 10
+    """,
+)
+def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf COVERAGE curve: cumulative token share captured by the top
+    10%/20%/.../100% of the frequency-ranked vocabulary — with
+    heaps_law_curve and corpus_zipf_fit, the third corpus-shape
+    diagnostic (a curve that hits ~1.0 by the third decile says a
+    tokenizer can truncate hard; a flat one says the tail carries real
+    mass). Frequency rank AND cumulative coverage are one distributed
+    prefix sum each over the VOCABULARY table (running_sum — never a
+    token-scale or single-task sort); decile cutoffs join against the
+    broadcast 1-row total."""
+    from gene_level_metadata_pipeline_spark.operators.drift import (
+        _floor_div_exact,
+    )
+    from gene_level_metadata_pipeline_spark.operators.selection import (
+        running_sum,
+    )
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        _ws_tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    cw = (
+        docs.select(F.explode(_ws_tokens("text")).alias("w"))
+        .groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .withColumn("__one", F.lit(1))
+    )
+    order = [F.col("c").desc(), F.col("w").asc()]
+    ranked = running_sum(cw, order, "__one", out_col="rnk")
+    ranked = running_sum(ranked, order, "c", out_col="cum").select(
+        F.col("rnk").cast("bigint").alias("rnk"),
+        F.col("cum").cast("bigint").alias("cum"),
+    )
+    tot = cw.agg(
+        F.sum("c").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    cuts = F.broadcast(
+        tot.select(
+            F.explode(F.sequence(F.lit(1), F.lit(10))).alias("d"),
+            "t", "v",
+        ).select(
+            "d", "t",
+            F.call_function("div", F.col("d") * F.col("v"), F.lit(10))
+            .alias("k_d"),
+        )
+    )
+    return (
+        ranked.join(cuts, ranked["rnk"] == cuts["k_d"])
+        .select(
+            F.col("d").cast("bigint").alias("decile"),
+            F.col("rnk").alias("vocab_n"),
+            F.col("cum").alias("covered_tokens"),
+            _floor_div_exact(
+                F.col("cum") * F.lit(1_000_000), F.col("t")
+            ).alias("share_e6"),
+        )
+    )
+
+
+@_register(
+    "keyness_loglik",
+    oracle="""
+    WITH toks AS (
+      SELECT CASE WHEN CAST(substr(source, 4) AS INTEGER) < 10
+                  THEN 'A' ELSE 'B' END AS side,
+             unnest(list_filter(string_split(text, ' '),
+                                x -> x <> '')) AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    counts AS (
+      SELECT w,
+             CAST(sum(CASE WHEN side = 'A' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(sum(CASE WHEN side = 'B' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS b
+      FROM toks GROUP BY w
+    ),
+    tot AS (
+      SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb
+      FROM counts
+    ),
+    scored AS (
+      SELECT w, a, b,
+             round(2 * (
+               CASE WHEN a > 0 THEN CAST(a AS DOUBLE) * ln(
+                 (CAST(a AS DOUBLE) * (CAST(na AS DOUBLE)
+                                       + CAST(nb AS DOUBLE)))
+                 / (CAST(na AS DOUBLE) * (CAST(a AS DOUBLE)
+                                          + CAST(b AS DOUBLE)))
+               ) ELSE 0 END
+               +
+               CASE WHEN b > 0 THEN CAST(b AS DOUBLE) * ln(
+                 (CAST(b AS DOUBLE) * (CAST(na AS DOUBLE)
+                                       + CAST(nb AS DOUBLE)))
+                 / (CAST(nb AS DOUBLE) * (CAST(a AS DOUBLE)
+                                          + CAST(b AS DOUBLE)))
+               ) ELSE 0 END
+             ), 6) AS g2,
+             CASE WHEN a * nb > b * na THEN 'A' ELSE 'B' END
+               AS enriched_in
+      FROM counts CROSS JOIN tot
+    )
+    SELECT w, a, b, g2, enriched_in
+    FROM scored
+    ORDER BY g2 DESC, w LIMIT 50
+    """,
+)
+def q_keyness_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-comparison keyness (Dunning 1993 log-likelihood G²):
+    which words are over-represented in source group A (src0-src9) vs
+    B — the corpus-linguistics staple behind 'what changed between
+    snapshots / what distinguishes this domain'. Exact integer counts;
+    G² is a FIXED two-term expression over exact products (identical
+    IEEE ln/multiply in both engines — no variable-order float
+    aggregation), rounded 6dp; enrichment direction by exact
+    cross-multiplication. Top-50 by (g2, word) is a
+    TakeOrderedAndProject — no global sort."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        _ws_tokens,
+    )
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    toks = docs.select(
+        F.when(
+            F.substring("source", 4, 10).cast("int") < 10, "A"
+        ).otherwise("B").alias("side"),
+        F.explode(_ws_tokens("text")).alias("w"),
+    )
+    counts = toks.groupBy("w").agg(
+        F.sum(F.when(F.col("side") == "A", 1).otherwise(0))
+        .cast("bigint").alias("a"),
+        F.sum(F.when(F.col("side") == "B", 1).otherwise(0))
+        .cast("bigint").alias("b"),
+    )
+    tot = counts.agg(
+        F.sum("a").cast("bigint").alias("na"),
+        F.sum("b").cast("bigint").alias("nb"),
+    )
+    ad, bd = F.col("a").cast("double"), F.col("b").cast("double")
+    nad, nbd = F.col("na").cast("double"), F.col("nb").cast("double")
+    term_a = F.when(
+        F.col("a") > 0,
+        ad * F.log((ad * (nad + nbd)) / (nad * (ad + bd))),
+    ).otherwise(F.lit(0.0))
+    term_b = F.when(
+        F.col("b") > 0,
+        bd * F.log((bd * (nad + nbd)) / (nbd * (ad + bd))),
+    ).otherwise(F.lit(0.0))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "w", "a", "b",
+            F.round(2 * (term_a + term_b), 6).alias("g2"),
+            F.when(
+                F.col("a") * F.col("nb") > F.col("b") * F.col("na"), "A"
+            ).otherwise("B").alias("enriched_in"),
+        )
+        .orderBy(F.col("g2").desc(), "w")
+        .limit(50)
+    )
