@@ -4607,7 +4607,7 @@ def q_padding_waste_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(d.d AS BIGINT) AS decile,
            CAST(r.rnk AS BIGINT) AS vocab_n,
            CAST(r.cum AS BIGINT) AS covered_tokens,
-           r.cum * 1000000 // t AS share_e6
+           CAST(r.cum * 1000000 // t AS BIGINT) AS share_e6
     FROM tot, (SELECT unnest(generate_series(1, 10)) AS d) d
     JOIN ranked r ON r.rnk = (d.d * (SELECT v FROM tot)) // 10
     """,
