@@ -1302,6 +1302,11 @@ def repeated_substring_spans(
             "id", "p",
             F.md5(F.expr(f"substring(__t, p, {L})")).alias("h"),
         )
+        # the gram table feeds BOTH the duplicate test and the marked
+        # join — unpinned, the O(corpus-chars) explosion runs twice
+        # (the fdr_bh replayed-corpus-frame lesson; this is the
+        # operator's dominant cost at every scale)
+        .localCheckpoint(eager=False)
     )
     dup = g.groupBy("h").agg(
         F.min("id").alias("__mn"), F.max("id").alias("__mx")
@@ -1357,7 +1362,10 @@ def remove_repeated_substrings(
     """
     from pyspark.sql import Window
 
-    spans = repeated_substring_spans(df, text_col, id_col, gram_len)
+    # spans feed segmentation AND the per-doc stats — pin one evaluation
+    spans = repeated_substring_spans(
+        df, text_col, id_col, gram_len
+    ).localCheckpoint(eager=False)
     w = Window.partitionBy("id").orderBy("span_start")
     segs = spans.select(
         "id", "span_start", "span_end",
