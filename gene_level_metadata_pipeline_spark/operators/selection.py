@@ -618,3 +618,60 @@ def mixture_reweight_mw(
             "div", F.col("w") * e6, F.col("__tw")
         ).alias("w_share_e6"),
     )
+
+
+def rendezvous_assign(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    salt: str = "hrw",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight, Thaler-Ravishankar 1998)
+    shard assignment: every key scores each shard with an
+    engine-portable md5 weight and lands on the argmax — the placement
+    primitive behind consistent data distribution (cache routing,
+    bucket assignment, shard rebalancing). Its defining property —
+    growing N to N+1 moves ONLY the keys that now win shard N+1, and
+    never moves a key between old shards — is what modulo hashing
+    (key % N, which reshuffles ~everything) cannot give; pinned by a
+    hypothesis test.
+
+    Weight = the first-8-hex-digit integer of md5('{salt}:{shard}:{key}')
+    (the stable_sample idiom — pure function of (shard, key), bit-equal
+    in any engine with md5); argmax via one max_by over a sortable
+    (weight, -shard) struct, ties to the smaller shard id. The shard
+    axis is a fixed ``n_shards``-way explode — one projection, one
+    map-side-combinable aggregate, no shuffle beyond the final group.
+    Returns (key, shard).
+    """
+    if n_shards < 1:
+        raise ValueError(f"rendezvous_assign: n_shards={n_shards} < 1")
+    keyed = df.select(F.col(id_col).alias("key")).distinct()
+    exploded = keyed.select(
+        "key",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(n_shards) - 1))
+        ).alias("shard"),
+    )
+    w = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(salt), F.col("shard").cast("string"),
+                    F.col("key").cast("string"),
+                )
+            ),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    return (
+        exploded.withColumn("__w", w)
+        .groupBy("key")
+        .agg(
+            F.max(
+                F.struct(F.col("__w"), (-F.col("shard")).alias("ns"))
+            ).alias("b")
+        )
+        .select("key", (-F.col("b.ns")).cast("bigint").alias("shard"))
+    )

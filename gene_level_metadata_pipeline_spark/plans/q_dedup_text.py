@@ -4772,3 +4772,46 @@ def q_keyness_loglik(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("g2").desc(), "w")
         .limit(50)
     )
+
+
+def _hrw_weight_sql(shard_sql: str, key_sql: str) -> str:
+    h = (
+        f"md5('hrw:' || CAST({shard_sql} AS VARCHAR) || ':' "
+        f"|| CAST({key_sql} AS VARCHAR))"
+    )
+    return " + ".join(
+        f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+
+
+@_register(
+    "rendezvous_shards",
+    oracle=f"""
+    WITH keys AS (SELECT DISTINCT doc_id AS key FROM documents),
+    scored AS (
+      SELECT key, s.shard, ({_hrw_weight_sql('s.shard', 'key')}) AS w
+      FROM keys,
+           (SELECT unnest(generate_series(0, 6)) AS shard) s
+    )
+    SELECT key, CAST(shard AS BIGINT) AS shard FROM scored
+    QUALIFY row_number() OVER (
+      PARTITION BY key ORDER BY w DESC, shard
+    ) = 1
+    """,
+)
+def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous/HRW shard assignment (selection.rendezvous_assign):
+    every document keyed to one of 7 shards by highest md5 weight —
+    the consistent-placement primitive whose defining property
+    (growing the shard count only moves keys TO the new shard) modulo
+    hashing cannot give; hypothesis-pinned. One fixed 7-way explode +
+    one max_by aggregate; the oracle replays weights and argmax with a
+    window."""
+    from gene_level_metadata_pipeline_spark.operators.selection import (
+        rendezvous_assign,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return rendezvous_assign(docs, id_col="doc_id", n_shards=7)

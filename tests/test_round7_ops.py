@@ -597,3 +597,36 @@ def test_remove_repeated_substrings_matches_reference(texts, L):
         kept += t[pos - 1:]
         removed = sum(b - a + 1 for a, b in ss)
         assert got[i] == (len(ss), removed, kept), (i, t, got[i])
+
+
+# --- rendezvous hashing: monotone consistency ------------------------------
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    keys=st.sets(st.integers(0, 10 ** 6), min_size=1, max_size=30),
+    n=st.integers(1, 6),
+)
+def test_rendezvous_growth_moves_keys_only_to_the_new_shard(keys, n):
+    from gene_level_metadata_pipeline_spark.operators.selection import (
+        rendezvous_assign,
+    )
+
+    spark = _get_spark()
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    before = {
+        r["key"]: r["shard"]
+        for r in rendezvous_assign(df, "doc_id", n).collect()
+    }
+    after = {
+        r["key"]: r["shard"]
+        for r in rendezvous_assign(df, "doc_id", n + 1).collect()
+    }
+    assert before.keys() == after.keys() == keys
+    for k in keys:
+        assert after[k] == before[k] or after[k] == n, (
+            k, before[k], after[k]
+        )
+    assert all(0 <= s < n for s in before.values())
