@@ -3,6 +3,12 @@ sf0.1), local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec},
  "sf": ...}.
 
+The stdout line is SIZE-BOUNDED (<1.4 KB at any headline count): it
+always carries the totals, control fields, n_queries, and a sha256 of
+bench_detail.json; "queries" holds only the most expensive entries that
+fit, with the rest counted in "queries_omitted". The COMPLETE per-query
+min+median tables live in bench_detail.json (committed per round).
+
 Each query is forced with a noop-sink write (DataSource V2 "noop"): every
 column is fully computed and materialized executor-side with zero driver
 transfer — unlike .count(), which lets Catalyst prune projection-only
@@ -209,20 +215,43 @@ def main() -> None:
         "load_end": load_end,
     }
     # The driver tail-captures stdout and parses the last line as JSON;
-    # r3/r4 printed one ~2.8 KB line (43 queries x {min, median}) whose
-    # HEAD fell outside the capture window -> "parsed": null two rounds
-    # running (VERDICT r4 item 1). So: full detail (incl. medians) goes
-    # to bench_detail.json on disk, and stdout carries exactly ONE
-    # compact JSON line (~1.2 KB: separators stripped, medians omitted)
-    # that always survives tail truncation.
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "bench_detail.json"), "w"
-    ) as f:
+    # the r7 line (73 queries, medians stripped) STILL outgrew the tail
+    # window -> "parsed": null (VERDICT r7 item 2). So the stdout line
+    # is now SIZE-BOUNDED at any headline count: full detail always
+    # goes to bench_detail.json on disk; the stdout line carries the
+    # totals/control fields, a sha256 of the detail file to bind the
+    # two, and only as many per-query entries (most expensive first) as
+    # fit under STDOUT_BUDGET bytes, with the overflow counted in
+    # "queries_omitted".
+    import hashlib
+
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
+    )
+    with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
-    compact = dict(detail)
-    del compact["queries_median"]
-    print(json.dumps(compact, separators=(",", ":")))
+    with open(detail_path, "rb") as f:
+        detail_sha = hashlib.sha256(f.read()).hexdigest()[:16]
+
+    STDOUT_BUDGET = 1400  # bytes; driver tail capture is ~1.5-2 KB
+    compact = {
+        k: v for k, v in detail.items()
+        if k not in ("queries", "queries_median")
+    }
+    compact["n_queries"] = len(times)
+    compact["detail_sha256"] = detail_sha
+    compact["queries"] = {}
+    compact["queries_omitted"] = len(times)
+    line = json.dumps(compact, separators=(",", ":"))
+    for name, sec in sorted(times.items(), key=lambda kv: -kv[1]):
+        trial = dict(compact)
+        trial["queries"] = dict(compact["queries"], **{name: sec})
+        trial["queries_omitted"] = len(times) - len(trial["queries"])
+        trial_line = json.dumps(trial, separators=(",", ":"))
+        if len(trial_line.encode()) > STDOUT_BUDGET:
+            break
+        compact, line = trial, trial_line
+    print(line)
 
 
 if __name__ == "__main__":

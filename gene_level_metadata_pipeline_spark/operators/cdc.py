@@ -110,6 +110,16 @@ def join_view_delta(
     view (agg_retract_merge's discipline) completes the maintenance.
     """
     keys = [on] if isinstance(on, str) else list(on)
+    # the delta_b rename below guards one collision; guard the
+    # symmetric ones too — a base table legitimately carrying a column
+    # named sign_col would make t1's (or t2's) sign ambiguous and the
+    # union would silently mislabel pair signs (ADVICE r7)
+    for nm, frame in (("a_new", a_new), ("b_old", b_old)):
+        if sign_col in frame.columns:
+            raise ValueError(
+                f"join_view_delta: {nm} carries a column named "
+                f"{sign_col!r}; pass a different sign_col"
+            )
     t1 = delta_a.join(b_old, keys)
     t2 = a_new.join(
         delta_b.withColumnRenamed(sign_col, f"__{sign_col}"), keys

@@ -728,10 +728,12 @@ def brier_decomposition(
         RES_e12 = Σ_b div((s_b·N − S·n_b)²·scale², n_b·N³)
         UNC_e12 = div(S·(N−S)·scale², N²)
 
-    DECIMAL(38,0) intermediates bound N at ~10⁷ in this single-shot
-    form (the RES numerator carries N³·scale²); past that, decompose
-    per partition and combine — the terms are sums, so partial
-    decomposition merges exactly.
+    DECIMAL(38,0) intermediates bound N at ~3·10⁶ in this single-shot
+    form: when one bucket dominates, the RES numerator (s·N − S·n)²·
+    scale² reaches ~N⁴·scale² = N⁴·10¹², which hits 38 digits at
+    N ≈ 10^6.5 (ANSI fails loud, not silently wrong). Past that,
+    decompose per partition and combine — the terms are sums, so
+    partial decomposition merges exactly.
 
     Input is the PRE-BUCKETED (bucket, s, n, p_e6) table; output is ONE
     row (n_buckets, n, rel_e12, res_e12, unc_e12) — everything after

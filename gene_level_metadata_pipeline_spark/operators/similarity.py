@@ -1125,28 +1125,31 @@ def reciprocal_best_hits(
         .where(F.col("cos_sim").isNotNull())
         .select("query_id", "corpus_id", "cos_sim")
     )
-    # argmax by (cos desc, id asc) == max_by over a sortable struct with
-    # the id negated — one hash aggregate per direction, no windows.
+    # argmax by (cos desc, id asc) == min_by keyed on the struct
+    # (-cos, id) — one hash aggregate per direction, no windows. Only
+    # the COSINE is negated (always double), so the id column can be
+    # any orderable type (bigint, string UUID, ...) — the r7 form
+    # negated the id itself, which broke / nulled under ANSI for
+    # string ids (ADVICE r7). Key is unique per group (ids are
+    # distinct), so min_by is deterministic.
     best_c = scored.groupBy("query_id").agg(
-        F.max(
-            F.struct(
-                F.col("cos_sim"), (-F.col("corpus_id")).alias("nid")
-            )
+        F.min_by(
+            F.struct(F.col("corpus_id"), F.col("cos_sim")),
+            F.struct((-F.col("cos_sim")).alias("nc"), F.col("corpus_id")),
         ).alias("b")
     ).select(
         "query_id",
-        (-F.col("b.nid")).alias("corpus_id"),
+        F.col("b.corpus_id").alias("corpus_id"),
         F.col("b.cos_sim").alias("q_best"),
     )
     best_q = scored.groupBy("corpus_id").agg(
-        F.max(
-            F.struct(
-                F.col("cos_sim"), (-F.col("query_id")).alias("nid")
-            )
+        F.min_by(
+            F.struct(F.col("query_id"), F.col("cos_sim")),
+            F.struct((-F.col("cos_sim")).alias("nc"), F.col("query_id")),
         ).alias("b")
     ).select(
         "corpus_id",
-        (-F.col("b.nid")).alias("query_id"),
+        F.col("b.query_id").alias("query_id"),
         F.col("b.cos_sim").alias("c_best"),
     )
     return (
@@ -1188,6 +1191,14 @@ def dbscan_grid_2d(
     cell width = eps — exactly the DBSCAN regime where candidates are
     genuinely local.
     """
+    if eps_micro <= 0:
+        raise ValueError(f"dbscan_grid_2d: eps_micro={eps_micro} must be > 0")
+    if min_pts < 2:
+        # the degree table is derived from the PAIR table, so a point
+        # with zero eps-neighbors never appears in it; with min_pts<=1
+        # such isolated points would silently be labelled noise instead
+        # of singleton core clusters (ADVICE r7) — fail loud instead
+        raise ValueError(f"dbscan_grid_2d: min_pts={min_pts} must be >= 2")
     eps2 = int(eps_micro) * int(eps_micro)
     snapped = points.select(
         F.col(id_col).alias("pid"),

@@ -7,6 +7,15 @@ multiset of row values. Exit code 1 on any mismatch.
 Usage:  python tools/check_oracle.py [query ...]
         CHECK_SF_DIR=/root/testdata/sf0.1 python tools/check_oracle.py
         python tools/check_oracle.py --vanilla [query ...]
+        python tools/check_oracle.py --json certification/oracle_full_r8.json
+
+``--json PATH`` additionally writes a machine-readable artifact in the
+driver's CORRECTNESS row shape — ``{"_meta": {git_sha, n_registered,
+sf_dir, ...}, "<query>": {rows_match, schema_match, hash_match,
+spark_rows, oracle_rows, err}}`` — so every round ships a committed
+full-registry equivalent of the driver's (frozen, 50-query) draw
+(VERDICT r7 task 7). Rows-only queries get ``"rows_only": true`` with
+null oracle fields, mirroring the driver's weaker check.
 
 ``--vanilla`` runs against a deliberately hostile SparkSession (default
 confs, America/New_York session timezone, 8 cores) instead of the
@@ -143,6 +152,11 @@ def main() -> int:
 
     args = sys.argv[1:]
     vanilla = "--vanilla" in args
+    json_path = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
     only = {a for a in args if a != "--vanilla"}
     if vanilla:
         from pyspark.sql import SparkSession
@@ -167,6 +181,7 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     data_fp = _data_fingerprint(SF_DIR)
     failures = []
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -178,12 +193,22 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
+            report[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None, "err": f"spark error: {e}"[:500],
+            }
             continue
         if name not in oracles:
             print(f"ok?   {name}: rows-only check, {len(srows)} rows "
                   f"({time.time()-t0:.1f}s)")
             if len(srows) == 0:
                 print(f"      WARNING: zero rows")
+            report[name] = {
+                "rows_match": len(srows) > 0, "schema_match": None,
+                "hash_match": None, "spark_rows": len(srows),
+                "oracle_rows": None, "err": None, "rows_only": True,
+            }
             continue
         key = _cache_key(oracles[name], data_fp)
         cached = cache_get(key)
@@ -199,27 +224,66 @@ def main() -> int:
             except Exception as e:  # noqa: BLE001
                 failures.append(name)
                 print(f"FAIL  {name}: duckdb error: {e}")
+                report[name] = {
+                    "rows_match": False, "schema_match": False,
+                    "hash_match": False, "spark_rows": len(srows),
+                    "oracle_rows": None, "err": f"duckdb error: {e}"[:500],
+                }
                 continue
             cache_put(key, (dcols, dtype_names, drows))
             hit = ""
         sc, sm = frame_to_multiset(scols, srows)
         dc, dm = frame_to_multiset(dcols, drows)
         status = []
-        if len(srows) != len(drows):
+        rows_match = len(srows) == len(drows)
+        if not rows_match:
             status.append(f"rowcount {len(srows)} vs {len(drows)}")
         tmix = type_mismatches(sdf, dcols, dtype_names)
         if tmix:
             status.append(f"types {tmix}")
+        schema_match = sc == dc and not tmix
+        hash_match = schema_match and sm == dm
         if sc != dc:
             status.append(f"schema {sc} vs {dc}")
         elif sm != dm:
             diff = [(a, b) for a, b in zip(sm, dm) if a != b][:3]
             status.append(f"values differ, first diffs: {diff}")
+        report[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": len(srows),
+            "oracle_rows": len(drows), "err": None,
+        }
         if status:
             failures.append(name)
             print(f"FAIL  {name}: {'; '.join(status)}")
         else:
             print(f"PASS  {name}: {len(srows)} rows ({time.time()-t0:.1f}s){hit}")
+
+    if json_path:
+        import json as _json
+        import subprocess
+
+        try:
+            sha = subprocess.run(
+                ["git", "rev-parse", "HEAD"], capture_output=True,
+                text=True, cwd="/root/repo",
+            ).stdout.strip()
+        except Exception:  # noqa: BLE001
+            sha = None
+        n_pass = sum(
+            1 for v in report.values()
+            if v.get("hash_match") or v.get("rows_only")
+        )
+        out = {"_meta": {
+            "git_sha": sha, "n_registered": len(qs), "n_checked": len(report),
+            "n_pass": n_pass, "n_fail": len(failures), "sf_dir": SF_DIR,
+            "vanilla": vanilla,
+        }}
+        out.update(dict(sorted(report.items())))
+        os.makedirs(os.path.dirname(os.path.abspath(json_path)), exist_ok=True)
+        with open(json_path, "w") as f:
+            _json.dump(out, f, indent=1)
+        print(f"wrote {json_path} ({len(report)} queries)")
 
     print(f"\n{len(failures)} failures" if failures else "\nall green")
     return 1 if failures else 0
