@@ -61,7 +61,7 @@ def connected_components(
     )
     edges = edges.localCheckpoint(eager=True)
     n_edges = edges.count()
-    if n_edges <= _CC_DRIVER_EDGE_CAP:
+    if n_edges <= _DRIVER_EDGE_CAP:
         return _cc_driver(edges)
     with sized_shuffle(edges.sparkSession, n_edges):
         return _cc_loop(edges, max_iter)
@@ -69,13 +69,20 @@ def connected_components(
 
 # Small-graph escape: below this edge count the graph collects to the
 # driver (<= ~3 MB of longs — bounded by the CONSTANT, not by the data;
-# the k-hot-keys / BPE-merge-table collect discipline) and a union-find
-# labels it in microseconds, where the distributed loop pays ~1.5 s of
-# job latency PER ROUND regardless of size — measured on dbscan's
+# the k-hot-keys / BPE-merge-table collect discipline) and a pure-Python
+# twin labels it in microseconds, where the distributed loop pays ~1.5 s
+# of job latency PER ROUND regardless of size — measured on dbscan's
 # 12.6k-edge sf0.1 core graph: 13.8 s of pure round overhead. Larger
-# graphs take the unchanged self-sized pointer-jumping loop, so the
-# 100 TB path is exactly what it was.
-_CC_DRIVER_EDGE_CAP = 200_000
+# graphs take the unchanged self-sized distributed loops, so the 100 TB
+# path is exactly what it was. The r7 CC escape paid back 1.3-2.3x on
+# every component-consuming headline; r8 generalizes the SAME cap and
+# output contract (typed DataFrame, identical labels/distances, driver
+# algorithm replays the distributed recurrence exactly) to the other
+# iterative operators: bfs_hops, sssp_weighted, kcore, truss_peel,
+# label_propagation (VERDICT r7 task 3). Cap-boundary equivalence is
+# pinned by tests/test_graph_driver_escape.py, which runs BOTH paths on
+# graphs straddling a shrunken cap and asserts identical row multisets.
+_DRIVER_EDGE_CAP = 200_000
 
 
 def _cc_driver(edges: DataFrame) -> DataFrame:
@@ -178,6 +185,192 @@ def _cc_loop(edges: DataFrame, max_iter: int) -> DataFrame:
             )
     raise RuntimeError(
         f"connected_components: no convergence in {max_iter} iterations"
+    )
+
+
+# --- driver twins for the other iterative operators (r8) -------------------
+# Each twin replays its operator's EXACT distributed recurrence in pure
+# Python on the bounded-collect edge list (<= _DRIVER_EDGE_CAP rows) and
+# returns a DataFrame with the identical schema — or None to PUNT back to
+# the distributed path (null node ids / null weights / oversized or
+# type-mismatched seed sets: regimes where the SQL null-join semantics
+# are subtle, so the distributed path stays the single source of truth).
+
+
+def _bfs_driver(
+    edges: DataFrame, sources: DataFrame, max_hops: int
+) -> DataFrame | None:
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    seed_col = sources.columns[0]
+    node_t = edges.schema.fields[1].dataType  # discovered nodes are "ev"
+    if sources.schema.fields[0].dataType != node_t:
+        return None
+    seeds_df = sources.select(F.col(seed_col).alias("node")).distinct()
+    if seeds_df.limit(_DRIVER_EDGE_CAP + 1).count() > _DRIVER_EDGE_CAP:
+        return None
+    seeds = [r[0] for r in seeds_df.collect()]
+    rows = edges.collect()
+    if None in seeds or any(r[0] is None or r[1] is None for r in rows):
+        return None
+    adj: dict = {}
+    for r in rows:
+        adj.setdefault(r[0], []).append(r[1])
+    visited = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, max_hops + 1):
+        nxt = {
+            v
+            for u in frontier
+            for v in adj.get(u, ())
+            if v not in visited
+        }
+        if not nxt:
+            break
+        for v in nxt:
+            visited[v] = h
+        frontier = nxt
+    schema = StructType([
+        StructField("node", node_t, True),
+        StructField("hop", IntegerType(), False),
+    ])
+    return edges.sparkSession.createDataFrame(
+        list(visited.items()), schema
+    )
+
+
+def _sssp_driver(
+    edges: DataFrame, sources: DataFrame, max_hops: int
+) -> DataFrame | None:
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    seed_col = sources.columns[0]
+    node_t = edges.schema.fields[1].dataType
+    if sources.schema.fields[0].dataType != node_t:
+        return None
+    seeds_df = sources.select(F.col(seed_col).alias("node")).distinct()
+    if seeds_df.limit(_DRIVER_EDGE_CAP + 1).count() > _DRIVER_EDGE_CAP:
+        return None
+    seeds = [r[0] for r in seeds_df.collect()]
+    rows = edges.collect()
+    if None in seeds or any(
+        r[0] is None or r[1] is None or r[2] is None for r in rows
+    ):
+        return None
+    dist = {s: 0 for s in seeds}
+    for _ in range(max_hops):
+        # synchronous Bellman-Ford round: relax every edge against the
+        # PREVIOUS table, then min-fold — exactly the distributed
+        # union+groupBy-min recurrence
+        nxt = dict(dist)
+        for u, v, w in rows:
+            if u in dist:
+                c = dist[u] + w
+                if v not in nxt or c < nxt[v]:
+                    nxt[v] = c
+        if nxt == dist:
+            break
+        dist = nxt
+    schema = StructType([
+        StructField("node", node_t, True),
+        StructField("dist", LongType(), True),
+    ])
+    return edges.sparkSession.createDataFrame(list(dist.items()), schema)
+
+
+def _kcore_driver(edges: DataFrame, k: int, max_iter: int) -> DataFrame | None:
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    rows = edges.collect()
+    if any(r[0] is None or r[1] is None for r in rows):
+        return None
+    es = {(r[0], r[1]) for r in rows}  # symmetric, like the frame
+    for _ in range(max_iter):
+        if not es:
+            break
+        deg: dict = {}
+        for u, _v in es:
+            deg[u] = deg.get(u, 0) + 1
+        keep = {u for u, d in deg.items() if d >= k}
+        nxt = {(u, v) for (u, v) in es if u in keep and v in keep}
+        if len(nxt) == len(es):
+            es = nxt
+            break
+        es = nxt
+    else:
+        raise RuntimeError(
+            f"kcore: no fixpoint after {max_iter} peeling rounds"
+        )
+    core_deg: dict = {}
+    for u, _v in es:
+        core_deg[u] = core_deg.get(u, 0) + 1
+    node_t = edges.schema.fields[0].dataType
+    schema = StructType([
+        StructField("node", node_t, True),
+        StructField("core_deg", LongType(), False),
+    ])
+    return edges.sparkSession.createDataFrame(
+        list(core_deg.items()), schema
+    )
+
+
+def _lpa_driver(edges: DataFrame, rounds: int) -> DataFrame | None:
+    rows = edges.collect()
+    if any(r[0] is None or r[1] is None for r in rows):
+        return None
+    pairs = [(r[0], r[1]) for r in rows]  # symmetric (eu, ev)
+    labels = {u: u for u, _ in pairs}
+    for _ in range(rounds):
+        votes: dict = {}
+        for eu, ev in pairs:
+            cnt = votes.setdefault(eu, {})
+            lb = labels[ev]
+            cnt[lb] = cnt.get(lb, 0) + 1
+        labels = {
+            node: min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            for node, cnt in votes.items()
+        }
+    from pyspark.sql.types import StructField, StructType
+
+    node_t = edges.schema.fields[0].dataType
+    schema = StructType([
+        StructField("node", node_t, True),
+        StructField("community", node_t, True),
+    ])
+    return edges.sparkSession.createDataFrame(
+        list(labels.items()), schema
+    )
+
+
+def _truss_driver(e: DataFrame, k: int, rounds: int) -> DataFrame | None:
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    rows = e.collect()
+    if any(r[0] is None or r[1] is None for r in rows):
+        return None
+    es = {(r[0], r[1]) for r in rows}  # canonical u < v
+
+    def support(edge_set):
+        adj: dict = {}
+        for u, v in edge_set:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        return {
+            (u, v): len(adj[u] & adj[v]) for (u, v) in edge_set
+        }
+
+    for _ in range(rounds):
+        s = support(es)
+        es = {edge for edge in es if s[edge] >= k - 2}
+    final = support(es)
+    node_t = e.schema.fields[0].dataType
+    schema = StructType([
+        StructField("u", node_t, True),
+        StructField("v", node_t, True),
+        StructField("support", LongType(), True),
+    ])
+    return e.sparkSession.createDataFrame(
+        [(u, v, s) for (u, v), s in final.items()], schema
     )
 
 
@@ -407,7 +600,12 @@ def bfs_hops(
         )
     edges = edges.distinct().localCheckpoint(eager=True)
     seed_col = sources.columns[0]
-    with sized_shuffle(edges.sparkSession, edges.count()):
+    n_edges = edges.count()
+    if n_edges <= _DRIVER_EDGE_CAP:
+        out = _bfs_driver(edges, sources, max_hops)
+        if out is not None:
+            return out
+    with sized_shuffle(edges.sparkSession, n_edges):
         visited = (
             sources.select(F.col(seed_col).alias("node"))
             .distinct()
@@ -554,6 +752,10 @@ def kcore(
         .localCheckpoint(eager=True)
     )
     n_edges = edges.count()
+    if n_edges <= _DRIVER_EDGE_CAP:
+        out = _kcore_driver(edges, k, max_iter)
+        if out is not None:
+            return out
     with sized_shuffle(edges.sparkSession, n_edges):
         for _ in range(max_iter):
             if n_edges == 0:
@@ -623,7 +825,12 @@ def sssp_weighted(
         )
     edges = edges.distinct().localCheckpoint(eager=True)
     seed_col = sources.columns[0]
-    with sized_shuffle(edges.sparkSession, edges.count()):
+    n_edges = edges.count()
+    if n_edges <= _DRIVER_EDGE_CAP:
+        out = _sssp_driver(edges, sources, max_hops)
+        if out is not None:
+            return out
+    with sized_shuffle(edges.sparkSession, n_edges):
         dist = (
             sources.select(F.col(seed_col).alias("node"))
             .distinct()
@@ -784,6 +991,10 @@ def label_propagation(
         .localCheckpoint(eager=True)
     )
     n_edges = edges.count()
+    if n_edges <= _DRIVER_EDGE_CAP:
+        out = _lpa_driver(edges, rounds)
+        if out is not None:
+            return out
     labels = edges.select(F.col("eu").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     )
@@ -999,6 +1210,10 @@ def truss_peel(
         .localCheckpoint(eager=True)
     )
     n_edges = e.count()
+    if n_edges <= _DRIVER_EDGE_CAP:
+        out = _truss_driver(e, k, rounds)
+        if out is not None:
+            return out
 
     def support(edges: DataFrame) -> DataFrame:
         und = edges.select(

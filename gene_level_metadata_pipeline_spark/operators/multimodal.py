@@ -2,13 +2,14 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; decode / feature-extraction / resize / frame-sampling run
-as Arrow-batched ``mapInPandas`` stages. TWO modalities have REAL codec
-paths: WAV/PCM audio decodes with the pure-stdlib ``wave`` + ``array``
-modules (:func:`decode_audio`) and uncompressed 24-bit BMP images parse
-with pure-stdlib ``struct`` (:func:`decode_image` ``codec='bmp'``) — no
-container codecs needed, real bytes end-to-end. The remaining media
-libraries (PIL, ffmpeg) are NOT in this container, so compressed-format
-image decode and video frame
+as Arrow-batched ``mapInPandas`` stages. THREE real codec paths: WAV/PCM
+audio decodes with the pure-stdlib ``wave`` + ``array`` modules
+(:func:`decode_audio`), uncompressed 24-bit BMP images parse with
+pure-stdlib ``struct`` (:func:`decode_image` ``codec='bmp'``), and 8-bit
+grayscale/RGB PNG decodes with pure-stdlib ``zlib`` — full chunk-CRC
+verification + all five scanline filters (``codec='png'``, r8). The
+remaining media libraries (PIL for JPEG, ffmpeg) are NOT in this
+container, so JPEG decode and video frame
 sampling stay stubbed behind ``NotImplementedError`` — but everything
 Spark-side is real and tested: schema, partition-preserving batch
 iteration, UDF signatures, and the deterministic fake extractor that
@@ -151,15 +152,119 @@ def decode_image(
                 ])
 
         return df.mapInPandas(batches, schema=DECODE_SCHEMA)
+    if codec == "png":
+        def batches(it: Iterator) -> Iterator:
+            import struct
+            import zlib
+
+            import pandas as pd
+
+            SIG = b"\x89PNG\r\n\x1a\n"
+
+            def parse(raw) -> tuple[int, int, str, list[int]]:
+                b = bytes(raw)
+                if b[:8] != SIG:
+                    raise ValueError("decode_image[png]: not a PNG payload")
+                ihdr = None
+                idat = bytearray()
+                pos = 8
+                while pos + 12 <= len(b):
+                    (ln,) = struct.unpack_from(">I", b, pos)
+                    typ = b[pos + 4:pos + 8]
+                    data = b[pos + 8:pos + 8 + ln]
+                    (crc,) = struct.unpack_from(">I", b, pos + 8 + ln)
+                    if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+                        raise ValueError(
+                            f"decode_image[png]: bad {typ!r} chunk CRC"
+                        )
+                    pos += 12 + ln
+                    if typ == b"IHDR":
+                        ihdr = data
+                    elif typ == b"IDAT":
+                        idat += data
+                    elif typ == b"IEND":
+                        break
+                if ihdr is None or not idat:
+                    raise ValueError("decode_image[png]: missing IHDR/IDAT")
+                w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                    ">IIBBBBB", ihdr
+                )
+                if depth != 8 or ctype not in (0, 2) or comp or filt or inter:
+                    raise ValueError(
+                        f"decode_image[png]: only 8-bit non-interlaced "
+                        f"grayscale/RGB supported (depth={depth}, "
+                        f"color_type={ctype}, interlace={inter})"
+                    )
+                bpp = 1 if ctype == 0 else 3
+                stride = w * bpp
+                sl = zlib.decompress(bytes(idat))
+                if len(sl) != h * (1 + stride):
+                    raise ValueError(
+                        f"decode_image[png]: scanline size mismatch "
+                        f"({len(sl)} != {h * (1 + stride)})"
+                    )
+                prev = bytearray(stride)
+                out = bytearray()
+                for y in range(h):
+                    off = y * (1 + stride)
+                    ft = sl[off]
+                    line = bytearray(sl[off + 1:off + 1 + stride])
+                    for x in range(stride):
+                        a = line[x - bpp] if x >= bpp else 0
+                        up = prev[x]
+                        c = prev[x - bpp] if x >= bpp else 0
+                        if ft == 0:
+                            v = line[x]
+                        elif ft == 1:
+                            v = line[x] + a
+                        elif ft == 2:
+                            v = line[x] + up
+                        elif ft == 3:
+                            v = line[x] + ((a + up) >> 1)
+                        elif ft == 4:
+                            p = a + up - c
+                            pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
+                            pred = (
+                                a if pa <= pb and pa <= pc
+                                else up if pb <= pc else c
+                            )
+                            v = line[x] + pred
+                        else:
+                            raise ValueError(
+                                f"decode_image[png]: bad filter {ft} row {y}"
+                            )
+                        line[x] = v & 0xFF
+                    out += line
+                    prev = line
+                if ctype == 0:
+                    return w, h, "png-gray8", [int(v) for v in out]
+                px = [
+                    (299 * out[i] + 587 * out[i + 1] + 114 * out[i + 2])
+                    // 1000
+                    for i in range(0, len(out), 3)
+                ]
+                return w, h, "png-rgb8", px
+
+            for pdf in it:
+                recs = []
+                for doc_id, raw in zip(pdf["doc_id"], pdf[payload_col]):
+                    w, hh, mode, px = parse(raw)
+                    recs.append((doc_id, w, hh, mode, px))
+                yield pd.DataFrame(recs, columns=[
+                    "doc_id", "width", "height", "mode", "pixels",
+                ])
+
+        return df.mapInPandas(batches, schema=DECODE_SCHEMA)
     if codec == "pil":
         try:
             from PIL import Image  # noqa: F401
         except ImportError as e:
             raise NotImplementedError(
-                "compressed-format image decode requires PIL/libjpeg (not "
-                "in this container); 24-bit BMP decodes for real via "
-                "codec='bmp'; "
-                "use codec='fake' for the plumbing-certified stand-in"
+                "JPEG decode requires PIL/libjpeg (not in this "
+                "container); 24-bit BMP decodes for real via codec='bmp' "
+                "and 8-bit grayscale/RGB PNG via codec='png' (pure-stdlib "
+                "zlib); use codec='fake' for the plumbing-certified "
+                "stand-in"
             ) from e
 
         def batches(it: Iterator) -> Iterator:

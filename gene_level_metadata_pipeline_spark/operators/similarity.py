@@ -1078,6 +1078,10 @@ def reciprocal_best_hits(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "auto",
+    exact_pair_budget: int = 10_000_000,
+    n_cells: int | None = None,
+    probes: int = 2,
 ) -> DataFrame:
     """Reciprocal best hits (RBH): pairs (q, c) where c is q's single
     nearest corpus vector AND q is c's single nearest query vector —
@@ -1086,22 +1090,44 @@ def reciprocal_best_hits(
     subset of 1-NN matching: a one-direction best hit tolerates hubs
     (one corpus vector claimed by many queries); mutuality kills them.
 
-    Scale shape: ``queries`` is the small side by construction (a probe
-    panel / reference set) and is broadcast; the corpus is scanned ONCE
-    for the cross expansion, and BOTH argmax directions reduce from
-    that single scored stream — max_by per corpus id (corpus-sized
-    aggregate) and max_by per query id (panel-sized aggregate) — so
-    the whole operator is one corpus scan plus two key-partitioned
-    aggregations, no corpus self-join, no window over the corpus. At a
-    large query side, swap the broadcast expansion for the IVF
-    cell-bucketed scorer (semantic_near_dup's path); the mutual-argmax
-    reduction is unchanged.
+    Two candidate-generation tiers share one mutual-argmax reduction:
+
+    * EXACT (the certified default regime): the panel broadcasts, the
+      corpus is scanned ONCE for the cross expansion, and both argmax
+      directions reduce from that single scored stream — min_by per
+      corpus id and per query id, no corpus self-join, no corpus-wide
+      window. Hash-certified against the quadratic DuckDB truth.
+    * IVF (the LSH-style PROBABILISTIC tier, r8): candidates are
+      restricted to (query probe-cells ∩ corpus cell) over the learned
+      :func:`kmeans_centroids` quantizer — each query scores
+      ~probes·N/cells corpus vectors instead of N. Recall < 1 is
+      possible: a true mutual pair whose corpus vector sits outside
+      every probed cell of its query is LOST (measured at the 10x
+      sweep: see certification/rbh_ivf_equality.json). Never the
+      silent default at certified sizes — ``method="auto"`` stays
+      exact until |panel|·|corpus| exceeds ``exact_pair_budget``
+      (counted, two cheap jobs; the CC-cap constant-gate discipline),
+      which no oracle-certified SF reaches.
+
+    ``method``: "exact" forces the certified path at any size, "ivf"
+    forces the quantized tier, "auto" (default) gates on the counted
+    pair budget. ``n_cells`` defaults to ~sqrt(|corpus|); ``probes``
+    is the IVF recall lever.
 
     Ties break on the smaller candidate id in both directions (after
     4dp rounding of the cosine, the brute_force_topk discipline), so
-    the result is engine-replayable. Returns (query_id, corpus_id,
+    each tier is engine-replayable. Returns (query_id, corpus_id,
     cos_sim).
     """
+    if method not in ("auto", "exact", "ivf"):
+        raise ValueError(
+            f"reciprocal_best_hits: method={method!r} must be "
+            "'auto', 'exact' or 'ivf'"
+        )
+    if probes < 1:
+        raise ValueError(
+            f"reciprocal_best_hits: probes={probes} must be >= 1"
+        )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         _as_double(F.col(vec_col)).alias("__qv"),
@@ -1110,21 +1136,58 @@ def reciprocal_best_hits(
         F.col(id_col).alias("corpus_id"),
         _as_double(F.col(vec_col)).alias("__cv"),
     ).withColumn("__cn", F.sqrt(_dot(F.col("__cv"), F.col("__cv"))))
-    scored = (
-        c.join(F.broadcast(q), F.lit(True))
-        .withColumn(
-            "cos_sim",
-            F.round(
-                F.try_divide(
-                    _dot(F.col("__qv"), F.col("__cv")),
-                    F.col("__qn") * F.col("__cn"),
-                ),
-                4,
-            ),
+    c_rows: int | None = None
+    if method == "auto":
+        q_rows, c_rows = q.count(), c.count()
+        use_ivf = q_rows * c_rows > exact_pair_budget
+    else:
+        use_ivf = method == "ivf"
+    if use_ivf:
+        if n_cells is None:
+            if c_rows is None:
+                c_rows = c.count()
+            n_cells = max(8, int(c_rows ** 0.5))
+        cents = kmeans_centroids(
+            corpus, k=n_cells, iters=1, id_col=id_col, vec_col=vec_col
+        ).localCheckpoint(eager=True)  # reused by assign + probe
+        cc = _score_cells(c, cents, "__cv").where(F.col("cell").isNotNull())
+        qq = probe_cells(q, cents, vec_col="__qv", probes=probes).drop(
+            "probe_rank"
         )
-        .where(F.col("cos_sim").isNotNull())
-        .select("query_id", "corpus_id", "cos_sim")
-    )
+        # shuffle join on the cell id — at a large panel NEITHER side
+        # broadcasts; a corpus vector lives in exactly one cell and a
+        # query's probe cells are distinct, so no pair scores twice
+        scored = (
+            cc.join(qq, "cell")
+            .withColumn(
+                "cos_sim",
+                F.round(
+                    F.try_divide(
+                        _dot(F.col("__qv"), F.col("__cv")),
+                        F.col("__qn") * F.col("__cn"),
+                    ),
+                    4,
+                ),
+            )
+            .where(F.col("cos_sim").isNotNull())
+            .select("query_id", "corpus_id", "cos_sim")
+        )
+    else:
+        scored = (
+            c.join(F.broadcast(q), F.lit(True))
+            .withColumn(
+                "cos_sim",
+                F.round(
+                    F.try_divide(
+                        _dot(F.col("__qv"), F.col("__cv")),
+                        F.col("__qn") * F.col("__cn"),
+                    ),
+                    4,
+                ),
+            )
+            .where(F.col("cos_sim").isNotNull())
+            .select("query_id", "corpus_id", "cos_sim")
+        )
     # argmax by (cos desc, id asc) == min_by keyed on the struct
     # (-cos, id) — one hash aggregate per direction, no windows. Only
     # the COSINE is negated (always double), so the id column can be

@@ -4006,6 +4006,122 @@ def q_image_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Constant PNG scaffolding for a 2x2 8-bit grayscale image: signature +
+# IHDR chunk (w=2, h=2, depth 8, color type 0, no interlace; CRC is a
+# constant of those bytes), the IDAT length field (the zlib stream is
+# always 17 bytes: 2 header + 5 stored-block prefix + 6 raw scanline
+# bytes + 4 adler), the zlib stored-block prefix (78 01 | BFINAL=1
+# BTYPE=00 | LEN=6 LE | NLEN=~6), and the constant IEND chunk.
+_PNG_SIG_IHDR_HEX = (
+    "89504e470d0a1a0a"
+    "0000000d" "49484452" "00000002" "00000002" "08" "00" "00" "00" "00"
+    "57dd52f8"
+)
+_PNG_IDAT_LEN_HEX = "00000011"
+_PNG_ZLIB_STORED_HEX = "7801010600f9ff"
+_PNG_IEND_HEX = "0000000049454e44ae426082"
+
+
+@_register(
+    "image_png_decode",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, u.p, (doc_id * (u.p + 1)) % 256 AS r
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(0, 3)) AS p) u
+    ),
+    w AS (
+      SELECT doc_id,
+             max(CASE WHEN p = 0 THEN r END) AS r0,
+             max(CASE WHEN p = 1 THEN r END) AS r1,
+             max(CASE WHEN p = 2 THEN r END) AS r2,
+             max(CASE WHEN p = 3 THEN r END) AS r3
+      FROM s GROUP BY doc_id
+    ),
+    px AS (
+      SELECT doc_id, r0 AS p0, (r1 + r0) % 256 AS p1,
+             (r2 + r0) % 256 AS p2,
+             (r3 + (r1 + r0) % 256) % 256 AS p3
+      FROM w
+    )
+    SELECT doc_id, 2 AS width, 2 AS height, 'png-gray8' AS mode,
+           CAST(4 AS INTEGER) AS n_px,
+           CAST(p0 + 2 * p1 + 3 * p2 + 4 * p3 AS BIGINT) AS px_checksum
+    FROM px
+    """,
+)
+def q_image_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THIRD real codec certification (multimodal.decode_image
+    codec='png', r8 — VERDICT r7 task 6): a VALID PNG is built per row
+    in pure Catalyst — constant signature/IHDR/IEND, a zlib stream
+    whose DEFLATE payload is a STORED (uncompressed) block so the
+    scanline bytes are constructible by integer arithmetic, the
+    varying adler32 computed in-plan from its closed form
+    (a = 4 + Σr mod 65521; b = 18 + 5r0+4r1+2r2+r3 mod 65521), and the
+    IDAT chunk CRC from Spark's built-in crc32 — then parsed by the
+    pure-stdlib zlib decoder in the Arrow stage, which must verify
+    every chunk CRC, inflate, and UN-FILTER the scanlines (row 0 uses
+    filter 1/Sub, row 1 filter 2/Up — chosen so a decoder that skips
+    reconstruction cannot hash-match). The oracle never sees a byte:
+    it replays the filter reconstruction arithmetically
+    (p0=r0, p1=(r1+p0)%256, p2=(r2+p0)%256, p3=(r3+p1)%256). Any
+    CRC/adler/stored-block/filter bug on EITHER side breaks the hash.
+    """
+    from gene_level_metadata_pipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    raw = [F.pmod(d * (p + 1), F.lit(256)).cast("bigint") for p in range(4)]
+
+    def _bhex(v):
+        return F.lpad(F.lower(F.conv(v, 10, 16)), 2, "0")
+
+    # raw scanlines: row 0 = [filter 1/Sub, r0, r1], row 1 = [2/Up, r2, r3]
+    data_hex = F.concat(
+        F.lit("01"), _bhex(raw[0]), _bhex(raw[1]),
+        F.lit("02"), _bhex(raw[2]), _bhex(raw[3]),
+    )
+    a = F.pmod(F.lit(4) + raw[0] + raw[1] + raw[2] + raw[3], F.lit(65521))
+    bsum = F.pmod(
+        F.lit(18) + 5 * raw[0] + 4 * raw[1] + 2 * raw[2] + raw[3],
+        F.lit(65521),
+    )
+    adler_hex = F.lpad(
+        F.lower(F.conv((bsum * 65536 + a).cast("bigint"), 10, 16)), 8, "0"
+    )
+    zs = F.concat(
+        F.unhex(F.lit(_PNG_ZLIB_STORED_HEX)),
+        F.unhex(data_hex),
+        F.unhex(adler_hex),
+    )
+    idat_body = F.concat(F.unhex(F.lit("49444154")), zs)  # "IDAT" + stream
+    crc_hex = F.lpad(F.lower(F.conv(F.crc32(idat_body), 10, 16)), 8, "0")
+    payload = F.concat(
+        F.unhex(F.lit(_PNG_SIG_IHDR_HEX)),
+        F.unhex(F.lit(_PNG_IDAT_LEN_HEX)),
+        idat_body,
+        F.unhex(crc_hex),
+        F.unhex(F.lit(_PNG_IEND_HEX)),
+    )
+    png = docs.select("doc_id", payload.alias("payload"))
+    dec = decode_image(png, payload_col="payload", codec="png")
+    return dec.select(
+        "doc_id", "width", "height", "mode",
+        F.size("pixels").alias("n_px"),
+        F.aggregate(
+            F.zip_with(
+                F.col("pixels"),
+                F.sequence(F.lit(1), F.lit(4)),
+                lambda s, i: s.cast("bigint") * i.cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("px_checksum"),
+    )
+
+
 @_register(
     "repeated_substring_spans",
     oracle="""

@@ -1,0 +1,119 @@
+"""Tests for the r8 reciprocal_best_hits tiering (VERDICT r7 task 5):
+the exact tier is the certified default at bounded pair budgets; the
+IVF tier is the documented probabilistic large-panel path; "auto"
+gates on the counted |panel|x|corpus| product.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+_spark = None
+
+
+def _get_spark():
+    global _spark
+    if _spark is None:
+        from gene_level_metadata_pipeline_spark.session import get_spark
+
+        _spark = get_spark("rbh-ivf")
+    return _spark
+
+
+def _vec(k, j, dim=8):
+    v = [0.0] * dim
+    v[k] = 100.0
+    v[(k + 1) % dim] = float(j)  # in-cluster jitter
+    return v
+
+
+def _clustered(spark, n_clusters=6, per_cluster=10):
+    """Well-separated clusters with INTERLEAVED corpus ids (cluster =
+    id % n_clusters), so the quantizer's lowest-id seeds land one per
+    cluster and 1 Lloyd round recovers the true clusters exactly —
+    the regime where the IVF tier's recall is structurally 1.0.
+    Queries (ids 1000+) probe one vector per cluster."""
+    corpus = [
+        (j * n_clusters + k, _vec(k, 1 + j % 9))
+        for k in range(n_clusters)
+        for j in range(per_cluster)
+    ]
+    queries = [(1000 + k, _vec(k, 5)) for k in range(n_clusters)]
+    schema = "vec_id bigint, embedding array<double>"
+    return (
+        spark.createDataFrame(queries, schema),
+        spark.createDataFrame(corpus, schema),
+    )
+
+
+def _pairs(qs, cs, **kw):
+    from gene_level_metadata_pipeline_spark.operators.similarity import (
+        reciprocal_best_hits,
+    )
+
+    return {
+        (r["query_id"], r["corpus_id"]): r["cos_sim"]
+        for r in reciprocal_best_hits(qs, cs, **kw).collect()
+    }
+
+
+def test_ivf_tier_matches_exact_on_separated_clusters():
+    spark = _get_spark()
+    qs, cs = _clustered(spark)
+    exact = _pairs(qs, cs, method="exact")
+    ivf = _pairs(qs, cs, method="ivf", n_cells=6, probes=2)
+    assert exact and ivf == exact
+
+
+def test_auto_gate_flips_on_pair_budget():
+    """auto with a 1-pair budget must take the IVF tier (same result on
+    the separated clusters), and the default budget the exact tier."""
+    spark = _get_spark()
+    qs, cs = _clustered(spark)
+    exact = _pairs(qs, cs, method="exact")
+    assert _pairs(qs, cs, method="auto") == exact  # << default budget
+    assert (
+        _pairs(qs, cs, method="auto", exact_pair_budget=1, n_cells=6)
+        == exact
+    )
+
+
+def test_ivf_recall_measured_on_mixed_vectors():
+    """On non-separated vectors the IVF tier is allowed to lose pairs —
+    but every pair it DOES return must carry the true cosine, and the
+    recall floor for probes=2 over sqrt-cells should hold on this
+    deterministic mix."""
+    spark = _get_spark()
+    rows = [
+        (i, [math.sin(0.7 * i * (d + 1)) for d in range(8)])
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    qs = df.where(F.col("vec_id") % 5 == 0)
+    cs = df.where(F.col("vec_id") % 5 != 0)
+    exact = _pairs(qs, cs, method="exact")
+    ivf = _pairs(qs, cs, method="ivf", probes=2)
+    assert exact
+    # returned pairs carry exact cosines (scoring is identical)
+    for pair, cos in ivf.items():
+        if pair in exact:
+            assert cos == exact[pair]
+    recall = len(set(ivf) & set(exact)) / len(exact)
+    assert recall >= 0.5, f"recall {recall} collapsed"
+
+
+def test_rbh_validates_method_and_probes():
+    from gene_level_metadata_pipeline_spark.operators.similarity import (
+        reciprocal_best_hits,
+    )
+
+    spark = _get_spark()
+    qs, cs = _clustered(spark, n_clusters=2, per_cluster=3)
+    with pytest.raises(ValueError, match="method"):
+        reciprocal_best_hits(qs, cs, method="annoy")
+    with pytest.raises(ValueError, match="probes"):
+        reciprocal_best_hits(qs, cs, method="ivf", probes=0)
