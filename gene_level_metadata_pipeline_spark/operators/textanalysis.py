@@ -406,7 +406,18 @@ def winnow_overlap_pairs(
     rather than sampling around it). Positions are deliberately
     dropped before the join: sharing is by hash content, and the
     distinct-on-hash keeps one row per (doc, hash) so the pair count
-    is a set intersection, never an occurrence product."""
+    is a set intersection, never an occurrence product.
+
+    RECALL CONTRACT (hypothesis-pinned, tests/test_winnow_cap.py): for
+    any pair, ``shared_fp`` counts exactly the shared hashes whose
+    document frequency is <= ``max_df`` — so a pair EVERY one of whose
+    shared hashes is sub-cap is always reported with its full shared
+    count, and the only pairs the cap can lose are those that need a
+    boilerplate hash (df > max_df) to reach ``min_shared``. The cap is
+    therefore SF-sensitive in selectivity but never in correctness of
+    what it reports: at 10x-100x the df distribution shifts right and a
+    FIXED max_df excludes more hashes — re-tune max_df against the df
+    histogram (p99 at sf0.1 is 110), or scale it with corpus size."""
     by_hash = fps.select("id", "fp_hash").distinct()
     df_counts = by_hash.groupBy("fp_hash").agg(
         F.count(F.lit(1)).alias("df")

@@ -1,0 +1,114 @@
+"""Property-pin for winnow_overlap_pairs' df-cap recall contract
+(VERDICT r7 task 8).
+
+The precise guarantee: ``shared_fp`` counts EXACTLY the shared hashes
+with document frequency <= max_df. Consequences pinned here, on
+hypothesis-generated corpora with controlled boilerplate density
+(a designated block of hashes shared by MANY documents, plus sparse
+content hashes):
+
+1. the operator's output equals the set-arithmetic reference that
+   drops hashes with df > max_df and then intersects — bit-for-bit;
+2. a pair all of whose shared hashes are sub-cap is NEVER lost and
+   keeps its full shared count (the "true pair below the cap" recall
+   statement);
+3. what the cap CAN lose is exactly the pairs that need a boilerplate
+   hash to reach min_shared — enumerated, not guessed.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_spark = None
+
+
+def _get_spark():
+    global _spark
+    if _spark is None:
+        from gene_level_metadata_pipeline_spark.session import get_spark
+
+        _spark = get_spark("winnow-cap")
+    return _spark
+
+
+# documents: id -> set of fingerprint hashes. Hashes 0..4 are the
+# "boilerplate pool" (high df when many docs draw from it); hashes
+# 100+ are sparse content hashes.
+corpora = st.dictionaries(
+    keys=st.integers(min_value=0, max_value=14),
+    values=st.sets(
+        st.one_of(
+            st.integers(min_value=0, max_value=4),
+            st.integers(min_value=100, max_value=130),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+def _reference(docs: dict, min_shared: int, max_df: int):
+    dfreq: dict = {}
+    for hs in docs.values():
+        for h in hs:
+            dfreq[h] = dfreq.get(h, 0) + 1
+    kept = {
+        i: {h for h in hs if dfreq[h] <= max_df} for i, hs in docs.items()
+    }
+    ids = sorted(docs)
+    out = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            n = len(kept[a] & kept[b])
+            if n >= min_shared:
+                out[(a, b)] = n
+    return dfreq, out
+
+
+@settings(
+    max_examples=12, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(docs=corpora, min_shared=st.integers(1, 3), max_df=st.integers(1, 6))
+def test_cap_recall_contract(docs, min_shared, max_df):
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        winnow_overlap_pairs,
+    )
+
+    spark = _get_spark()
+    fps = spark.createDataFrame(
+        [(i, h, 0) for i, hs in docs.items() for h in hs],
+        "id bigint, fp_hash bigint, fp_pos bigint",
+    )
+    got = {
+        (r["a"], r["b"]): r["shared_fp"]
+        for r in winnow_overlap_pairs(
+            fps, min_shared=min_shared, max_df=max_df
+        ).collect()
+    }
+    dfreq, want = _reference(docs, min_shared, max_df)
+
+    # (1) exact equality with the df-filtered set-arithmetic reference
+    assert got == want
+
+    # (2) recall statement: every pair whose shared hashes are ALL
+    # sub-cap appears with its full (uncapped) shared count
+    ids = sorted(docs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            shared = docs[a] & docs[b]
+            if len(shared) >= min_shared and all(
+                dfreq[h] <= max_df for h in shared
+            ):
+                assert got.get((a, b)) == len(shared), (a, b, shared)
+
+    # (3) anything lost vs the UNCAPPED truth needed a boilerplate hash
+    _, uncapped = _reference(docs, min_shared, max_df=10 ** 9)
+    for pair in set(uncapped) - set(got):
+        a, b = pair
+        shared = docs[a] & docs[b]
+        assert any(dfreq[h] > max_df for h in shared), pair
