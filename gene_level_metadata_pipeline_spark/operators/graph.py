@@ -342,6 +342,64 @@ def _lpa_driver(edges: DataFrame, rounds: int) -> DataFrame | None:
     )
 
 
+def _pagerank_driver(
+    edges: DataFrame,
+    iterations: int,
+    scale: int,
+    damping_pct: int,
+    seeds: DataFrame | None,
+) -> DataFrame | None:
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    rows = [(r[0], r[1]) for r in edges.collect()]
+    if any(u is None or v is None for u, v in rows):
+        return None
+    deg: dict = {}
+    for u, _v in rows:
+        deg[u] = deg.get(u, 0) + 1
+    node_t = edges.schema.fields[0].dataType
+    schema = StructType([
+        StructField("node", node_t, True),
+        StructField("pr", LongType(), True),
+    ])
+    spark = edges.sparkSession
+    n = len(deg)
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    if seeds is None:
+        init = scale // n
+        base = dict.fromkeys(deg, ((100 - damping_pct) * init) // 100)
+        pr = dict.fromkeys(deg, init)
+    else:
+        if seeds.schema.fields[0].dataType != node_t:
+            return None
+        sd = seeds.select(F.col(seeds.columns[0])).distinct()
+        if sd.limit(_DRIVER_EDGE_CAP + 1).count() > _DRIVER_EDGE_CAP:
+            return None
+        svals = {r[0] for r in sd.collect()}
+        if None in svals:
+            return None
+        eff = svals & set(deg)
+        if not eff:
+            raise ValueError(
+                "pagerank: no seed node appears in the graph — a "
+                "personalized walk with an empty effective seed set "
+                "has no reset distribution"
+            )
+        init = scale // len(eff)
+        seed_base = ((100 - damping_pct) * init) // 100
+        base = {u: (seed_base if u in eff else 0) for u in deg}
+        pr = {u: (init if u in eff else 0) for u in deg}
+    for _ in range(iterations):
+        # all values non-negative, so Python // replays `div` exactly
+        contrib = {u: pr[u] // deg[u] for u in deg}
+        s = dict.fromkeys(deg, 0)
+        for u, v in rows:
+            s[v] += contrib[u]
+        pr = {u: base[u] + (damping_pct * s[u]) // 100 for u in deg}
+    return spark.createDataFrame(list(pr.items()), schema)
+
+
 def _truss_driver(e: DataFrame, k: int, rounds: int) -> DataFrame | None:
     from pyspark.sql.types import LongType, StructField, StructType
 
@@ -423,7 +481,11 @@ def pagerank(
     unbounded growth needs truncation. N is materialized once (a count
     action) before the loop.
 
-    Per-round shuffles are SELF-SIZED from the materialized edge count
+    Below the ``_DRIVER_EDGE_CAP`` bounded-collect constant the exact
+    integer recurrence replays in pure Python on the driver (r8 — the
+    generalized small-graph escape; identical bigints, punts back on
+    null ids or seed-type mismatch). Above it, per-round shuffles are
+    SELF-SIZED from the materialized edge count
     (``sizing.sized_shuffle`` — see :func:`connected_components` for the
     measurement). When the sizing actually raised the conf, the FINAL
     round is eager-checkpointed inside the window (the conf is read at
@@ -451,7 +513,12 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    with sized_shuffle(edges.sparkSession, edges.count()) as sz:
+    n_edges = edges.count()
+    if n_edges <= _DRIVER_EDGE_CAP:
+        out = _pagerank_driver(edges, iterations, scale, damping_pct, seeds)
+        if out is not None:
+            return out
+    with sized_shuffle(edges.sparkSession, n_edges) as sz:
         deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
         n = deg.count()
         if n == 0:

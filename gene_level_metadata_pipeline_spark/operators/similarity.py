@@ -1090,39 +1090,52 @@ def reciprocal_best_hits(
     subset of 1-NN matching: a one-direction best hit tolerates hubs
     (one corpus vector claimed by many queries); mutuality kills them.
 
-    Two candidate-generation tiers share one mutual-argmax reduction:
+    Three candidate-generation tiers share one mutual-argmax reduction:
 
     * EXACT (the certified default regime): the panel broadcasts, the
       corpus is scanned ONCE for the cross expansion, and both argmax
       directions reduce from that single scored stream — min_by per
       corpus id and per query id, no corpus self-join, no corpus-wide
       window. Hash-certified against the quadratic DuckDB truth.
+    * BLAS (r8, the large-panel scale path): the SAME full cross
+      scoring, vectorized — the panel matrix broadcasts (bounded by
+      ``_BLAS_PANEL_CAP`` rows, the CC-cap constant-collect
+      discipline) and an Arrow-batched ``mapInPandas`` stage scores
+      each corpus partition as ONE numpy matmul, emitting each corpus
+      row's final best query plus per-batch query-direction partials
+      (rows = partitions × panel, never the cross product). Semantics
+      match the exact tier up to float summation order inside the 4dp
+      rounding — equality is MEASURED per round
+      (certification/rbh_ivf_equality.json), not assumed. This is the
+      answer to "22M expression-folded dot products": dense scoring
+      belongs in BLAS, ~13 µs/dot becomes ~1 ns/dot.
     * IVF (the LSH-style PROBABILISTIC tier, r8): candidates are
       restricted to (query probe-cells ∩ corpus cell) over the learned
       :func:`kmeans_centroids` quantizer — each query scores
       ~probes·N/cells corpus vectors instead of N. Recall < 1 is
-      possible: a true mutual pair whose corpus vector sits outside
-      every probed cell of its query is LOST (measured at the 10x
-      sweep: see certification/rbh_ivf_equality.json). Never the
-      silent default at certified sizes — ``method="auto"`` stays
-      exact until |panel|·|corpus| exceeds ``exact_pair_budget``
-      (counted, two cheap jobs; the CC-cap constant-gate discipline),
-      which no oracle-certified SF reaches.
+      possible and on UNSTRUCTURED (near-random) embeddings recall
+      tracks the scanned fraction (measured curve in
+      certification/rbh_ivf_equality.json — 0.15 at probes=2/43 cells
+      up to 0.97 at 32/43); the tier earns its keep on corpora with
+      real cluster structure. Never a silent default: "auto" prefers
+      BLAS wherever the panel fits the constant cap.
 
-    ``method``: "exact" forces the certified path at any size, "ivf"
-    forces the quantized tier, "auto" (default) gates on the counted
-    pair budget. ``n_cells`` defaults to ~sqrt(|corpus|); ``probes``
-    is the IVF recall lever.
+    ``method``: "exact" forces the certified path at any size, "blas"
+    the vectorized full scoring, "ivf" the quantized tier; "auto"
+    (default) stays exact until |panel|·|corpus| exceeds
+    ``exact_pair_budget`` (counted, two cheap jobs), then takes BLAS
+    up to the panel cap and IVF beyond. ``n_cells`` defaults to
+    ~sqrt(|corpus|); ``probes`` is the IVF recall lever.
 
     Ties break on the smaller candidate id in both directions (after
     4dp rounding of the cosine, the brute_force_topk discipline), so
     each tier is engine-replayable. Returns (query_id, corpus_id,
     cos_sim).
     """
-    if method not in ("auto", "exact", "ivf"):
+    if method not in ("auto", "exact", "blas", "ivf"):
         raise ValueError(
             f"reciprocal_best_hits: method={method!r} must be "
-            "'auto', 'exact' or 'ivf'"
+            "'auto', 'exact', 'blas' or 'ivf'"
         )
     if probes < 1:
         raise ValueError(
@@ -1137,11 +1150,17 @@ def reciprocal_best_hits(
         _as_double(F.col(vec_col)).alias("__cv"),
     ).withColumn("__cn", F.sqrt(_dot(F.col("__cv"), F.col("__cv"))))
     c_rows: int | None = None
+    use_ivf = method == "ivf"
+    use_blas = method == "blas"
     if method == "auto":
         q_rows, c_rows = q.count(), c.count()
-        use_ivf = q_rows * c_rows > exact_pair_budget
-    else:
-        use_ivf = method == "ivf"
+        if q_rows * c_rows > exact_pair_budget:
+            if q_rows <= _BLAS_PANEL_CAP:
+                use_blas = True
+            else:
+                use_ivf = True
+    if use_blas:
+        return _rbh_blas(q, c)
     if use_ivf:
         if n_cells is None:
             if c_rows is None:
@@ -1214,6 +1233,128 @@ def reciprocal_best_hits(
         "corpus_id",
         F.col("b.query_id").alias("query_id"),
         F.col("b.cos_sim").alias("c_best"),
+    )
+    return (
+        best_c.join(best_q, ["query_id", "corpus_id"])
+        .select("query_id", "corpus_id", F.col("q_best").alias("cos_sim"))
+    )
+
+
+# BLAS-tier panel bound: the panel matrix is collected and broadcast
+# (float64), so cap it at a CONSTANT — 200k x 64 dims = ~100 MB, the
+# same bounded-collect discipline as the graph driver escape. Panels
+# beyond this take the IVF tier.
+_BLAS_PANEL_CAP = 200_000
+
+
+def _rbh_blas(q: DataFrame, c: DataFrame) -> DataFrame:
+    """Vectorized full-cross RBH scoring (see reciprocal_best_hits).
+
+    The panel (sorted by query_id so numpy's first-occurrence argmax IS
+    the smaller-id tie-break) broadcasts as one float64 matrix; each
+    Arrow batch of corpus vectors scores against it in a single matmul.
+    Per batch the stage emits (a) each corpus row's FINAL best query —
+    the whole panel is visible in one batch, so the corpus-direction
+    argmax completes map-side — and (b) one query-direction partial
+    (best corpus in batch) per query, reduced by the same min_by fold
+    as the exact tier. Rounding replays Spark's HALF_UP at 4dp
+    (sign * floor(|x|*1e4 + 0.5) / 1e4). Degenerate vectors (NULL,
+    zero norm, NULL element, wrong dim) are excluded — the exact
+    tier's NULL-cosine contract.
+    """
+    rows = q.where(
+        F.col("__qn").isNotNull() & (F.col("__qn") > 0)
+    ).select("query_id", "__qv").collect()
+    panel = sorted(
+        (
+            (r[0], r[1]) for r in rows
+            if r[1] is not None and None not in r[1]
+        ),
+        key=lambda t: t[0],
+    )
+    qt = q.schema["query_id"].dataType.simpleString()
+    ct = c.schema["corpus_id"].dataType.simpleString()
+    spark = q.sparkSession
+    if not panel:
+        return spark.createDataFrame(
+            [], f"query_id {qt}, corpus_id {ct}, cos_sim double"
+        )
+    dim = len(panel[0][1])
+    panel = [(i, v) for i, v in panel if len(v) == dim]
+    import numpy as np
+
+    qids = [t[0] for t in panel]
+    qm = np.array([t[1] for t in panel], dtype=np.float64)
+    qn = np.sqrt((qm * qm).sum(axis=1))
+    bc = spark.sparkContext.broadcast((qids, qm, qn))
+
+    def score(it):
+        import numpy as np
+        import pandas as pd
+
+        qids_, qm_, qn_ = bc.value
+
+        def round4(x):
+            return np.sign(x) * np.floor(np.abs(x) * 1e4 + 0.5) / 1e4
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            keep_ids, keep_vecs = [], []
+            for cid, v in zip(pdf["corpus_id"], pdf["__cv"]):
+                if v is not None and len(v) == dim and None not in list(v):
+                    keep_ids.append(cid)
+                    keep_vecs.append(v)
+            if not keep_ids:
+                continue
+            order = np.argsort(np.array(keep_ids))  # min-cid tie-break
+            cids = [keep_ids[i] for i in order]
+            cm = np.array(
+                [keep_vecs[i] for i in order], dtype=np.float64
+            )
+            cn = np.sqrt((cm * cm).sum(axis=1))
+            ok = cn > 0
+            if not ok.any():
+                continue
+            cids = [cid for cid, o in zip(cids, ok) if o]
+            cm, cn = cm[ok], cn[ok]
+            s = round4((cm @ qm_.T) / np.outer(cn, qn_))
+            # corpus direction: per row argmax; columns sorted by qid
+            # so first occurrence = smaller id on ties
+            bq = s.argmax(axis=1)
+            recs = [
+                (qids_[j], cid, float(s[i, j]), "c")
+                for i, (cid, j) in enumerate(zip(cids, bq))
+            ]
+            # query direction: per column batch-partial best; rows
+            # sorted by cid so first occurrence = smaller id
+            bc_idx = s.argmax(axis=0)
+            recs += [
+                (qid, cids[i], float(s[i, j]), "q")
+                for j, (qid, i) in enumerate(zip(qids_, bc_idx))
+            ]
+            yield pd.DataFrame(
+                recs, columns=["query_id", "corpus_id", "cos_sim", "dir"]
+            )
+
+    scored = c.select("corpus_id", "__cv").mapInPandas(
+        score,
+        schema=(
+            f"query_id {qt}, corpus_id {ct}, cos_sim double, dir string"
+        ),
+    )
+    best_q = scored.where(F.col("dir") == "c").select(
+        "query_id", "corpus_id", F.col("cos_sim").alias("c_best")
+    )
+    best_c = scored.where(F.col("dir") == "q").groupBy("query_id").agg(
+        F.min_by(
+            F.struct(F.col("corpus_id"), F.col("cos_sim")),
+            F.struct((-F.col("cos_sim")).alias("nc"), F.col("corpus_id")),
+        ).alias("b")
+    ).select(
+        "query_id",
+        F.col("b.corpus_id").alias("corpus_id"),
+        F.col("b.cos_sim").alias("q_best"),
     )
     return (
         best_c.join(best_q, ["query_id", "corpus_id"])

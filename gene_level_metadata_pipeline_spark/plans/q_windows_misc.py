@@ -4356,7 +4356,7 @@ def q_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "dbscan_clusters_2d",
     oracle="""
-    WITH RECURSIVE p AS (
+    WITH RECURSIVE p AS MATERIALIZED (
       SELECT vec_id AS pid,
              CAST(round(CAST(embedding[1] AS DOUBLE) * 1e6, 0) AS BIGINT)
                AS xm,
@@ -4365,15 +4365,31 @@ def q_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
       WHERE embedding IS NOT NULL AND len(embedding) >= 2
     ),
-    pairs AS (
+    g AS MATERIALIZED (
+      SELECT pid, xm, ym,
+             CAST(floor(xm / 20000) AS BIGINT) AS cx,
+             CAST(floor(ym / 20000) AS BIGINT) AS cy
+      FROM p
+    ),
+    pairs AS MATERIALIZED (
+      -- grid-restricted truth (r8, the truss AS MATERIALIZED fix's
+      -- sibling): cell side = eps, so |dx|<=eps implies |cx diff|<=1 —
+      -- the 9-cell prefilter is LOSSLESS for the eps predicate that
+      -- still runs below, and it turns the 400M-pair quadratic join at
+      -- 10x into a neighborhood join
       SELECT a.pid AS u, b.pid AS v
-      FROM p a JOIN p b ON a.pid <> b.pid
+      FROM g a JOIN g b
+        ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+       AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+       AND a.pid <> b.pid
        AND (a.xm - b.xm) * (a.xm - b.xm)
            + (a.ym - b.ym) * (a.ym - b.ym) <= 400000000
     ),
-    deg AS (SELECT u AS pid, count(*) AS n FROM pairs GROUP BY 1),
-    core AS (SELECT pid FROM deg WHERE n + 1 >= 4),
-    ce AS (
+    deg AS MATERIALIZED (
+      SELECT u AS pid, count(*) AS n FROM pairs GROUP BY 1
+    ),
+    core AS MATERIALIZED (SELECT pid FROM deg WHERE n + 1 >= 4),
+    ce AS MATERIALIZED (
       SELECT pr.u, pr.v FROM pairs pr
       JOIN core c1 ON pr.u = c1.pid JOIN core c2 ON pr.v = c2.pid
     ),
@@ -4405,10 +4421,15 @@ def q_dbscan_clusters_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-id connected components of the core graph (the certified
     pointer-jumping operator), border -> min core-neighbor cluster
     (the engine-replayable refinement of classic visit-order
-    assignment), rest noise. The oracle recomputes the whole thing
-    QUADRATICALLY with a recursive-CTE closure — the hash match
-    certifies both the 9-cell candidate geometry (cell side = eps sees
-    every true pair) and the component labelling."""
+    assignment), rest noise. The oracle recomputes clustering with a
+    recursive-CTE closure over a GRID-RESTRICTED pair join (r8): the
+    9-cell prefilter is provably lossless for the eps predicate it
+    still applies (cell side = eps), and materialized CTEs keep DuckDB
+    from re-deriving the pair table per consumer — the exact fix that
+    made the truss truth feasible at 10x, here promoting dbscan's 10x
+    row from rows-only to a real PASS. The hash match certifies the
+    candidate geometry independently on both engines plus the
+    component labelling."""
     from gene_level_metadata_pipeline_spark.operators.similarity import (
         dbscan_grid_2d,
     )

@@ -127,6 +127,30 @@ def test_cc_escape_equivalence(frames):
     assert dr == vr and ds == vs
 
 
+def test_pagerank_escape_equivalence(frames):
+    edf, _ = frames
+    (dr, ds), (vr, vs) = _both_paths(
+        lambda: graph.pagerank(edf, iterations=3)
+    )
+    assert dr == vr and ds == vs
+
+
+def test_pagerank_personalized_escape_equivalence(frames):
+    edf, seeds = frames
+    (dr, ds), (vr, vs) = _both_paths(
+        lambda: graph.pagerank(edf, iterations=3, seeds=seeds)
+    )
+    assert dr == vr and ds == vs
+
+
+def test_pagerank_driver_empty_seed_set_raises():
+    spark = _get_spark()
+    edf = spark.createDataFrame([(1, 2)], "u bigint, v bigint")
+    seeds = spark.createDataFrame([(99,)], "node bigint")
+    with pytest.raises(ValueError, match="seed"):
+        graph.pagerank(edf, seeds=seeds)
+
+
 def test_sssp_driver_punts_on_null_weight():
     """A null weight flips the twin back to the distributed path (None
     punt) rather than silently diverging from SQL null-min semantics."""

@@ -23,6 +23,8 @@ ARROW_PYTHON_OK = {
     "audio_wav_decode",
     # r7 sitting 2: same discipline for the stdlib BMP raster decoder
     "image_bmp_decode",
+    # r8: stdlib zlib PNG decoder (chunk CRCs + scanline un-filtering)
+    "image_png_decode",
 }
 # Python DATA SOURCES are intentional executor-side Python (ingestion,
 # not relational compute) — allowed, asserted positively

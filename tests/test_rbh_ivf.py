@@ -70,16 +70,45 @@ def test_ivf_tier_matches_exact_on_separated_clusters():
 
 
 def test_auto_gate_flips_on_pair_budget():
-    """auto with a 1-pair budget must take the IVF tier (same result on
-    the separated clusters), and the default budget the exact tier."""
+    """auto with a 1-pair budget must leave the exact tier — the panel
+    is under the BLAS cap, so it lands on BLAS, whose result must
+    match exact here — and the default budget stays exact."""
     spark = _get_spark()
     qs, cs = _clustered(spark)
     exact = _pairs(qs, cs, method="exact")
     assert _pairs(qs, cs, method="auto") == exact  # << default budget
-    assert (
-        _pairs(qs, cs, method="auto", exact_pair_budget=1, n_cells=6)
-        == exact
+    assert _pairs(qs, cs, method="auto", exact_pair_budget=1) == exact
+
+
+def test_blas_tier_matches_exact():
+    """The BLAS tier is the same full cross scoring vectorized — on
+    both fixtures it must reproduce the exact tier bit-for-bit
+    (identical pairs AND identical 4dp cosines)."""
+    spark = _get_spark()
+    qs, cs = _clustered(spark)
+    assert _pairs(qs, cs, method="blas") == _pairs(qs, cs, method="exact")
+    rows = [
+        (i, [math.sin(0.7 * i * (d + 1)) for d in range(8)])
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q2 = df.where(F.col("vec_id") % 5 == 0)
+    c2 = df.where(F.col("vec_id") % 5 != 0)
+    assert _pairs(q2, c2, method="blas") == _pairs(q2, c2, method="exact")
+
+
+def test_blas_tier_degenerate_vectors():
+    """Zero-norm and null-element vectors are excluded on both sides,
+    matching the exact tier's NULL-cosine contract."""
+    spark = _get_spark()
+    schema = "vec_id bigint, embedding array<double>"
+    qs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, None)], schema
     )
+    cs = spark.createDataFrame(
+        [(10, [2.0, 0.1]), (11, [0.0, 0.0]), (12, [None, 1.0])], schema
+    )
+    assert _pairs(qs, cs, method="blas") == _pairs(qs, cs, method="exact")
 
 
 def test_ivf_recall_measured_on_mixed_vectors():

@@ -77,10 +77,38 @@ def main() -> int:
         print(f"no .log files in {logdir}")
         return 1
 
+    # stamp what this sweep certifies (VERDICT r7 task 1): the git HEAD
+    # the legs ran at and the registry size, so the evidence can never
+    # silently lag the registry again
+    import subprocess
+
+    try:
+        git_sha = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd=REPO,
+        ).stdout.strip() or None
+    except Exception:  # noqa: BLE001
+        git_sha = None
+    try:
+        sys.path.insert(0, REPO)
+        import __spark_entry__ as entrymod
+
+        n_registered = len(entrymod.queries())
+        n_oracled = len(entrymod.oracle_sql())
+    except Exception:  # noqa: BLE001
+        n_registered = n_oracled = None
+
     summary = {
         "logdir": logdir,
+        "git_sha": git_sha,
+        "n_registered": n_registered,
+        "n_oracled": n_oracled,
         "surfaces": surfaces,
         "all_green": all(s["fail"] == 0 for s in surfaces.values()),
+        "counts_match_registry": all(
+            s["pass"] + s["rows_only"] == n_registered
+            for s in surfaces.values()
+        ) if n_registered else None,
     }
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     with open(out_path, "w") as f:
