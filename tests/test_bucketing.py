@@ -9,6 +9,8 @@ on either side.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -39,9 +41,18 @@ def test_bucketed_join_is_shuffle_free(bucketed_spark):
         (F.col("id") % 10_000).alias("l_orderkey"),
         (F.col("id") % 7).alias("l_qty"),
     )
+    import shutil
+
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
     for name, df, key in [("t_orders", orders, "o_orderkey"),
                           ("t_lines", lines, "l_orderkey")]:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # a killed previous run can leave the LOCATION without a catalog
+        # entry — DROP TABLE is then a no-op and saveAsTable fails with
+        # LOCATION_ALREADY_EXISTS; clear the orphan directory too
+        shutil.rmtree(os.path.join(warehouse, name), ignore_errors=True)
         (df.write.mode("overwrite").bucketBy(8, key).sortBy(key)
          .format("parquet").saveAsTable(name))
 
