@@ -4353,10 +4353,43 @@ def q_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Bounded UNROLLED min-label closure for the DBSCAN oracle (r8): the
+# r7 recursive-CTE closure materialized |component|^2 (pid, root) rows
+# — 392M at 10x, where the dense eps-graph is ONE ~19.8k-core component
+# — so the truth, not the engine, was quadratic. Replaced by
+# _DBSCAN_CC_ROUNDS unrolled rounds of (neighbor-min + pointer-jump):
+# per round one edge-sized join + two node-sized joins, label-tree
+# depth at least halves per round, so 2^rounds covers any diameter
+# this grid graph can have (<= ~100 cells across). UNDER-convergence
+# cannot pass silently: labels would differ from Spark's converged
+# fixpoint and the hash gate goes RED.
+_DBSCAN_CC_ROUNDS = 16
+
+
+def _dbscan_cc_unrolled(rounds: int = _DBSCAN_CC_ROUNDS) -> str:
+    ctes = ["lab0 AS MATERIALIZED (SELECT pid, pid AS l FROM core)"]
+    for r in range(1, rounds + 1):
+        ctes.append(f"""s{r} AS MATERIALIZED (
+      SELECT l.pid, least(l.l, coalesce(m.ml, l.l)) AS l
+      FROM lab{r - 1} l LEFT JOIN (
+        SELECT ce.u AS pid, min(l2.l) AS ml
+        FROM ce JOIN lab{r - 1} l2 ON ce.v = l2.pid GROUP BY ce.u
+      ) m ON l.pid = m.pid
+    )""")
+        ctes.append(f"""lab{r} AS MATERIALIZED (
+      SELECT s.pid, least(s.l, coalesce(p.l, s.l)) AS l
+      FROM s{r} s LEFT JOIN s{r} p ON s.l = p.pid
+    )""")
+    ctes.append(
+        f"lab AS MATERIALIZED (SELECT pid, l AS cluster FROM lab{rounds})"
+    )
+    return ",\n    ".join(ctes)
+
+
 @_register(
     "dbscan_clusters_2d",
     oracle="""
-    WITH RECURSIVE p AS MATERIALIZED (
+    WITH p AS MATERIALIZED (
       SELECT vec_id AS pid,
              CAST(round(CAST(embedding[1] AS DOUBLE) * 1e6, 0) AS BIGINT)
                AS xm,
@@ -4393,12 +4426,7 @@ def q_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT pr.u, pr.v FROM pairs pr
       JOIN core c1 ON pr.u = c1.pid JOIN core c2 ON pr.v = c2.pid
     ),
-    reach AS (
-      SELECT pid, pid AS r FROM core
-      UNION
-      SELECT ce.v AS pid, reach.r FROM reach JOIN ce ON ce.u = reach.pid
-    ),
-    lab AS (SELECT pid, min(r) AS cluster FROM reach GROUP BY pid),
+    __CC_UNROLLED__,
     border AS (
       SELECT pr.u AS pid, min(lab.cluster) AS cluster
       FROM pairs pr JOIN lab ON pr.v = lab.pid
@@ -4412,7 +4440,7 @@ def q_ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT pid, 'noise', CAST(NULL AS BIGINT) FROM p
     WHERE pid NOT IN (SELECT pid FROM lab)
       AND pid NOT IN (SELECT pid FROM border)
-    """,
+    """.replace("__CC_UNROLLED__", _dbscan_cc_unrolled()),
 )
 def q_dbscan_clusters_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-blocked deterministic DBSCAN (similarity.dbscan_grid_2d)
@@ -4421,15 +4449,16 @@ def q_dbscan_clusters_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-id connected components of the core graph (the certified
     pointer-jumping operator), border -> min core-neighbor cluster
     (the engine-replayable refinement of classic visit-order
-    assignment), rest noise. The oracle recomputes clustering with a
-    recursive-CTE closure over a GRID-RESTRICTED pair join (r8): the
-    9-cell prefilter is provably lossless for the eps predicate it
-    still applies (cell side = eps), and materialized CTEs keep DuckDB
-    from re-deriving the pair table per consumer — the exact fix that
-    made the truss truth feasible at 10x, here promoting dbscan's 10x
-    row from rows-only to a real PASS. The hash match certifies the
-    candidate geometry independently on both engines plus the
-    component labelling."""
+    assignment), rest noise. The oracle (r8) recomputes clustering over
+    a GRID-RESTRICTED pair join — the 9-cell prefilter is provably
+    lossless for the eps predicate it still applies (cell side = eps) —
+    and labels components with a BOUNDED UNROLLED min-label +
+    pointer-jumping closure (_dbscan_cc_unrolled): the r7 recursive
+    closure materialized |component|^2 reach rows (392M at 10x, where
+    nearly every point is core in one dense component); the unrolled
+    form is O(rounds x edges), and under-convergence cannot pass
+    silently (the hash gate goes red). Together these promote dbscan's
+    10x row from rows-only to a real PASS."""
     from gene_level_metadata_pipeline_spark.operators.similarity import (
         dbscan_grid_2d,
     )

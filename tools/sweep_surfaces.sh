@@ -19,7 +19,9 @@ run() {
   echo "=== $name rc=$rc $(date +%H:%M:%S): $(tr '\r' '\n' < "$LOG/$name.log" | grep -cE '^PASS') pass, $(tr '\r' '\n' < "$LOG/$name.log" | grep -cE '^ok\?') rows-only, $(tr '\r' '\n' < "$LOG/$name.log" | grep -cE '^FAIL') fail, $(tail -1 "$LOG/$name.log")"
 }
 run tuned_sf001    env CHECK_SF_DIR=/root/testdata/sf0.001 python tools/check_oracle.py
-run tuned_sf01     python tools/check_oracle.py
+# the tuned sf0.01 leg doubles as the committed full-registry
+# correctness artifact in the driver's row shape (VERDICT r7 task 7)
+run tuned_sf01     python tools/check_oracle.py --json certification/oracle_full_r08.json
 run vanilla_sf01   python tools/check_oracle.py --vanilla
 run tuned_sf1      env CHECK_SF_DIR=/root/testdata/sf0.1 python tools/check_oracle.py
 run vanilla_sf1    env CHECK_SF_DIR=/root/testdata/sf0.1 python tools/check_oracle.py --vanilla
