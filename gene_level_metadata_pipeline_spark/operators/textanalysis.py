@@ -392,6 +392,7 @@ def winnow_overlap_pairs(
     fps: DataFrame,
     min_shared: int = 3,
     max_df: int = 50,
+    max_df_frac_e6: int | None = None,
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` DISTINCT winnowed
     fingerprint hashes — the MOSS match report over
@@ -416,14 +417,31 @@ def winnow_overlap_pairs(
     boilerplate hash (df > max_df) to reach ``min_shared``. The cap is
     therefore SF-sensitive in selectivity but never in correctness of
     what it reports: at 10x-100x the df distribution shifts right and a
-    FIXED max_df excludes more hashes — re-tune max_df against the df
-    histogram (p99 at sf0.1 is 110), or scale it with corpus size."""
+    FIXED max_df excludes more hashes — measured at the r8 10x sweep,
+    where the fixed cap's pair yield went to ZERO (every shared hash's
+    df decupled past 50, both engines agreeing). ``max_df_frac_e6`` is
+    the scale-proportional alternative (r8): the effective cap becomes
+    ``max(max_df, n_docs * frac // 1e6)`` with n_docs counted from the
+    input — boilerplate df is extensive in corpus size, so a FRACTION
+    is the 100 TB-stable policy while the absolute floor keeps small
+    corpora from capping at 0. Exact integer arithmetic (one count +
+    one floor multiply), so any engine replays the effective cap."""
     by_hash = fps.select("id", "fp_hash").distinct()
+    eff_max_df = max_df
+    if max_df_frac_e6 is not None:
+        if max_df_frac_e6 <= 0:
+            raise ValueError(
+                f"winnow_overlap_pairs: max_df_frac_e6={max_df_frac_e6} "
+                "must be > 0"
+            )
+        n_docs = by_hash.select("id").distinct().count()
+        eff_max_df = max(max_df, n_docs * max_df_frac_e6 // 10 ** 6)
     df_counts = by_hash.groupBy("fp_hash").agg(
         F.count(F.lit(1)).alias("df")
     )
     kept = by_hash.join(
-        df_counts.where(F.col("df") <= max_df).select("fp_hash"), "fp_hash"
+        df_counts.where(F.col("df") <= eff_max_df).select("fp_hash"),
+        "fp_hash",
     )
     return (
         kept.alias("x")

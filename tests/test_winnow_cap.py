@@ -112,3 +112,40 @@ def test_cap_recall_contract(docs, min_shared, max_df):
         a, b = pair
         shared = docs[a] & docs[b]
         assert any(dfreq[h] > max_df for h in shared), pair
+
+
+def test_fractional_cap_scales_with_corpus():
+    """max_df_frac_e6 (r8): the effective cap is
+    max(max_df, n_docs * frac // 1e6) — on a corpus where every doc
+    shares one hash, an absolute cap of 1 excludes it but a 100%
+    fraction keeps it; and the floor keeps tiny corpora from capping
+    everything away."""
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        winnow_overlap_pairs,
+    )
+
+    import pytest
+
+    spark = _get_spark()
+    n = 8
+    fps = spark.createDataFrame(
+        [(i, 777, 0) for i in range(n)]
+        + [(0, 1, 0), (1, 1, 0), (0, 2, 0), (1, 2, 0), (0, 3, 0),
+           (1, 3, 0)],
+        "id bigint, fp_hash bigint, fp_pos bigint",
+    )
+    # absolute cap 1: hash 777 (df=8) AND hashes 1-3 (df=2) excluded
+    assert winnow_overlap_pairs(fps, min_shared=3, max_df=1).count() == 0
+    # 100% fractional cap: effective cap = max(1, 8) = 8 — everything
+    # kept; docs 0 and 1 share {1,2,3,777} = 4 >= 3
+    got = winnow_overlap_pairs(
+        fps, min_shared=3, max_df=1, max_df_frac_e6=10 ** 6
+    ).collect()
+    assert [(r["a"], r["b"], r["shared_fp"]) for r in got] == [(0, 1, 4)]
+    # 25% fraction of 8 docs = cap 2: hash 777 excluded, 1-3 kept
+    got = winnow_overlap_pairs(
+        fps, min_shared=3, max_df=1, max_df_frac_e6=250_000
+    ).collect()
+    assert [(r["a"], r["b"], r["shared_fp"]) for r in got] == [(0, 1, 3)]
+    with pytest.raises(ValueError, match="max_df_frac_e6"):
+        winnow_overlap_pairs(fps, max_df_frac_e6=0)
