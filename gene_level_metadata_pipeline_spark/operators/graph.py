@@ -206,10 +206,20 @@ def _bfs_driver(
     node_t = edges.schema.fields[1].dataType  # discovered nodes are "ev"
     if sources.schema.fields[0].dataType != node_t:
         return None
-    seeds_df = sources.select(F.col(seed_col).alias("node")).distinct()
-    if seeds_df.limit(_DRIVER_EDGE_CAP + 1).count() > _DRIVER_EDGE_CAP:
+    # ONE job materializes the seed frame: the seed expression is often
+    # a subquery over the same base tables as the edges (e.g. "min part
+    # id of the co-occurrence graph") and is NOT checkpointed — a
+    # separate count() + collect() would execute it twice, which the
+    # r8 A/B measured as a 2x regression on graph_bfs_hops
+    seed_rows = (
+        sources.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .limit(_DRIVER_EDGE_CAP + 1)
+        .collect()
+    )
+    if len(seed_rows) > _DRIVER_EDGE_CAP:
         return None
-    seeds = [r[0] for r in seeds_df.collect()]
+    seeds = [r[0] for r in seed_rows]
     rows = edges.collect()
     if None in seeds or any(r[0] is None or r[1] is None for r in rows):
         return None
@@ -248,10 +258,15 @@ def _sssp_driver(
     node_t = edges.schema.fields[1].dataType
     if sources.schema.fields[0].dataType != node_t:
         return None
-    seeds_df = sources.select(F.col(seed_col).alias("node")).distinct()
-    if seeds_df.limit(_DRIVER_EDGE_CAP + 1).count() > _DRIVER_EDGE_CAP:
+    seed_rows = (  # one job, not count+collect (see _bfs_driver)
+        sources.select(F.col(seed_col).alias("node"))
+        .distinct()
+        .limit(_DRIVER_EDGE_CAP + 1)
+        .collect()
+    )
+    if len(seed_rows) > _DRIVER_EDGE_CAP:
         return None
-    seeds = [r[0] for r in seeds_df.collect()]
+    seeds = [r[0] for r in seed_rows]
     rows = edges.collect()
     if None in seeds or any(
         r[0] is None or r[1] is None or r[2] is None for r in rows
@@ -373,10 +388,15 @@ def _pagerank_driver(
     else:
         if seeds.schema.fields[0].dataType != node_t:
             return None
-        sd = seeds.select(F.col(seeds.columns[0])).distinct()
-        if sd.limit(_DRIVER_EDGE_CAP + 1).count() > _DRIVER_EDGE_CAP:
+        sd_rows = (  # one job, not count+collect (see _bfs_driver)
+            seeds.select(F.col(seeds.columns[0]))
+            .distinct()
+            .limit(_DRIVER_EDGE_CAP + 1)
+            .collect()
+        )
+        if len(sd_rows) > _DRIVER_EDGE_CAP:
             return None
-        svals = {r[0] for r in sd.collect()}
+        svals = {r[0] for r in sd_rows}
         if None in svals:
             return None
         eff = svals & set(deg)
