@@ -445,7 +445,10 @@ def _truss_driver(e: DataFrame, k: int, rounds: int) -> DataFrame | None:
     schema = StructType([
         StructField("u", node_t, True),
         StructField("v", node_t, True),
-        StructField("support", LongType(), True),
+        # the distributed path emits coalesce(sup, 0) — NON-nullable;
+        # the twin must match nullability too (ADVICE r8: the
+        # equivalence tests now compare schema.json(), which sees it)
+        StructField("support", LongType(), False),
     ])
     return e.sparkSession.createDataFrame(
         [(u, v, s) for (u, v), s in final.items()], schema

@@ -1188,7 +1188,9 @@ def reciprocal_best_hits(
                     4,
                 ),
             )
-            .where(F.col("cos_sim").isNotNull())
+            .where(
+                F.col("cos_sim").isNotNull() & ~F.isnan(F.col("cos_sim"))
+            )
             .select("query_id", "corpus_id", "cos_sim")
         )
     else:
@@ -1204,9 +1206,19 @@ def reciprocal_best_hits(
                     4,
                 ),
             )
-            .where(F.col("cos_sim").isNotNull())
+            .where(
+                F.col("cos_sim").isNotNull() & ~F.isnan(F.col("cos_sim"))
+            )
             .select("query_id", "corpus_id", "cos_sim")
         )
+    # NaN cosines (a NaN vector element survives the NULL/zero-norm
+    # guards) are EXCLUDED above, same as NULL — under min_by keyed on
+    # (-cos, id) a NaN key sorts greatest and would silently always
+    # LOSE the argmax, the opposite of _score_cells' deliberate
+    # NaN-is-greatest max_by ordering (ADVICE r8). RBH treats a NaN
+    # score as "no valid similarity", matching the degenerate-vector
+    # contract of the BLAS tier (which drops non-finite rows) rather
+    # than inheriting either engine's accidental NaN argmax winner.
     # argmax by (cos desc, id asc) == min_by keyed on the struct
     # (-cos, id) — one hash aggregate per direction, no windows. Only
     # the COSINE is negated (always double), so the id column can be
@@ -1262,13 +1274,39 @@ def _rbh_blas(q: DataFrame, c: DataFrame) -> DataFrame:
     zero norm, NULL element, wrong dim) are excluded — the exact
     tier's NULL-cosine contract.
     """
-    rows = q.where(
-        F.col("__qn").isNotNull() & (F.col("__qn") > 0)
-    ).select("query_id", "__qv").collect()
+    import math
+
+    # The panel collect is bounded by the CONSTANT, not the data: an
+    # explicit method='blas' call must obey the same cap the 'auto'
+    # gate applies, or the bounded-collect invariant above
+    # _BLAS_PANEL_CAP is a lie (ADVICE r8) — probe with limit(cap+1)
+    # and fail loud instead of pulling an arbitrary panel to the
+    # driver. Callers with a bigger panel want the IVF tier (and its
+    # committed recall curve), explicitly.
+    rows = (
+        q.where(F.col("__qn").isNotNull() & (F.col("__qn") > 0))
+        .select("query_id", "__qv")
+        .limit(_BLAS_PANEL_CAP + 1)
+        .collect()
+    )
+    if len(rows) > _BLAS_PANEL_CAP:
+        raise ValueError(
+            f"reciprocal_best_hits: BLAS panel exceeds the bounded-"
+            f"collect cap ({_BLAS_PANEL_CAP} rows); use method='ivf' "
+            "(recall curve in certification/rbh_ivf_equality.json) or "
+            "shrink the query panel"
+        )
     panel = sorted(
         (
             (r[0], r[1]) for r in rows
-            if r[1] is not None and None not in r[1]
+            if r[1] is not None
+            and None not in r[1]
+            # NaN/inf elements give a NaN/inf norm: Spark's NaN sorts
+            # greatest so `__qn > 0` above cannot exclude it — a NaN
+            # panel column would poison every matmul row and WIN the
+            # numpy argmax. Non-finite rows are degenerate, same
+            # contract as NULL (ADVICE r8 NaN consistency).
+            and math.isfinite(math.fsum(x * x for x in r[1]))
         ),
         key=lambda t: t[0],
     )
@@ -1313,7 +1351,11 @@ def _rbh_blas(q: DataFrame, c: DataFrame) -> DataFrame:
                 [keep_vecs[i] for i in order], dtype=np.float64
             )
             cn = np.sqrt((cm * cm).sum(axis=1))
-            ok = cn > 0
+            # finite-and-positive, not just positive: NaN/inf norms
+            # (non-finite elements) would put NaN into the score
+            # matrix, and numpy's argmax lets NaN win — the exact
+            # tier excludes such rows, so this tier must too
+            ok = np.isfinite(cn) & (cn > 0)
             if not ok.any():
                 continue
             cids = [cid for cid, o in zip(cids, ok) if o]

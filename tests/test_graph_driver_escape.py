@@ -63,12 +63,15 @@ def _both_paths(fn):
         graph._DRIVER_EDGE_CAP = 0
         distributed = fn()
         dist_rows = sorted(map(tuple, distributed.collect()))
-        dist_schema = distributed.schema.simpleString()
+        # schema.json() includes NULLABILITY, which simpleString()
+        # omits — a twin declaring hop/core_deg non-nullable would
+        # slip past the simpleString compare (ADVICE r8)
+        dist_schema = distributed.schema.json()
     finally:
         graph._DRIVER_EDGE_CAP = real_cap
     driver = fn()
     drv_rows = sorted(map(tuple, driver.collect()))
-    drv_schema = driver.schema.simpleString()
+    drv_schema = driver.schema.json()
     return (dist_rows, dist_schema), (drv_rows, drv_schema)
 
 

@@ -270,9 +270,13 @@ def main() -> int:
             ).stdout.strip()
         except Exception:  # noqa: BLE001
             sha = None
+        # a rows-only entry counts as a pass only when it actually
+        # produced rows — otherwise the artifact would overstate
+        # passes relative to the console's zero-rows WARNING (ADVICE r8)
         n_pass = sum(
             1 for v in report.values()
-            if v.get("hash_match") or v.get("rows_only")
+            if v.get("hash_match")
+            or (v.get("rows_only") and v.get("rows_match"))
         )
         out = {"_meta": {
             "git_sha": sha, "n_registered": len(qs), "n_checked": len(report),

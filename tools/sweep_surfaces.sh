@@ -4,7 +4,12 @@
 # cache per (SQL, data) so the vanilla legs re-run only the Spark side.
 # Usage: bash tools/sweep_surfaces.sh [logdir]
 set -u
-LOG=${1:-/tmp/sweep_r7}
+LOG=${1:-/tmp/sweep_r9}
+# Round tag for the committed full-registry artifact: default to the
+# short git sha so a re-run can never silently overwrite an artifact
+# whose FILENAME claims a different round (ADVICE r8); set SWEEP_ROUND
+# (e.g. r09) when producing the round-stamped committed name.
+ROUND=${SWEEP_ROUND:-$(git -C /root/repo rev-parse --short HEAD)}
 mkdir -p "$LOG"
 cd /root/repo
 run() {
@@ -21,7 +26,7 @@ run() {
 run tuned_sf001    env CHECK_SF_DIR=/root/testdata/sf0.001 python tools/check_oracle.py
 # the tuned sf0.01 leg doubles as the committed full-registry
 # correctness artifact in the driver's row shape (VERDICT r7 task 7)
-run tuned_sf01     python tools/check_oracle.py --json certification/oracle_full_r08.json
+run tuned_sf01     python tools/check_oracle.py --json "certification/oracle_full_${ROUND}.json"
 run vanilla_sf01   python tools/check_oracle.py --vanilla
 run tuned_sf1      env CHECK_SF_DIR=/root/testdata/sf0.1 python tools/check_oracle.py
 run vanilla_sf1    env CHECK_SF_DIR=/root/testdata/sf0.1 python tools/check_oracle.py --vanilla
