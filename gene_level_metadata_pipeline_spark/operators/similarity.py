@@ -1081,7 +1081,7 @@ def reciprocal_best_hits(
     method: str = "auto",
     exact_pair_budget: int = 10_000_000,
     n_cells: int | None = None,
-    probes: int = 2,
+    probes: int | None = None,
 ) -> DataFrame:
     """Reciprocal best hits (RBH): pairs (q, c) where c is q's single
     nearest corpus vector AND q is c's single nearest query vector —
@@ -1124,8 +1124,16 @@ def reciprocal_best_hits(
     the vectorized full scoring, "ivf" the quantized tier; "auto"
     (default) stays exact until |panel|·|corpus| exceeds
     ``exact_pair_budget`` (counted, two cheap jobs), then takes BLAS
-    up to the panel cap and IVF beyond. ``n_cells`` defaults to
-    ~sqrt(|corpus|); ``probes`` is the IVF recall lever.
+    up to the panel cap — and beyond the cap it RAISES instead of
+    silently degrading to the probabilistic tier (VERDICT r8: on
+    unstructured embeddings IVF at the old probes=2 default returned
+    15% of the true pairs; the measured probes→recall curve is
+    committed in certification/rbh_ivf_equality.json). Recall < 1 is
+    an explicit ``method="ivf"`` decision, never an auto fallback.
+    ``n_cells`` defaults to ~sqrt(|corpus|); ``probes`` is the IVF
+    recall lever and defaults to 32, the measured recall>=0.9 point
+    on the committed curve (0.97 at 32/43 cells vs 0.15 at 2/43) —
+    callers trading recall for speed lower it consciously.
 
     Ties break on the smaller candidate id in both directions (after
     4dp rounding of the cosine, the brute_force_topk discipline), so
@@ -1137,7 +1145,7 @@ def reciprocal_best_hits(
             f"reciprocal_best_hits: method={method!r} must be "
             "'auto', 'exact', 'blas' or 'ivf'"
         )
-    if probes < 1:
+    if probes is not None and probes < 1:
         raise ValueError(
             f"reciprocal_best_hits: probes={probes} must be >= 1"
         )
@@ -1158,10 +1166,26 @@ def reciprocal_best_hits(
             if q_rows <= _BLAS_PANEL_CAP:
                 use_blas = True
             else:
-                use_ivf = True
+                # never silently degrade to a recall<1 tier: on
+                # unstructured embeddings IVF recall tracks the
+                # scanned fraction (committed curve: 0.15 at the old
+                # probes=2 default), so 'auto' landing there returned
+                # 15% of true pairs with only a docstring warning
+                # (VERDICT r8). The probabilistic tier is an explicit
+                # caller decision.
+                raise ValueError(
+                    "reciprocal_best_hits: panel exceeds the BLAS "
+                    f"cap ({_BLAS_PANEL_CAP} rows) and the exact pair "
+                    "budget — pass method='ivf' explicitly to accept "
+                    "probabilistic recall (probes->recall curve in "
+                    "certification/rbh_ivf_equality.json) or shrink "
+                    "the panel"
+                )
     if use_blas:
         return _rbh_blas(q, c)
     if use_ivf:
+        if probes is None:
+            probes = 32  # measured recall>=0.9 point on the curve
         if n_cells is None:
             if c_rows is None:
                 c_rows = c.count()

@@ -146,3 +146,39 @@ def test_rbh_validates_method_and_probes():
         reciprocal_best_hits(qs, cs, method="annoy")
     with pytest.raises(ValueError, match="probes"):
         reciprocal_best_hits(qs, cs, method="ivf", probes=0)
+
+
+def test_auto_beyond_blas_cap_raises_not_degrades(monkeypatch):
+    """VERDICT r8 item 4: 'auto' must never silently land on the
+    probabilistic IVF tier (measured recall 0.15 at the old probes=2
+    default on unstructured embeddings) — beyond the BLAS panel cap it
+    raises, citing the committed curve, and the probabilistic tier is
+    an explicit method='ivf' decision."""
+    from gene_level_metadata_pipeline_spark.operators import similarity
+
+    spark = _get_spark()
+    qs, cs = _clustered(spark)
+    monkeypatch.setattr(similarity, "_BLAS_PANEL_CAP", 2)
+    with pytest.raises(ValueError, match="method='ivf'"):
+        similarity.reciprocal_best_hits(
+            qs, cs, method="auto", exact_pair_budget=1
+        )
+    # explicit opt-in still works under the shrunken cap
+    out = similarity.reciprocal_best_hits(
+        qs, cs, method="ivf", n_cells=6, probes=6
+    )
+    assert out.count() > 0
+
+
+def test_ivf_default_probes_is_recall_honest():
+    """probes=None (the default) resolves to 32 — the measured
+    recall>=0.9 point on the committed curve — so an explicit IVF call
+    without a probes choice gets the recall-honest setting, not the
+    old 2."""
+    spark = _get_spark()
+    qs, cs = _clustered(spark)
+    exact = _pairs(qs, cs, method="exact")
+    # 6 cells, default probes (32 > 6 means every cell is probed):
+    # full recall on this fixture by construction
+    ivf = _pairs(qs, cs, method="ivf", n_cells=6)
+    assert ivf == exact
