@@ -140,6 +140,76 @@ REPS = 3
 CONTROL = "ann_brute_force_topk"
 CONTROL_REPS = 3
 
+# Family buckets for the round-over-round regression verdict: default
+# is the name's first token; the overrides merge spiritual families the
+# prefix rule would split (VERDICT r8 item 8 — the ambient-floor
+# adjudication used to be manual prose in PLANS.md every round).
+_FAMILY_OVERRIDES = {
+    "pagerank": "graph", "dbscan": "graph",
+    "near": "dedup", "substring": "dedup", "winnow": "dedup",
+    "rbh": "ann", "encode": "text", "inverted": "text",
+    "kneser": "text", "lm": "text", "bpe": "text", "feature": "text",
+    "corpus": "selection", "token": "selection", "mixture": "selection",
+    "zorder": "selection", "classifier": "selection",
+    "curation": "pipeline", "training": "pipeline", "web": "pipeline",
+    "golden": "pipeline", "validate": "pipeline",
+    "spine": "harmonize", "melt": "reshape",
+    "cdc": "ivm", "ivm": "ivm",
+    "rolling": "windows", "funnel": "windows", "event": "windows",
+    "gaps": "windows", "attribution": "windows", "window": "windows",
+    "sessionize": "windows", "interval": "windows", "asof": "windows",
+    "hierarchical": "windows", "abc": "windows", "basket": "windows",
+    "correlation": "windows", "decorate": "windows",
+    "ab": "stats", "fdr": "stats", "isotonic": "stats",
+}
+
+
+def _family(name: str) -> str:
+    head = name.split("_", 1)[0]
+    return _FAMILY_OVERRIDES.get(head, head)
+
+
+def _family_regression(
+    times: dict[str, float], control_sec: float, prev_path: str
+) -> dict:
+    """Round-over-round per-family verdict, CONTROL-DEFLATED: for every
+    family, ratio = (sum of this run's per-query mins over the queries
+    SHARED with the previous committed bench_detail.json) / (previous
+    sum), divided by the control ratio (this control_sec / previous) so
+    a host-floor shift deflates out instead of reading as a code
+    regression — the adjudication rule PLANS.md has applied manually
+    since r6, now machine-emitted with the run itself."""
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f)
+        prev_times = prev["queries"]
+        prev_control = float(prev["control_sec"])
+    except Exception:  # noqa: BLE001 — first run / missing / corrupt
+        return {"available": False, "reason": "no previous bench_detail"}
+    deflator = (control_sec / prev_control) if prev_control > 0 else 1.0
+    fams: dict[str, list] = {}
+    for name, sec in times.items():
+        if name not in prev_times:
+            continue  # new query this round: no previous to compare
+        fams.setdefault(_family(name), [0.0, 0.0])
+        fams[_family(name)][0] += sec
+        fams[_family(name)][1] += prev_times[name]
+    ratios = {
+        fam: round((now / before) / deflator, 3)
+        for fam, (now, before) in sorted(fams.items())
+        if before > 0
+    }
+    regressed = sorted(f for f, r in ratios.items() if r > 1.25)
+    return {
+        "available": True,
+        "control_deflator": round(deflator, 3),
+        "ratio_vs_prev_deflated": ratios,
+        "regressed_families": regressed,
+        "n_shared_queries": sum(
+            1 for n in times if n in prev_times
+        ),
+    }
+
 
 def _loadavg_1m() -> float:
     try:
@@ -228,6 +298,11 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
     )
+    # the previous committed detail is the comparison baseline — read
+    # it BEFORE overwriting (VERDICT r8 item 8)
+    detail["family_regression"] = _family_regression(
+        times, detail["control_sec"], detail_path
+    )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     with open(detail_path, "rb") as f:
@@ -236,8 +311,14 @@ def main() -> None:
     STDOUT_BUDGET = 1400  # bytes; driver tail capture is ~1.5-2 KB
     compact = {
         k: v for k, v in detail.items()
-        if k not in ("queries", "queries_median")
+        if k not in ("queries", "queries_median", "family_regression")
     }
+    # the stdout line carries only the VERDICT of the family comparison
+    # (regressed list + deflator); the full per-family ratio table lives
+    # in bench_detail.json, bound by the sha below
+    freg = detail["family_regression"]
+    compact["regressed_families"] = freg.get("regressed_families", [])
+    compact["control_deflator"] = freg.get("control_deflator")
     compact["n_queries"] = len(times)
     compact["detail_sha256"] = detail_sha
     compact["queries"] = {}
