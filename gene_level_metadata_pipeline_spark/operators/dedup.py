@@ -467,6 +467,7 @@ def minhash_candidate_pairs(
     bands: int = 4,
     max_bucket_size: int | None = 1000,
     observation=None,
+    oversize: str = "drop",
 ) -> DataFrame:
     """LSH banding over MinHash signatures → candidate near-dup pairs.
 
@@ -494,6 +495,26 @@ def minhash_candidate_pairs(
     ``bands-1`` band buckets unless those are boilerplate-saturated too.
     ``max_bucket_size=None`` disables the cap and the window (the exact
     pre-cap plan).
+
+    ``oversize`` chooses what happens to buckets ABOVE the cap
+    (VERDICT r8 item 7 — the fixed-cap-at-scale audit): ``"drop"``
+    (default, the historical behavior) discards them entirely;
+    ``"star"`` emits each oversized bucket as a STAR instead — every
+    member paired with the bucket's MINIMUM doc id — which is O(|bucket|)
+    rows (one window ``min`` reusing the cap window's exchange, never
+    the collect_set buffer), deterministic, and keeps the whole bucket
+    CONNECTED for downstream component-finding. The audit's finding:
+    bucket occupancy for template/boilerplate content is EXTENSIVE in
+    corpus size, so at 10-100x a fixed cap starts dropping true
+    near-dup clusters (the winnow_overlap_pairs yield-to-zero cliff,
+    measured in the r8 10x sweep) — but a PROPORTIONAL bucket cap is
+    the wrong fix here because pair volume is quadratic in the cap
+    (frac·n docs → (frac·n)² pairs from one bucket kills an executor at
+    exactly the scale the cap exists for). Star mode is the
+    scale-stable policy: linear pair volume at any corpus size, every
+    member still reachable from the hub, the recall trade (member-pairs
+    within an oversized bucket are only connected THROUGH the hub, not
+    directly) explicit and engine-replayable.
 
     Pass a ``pyspark.sql.Observation`` as ``observation`` to count what
     the cap dropped: after any action on the result, ``observation.get``
@@ -539,6 +560,12 @@ def minhash_candidate_pairs(
             "minhash_candidate_pairs: observation requires max_bucket_size "
             "(no cap means no metrics; Observation.get would never return)"
         )
+    if oversize not in ("drop", "star"):
+        raise ValueError(
+            f"minhash_candidate_pairs: oversize={oversize!r} must be "
+            "'drop' or 'star'"
+        )
+    star_pairs = None
     if max_bucket_size is not None:
         if max_bucket_size < 2:
             raise ValueError(
@@ -559,6 +586,19 @@ def minhash_candidate_pairs(
                 F.coalesce(F.max("__bsz"), F.lit(0)).alias(
                     "lsh_capped_max_bucket"
                 ),
+            )
+        if oversize == "star":
+            # oversized buckets become hub stars: member ⟷ min(id) —
+            # the second window shares the first's (band, band_hash)
+            # exchange, and pair volume is |bucket|, never |bucket|²
+            star_pairs = (
+                buckets.where(F.col("__bsz") > max_bucket_size)
+                .withColumn("__hub", F.min(id_col).over(w))
+                .where(F.col(id_col) != F.col("__hub"))
+                .select(
+                    F.col("__hub").alias("doc_a"),
+                    F.col(id_col).alias("doc_b"),
+                )
             )
         buckets = buckets.where(
             F.col("__bsz").between(2, max_bucket_size)
@@ -581,7 +621,10 @@ def minhash_candidate_pairs(
             )
         ).alias("p")
     )
-    return pairs.select("p.doc_a", "p.doc_b").dropDuplicates()
+    out = pairs.select("p.doc_a", "p.doc_b")
+    if star_pairs is not None:
+        out = out.unionByName(star_pairs)
+    return out.dropDuplicates()
 
 
 def warn_capped_buckets(observation) -> int:
@@ -617,6 +660,7 @@ def near_dup_pairs(
     confirm: str | None = "jaccard",
     max_bucket_size: int | None = 1000,
     observation=None,
+    oversize: str = "drop",
 ) -> DataFrame:
     """Scale-safe near-duplicate pairs: MinHash-LSH candidate generation,
     exact n-gram Jaccard CONFIRM restricted to the candidates — the
@@ -645,6 +689,7 @@ def near_dup_pairs(
     cands = minhash_candidate_pairs(
         df, text_col, id_col, n, num_hashes, bands,
         max_bucket_size=max_bucket_size, observation=observation,
+        oversize=oversize,
     )
     if confirm is None:
         return cands

@@ -320,6 +320,91 @@ def q_dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _star_minhash_oracle(num_hashes: int = 8, bands: int = 4,
+                         cap: int = 10) -> str:
+    """SQL twin of oversize='star' (VERDICT r8 item 7): sub-cap buckets
+    pair all-pairs as before; buckets ABOVE the cap emit hub stars —
+    every member paired with the bucket's min doc_id — so the 30-doc
+    boilerplate buckets contribute 29 connected pairs instead of either
+    435 quadratic ones (uncapped) or zero (drop mode's cliff)."""
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT CAST(-x AS BIGINT), '{_BOILER}'
+      FROM generate_series(1, 30) AS g(x)
+    ),
+    words AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i:i+2], ' ') AS shingle
+      FROM words, (SELECT unnest(generate_series(1, len(ws)-2)) AS i)
+      WHERE len(ws) >= 3
+    ),
+    {_band_ctes(num_hashes, bands)},
+    bsz AS (
+      SELECT band, band_hash, count(*) AS n
+      FROM bands GROUP BY band, band_hash
+    ),
+    keep AS (
+      SELECT b.doc_id, b.band, b.band_hash
+      FROM bands b JOIN bsz USING (band, band_hash)
+      WHERE bsz.n BETWEEN 2 AND {cap}
+    ),
+    over_rows AS (
+      SELECT b.doc_id, b.band, b.band_hash
+      FROM bands b JOIN bsz USING (band, band_hash)
+      WHERE bsz.n > {cap}
+    ),
+    hubs AS (
+      SELECT band, band_hash, min(doc_id) AS hub
+      FROM over_rows GROUP BY band, band_hash
+    ),
+    star AS (
+      SELECT h.hub AS doc_a, o.doc_id AS doc_b
+      FROM over_rows o JOIN hubs h USING (band, band_hash)
+      WHERE o.doc_id <> h.hub
+    ),
+    allp AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM keep a JOIN keep b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+           AND a.doc_id < b.doc_id
+      UNION ALL
+      SELECT doc_a, doc_b FROM star
+    )
+    SELECT DISTINCT doc_a, doc_b FROM allp
+    """
+
+
+@_register("dedup_minhash_lsh_star", oracle=_star_minhash_oracle())
+def q_dedup_minhash_lsh_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """oversize='star' runaway-bucket policy, oracle-certified
+    (VERDICT r8 item 7 — the proportional-caps audit): the same 30
+    injected boilerplate docs whose band buckets the 'drop' default
+    discards entirely now contribute hub stars (member ⟷ min doc id,
+    29 pairs per 30-doc bucket), so the cluster stays CONNECTED for
+    component-finding at O(|bucket|) pair cost. This is the
+    scale-stable answer to the fixed-cap cliff the r8 10x sweep
+    measured on winnow's df cap: occupancy of boilerplate buckets is
+    extensive in corpus size, a proportional bucket cap would be
+    quadratic in pair volume, and star keeps recall-to-the-hub at any
+    scale with LINEAR volume. Sub-cap buckets pair exactly as in
+    dedup_minhash_lsh_capped (both engines replay all three regimes)."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").unionAll(
+        spark.createDataFrame(
+            [(-x, _BOILER) for x in range(1, 31)], "doc_id bigint, text string"
+        )
+    )
+    return minhash_candidate_pairs(
+        docs, "text", "doc_id", n=3, num_hashes=8, bands=4,
+        max_bucket_size=10, oversize="star",
+    )
+
+
 def _near_dup_oracle(num_hashes: int = 8, bands: int = 4) -> str:
     """LSH candidates ∩ exact Jaccard — the shared band CTEs plus the
     jaccard oracle's truth arithmetic, restricted to candidate pairs
