@@ -2,14 +2,16 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; decode / feature-extraction / resize / frame-sampling run
-as Arrow-batched ``mapInPandas`` stages. THREE real codec paths: WAV/PCM
+as Arrow-batched ``mapInPandas`` stages. FOUR real codec paths: WAV/PCM
 audio decodes with the pure-stdlib ``wave`` + ``array`` modules
 (:func:`decode_audio`), uncompressed 24-bit BMP images parse with
-pure-stdlib ``struct`` (:func:`decode_image` ``codec='bmp'``), and 8-bit
+pure-stdlib ``struct`` (:func:`decode_image` ``codec='bmp'``), 8-bit
 grayscale/RGB PNG decodes with pure-stdlib ``zlib`` — full chunk-CRC
-verification + all five scanline filters (``codec='png'``, r8). The
-remaining media libraries (PIL for JPEG, ffmpeg) are NOT in this
-container, so JPEG decode and video frame
+verification + all five scanline filters (``codec='png'``, r8) — and
+baseline sequential JPEG decodes with a pure-stdlib Huffman + IDCT
+implementation (``codec='jpeg'``, r9; the PIL gate is GONE). The one
+remaining media library (ffmpeg) is NOT in this container, so
+compressed audio and video frame
 sampling stay stubbed behind ``NotImplementedError`` — but everything
 Spark-side is real and tested: schema, partition-preserving batch
 iteration, UDF signatures, and the deterministic fake extractor that
@@ -101,9 +103,22 @@ def decode_image(
     exact integer luma pixels ``(299·R + 587·G + 114·B) // 1000`` in
     row-major TOP-DOWN order (bottom-up storage un-flipped; negative
     biHeight top-down files honored). Malformed headers / unsupported
-    bpp / compression fail LOUD. ``codec='pil'`` is the general-format
-    path, gated behind an import-try (PIL is not in this container →
-    clearly-marked NotImplementedError). ``codec='fake'`` is the
+    bpp / compression fail LOUD. ``codec='png'`` (r8) inflates with
+    stdlib zlib, verifies every chunk CRC, and reconstructs all five
+    scanline filters. ``codec='jpeg'`` (r9, VERDICT r8 item 5 — the
+    gate PIL used to hold) is a pure-stdlib BASELINE SEQUENTIAL
+    decoder: full marker walk (DQT multi-table, DHT canonical-code
+    reconstruction from BITS/HUFFVAL, SOF0, DRI), entropy decode with
+    FF00 un-stuffing and RSTn restart handling (DC predictors reset,
+    byte-aligned), per-block DC-prediction + AC run/size symbols
+    (EOB/ZRL), zigzag dequantization, and an exact float 2-D IDCT with
+    deterministic round-half-away-from-zero and [0,255] clamp. 1- and
+    3-component (no chroma subsampling: 1x1 only) images decode; the
+    pixel contract is the LUMA plane — for 3-component JPEGs that is
+    the Y channel directly, the same BT.601 luma the bmp/png codecs
+    compute from RGB. Progressive (SOF2), arithmetic coding, 16-bit
+    quant tables and subsampled chroma fail LOUD — a silent wrong
+    decode would poison a training corpus. ``codec='fake'`` is the
     deterministic stand-in that exercises the identical Spark-side
     plumbing — schema, batch iteration, payload-in / fixed-width-out
     shape: a 2×2 "image" whose pixels are the first 4 payload bytes
@@ -255,36 +270,306 @@ def decode_image(
                 ])
 
         return df.mapInPandas(batches, schema=DECODE_SCHEMA)
-    if codec == "pil":
-        try:
-            from PIL import Image  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "JPEG decode requires PIL/libjpeg (not in this "
-                "container); 24-bit BMP decodes for real via codec='bmp' "
-                "and 8-bit grayscale/RGB PNG via codec='png' (pure-stdlib "
-                "zlib); use codec='fake' for the plumbing-certified "
-                "stand-in"
-            ) from e
-
+    if codec == "jpeg":
         def batches(it: Iterator) -> Iterator:
-            import io
+            import math
+            import struct
 
             import pandas as pd
-            from PIL import Image
+
+            # zigzag index -> (row, col) of the 8x8 block, ITU T.81 fig 5
+            zz = [
+                (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3),
+                (1, 2), (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3),
+                (0, 4), (0, 5), (1, 4), (2, 3), (3, 2), (4, 1), (5, 0),
+                (6, 0), (5, 1), (4, 2), (3, 3), (2, 4), (1, 5), (0, 6),
+                (0, 7), (1, 6), (2, 5), (3, 4), (4, 3), (5, 2), (6, 1),
+                (7, 0), (7, 1), (6, 2), (5, 3), (4, 4), (3, 5), (2, 6),
+                (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3), (7, 2),
+                (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+                (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6),
+                (7, 7),
+            ]
+            cos_t = [
+                [math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)]
+                for u in range(8)
+            ]
+            cc = [1 / math.sqrt(2)] + [1.0] * 7
+
+            def build_huff(bits, vals):
+                # canonical code assignment, T.81 Annex C
+                table, code, k = {}, 0, 0
+                for ln in range(1, 17):
+                    for _ in range(bits[ln - 1]):
+                        table[(ln, code)] = vals[k]
+                        code += 1
+                        k += 1
+                    code <<= 1
+                return table
+
+            class Bits:
+                """Entropy-segment bit reader: un-stuffs FF00, stops
+                loudly on any real marker mid-symbol."""
+
+                def __init__(self, b, pos):
+                    self.b, self.pos, self.cur, self.n = b, pos, 0, 0
+
+                def bit(self):
+                    if self.n == 0:
+                        if self.pos >= len(self.b):
+                            raise ValueError(
+                                "decode_image[jpeg]: truncated scan"
+                            )
+                        byte = self.b[self.pos]
+                        self.pos += 1
+                        if byte == 0xFF:
+                            nxt = self.b[self.pos]
+                            self.pos += 1
+                            if nxt != 0x00:
+                                raise ValueError(
+                                    "decode_image[jpeg]: marker "
+                                    f"{nxt:#04x} inside entropy data"
+                                )
+                        self.cur, self.n = byte, 8
+                    self.n -= 1
+                    return (self.cur >> self.n) & 1
+
+                def bits(self, n):
+                    v = 0
+                    for _ in range(n):
+                        v = (v << 1) | self.bit()
+                    return v
+
+                def align_restart(self, idx):
+                    # byte-align and consume the expected RSTn marker
+                    self.n = 0
+                    if (
+                        self.pos + 1 >= len(self.b)
+                        or self.b[self.pos] != 0xFF
+                        or self.b[self.pos + 1] != 0xD0 + (idx % 8)
+                    ):
+                        raise ValueError(
+                            "decode_image[jpeg]: missing RST"
+                            f"{idx % 8} at restart interval"
+                        )
+                    self.pos += 2
+
+                def huff(self, table):
+                    code, ln = 0, 0
+                    while ln < 16:
+                        code = (code << 1) | self.bit()
+                        ln += 1
+                        if (ln, code) in table:
+                            return table[(ln, code)]
+                    raise ValueError(
+                        "decode_image[jpeg]: invalid Huffman code"
+                    )
+
+            def extend(v, s):
+                return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+            def decode_block(r, dct, act, q, pred):
+                s = r.huff(dct)
+                diff = extend(r.bits(s), s) if s else 0
+                dc = pred + diff
+                coef = [0] * 64
+                coef[0] = dc * q[0]
+                k = 1
+                while k < 64:
+                    rs = r.huff(act)
+                    run, size = rs >> 4, rs & 15
+                    if rs == 0x00:
+                        break  # EOB
+                    if rs == 0xF0:
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k > 63 or size == 0:
+                        raise ValueError(
+                            "decode_image[jpeg]: AC run past block end"
+                        )
+                    coef[k] = extend(r.bits(size), size) * q[k]
+                    k += 1
+                blk = [[0] * 8 for _ in range(8)]
+                for i, (row, col) in enumerate(zz):
+                    blk[row][col] = coef[i]
+                out = [[0] * 8 for _ in range(8)]
+                for y in range(8):
+                    for x in range(8):
+                        s2 = 0.0
+                        for v in range(8):
+                            cv = cc[v] * cos_t[v][y]
+                            for u in range(8):
+                                if blk[v][u]:
+                                    s2 += (
+                                        cc[u] * cv * blk[v][u]
+                                        * cos_t[u][x]
+                                    )
+                        t = s2 / 4.0 + 128.0
+                        # deterministic round-half-away-from-zero, the
+                        # BLAS round4 discipline; then clamp to [0,255]
+                        p = (
+                            math.floor(t + 0.5) if t >= 0
+                            else -math.floor(-t + 0.5)
+                        )
+                        out[y][x] = min(255, max(0, int(p)))
+                return out, dc
+
+            def parse(raw) -> tuple[int, int, str, list[int]]:
+                b = bytes(raw)
+                if b[:2] != b"\xff\xd8":
+                    raise ValueError(
+                        "decode_image[jpeg]: not a JPEG payload"
+                    )
+                pos = 2
+                qt: dict = {}
+                hdc: dict = {}
+                hac: dict = {}
+                sof = None
+                dri = 0
+                scan = None
+                while pos + 4 <= len(b):
+                    if b[pos] != 0xFF:
+                        raise ValueError(
+                            "decode_image[jpeg]: expected marker, got "
+                            f"{b[pos]:#04x}"
+                        )
+                    m = b[pos + 1]
+                    pos += 2
+                    if m in (0x01,) or 0xD0 <= m <= 0xD7:
+                        continue  # standalone markers
+                    (ln,) = struct.unpack_from(">H", b, pos)
+                    if pos + ln > len(b):
+                        raise ValueError(
+                            "decode_image[jpeg]: truncated segment "
+                            f"for marker {m:#04x}"
+                        )
+                    seg = b[pos + 2:pos + ln]
+                    if m == 0xDB:  # DQT
+                        i = 0
+                        while i < len(seg):
+                            pq, tq = seg[i] >> 4, seg[i] & 15
+                            if pq != 0:
+                                raise ValueError(
+                                    "decode_image[jpeg]: 16-bit quant "
+                                    "tables unsupported"
+                                )
+                            qt[tq] = list(seg[i + 1:i + 65])
+                            i += 65
+                    elif m == 0xC4:  # DHT
+                        i = 0
+                        while i < len(seg):
+                            tc, th = seg[i] >> 4, seg[i] & 15
+                            bits = list(seg[i + 1:i + 17])
+                            n = sum(bits)
+                            vals = list(seg[i + 17:i + 17 + n])
+                            (hdc if tc == 0 else hac)[th] = build_huff(
+                                bits, vals
+                            )
+                            i += 17 + n
+                    elif m == 0xC0:  # SOF0 baseline sequential
+                        prec = seg[0]
+                        h, w = struct.unpack_from(">HH", seg, 1)
+                        nc = seg[5]
+                        comps = []
+                        for ci in range(nc):
+                            cid = seg[6 + 3 * ci]
+                            hv = seg[7 + 3 * ci]
+                            tqi = seg[8 + 3 * ci]
+                            if hv != 0x11:
+                                raise ValueError(
+                                    "decode_image[jpeg]: chroma "
+                                    "subsampling unsupported "
+                                    f"(H/V={hv:#04x}); 1x1 only"
+                                )
+                            comps.append((cid, tqi))
+                        if prec != 8 or nc not in (1, 3):
+                            raise ValueError(
+                                "decode_image[jpeg]: only 8-bit "
+                                "1- or 3-component baseline supported"
+                            )
+                        sof = (w, h, comps)
+                    elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                               0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                        raise ValueError(
+                            "decode_image[jpeg]: only baseline "
+                            f"sequential (SOF0) supported, got SOF "
+                            f"marker {m:#04x}"
+                        )
+                    elif m == 0xDD:  # DRI
+                        (dri,) = struct.unpack(">H", seg)
+                    elif m == 0xDA:  # SOS
+                        ns = seg[0]
+                        if len(seg) < 1 + 2 * ns + 3:
+                            raise ValueError(
+                                "decode_image[jpeg]: truncated SOS"
+                            )
+                        scan = [
+                            (seg[1 + 2 * i], seg[2 + 2 * i] >> 4,
+                             seg[2 + 2 * i] & 15)
+                            for i in range(ns)
+                        ]
+                        pos += ln
+                        break
+                    pos += ln
+                if sof is None or scan is None:
+                    raise ValueError(
+                        "decode_image[jpeg]: missing SOF0/SOS"
+                    )
+                w, h, comps = sof
+                if len(scan) != len(comps):
+                    raise ValueError(
+                        "decode_image[jpeg]: partial scans unsupported"
+                    )
+                tq_of = dict(comps)
+                for cid, td, ta in scan:
+                    if (
+                        cid not in tq_of or tq_of[cid] not in qt
+                        or td not in hdc or ta not in hac
+                    ):
+                        raise ValueError(
+                            "decode_image[jpeg]: scan references an "
+                            "undefined component/quant/Huffman table"
+                        )
+                r = Bits(b, pos)
+                mx, my = (w + 7) // 8, (h + 7) // 8
+                preds = {cid: 0 for cid, _, _ in scan}
+                # luma plane only: Y IS the BT.601 luma the bmp/png
+                # codecs compute from RGB, so the output contract is
+                # shared across all three image codecs
+                plane = [[0] * (mx * 8) for _ in range(my * 8)]
+                n_mcu = 0
+                for by in range(my):
+                    for bx in range(mx):
+                        if dri and n_mcu and n_mcu % dri == 0:
+                            r.align_restart(n_mcu // dri - 1)
+                            preds = {c: 0 for c in preds}
+                        for idx, (cid, td, ta) in enumerate(scan):
+                            blk, preds[cid] = decode_block(
+                                r, hdc[td], hac[ta], qt[tq_of[cid]],
+                                preds[cid],
+                            )
+                            if idx == 0:  # Y component
+                                for y in range(8):
+                                    row = plane[by * 8 + y]
+                                    for x in range(8):
+                                        row[bx * 8 + x] = blk[y][x]
+                        n_mcu += 1
+                px = [plane[y][x] for y in range(h) for x in range(w)]
+                mode = "jpeg-gray8" if len(comps) == 1 else "jpeg-ycc8"
+                return w, h, mode, px
 
             for pdf in it:
-                ims = [Image.open(io.BytesIO(b)) for b in pdf[payload_col]]
-                yield pd.DataFrame({
-                    "doc_id": pdf["doc_id"],
-                    "width": [i.width for i in ims],
-                    "height": [i.height for i in ims],
-                    "mode": [i.mode for i in ims],
-                    "pixels": [
-                        [int(p) for p in i.convert("L").getdata()] for i in ims
-                    ],
-                })
-    elif codec == "fake":
+                recs = []
+                for doc_id, raw in zip(pdf["doc_id"], pdf[payload_col]):
+                    w, hh, mode, px = parse(raw)
+                    recs.append((doc_id, w, hh, mode, px))
+                yield pd.DataFrame(recs, columns=[
+                    "doc_id", "width", "height", "mode", "pixels",
+                ])
+
+        return df.mapInPandas(batches, schema=DECODE_SCHEMA)
+    if codec == "fake":
         def batches(it: Iterator) -> Iterator:
             import pandas as pd
 
@@ -328,9 +613,9 @@ def decode_audio(
     int16 samples (interleaved channel order). All exact integers.
     Malformed payloads fail LOUD (wave.Error propagates) — silent
     nulls would hide corpus corruption. Compressed codecs (mp3/ogg/
-    flac) still need ffmpeg and stay gated; with this the
-    NotImplementedError surface narrows to image decode (PIL) and
-    video frame sampling (ffmpeg).
+    flac) still need ffmpeg and stay gated; with the r9 JPEG decoder
+    the NotImplementedError surface is ffmpeg-only (compressed audio +
+    video frame sampling).
 
     Scale shape: identical to every featurizer here — payload bytes in,
     fixed-width features out, payload dropped so downstream shuffles

@@ -4222,6 +4222,97 @@ def q_image_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Constant JPEG scaffolding for an 8x16 (h x w) 8-bit grayscale
+# baseline image, two horizontal MCUs: SOI; DQT (table 0, all 16s —
+# q[0]=16 makes the DC-only IDCT exact: pixel = 128 + 2*DC); SOF0
+# (precision 8, h=8, w=16, 1 component, 1x1 sampling, quant 0); DHT DC
+# (CUSTOM canonical table: 2 codes of length 2, HUFFVAL [1, 4], so
+# category 4 = '01' and category 1 = '00' — the decoder must rebuild
+# canonical codes from BITS/HUFFVAL, nothing is hardcodable); DHT AC
+# (1 code of length 2: EOB = '00'); SOS. The entropy segment is TWO
+# varying bytes (see the query), then EOI.
+_JPEG_HDR_HEX = (
+    "ffd8"
+    "ffdb" "0043" "00" + "10" * 64 +
+    "ffc0" "000b" "08" "0008" "0010" "01" "01" "11" "00" +
+    "ffc4" "0015" "00" "0002" + "00" * 14 + "0104" +
+    "ffc4" "0014" "10" "0001" + "00" * 14 + "00" +
+    "ffda" "0008" "01" "01" "00" "00" "3f" "00"
+)
+
+
+@_register(
+    "image_jpeg_decode",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id,
+             doc_id % 8 + 8 AS v1,
+             (doc_id // 8) % 2 AS b
+      FROM documents
+    )
+    SELECT doc_id, 16 AS width, 8 AS height, 'jpeg-gray8' AS mode,
+           CAST(128 AS INTEGER) AS n_px,
+           CAST(3872 * (128 + 2 * v1)
+                + 4384 * (128 + 2 * (v1 + 2 * b - 1))
+                AS BIGINT) AS px_checksum
+    FROM v
+    """,
+)
+def q_image_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOURTH real codec certification (multimodal.decode_image
+    codec='jpeg', r9 — VERDICT r8 item 5, the gate PIL used to hold):
+    a VALID baseline-sequential JPEG is built per row in pure Catalyst
+    — constant DQT/SOF0/DHT/SOS scaffolding plus a TWO-BYTE varying
+    entropy segment. Block 1 encodes DC diff v1 = doc_id%8 + 8
+    (category 4 under the custom canonical DC table: code '01' + 4
+    value bits + EOB '00' = exactly one byte, 0x60 + 4*(doc_id%8));
+    block 2 encodes DC diff ±1 (category 1: '00' + sign bit + EOB +
+    '111' padding = 0x07 + 0x20*b). The decoder must walk the markers,
+    rebuild BOTH canonical Huffman tables from their DHT BITS/HUFFVAL,
+    decode two blocks with DC PREDICTION across them (DC2 = v1 ± 1),
+    dequantize (q00=16 → IDCT exactly 2·DC), level-shift, and place
+    the blocks at the right MCU columns — the position-weighted
+    checksum (3872·left + 4384·right) breaks on any swap. The oracle
+    never sees a byte: it predicts both flat block values
+    arithmetically. All-AC, ZRL, restart-marker, stuffing, and
+    3-component paths are certified by tests/test_jpeg_decode.py
+    against an independent-IDCT encoder the decoder has never seen."""
+    from gene_level_metadata_pipeline_spark.operators.multimodal import (
+        decode_image,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+
+    def _bhex(v):
+        return F.lpad(F.lower(F.conv(v.cast("bigint"), 10, 16)), 2, "0")
+
+    byte1 = F.lit(0x60) + F.lit(4) * F.pmod(d, F.lit(8))
+    byte2 = F.lit(0x07) + F.lit(0x20) * F.pmod(
+        F.floor(d / F.lit(8)).cast("bigint"), F.lit(2)
+    )
+    payload = F.concat(
+        F.unhex(F.lit(_JPEG_HDR_HEX)),
+        F.unhex(F.concat(_bhex(byte1), _bhex(byte2))),
+        F.unhex(F.lit("ffd9")),
+    )
+    jpg = docs.select("doc_id", payload.alias("payload"))
+    dec = decode_image(jpg, payload_col="payload", codec="jpeg")
+    return dec.select(
+        "doc_id", "width", "height", "mode",
+        F.size("pixels").alias("n_px"),
+        F.aggregate(
+            F.zip_with(
+                F.col("pixels"),
+                F.sequence(F.lit(1), F.lit(128)),
+                lambda s, i: s.cast("bigint") * i.cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("px_checksum"),
+    )
+
+
 @_register(
     "repeated_substring_spans",
     oracle="""

@@ -330,19 +330,18 @@ def test_decode_image_fake_codec_plumbing(spark):
     assert (out[1].width, out[1].height, out[1].mode) == (2, 2, "L")
 
 
-def test_decode_image_pil_gated(spark):
+def test_decode_image_pil_gate_deleted(spark):
+    """r9: JPEG decodes for real (codec='jpeg', pure stdlib), so the
+    PIL-gated codec is GONE — 'pil' is an unknown codec, not a
+    NotImplementedError gate."""
     import pytest as _pytest
 
     from gene_level_metadata_pipeline_spark.operators import multimodal as mm
 
     docs = spark.createDataFrame([(1, "abc")], ["doc_id", "text"])
     binary = mm.attach_binary_payload(docs, "text", "doc_id")
-    try:
-        import PIL  # noqa: F401
-        _pytest.skip("PIL present; gate not exercisable")
-    except ImportError:
-        with _pytest.raises(NotImplementedError):
-            mm.decode_image(binary, codec="pil")
+    with _pytest.raises(ValueError, match="unknown codec"):
+        mm.decode_image(binary, codec="pil")
 
 
 def test_resize_image_nearest_neighbor(spark):
@@ -1592,8 +1591,9 @@ def test_decode_audio_rejects_non_pcm16_and_garbage(spark):
 
 
 def test_decode_audio_compressed_still_gated(spark):
-    """The NotImplementedError surface is now image (PIL) + video and
-    compressed audio (ffmpeg) ONLY — WAV decodes for real."""
+    """The NotImplementedError surface is ffmpeg-only as of r9 (video
+    frame sampling + compressed audio) — WAV, BMP, PNG and baseline
+    JPEG all decode for real."""
     import pytest
 
     from gene_level_metadata_pipeline_spark.operators import multimodal as mm
