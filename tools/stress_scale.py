@@ -22,7 +22,9 @@ import time
 sys.path.insert(0, "/root/repo")
 
 SF = "/root/testdata/sf0.1"
-STRESS = "/tmp/spark_graft_stress_sf1"
+# STRESS_DIR override lets the 100x sweep build its replica beside the
+# 10x one instead of clobbering it (VERDICT r8 item 6)
+STRESS = os.environ.get("STRESS_DIR", "/tmp/spark_graft_stress_sf1")
 # STRESS_REPLICAS / STRESS_QUERIES env overrides let one-off runs probe a
 # different scale point (e.g. 30x on the two hashing-bound flagships)
 # without editing the committed 10x default.
