@@ -9,10 +9,12 @@ pure-stdlib ``struct`` (:func:`decode_image` ``codec='bmp'``), 8-bit
 grayscale/RGB PNG decodes with pure-stdlib ``zlib`` — full chunk-CRC
 verification + all five scanline filters (``codec='png'``, r8) — and
 baseline sequential JPEG decodes with a pure-stdlib Huffman + IDCT
-implementation (``codec='jpeg'``, r9; the PIL gate is GONE). The one
-remaining media library (ffmpeg) is NOT in this container, so
-compressed audio and video frame
-sampling stay stubbed behind ``NotImplementedError`` — but everything
+implementation (``codec='jpeg'``, r9; the PIL gate is GONE) — which
+also powers a REAL video path: Motion-JPEG in RIFF/AVI containers
+(:func:`sample_frames` ``codec='mjpeg-avi'``, r9). The one remaining
+media library (ffmpeg) is NOT in this container, so compressed audio
+and inter-frame video codecs
+stay stubbed behind ``NotImplementedError`` — but everything
 Spark-side is real and tested: schema, partition-preserving batch
 iteration, UDF signatures, and the deterministic fake extractor that
 stands in for a real one.
@@ -89,6 +91,304 @@ def extract_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 DECODE_SCHEMA = (
     "doc_id long, width int, height int, mode string, pixels array<int>"
 )
+
+
+# ---- baseline-sequential JPEG core (pure stdlib) ----------------------
+# Shared by decode_image(codec='jpeg') and sample_frames
+# (codec='mjpeg-avi'): module-level so both Arrow stages reference one
+# implementation by name. See decode_image's docstring for the decode
+# contract (LUMA plane, deterministic rounding, fail-loud surface).
+
+
+def _jpeg_decode(raw) -> tuple[int, int, str, list[int]]:
+    import math
+    import struct
+
+
+    # zigzag index -> (row, col) of the 8x8 block, ITU T.81 fig 5
+    zz = [
+        (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3),
+        (1, 2), (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3),
+        (0, 4), (0, 5), (1, 4), (2, 3), (3, 2), (4, 1), (5, 0),
+        (6, 0), (5, 1), (4, 2), (3, 3), (2, 4), (1, 5), (0, 6),
+        (0, 7), (1, 6), (2, 5), (3, 4), (4, 3), (5, 2), (6, 1),
+        (7, 0), (7, 1), (6, 2), (5, 3), (4, 4), (3, 5), (2, 6),
+        (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3), (7, 2),
+        (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
+        (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6),
+        (7, 7),
+    ]
+    cos_t = [
+        [math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)]
+        for u in range(8)
+    ]
+    cc = [1 / math.sqrt(2)] + [1.0] * 7
+
+    def build_huff(bits, vals):
+        # canonical code assignment, T.81 Annex C
+        table, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                table[(ln, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+        return table
+
+    class Bits:
+        """Entropy-segment bit reader: un-stuffs FF00, stops
+        loudly on any real marker mid-symbol."""
+
+        def __init__(self, b, pos):
+            self.b, self.pos, self.cur, self.n = b, pos, 0, 0
+
+        def bit(self):
+            if self.n == 0:
+                if self.pos >= len(self.b):
+                    raise ValueError(
+                        "decode_image[jpeg]: truncated scan"
+                    )
+                byte = self.b[self.pos]
+                self.pos += 1
+                if byte == 0xFF:
+                    nxt = self.b[self.pos]
+                    self.pos += 1
+                    if nxt != 0x00:
+                        raise ValueError(
+                            "decode_image[jpeg]: marker "
+                            f"{nxt:#04x} inside entropy data"
+                        )
+                self.cur, self.n = byte, 8
+            self.n -= 1
+            return (self.cur >> self.n) & 1
+
+        def bits(self, n):
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | self.bit()
+            return v
+
+        def align_restart(self, idx):
+            # byte-align and consume the expected RSTn marker
+            self.n = 0
+            if (
+                self.pos + 1 >= len(self.b)
+                or self.b[self.pos] != 0xFF
+                or self.b[self.pos + 1] != 0xD0 + (idx % 8)
+            ):
+                raise ValueError(
+                    "decode_image[jpeg]: missing RST"
+                    f"{idx % 8} at restart interval"
+                )
+            self.pos += 2
+
+        def huff(self, table):
+            code, ln = 0, 0
+            while ln < 16:
+                code = (code << 1) | self.bit()
+                ln += 1
+                if (ln, code) in table:
+                    return table[(ln, code)]
+            raise ValueError(
+                "decode_image[jpeg]: invalid Huffman code"
+            )
+
+    def extend(v, s):
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    def decode_block(r, dct, act, q, pred):
+        s = r.huff(dct)
+        diff = extend(r.bits(s), s) if s else 0
+        dc = pred + diff
+        coef = [0] * 64
+        coef[0] = dc * q[0]
+        k = 1
+        while k < 64:
+            rs = r.huff(act)
+            run, size = rs >> 4, rs & 15
+            if rs == 0x00:
+                break  # EOB
+            if rs == 0xF0:
+                k += 16  # ZRL
+                continue
+            k += run
+            if k > 63 or size == 0:
+                raise ValueError(
+                    "decode_image[jpeg]: AC run past block end"
+                )
+            coef[k] = extend(r.bits(size), size) * q[k]
+            k += 1
+        blk = [[0] * 8 for _ in range(8)]
+        for i, (row, col) in enumerate(zz):
+            blk[row][col] = coef[i]
+        out = [[0] * 8 for _ in range(8)]
+        for y in range(8):
+            for x in range(8):
+                s2 = 0.0
+                for v in range(8):
+                    cv = cc[v] * cos_t[v][y]
+                    for u in range(8):
+                        if blk[v][u]:
+                            s2 += (
+                                cc[u] * cv * blk[v][u]
+                                * cos_t[u][x]
+                            )
+                t = s2 / 4.0 + 128.0
+                # deterministic round-half-away-from-zero, the
+                # BLAS round4 discipline; then clamp to [0,255]
+                p = (
+                    math.floor(t + 0.5) if t >= 0
+                    else -math.floor(-t + 0.5)
+                )
+                out[y][x] = min(255, max(0, int(p)))
+        return out, dc
+
+    def parse(raw) -> tuple[int, int, str, list[int]]:
+        b = bytes(raw)
+        if b[:2] != b"\xff\xd8":
+            raise ValueError(
+                "decode_image[jpeg]: not a JPEG payload"
+            )
+        pos = 2
+        qt: dict = {}
+        hdc: dict = {}
+        hac: dict = {}
+        sof = None
+        dri = 0
+        scan = None
+        while pos + 4 <= len(b):
+            if b[pos] != 0xFF:
+                raise ValueError(
+                    "decode_image[jpeg]: expected marker, got "
+                    f"{b[pos]:#04x}"
+                )
+            m = b[pos + 1]
+            pos += 2
+            if m in (0x01,) or 0xD0 <= m <= 0xD7:
+                continue  # standalone markers
+            (ln,) = struct.unpack_from(">H", b, pos)
+            if pos + ln > len(b):
+                raise ValueError(
+                    "decode_image[jpeg]: truncated segment "
+                    f"for marker {m:#04x}"
+                )
+            seg = b[pos + 2:pos + ln]
+            if m == 0xDB:  # DQT
+                i = 0
+                while i < len(seg):
+                    pq, tq = seg[i] >> 4, seg[i] & 15
+                    if pq != 0:
+                        raise ValueError(
+                            "decode_image[jpeg]: 16-bit quant "
+                            "tables unsupported"
+                        )
+                    qt[tq] = list(seg[i + 1:i + 65])
+                    i += 65
+            elif m == 0xC4:  # DHT
+                i = 0
+                while i < len(seg):
+                    tc, th = seg[i] >> 4, seg[i] & 15
+                    bits = list(seg[i + 1:i + 17])
+                    n = sum(bits)
+                    vals = list(seg[i + 17:i + 17 + n])
+                    (hdc if tc == 0 else hac)[th] = build_huff(
+                        bits, vals
+                    )
+                    i += 17 + n
+            elif m == 0xC0:  # SOF0 baseline sequential
+                prec = seg[0]
+                h, w = struct.unpack_from(">HH", seg, 1)
+                nc = seg[5]
+                comps = []
+                for ci in range(nc):
+                    cid = seg[6 + 3 * ci]
+                    hv = seg[7 + 3 * ci]
+                    tqi = seg[8 + 3 * ci]
+                    if hv != 0x11:
+                        raise ValueError(
+                            "decode_image[jpeg]: chroma "
+                            "subsampling unsupported "
+                            f"(H/V={hv:#04x}); 1x1 only"
+                        )
+                    comps.append((cid, tqi))
+                if prec != 8 or nc not in (1, 3):
+                    raise ValueError(
+                        "decode_image[jpeg]: only 8-bit "
+                        "1- or 3-component baseline supported"
+                    )
+                sof = (w, h, comps)
+            elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                       0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise ValueError(
+                    "decode_image[jpeg]: only baseline "
+                    f"sequential (SOF0) supported, got SOF "
+                    f"marker {m:#04x}"
+                )
+            elif m == 0xDD:  # DRI
+                (dri,) = struct.unpack(">H", seg)
+            elif m == 0xDA:  # SOS
+                ns = seg[0]
+                if len(seg) < 1 + 2 * ns + 3:
+                    raise ValueError(
+                        "decode_image[jpeg]: truncated SOS"
+                    )
+                scan = [
+                    (seg[1 + 2 * i], seg[2 + 2 * i] >> 4,
+                     seg[2 + 2 * i] & 15)
+                    for i in range(ns)
+                ]
+                pos += ln
+                break
+            pos += ln
+        if sof is None or scan is None:
+            raise ValueError(
+                "decode_image[jpeg]: missing SOF0/SOS"
+            )
+        w, h, comps = sof
+        if len(scan) != len(comps):
+            raise ValueError(
+                "decode_image[jpeg]: partial scans unsupported"
+            )
+        tq_of = dict(comps)
+        for cid, td, ta in scan:
+            if (
+                cid not in tq_of or tq_of[cid] not in qt
+                or td not in hdc or ta not in hac
+            ):
+                raise ValueError(
+                    "decode_image[jpeg]: scan references an "
+                    "undefined component/quant/Huffman table"
+                )
+        r = Bits(b, pos)
+        mx, my = (w + 7) // 8, (h + 7) // 8
+        preds = {cid: 0 for cid, _, _ in scan}
+        # luma plane only: Y IS the BT.601 luma the bmp/png
+        # codecs compute from RGB, so the output contract is
+        # shared across all three image codecs
+        plane = [[0] * (mx * 8) for _ in range(my * 8)]
+        n_mcu = 0
+        for by in range(my):
+            for bx in range(mx):
+                if dri and n_mcu and n_mcu % dri == 0:
+                    r.align_restart(n_mcu // dri - 1)
+                    preds = {c: 0 for c in preds}
+                for idx, (cid, td, ta) in enumerate(scan):
+                    blk, preds[cid] = decode_block(
+                        r, hdc[td], hac[ta], qt[tq_of[cid]],
+                        preds[cid],
+                    )
+                    if idx == 0:  # Y component
+                        for y in range(8):
+                            row = plane[by * 8 + y]
+                            for x in range(8):
+                                row[bx * 8 + x] = blk[y][x]
+                n_mcu += 1
+        px = [plane[y][x] for y in range(h) for x in range(w)]
+        mode = "jpeg-gray8" if len(comps) == 1 else "jpeg-ycc8"
+        return w, h, mode, px
+
+
+    return parse(raw)
 
 
 def decode_image(
@@ -272,297 +572,12 @@ def decode_image(
         return df.mapInPandas(batches, schema=DECODE_SCHEMA)
     if codec == "jpeg":
         def batches(it: Iterator) -> Iterator:
-            import math
-            import struct
-
             import pandas as pd
-
-            # zigzag index -> (row, col) of the 8x8 block, ITU T.81 fig 5
-            zz = [
-                (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3),
-                (1, 2), (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3),
-                (0, 4), (0, 5), (1, 4), (2, 3), (3, 2), (4, 1), (5, 0),
-                (6, 0), (5, 1), (4, 2), (3, 3), (2, 4), (1, 5), (0, 6),
-                (0, 7), (1, 6), (2, 5), (3, 4), (4, 3), (5, 2), (6, 1),
-                (7, 0), (7, 1), (6, 2), (5, 3), (4, 4), (3, 5), (2, 6),
-                (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3), (7, 2),
-                (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
-                (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6),
-                (7, 7),
-            ]
-            cos_t = [
-                [math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)]
-                for u in range(8)
-            ]
-            cc = [1 / math.sqrt(2)] + [1.0] * 7
-
-            def build_huff(bits, vals):
-                # canonical code assignment, T.81 Annex C
-                table, code, k = {}, 0, 0
-                for ln in range(1, 17):
-                    for _ in range(bits[ln - 1]):
-                        table[(ln, code)] = vals[k]
-                        code += 1
-                        k += 1
-                    code <<= 1
-                return table
-
-            class Bits:
-                """Entropy-segment bit reader: un-stuffs FF00, stops
-                loudly on any real marker mid-symbol."""
-
-                def __init__(self, b, pos):
-                    self.b, self.pos, self.cur, self.n = b, pos, 0, 0
-
-                def bit(self):
-                    if self.n == 0:
-                        if self.pos >= len(self.b):
-                            raise ValueError(
-                                "decode_image[jpeg]: truncated scan"
-                            )
-                        byte = self.b[self.pos]
-                        self.pos += 1
-                        if byte == 0xFF:
-                            nxt = self.b[self.pos]
-                            self.pos += 1
-                            if nxt != 0x00:
-                                raise ValueError(
-                                    "decode_image[jpeg]: marker "
-                                    f"{nxt:#04x} inside entropy data"
-                                )
-                        self.cur, self.n = byte, 8
-                    self.n -= 1
-                    return (self.cur >> self.n) & 1
-
-                def bits(self, n):
-                    v = 0
-                    for _ in range(n):
-                        v = (v << 1) | self.bit()
-                    return v
-
-                def align_restart(self, idx):
-                    # byte-align and consume the expected RSTn marker
-                    self.n = 0
-                    if (
-                        self.pos + 1 >= len(self.b)
-                        or self.b[self.pos] != 0xFF
-                        or self.b[self.pos + 1] != 0xD0 + (idx % 8)
-                    ):
-                        raise ValueError(
-                            "decode_image[jpeg]: missing RST"
-                            f"{idx % 8} at restart interval"
-                        )
-                    self.pos += 2
-
-                def huff(self, table):
-                    code, ln = 0, 0
-                    while ln < 16:
-                        code = (code << 1) | self.bit()
-                        ln += 1
-                        if (ln, code) in table:
-                            return table[(ln, code)]
-                    raise ValueError(
-                        "decode_image[jpeg]: invalid Huffman code"
-                    )
-
-            def extend(v, s):
-                return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
-
-            def decode_block(r, dct, act, q, pred):
-                s = r.huff(dct)
-                diff = extend(r.bits(s), s) if s else 0
-                dc = pred + diff
-                coef = [0] * 64
-                coef[0] = dc * q[0]
-                k = 1
-                while k < 64:
-                    rs = r.huff(act)
-                    run, size = rs >> 4, rs & 15
-                    if rs == 0x00:
-                        break  # EOB
-                    if rs == 0xF0:
-                        k += 16  # ZRL
-                        continue
-                    k += run
-                    if k > 63 or size == 0:
-                        raise ValueError(
-                            "decode_image[jpeg]: AC run past block end"
-                        )
-                    coef[k] = extend(r.bits(size), size) * q[k]
-                    k += 1
-                blk = [[0] * 8 for _ in range(8)]
-                for i, (row, col) in enumerate(zz):
-                    blk[row][col] = coef[i]
-                out = [[0] * 8 for _ in range(8)]
-                for y in range(8):
-                    for x in range(8):
-                        s2 = 0.0
-                        for v in range(8):
-                            cv = cc[v] * cos_t[v][y]
-                            for u in range(8):
-                                if blk[v][u]:
-                                    s2 += (
-                                        cc[u] * cv * blk[v][u]
-                                        * cos_t[u][x]
-                                    )
-                        t = s2 / 4.0 + 128.0
-                        # deterministic round-half-away-from-zero, the
-                        # BLAS round4 discipline; then clamp to [0,255]
-                        p = (
-                            math.floor(t + 0.5) if t >= 0
-                            else -math.floor(-t + 0.5)
-                        )
-                        out[y][x] = min(255, max(0, int(p)))
-                return out, dc
-
-            def parse(raw) -> tuple[int, int, str, list[int]]:
-                b = bytes(raw)
-                if b[:2] != b"\xff\xd8":
-                    raise ValueError(
-                        "decode_image[jpeg]: not a JPEG payload"
-                    )
-                pos = 2
-                qt: dict = {}
-                hdc: dict = {}
-                hac: dict = {}
-                sof = None
-                dri = 0
-                scan = None
-                while pos + 4 <= len(b):
-                    if b[pos] != 0xFF:
-                        raise ValueError(
-                            "decode_image[jpeg]: expected marker, got "
-                            f"{b[pos]:#04x}"
-                        )
-                    m = b[pos + 1]
-                    pos += 2
-                    if m in (0x01,) or 0xD0 <= m <= 0xD7:
-                        continue  # standalone markers
-                    (ln,) = struct.unpack_from(">H", b, pos)
-                    if pos + ln > len(b):
-                        raise ValueError(
-                            "decode_image[jpeg]: truncated segment "
-                            f"for marker {m:#04x}"
-                        )
-                    seg = b[pos + 2:pos + ln]
-                    if m == 0xDB:  # DQT
-                        i = 0
-                        while i < len(seg):
-                            pq, tq = seg[i] >> 4, seg[i] & 15
-                            if pq != 0:
-                                raise ValueError(
-                                    "decode_image[jpeg]: 16-bit quant "
-                                    "tables unsupported"
-                                )
-                            qt[tq] = list(seg[i + 1:i + 65])
-                            i += 65
-                    elif m == 0xC4:  # DHT
-                        i = 0
-                        while i < len(seg):
-                            tc, th = seg[i] >> 4, seg[i] & 15
-                            bits = list(seg[i + 1:i + 17])
-                            n = sum(bits)
-                            vals = list(seg[i + 17:i + 17 + n])
-                            (hdc if tc == 0 else hac)[th] = build_huff(
-                                bits, vals
-                            )
-                            i += 17 + n
-                    elif m == 0xC0:  # SOF0 baseline sequential
-                        prec = seg[0]
-                        h, w = struct.unpack_from(">HH", seg, 1)
-                        nc = seg[5]
-                        comps = []
-                        for ci in range(nc):
-                            cid = seg[6 + 3 * ci]
-                            hv = seg[7 + 3 * ci]
-                            tqi = seg[8 + 3 * ci]
-                            if hv != 0x11:
-                                raise ValueError(
-                                    "decode_image[jpeg]: chroma "
-                                    "subsampling unsupported "
-                                    f"(H/V={hv:#04x}); 1x1 only"
-                                )
-                            comps.append((cid, tqi))
-                        if prec != 8 or nc not in (1, 3):
-                            raise ValueError(
-                                "decode_image[jpeg]: only 8-bit "
-                                "1- or 3-component baseline supported"
-                            )
-                        sof = (w, h, comps)
-                    elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
-                               0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                        raise ValueError(
-                            "decode_image[jpeg]: only baseline "
-                            f"sequential (SOF0) supported, got SOF "
-                            f"marker {m:#04x}"
-                        )
-                    elif m == 0xDD:  # DRI
-                        (dri,) = struct.unpack(">H", seg)
-                    elif m == 0xDA:  # SOS
-                        ns = seg[0]
-                        if len(seg) < 1 + 2 * ns + 3:
-                            raise ValueError(
-                                "decode_image[jpeg]: truncated SOS"
-                            )
-                        scan = [
-                            (seg[1 + 2 * i], seg[2 + 2 * i] >> 4,
-                             seg[2 + 2 * i] & 15)
-                            for i in range(ns)
-                        ]
-                        pos += ln
-                        break
-                    pos += ln
-                if sof is None or scan is None:
-                    raise ValueError(
-                        "decode_image[jpeg]: missing SOF0/SOS"
-                    )
-                w, h, comps = sof
-                if len(scan) != len(comps):
-                    raise ValueError(
-                        "decode_image[jpeg]: partial scans unsupported"
-                    )
-                tq_of = dict(comps)
-                for cid, td, ta in scan:
-                    if (
-                        cid not in tq_of or tq_of[cid] not in qt
-                        or td not in hdc or ta not in hac
-                    ):
-                        raise ValueError(
-                            "decode_image[jpeg]: scan references an "
-                            "undefined component/quant/Huffman table"
-                        )
-                r = Bits(b, pos)
-                mx, my = (w + 7) // 8, (h + 7) // 8
-                preds = {cid: 0 for cid, _, _ in scan}
-                # luma plane only: Y IS the BT.601 luma the bmp/png
-                # codecs compute from RGB, so the output contract is
-                # shared across all three image codecs
-                plane = [[0] * (mx * 8) for _ in range(my * 8)]
-                n_mcu = 0
-                for by in range(my):
-                    for bx in range(mx):
-                        if dri and n_mcu and n_mcu % dri == 0:
-                            r.align_restart(n_mcu // dri - 1)
-                            preds = {c: 0 for c in preds}
-                        for idx, (cid, td, ta) in enumerate(scan):
-                            blk, preds[cid] = decode_block(
-                                r, hdc[td], hac[ta], qt[tq_of[cid]],
-                                preds[cid],
-                            )
-                            if idx == 0:  # Y component
-                                for y in range(8):
-                                    row = plane[by * 8 + y]
-                                    for x in range(8):
-                                        row[bx * 8 + x] = blk[y][x]
-                        n_mcu += 1
-                px = [plane[y][x] for y in range(h) for x in range(w)]
-                mode = "jpeg-gray8" if len(comps) == 1 else "jpeg-ycc8"
-                return w, h, mode, px
 
             for pdf in it:
                 recs = []
                 for doc_id, raw in zip(pdf["doc_id"], pdf[payload_col]):
-                    w, hh, mode, px = parse(raw)
+                    w, hh, mode, px = _jpeg_decode(raw)
                     recs.append((doc_id, w, hh, mode, px))
                 yield pd.DataFrame(recs, columns=[
                     "doc_id", "width", "height", "mode", "pixels",
@@ -697,16 +712,93 @@ def sample_frames(
 ) -> DataFrame:
     """Sample every Nth frame from a video container payload.
 
-    ``codec='ffmpeg'`` is the real path (absent here → clearly-marked
-    NotImplementedError). ``codec='fake'`` treats the payload as
-    concatenated fixed-size frames of ``frame_bytes`` bytes — the
-    deterministic stand-in certifying the Spark-side contract: one input
-    row fans out to one row per sampled frame (frame_idx, frame binary),
-    payload dropped on output."""
+    ``codec='mjpeg-avi'`` is a REAL video path (r9): Motion-JPEG in a
+    RIFF/AVI container parses with pure stdlib — the RIFF chunk walk
+    (word-aligned sizes, LIST recursion into ``movi``/``rec `` lists)
+    collects the stream-0 video chunks (``00dc``/``00db``), every Nth
+    is decoded by the shared baseline-JPEG core (:func:`_jpeg_decode`,
+    the ``decode_image`` codec), and each sampled frame emits a DECODED
+    row (doc_id, frame_idx, width, height, mode, pixels) — the luma
+    contract all four image codecs share. MJPEG is exactly
+    "a JPEG per frame", which is why it is the honest first real video
+    codec: no inter-frame prediction to fake. Non-AVI payloads, AVIs
+    with no video chunks, and non-JPEG frame bytes fail LOUD.
+    ``codec='ffmpeg'`` (inter-frame codecs: H.264 etc.) stays gated —
+    ffmpeg is not in this container. ``codec='fake'`` treats the
+    payload as concatenated fixed-size frames of ``frame_bytes`` bytes —
+    the deterministic stand-in certifying the Spark-side contract: one
+    input row fans out to one row per sampled frame (frame_idx, frame
+    binary), payload dropped on output."""
     if codec == "ffmpeg":
         raise NotImplementedError(
-            "frame sampling requires ffmpeg (not in this container); "
-            "use codec='fake' for the plumbing-certified stand-in"
+            "inter-frame video codecs require ffmpeg (not in this "
+            "container); Motion-JPEG AVI decodes for real via "
+            "codec='mjpeg-avi'; codec='fake' is the plumbing-certified "
+            "stand-in"
+        )
+    if codec == "mjpeg-avi":
+        if every_n < 1:
+            raise ValueError(f"sample_frames: every_n={every_n} < 1")
+
+        def batches(it: Iterator) -> Iterator:
+            import struct
+
+            import pandas as pd
+
+            def video_chunks(b: bytes) -> list[bytes]:
+                if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+                    raise ValueError(
+                        "sample_frames[mjpeg-avi]: not a RIFF/AVI "
+                        "payload"
+                    )
+                out: list[bytes] = []
+
+                def walk(pos: int, end: int) -> None:
+                    while pos + 8 <= end:
+                        fourcc = b[pos:pos + 4]
+                        (sz,) = struct.unpack_from("<I", b, pos + 4)
+                        body = pos + 8
+                        if body + sz > len(b):
+                            raise ValueError(
+                                "sample_frames[mjpeg-avi]: truncated "
+                                f"chunk {fourcc!r}"
+                            )
+                        if fourcc == b"LIST":
+                            if b[body:body + 4] in (b"movi", b"rec "):
+                                walk(body + 4, body + sz)
+                        elif (
+                            fourcc[:2] == b"00"
+                            and fourcc[2:4] in (b"dc", b"db")
+                        ):
+                            out.append(b[body:body + sz])
+                        pos = body + sz + (sz & 1)  # word-aligned
+
+                walk(12, len(b))
+                if not out:
+                    raise ValueError(
+                        "sample_frames[mjpeg-avi]: no stream-0 video "
+                        "chunks in movi list"
+                    )
+                return out
+
+            for pdf in it:
+                recs = []
+                for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                    frames = video_chunks(bytes(raw))
+                    for idx in range(0, len(frames), every_n):
+                        w, h, mode, px = _jpeg_decode(frames[idx])
+                        recs.append((doc_id, idx, w, h, mode, px))
+                yield pd.DataFrame(recs, columns=[
+                    "doc_id", "frame_idx", "width", "height", "mode",
+                    "pixels",
+                ])
+
+        return df.mapInPandas(
+            batches,
+            schema=(
+                "doc_id long, frame_idx long, width int, height int, "
+                "mode string, pixels array<int>"
+            ),
         )
     if codec != "fake":
         raise ValueError(f"sample_frames: unknown codec {codec!r}")

@@ -4313,6 +4313,102 @@ def q_image_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Constant RIFF/AVI scaffolding for a 3-frame Motion-JPEG video whose
+# frames are the 143-byte varying JPEGs above: RIFF header (size 548),
+# a minimal LIST hdrl with a 56-byte avih (3 frames, 16x8), and the
+# LIST movi header (body 460 = 4 + 3 x (8-byte '00dc' chunk header +
+# 143-byte JPEG + 1 pad byte for RIFF word alignment)).
+_AVI_PREFIX_HEX = (
+    "5249464624020000415649204c495354440000006864726c61766968380000003582"
+    "0000000000000000000010000000030000000000000001000000000000001000000008"
+    "000000000000000000000000000000000000004c495354cc0100006d6f7669"
+)
+_AVI_CHUNK_HDR_HEX = "303064638f000000"  # '00dc' + LE32(143)
+
+
+@_register(
+    "video_mjpeg_frames",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, u.k AS frame_idx, doc_id + 7 * u.k AS s
+      FROM documents, (SELECT unnest([0, 2]) AS k) u
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           16 AS width, 8 AS height, 'jpeg-gray8' AS mode,
+           CAST(128 AS INTEGER) AS n_px,
+           CAST(3872 * (128 + 2 * (s % 8 + 8))
+                + 4384 * (128 + 2 * ((s % 8 + 8) + 2 * ((s // 8) % 2) - 1))
+                AS BIGINT) AS px_checksum
+    FROM f
+    """,
+)
+def q_video_mjpeg_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video path certification (multimodal.sample_frames
+    codec='mjpeg-avi', r9): a VALID 3-frame Motion-JPEG AVI is built
+    per row in pure Catalyst — constant RIFF/hdrl/movi scaffolding with
+    word-aligned '00dc' chunks, each holding the 143-byte two-block
+    JPEG of image_jpeg_decode seeded s_k = doc_id + 7k, so every frame
+    differs. sample_frames must walk the RIFF chunk tree (sizes +
+    alignment), recurse into the movi LIST, collect the stream-0 video
+    chunks, take every 2nd frame (indices 0 and 2 — index arithmetic on
+    the CHUNK sequence, not byte offsets), and decode each through the
+    shared baseline-JPEG core. One input row fans out to two decoded
+    frame rows; the oracle predicts both checksums arithmetically and
+    never sees a byte. Frame 1 is deliberately ENCODED but never
+    decoded — a parser that decodes positionally instead of by chunk
+    walk, or samples by byte stride, breaks the hash. MJPEG is the
+    honest first real video codec (a JPEG per frame, no inter-frame
+    prediction); H.264-class codecs stay behind the documented ffmpeg
+    gate."""
+    from gene_level_metadata_pipeline_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+
+    def _bhex(v):
+        return F.lpad(F.lower(F.conv(v.cast("bigint"), 10, 16)), 2, "0")
+
+    def _jpeg(seed):
+        byte1 = F.lit(0x60) + F.lit(4) * F.pmod(seed, F.lit(8))
+        byte2 = F.lit(0x07) + F.lit(0x20) * F.pmod(
+            F.floor(seed / F.lit(8)).cast("bigint"), F.lit(2)
+        )
+        return F.concat(
+            F.unhex(F.lit(_JPEG_HDR_HEX)),
+            F.unhex(F.concat(_bhex(byte1), _bhex(byte2))),
+            F.unhex(F.lit("ffd9")),
+        )
+
+    payload = F.concat(
+        F.unhex(F.lit(_AVI_PREFIX_HEX)),
+        *[
+            F.concat(
+                F.unhex(F.lit(_AVI_CHUNK_HDR_HEX)),
+                _jpeg(d + F.lit(7 * k)),
+                F.unhex(F.lit("00")),  # word-alignment pad
+            )
+            for k in range(3)
+        ],
+    )
+    avi = docs.select("doc_id", payload.alias("payload"))
+    dec = sample_frames(avi, every_n=2, codec="mjpeg-avi")
+    return dec.select(
+        "doc_id", "frame_idx", "width", "height", "mode",
+        F.size("pixels").alias("n_px"),
+        F.aggregate(
+            F.zip_with(
+                F.col("pixels"),
+                F.sequence(F.lit(1), F.lit(128)),
+                lambda s, i: s.cast("bigint") * i.cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("px_checksum"),
+    )
+
+
 @_register(
     "repeated_substring_spans",
     oracle="""

@@ -366,3 +366,101 @@ def test_unknown_codec_rejects_pil():
     )
     with pytest.raises(ValueError, match="unknown codec"):
         decode_image(df, codec="pil")
+
+
+# ---------- MJPEG/AVI frame sampling (r9) ----------
+
+def _mk_avi(frames, garbage_list=True):
+    """Minimal RIFF/AVI around raw JPEG frame payloads, with optional
+    decoy LISTs the walker must skip."""
+    body = bytearray(b"movi")
+    for fr in frames:
+        body += b"00dc" + struct.pack("<I", len(fr)) + fr
+        if len(fr) & 1:
+            body += b"\x00"
+    movi = b"LIST" + struct.pack("<I", len(body)) + bytes(body)
+    hdrl = b"LIST" + struct.pack("<I", 4 + 8 + 56) + b"hdrl" \
+        + b"avih" + struct.pack("<I", 56) + bytes(56)
+    junk = b"JUNK" + struct.pack("<I", 6) + b"decoy\x00"
+    inner = hdrl + (junk if garbage_list else b"") + movi
+    return b"RIFF" + struct.pack("<I", 4 + len(inner)) + b"AVI " + inner
+
+
+def _sample(payloads, every_n=2):
+    from gene_level_metadata_pipeline_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "doc_id long, payload binary",
+    )
+    return sorted(
+        map(tuple, sample_frames(df, every_n=every_n, codec="mjpeg-avi")
+            .select("doc_id", "frame_idx", "width", "height", "mode")
+            .collect())
+    )
+
+
+def test_mjpeg_avi_samples_every_nth_decoded_frame():
+    from gene_level_metadata_pipeline_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    frames = []
+    coefs = []
+    for dc in (10, 3, 14, 7, 12):
+        c = [0] * 64
+        c[0], c[4] = dc, dc % 3 - 1  # AC content: real IDCT per frame
+        coefs.append(c)
+        frames.append(encode_jpeg(8, 8, [[c]]))
+    avi = _mk_avi(frames)
+    spark = _get_spark()
+    df = spark.createDataFrame(
+        [(7, bytearray(avi))], "doc_id long, payload binary"
+    )
+    rows = sample_frames(df, every_n=2, codec="mjpeg-avi").collect()
+    got = {r["frame_idx"]: list(r["pixels"]) for r in rows}
+    assert sorted(got) == [0, 2, 4]
+    for idx in (0, 2, 4):
+        assert got[idx] == _expected(8, 8, [[coefs[idx]]]), idx
+    assert all(r["mode"] == "jpeg-gray8" for r in rows)
+
+
+def test_mjpeg_avi_fail_loud():
+    from gene_level_metadata_pipeline_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    spark = _get_spark()
+
+    def expect_raise(payload, match):
+        df = spark.createDataFrame(
+            [(0, bytearray(payload))], "doc_id long, payload binary"
+        )
+        with pytest.raises(Exception, match=match):
+            sample_frames(df, every_n=1, codec="mjpeg-avi").collect()
+
+    c = [0] * 64
+    c[0] = 9
+    good_frame = encode_jpeg(8, 8, [[c]])
+    expect_raise(b"RIFX" + bytes(20), "not a RIFF/AVI")
+    # an AVI whose movi list holds no stream-0 video chunks
+    empty = _mk_avi([])
+    expect_raise(empty, "no stream-0 video chunks")
+    # truncated chunk: declared size runs past the payload
+    avi = bytearray(_mk_avi([good_frame]))
+    at = bytes(avi).index(b"00dc") + 4
+    avi[at:at + 4] = struct.pack("<I", 10 ** 6)
+    expect_raise(bytes(avi), "truncated chunk")
+    # frame bytes that are not a JPEG
+    bad = _mk_avi([b"not a jpeg frame"])
+    expect_raise(bad, "not a JPEG")
+    # every_n validation is driver-side and loud
+    df = spark.createDataFrame(
+        [(0, bytearray(_mk_avi([good_frame])))],
+        "doc_id long, payload binary",
+    )
+    with pytest.raises(ValueError, match="every_n"):
+        sample_frames(df, every_n=0, codec="mjpeg-avi")

@@ -7,7 +7,7 @@ multiset of row values. Exit code 1 on any mismatch.
 Usage:  python tools/check_oracle.py [query ...]
         CHECK_SF_DIR=/root/testdata/sf0.1 python tools/check_oracle.py
         python tools/check_oracle.py --vanilla [query ...]
-        python tools/check_oracle.py --json certification/oracle_full_r8.json
+        python tools/check_oracle.py --json certification/oracle_full_<round>.json
 
 ``--json PATH`` additionally writes a machine-readable artifact in the
 driver's CORRECTNESS row shape — ``{"_meta": {git_sha, n_registered,
