@@ -393,6 +393,7 @@ def winnow_overlap_pairs(
     min_shared: int = 3,
     max_df: int = 50,
     max_df_frac_e6: int | None = None,
+    max_df_ceiling: int | None = None,
 ) -> DataFrame:
     """Document pairs sharing >= ``min_shared`` DISTINCT winnowed
     fingerprint hashes — the MOSS match report over
@@ -425,7 +426,24 @@ def winnow_overlap_pairs(
     input — boilerplate df is extensive in corpus size, so a FRACTION
     is the 100 TB-stable policy while the absolute floor keeps small
     corpora from capping at 0. Exact integer arithmetic (one count +
-    one floor multiply), so any engine replays the effective cap."""
+    one floor multiply), so any engine replays the effective cap.
+
+    ``max_df_ceiling`` (r9) bounds the OTHER regime the fractional cap
+    re-opens: a hash at the effective df cap joins df² pairs, so with a
+    purely proportional cap the worst-case per-hash fan-out is
+    (frac·n)² — quadratic in corpus size again, at exactly the scale
+    the cap exists to protect. The ceiling clamps the effective cap
+    from above (``eff = min(ceiling, max(max_df, n·frac))``), restoring
+    a CONSTANT per-hash pair bound of ceiling² at any corpus size.
+    Choose per use: the MATCH-REPORT configuration (this module's
+    headline query) runs floor+fraction with no ceiling — at report
+    scale the operator's consumers want the boilerplate-tail evidence
+    and the corpus is screened upstream; the DEDUP-SCREEN configuration
+    at open-web scale sets a ceiling sized to the pair budget
+    (ceiling = isqrt(budget_pairs_per_hash)). Same recall contract
+    either way: the cap (whatever its origin) is replayed exactly by
+    both engines, and only pairs needing an above-cap hash to reach
+    ``min_shared`` can be lost."""
     by_hash = fps.select("id", "fp_hash").distinct()
     eff_max_df = max_df
     if max_df_frac_e6 is not None:
@@ -436,6 +454,13 @@ def winnow_overlap_pairs(
             )
         n_docs = by_hash.select("id").distinct().count()
         eff_max_df = max(max_df, n_docs * max_df_frac_e6 // 10 ** 6)
+    if max_df_ceiling is not None:
+        if max_df_ceiling < 1:
+            raise ValueError(
+                f"winnow_overlap_pairs: max_df_ceiling={max_df_ceiling} "
+                "must be >= 1"
+            )
+        eff_max_df = min(eff_max_df, max_df_ceiling)
     df_counts = by_hash.groupBy("fp_hash").agg(
         F.count(F.lit(1)).alias("df")
     )

@@ -149,3 +149,39 @@ def test_fractional_cap_scales_with_corpus():
     assert [(r["a"], r["b"], r["shared_fp"]) for r in got] == [(0, 1, 3)]
     with pytest.raises(ValueError, match="max_df_frac_e6"):
         winnow_overlap_pairs(fps, max_df_frac_e6=0)
+
+
+def test_ceiling_clamps_the_fractional_cap():
+    """max_df_ceiling (r9) restores a constant per-hash fan-out bound:
+    eff = min(ceiling, max(floor, n*frac)) — with a ceiling of 1 even
+    the 100% fractional cap excludes every shared hash, and an
+    above-floor ceiling only trims the fraction, never the floor's
+    guarantees."""
+    import pytest
+
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        winnow_overlap_pairs,
+    )
+
+    spark = _get_spark()
+    n = 8
+    fps = spark.createDataFrame(
+        [(i, 777, 0) for i in range(n)]
+        + [(0, 1, 0), (1, 1, 0), (0, 2, 0), (1, 2, 0), (0, 3, 0),
+           (1, 3, 0)],
+        "id bigint, fp_hash bigint, fp_pos bigint",
+    )
+    # 100% frac would keep everything (eff 8); ceiling 1 excludes all
+    assert winnow_overlap_pairs(
+        fps, min_shared=3, max_df=1, max_df_frac_e6=10 ** 6,
+        max_df_ceiling=1,
+    ).count() == 0
+    # ceiling 2 keeps the df=2 hashes {1,2,3} but drops 777 (df=8):
+    # docs 0,1 share exactly 3 sub-cap hashes
+    got = winnow_overlap_pairs(
+        fps, min_shared=3, max_df=1, max_df_frac_e6=10 ** 6,
+        max_df_ceiling=2,
+    ).collect()
+    assert [(r["a"], r["b"], r["shared_fp"]) for r in got] == [(0, 1, 3)]
+    with pytest.raises(ValueError, match="max_df_ceiling"):
+        winnow_overlap_pairs(fps, max_df_ceiling=0)
