@@ -134,6 +134,12 @@ HEADLINE = [
     "kneser_ney_bigram_lm",
     "fdr_bh_adjust",
     "ivm_join_view",
+    # r9 flagships: pure-stdlib JPEG decode (Catalyst-built payloads +
+    # Arrow-batched Huffman/IDCT), MJPEG-AVI frame sampling on the same
+    # core, and the LSH star policy for oversized buckets
+    "image_jpeg_decode",
+    "video_mjpeg_frames",
+    "dedup_minhash_lsh_star",
 ]
 
 REPS = 3

@@ -3695,14 +3695,17 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_winnow_fp_cte()},
     by_hash AS (SELECT DISTINCT id, fp_hash FROM fp),
     dfc AS (
-      -- effective cap = max(absolute floor 20, 4% of counted docs):
-      -- replays winnow_overlap_pairs(max_df=20, max_df_frac_e6=40000)
-      -- exactly — one distinct count + one floor multiply, both exact
+      -- effective cap = min(ceiling 2000, max(floor 20, 4% of docs)):
+      -- replays winnow_overlap_pairs(max_df=20, max_df_frac_e6=40000,
+      -- max_df_ceiling=2000) exactly — one distinct count + exact
+      -- integer arithmetic. The ceiling leaves every certified tier
+      -- bit-identical (eff = 20 / 200 / 2000 at sf0.01 / sf0.1 / 10x)
+      -- and bounds per-hash pair fan-out by a CONSTANT beyond that.
       SELECT fp_hash FROM by_hash GROUP BY fp_hash
-      HAVING count(*) <= greatest(
+      HAVING count(*) <= least(2000, greatest(
         20,
         (SELECT count(DISTINCT id) FROM by_hash) * 40000 // 1000000
-      )
+      ))
     ),
     kept AS (SELECT b.id, b.fp_hash FROM by_hash b JOIN dfc USING (fp_hash))
     SELECT x.id AS a, y.id AS b, CAST(count(*) AS BIGINT) AS shared_fp
@@ -3733,7 +3736,12 @@ def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_df=20 policy's pair yield going to ZERO at sf1-equivalent
     (every replica-shared hash's df decupled past the cap), while 4%
     of docs tracks the df distribution's shift and keeps the match
-    report populated at every scale."""
+    report populated at every scale. The CEILING (2000, r9) is the
+    third leg: a hash at a purely fractional cap joins (4% of n)^2
+    pairs, quadratic in corpus size again — the clamp restores a
+    constant per-hash fan-out bound while leaving every certified tier
+    bit-identical (the effective cap is 20 / 200 / 2000 at sf0.01 /
+    sf0.1 / 10x with or without it)."""
     from gene_level_metadata_pipeline_spark.operators.textanalysis import (
         winnow_fingerprints,
         winnow_overlap_pairs,
@@ -3743,7 +3751,8 @@ def q_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = winnow_fingerprints(docs, text_col="text", id_col="doc_id",
                              k=5, w=4)
     return winnow_overlap_pairs(
-        fp, min_shared=5, max_df=20, max_df_frac_e6=40_000
+        fp, min_shared=5, max_df=20, max_df_frac_e6=40_000,
+        max_df_ceiling=2_000,
     )
 
 

@@ -54,6 +54,29 @@ QUERIES = [
     "harmonize_catalog_width",
 ]
 
+# Tiers excluded BY POLICY, each with its measured cause — the artifact
+# exists to NAME superlinear growth, and these are the named rows:
+#
+# * dedup_set_similarity_exact @ 100x: the replica fixture appends one
+#   tag token per replica, so every document is a TRUE Jaccard>=0.5
+#   near-dup of its R-1 replicas — the qualifying OUTPUT (and therefore
+#   any exact algorithm's verification work) grows ~R^2 by
+#   construction. Measured: the verification join's shuffle spill
+#   filled the 77 GB scratch disk at R=100 (first run additionally
+#   OOMed a 16 GB heap). Quadratic growth here is in the fixture's
+#   TRUTH, not the operator: an exact join cannot emit fewer rows than
+#   its answer. A real 100 TB corpus does not grow near-dup cliques
+#   linearly with corpus size; the production guards are dedup-exact
+#   first (the module docstring's standing instruction) and the LSH
+#   bucket-cap/star policy for template cliques.
+POLICY_SKIP = {
+    ("dedup_set_similarity_exact", "sf10_equiv"): (
+        "fixture-quadratic: output pairs ~ R^2 (every doc has R-1 true "
+        "cross-replica near-dups); verification shuffle filled the "
+        "scratch disk at R=100 — cause named above, not a growth bug"
+    ),
+}
+
 
 def _build(spark, replicas: int, out_dir: str) -> None:
     os.environ["STRESS_DIR"] = out_dir
@@ -91,6 +114,10 @@ def main() -> int:
         fn = qs[name]
         row: dict = {}
         for label, d in tiers:
+            if (name, label) in POLICY_SKIP:
+                row[label] = {"skipped": POLICY_SKIP[(name, label)]}
+                print(f"{name} @ {label}: policy skip", flush=True)
+                continue
             t0 = time.time()
             try:
                 fn(spark, d).write.format("noop").mode("overwrite").save()
