@@ -392,7 +392,7 @@ def _jpeg_decode(raw) -> tuple[int, int, str, list[int]]:
 
 
 def decode_image(
-    df: DataFrame, payload_col: str = "payload", codec: str = "pil"
+    df: DataFrame, payload_col: str = "payload", codec: str = "jpeg"
 ) -> DataFrame:
     """Decode binary → (width, height, mode, pixel array) via Arrow-batched
     mapInPandas.

@@ -142,8 +142,11 @@ def test_multimodal_feature_plumbing(spark):
     assert feats["n_bytes"] == 3
     assert feats["checksum"] == ord("a") + ord("b") + ord("c")
     assert feats["head_bytes"] == [97, 98, 99]
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(df)
+    # r9: the default codec is the REAL stdlib JPEG decoder (the PIL
+    # gate is gone) — non-JPEG payload bytes fail loud at execution
+    binary = multimodal.attach_binary_payload(df, "text", "doc_id")
+    with pytest.raises(Exception, match="not a JPEG"):
+        multimodal.decode_image(binary).collect()
 
 
 def test_ivf_topk_searches_only_own_cell(spark):

@@ -25,6 +25,10 @@ ARROW_PYTHON_OK = {
     "image_bmp_decode",
     # r8: stdlib zlib PNG decoder (chunk CRCs + scanline un-filtering)
     "image_png_decode",
+    # r9: stdlib baseline JPEG decoder + the MJPEG/AVI chunk walker
+    # that reuses it — Catalyst-built payloads, codec-only Python
+    "image_jpeg_decode",
+    "video_mjpeg_frames",
 }
 # Python DATA SOURCES are intentional executor-side Python (ingestion,
 # not relational compute) — allowed, asserted positively

@@ -168,6 +168,16 @@ SHUFFLE_BUDGET = {
     "kneser_ney_bigram_lm": 3,
     "fdr_bh_adjust": 2,
     "ivm_join_view": 2,
+    # r9 flagships (audited 2026-08-16): both codec queries are pure
+    # map pipelines — Catalyst builds the payload bytes in-projection
+    # and the Arrow decode stage is a mapInPandas over the scan, so
+    # ZERO exchanges (the checksum aggregate is per-row array math, not
+    # a groupBy); the LSH star query adds one window exchange (bucket
+    # size + hub min share the (band, band_hash) partitioning) to the
+    # capped-LSH bucket groupBy + pair distinct
+    "image_jpeg_decode": 0,
+    "video_mjpeg_frames": 0,
+    "dedup_minhash_lsh_star": 3,
 }
 
 # Non-headline flagships whose plan shape is still pinned (round-4 audit).
