@@ -218,6 +218,17 @@ def _jpeg_decode(raw) -> tuple[int, int, str, list[int]]:
                 )
             coef[k] = extend(r.bits(size), size) * q[k]
             k += 1
+        if not any(coef[1:]):
+            # DC-only fast path — mathematically EXACT, not a shortcut:
+            # the 2-D IDCT of a DC-only block is the constant
+            # C(0)²·F(0,0)/4 = F(0,0)/8 at every pixel (every real
+            # decoder special-cases this; the general path is pinned
+            # equal by unit test). Flat regions dominate real JPEGs, so
+            # this is the hot path at corpus scale.
+            t = coef[0] / 8.0 + 128.0
+            p = math.floor(t + 0.5) if t >= 0 else -math.floor(-t + 0.5)
+            p = min(255, max(0, int(p)))
+            return [[p] * 8 for _ in range(8)], dc
         blk = [[0] * 8 for _ in range(8)]
         for i, (row, col) in enumerate(zz):
             blk[row][col] = coef[i]

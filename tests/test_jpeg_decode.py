@@ -464,3 +464,17 @@ def test_mjpeg_avi_fail_loud():
     )
     with pytest.raises(ValueError, match="every_n"):
         sample_frames(df, every_n=0, codec="mjpeg-avi")
+
+
+def test_dc_fast_path_equals_general_idct():
+    """The DC-only fast path must be bit-identical to the general IDCT
+    for every DC value — pinned by comparing against a block whose AC
+    coefficient is present-but-zero-valued... impossible to encode
+    (zero AC never emits a symbol), so pin against the independent
+    matrix IDCT across the full useful DC range instead."""
+    for dc in range(-128, 129, 7):
+        coef = [0] * 64
+        coef[0] = dc
+        raw = encode_jpeg(8, 8, [[coef]])
+        out = _decode([raw])[0]
+        assert list(out["pixels"]) == _expected(8, 8, [[coef]]), dc
