@@ -160,6 +160,78 @@ def pack_sequences(
     )
 
 
+def pack_concat_chunks(
+    df: DataFrame,
+    order_by: list[str | Column],
+    size_col: str | Column,
+    window: int,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """EXACT concat-and-chunk packing (r9): the GPT-pretraining form of
+    sequence packing — conceptually concatenate every document's tokens
+    in ``order_by`` order and cut the stream into consecutive windows
+    of exactly ``window`` tokens, SPLITTING documents that straddle a
+    boundary. This is the complement of :func:`pack_sequences` (which
+    keeps documents whole and lets each bin overflow by at most one
+    straddler): here every window is exactly full — zero padding waste,
+    the property pretraining batches want — at the cost of split
+    documents, and the operator emits the (window, document, span)
+    MAPPING rather than moving any text:
+
+        (window_id, <id_cols...>, tok_start, tok_len, is_split)
+
+    where ``tok_start`` is the 0-based offset of the span within ITS
+    document and a document spanning k boundaries emits k+1 rows.
+    Feeding the mapping to a gather stage materializes the actual
+    windows; keeping it relational keeps the shuffle thin (ids +
+    three ints) at any corpus size.
+
+    Scale shape: one :func:`running_sum` (range repartition +
+    per-partition cumsum + broadcast offsets — never a global
+    single-task window) and one bounded ``sequence``-explode: a
+    document with n tokens spans at most n/window + 1 windows, so the
+    fan-out is at most a factor (1 + 1/window) over the input. All
+    arithmetic is exact integers (token counts), so the mapping is
+    engine-replayable bit-for-bit. Zero-token documents emit no span.
+    """
+    if window < 1:
+        raise ValueError(f"pack_concat_chunks: window={window} must be >= 1")
+    id_cols = id_cols if id_cols is not None else ["doc_id"]
+    size = (F.col(size_col) if isinstance(size_col, str) else size_col)
+    cum = running_sum(df, order_by, size_col, out_col="_cum")
+    n = size.cast("bigint")
+    off = (F.col("_cum").cast("bigint") - n).alias("_off")
+    spans = (
+        cum.select(*id_cols, n.alias("_n"), off)
+        .where(F.col("_n") > 0)
+        .withColumn(
+            "window_id",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("_off") / window).cast("bigint"),
+                    F.floor((F.col("_off") + F.col("_n") - 1) / window)
+                    .cast("bigint"),
+                )
+            ),
+        )
+    )
+    tok_start = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.col("window_id") * window - F.col("_off"),
+    )
+    tok_end = F.least(
+        F.col("_n"),
+        (F.col("window_id") + 1) * window - F.col("_off"),
+    )
+    return spans.select(
+        "window_id",
+        *id_cols,
+        tok_start.alias("tok_start"),
+        (tok_end - tok_start).alias("tok_len"),
+        (tok_end - tok_start < F.col("_n")).alias("is_split"),
+    )
+
+
 def materialize_packed(
     df: DataFrame,
     bin_col: str,

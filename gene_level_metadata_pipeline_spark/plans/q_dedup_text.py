@@ -1197,6 +1197,60 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pack_concat_chunks",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n,
+             CAST(sum(CAST(n AS DECIMAL(28,6))) OVER (ORDER BY doc_id)
+                  AS BIGINT) - n AS off
+      FROM d WHERE n > 0
+    ),
+    s AS (
+      SELECT doc_id, n, off,
+             unnest(generate_series(off // 512, (off + n - 1) // 512))
+               AS window_id
+      FROM c
+    )
+    SELECT window_id, doc_id,
+           greatest(0, window_id * 512 - off) AS tok_start,
+           least(n, (window_id + 1) * 512 - off)
+             - greatest(0, window_id * 512 - off) AS tok_len,
+           (least(n, (window_id + 1) * 512 - off)
+             - greatest(0, window_id * 512 - off)) < n AS is_split
+    FROM s
+    """,
+)
+def q_pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT concat-and-chunk packing (selection.pack_concat_chunks,
+    r9): the pretraining-batch form — the token stream of all documents
+    in doc_id order is cut into consecutive 512-token windows with
+    straddling documents SPLIT at the boundary, emitted as the
+    (window_id, doc_id, tok_start, tok_len, is_split) mapping. Every
+    window except the last is exactly full (zero padding waste — the
+    property pack_sequences trades away to keep documents whole), and
+    the whole mapping is exact integer arithmetic over one distributed
+    prefix sum + one bounded sequence-explode, so both engines replay
+    it bit-for-bit. The oracle rebuilds the same spans with a naive
+    global window + generate_series."""
+    from gene_level_metadata_pipeline_spark.operators.selection import (
+        pack_concat_chunks,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast("long")
+         .alias("n_tokens"),
+    )
+    return pack_concat_chunks(docs, [F.col("doc_id")], "n_tokens", 512)
+
+
+@_register(
     "pack_materialize",
     oracle="""
     WITH d AS (

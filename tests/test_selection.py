@@ -315,3 +315,54 @@ def test_running_sum_consistent_at_sampling_scale(spark):
         for k in range(n):
             acc += (k * 37) % 19 + 1
             assert got[k] == acc, f"prefix sum wrong at k={k}"
+
+
+def test_pack_concat_chunks_partitions_the_token_stream(spark):
+    """r9: every span row partitions its document contiguously, every
+    interior window holds EXACTLY `window` tokens (zero padding waste),
+    the final window holds the remainder, and is_split marks exactly
+    the documents emitting >1 span. Includes a zero-token doc (must
+    vanish) and docs far larger than the window (multi-split)."""
+    from collections import defaultdict
+
+    from gene_level_metadata_pipeline_spark.operators.selection import (
+        pack_concat_chunks,
+    )
+
+    rows = [(1, 5), (2, 0), (3, 23), (4, 7), (5, 1), (6, 40), (7, 4)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_concat_chunks(df, [F.col("doc_id")], "n_tokens", 8).collect()
+    total = sum(n for _, n in rows)
+    by_win = defaultdict(int)
+    by_doc = defaultdict(list)
+    for r in out:
+        by_win[r["window_id"]] += r["tok_len"]
+        by_doc[r["doc_id"]].append((r["tok_start"], r["tok_len"],
+                                    r["is_split"]))
+    assert 2 not in by_doc  # zero-token doc emits nothing
+    n_windows = (total + 7) // 8
+    assert sorted(by_win) == list(range(n_windows))
+    for w, tks in by_win.items():
+        assert tks == (8 if w < n_windows - 1 else total - 8 * w), w
+    sizes = dict(rows)
+    for doc, spans in by_doc.items():
+        spans.sort()
+        # spans tile [0, n) contiguously
+        pos = 0
+        for start, ln, split in spans:
+            assert start == pos and ln >= 1
+            assert split == (len(spans) > 1)
+            pos += ln
+        assert pos == sizes[doc]
+
+
+def test_pack_concat_chunks_validates_window(spark):
+    import pytest
+
+    from gene_level_metadata_pipeline_spark.operators.selection import (
+        pack_concat_chunks,
+    )
+
+    df = spark.createDataFrame([(1, 3)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError, match="window"):
+        pack_concat_chunks(df, [F.col("doc_id")], "n_tokens", 0)
