@@ -232,6 +232,68 @@ def pack_concat_chunks(
     )
 
 
+def materialize_chunks(
+    mapping: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gather stage for :func:`pack_concat_chunks`: join the thin
+    (window_id, doc_id, tok_start, tok_len) mapping back to the
+    documents, slice each document's whitespace tokens to its span, and
+    assemble every window's token sequence in stream order. Returns
+    (window_id, n_segs, n_tokens, window_text) where ``window_text``
+    joins the window's tokens with single spaces — every interior
+    window carries exactly the pack width.
+
+    In-window segment order is the pack's document order (ascending
+    ``id_col`` — a document contributes at most one span per window, so
+    the id is a total order within the window); assembly is the A6
+    ordered-collect discipline (``array_sort`` over structs then
+    flatten), never relying on shuffle arrival order. Two shuffles: the
+    mapping ⋈ docs join keyed on the doc id (the mapping side is thin —
+    ids + three ints) and the window groupBy; text bytes move ONCE,
+    already sliced to spans."""
+    toks = docs.select(
+        F.col(id_col).alias("_id"),
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias(
+            "_toks"
+        ),
+    )
+    seg = (
+        mapping.join(toks, mapping[id_col] == F.col("_id"))
+        .select(
+            "window_id",
+            F.col(id_col).alias("_doc"),
+            F.slice(
+                F.col("_toks"),
+                (F.col("tok_start") + 1).cast("int"),
+                F.col("tok_len").cast("int"),
+            ).alias("_seg"),
+        )
+    )
+    return (
+        seg.groupBy("window_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segs"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_doc", "_seg"))
+                    ),
+                    lambda s: s.getField("_seg"),
+                )
+            ).alias("_tokens"),
+        )
+        .select(
+            "window_id",
+            "n_segs",
+            F.size("_tokens").cast("bigint").alias("n_tokens"),
+            F.concat_ws(" ", F.col("_tokens")).alias("window_text"),
+        )
+    )
+
+
 def materialize_packed(
     df: DataFrame,
     bin_col: str,

@@ -1251,6 +1251,68 @@ def q_pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pack_chunk_windows",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+                  AS BIGINT) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks, n,
+             CAST(sum(CAST(n AS DECIMAL(28,6))) OVER (ORDER BY doc_id)
+                  AS BIGINT) - n AS off
+      FROM d WHERE n > 0
+    ),
+    s AS (
+      SELECT doc_id, toks, n, off,
+             unnest(generate_series(off // 512, (off + n - 1) // 512))
+               AS window_id
+      FROM c
+    ),
+    seg AS (
+      SELECT window_id, doc_id,
+             toks[CAST(greatest(0, window_id * 512 - off) + 1 AS BIGINT) :
+                  CAST(least(n, (window_id + 1) * 512 - off) AS BIGINT)]
+               AS piece
+      FROM s
+    )
+    SELECT window_id, CAST(count(*) AS BIGINT) AS n_segs,
+           CAST(sum(len(piece)) AS BIGINT) AS n_tokens,
+           string_agg(array_to_string(piece, ' '), ' '
+                      ORDER BY doc_id) AS window_text
+    FROM seg GROUP BY window_id
+    """,
+)
+def q_pack_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The concat-and-chunk pipeline END-TO-END (r9): the
+    pack_concat_chunks mapping joined back to the corpus and gathered
+    into actual 512-token training windows
+    (selection.materialize_chunks) — every interior window's
+    window_text carries exactly 512 whitespace tokens assembled in
+    stream order across document boundaries, hash-certified including
+    the full window text. The oracle rebuilds the same spans with a
+    naive global window + list slicing + ordered string_agg. Two
+    shuffles: mapping ⋈ docs on the doc id (mapping side is ids + three
+    ints) and the window groupBy; text bytes move once, pre-sliced."""
+    from gene_level_metadata_pipeline_spark.operators.selection import (
+        materialize_chunks,
+        pack_concat_chunks,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    counted = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != "")).cast("long")
+         .alias("n_tokens"),
+    )
+    mapping = pack_concat_chunks(counted, [F.col("doc_id")], "n_tokens", 512)
+    return materialize_chunks(mapping, docs)
+
+
+@_register(
     "pack_materialize",
     oracle="""
     WITH d AS (

@@ -366,3 +366,36 @@ def test_pack_concat_chunks_validates_window(spark):
     df = spark.createDataFrame([(1, 3)], "doc_id long, n_tokens long")
     with pytest.raises(ValueError, match="window"):
         pack_concat_chunks(df, [F.col("doc_id")], "n_tokens", 0)
+
+
+def test_materialize_chunks_interior_windows_exactly_full(spark):
+    """r9 gather stage: every interior window's assembled text holds
+    exactly `window` whitespace tokens, in stream order across split
+    document boundaries."""
+    from gene_level_metadata_pipeline_spark.operators.selection import (
+        materialize_chunks,
+        pack_concat_chunks,
+    )
+
+    rows = [(i, " ".join(f"d{i}t{j}" for j in range((i * 13) % 9 + 1)))
+            for i in range(1, 31)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    counted = docs.select(
+        "doc_id",
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        .cast("long").alias("n_tokens"),
+    )
+    mapping = pack_concat_chunks(counted, [F.col("doc_id")], "n_tokens", 7)
+    out = {r["window_id"]: r for r in
+           materialize_chunks(mapping, docs).collect()}
+    total = sum((i * 13) % 9 + 1 for i in range(1, 31))
+    n_windows = (total + 6) // 7
+    assert sorted(out) == list(range(n_windows))
+    stream = [t for _, text in rows for t in text.split(" ")]
+    pos = 0
+    for w in range(n_windows):
+        toks = out[w]["window_text"].split(" ")
+        want = stream[pos:pos + 7]
+        assert toks == want, w
+        assert out[w]["n_tokens"] == len(want)
+        pos += len(want)
