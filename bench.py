@@ -140,6 +140,10 @@ HEADLINE = [
     "image_jpeg_decode",
     "video_mjpeg_frames",
     "dedup_minhash_lsh_star",
+    # r9 batch 2: exact concat-and-chunk packing (mapping + end-to-end
+    # window materialization — the pretraining batch shape)
+    "pack_concat_chunks",
+    "pack_chunk_windows",
 ]
 
 REPS = 3

@@ -178,6 +178,13 @@ SHUFFLE_BUDGET = {
     "image_jpeg_decode": 0,
     "video_mjpeg_frames": 0,
     "dedup_minhash_lsh_star": 3,
+    # r9 batch 2 (audited 2026-08-16): the mapping = running_sum's
+    # range repartition + SinglePartition offsets + the checkpoint-fed
+    # explode projection (3); the end-to-end windows add the
+    # mapping ⋈ docs doc-id join side on top of the same scaffold (4 —
+    # the window groupBy rides the join's hash partitioning)
+    "pack_concat_chunks": 3,
+    "pack_chunk_windows": 4,
 }
 
 # Non-headline flagships whose plan shape is still pinned (round-4 audit).
