@@ -193,7 +193,19 @@ def _family_regression(
         with open(prev_path) as f:
             prev = json.load(f)
         prev_times = prev["queries"]
-        prev_control = float(prev["control_sec"])
+        # the MEDIAN of the bracketing control reps, not the min: two
+        # back-to-back same-code runs showed the min-of-6 estimator
+        # drifting ~20% while the medians stayed put, inflating every
+        # deflated ratio and flagging untouched families (r9) — the
+        # min is the right estimator for PLAN cost, the median for the
+        # HOST floor. Falls back to control_sec for pre-r9 details.
+        prev_reps = sorted(
+            prev.get("control_pre", []) + prev.get("control_post", [])
+        )
+        prev_control = (
+            prev_reps[len(prev_reps) // 2] if prev_reps
+            else float(prev["control_sec"])
+        )
     except Exception:  # noqa: BLE001 — first run / missing / corrupt
         return {"available": False, "reason": "no previous bench_detail"}
     deflator = (control_sec / prev_control) if prev_control > 0 else 1.0
@@ -309,9 +321,12 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "bench_detail.json"
     )
     # the previous committed detail is the comparison baseline — read
-    # it BEFORE overwriting (VERDICT r8 item 8)
+    # it BEFORE overwriting (VERDICT r8 item 8). This run's control
+    # statistic is the MEDIAN of the bracketing reps (see
+    # _family_regression's rationale)
+    now_reps = sorted(control_pre + control_post)
     detail["family_regression"] = _family_regression(
-        times, detail["control_sec"], detail_path
+        times, now_reps[len(now_reps) // 2], detail_path
     )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
