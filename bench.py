@@ -221,7 +221,15 @@ def _family_regression(
         for fam, (now, before) in sorted(fams.items())
         if before > 0
     }
-    regressed = sorted(f for f, r in ratios.items() if r > 1.25)
+    # a family regresses when BOTH hold: deflated ratio > 1.25 AND the
+    # deflated absolute increase exceeds half a second — single-query
+    # sub-second families otherwise flag on 0.2s scheduling noise
+    # (measured on back-to-back same-code runs, r9)
+    regressed = sorted(
+        f for f, r in ratios.items()
+        if r > 1.25
+        and (fams[f][0] / deflator) - fams[f][1] > 0.5
+    )
     return {
         "available": True,
         "control_deflator": round(deflator, 3),
