@@ -517,10 +517,15 @@ def minhash_candidate_pairs(
     directly) explicit and engine-replayable.
 
     Pass a ``pyspark.sql.Observation`` as ``observation`` to count what
-    the cap dropped: after any action on the result, ``observation.get``
-    holds ``lsh_capped_rows`` (bucket-membership rows discarded) and
-    ``lsh_capped_max_bucket`` (largest bucket seen, capped or not).
-    :func:`warn_capped_buckets` turns that into a ``warnings.warn``."""
+    the cap did: after any action on the result, ``observation.get``
+    holds ``lsh_capped_max_bucket`` (largest bucket seen, capped or not)
+    plus — per ``oversize`` mode (ADVICE r9: star mode does NOT discard,
+    so its metric must not claim data loss) — ``lsh_capped_rows``
+    (``oversize='drop'``: bucket-membership rows discarded) or
+    ``lsh_starred_rows`` (``oversize='star'``: rows rewired to the hub
+    star instead of pair-expanded; nothing dropped).
+    :func:`warn_capped_buckets` turns either into a ``warnings.warn``
+    with mode-correct wording."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"minhash_candidate_pairs: num_hashes={num_hashes} must be "
@@ -578,10 +583,18 @@ def minhash_candidate_pairs(
         w = Window.partitionBy("band", "band_hash")
         buckets = buckets.withColumn("__bsz", F.count(F.lit(1)).over(w))
         if observation is not None:
+            over = F.count_if(F.col("__bsz") > max_bucket_size)
+            none = F.count_if(F.lit(False))  # aggregate-typed zero
             buckets = buckets.observe(
                 observation,
-                F.count_if(F.col("__bsz") > max_bucket_size).alias(
+                # star mode STARS oversized rows (kept, rewired to the
+                # hub); drop mode discards them — name the metric for
+                # what actually happened (ADVICE r9)
+                (none if oversize == "star" else over).alias(
                     "lsh_capped_rows"
+                ),
+                (over if oversize == "star" else none).alias(
+                    "lsh_starred_rows"
                 ),
                 F.coalesce(F.max("__bsz"), F.lit(0)).alias(
                     "lsh_capped_max_bucket"
@@ -631,22 +644,38 @@ def warn_capped_buckets(observation) -> int:
     """Read a bucket-cap ``observation`` (from
     :func:`minhash_candidate_pairs`, or the embedding-family caps in
     ``operators.similarity`` — same metric names) AFTER an action on its
-    result and ``warnings.warn`` if the bucket cap dropped anything. Returns the number of dropped bucket-membership rows.
+    result and ``warnings.warn`` if the bucket cap touched anything.
+    Returns the number of affected bucket-membership rows — discarded
+    in ``oversize='drop'`` mode (``lsh_capped_rows``), rewired to the
+    hub star in ``oversize='star'`` mode (``lsh_starred_rows``; the
+    warning says starred, not dropped — ADVICE r9). Producers without a
+    star mode simply never emit ``lsh_starred_rows``.
     (``Observation.get`` blocks until the first action completes — call
     this post-action, e.g. after the write/collect of the pairs.)"""
     import warnings
 
     metrics = observation.get
     dropped = int(metrics["lsh_capped_rows"])
+    starred = int(metrics.get("lsh_starred_rows", 0))
+    biggest = int(metrics["lsh_capped_max_bucket"])
     if dropped > 0:
         warnings.warn(
             f"LSH bucket cap dropped {dropped} bucket-membership "
-            f"rows (largest bucket: {int(metrics['lsh_capped_max_bucket'])} "
+            f"rows (largest bucket: {biggest} "
             "docs) — saturated buckets were excluded from candidate "
             "generation; run exact dedup first if you have not",
             stacklevel=2,
         )
-    return dropped
+    if starred > 0:
+        warnings.warn(
+            f"LSH bucket cap starred {starred} bucket-membership rows "
+            f"(largest bucket: {biggest} docs) — oversized buckets were "
+            "rewired as hub stars (member↔min-id; nothing dropped, but "
+            "in-bucket members connect only THROUGH the hub); run exact "
+            "dedup first if you have not",
+            stacklevel=2,
+        )
+    return dropped + starred
 
 
 def near_dup_pairs(

@@ -151,6 +151,13 @@ def _jpeg_decode(raw) -> tuple[int, int, str, list[int]]:
                 byte = self.b[self.pos]
                 self.pos += 1
                 if byte == 0xFF:
+                    # ADVICE r9: a payload ENDING on 0xFF must raise the
+                    # documented truncation ValueError, not IndexError
+                    if self.pos >= len(self.b):
+                        raise ValueError(
+                            "decode_image[jpeg]: truncated scan "
+                            "(0xFF at end of data, stuffing byte missing)"
+                        )
                     nxt = self.b[self.pos]
                     self.pos += 1
                     if nxt != 0x00:
@@ -292,6 +299,13 @@ def _jpeg_decode(raw) -> tuple[int, int, str, list[int]]:
                         raise ValueError(
                             "decode_image[jpeg]: 16-bit quant "
                             "tables unsupported"
+                        )
+                    # ADVICE r9: a short DQT segment must fail loud here,
+                    # not as an IndexError inside decode_block later
+                    if i + 65 > len(seg):
+                        raise ValueError(
+                            "decode_image[jpeg]: truncated DQT segment "
+                            f"({len(seg) - i - 1} of 64 entries)"
                         )
                     qt[tq] = list(seg[i + 1:i + 65])
                     i += 65

@@ -178,13 +178,17 @@ def pack_concat_chunks(
     documents, and the operator emits the (window, document, span)
     MAPPING rather than moving any text:
 
-        (window_id, <id_cols...>, tok_start, tok_len, is_split)
+        (window_id, <id_cols...>, tok_start, tok_len, win_off, is_split)
 
     where ``tok_start`` is the 0-based offset of the span within ITS
-    document and a document spanning k boundaries emits k+1 rows.
-    Feeding the mapping to a gather stage materializes the actual
-    windows; keeping it relational keeps the shuffle thin (ids +
-    three ints) at any corpus size.
+    document, ``win_off`` is the 0-based offset of the span within its
+    WINDOW (the stream-order key — in-window spans partition
+    [0, window), so sorting a window's segments by ``win_off``
+    reconstructs the concatenated stream for ANY ``order_by``, not just
+    ascending doc id; ADVICE r9), and a document spanning k boundaries
+    emits k+1 rows. Feeding the mapping to a gather stage materializes
+    the actual windows; keeping it relational keeps the shuffle thin
+    (ids + four ints) at any corpus size.
 
     Scale shape: one :func:`running_sum` (range repartition +
     per-partition cumsum + broadcast offsets — never a global
@@ -228,6 +232,13 @@ def pack_concat_chunks(
         *id_cols,
         tok_start.alias("tok_start"),
         (tok_end - tok_start).alias("tok_len"),
+        # stream offset of this span WITHIN its window: the key the
+        # gather stage sorts on, valid for any order_by (ADVICE r9 —
+        # sorting on doc id silently scrambled non-id-ordered packs)
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.col("_off") - F.col("window_id") * window,
+        ).alias("win_off"),
         (tok_end - tok_start < F.col("_n")).alias("is_split"),
     )
 
@@ -246,14 +257,23 @@ def materialize_chunks(
     joins the window's tokens with single spaces — every interior
     window carries exactly the pack width.
 
-    In-window segment order is the pack's document order (ascending
-    ``id_col`` — a document contributes at most one span per window, so
-    the id is a total order within the window); assembly is the A6
-    ordered-collect discipline (``array_sort`` over structs then
-    flatten), never relying on shuffle arrival order. Two shuffles: the
-    mapping ⋈ docs join keyed on the doc id (the mapping side is thin —
-    ids + three ints) and the window groupBy; text bytes move ONCE,
-    already sliced to spans."""
+    In-window segment order is STREAM order: segments sort on the
+    mapping's ``win_off`` (the span's 0-based offset within its window,
+    emitted by :func:`pack_concat_chunks` — in-window offsets partition
+    [0, window), so the sort is a total order and reconstructs the
+    concatenated stream for ANY pack ``order_by``, not just ascending
+    doc id; ADVICE r9). Assembly is the A6 ordered-collect discipline
+    (``array_sort`` over structs then flatten), never relying on
+    shuffle arrival order. Two shuffles: the mapping ⋈ docs join keyed
+    on the doc id (the mapping side is thin — ids + four ints) and the
+    window groupBy; text bytes move ONCE, already sliced to spans."""
+    if "win_off" not in mapping.columns:
+        raise ValueError(
+            "materialize_chunks: mapping has no 'win_off' column — the "
+            "stream-order key pack_concat_chunks emits; without it, "
+            "in-window segment order is undefined for non-id order_by. "
+            "Re-run pack_concat_chunks to produce the mapping."
+        )
     toks = docs.select(
         F.col(id_col).alias("_id"),
         F.filter(F.split(F.col(text_col), " "), lambda x: x != "").alias(
@@ -264,7 +284,7 @@ def materialize_chunks(
         mapping.join(toks, mapping[id_col] == F.col("_id"))
         .select(
             "window_id",
-            F.col(id_col).alias("_doc"),
+            F.col("win_off").alias("_wo"),
             F.slice(
                 F.col("_toks"),
                 (F.col("tok_start") + 1).cast("int"),
@@ -279,7 +299,7 @@ def materialize_chunks(
             F.flatten(
                 F.transform(
                     F.array_sort(
-                        F.collect_list(F.struct("_doc", "_seg"))
+                        F.collect_list(F.struct("_wo", "_seg"))
                     ),
                     lambda s: s.getField("_seg"),
                 )

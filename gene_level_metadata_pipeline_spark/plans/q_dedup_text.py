@@ -1221,6 +1221,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
            greatest(0, window_id * 512 - off) AS tok_start,
            least(n, (window_id + 1) * 512 - off)
              - greatest(0, window_id * 512 - off) AS tok_len,
+           greatest(0, off - window_id * 512) AS win_off,
            (least(n, (window_id + 1) * 512 - off)
              - greatest(0, window_id * 512 - off)) < n AS is_split
     FROM s
@@ -1231,7 +1232,7 @@ def q_pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     r9): the pretraining-batch form — the token stream of all documents
     in doc_id order is cut into consecutive 512-token windows with
     straddling documents SPLIT at the boundary, emitted as the
-    (window_id, doc_id, tok_start, tok_len, is_split) mapping. Every
+    (window_id, doc_id, tok_start, tok_len, win_off, is_split) mapping. Every
     window except the last is exactly full (zero padding waste — the
     property pack_sequences trades away to keep documents whole), and
     the whole mapping is exact integer arithmetic over one distributed
@@ -1274,6 +1275,7 @@ def q_pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     seg AS (
       SELECT window_id, doc_id,
+             greatest(0, off - window_id * 512) AS win_off,
              toks[CAST(greatest(0, window_id * 512 - off) + 1 AS BIGINT) :
                   CAST(least(n, (window_id + 1) * 512 - off) AS BIGINT)]
                AS piece
@@ -1282,7 +1284,7 @@ def q_pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT window_id, CAST(count(*) AS BIGINT) AS n_segs,
            CAST(sum(len(piece)) AS BIGINT) AS n_tokens,
            string_agg(array_to_string(piece, ' '), ' '
-                      ORDER BY doc_id) AS window_text
+                      ORDER BY win_off) AS window_text
     FROM seg GROUP BY window_id
     """,
 )
@@ -1292,10 +1294,11 @@ def q_pack_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     into actual 512-token training windows
     (selection.materialize_chunks) — every interior window's
     window_text carries exactly 512 whitespace tokens assembled in
-    stream order across document boundaries, hash-certified including
+    stream order (sorted on the mapping's win_off key) across document
+    boundaries, hash-certified including
     the full window text. The oracle rebuilds the same spans with a
     naive global window + list slicing + ordered string_agg. Two
-    shuffles: mapping ⋈ docs on the doc id (mapping side is ids + three
+    shuffles: mapping ⋈ docs on the doc id (mapping side is ids + four
     ints) and the window groupBy; text bytes move once, pre-sliced."""
     from gene_level_metadata_pipeline_spark.operators.selection import (
         materialize_chunks,

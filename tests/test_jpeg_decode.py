@@ -350,6 +350,22 @@ def test_fail_loud_surface():
     expect_raise(good[:-4], "truncated|marker|Huffman")
     # truncated mid-segment (cut inside the SOS header)
     expect_raise(good[:good.index(b"\xff\xda") + 5], "truncated")
+    # ADVICE r9: payload ending exactly on 0xFF (stuffing byte cut) must
+    # raise the documented ValueError, not a raw IndexError
+    da = good.index(b"\xff\xda")
+    sos_len = (good[da + 2] << 8) | good[da + 3]
+    ent = da + 2 + sos_len
+    expect_raise(good[:ent] + b"\xff", "stuffing byte missing")
+    # ADVICE r9: short DQT segment (7 of 64 entries) fails loud at parse
+    # time, not as an IndexError later inside decode_block
+    dqt_at = good.index(b"\xff\xdb")
+    short_dqt = (
+        good[:dqt_at + 2]
+        + b"\x00\x0a"                      # new segment length: 2 + 8
+        + good[dqt_at + 4:dqt_at + 12]     # Pq/Tq + 7 entries
+        + good[dqt_at + 69:]               # rest of the stream
+    )
+    expect_raise(short_dqt, "truncated DQT")
 
 
 def test_unknown_codec_rejects_pil():

@@ -96,3 +96,51 @@ def test_invalid_oversize_fails_loud():
         minhash_candidate_pairs(
             _fixture(spark), "text", "doc_id", oversize="sample"
         )
+
+
+def test_star_telemetry_reports_starred_not_dropped():
+    """ADVICE r9: in star mode nothing is discarded, so the Observation
+    must carry the count under lsh_starred_rows (lsh_capped_rows stays
+    0) and warn_capped_buckets must say 'starred', not 'dropped'."""
+    import warnings
+
+    from pyspark.sql import Observation
+
+    from gene_level_metadata_pipeline_spark.operators import dedup
+
+    spark = _get_spark()
+    df = _fixture(spark)
+
+    obs_star = Observation("star_mode")
+    star = dedup.minhash_candidate_pairs(
+        df, "text", "doc_id", max_bucket_size=4,
+        observation=obs_star, oversize="star",
+    )
+    star.collect()
+    m = obs_star.get
+    assert int(m["lsh_capped_rows"]) == 0
+    assert int(m["lsh_starred_rows"]) == 12 * 4  # boiler doc x 4 bands
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        n = dedup.warn_capped_buckets(obs_star)
+    assert n == 12 * 4
+    assert len(caught) == 1
+    msg = str(caught[0].message)
+    assert "starred" in msg and "nothing dropped" in msg
+    assert "cap dropped" not in msg
+
+    # drop mode keeps the historical metric name and wording
+    obs_drop = Observation("drop_mode")
+    dropped = dedup.minhash_candidate_pairs(
+        df, "text", "doc_id", max_bucket_size=4,
+        observation=obs_drop, oversize="drop",
+    )
+    dropped.collect()
+    m = obs_drop.get
+    assert int(m["lsh_capped_rows"]) == 12 * 4
+    assert int(m["lsh_starred_rows"]) == 0
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        n = dedup.warn_capped_buckets(obs_drop)
+    assert n == 12 * 4
+    assert "dropped" in str(caught[0].message)

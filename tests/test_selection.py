@@ -399,3 +399,61 @@ def test_materialize_chunks_interior_windows_exactly_full(spark):
         assert toks == want, w
         assert out[w]["n_tokens"] == len(want)
         pos += len(want)
+
+
+def test_materialize_chunks_non_id_order_stream_correct(spark):
+    """ADVICE r9 (medium): the mapping carries win_off — the span's
+    stream offset within its window — and the gather stage sorts on it,
+    so window_text is in TRUE stream order even when the pack order_by
+    is not ascending doc_id. The old doc-id sort scrambled exactly this
+    case (quality-descending pack where id order inverts stream order)."""
+    from gene_level_metadata_pipeline_spark.operators.selection import (
+        materialize_chunks,
+        pack_concat_chunks,
+    )
+
+    # quality DESC order reverses doc-id order: stream = doc 4,3,2,1
+    rows = [
+        (1, 1.0, "a1 a2 a3"),
+        (2, 2.0, "b1 b2 b3 b4 b5"),
+        (3, 3.0, "c1 c2"),
+        (4, 4.0, "d1 d2 d3 d4"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, quality double, text string"
+    )
+    counted = docs.select(
+        "doc_id", "quality",
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        .cast("long").alias("n_tokens"),
+    )
+    order = [F.col("quality").desc(), F.col("doc_id")]
+    mapping = pack_concat_chunks(counted, order, "n_tokens", 5)
+    out = {r["window_id"]: r for r in
+           materialize_chunks(mapping, docs).collect()}
+    stream = [t for _, _, text in sorted(rows, key=lambda r: (-r[1], r[0]))
+              for t in text.split(" ")]
+    pos = 0
+    for w in sorted(out):
+        toks = out[w]["window_text"].split(" ")
+        want = stream[pos:pos + 5]
+        assert toks == want, (w, toks, want)
+        pos += len(want)
+    assert pos == len(stream)
+
+
+def test_materialize_chunks_requires_win_off(spark):
+    import pytest
+
+    from gene_level_metadata_pipeline_spark.operators.selection import (
+        materialize_chunks,
+    )
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    legacy = spark.createDataFrame(
+        [(0, 1, 0, 2, False)],
+        "window_id long, doc_id long, tok_start long, tok_len long, "
+        "is_split boolean",
+    )
+    with pytest.raises(ValueError, match="win_off"):
+        materialize_chunks(legacy, docs)

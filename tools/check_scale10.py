@@ -218,8 +218,20 @@ def main() -> int:
     spark = get_spark("check-scale10")
     spark.sparkContext.setLogLevel("ERROR")
 
+    fp_path = os.path.join(ss.STRESS, "_fixture_fingerprint.json")
+    fp_ok = False
+    if os.path.isdir(ss.STRESS) and os.path.isfile(fp_path):
+        import json as _json
+
+        with open(fp_path) as fh:
+            fp_ok = _json.load(fh) == ss.fingerprint(ss.REPLICAS)
     if os.path.isdir(ss.STRESS) and os.environ.get("SCALE10_REUSE") == "1":
-        print(f"reusing replica at {ss.STRESS}")
+        if not fp_ok:
+            print(f"WARNING: reusing STALE replica at {ss.STRESS} "
+                  "(fixture fingerprint mismatch) because "
+                  "SCALE10_REUSE=1", flush=True)
+        else:
+            print(f"reusing replica at {ss.STRESS}")
     else:
         t0 = time.time()
         ss.build(spark)

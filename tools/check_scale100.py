@@ -55,27 +55,14 @@ QUERIES = [
 ]
 
 # Tiers excluded BY POLICY, each with its measured cause — the artifact
-# exists to NAME superlinear growth, and these are the named rows:
-#
-# * dedup_set_similarity_exact @ 100x: the replica fixture appends one
-#   tag token per replica, so every document is a TRUE Jaccard>=0.5
-#   near-dup of its R-1 replicas — the qualifying OUTPUT (and therefore
-#   any exact algorithm's verification work) grows ~R^2 by
-#   construction. Measured: the verification join's shuffle spill
-#   filled the 77 GB scratch disk at R=100 (first run additionally
-#   OOMed a 16 GB heap). Quadratic growth here is in the fixture's
-#   TRUTH, not the operator: an exact join cannot emit fewer rows than
-#   its answer. A real 100 TB corpus does not grow near-dup cliques
-#   linearly with corpus size; the production guards are dedup-exact
-#   first (the module docstring's standing instruction) and the LSH
-#   bucket-cap/star policy for template cliques.
-POLICY_SKIP = {
-    ("dedup_set_similarity_exact", "sf10_equiv"): (
-        "fixture-quadratic: output pairs ~ R^2 (every doc has R-1 true "
-        "cross-replica near-dups); verification shuffle filled the "
-        "scratch disk at R=100 — cause named above, not a growth bug"
-    ),
-}
+# exists to NAME superlinear growth. Empty since r10: the one skip
+# (dedup_set_similarity_exact @ 100x) was a FIXTURE artifact — the old
+# " repN" tag left every doc a true Jaccard near-dup of its R-1 replica
+# copies, so the qualifying OUTPUT grew ~R^2 by construction (77 GB
+# scratch fill at R=100). The r10 fixture salts every token per replica
+# (tools/stress_scale.py docstring), cross-replica Jaccard collapses to
+# ~0, output is linear in R, and the row is measured like its peers.
+POLICY_SKIP: dict = {}
 
 
 def _build(spark, replicas: int, out_dir: str) -> None:
@@ -96,15 +83,39 @@ def main() -> int:
 
     spark = get_spark("check-scale100")
     spark.sparkContext.setLogLevel("ERROR")
+    import shutil
+
+    import stress_scale
+
     reuse = os.environ.get("SCALE100_REUSE") == "1"
     for reps, d in ((10, DIR10), (100, DIR100)):
-        if reuse and os.path.isdir(d):
-            print(f"reusing {d}")
+        # A replica dir is trusted only if its fingerprint matches the
+        # CURRENT fixture recipe + replica count (ADVICE r9: a bare
+        # isdir check silently measured stale replicas built by an
+        # older stress_scale). SCALE100_REUSE=1 still reuses a
+        # mismatched dir, but loudly.
+        fp_path = os.path.join(d, "_fixture_fingerprint.json")
+        current = None
+        if os.path.isdir(d) and os.path.isfile(fp_path):
+            with open(fp_path) as fh:
+                current = json.load(fh)
+        expected = stress_scale.fingerprint(reps)
+        if current == expected:
+            print(f"reusing {d} (fixture fingerprint matches)")
             continue
-        if not os.path.isdir(d):
-            _build(spark, reps, d)
-        else:
-            print(f"reusing existing {d}")
+        if os.path.isdir(d):
+            if reuse:
+                print(
+                    f"WARNING: reusing STALE replica at {d} "
+                    f"(fingerprint {current} != current fixture "
+                    f"{expected}) because SCALE100_REUSE=1",
+                    flush=True,
+                )
+                continue
+            print(f"rebuilding {d}: stale/unfingerprinted replica "
+                  f"({current} != {expected})", flush=True)
+            shutil.rmtree(d)
+        _build(spark, reps, d)
 
     qs = entrymod.queries()
     tiers = [("sf0.1", SF01), ("sf1_equiv", DIR10), ("sf10_equiv", DIR100)]

@@ -1,13 +1,31 @@
 """One-off scaling stress for the dedup/ANN families (VERDICT r2 item 7).
 
 Builds a 10x replica of sf0.1's documents/embeddings under /tmp (ids
-offset per replica; one replica-tag token appended to each text so
-near-dup structure stays per-replica instead of collapsing into 10-way
-exact dup groups), then times the three flagship scale designs at 1x vs
-10x and prints the wall-time ratio. Linear-ish ratios (~10x work on 32
-local cores => <=10x time for shuffle-bound ops, often less thanks to
-fixed overheads) are the measured evidence behind the "100 TB-safe"
-design claims in PLANS.md.
+offset per replica; EVERY text token salted with the replica id so
+near-dup structure stays per-replica instead of collapsing), then times
+the three flagship scale designs at 1x vs 10x and prints the wall-time
+ratio. Linear-ish ratios (~10x work on 32 local cores => <=10x time for
+shuffle-bound ops, often less thanks to fixed overheads) are the
+measured evidence behind the "100 TB-safe" design claims in PLANS.md.
+
+Token salting (r10, VERDICT r9 item 3): the old fixture appended ONE
+" repN" token per text, which kept replicas distinct for EXACT dedup
+but left every doc a TRUE Jaccard near-dup of its R-1 replica copies
+(one differing token out of n), so any exact set-similarity answer grew
+~R^2 by construction — a fixture artifact, not an operator property,
+and it blocked the 100x growth measurement for
+dedup_set_similarity_exact. Salting every token ("tok" -> "tok~rN",
+replica 0 kept verbatim) makes cross-replica token sets DISJOINT
+(Jaccard ~0 < any threshold) while within-replica similarity is exactly
+the 1x shape: an injective per-token rename applied uniformly to a
+replica preserves token-set sizes, intersections and unions, so the
+qualifying output is R x (1x output) — linear, the property a growth
+curve needs.
+
+Each replica directory gets a ``_fixture_fingerprint.json`` (sha256 of
+this file's source + the replica count) so sweep tools can tell a
+current fixture from a stale one instead of trusting the directory name
+(ADVICE r9).
 
 Usage: python tools/stress_scale.py    (writes nothing outside /tmp)
 """
@@ -43,7 +61,20 @@ QUERIES = (
 )
 
 
+def fingerprint(replicas: int) -> dict:
+    """Identity of the fixture a replica dir SHOULD contain: the build
+    recipe (this file's bytes) + the replica count. Lets sweeps detect a
+    stale replica built by an older fixture (ADVICE r9)."""
+    import hashlib
+
+    with open(os.path.abspath(__file__), "rb") as fh:
+        sha = hashlib.sha256(fh.read()).hexdigest()
+    return {"recipe_sha256": sha, "replicas": replicas}
+
+
 def build(spark) -> None:
+    import json
+
     from pyspark.sql import functions as F
 
     if os.path.isdir(STRESS):
@@ -54,9 +85,24 @@ def build(spark) -> None:
     n_doc = 10_000_000
     n_vec = 10_000_000
     reps = spark.range(REPLICAS).select(F.col("id").alias("__r"))
+    # r10: per-replica token SALT (see module docstring) — replica 0 is
+    # the verbatim 1x corpus, replica r>0 suffixes every whitespace
+    # token with "~r<r>". Cross-replica Jaccard collapses to ~0 while
+    # within-replica similarity structure is exactly the 1x shape.
+    salted = F.array_join(
+        F.transform(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != ""),
+            lambda t: F.concat(
+                t, F.lit("~r"), F.col("__r").cast("string")
+            ),
+        ),
+        " ",
+    )
     big_docs = docs.crossJoin(reps).select(
         (F.col("doc_id") + F.col("__r") * n_doc).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" rep"), F.col("__r")).alias("text"),
+        F.when(F.col("__r") == 0, F.col("text"))
+        .otherwise(salted)
+        .alias("text"),
         *[c for c in docs.columns if c not in ("doc_id", "text")],
     )
     # r7 fix: replicate embeddings with a PER-REPLICA cyclic dimension
@@ -138,6 +184,8 @@ def build(spark) -> None:
         dst = os.path.join(STRESS, f)
         if not os.path.exists(dst):
             os.symlink(os.path.join(SF, f), dst)
+    with open(os.path.join(STRESS, "_fixture_fingerprint.json"), "w") as fh:
+        json.dump(fingerprint(REPLICAS), fh)
 
 
 def main() -> None:
