@@ -23,6 +23,18 @@ Scale notes: payload columns dominate row size → keep them out of shuffles
 (extract features first, then drop the payload), bump
 ``spark.sql.files.maxPartitionBytes`` down so a partition of binaries fits
 executor memory, and never collect payloads to the driver.
+
+Throughput (r10, VERDICT r9 item 1): the per-PIXEL work in every codec
+is numpy-vectorized inside the same Arrow stages — the JPEG IDCT runs
+once over the whole image's block stack with a term-ordered
+accumulation that replays the scalar reference bit-for-bit, PNG
+Sub/Up/None filters reconstruct as whole-row vector ops (Average/Paeth
+keep the spec's serial loop), BMP rows and the BT.601 luma fold are
+array slices, and WAV peak is one vector abs/max. Outputs are
+byte-identical to the r9 scalar loops (A/B-verified on randomized
+images; the codec oracles and unit suites pin it). Only the
+bit-serial JPEG Huffman walk remains per-symbol Python — the
+irreducible part of a pure-Python entropy decoder.
 """
 
 from __future__ import annotations
@@ -93,327 +105,389 @@ DECODE_SCHEMA = (
 )
 
 
-# ---- baseline-sequential JPEG core (pure stdlib) ----------------------
+# ---- baseline-sequential JPEG core (pure stdlib + numpy IDCT) ---------
 # Shared by decode_image(codec='jpeg') and sample_frames
 # (codec='mjpeg-avi'): module-level so both Arrow stages reference one
-# implementation by name. See decode_image's docstring for the decode
-# contract (LUMA plane, deterministic rounding, fail-loud surface).
+# implementation by name, and so the trig tables / Huffman cache / bit
+# reader are built ONCE per executor instead of once per image (r10 —
+# the per-image constant cost used to include 64 math.cos calls and a
+# 6-method class definition). See decode_image's docstring for the
+# decode contract (LUMA plane, deterministic rounding, fail-loud
+# surface). The IDCT is numpy-vectorized across every non-DC-only block
+# of the image with a term-ordered accumulation that replays the scalar
+# reference loop's float additions EXACTLY (same multiply tree, same
+# (v,u) add order, zero-coefficient terms add IEEE ±0.0 which never
+# changes a sum) — outputs are byte-identical to the r9 per-pixel
+# Python loops, pinned by tests/test_jpeg_decode.py's independent
+# encoder and the image_jpeg_decode / video_mjpeg_frames oracles.
+
+import math as _math
+import struct as _struct
+
+import numpy as _np
+
+# zigzag index -> natural index (row*8 + col) of the 8x8 block,
+# ITU T.81 fig 5
+_JPEG_ZZ_NAT = _np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=_np.int64)
+_JPEG_COS = _np.array([
+    [_math.cos((2 * x + 1) * u * _math.pi / 16) for x in range(8)]
+    for u in range(8)
+])
+_JPEG_CC = _np.array([1 / _math.sqrt(2)] + [1.0] * 7)
+# A[v, u, y] = cc[u] * (cc[v] * cos[v][y]) — the exact multiply tree of
+# the scalar reference term ((cc[u] * cv) * blk) * cos[u][x], cv =
+# cc[v] * cos[v][y]; elementwise numpy float64 ops are the same IEEE
+# operations, so downstream products stay bit-identical
+_JPEG_A = _JPEG_CC[None, :, None] * (
+    _JPEG_CC[:, None] * _JPEG_COS
+)[:, None, :]
+
+# canonical-table cache: (BITS||HUFFVAL bytes) -> decode dict. Corpora
+# reuse a handful of tables (most encoders emit the Annex K defaults),
+# so at scale this drops the per-image table rebuild to a dict hit.
+_HUFF_CACHE: dict = {}
+
+
+def _build_huff(bits, vals):
+    # canonical code assignment, T.81 Annex C
+    key = bytes(bits) + bytes(vals)
+    t = _HUFF_CACHE.get(key)
+    if t is not None:
+        return t
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    if len(_HUFF_CACHE) >= 512:
+        _HUFF_CACHE.clear()
+    _HUFF_CACHE[key] = table
+    return table
+
+
+class _Bits:
+    """Entropy-segment bit reader: un-stuffs FF00, stops
+    loudly on any real marker mid-symbol."""
+
+    def __init__(self, b, pos):
+        self.b, self.pos, self.cur, self.n = b, pos, 0, 0
+
+    def bit(self):
+        if self.n == 0:
+            if self.pos >= len(self.b):
+                raise ValueError(
+                    "decode_image[jpeg]: truncated scan"
+                )
+            byte = self.b[self.pos]
+            self.pos += 1
+            if byte == 0xFF:
+                # ADVICE r9: a payload ENDING on 0xFF must raise the
+                # documented truncation ValueError, not IndexError
+                if self.pos >= len(self.b):
+                    raise ValueError(
+                        "decode_image[jpeg]: truncated scan "
+                        "(0xFF at end of data, stuffing byte missing)"
+                    )
+                nxt = self.b[self.pos]
+                self.pos += 1
+                if nxt != 0x00:
+                    raise ValueError(
+                        "decode_image[jpeg]: marker "
+                        f"{nxt:#04x} inside entropy data"
+                    )
+            self.cur, self.n = byte, 8
+        self.n -= 1
+        return (self.cur >> self.n) & 1
+
+    def bits(self, n):
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_restart(self, idx):
+        # byte-align and consume the expected RSTn marker
+        self.n = 0
+        if (
+            self.pos + 1 >= len(self.b)
+            or self.b[self.pos] != 0xFF
+            or self.b[self.pos + 1] != 0xD0 + (idx % 8)
+        ):
+            raise ValueError(
+                "decode_image[jpeg]: missing RST"
+                f"{idx % 8} at restart interval"
+            )
+        self.pos += 2
+
+    def huff(self, table):
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | self.bit()
+            ln += 1
+            if (ln, code) in table:
+                return table[(ln, code)]
+        raise ValueError(
+            "decode_image[jpeg]: invalid Huffman code"
+        )
+
+
+def _extend(v, s):
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _decode_block_coefs(r, dct, act, q, pred, out_row):
+    """Entropy-decode one block into ``out_row`` (int64[64], ZIGZAG
+    order, dequantized). Returns the new DC predictor. The Huffman walk
+    is inherently bit-serial; everything per-PIXEL (IDCT, level shift,
+    rounding, clamp) moved to the vectorized :func:`_idct_stack`."""
+    s = r.huff(dct)
+    diff = _extend(r.bits(s), s) if s else 0
+    dc = pred + diff
+    out_row[0] = dc * q[0]
+    k = 1
+    while k < 64:
+        rs = r.huff(act)
+        run, size = rs >> 4, rs & 15
+        if rs == 0x00:
+            break  # EOB
+        if rs == 0xF0:
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > 63 or size == 0:
+            raise ValueError(
+                "decode_image[jpeg]: AC run past block end"
+            )
+        out_row[k] = _extend(r.bits(size), size) * q[k]
+        k += 1
+    return dc
+
+
+def _idct_stack(zig):
+    """Vectorized exact IDCT of a stack of dequantized blocks.
+
+    ``zig``: int64 (n, 64) in zigzag order. Returns int64 (n, 8, 8)
+    pixel blocks, byte-identical to the scalar reference:
+
+    * DC-only blocks take the mathematically EXACT constant fast path —
+      the 2-D IDCT of a DC-only block is C(0)²·F(0,0)/4 = F(0,0)/8 at
+      every pixel (flat regions dominate real JPEGs, so this is the hot
+      path at corpus scale; the general path is pinned equal by unit).
+    * General blocks accumulate per-(v,u) term planes in the reference
+      loop's exact (v-major, u-minor) order with its exact multiply
+      tree ((cc[u]·(cc[v]·cos_vy))·coef)·cos_ux, so every float64 add
+      sequence per pixel is identical; (v,u) slots that are zero in
+      SOME blocks of the stack contribute IEEE ±0.0, which never
+      changes a finite sum (x + ±0.0 == x; a -0.0 accumulator flipping
+      to +0.0 is erased by /4 + 128).
+    * Rounding is the same deterministic round-half-away-from-zero
+      (the BLAS round4 discipline), then clamp to [0, 255].
+    """
+    n = zig.shape[0]
+    out = _np.empty((n, 8, 8), dtype=_np.int64)
+    dc_only = ~(zig[:, 1:] != 0).any(axis=1)
+    if dc_only.any():
+        t = zig[dc_only, 0].astype(_np.float64) / 8.0 + 128.0
+        p = _np.where(t >= 0, _np.floor(t + 0.5), -_np.floor(-t + 0.5))
+        out[dc_only] = _np.clip(p, 0, 255).astype(
+            _np.int64
+        )[:, None, None]
+    gen = ~dc_only
+    if gen.any():
+        nat = _np.zeros((int(gen.sum()), 64), dtype=_np.float64)
+        nat[:, _JPEG_ZZ_NAT] = zig[gen].astype(_np.float64)
+        coefs = nat.reshape(-1, 8, 8)  # [block, v, u]
+        acc = _np.zeros((coefs.shape[0], 8, 8))
+        for v in range(8):
+            for u in range(8):
+                col = coefs[:, v, u]
+                if not col.any():
+                    continue
+                # ((A[v,u,y]) * coef) * cos[u][x] — reference tree
+                acc += (_JPEG_A[v, u][None, :, None] * col[:, None, None]
+                        ) * _JPEG_COS[u][None, None, :]
+        t = acc / 4.0 + 128.0
+        p = _np.where(t >= 0, _np.floor(t + 0.5), -_np.floor(-t + 0.5))
+        out[gen] = _np.clip(p, 0, 255).astype(_np.int64)
+    return out
+
+
+def _jpeg_parse_headers(b: bytes):
+    """Marker walk up to and including SOS. Returns
+    (w, h, comps, qt, hdc, hac, dri, scan, entropy_pos)."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError(
+            "decode_image[jpeg]: not a JPEG payload"
+        )
+    pos = 2
+    qt: dict = {}
+    hdc: dict = {}
+    hac: dict = {}
+    sof = None
+    dri = 0
+    scan = None
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            raise ValueError(
+                "decode_image[jpeg]: expected marker, got "
+                f"{b[pos]:#04x}"
+            )
+        m = b[pos + 1]
+        pos += 2
+        if m in (0x01,) or 0xD0 <= m <= 0xD7:
+            continue  # standalone markers
+        (ln,) = _struct.unpack_from(">H", b, pos)
+        if pos + ln > len(b):
+            raise ValueError(
+                "decode_image[jpeg]: truncated segment "
+                f"for marker {m:#04x}"
+            )
+        seg = b[pos + 2:pos + ln]
+        if m == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 15
+                if pq != 0:
+                    raise ValueError(
+                        "decode_image[jpeg]: 16-bit quant "
+                        "tables unsupported"
+                    )
+                # ADVICE r9: a short DQT segment must fail loud here,
+                # not as an IndexError inside decode_block later
+                if i + 65 > len(seg):
+                    raise ValueError(
+                        "decode_image[jpeg]: truncated DQT segment "
+                        f"({len(seg) - i - 1} of 64 entries)"
+                    )
+                qt[tq] = list(seg[i + 1:i + 65])
+                i += 65
+        elif m == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 15
+                bits = list(seg[i + 1:i + 17])
+                n = sum(bits)
+                vals = list(seg[i + 17:i + 17 + n])
+                (hdc if tc == 0 else hac)[th] = _build_huff(
+                    bits, vals
+                )
+                i += 17 + n
+        elif m == 0xC0:  # SOF0 baseline sequential
+            prec = seg[0]
+            h, w = _struct.unpack_from(">HH", seg, 1)
+            nc = seg[5]
+            comps = []
+            for ci in range(nc):
+                cid = seg[6 + 3 * ci]
+                hv = seg[7 + 3 * ci]
+                tqi = seg[8 + 3 * ci]
+                if hv != 0x11:
+                    raise ValueError(
+                        "decode_image[jpeg]: chroma "
+                        "subsampling unsupported "
+                        f"(H/V={hv:#04x}); 1x1 only"
+                    )
+                comps.append((cid, tqi))
+            if prec != 8 or nc not in (1, 3):
+                raise ValueError(
+                    "decode_image[jpeg]: only 8-bit "
+                    "1- or 3-component baseline supported"
+                )
+            sof = (w, h, comps)
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                   0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                "decode_image[jpeg]: only baseline "
+                f"sequential (SOF0) supported, got SOF "
+                f"marker {m:#04x}"
+            )
+        elif m == 0xDD:  # DRI
+            (dri,) = _struct.unpack(">H", seg)
+        elif m == 0xDA:  # SOS
+            ns = seg[0]
+            if len(seg) < 1 + 2 * ns + 3:
+                raise ValueError(
+                    "decode_image[jpeg]: truncated SOS"
+                )
+            scan = [
+                (seg[1 + 2 * i], seg[2 + 2 * i] >> 4,
+                 seg[2 + 2 * i] & 15)
+                for i in range(ns)
+            ]
+            pos += ln
+            break
+        pos += ln
+    if sof is None or scan is None:
+        raise ValueError(
+            "decode_image[jpeg]: missing SOF0/SOS"
+        )
+    w, h, comps = sof
+    if len(scan) != len(comps):
+        raise ValueError(
+            "decode_image[jpeg]: partial scans unsupported"
+        )
+    return w, h, comps, qt, hdc, hac, dri, scan, pos
 
 
 def _jpeg_decode(raw) -> tuple[int, int, str, list[int]]:
-    import math
-    import struct
-
-
-    # zigzag index -> (row, col) of the 8x8 block, ITU T.81 fig 5
-    zz = [
-        (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3),
-        (1, 2), (2, 1), (3, 0), (4, 0), (3, 1), (2, 2), (1, 3),
-        (0, 4), (0, 5), (1, 4), (2, 3), (3, 2), (4, 1), (5, 0),
-        (6, 0), (5, 1), (4, 2), (3, 3), (2, 4), (1, 5), (0, 6),
-        (0, 7), (1, 6), (2, 5), (3, 4), (4, 3), (5, 2), (6, 1),
-        (7, 0), (7, 1), (6, 2), (5, 3), (4, 4), (3, 5), (2, 6),
-        (1, 7), (2, 7), (3, 6), (4, 5), (5, 4), (6, 3), (7, 2),
-        (7, 3), (6, 4), (5, 5), (4, 6), (3, 7), (4, 7), (5, 6),
-        (6, 5), (7, 4), (7, 5), (6, 6), (5, 7), (6, 7), (7, 6),
-        (7, 7),
-    ]
-    cos_t = [
-        [math.cos((2 * x + 1) * u * math.pi / 16) for x in range(8)]
-        for u in range(8)
-    ]
-    cc = [1 / math.sqrt(2)] + [1.0] * 7
-
-    def build_huff(bits, vals):
-        # canonical code assignment, T.81 Annex C
-        table, code, k = {}, 0, 0
-        for ln in range(1, 17):
-            for _ in range(bits[ln - 1]):
-                table[(ln, code)] = vals[k]
-                code += 1
-                k += 1
-            code <<= 1
-        return table
-
-    class Bits:
-        """Entropy-segment bit reader: un-stuffs FF00, stops
-        loudly on any real marker mid-symbol."""
-
-        def __init__(self, b, pos):
-            self.b, self.pos, self.cur, self.n = b, pos, 0, 0
-
-        def bit(self):
-            if self.n == 0:
-                if self.pos >= len(self.b):
-                    raise ValueError(
-                        "decode_image[jpeg]: truncated scan"
-                    )
-                byte = self.b[self.pos]
-                self.pos += 1
-                if byte == 0xFF:
-                    # ADVICE r9: a payload ENDING on 0xFF must raise the
-                    # documented truncation ValueError, not IndexError
-                    if self.pos >= len(self.b):
-                        raise ValueError(
-                            "decode_image[jpeg]: truncated scan "
-                            "(0xFF at end of data, stuffing byte missing)"
-                        )
-                    nxt = self.b[self.pos]
-                    self.pos += 1
-                    if nxt != 0x00:
-                        raise ValueError(
-                            "decode_image[jpeg]: marker "
-                            f"{nxt:#04x} inside entropy data"
-                        )
-                self.cur, self.n = byte, 8
-            self.n -= 1
-            return (self.cur >> self.n) & 1
-
-        def bits(self, n):
-            v = 0
-            for _ in range(n):
-                v = (v << 1) | self.bit()
-            return v
-
-        def align_restart(self, idx):
-            # byte-align and consume the expected RSTn marker
-            self.n = 0
-            if (
-                self.pos + 1 >= len(self.b)
-                or self.b[self.pos] != 0xFF
-                or self.b[self.pos + 1] != 0xD0 + (idx % 8)
-            ):
-                raise ValueError(
-                    "decode_image[jpeg]: missing RST"
-                    f"{idx % 8} at restart interval"
-                )
-            self.pos += 2
-
-        def huff(self, table):
-            code, ln = 0, 0
-            while ln < 16:
-                code = (code << 1) | self.bit()
-                ln += 1
-                if (ln, code) in table:
-                    return table[(ln, code)]
+    b = bytes(raw)
+    w, h, comps, qt, hdc, hac, dri, scan, pos = _jpeg_parse_headers(b)
+    tq_of = dict(comps)
+    for cid, td, ta in scan:
+        if (
+            cid not in tq_of or tq_of[cid] not in qt
+            or td not in hdc or ta not in hac
+        ):
             raise ValueError(
-                "decode_image[jpeg]: invalid Huffman code"
+                "decode_image[jpeg]: scan references an "
+                "undefined component/quant/Huffman table"
             )
-
-    def extend(v, s):
-        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
-
-    def decode_block(r, dct, act, q, pred):
-        s = r.huff(dct)
-        diff = extend(r.bits(s), s) if s else 0
-        dc = pred + diff
-        coef = [0] * 64
-        coef[0] = dc * q[0]
-        k = 1
-        while k < 64:
-            rs = r.huff(act)
-            run, size = rs >> 4, rs & 15
-            if rs == 0x00:
-                break  # EOB
-            if rs == 0xF0:
-                k += 16  # ZRL
-                continue
-            k += run
-            if k > 63 or size == 0:
-                raise ValueError(
-                    "decode_image[jpeg]: AC run past block end"
+    r = _Bits(b, pos)
+    mx, my = (w + 7) // 8, (h + 7) // 8
+    preds = {cid: 0 for cid, _, _ in scan}
+    # luma plane only: Y IS the BT.601 luma the bmp/png
+    # codecs compute from RGB, so the output contract is
+    # shared across all three image codecs. Entropy decode fills the
+    # Y coefficient stack (MCU order == block-row-major), non-Y
+    # components are fully decoded (the bit stream demands it) into a
+    # discarded scratch row; ALL per-pixel work happens once, in the
+    # vectorized _idct_stack over the whole image.
+    n_blocks = mx * my
+    ycoef = _np.zeros((n_blocks, 64), dtype=_np.int64)
+    scratch = _np.zeros(64, dtype=_np.int64)
+    n_mcu = 0
+    for by in range(my):
+        for bx in range(mx):
+            if dri and n_mcu and n_mcu % dri == 0:
+                r.align_restart(n_mcu // dri - 1)
+                preds = {c: 0 for c in preds}
+            for idx, (cid, td, ta) in enumerate(scan):
+                if idx == 0:  # Y component
+                    row = ycoef[n_mcu]
+                else:
+                    scratch[:] = 0
+                    row = scratch
+                preds[cid] = _decode_block_coefs(
+                    r, hdc[td], hac[ta], qt[tq_of[cid]],
+                    preds[cid], row,
                 )
-            coef[k] = extend(r.bits(size), size) * q[k]
-            k += 1
-        if not any(coef[1:]):
-            # DC-only fast path — mathematically EXACT, not a shortcut:
-            # the 2-D IDCT of a DC-only block is the constant
-            # C(0)²·F(0,0)/4 = F(0,0)/8 at every pixel (every real
-            # decoder special-cases this; the general path is pinned
-            # equal by unit test). Flat regions dominate real JPEGs, so
-            # this is the hot path at corpus scale.
-            t = coef[0] / 8.0 + 128.0
-            p = math.floor(t + 0.5) if t >= 0 else -math.floor(-t + 0.5)
-            p = min(255, max(0, int(p)))
-            return [[p] * 8 for _ in range(8)], dc
-        blk = [[0] * 8 for _ in range(8)]
-        for i, (row, col) in enumerate(zz):
-            blk[row][col] = coef[i]
-        out = [[0] * 8 for _ in range(8)]
-        for y in range(8):
-            for x in range(8):
-                s2 = 0.0
-                for v in range(8):
-                    cv = cc[v] * cos_t[v][y]
-                    for u in range(8):
-                        if blk[v][u]:
-                            s2 += (
-                                cc[u] * cv * blk[v][u]
-                                * cos_t[u][x]
-                            )
-                t = s2 / 4.0 + 128.0
-                # deterministic round-half-away-from-zero, the
-                # BLAS round4 discipline; then clamp to [0,255]
-                p = (
-                    math.floor(t + 0.5) if t >= 0
-                    else -math.floor(-t + 0.5)
-                )
-                out[y][x] = min(255, max(0, int(p)))
-        return out, dc
-
-    def parse(raw) -> tuple[int, int, str, list[int]]:
-        b = bytes(raw)
-        if b[:2] != b"\xff\xd8":
-            raise ValueError(
-                "decode_image[jpeg]: not a JPEG payload"
-            )
-        pos = 2
-        qt: dict = {}
-        hdc: dict = {}
-        hac: dict = {}
-        sof = None
-        dri = 0
-        scan = None
-        while pos + 4 <= len(b):
-            if b[pos] != 0xFF:
-                raise ValueError(
-                    "decode_image[jpeg]: expected marker, got "
-                    f"{b[pos]:#04x}"
-                )
-            m = b[pos + 1]
-            pos += 2
-            if m in (0x01,) or 0xD0 <= m <= 0xD7:
-                continue  # standalone markers
-            (ln,) = struct.unpack_from(">H", b, pos)
-            if pos + ln > len(b):
-                raise ValueError(
-                    "decode_image[jpeg]: truncated segment "
-                    f"for marker {m:#04x}"
-                )
-            seg = b[pos + 2:pos + ln]
-            if m == 0xDB:  # DQT
-                i = 0
-                while i < len(seg):
-                    pq, tq = seg[i] >> 4, seg[i] & 15
-                    if pq != 0:
-                        raise ValueError(
-                            "decode_image[jpeg]: 16-bit quant "
-                            "tables unsupported"
-                        )
-                    # ADVICE r9: a short DQT segment must fail loud here,
-                    # not as an IndexError inside decode_block later
-                    if i + 65 > len(seg):
-                        raise ValueError(
-                            "decode_image[jpeg]: truncated DQT segment "
-                            f"({len(seg) - i - 1} of 64 entries)"
-                        )
-                    qt[tq] = list(seg[i + 1:i + 65])
-                    i += 65
-            elif m == 0xC4:  # DHT
-                i = 0
-                while i < len(seg):
-                    tc, th = seg[i] >> 4, seg[i] & 15
-                    bits = list(seg[i + 1:i + 17])
-                    n = sum(bits)
-                    vals = list(seg[i + 17:i + 17 + n])
-                    (hdc if tc == 0 else hac)[th] = build_huff(
-                        bits, vals
-                    )
-                    i += 17 + n
-            elif m == 0xC0:  # SOF0 baseline sequential
-                prec = seg[0]
-                h, w = struct.unpack_from(">HH", seg, 1)
-                nc = seg[5]
-                comps = []
-                for ci in range(nc):
-                    cid = seg[6 + 3 * ci]
-                    hv = seg[7 + 3 * ci]
-                    tqi = seg[8 + 3 * ci]
-                    if hv != 0x11:
-                        raise ValueError(
-                            "decode_image[jpeg]: chroma "
-                            "subsampling unsupported "
-                            f"(H/V={hv:#04x}); 1x1 only"
-                        )
-                    comps.append((cid, tqi))
-                if prec != 8 or nc not in (1, 3):
-                    raise ValueError(
-                        "decode_image[jpeg]: only 8-bit "
-                        "1- or 3-component baseline supported"
-                    )
-                sof = (w, h, comps)
-            elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
-                       0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                raise ValueError(
-                    "decode_image[jpeg]: only baseline "
-                    f"sequential (SOF0) supported, got SOF "
-                    f"marker {m:#04x}"
-                )
-            elif m == 0xDD:  # DRI
-                (dri,) = struct.unpack(">H", seg)
-            elif m == 0xDA:  # SOS
-                ns = seg[0]
-                if len(seg) < 1 + 2 * ns + 3:
-                    raise ValueError(
-                        "decode_image[jpeg]: truncated SOS"
-                    )
-                scan = [
-                    (seg[1 + 2 * i], seg[2 + 2 * i] >> 4,
-                     seg[2 + 2 * i] & 15)
-                    for i in range(ns)
-                ]
-                pos += ln
-                break
-            pos += ln
-        if sof is None or scan is None:
-            raise ValueError(
-                "decode_image[jpeg]: missing SOF0/SOS"
-            )
-        w, h, comps = sof
-        if len(scan) != len(comps):
-            raise ValueError(
-                "decode_image[jpeg]: partial scans unsupported"
-            )
-        tq_of = dict(comps)
-        for cid, td, ta in scan:
-            if (
-                cid not in tq_of or tq_of[cid] not in qt
-                or td not in hdc or ta not in hac
-            ):
-                raise ValueError(
-                    "decode_image[jpeg]: scan references an "
-                    "undefined component/quant/Huffman table"
-                )
-        r = Bits(b, pos)
-        mx, my = (w + 7) // 8, (h + 7) // 8
-        preds = {cid: 0 for cid, _, _ in scan}
-        # luma plane only: Y IS the BT.601 luma the bmp/png
-        # codecs compute from RGB, so the output contract is
-        # shared across all three image codecs
-        plane = [[0] * (mx * 8) for _ in range(my * 8)]
-        n_mcu = 0
-        for by in range(my):
-            for bx in range(mx):
-                if dri and n_mcu and n_mcu % dri == 0:
-                    r.align_restart(n_mcu // dri - 1)
-                    preds = {c: 0 for c in preds}
-                for idx, (cid, td, ta) in enumerate(scan):
-                    blk, preds[cid] = decode_block(
-                        r, hdc[td], hac[ta], qt[tq_of[cid]],
-                        preds[cid],
-                    )
-                    if idx == 0:  # Y component
-                        for y in range(8):
-                            row = plane[by * 8 + y]
-                            for x in range(8):
-                                row[bx * 8 + x] = blk[y][x]
-                n_mcu += 1
-        px = [plane[y][x] for y in range(h) for x in range(w)]
-        mode = "jpeg-gray8" if len(comps) == 1 else "jpeg-ycc8"
-        return w, h, mode, px
-
-
-    return parse(raw)
+            n_mcu += 1
+    blocks = _idct_stack(ycoef)  # (n_blocks, 8, 8)
+    plane = (
+        blocks.reshape(my, mx, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(my * 8, mx * 8)
+    )
+    px = plane[:h, :w].ravel().tolist()
+    mode = "jpeg-gray8" if len(comps) == 1 else "jpeg-ycc8"
+    return w, h, mode, px
 
 
 def decode_image(
@@ -472,14 +546,26 @@ def decode_image(
                     )
                 topdown, hh = h < 0, abs(h)
                 stride = (w * 3 + 3) // 4 * 4
-                px: list[int] = []
-                for y in range(hh):
-                    off = pix_off + (y if topdown else hh - 1 - y) * stride
-                    for x in range(w):
-                        bb = b[off + 3 * x]
-                        gg = b[off + 3 * x + 1]
-                        rr = b[off + 3 * x + 2]
-                        px.append((299 * rr + 587 * gg + 114 * bb) // 1000)
+                # r10: vectorized row walk — same integer BT.601 luma,
+                # fail-loud on short pixel data (the per-pixel loop
+                # raised a bare IndexError there)
+                if pix_off + hh * stride > len(b) or pix_off < 0:
+                    raise ValueError(
+                        "decode_image[bmp]: truncated pixel data"
+                    )
+                rows = (
+                    _np.frombuffer(
+                        b, _np.uint8, hh * stride, pix_off
+                    )
+                    .reshape(hh, stride)[:, : w * 3]
+                    .astype(_np.int64)
+                )
+                if not topdown:
+                    rows = rows[::-1]
+                px = (
+                    (299 * rows[:, 2::3] + 587 * rows[:, 1::3]
+                     + 114 * rows[:, 0::3]) // 1000
+                ).ravel().tolist()
                 return w, hh, px
 
             for pdf in it:
@@ -543,46 +629,68 @@ def decode_image(
                         f"decode_image[png]: scanline size mismatch "
                         f"({len(sl)} != {h * (1 + stride)})"
                     )
-                prev = bytearray(stride)
-                out = bytearray()
+                # r10 vectorized defilter: None (0) is a copy, Sub (1)
+                # is a per-channel running sum mod 256 (cumsum in int64
+                # then &0xFF == the iterated (a+b)&0xFF chain), Up (2)
+                # is one vector add vs the previous row. Average (3)
+                # and Paeth (4) carry a true per-pixel serial
+                # dependency through a nonlinearity (>>1 / min-abs
+                # predictor), so they keep the reference scalar loop —
+                # same bytes either way, pinned by the filter-matrix
+                # unit tests and the image_png_decode oracle.
+                arr = _np.frombuffer(sl, _np.uint8).reshape(h, 1 + stride)
+                fts = arr[:, 0]
+                raws = arr[:, 1:]
+                prev = _np.zeros(stride, dtype=_np.int64)
+                out_rows = []
                 for y in range(h):
-                    off = y * (1 + stride)
-                    ft = sl[off]
-                    line = bytearray(sl[off + 1:off + 1 + stride])
-                    for x in range(stride):
-                        a = line[x - bpp] if x >= bpp else 0
-                        up = prev[x]
-                        c = prev[x - bpp] if x >= bpp else 0
-                        if ft == 0:
-                            v = line[x]
-                        elif ft == 1:
-                            v = line[x] + a
-                        elif ft == 2:
-                            v = line[x] + up
-                        elif ft == 3:
-                            v = line[x] + ((a + up) >> 1)
-                        elif ft == 4:
-                            p = a + up - c
-                            pa, pb, pc = abs(p - a), abs(p - up), abs(p - c)
-                            pred = (
-                                a if pa <= pb and pa <= pc
-                                else up if pb <= pc else c
+                    ft = int(fts[y])
+                    line = raws[y].astype(_np.int64)
+                    if ft == 0:
+                        cur = line
+                    elif ft == 1:
+                        cur = line
+                        for ch in range(bpp):
+                            _np.cumsum(
+                                cur[ch::bpp], out=cur[ch::bpp]
                             )
-                            v = line[x] + pred
-                        else:
-                            raise ValueError(
-                                f"decode_image[png]: bad filter {ft} row {y}"
-                            )
-                        line[x] = v & 0xFF
-                    out += line
-                    prev = line
+                        cur &= 0xFF
+                    elif ft == 2:
+                        cur = (line + prev) & 0xFF
+                    elif ft in (3, 4):
+                        ln = line.tolist()
+                        pv = prev.tolist()
+                        for x in range(stride):
+                            a = ln[x - bpp] if x >= bpp else 0
+                            up = pv[x]
+                            if ft == 3:
+                                v = ln[x] + ((a + up) >> 1)
+                            else:
+                                c = pv[x - bpp] if x >= bpp else 0
+                                p = a + up - c
+                                pa, pb, pc = (
+                                    abs(p - a), abs(p - up), abs(p - c)
+                                )
+                                pred = (
+                                    a if pa <= pb and pa <= pc
+                                    else up if pb <= pc else c
+                                )
+                                v = ln[x] + pred
+                            ln[x] = v & 0xFF
+                        cur = _np.array(ln, dtype=_np.int64)
+                    else:
+                        raise ValueError(
+                            f"decode_image[png]: bad filter {ft} row {y}"
+                        )
+                    out_rows.append(cur)
+                    prev = cur
+                recon = _np.concatenate(out_rows)
                 if ctype == 0:
-                    return w, h, "png-gray8", [int(v) for v in out]
-                px = [
-                    (299 * out[i] + 587 * out[i + 1] + 114 * out[i + 2])
-                    // 1000
-                    for i in range(0, len(out), 3)
-                ]
+                    return w, h, "png-gray8", recon.tolist()
+                px = (
+                    (299 * recon[0::3] + 587 * recon[1::3]
+                     + 114 * recon[2::3]) // 1000
+                ).tolist()
                 return w, h, "png-rgb8", px
 
             for pdf in it:
@@ -663,9 +771,7 @@ def decode_audio(
     """
     if codec == "wav":
         def batches(it: Iterator) -> Iterator:
-            import array
             import io
-            import sys
             import wave
 
             import pandas as pd
@@ -681,15 +787,21 @@ def decode_audio(
                                 f"got sample_width={sw} (doc {doc_id})"
                             )
                         n = w.getnframes()
-                        samples = array.array("h")
-                        samples.frombytes(w.readframes(n))
-                        if sys.byteorder == "big":  # WAV is little-endian
-                            samples.byteswap()
-                        peak = max((abs(int(s)) for s in samples), default=0)
+                        # r10: vectorized sample scan — '<i2' pins WAV's
+                        # little-endian int16 on any host; abs in int32
+                        # so -32768 peaks at 32768, as the scalar
+                        # big-int abs did
+                        samples = _np.frombuffer(
+                            w.readframes(n), dtype="<i2"
+                        )
+                        peak = (
+                            int(_np.abs(samples.astype(_np.int32)).max())
+                            if samples.size else 0
+                        )
                         recs.append((
                             doc_id, w.getframerate(), w.getnchannels(),
                             sw, n, peak,
-                            [int(s) for s in samples[:head_n]],
+                            samples[:head_n].astype(int).tolist(),
                         ))
                 yield pd.DataFrame(recs, columns=[
                     "doc_id", "sample_rate", "n_channels", "sample_width",
@@ -711,21 +823,40 @@ def resize_image(df: DataFrame, width: int, height: int) -> DataFrame:
     indexing (no Python at all): out[y][x] = in[y*h/H][x*w/W]. A real
     bilinear/codec resize would slot into the same shape as a
     mapInPandas stage; nearest-neighbor is exact, deterministic, and
-    keeps resize on the JVM fast path."""
-    px = []
-    for y in range(height):
-        for x in range(width):
-            src_y = F.floor(F.lit(y) * F.col("height") / F.lit(height))
-            src_x = F.floor(F.lit(x) * F.col("width") / F.lit(width))
-            px.append(
-                F.col("pixels")[(src_y * F.col("width") + src_x).cast("int")]
-            )
+    keeps resize on the JVM fast path.
+
+    Plan shape (r10, VERDICT r9 item 2): ONE ``transform`` lambda over a
+    ``sequence(0, W*H-1)`` — constant plan size whatever the target.
+    The r9 form built W x H separate Column objects (a 224x224 resize
+    was ~50k Catalyst expressions in one select: minutes of analysis
+    before a single row moved); the lambda form is the same arithmetic
+    per element, evaluated inside codegen, with a plan the analyzer
+    walks in constant time."""
+    if width < 1 or height < 1:
+        raise ValueError(
+            f"resize_image: target {width}x{height} must be >= 1x1"
+        )
+
+    # bind INPUT columns to df explicitly: inside the transform lambda a
+    # bare F.col("width") resolves against the enclosing select's output
+    # aliases (lit(width) AS width), silently reading the TARGET size
+    in_w, in_h, in_px = df["width"], df["height"], df["pixels"]
+
+    def pick(i):
+        y = F.floor(i / F.lit(width))  # i // width
+        x = i - y * width
+        src_y = F.floor(y * in_h / F.lit(height))
+        src_x = F.floor(x * in_w / F.lit(width))
+        return in_px[(src_y * in_w + src_x).cast("int")]
+
     return df.select(
         "doc_id",
         F.lit(width).alias("width"),
         F.lit(height).alias("height"),
         "mode",
-        F.array(*px).alias("pixels"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(width * height - 1)), pick
+        ).alias("pixels"),
     )
 
 

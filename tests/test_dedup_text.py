@@ -1675,3 +1675,45 @@ def test_decode_image_bmp_fail_loud(spark):
     )
     with pytest.raises(Exception, match="only uncompressed 24-bit"):
         mm.decode_image(palette, codec="bmp").collect()
+
+
+def test_resize_image_constant_plan_and_224(spark):
+    """r10 (VERDICT r9 item 2): resize_image's plan is ONE transform
+    lambda over sequence(0, W*H-1) — its analyzed-plan size must not
+    grow with the target, and a 224x224 resize must analyze+run in
+    interactive time (the r9 per-pixel Column form built ~50k Catalyst
+    expressions and took minutes). Values pinned against an
+    independently computed nearest-neighbor expectation."""
+    import time
+
+    from gene_level_metadata_pipeline_spark.operators import multimodal as mm
+
+    docs = spark.createDataFrame([(1, "abcd")], ["doc_id", "text"])
+    decoded = mm.decode_image(
+        mm.attach_binary_payload(docs, "text", "doc_id"), codec="fake"
+    )  # 2x2 pixels [97,98,99,100]
+
+    small = mm.resize_image(decoded, 4, 4)
+    big = mm.resize_image(decoded, 64, 64)
+    p_small = small._jdf.queryExecution().analyzed().toString()
+    p_big = big._jdf.queryExecution().analyzed().toString()
+    # constant plan: a 256x bigger target may only differ by literals
+    assert len(p_big) < len(p_small) + 200, (
+        len(p_small), len(p_big)
+    )
+
+    t0 = time.time()
+    row = mm.resize_image(decoded, 224, 224).collect()[0]
+    assert time.time() - t0 < 30, "224x224 resize not interactive"
+    src = [97, 98, 99, 100]
+    want = [
+        src[(y * 2 // 224) * 2 + (x * 2 // 224)]
+        for y in range(224) for x in range(224)
+    ]
+    assert row.width == 224 and row.height == 224
+    assert row.pixels == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="resize_image"):
+        mm.resize_image(decoded, 0, 4)
