@@ -122,7 +122,25 @@ def _cc_loop(edges: DataFrame, max_iter: int) -> DataFrame:
     """The per-round body of :func:`connected_components`; runs inside
     the sized-shuffle window, and every round (and the returned frame)
     is an eager localCheckpoint — fully materialized before the window
-    closes."""
+    closes.
+
+    r10 (VERDICT r9 item 5 — the 100x curve measured 17x superlinear
+    growth, cause: O(log n) rounds x FULL-graph shuffle): each round
+    now CONTRACTS the edge set onto label space — every edge relabels
+    to (label[u], label[v]), self-loops (edges already settled inside
+    one label) drop, and duplicates collapse. Dup graphs are clique-
+    heavy, so round 1 collapses each k-clique from k² edges to a star
+    of its representative and the per-round shuffle shrinks toward the
+    number of still-merging component representatives instead of
+    re-shuffling all edges every round. Correctness is the standard
+    two-phase CC argument: a contracted edge connects the endpoints'
+    representatives, so min-label propagation over the contracted
+    graph reaches every representative, and the pointer-jumping step
+    (already per-round) drags every original node's label along the
+    root chain; the fixpoint test (no label changed) is unchanged, and
+    the output is bit-identical (component = MIN node id) — pinned by
+    the dedup_components oracle and the randomized equivalence tests.
+    """
     # round 0 fused into init: label = min(self, direct neighbors) — one
     # agg over the edges instead of a full join round
     labels = (
@@ -183,6 +201,37 @@ def _cc_loop(edges: DataFrame, max_iter: int) -> DataFrame:
             return labels.select(
                 F.col("node").alias("doc_id"), F.col("label").alias("component")
             )
+        # CONTRACT: relabel edges onto label space, drop settled
+        # (self-loop) edges, collapse duplicates. Labels ARE node ids,
+        # so the neighbor-min join keys stay valid; later rounds
+        # shuffle only the still-merging representative graph. Two
+        # label-sized hash joins per round, each on a frame that
+        # shrinks geometrically for clique-heavy dup graphs.
+        lu = labels.select(
+            F.col("node").alias("__un"), F.col("label").alias("__ul")
+        )
+        lv = labels.select(
+            F.col("node").alias("__vn"), F.col("label").alias("__vl")
+        )
+        contracted = (
+            edges.join(lu, edges.u == F.col("__un"))
+            .join(lv, edges.v == F.col("__vn"))
+            .where(F.col("__ul") != F.col("__vl"))
+            .select(
+                F.least("__ul", "__vl").alias("a"),
+                F.greatest("__ul", "__vl").alias("b"),
+            )
+            .distinct()
+        )
+        edges = (
+            contracted.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionByName(
+                contracted.select(
+                    F.col("b").alias("u"), F.col("a").alias("v")
+                )
+            )
+            .localCheckpoint(eager=True)
+        )
     raise RuntimeError(
         f"connected_components: no convergence in {max_iter} iterations"
     )

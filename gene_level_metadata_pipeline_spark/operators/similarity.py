@@ -1090,7 +1090,7 @@ def reciprocal_best_hits(
     subset of 1-NN matching: a one-direction best hit tolerates hubs
     (one corpus vector claimed by many queries); mutuality kills them.
 
-    Three candidate-generation tiers share one mutual-argmax reduction:
+    Four candidate-generation tiers share one mutual-argmax reduction:
 
     * EXACT (the certified default regime): the panel broadcasts, the
       corpus is scanned ONCE for the cross expansion, and both argmax
@@ -1109,6 +1109,16 @@ def reciprocal_best_hits(
       (certification/rbh_ivf_equality.json), not assumed. This is the
       answer to "22M expression-folded dot products": dense scoring
       belongs in BLAS, ~13 µs/dot becomes ~1 ns/dot.
+    * BLOCKED (r10, VERDICT r9 item 2 — the exact tier PAST the driver
+      panel cap): both sides pack executor-side into bounded blocks,
+      every (panel-chunk x corpus-pack) block pair scores as one numpy
+      matmul behind an equi-join on the chunk id, and the exact tier's
+      min_by partial-argmax merges both directions across blocks.
+      Nothing reaches the driver, so the panel size is UNBOUNDED while
+      per-task memory stays a constant (see :func:`_rbh_blocked`).
+      Same per-pair arithmetic as BLAS; results are bit-equal across
+      different chunkings (pinned by test) and hash-equal to the exact
+      tier at certified sizes.
     * IVF (the LSH-style PROBABILISTIC tier, r8): candidates are
       restricted to (query probe-cells ∩ corpus cell) over the learned
       :func:`kmeans_centroids` quantizer — each query scores
@@ -1121,14 +1131,14 @@ def reciprocal_best_hits(
       BLAS wherever the panel fits the constant cap.
 
     ``method``: "exact" forces the certified path at any size, "blas"
-    the vectorized full scoring, "ivf" the quantized tier; "auto"
-    (default) stays exact until |panel|·|corpus| exceeds
-    ``exact_pair_budget`` (counted, two cheap jobs), then takes BLAS
-    up to the panel cap — and beyond the cap it RAISES instead of
-    silently degrading to the probabilistic tier (VERDICT r8: on
-    unstructured embeddings IVF at the old probes=2 default returned
-    15% of the true pairs; the measured probes→recall curve is
-    committed in certification/rbh_ivf_equality.json). Recall < 1 is
+    the vectorized full scoring, "blocked" the distributed blocked
+    form, "ivf" the quantized tier; "auto" (default) stays exact until
+    |panel|·|corpus| exceeds ``exact_pair_budget`` (counted, two cheap
+    jobs), then takes BLAS up to the panel cap — and beyond the cap it
+    routes to BLOCKED (r10; the r9 build RAISED here because the only
+    tier past the cap was probabilistic IVF, whose recall on
+    unstructured embeddings tracks the scanned fraction — measured
+    curve in certification/rbh_ivf_equality.json). Recall < 1 is
     an explicit ``method="ivf"`` decision, never an auto fallback.
     ``n_cells`` defaults to ~sqrt(|corpus|); ``probes`` is the IVF
     recall lever and defaults to 32, the measured recall>=0.9 point
@@ -1140,10 +1150,10 @@ def reciprocal_best_hits(
     each tier is engine-replayable. Returns (query_id, corpus_id,
     cos_sim).
     """
-    if method not in ("auto", "exact", "blas", "ivf"):
+    if method not in ("auto", "exact", "blas", "blocked", "ivf"):
         raise ValueError(
             f"reciprocal_best_hits: method={method!r} must be "
-            "'auto', 'exact', 'blas' or 'ivf'"
+            "'auto', 'exact', 'blas', 'blocked' or 'ivf'"
         )
     if probes is not None and probes < 1:
         raise ValueError(
@@ -1160,27 +1170,22 @@ def reciprocal_best_hits(
     c_rows: int | None = None
     use_ivf = method == "ivf"
     use_blas = method == "blas"
+    use_blocked = method == "blocked"
     if method == "auto":
         q_rows, c_rows = q.count(), c.count()
         if q_rows * c_rows > exact_pair_budget:
             if q_rows <= _BLAS_PANEL_CAP:
                 use_blas = True
             else:
-                # never silently degrade to a recall<1 tier: on
-                # unstructured embeddings IVF recall tracks the
-                # scanned fraction (committed curve: 0.15 at the old
-                # probes=2 default), so 'auto' landing there returned
-                # 15% of true pairs with only a docstring warning
-                # (VERDICT r8). The probabilistic tier is an explicit
-                # caller decision.
-                raise ValueError(
-                    "reciprocal_best_hits: panel exceeds the BLAS "
-                    f"cap ({_BLAS_PANEL_CAP} rows) and the exact pair "
-                    "budget — pass method='ivf' explicitly to accept "
-                    "probabilistic recall (probes->recall curve in "
-                    "certification/rbh_ivf_equality.json) or shrink "
-                    "the panel"
-                )
+                # r10: past the driver panel cap 'auto' stays EXACT via
+                # the distributed blocked tier — never the recall<1 IVF
+                # tier (VERDICT r8: on unstructured embeddings IVF at
+                # probes=2 returned 15% of true pairs; probabilistic
+                # recall remains an explicit method='ivf' decision).
+                # The r9 build raised here; blocked removed the reason.
+                use_blocked = True
+    if use_blocked:
+        return _rbh_blocked(q, c)
     if use_blas:
         return _rbh_blas(q, c)
     if use_ivf:
@@ -1316,9 +1321,10 @@ def _rbh_blas(q: DataFrame, c: DataFrame) -> DataFrame:
     if len(rows) > _BLAS_PANEL_CAP:
         raise ValueError(
             f"reciprocal_best_hits: BLAS panel exceeds the bounded-"
-            f"collect cap ({_BLAS_PANEL_CAP} rows); use method='ivf' "
-            "(recall curve in certification/rbh_ivf_equality.json) or "
-            "shrink the query panel"
+            f"collect cap ({_BLAS_PANEL_CAP} rows); use "
+            "method='blocked' (the exact distributed tier, r10) or "
+            "method='ivf' (probabilistic; recall curve in "
+            "certification/rbh_ivf_equality.json)"
         )
     panel = sorted(
         (
@@ -1411,6 +1417,225 @@ def _rbh_blas(q: DataFrame, c: DataFrame) -> DataFrame:
     )
     best_q = scored.where(F.col("dir") == "c").select(
         "query_id", "corpus_id", F.col("cos_sim").alias("c_best")
+    )
+    best_c = scored.where(F.col("dir") == "q").groupBy("query_id").agg(
+        F.min_by(
+            F.struct(F.col("corpus_id"), F.col("cos_sim")),
+            F.struct((-F.col("cos_sim")).alias("nc"), F.col("corpus_id")),
+        ).alias("b")
+    ).select(
+        "query_id",
+        F.col("b.corpus_id").alias("corpus_id"),
+        F.col("b.cos_sim").alias("q_best"),
+    )
+    return (
+        best_c.join(best_q, ["query_id", "corpus_id"])
+        .select("query_id", "corpus_id", F.col("q_best").alias("cos_sim"))
+    )
+
+
+def _rbh_blocked(
+    q: DataFrame,
+    c: DataFrame,
+    chunk_rows: int = 50_000,
+    pack_rows: int = 50_000,
+) -> DataFrame:
+    """Distributed blocked-BLAS RBH (r10, VERDICT r9 item 2): the exact
+    tier PAST the driver panel cap. Nothing is ever collected to the
+    driver — both sides are packed executor-side into bounded blocks
+    and every (panel-chunk x corpus-pack) block pair is scored as one
+    numpy matmul:
+
+    1. panel rows hash into K = ceil(n_q / chunk_rows) chunks, corpus
+       rows into M = ceil(n_c / pack_rows) packs; each group packs into
+       ONE row as (sorted ids, flattened float64 matrix) — the
+       ``sort_array(collect_list(struct))`` A6 discipline, so in-block
+       numpy first-occurrence argmax IS the smaller-id tie-break;
+    2. the corpus packs replicate across chunk ids via one bounded
+       ``explode(sequence(0, K-1))`` and an EQUI-join on the chunk id
+       brings each (pack, chunk) pair together — the classic blocked
+       mat-mul communication pattern (corpus bytes move K times, panel
+       bytes M times, never |panel| x |corpus|), and a hash join, not a
+       CartesianProduct;
+    3. one Arrow batch per block pair: round4((cm @ qm.T) / outer) —
+       the _rbh_blas scoring verbatim — then BOTH argmax directions
+       emit per-block PARTIALS (best query per corpus row within the
+       chunk, best corpus per query within the pack);
+    4. the partial-argmax merge: min_by keyed on (-cos, id) per
+       direction — the exact tier's reduction — so cross-block ties
+       break globally on (cos desc, id asc) no matter how the hash
+       chunking split them.
+
+    Exactness: identical per-pair arithmetic to :func:`_rbh_blas`
+    (same numpy ops, same HALF_UP round4), so it matches the exact
+    tier up to float summation order inside the 4dp rounding — the
+    same measured-not-assumed equality contract, plus a
+    chunking-invariance property (results are bit-equal across
+    different chunk_rows/pack_rows; pinned by test). Degenerate
+    vectors (NULL, NULL/NaN/inf elements, zero norm, wrong dim) are
+    excluded, the shared contract of all tiers; dim is the first valid
+    panel row's length in query_id order.
+
+    Memory: one block pair per task holds chunk_rows x dim + pack_rows
+    x dim float64 (~50 MB at the defaults and dim 64) — bounded by
+    CONSTANTS like the BLAS broadcast, but in executor tasks instead
+    of the driver, so the panel size is unbounded.
+    """
+    qt = q.schema["query_id"].dataType.simpleString()
+    ct = c.schema["corpus_id"].dataType.simpleString()
+    spark = q.sparkSession
+
+    def _valid(vec_col, norm_col):
+        v = F.col(vec_col)
+        return (
+            v.isNotNull()
+            & ~F.exists(v, lambda x: x.isNull())
+            & ~F.exists(v, lambda x: F.isnan(x))
+            & ~F.exists(v, lambda x: F.abs(x) == F.lit(float("inf")))
+            & F.col(norm_col).isNotNull()
+            & (F.col(norm_col) > 0)
+            & ~F.isnan(F.col(norm_col))
+        )
+
+    qv = q.where(_valid("__qv", "__qn"))
+    first = (
+        qv.orderBy("query_id")
+        .select(F.size("__qv").alias("d"))
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        return spark.createDataFrame(
+            [], f"query_id {qt}, corpus_id {ct}, cos_sim double"
+        )
+    dim = int(first[0]["d"])
+    qv = qv.where(F.size("__qv") == dim)
+    cv = c.where(_valid("__cv", "__cn") & (F.size("__cv") == dim))
+
+    n_q = qv.count()
+    n_c = cv.count()
+    if n_q == 0 or n_c == 0:
+        return spark.createDataFrame(
+            [], f"query_id {qt}, corpus_id {ct}, cos_sim double"
+        )
+    k_chunks = max(1, -(-n_q // chunk_rows))
+    m_packs = max(1, -(-n_c // pack_rows))
+
+    def _packed(df, id_col, vec_col, key_col, n_groups):
+        return (
+            df.withColumn(
+                key_col,
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_groups)).cast(
+                    "int"
+                ),
+            )
+            .groupBy(key_col)
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct(id_col, vec_col))
+                ).alias("__p")
+            )
+            .select(
+                key_col,
+                F.transform(F.col("__p"), lambda s: s[id_col]).alias(
+                    f"{id_col}s"
+                ),
+                F.flatten(
+                    F.transform(F.col("__p"), lambda s: s[vec_col])
+                ).alias(f"{id_col}_flat"),
+            )
+        )
+
+    qp = _packed(qv, "query_id", "__qv", "__chunk", k_chunks)
+    cp = _packed(cv, "corpus_id", "__cv", "__pack", m_packs).withColumn(
+        "__chunk",
+        F.explode(F.sequence(F.lit(0), F.lit(k_chunks - 1))),
+    )
+    joined = cp.join(qp, "__chunk")
+
+    def score(it):
+        import numpy as np
+        import pandas as pd
+
+        def round4(x):
+            return np.sign(x) * np.floor(np.abs(x) * 1e4 + 0.5) / 1e4
+
+        # strip-tile the corpus side so the score matrix never exceeds
+        # ~32 MB (4M float64) — chunk_rows x pack_rows at the defaults
+        # would otherwise materialize a 50k x 50k = 20 GB matrix per
+        # block pair and kill the executor
+        MAX_CELLS = 4_000_000
+
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                qids = list(row.query_ids)
+                cids = list(row.corpus_ids)
+                n_q, n_c = len(qids), len(cids)
+                qm = np.asarray(row.query_id_flat, dtype=np.float64)
+                qm = qm.reshape(n_q, dim)
+                cm = np.asarray(row.corpus_id_flat, dtype=np.float64)
+                cm = cm.reshape(n_c, dim)
+                qn = np.sqrt((qm * qm).sum(axis=1))
+                cn = np.sqrt((cm * cm).sum(axis=1))
+                qmt = qm.T
+                strip = max(1, MAX_CELLS // max(n_q, 1))
+                # running per-query best within this pack: strips walk
+                # cids ASCENDING (the pack is sorted), so strict-> only
+                # updates keep the smaller corpus id on ties — the
+                # first-occurrence argmax discipline across strips
+                best_cos = np.full(n_q, -np.inf)
+                best_ci = np.zeros(n_q, dtype=np.int64)
+                recs = []
+                for lo in range(0, n_c, strip):
+                    hi = min(lo + strip, n_c)
+                    s = round4(
+                        (cm[lo:hi] @ qmt)
+                        / np.outer(cn[lo:hi], qn)
+                    )
+                    # corpus direction: final within the chunk — the
+                    # whole panel chunk is visible per strip row
+                    bq = s.argmax(axis=1)
+                    recs += [
+                        (qids[j], cids[lo + i], float(s[i, j]), "c")
+                        for i, j in enumerate(bq)
+                    ]
+                    # query direction: fold the strip into the running
+                    # best (strict > keeps the earlier = smaller cid)
+                    smax = s.max(axis=0)
+                    sarg = s.argmax(axis=0)
+                    upd = smax > best_cos
+                    best_cos[upd] = smax[upd]
+                    best_ci[upd] = lo + sarg[upd]
+                recs += [
+                    (qid, cids[best_ci[j]], float(best_cos[j]), "q")
+                    for j, qid in enumerate(qids)
+                    if best_cos[j] > -np.inf
+                ]
+                yield pd.DataFrame(
+                    recs,
+                    columns=["query_id", "corpus_id", "cos_sim", "dir"],
+                )
+
+    scored = joined.select(
+        "query_ids", "query_id_flat", "corpus_ids", "corpus_id_flat"
+    ).mapInPandas(
+        score,
+        schema=(
+            f"query_id {qt}, corpus_id {ct}, cos_sim double, dir string"
+        ),
+    )
+    # partial-argmax merge (the exact tier's min_by reduction) in BOTH
+    # directions: corpus partials merge across panel chunks, query
+    # partials across corpus packs
+    best_q = scored.where(F.col("dir") == "c").groupBy("corpus_id").agg(
+        F.min_by(
+            F.struct(F.col("query_id"), F.col("cos_sim")),
+            F.struct((-F.col("cos_sim")).alias("nc"), F.col("query_id")),
+        ).alias("b")
+    ).select(
+        F.col("b.query_id").alias("query_id"),
+        "corpus_id",
+        F.col("b.cos_sim").alias("c_best"),
     )
     best_c = scored.where(F.col("dir") == "q").groupBy("query_id").agg(
         F.min_by(

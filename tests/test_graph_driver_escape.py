@@ -177,3 +177,45 @@ def test_bfs_driver_punts_on_type_mismatch():
     assert {(r["node"], r["hop"]) for r in out.collect()} == {
         (1, 0), (2, 1), (3, 2)
     }
+
+
+def test_cc_contraction_equivalence_randomized(monkeypatch):
+    """r10: the contracted distributed CC loop must label exactly like
+    the driver union-find on randomized graphs — long paths (multi-round
+    pointer jumping across contractions), cliques (the collapse case),
+    isolated edges, and a star — with the escape cap forced to 0 so the
+    distributed path actually runs."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from gene_level_metadata_pipeline_spark.operators import graph
+
+    spark = _get_spark()
+    rnd = random.Random(11)
+    pairs = []
+    # a 30-node path: worst case for propagation depth
+    pairs += [(i, i + 1) for i in range(100, 130)]
+    # two 8-cliques sharing one node
+    for base in (200, 207):
+        nodes = list(range(base, base + 8))
+        pairs += [(a, b) for a in nodes for b in nodes if a < b]
+    # random sparse noise
+    pairs += [
+        (rnd.randint(300, 380), rnd.randint(300, 380)) for _ in range(60)
+    ]
+    # star
+    pairs += [(500, 500 + i) for i in range(1, 12)]
+    df = spark.createDataFrame(
+        [(a, b) for a, b in pairs if a != b], "doc_a long, doc_b long"
+    )
+
+    want = sorted(
+        map(tuple, graph.connected_components(df).collect())
+    )  # driver escape (under the real cap)
+    monkeypatch.setattr(graph, "_DRIVER_EDGE_CAP", 0)
+    got = sorted(map(tuple, graph.connected_components(df).collect()))
+    assert got == want and len(got) > 0
+    # sanity: the path collapsed to one component labelled by its min
+    labels = {n: c for n, c in got}
+    assert all(labels[i] == 100 for i in range(100, 131))

@@ -148,22 +148,26 @@ def test_rbh_validates_method_and_probes():
         reciprocal_best_hits(qs, cs, method="ivf", probes=0)
 
 
-def test_auto_beyond_blas_cap_raises_not_degrades(monkeypatch):
-    """VERDICT r8 item 4: 'auto' must never silently land on the
-    probabilistic IVF tier (measured recall 0.15 at the old probes=2
-    default on unstructured embeddings) — beyond the BLAS panel cap it
-    raises, citing the committed curve, and the probabilistic tier is
-    an explicit method='ivf' decision."""
+def test_auto_beyond_blas_cap_goes_blocked_not_ivf(monkeypatch):
+    """r10 (VERDICT r9 item 2): past the BLAS panel cap 'auto' routes
+    to the EXACT distributed blocked tier — never the probabilistic
+    IVF tier (the r8 finding stands: measured recall 0.15 at the old
+    probes=2 default on unstructured embeddings; the r9 build raised
+    here because no exact tier existed past the cap). The blocked
+    answer must equal the exact tier's."""
     from gene_level_metadata_pipeline_spark.operators import similarity
 
     spark = _get_spark()
     qs, cs = _clustered(spark)
     monkeypatch.setattr(similarity, "_BLAS_PANEL_CAP", 2)
-    with pytest.raises(ValueError, match="method='ivf'"):
-        similarity.reciprocal_best_hits(
-            qs, cs, method="auto", exact_pair_budget=1
-        )
-    # explicit opt-in still works under the shrunken cap
+    got = sorted(map(tuple, similarity.reciprocal_best_hits(
+        qs, cs, method="auto", exact_pair_budget=1
+    ).collect()))
+    want = sorted(map(tuple, similarity.reciprocal_best_hits(
+        qs, cs, method="exact"
+    ).collect()))
+    assert got == want and len(got) > 0
+    # explicit opt-in to the probabilistic tier still works
     out = similarity.reciprocal_best_hits(
         qs, cs, method="ivf", n_cells=6, probes=6
     )

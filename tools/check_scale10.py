@@ -101,12 +101,12 @@ ORACLE_TOO_QUADRATIC = {
     "substring_dup_spans",
     # r7 sitting 2 / r8: the DBSCAN truth was an all-pairs distance
     # join (400M pairs at 10x) until r8 grid-restricted + materialized
-    # it — dbscan_clusters_2d now PASSES for real at 10x. The RBH truth
-    # stays demoted for a DIFFERENT r8 reason: above the pair budget
-    # the operator intentionally takes the probabilistic IVF tier, so
-    # an exact truth would mismatch BY DESIGN; the recall/equality
-    # evidence lives in certification/rbh_ivf_equality.json instead.
-    "rbh_mutual_nn",
+    # it — dbscan_clusters_2d now PASSES for real at 10x.
+    # rbh_mutual_nn left this set in r10: the old demotion reason
+    # ("above the pair budget auto takes the probabilistic IVF tier")
+    # died in r9/r10 — auto now stays EXACT at any size (BLAS to the
+    # panel cap, blocked beyond), and the 10x truth (~22M scored pairs)
+    # is affordable for DuckDB, so the row is a real hash comparison.
 }
 
 # Scale-safe oracle overrides (VERDICT r8 item 2, the dbscan recipe:
