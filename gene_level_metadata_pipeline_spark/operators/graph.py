@@ -78,10 +78,13 @@ def connected_components(
 # every component-consuming headline; r8 generalizes the SAME cap and
 # output contract (typed DataFrame, identical labels/distances, driver
 # algorithm replays the distributed recurrence exactly) to the other
-# iterative operators: bfs_hops, sssp_weighted, kcore, truss_peel,
+# iterative operators: sssp_weighted, kcore, truss_peel,
 # label_propagation (VERDICT r7 task 3). Cap-boundary equivalence is
 # pinned by tests/test_graph_driver_escape.py, which runs BOTH paths on
 # graphs straddling a shrunken cap and asserts identical row multisets.
+# bfs_hops LEFT the escape set in r10 (VERDICT r9 item 6): the r9
+# interleaved A/B measured its escape at 1.035 — frontier iteration
+# exits after ~diameter cheap rounds, so the edge collect buys nothing.
 _DRIVER_EDGE_CAP = 200_000
 
 
@@ -246,58 +249,6 @@ def _cc_loop(edges: DataFrame, max_iter: int) -> DataFrame:
 # are subtle, so the distributed path stays the single source of truth).
 
 
-def _bfs_driver(
-    edges: DataFrame, sources: DataFrame, max_hops: int
-) -> DataFrame | None:
-    from pyspark.sql.types import IntegerType, StructField, StructType
-
-    seed_col = sources.columns[0]
-    node_t = edges.schema.fields[1].dataType  # discovered nodes are "ev"
-    if sources.schema.fields[0].dataType != node_t:
-        return None
-    # ONE job materializes the seed frame: the seed expression is often
-    # a subquery over the same base tables as the edges (e.g. "min part
-    # id of the co-occurrence graph") and is NOT checkpointed — a
-    # separate count() + collect() would execute it twice, which the
-    # r8 A/B measured as a 2x regression on graph_bfs_hops
-    seed_rows = (
-        sources.select(F.col(seed_col).alias("node"))
-        .distinct()
-        .limit(_DRIVER_EDGE_CAP + 1)
-        .collect()
-    )
-    if len(seed_rows) > _DRIVER_EDGE_CAP:
-        return None
-    seeds = [r[0] for r in seed_rows]
-    rows = edges.collect()
-    if None in seeds or any(r[0] is None or r[1] is None for r in rows):
-        return None
-    adj: dict = {}
-    for r in rows:
-        adj.setdefault(r[0], []).append(r[1])
-    visited = {s: 0 for s in seeds}
-    frontier = set(seeds)
-    for h in range(1, max_hops + 1):
-        nxt = {
-            v
-            for u in frontier
-            for v in adj.get(u, ())
-            if v not in visited
-        }
-        if not nxt:
-            break
-        for v in nxt:
-            visited[v] = h
-        frontier = nxt
-    schema = StructType([
-        StructField("node", node_t, True),
-        StructField("hop", IntegerType(), False),
-    ])
-    return edges.sparkSession.createDataFrame(
-        list(visited.items()), schema
-    )
-
-
 def _sssp_driver(
     edges: DataFrame, sources: DataFrame, max_hops: int
 ) -> DataFrame | None:
@@ -307,7 +258,9 @@ def _sssp_driver(
     node_t = edges.schema.fields[1].dataType
     if sources.schema.fields[0].dataType != node_t:
         return None
-    seed_rows = (  # one job, not count+collect (see _bfs_driver)
+    seed_rows = (  # one job, not count+collect: the seed expression
+        # is often an uncheckpointed subquery over the edge tables — a
+        # separate count()+collect() would execute it twice (r8 A/B)
         sources.select(F.col(seed_col).alias("node"))
         .distinct()
         .limit(_DRIVER_EDGE_CAP + 1)
@@ -437,7 +390,7 @@ def _pagerank_driver(
     else:
         if seeds.schema.fields[0].dataType != node_t:
             return None
-        sd_rows = (  # one job, not count+collect (see _bfs_driver)
+        sd_rows = (  # one job, not count+collect (see _sssp_driver)
             seeds.select(F.col(seeds.columns[0]))
             .distinct()
             .limit(_DRIVER_EDGE_CAP + 1)
@@ -740,10 +693,12 @@ def bfs_hops(
     edges = edges.distinct().localCheckpoint(eager=True)
     seed_col = sources.columns[0]
     n_edges = edges.count()
-    if n_edges <= _DRIVER_EDGE_CAP:
-        out = _bfs_driver(edges, sources, max_hops)
-        if out is not None:
-            return out
+    # No driver escape for BFS (r10, VERDICT r9 item 6): it was the one
+    # family member with no measured payoff — the r9 interleaved A/B
+    # read 1.035 (escape marginally SLOWER), because frontier iteration
+    # exits after ~diameter cheap rounds and the full edge collect costs
+    # exactly what those rounds would have. The other six escapes stay
+    # (0.68-0.93 measured wins, certification/escape_ab_r10.json).
     with sized_shuffle(edges.sparkSession, n_edges):
         visited = (
             sources.select(F.col(seed_col).alias("node"))

@@ -84,7 +84,10 @@ def frames():
     return edf, seeds
 
 
-def test_bfs_hops_escape_equivalence(frames):
+def test_bfs_hops_cap_independent(frames):
+    """r10 (VERDICT r9 item 6): bfs_hops has NO driver escape anymore —
+    the r9 A/B measured it neutral-at-best (1.035), so the distributed
+    frontier loop is the only path and the cap must not change results."""
     edf, seeds = frames
     (dr, ds), (vr, vs) = _both_paths(
         lambda: graph.bfs_hops(edf, seeds, max_hops=4)
@@ -167,9 +170,10 @@ def test_sssp_driver_punts_on_null_weight():
     assert rows[1] == 0 and rows[2] == 5
 
 
-def test_bfs_driver_punts_on_type_mismatch():
-    """Seed column typed differently from the edge ids: the twin must
-    punt (return the distributed result), not crash."""
+def test_bfs_type_mismatched_seeds_still_work():
+    """Seed column typed differently from the edge ids: the distributed
+    frontier loop (now the only BFS path, r10) handles the equi-join's
+    implicit cast fine."""
     spark = _get_spark()
     edf = spark.createDataFrame([(1, 2), (2, 3)], "u bigint, v bigint")
     seeds = spark.createDataFrame([(1,)], "node int")

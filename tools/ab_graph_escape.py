@@ -2,17 +2,18 @@
 distributed loops (VERDICT r8 item 3).
 
 Background: the r8 session's sequential-block A/B measured the bfs
-escape ~1s SLOWER than its distributed path at sf0.1 (4.1 vs 3.1),
-in a session whose ambient floor was documented at 2-4x normal
-(PLANS.md r8 bench conditions). Before adding a payoff gate that would
-complicate the cap contract, this tool re-measures under a cleaner
-protocol: INTERLEAVED repetitions (one distributed run, one escape
+escape ~1s SLOWER than its distributed path at sf0.1 (4.1 vs 3.1);
+the r9 interleaved rerun read it neutral-at-best (1.035) while every
+other escape won 0.68-0.93, so r10 REMOVED the bfs escape entirely
+(VERDICT r9 item 6) — graph_bfs_hops is no longer in this A/B's
+query set because the cap no longer changes its code path. The
+protocol for the remaining six: INTERLEAVED repetitions (one distributed run, one escape
 run, alternating, so ambient drift hits both arms equally), min +
 median of N per arm, both paths pre-warmed, the cap flipped via
 graph._DRIVER_EDGE_CAP exactly as the cap-boundary equivalence tests
 do.
 
-Writes certification/escape_ab_r9.json:
+Writes certification/escape_ab_r10.json:
   {query: {distributed_min, distributed_med, escape_min, escape_med,
            ratio_min (escape/distributed), verdict}}
 verdict is "escape-wins" (<0.95), "neutral" (0.95-1.05), or
@@ -35,11 +36,10 @@ sys.path.insert(0, "/root/repo")
 SF = os.environ.get("AB_SF_DIR", "/root/testdata/sf0.1")
 OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "certification", "escape_ab_r9.json",
+    "certification", "escape_ab_r10.json",
 )
 
 QUERIES = [
-    "graph_bfs_hops",
     "graph_sssp_weighted",
     "graph_kcore",
     "graph_truss_peel",
