@@ -144,6 +144,10 @@ HEADLINE = [
     # window materialization — the pretraining batch shape)
     "pack_concat_chunks",
     "pack_chunk_windows",
+    # r10 flagship: perceptual-hash image near-dup — aHash off the
+    # decoded luma plane feeding the shared banded-LSH cap/star core,
+    # exact 64-bit Hamming confirm on candidates only
+    "image_phash_near_dup",
 ]
 
 REPS = 3

@@ -570,11 +570,33 @@ def minhash_candidate_pairs(
             f"minhash_candidate_pairs: oversize={oversize!r} must be "
             "'drop' or 'star'"
         )
+    return _banded_bucket_pairs(
+        buckets, id_col, max_bucket_size, observation, oversize,
+        caller="minhash_candidate_pairs",
+    )
+
+
+def _banded_bucket_pairs(
+    buckets: DataFrame,
+    id_col: str,
+    max_bucket_size: int | None,
+    observation,
+    oversize: str,
+    caller: str,
+) -> DataFrame:
+    """The shared banded-LSH pair core (r10: factored out of
+    :func:`minhash_candidate_pairs` so the perceptual-hash image path
+    reuses the identical cap/star/telemetry machinery): takes an
+    (id, band, band_hash) bucket-membership frame and emits distinct
+    (doc_a, doc_b) candidate pairs — window-capped runaway buckets,
+    drop or star oversize policy, Observation metrics, sorted-id
+    in-bucket pair explosion (never a self-join). See the minhash
+    docstring for the full rationale of each piece."""
     star_pairs = None
     if max_bucket_size is not None:
         if max_bucket_size < 2:
             raise ValueError(
-                f"minhash_candidate_pairs: max_bucket_size={max_bucket_size} "
+                f"{caller}: max_bucket_size={max_bucket_size} "
                 "must be >= 2 (a pair needs two docs per bucket) or None "
                 "to disable the cap"
             )

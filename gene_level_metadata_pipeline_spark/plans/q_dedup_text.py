@@ -5346,3 +5346,113 @@ def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return rendezvous_assign(docs, id_col="doc_id", n_shards=7)
+
+
+@_register(
+    "image_phash_near_dup",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, u.i,
+             (strpos('0123456789abcdef', substr(md5(
+                'img:' || CAST(doc_id // 2 AS VARCHAR) || ':'
+                       || CAST(u.i AS VARCHAR)), 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(
+                'img:' || CAST(doc_id // 2 AS VARCHAR) || ':'
+                       || CAST(u.i AS VARCHAR)), 2, 1)) - 1)
+             + (doc_id % 2)
+               * (CASE WHEN u.i % 41 = 0 THEN 60 ELSE 0 END) AS p
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(0, 127)) AS i) u
+    ),
+    samp AS (
+      SELECT px.doc_id, s.s, px.p AS v
+      FROM (SELECT unnest(generate_series(0, 63)) AS s) s
+      JOIN px ON px.i = (s.s // 8) * 16 + (s.s % 8) * 2
+    ),
+    tot AS (SELECT doc_id, sum(v) AS t FROM samp GROUP BY doc_id),
+    bits AS (
+      SELECT samp.doc_id, s,
+             CASE WHEN v * 64 > t THEN 1 ELSE 0 END AS b
+      FROM samp JOIN tot USING (doc_id)
+    ),
+    bh AS (
+      SELECT doc_id, s // 16 AS band,
+             string_agg(CAST(b AS VARCHAR), '' ORDER BY s) AS band_hash
+      FROM bits GROUP BY doc_id, s // 16
+    ),
+    sized AS (
+      SELECT band, band_hash, count(*) AS n FROM bh GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bh a
+      JOIN bh b ON a.band = b.band AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id
+      JOIN sized sz ON sz.band = a.band AND sz.band_hash = a.band_hash
+      WHERE sz.n BETWEEN 2 AND 1000
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(sum(CASE WHEN x.b <> y.b THEN 1 ELSE 0 END)
+                AS INTEGER) AS hamming
+    FROM cand c
+    JOIN bits x ON x.doc_id = c.doc_a
+    JOIN bits y ON y.doc_id = c.doc_b AND y.s = x.s
+    GROUP BY 1, 2
+    HAVING sum(CASE WHEN x.b <> y.b THEN 1 ELSE 0 END) <= 6
+    """,
+)
+def q_image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup (r10, VERDICT r9 item 7 —
+    multimodal.image_near_dup_pairs): the figure/plot-dedup use case
+    that ties the multimodal and dedup pillars together. A 16x8 gray
+    frame is generated per document in pure Catalyst (md5-derived
+    pixel bytes, so frames are pseudo-random; pairs (2k, 2k+1) share a
+    base frame and the odd twin gets +60 on every 41st pixel — a
+    re-encode-with-artifacts stand-in), aHash bits come off the decoded
+    plane by exact integer arithmetic (8x8 nearest-neighbor sample,
+    bit = 64·px > Σpx), candidates come from the SAME banded-LSH
+    cap/star bucket core the text MinHash path uses (4 bands x 16
+    bits), and only candidates pay the exact 64-bit Hamming confirm
+    (<= 6). The oracle replays sample/threshold/banding/cap/Hamming
+    arithmetically — byte-free, bit-for-bit. A true re-encoded COPY
+    hashes identically by construction (property-pinned in
+    tests/test_image_phash.py: same pixels through the real BMP and
+    PNG decoders give equal aHash/dHash)."""
+    from gene_level_metadata_pipeline_spark.operators.multimodal import (
+        image_near_dup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    px = F.transform(
+        F.sequence(F.lit(0), F.lit(127)),
+        lambda i: (
+            # md5-derived pixel bytes (the rendezvous_shards cross-
+            # engine idiom): genuinely pseudo-random frames, so the
+            # ONLY near-dups are the constructed (2k, 2k+1) twins —
+            # arithmetic-progression generators left stride structure
+            # in the hash bits and produced O(n²) accidental
+            # hamming<=6 pairs at sf0.1 (caught at first run)
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(
+                        F.lit("img:"),
+                        F.floor(d / 2).cast("string"),
+                        F.lit(":"),
+                        i.cast("string"),
+                    )),
+                    1, 2,
+                ),
+                16, 10,
+            ).cast("int")
+            + F.pmod(d, F.lit(2))
+            * F.when(i % 41 == 0, F.lit(60)).otherwise(F.lit(0))
+        ).cast("int"),
+    )
+    decoded = docs.select(
+        "doc_id",
+        F.lit(16).alias("width"),
+        F.lit(8).alias("height"),
+        px.alias("pixels"),
+    )
+    return image_near_dup_pairs(decoded, method="ahash", max_hamming=6)

@@ -185,6 +185,9 @@ SHUFFLE_BUDGET = {
     # the window groupBy rides the join's hash partitioning)
     "pack_concat_chunks": 3,
     "pack_chunk_windows": 4,
+    # r10: phash near-dup — cap window + bucket groupBy share one
+    # (band, band_hash) exchange pair; two id-keyed confirm joins
+    "image_phash_near_dup": 4,
 }
 
 # Non-headline flagships whose plan shape is still pinned (round-4 audit).
