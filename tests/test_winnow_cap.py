@@ -185,3 +185,70 @@ def test_ceiling_clamps_the_fractional_cap():
     assert [(r["a"], r["b"], r["shared_fp"]) for r in got] == [(0, 1, 3)]
     with pytest.raises(ValueError, match="max_df_ceiling"):
         winnow_overlap_pairs(fps, max_df_ceiling=0)
+
+
+@settings(
+    max_examples=10, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    docs=corpora, min_shared=st.integers(1, 3),
+    ceiling=st.integers(1, 4),
+)
+def test_ceiling_regime_recall_contract(docs, min_shared, ceiling):
+    """r10 (VERDICT r9 item 8): the THIRD cap regime — eff-cap =
+    max_df_ceiling — gets the same pinned contract as the floor and
+    fraction regimes. Configuration forces the ceiling to bind: floor
+    max_df=1, fraction 100% (so the frac cap = n_docs), ceiling <
+    n_docs on most generated corpora. Pins:
+
+    1. output == the set-arithmetic reference at eff = min(ceiling,
+       max(1, n_docs)) — the documented formula, bit-for-bit;
+    2. recall at the ceiling: a pair all of whose shared hashes have
+       df <= eff keeps its full count;
+    3. the ceiling's LOSS MODE, enumerated: every pair present under
+       the unceilinged fractional cap but absent here needed a hash
+       with df > eff to reach min_shared — i.e. the ceiling can lose
+       exactly the pairs whose evidence is boilerplate-band hashes
+       (ceiling < df <= frac-cap), nothing else.
+    """
+    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+        winnow_overlap_pairs,
+    )
+
+    spark = _get_spark()
+    fps = spark.createDataFrame(
+        [(i, h, 0) for i, hs in docs.items() for h in hs],
+        "id bigint, fp_hash bigint, fp_pos bigint",
+    )
+    got = {
+        (r["a"], r["b"]): r["shared_fp"]
+        for r in winnow_overlap_pairs(
+            fps, min_shared=min_shared, max_df=1,
+            max_df_frac_e6=10 ** 6, max_df_ceiling=ceiling,
+        ).collect()
+    }
+    n_docs = len(docs)
+    eff = min(ceiling, max(1, n_docs))
+    dfreq, want = _reference(docs, min_shared, max_df=eff)
+
+    # (1) exact formula replay
+    assert got == want
+
+    # (2) recall at the ceiling
+    ids = sorted(docs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            shared = docs[a] & docs[b]
+            if len(shared) >= min_shared and all(
+                dfreq[h] <= eff for h in shared
+            ):
+                assert got.get((a, b)) == len(shared), (a, b, shared)
+
+    # (3) the ceiling's loss mode, enumerated vs the unceilinged
+    # fractional cap (eff = n_docs keeps every hash)
+    _, unceilinged = _reference(docs, min_shared, max_df=n_docs)
+    for pair in set(unceilinged) - set(got):
+        a, b = pair
+        shared = docs[a] & docs[b]
+        assert any(dfreq[h] > eff for h in shared), pair
