@@ -5456,3 +5456,92 @@ def q_image_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         px.alias("pixels"),
     )
     return image_near_dup_pairs(decoded, method="ahash", max_hamming=6)
+
+
+@_register(
+    "image_resize_grid",
+    oracle="""
+    WITH px AS (
+      SELECT doc_id, u.i,
+             (strpos('0123456789abcdef', substr(md5(
+                'img:' || CAST(doc_id // 2 AS VARCHAR) || ':'
+                       || CAST(u.i AS VARCHAR)), 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(
+                'img:' || CAST(doc_id // 2 AS VARCHAR) || ':'
+                       || CAST(u.i AS VARCHAR)), 2, 1)) - 1)
+             + (doc_id % 2)
+               * (CASE WHEN u.i % 41 = 0 THEN 60 ELSE 0 END) AS p
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(0, 127)) AS i) u
+    ),
+    -- nearest-neighbor 16x8 -> 6x4: out index o in 0..23,
+    -- y = o//6, x = o%6, src = floor(y*8/4)*16 + floor(x*16/6)
+    res AS (
+      SELECT g.doc_id, o.o, px.p AS v
+      FROM (SELECT DISTINCT doc_id FROM px) g,
+           (SELECT unnest(generate_series(0, 23)) AS o) o
+      JOIN px ON px.doc_id = g.doc_id
+             AND px.i = (o.o // 6) * 2 * 16 + (o.o % 6) * 16 // 6
+    )
+    SELECT doc_id, 6 AS width, 4 AS height,
+           CAST(24 AS INTEGER) AS n_px,
+           CAST(sum(v * (o + 1)) AS BIGINT) AS px_checksum
+    FROM res GROUP BY doc_id
+    """,
+)
+def q_image_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor resize certification (multimodal.resize_image,
+    r10): the md5-pixel 16x8 frames of image_phash_near_dup resized to
+    6x4 — non-divisible ratios on both axes, so the floor index
+    arithmetic (src = floor(y·H/4)·W + floor(x·W/6)) is exercised off
+    the trivial stride-2 path — hashed as a position-weighted checksum.
+    The r10 resize is ONE transform lambda over sequence(0, W·H-1)
+    (constant plan size at any target; the r9 form built W·H Column
+    objects); the oracle replays the exact index arithmetic per output
+    cell. Pure Catalyst end-to-end — zero Python."""
+    from gene_level_metadata_pipeline_spark.operators.multimodal import (
+        resize_image,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    px = F.transform(
+        F.sequence(F.lit(0), F.lit(127)),
+        lambda i: (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(
+                        F.lit("img:"),
+                        F.floor(d / 2).cast("string"),
+                        F.lit(":"),
+                        i.cast("string"),
+                    )),
+                    1, 2,
+                ),
+                16, 10,
+            ).cast("int")
+            + F.pmod(d, F.lit(2))
+            * F.when(i % 41 == 0, F.lit(60)).otherwise(F.lit(0))
+        ).cast("int"),
+    )
+    decoded = docs.select(
+        "doc_id",
+        F.lit(16).alias("width"),
+        F.lit(8).alias("height"),
+        F.lit("gen-gray").alias("mode"),
+        px.alias("pixels"),
+    )
+    out = resize_image(decoded, 6, 4)
+    return out.select(
+        "doc_id", "width", "height",
+        F.size("pixels").alias("n_px"),
+        F.aggregate(
+            F.zip_with(
+                F.col("pixels"),
+                F.sequence(F.lit(1), F.lit(24)),
+                lambda s, i: s.cast("bigint") * i.cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("px_checksum"),
+    )
