@@ -5545,3 +5545,60 @@ def q_image_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("px_checksum"),
     )
+
+
+@_register(
+    "rbh_blocked_mutual_nn",
+    oracle=f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 17 = 0),
+    c AS (SELECT vec_id AS corpus_id, e AS ce FROM v WHERE vec_id % 17 <> 0),
+    scored AS (
+      SELECT q.query_id, c.corpus_id,
+             round({_COS.format(a='q.qe', b='c.ce')}, 4) AS cos_sim
+      FROM q CROSS JOIN c
+    ),
+    bq AS (
+      SELECT query_id, corpus_id, cos_sim, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, corpus_id
+      ) AS rn FROM scored
+    ),
+    bc AS (
+      SELECT query_id, corpus_id, row_number() OVER (
+        PARTITION BY corpus_id ORDER BY cos_sim DESC, query_id
+      ) AS rn FROM scored
+    )
+    SELECT b1.query_id, b1.corpus_id, b1.cos_sim
+    FROM (SELECT * FROM bq WHERE rn = 1) b1
+    JOIN (SELECT * FROM bc WHERE rn = 1) b2
+      ON b1.query_id = b2.query_id AND b1.corpus_id = b2.corpus_id
+    """,
+)
+def q_rbh_blocked_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r10 BLOCKED RBH tier under the driver's own hash gate: the
+    same mutual-1-NN panel as rbh_mutual_nn, forced through
+    method='blocked' with block sizes small enough (chunk 40 / pack 64)
+    that every argmax merges across MANY block pairs at sf0.01 — the
+    distributed exact-past-the-panel-cap path
+    (similarity._rbh_blocked: executor-side packing, strip-tiled numpy
+    matmul per block pair behind an equi-join on the chunk id, min_by
+    partial-argmax merge in both directions; nothing collected to the
+    driver). The oracle is the identical quadratic truth rbh_mutual_nn
+    certifies against — so blocked == exact == truth is checked by the
+    driver every round, not just by the committed
+    certification/rbh_blocked_r10.json invariance run."""
+    from gene_level_metadata_pipeline_spark.operators.similarity import (
+        _dot,
+        _rbh_blocked,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("__qv"),
+    ).withColumn("__qn", F.sqrt(_dot(F.col("__qv"), F.col("__qv"))))
+    c = emb.where(F.col("vec_id") % 17 != 0).select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").cast("array<double>").alias("__cv"),
+    ).withColumn("__cn", F.sqrt(_dot(F.col("__cv"), F.col("__cv"))))
+    return _rbh_blocked(q, c, chunk_rows=40, pack_rows=64)

@@ -29,6 +29,9 @@ ARROW_PYTHON_OK = {
     # that reuses it — Catalyst-built payloads, codec-only Python
     "image_jpeg_decode",
     "video_mjpeg_frames",
+    # r10: the blocked-BLAS RBH tier IS a numpy matmul stage by design
+    # (dense scoring belongs in BLAS); packing/merge stay relational
+    "rbh_blocked_mutual_nn",
 }
 # Python DATA SOURCES are intentional executor-side Python (ingestion,
 # not relational compute) — allowed, asserted positively
