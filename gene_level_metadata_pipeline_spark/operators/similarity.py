@@ -1361,9 +1361,19 @@ def _rbh_blas(q: DataFrame, c: DataFrame) -> DataFrame:
         import pandas as pd
 
         qids_, qm_, qn_ = bc.value
+        n_q = len(qids_)
+        qmt = qm_.T
 
         def round4(x):
             return np.sign(x) * np.floor(np.abs(x) * 1e4 + 0.5) / 1e4
+
+        # strip-tile the corpus rows so the score matrix never exceeds
+        # ~32 MB (4M float64): a 15k-row Arrow batch against a 12k-row
+        # panel otherwise materializes a ~1.4 GB matrix PER TASK, and
+        # 32 concurrent tasks turn the 100x sweep into GC thrash —
+        # measured as the r9/r10 54x rbh growth row before this fix.
+        # Same discipline as _rbh_blocked's kernel.
+        MAX_CELLS = 4_000_000
 
         for pdf in it:
             if not len(pdf):
@@ -1390,20 +1400,37 @@ def _rbh_blas(q: DataFrame, c: DataFrame) -> DataFrame:
                 continue
             cids = [cid for cid, o in zip(cids, ok) if o]
             cm, cn = cm[ok], cn[ok]
-            s = round4((cm @ qm_.T) / np.outer(cn, qn_))
-            # corpus direction: per row argmax; columns sorted by qid
-            # so first occurrence = smaller id on ties
-            bq = s.argmax(axis=1)
-            recs = [
-                (qids_[j], cid, float(s[i, j]), "c")
-                for i, (cid, j) in enumerate(zip(cids, bq))
-            ]
-            # query direction: per column batch-partial best; rows
-            # sorted by cid so first occurrence = smaller id
-            bc_idx = s.argmax(axis=0)
+            n_c = len(cids)
+            strip = max(1, MAX_CELLS // max(n_q, 1))
+            # batch-level per-query running best: strips walk cids
+            # ascending, strict-> updates keep the smaller cid on ties
+            # (the first-occurrence argmax discipline across strips)
+            best_cos = np.full(n_q, -np.inf)
+            best_ci = np.zeros(n_q, dtype=np.int64)
+            recs = []
+            for lo in range(0, n_c, strip):
+                hi = min(lo + strip, n_c)
+                s = round4(
+                    (cm[lo:hi] @ qmt) / np.outer(cn[lo:hi], qn_)
+                )
+                # corpus direction: final per corpus row (whole panel
+                # visible); columns sorted by qid so first occurrence
+                # = smaller id on ties
+                bq = s.argmax(axis=1)
+                recs += [
+                    (qids_[j], cids[lo + i], float(s[i, j]), "c")
+                    for i, j in enumerate(bq)
+                ]
+                smax = s.max(axis=0)
+                sarg = s.argmax(axis=0)
+                upd = smax > best_cos
+                best_cos[upd] = smax[upd]
+                best_ci[upd] = lo + sarg[upd]
+            # query direction: per column batch-partial best
             recs += [
-                (qid, cids[i], float(s[i, j]), "q")
-                for j, (qid, i) in enumerate(zip(qids_, bc_idx))
+                (qid, cids[best_ci[j]], float(best_cos[j]), "q")
+                for j, qid in enumerate(qids_)
+                if best_cos[j] > -np.inf
             ]
             yield pd.DataFrame(
                 recs, columns=["query_id", "corpus_id", "cos_sim", "dir"]

@@ -119,9 +119,17 @@ def main() -> int:
 
     qs = entrymod.queries()
     tiers = [("sf0.1", SF01), ("sf1_equiv", DIR10), ("sf10_equiv", DIR100)]
+    # argv selection re-measures a subset and MERGES into the existing
+    # artifact (post-fix re-runs shouldn't discard the other rows)
+    only = [a for a in sys.argv[1:] if not a.startswith("-")]
+    selected = [n for n in QUERIES if not only or n in only]
     results: dict[str, dict] = {}
+    if only and os.path.isfile(OUT):
+        with open(OUT) as fh:
+            prior = json.load(fh)
+        results = {k: v for k, v in prior.items() if k != "_meta"}
     failures = []
-    for name in QUERIES:
+    for name in selected:
         fn = qs[name]
         row: dict = {}
         for label, d in tiers:
