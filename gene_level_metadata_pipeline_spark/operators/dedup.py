@@ -458,6 +458,151 @@ def minhash_signatures(
     )
 
 
+def minhash_signatures_oph(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, num_hashes: int = 8
+) -> DataFrame:
+    """One-permutation MinHash with deterministic rotation densification
+    (Shrivastava & Li, ICML 2014; densification offsets per Shrivastava,
+    ICML 2017): ONE md5 per shingle regardless of k, vs the dense
+    signature's ceil(k/4) (:func:`minhash_signatures`).
+
+    Hashing is the dominant executor cost of minhash at corpus scale —
+    every md5 re-reads every shingle byte — so the classic k-permutation
+    scheme pays O(k) passes over the corpus text. OPH pays ONE: each
+    shingle is hashed once, the hash space is split into k bins
+    (bin = 16-bit slice of the digest mod k), and slot i of the
+    signature is the MIN hash among the doc's shingles that landed in
+    bin i. At the dense path's 4-hashes-per-digest packing the win is
+    2x at k=8 and 32x at the k=128 a production near-dup LSH runs —
+    the difference between one pass and thirty-two over every shingle
+    byte of a 100 TB corpus.
+
+    Empty bins (short docs rarely cover all k bins) are DENSIFIED by
+    deterministic rotation: slot i borrows the value of the nearest
+    non-empty bin to its right (cyclically), tagged with the borrow
+    distance (``d{j}:`` prefix) so two docs agree on a densified slot
+    iff they agree on BOTH the borrow distance and the borrowed value —
+    the collision-probability correction the densification papers add
+    as the j*C offset, expressed on the engine's lexicographic-min hex
+    strings. A doc with at least one shingle always densifies (some bin
+    is non-empty); docs with no shingles are excluded, matching the
+    dense path.
+
+    Everything is one zero-shuffle projection: a ``transform``
+    materializes (value, bin) per shingle once — value = digest hex
+    chars 1-8 (the same 32-bit-slice-as-string min the dense path
+    certifies), bin = hex chars 9-12 as a 16-bit int mod k, independent
+    slices of one digest — then a single ``aggregate`` traversal
+    carries all k running bin-minima in a struct accumulator, and the
+    densification ladder is a k-way ``coalesce`` per slot. Pure
+    hex/string arithmetic end-to-end: any SQL engine replays it
+    bit-for-bit (the 'g' sentinel sorts after every hex char, exactly
+    as in the dense signature)."""
+    if not 1 <= num_hashes <= 65536:
+        raise ValueError(
+            f"minhash_signatures_oph: num_hashes={num_hashes} must be in "
+            "[1, 65536] (the bin index is a 16-bit digest slice)"
+        )
+    grams = shingle_array(text_col, n)
+    hashed = F.transform(grams, lambda s: F.md5(s))
+
+    def _bin(hx):
+        v = F.lit(0)
+        for p in range(4):
+            v = v * 16 + (F.instr(F.lit(HEX), F.substring(hx, 9 + p, 1)) - 1)
+        return v % num_hashes
+
+    pairs = F.transform(
+        hashed,
+        lambda hx: F.struct(
+            F.substring(hx, 1, 8).alias("v"), _bin(hx).alias("b")
+        ),
+    )
+    init = F.struct(*[F.lit("g").alias(f"h{i}") for i in range(num_hashes)])
+
+    def step(acc, m):
+        return F.struct(
+            *[
+                F.when(m["b"] == i, F.least(acc[f"h{i}"], m["v"]))
+                .otherwise(acc[f"h{i}"])
+                .alias(f"h{i}")
+                for i in range(num_hashes)
+            ]
+        )
+
+    sig = F.aggregate(pairs, init, step)
+    out = df.where(F.size(grams) > 0).select(F.col(id_col), sig.alias("__s"))
+
+    def dens(i):
+        branches = []
+        for j in range(num_hashes):
+            slot = F.col(f"__s.h{(i + j) % num_hashes}")
+            filled = slot if j == 0 else F.concat(F.lit(f"d{j}:"), slot)
+            branches.append(F.when(slot != "g", filled))
+        return F.coalesce(*branches).alias(f"h{i}")
+
+    return out.select(F.col(id_col), *[dens(i) for i in range(num_hashes)])
+
+
+def minhash_candidate_pairs_oph(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket_size: int | None = 1000,
+    observation=None,
+    oversize: str = "drop",
+) -> DataFrame:
+    """LSH banding over ONE-PERMUTATION minhash signatures — the
+    hash-once twin of :func:`minhash_candidate_pairs` (identical
+    banding, cap, star and telemetry machinery via
+    :func:`_banded_bucket_pairs`; see both docstrings). Same s-curve
+    tuning; the only semantic difference is the estimator behind each
+    signature slot (per-bin min of one permutation + rotation
+    densification instead of k independent permutations), which trades
+    slightly higher signature variance on very short documents for a
+    k-fold reduction in corpus-scan hashing cost."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"minhash_candidate_pairs_oph: num_hashes={num_hashes} must "
+            f"be divisible by bands={bands} (trailing hashes would be "
+            "paid for but silently unused)"
+        )
+    if observation is not None and max_bucket_size is None:
+        raise ValueError(
+            "minhash_candidate_pairs_oph: observation requires "
+            "max_bucket_size (no cap means no metrics; Observation.get "
+            "would never return)"
+        )
+    if oversize not in ("drop", "star"):
+        raise ValueError(
+            f"minhash_candidate_pairs_oph: oversize={oversize!r} must be "
+            "'drop' or 'star'"
+        )
+    rows = num_hashes // bands
+    sig = minhash_signatures_oph(df, text_col, id_col, n, num_hashes)
+    band_structs = [
+        F.struct(
+            F.lit(bidx).alias("band"),
+            F.md5(
+                F.concat_ws(",", *[F.col(f"h{bidx * rows + j}") for j in range(rows)])
+            ).alias("band_hash"),
+        )
+        for bidx in range(bands)
+    ]
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bb")
+    ).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash")
+    )
+    return _banded_bucket_pairs(
+        buckets, id_col, max_bucket_size, observation, oversize,
+        caller="minhash_candidate_pairs_oph",
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     text_col: str,

@@ -254,6 +254,89 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _oph_sig_ctes(num_hashes: int) -> str:
+    """SQL twin of operators.dedup.minhash_signatures_oph: ONE md5 per
+    shingle — value = digest hex chars 1-8, bin = chars 9-12 as a 16-bit
+    int (strpos digit ladder, no conv() dependency) mod k; slot i = min
+    value among the doc's bin-i shingles; empty slots densified by
+    deterministic rotation with the borrow distance prefixed (``d{j}:``)
+    so densified agreement requires equal distance AND value."""
+    k = num_hashes
+    digit = (
+        "(strpos('0123456789abcdef', substring(md5(shingle), {p}, 1)) - 1)"
+    )
+    bin_expr = " + ".join(
+        f"{digit.format(p=9 + i)} * {16 ** (3 - i)}" for i in range(4)
+    )
+    slot_mins = ",\n             ".join(
+        f"min(CASE WHEN b = {i} THEN v END) AS s{i}" for i in range(k)
+    )
+
+    def ladder(i: int) -> str:
+        terms = []
+        for j in range(k):
+            s = f"s{(i + j) % k}"
+            terms.append(s if j == 0 else f"'d{j}:' || {s}")
+        return f"COALESCE({', '.join(terms)}) AS h{i}"
+
+    ladders = ",\n             ".join(ladder(i) for i in range(k))
+    return f"""shx AS (
+      SELECT doc_id, substring(md5(shingle), 1, 8) AS v,
+             ({bin_expr}) % {k} AS b
+      FROM sh
+    ),
+    slots AS (
+      SELECT doc_id,
+             {slot_mins}
+      FROM shx GROUP BY doc_id
+    ),
+    sig AS (
+      SELECT doc_id,
+             {ladders}
+      FROM slots
+    )"""
+
+
+def _oph_oracle(num_hashes: int = 8, bands: int = 4) -> str:
+    rows = num_hashes // bands
+    band_selects = "\n      UNION ALL\n      ".join(
+        "SELECT doc_id, {b} AS band, md5({concat}) AS band_hash FROM sig".format(
+            b=b,
+            concat=" || ',' || ".join(f"h{b * rows + j}" for j in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_SHINGLE_CTE},
+    {_oph_sig_ctes(num_hashes)},
+    bands AS (
+      {band_selects}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    """
+
+
+@_register("dedup_minhash_oph", oracle=_oph_oracle())
+def q_dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-permutation minhash (Shrivastava-Li OPH with deterministic
+    rotation densification) + the same LSH banding(4×2) as
+    dedup_minhash_lsh — ONE md5 per shingle instead of ceil(k/4), the
+    hashing-cost lever for near-dup LSH over a 100 TB corpus (32× fewer
+    text passes at a production k=128). The oracle replays value/bin
+    digest slicing, per-bin string mins, the densification ladder and
+    the banding in pure hex/string SQL."""
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        minhash_candidate_pairs_oph,
+    )
+
+    return minhash_candidate_pairs_oph(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        n=3, num_hashes=8, bands=4,
+    )
+
+
 _BOILER = (
     "boilerplate cookie banner accept all cookies to continue reading "
     "this page"
