@@ -148,6 +148,11 @@ HEADLINE = [
     # decoded luma plane feeding the shared banded-LSH cap/star core,
     # exact 64-bit Hamming confirm on candidates only
     "image_phash_near_dup",
+    # r10 batch 2: one-permutation minhash (1 md5/shingle vs ceil(k/4)
+    # — the LSH hashing-cost lever), PQ ADC top-k (train + encode +
+    # asymmetric-distance scan, the 64x-compressed ANN tier)
+    "dedup_minhash_oph",
+    "ann_pq_adc_topk",
 ]
 
 REPS = 3

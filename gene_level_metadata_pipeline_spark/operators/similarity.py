@@ -646,6 +646,261 @@ def quantize_embeddings(
     )
 
 
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 distance in the EXPANSION form
+    ``dot(a,a) - 2*dot(a,b) + dot(b,b)`` (left-associated), the form a
+    SQL oracle reproduces bit-for-bit with three ``list_dot_product``
+    calls — a direct zip-diff fold would interleave the subtractions
+    into the accumulation order and drift in the last ulp."""
+    return _dot(a, a) - F.lit(2.0) * _dot(a, b) + _dot(b, b)
+
+
+def _pq_subvectors(
+    vectors: DataFrame, dim: int, m: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, s, x) sub-vector long form: subspace s = consecutive slice
+    [s*dim/m+1 .. (s+1)*dim/m]. Map-side explode (m small structs per
+    row, no shuffle); vectors that are NULL or not exactly ``dim`` wide
+    are EXCLUDED like k-means' degenerate vectors — a PQ code of a
+    wrong-width vector is undefined, and one ragged row must not abort
+    a 100 TB encode under ANSI mode."""
+    sub_d = dim // m
+    vd = _as_double(F.col(vec_col))
+    return (
+        vectors.where(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("s"),
+                            F.slice(vd, s * sub_d + 1, sub_d).alias("x"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("__sx"),
+        )
+        .select(F.col(id_col), F.col("__sx.s").alias("s"), F.col("__sx.x").alias("x"))
+    )
+
+
+def _pq_assign(subs: DataFrame, codebooks: DataFrame, id_col: str) -> DataFrame:
+    """Nearest-codeword id per (vector, subspace): the PQ twin of
+    :func:`_score_cells`'s zero-shuffle argmax — codebooks collapse to
+    ONE broadcast row per subspace (cid-sorted struct array), each
+    sub-vector row folds over its subspace's codewords with the
+    rounded-4dp L2² argmin, ties to the LOWEST cid (strictly-better
+    replaces, so the fold equals ``row_number() OVER (ORDER BY dist,
+    cid)``). Returns (id, s, code)."""
+    cents = codebooks.groupBy("s").agg(
+        F.sort_array(F.collect_list(F.struct("cid", "ce"))).alias("__cents")
+    )
+    scored = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            F.round(_l2sq(F.col("x"), _as_double(c.getField("ce"))), 4).alias(
+                "d"
+            ),
+            c.getField("cid").alias("cid"),
+        ),
+    )
+    best = F.aggregate(
+        scored,
+        F.struct(
+            F.lit(float("inf")).alias("d"),
+            F.try_element_at(F.col("__cents"), F.lit(1))
+            .getField("cid")
+            .alias("cid"),
+        ),
+        lambda acc, sc: F.when(sc.getField("d") < acc.getField("d"), sc).otherwise(
+            acc
+        ),
+        lambda acc: acc.getField("cid"),
+    )
+    return (
+        subs.join(F.broadcast(cents), "s")
+        # a NaN/NULL element makes every rounded distance NaN/NULL, the
+        # fold keeps its init, and the lowest cid would leak — same
+        # positive-guard discipline as _score_cells
+        .withColumn(
+            "code",
+            F.when(
+                ~F.exists(F.col("x"), lambda e: e.isNull() | F.isnan(e)), best
+            ),
+        )
+        .select(id_col, "s", "code")
+    )
+
+
+def pq_codebooks(
+    vectors: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou, Douze & Schmid, TPAMI
+    2011): the vector is split into ``m`` consecutive sub-vectors and
+    each subspace learns its own ``k``-codeword quantizer by Lloyd's
+    algorithm — ``k**m`` effective cells from ``m*k`` stored centroids,
+    the memory-bounded ANN tier between int8 quantization (4×) and raw
+    floats: at m=8, k=16 a 64-dim float32 embedding compresses 64× to
+    8 nibble codes plus one shared m*k*(dim/m) codebook.
+
+    Deterministic and oracle-reproducible by exactly the
+    :func:`kmeans_centroids` discipline, per subspace:
+
+    * seeds = the sub-vectors of the ``k`` lowest ids (no RNG);
+    * assignment = rounded-4dp squared-L2 argmin (PQ quantizes in L2,
+      not cosine — codes must reconstruct the vector, not its
+      direction), ties to the lowest cid;
+    * re-estimation = per-component mean over DECIMAL(25,12) sums,
+      rounded to 6 dp.
+
+    Scale shape per iteration: assignment is a broadcast fold (the
+    codebook is m*k*(dim/m) = k*dim doubles — KB-sized at any
+    realistic setting), re-estimation shuffles N*dim (s, cid, pos)
+    rows — identical to one distributed Lloyd step. All ``m``
+    subspaces train in ONE plan (subspace id is just another grouping
+    key); nothing reaches the driver. Returns (s, cid, ce)."""
+    if dim < 1 or m < 1 or dim % m != 0:
+        raise ValueError(
+            f"pq_codebooks: dim={dim} must be a positive multiple of m={m} "
+            "(PQ subspaces are equal consecutive slices)"
+        )
+    if k < 1:
+        raise ValueError(f"pq_codebooks: k={k} must be >= 1")
+    subs = _pq_subvectors(vectors, dim, m, id_col, vec_col)
+    seed_ids = (
+        vectors.where(F.col(vec_col).isNotNull() & (F.size(vec_col) == dim))
+        .select(F.col(id_col))
+        .orderBy(id_col)
+        .limit(k)
+    )
+    codebooks = subs.join(F.broadcast(seed_ids), id_col).select(
+        "s", F.col(id_col).alias("cid"), F.col("x").alias("ce")
+    )
+    for _ in range(iters):
+        assigned = _pq_assign(subs, codebooks, id_col).where(
+            F.col("code").isNotNull()
+        )
+        el = (
+            subs.join(assigned, [id_col, "s"])
+            .select("s", "code", F.posexplode("x").alias("pos", "xv"))
+        )
+        cm = el.groupBy("s", "code", "pos").agg(
+            F.round(
+                F.sum(F.col("xv").cast("decimal(25,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mv")
+        )
+        codebooks = (
+            cm.groupBy("s", F.col("code").alias("cid"))
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "mv"))),
+                    lambda p: p.getField("mv"),
+                ).alias("ce")
+            )
+            # truncate lineage between Lloyd rounds — the same
+            # per-round localCheckpoint discipline as kmeans_centroids
+            .localCheckpoint(eager=False)
+        )
+    return codebooks
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ-encode every vector against trained codebooks: (id, s, code)
+    long form — one row per subspace, the join-friendly shape for ADC
+    scoring (``pq_adc_topk``). Encoding is the same broadcast
+    zero-shuffle argmin fold as training assignment (:func:`_pq_assign`);
+    a 100 TB corpus encodes in one map-side pass. Degenerate sub-vectors
+    (NaN/NULL element) carry a NULL code."""
+    if dim < 1 or m < 1 or dim % m != 0:
+        raise ValueError(
+            f"pq_encode: dim={dim} must be a positive multiple of m={m}"
+        )
+    return _pq_assign(
+        _pq_subvectors(vectors, dim, m, id_col, vec_col), codebooks, id_col
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 8,
+    k_neighbors: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes (the ADC of Jégou et
+    al.): per query, a lookup table of rounded-4dp squared-L2 distances
+    to every codeword (m*k entries, computed ONCE from the raw query
+    sub-vectors) replaces all vector arithmetic — each corpus vector's
+    approximate distance is the SUM of m table lookups over its codes.
+
+    Exactness discipline: LUT entries are DECIMAL(18,4) (the 4-dp
+    rounding is the only approximation beyond PQ itself), the per-pair
+    sum is exact decimal arithmetic — order-independent, so Spark's
+    partial aggregation and a SQL oracle's single GROUP BY agree
+    bit-for-bit — and ranking breaks distance ties on the lowest
+    neighbor id.
+
+    Scale shape: queries × codebook LUT is Q*m*k rows (broadcast);
+    scoring fans each code row out per query map-side and the ONLY
+    shuffle is the partial-aggregated (query, neighbor) sum — Q*N short
+    rows, never a vector. Self-pairs (query id = neighbor id) are
+    excluded. Returns (query_id, neighbor_id, adc_dist, rank)."""
+    qsubs = _pq_subvectors(queries, dim, m, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), "s", F.col("x").alias("qx")
+    )
+    lut = qsubs.join(codebooks, "s").select(
+        "query_id",
+        "s",
+        F.col("cid").alias("code"),
+        F.round(_l2sq(F.col("qx"), _as_double(F.col("ce"))), 4)
+        .cast("decimal(18,4)")
+        .alias("l"),
+    )
+    scored = (
+        codes.where(F.col("code").isNotNull())
+        .join(F.broadcast(lut), ["s", "code"])
+        .where(F.col("query_id") != F.col(id_col))
+        .groupBy("query_id", F.col(id_col).alias("neighbor_id"))
+        .agg(
+            F.sum("l").cast("double").alias("adc_dist"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        # a vector with a degenerate (NULL-code) subspace would sum
+        # FEWER than m lookups and rank spuriously close — require the
+        # complete code word
+        .where(F.col("__n") == m)
+        .drop("__n")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k_neighbors)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )
+
+
 def probe_cells(
     vectors: DataFrame,
     centroids: DataFrame,

@@ -555,6 +555,215 @@ def q_ann_ivf_kmeans_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared DuckDB CTE chain for the product-quantization family: split
+# every embedding into m=8 consecutive 8-dim sub-vectors, train one
+# deterministic Lloyd iteration per subspace from the 16 lowest-id
+# seeds (rounded-4dp squared-L2 argmin with lowest-cid ties; exact
+# DECIMAL(25,12) component means rounded to 6dp — the
+# similarity.pq_codebooks discipline), PQ-encode the corpus, and build
+# per-query DECIMAL(18,4) ADC lookup tables. L2² uses the expansion
+# form (dot(a,a) - 2*dot(a,b) + dot(b,b)) in BOTH engines so the
+# rounded values agree bit-for-bit.
+_L2SQ = (
+    "(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+    " + list_dot_product({b}, {b}))"
+)
+
+_PQ_CTES = f"""
+    v AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    sub AS (
+      SELECT vec_id, s, e[s * 8 + 1 : s * 8 + 8] AS x
+      FROM v, (SELECT unnest(generate_series(0, 7)) AS s)
+    ),
+    seedids AS (SELECT vec_id FROM v ORDER BY vec_id LIMIT 16),
+    seeds AS (
+      SELECT s, vec_id AS cid, x AS ce FROM sub
+      WHERE vec_id IN (SELECT vec_id FROM seedids)
+    ),
+    a1 AS (
+      SELECT vec_id, s, cid FROM (
+        SELECT sub.vec_id, sub.s, seeds.cid,
+               row_number() OVER (
+                 PARTITION BY sub.vec_id, sub.s
+                 ORDER BY round({_L2SQ.format(a='sub.x', b='seeds.ce')}, 4),
+                          seeds.cid
+               ) AS rn
+        FROM sub JOIN seeds ON sub.s = seeds.s
+      ) WHERE rn = 1
+    ),
+    el AS (
+      SELECT a1.s, a1.cid, generate_subscripts(sub.x, 1) AS pos,
+             unnest(sub.x) AS xv
+      FROM sub JOIN a1 USING (vec_id, s)
+    ),
+    cm AS (
+      SELECT s, cid, pos,
+             round(CAST(sum(CAST(xv AS DECIMAL(25,12))) AS DOUBLE)
+                   / count(*), 6) AS mv
+      FROM el GROUP BY s, cid, pos
+    ),
+    cent AS (
+      SELECT s, cid, array_agg(mv ORDER BY pos) AS ce FROM cm GROUP BY s, cid
+    ),
+    codes AS (
+      SELECT vec_id, s, cid AS code FROM (
+        SELECT sub.vec_id, sub.s, cent.cid,
+               row_number() OVER (
+                 PARTITION BY sub.vec_id, sub.s
+                 ORDER BY round({_L2SQ.format(a='sub.x', b='cent.ce')}, 4),
+                          cent.cid
+               ) AS rn
+        FROM sub JOIN cent ON sub.s = cent.s
+      ) WHERE rn = 1
+    ),
+    qsub AS (SELECT vec_id AS query_id, s, x AS qx FROM sub WHERE vec_id < 10),
+    lut AS (
+      SELECT qsub.query_id, cent.s, cent.cid AS code,
+             CAST(round({_L2SQ.format(a='qsub.qx', b='cent.ce')}, 4)
+                  AS DECIMAL(18,4)) AS l
+      FROM qsub JOIN cent ON qsub.s = cent.s
+    ),
+    adc AS (
+      SELECT lut.query_id, codes.vec_id AS neighbor_id,
+             CAST(sum(lut.l) AS DOUBLE) AS adc_dist
+      FROM codes JOIN lut ON lut.s = codes.s AND lut.code = codes.code
+      WHERE lut.query_id <> codes.vec_id
+      GROUP BY 1, 2
+      HAVING count(*) = 8
+    ),
+    pq5 AS (
+      SELECT query_id, neighbor_id, adc_dist, rank FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+        ) AS rank FROM adc
+      ) WHERE rank <= 5
+    )
+"""
+
+
+def _pq_pieces(spark: SparkSession, sf_dir: str):
+    """Embeddings + trained PQ codebooks + encoded corpus (m=8, k=16,
+    one Lloyd iteration) — shared by the ADC top-k and recall queries."""
+    from gene_level_metadata_pipeline_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(emb, dim=64, m=8, k=16, iters=1)
+    codes = pq_encode(emb, cb, dim=64, m=8)
+    return emb, cb, codes
+
+
+@_register(
+    "ann_pq_adc_topk",
+    oracle=f"""
+    WITH {_PQ_CTES}
+    SELECT query_id, neighbor_id, adc_dist, rank FROM pq5
+    """,
+)
+def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. TPAMI 2011): train m=8
+    subspace codebooks (k=16 codewords, one deterministic Lloyd
+    iteration — similarity.pq_codebooks), PQ-encode the corpus 64× down
+    to 8 nibble codes per vector, and answer top-5 by asymmetric
+    distance: per query ONE m*k lookup table of rounded squared-L2
+    distances, each corpus vector scored as the exact-DECIMAL sum of 8
+    table lookups — no vector arithmetic in the scan. The memory tier
+    between int8 quantization and IVF for a 100 TB ANN deployment; the
+    oracle replays training, encoding, LUT and ranking end-to-end."""
+    from gene_level_metadata_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+    )
+
+    emb, cb, codes = _pq_pieces(spark, sf_dir)
+    return pq_adc_topk(
+        codes, cb, emb.where(F.col("vec_id") < 10),
+        dim=64, m=8, k_neighbors=5,
+    )
+
+
+@_register(
+    "ann_pq_recall",
+    oracle=f"""
+    WITH {_PQ_CTES},
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round({_L2SQ.format(a='q.qe', b='v.e')}, 4),
+                          v.vec_id
+               ) AS rank
+        FROM (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 10) q
+        JOIN v ON q.query_id <> v.vec_id
+      ) WHERE rank <= 5
+    ),
+    tp AS (
+      SELECT count(*) AS n_tp FROM bf JOIN pq5 USING (query_id, neighbor_id)
+    )
+    SELECT (SELECT count(*) FROM bf) AS n_truth,
+           (SELECT count(*) FROM pq5) AS n_pq,
+           n_tp,
+           round(n_tp * 1.0 / (SELECT count(*) FROM bf), 4) AS recall
+    FROM tp
+    """,
+)
+def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ index evaluating ITSELF (the ann_ivf_recall methodology):
+    recall@5 of ADC-ranked top-5 against exact squared-L2 brute force
+    over the same 10 queries, both sides sharing the deterministic
+    (rounded distance ASC, neighbor_id) tie-break. This is the
+    calibration run a PQ deployment does before committing m/k at
+    100 TB — quantization error shows up here as a recall number, not a
+    silent wrong answer."""
+    from gene_level_metadata_pipeline_spark.operators.similarity import (
+        _as_double,
+        _l2sq,
+        pq_adc_topk,
+    )
+    from pyspark.sql.window import Window
+
+    emb, cb, codes = _pq_pieces(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        emb.join(F.broadcast(queries), F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                _l2sq(_as_double(F.col("qe")), _as_double(F.col("embedding"))), 4
+            ).alias("d"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
+    truth = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    approx = pq_adc_topk(
+        codes, cb, emb.where(F.col("vec_id") < 10), dim=64, m=8, k_neighbors=5
+    ).select("query_id", "neighbor_id")
+    tp = truth.join(approx, ["query_id", "neighbor_id"]).agg(
+        F.count(F.lit(1)).alias("n_tp")
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_pq = approx.agg(F.count(F.lit(1)).alias("n_pq"))
+    return (
+        n_truth.join(n_pq).join(tp)
+        .select(
+            "n_truth", "n_pq", "n_tp",
+            _round_to(F.col("n_tp") / F.col("n_truth"), 4).alias("recall"),
+        )
+    )
+
+
 @_register(
     "read_excel_sheet",
     oracle="""
