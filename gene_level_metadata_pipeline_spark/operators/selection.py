@@ -829,3 +829,149 @@ def rendezvous_assign(
         )
         .select("key", (-F.col("b.ns")).cast("bigint").alias("shard"))
     )
+
+
+def dsir_log_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    buckets: int = 4096,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance log-weights (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): score
+    every raw document by how much more likely its hashed-n-gram bag is
+    under the TARGET distribution than under the RAW distribution —
+    log w(d) = sum_b c_b(d) * (log p_target(b) - log p_raw(b)) over
+    hashed unigram+bigram buckets with add-``alpha`` smoothing. The
+    standard pretraining-data-selection move: estimate cheap bag-of-
+    hashed-ngrams LMs on both corpora, then resample raw by importance.
+
+    Exactness discipline (what makes a float-heavy score
+    hash-certifiable): the per-BUCKET log-ratio is computed once in the
+    fixed four-term IEEE form
+    ``ln(tc+a) - ln(T+aB) - ln(rc+a) + ln(R+aB)`` (exact integer
+    inputs — the keyness_loglik precedent), rounded to 6 dp and cast
+    DECIMAL(18,6); a document's log-weight is then the exact decimal
+    SUM of its occurrences' bucket terms — order-independent, so
+    Spark's partial aggregation and a single SQL GROUP BY agree
+    bit-for-bit.
+
+    Scale shape: two corpus passes build the <=``buckets``-row count
+    tables (partial-agg shuffles of bucket rows, never text); the term
+    table is a BROADCAST join onto the exploded gram stream; the only
+    corpus-sized shuffle is the per-document sum of short (id, decimal)
+    rows. Raw documents with NULL text get no grams and no weight (a
+    scoreless doc cannot be resampled). Returns (id_col, logw double).
+    """
+    if not 1 <= buckets <= 65536:
+        raise ValueError(
+            f"dsir_log_weights: buckets={buckets} must be in [1, 65536] "
+            "(the bucket index is a 16-bit digest slice)"
+        )
+    if alpha <= 0:
+        raise ValueError(
+            f"dsir_log_weights: alpha={alpha} must be > 0 (unsmoothed "
+            "zero-count buckets make log p undefined)"
+        )
+    from gene_level_metadata_pipeline_spark.operators.dedup import (
+        _hex4_to_int,
+        shingle_array,
+    )
+
+    def grams(df: DataFrame) -> DataFrame:
+        words = F.split(F.col(text_col), " ")
+        bigrams = shingle_array(text_col, 2, distinct=False)
+        return (
+            df.where(F.col(text_col).isNotNull())
+            .select(
+                F.col(id_col),
+                F.explode(F.concat(words, bigrams)).alias("__gram"),
+            )
+            .select(
+                F.col(id_col),
+                (_hex4_to_int(F.md5(F.col("__gram"))) % buckets).alias(
+                    "__bucket"
+                ),
+            )
+        )
+
+    rb = grams(raw)
+    tb = grams(target)
+    rcnt = rb.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__rc"))
+    tcnt = tb.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__tc"))
+    rtot = rb.agg(F.count(F.lit(1)).alias("__rtot"))
+    ttot = tb.agg(F.count(F.lit(1)).alias("__ttot"))
+    a = float(alpha)
+    ab = float(alpha * buckets)
+    term = (
+        rcnt.join(tcnt, "__bucket", "left")
+        .crossJoin(F.broadcast(rtot))
+        .crossJoin(F.broadcast(ttot))
+        .select(
+            "__bucket",
+            (
+                F.round(
+                    F.log(F.coalesce(F.col("__tc"), F.lit(0)) + F.lit(a))
+                    - F.log(F.col("__ttot") + F.lit(ab))
+                    - F.log(F.col("__rc") + F.lit(a))
+                    + F.log(F.col("__rtot") + F.lit(ab)),
+                    6,
+                )
+            ).cast("decimal(18,6)").alias("__term"),
+        )
+    )
+    return (
+        rb.join(F.broadcast(term), "__bucket")
+        .groupBy(id_col)
+        .agg(F.sum("__term").cast("double").alias("logw"))
+    )
+
+
+def dsir_gumbel_select(
+    weights: DataFrame,
+    id_col: str,
+    k: int,
+    logw_col: str = "logw",
+    salt: str = "dsir",
+) -> DataFrame:
+    """Deterministic Gumbel-top-k resampling over DSIR log-weights —
+    exact-k sampling WITHOUT replacement where selection probability
+    follows the softmax of the log-weights (the Gumbel-max trick; the
+    log-space twin of weighted_take_k's Efraimidis-Spirakis key, which
+    would need exp(logw) and under/overflows at corpus-scale
+    log-ratios). Made engine-reproducible the ``stable_sample`` way:
+    u in (0,1] derives from md5(salt:id), g = -ln(-ln(u)), and the k
+    largest (logw + g) win with ties (a 2^-32 event) broken on the id.
+
+    Scale: global top-k plans as TakeOrderedAndProject (per-partition
+    heaps + a k-row driver merge), never a global sort. Returns
+    (id_col, logw, sel_key rounded 6dp, sample_rank 1..k).
+    """
+    if k < 1:
+        raise ValueError(f"dsir_gumbel_select: k={k} must be >= 1")
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    u = (v + 1).cast("double") / F.lit(float(2 ** 32))
+    key = F.col(logw_col) + (-F.log(-F.log(u)))
+    out = (
+        weights.select(
+            F.col(id_col),
+            F.col(logw_col),
+            key.alias("__key"),
+            (F.round(key * F.lit(1e6), 0) / F.lit(1e6)).alias("sel_key"),
+        )
+        .orderBy(F.col("__key").desc(), F.col(id_col).asc_nulls_last())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("__key").desc(), F.col(id_col).asc_nulls_last())
+    return (
+        out.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .drop("__key")
+    )

@@ -2877,6 +2877,98 @@ def q_stratified_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_weighted_take(docs, "doc_id", "lang", "weight", k=20)
 
 
+def _dsir_oracle(buckets: int = 4096, k: int = 100) -> str:
+    """DuckDB twin of selection.dsir_log_weights + dsir_gumbel_select on
+    documents: hashed unigram+bigram buckets (16-bit digit ladder mod
+    B), add-1 smoothed four-term log-ratio rounded 6dp as
+    DECIMAL(18,6), exact per-doc decimal sums, deterministic Gumbel
+    keys from md5('dsir:'||id)."""
+    hex4 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(gram), {i + 1}, 1)) - 1)"
+        f" * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    u8 = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"""
+    WITH words AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+      WHERE text IS NOT NULL
+    ),
+    grams AS (
+      SELECT doc_id, lang, w AS gram FROM words, unnest(ws) AS t(w)
+      UNION ALL
+      SELECT doc_id, lang, ws[i] || ' ' || ws[i + 1] AS gram
+      FROM words, (SELECT unnest(generate_series(1, len(ws) - 1)) AS i)
+      WHERE len(ws) >= 2
+    ),
+    b AS (SELECT doc_id, lang, ({hex4}) % {buckets} AS bucket FROM grams),
+    rcnt AS (SELECT bucket, count(*) AS rc FROM b GROUP BY bucket),
+    tcnt AS (
+      SELECT bucket, count(*) AS tc FROM b WHERE lang = 'en' GROUP BY bucket
+    ),
+    tot AS (
+      SELECT (SELECT count(*) FROM b) AS rtot,
+             (SELECT count(*) FROM b WHERE lang = 'en') AS ttot
+    ),
+    term AS (
+      SELECT rcnt.bucket,
+             CAST(round(ln(COALESCE(tcnt.tc, 0) + 1.0)
+                        - ln(tot.ttot + {float(buckets)})
+                        - ln(rcnt.rc + 1.0)
+                        + ln(tot.rtot + {float(buckets)}), 6)
+                  AS DECIMAL(18,6)) AS term
+      FROM rcnt LEFT JOIN tcnt USING (bucket), tot
+    ),
+    lw AS (
+      SELECT b.doc_id, CAST(sum(term.term) AS DOUBLE) AS logw
+      FROM b JOIN term USING (bucket) GROUP BY 1
+    ),
+    keyed AS (
+      SELECT doc_id, logw,
+             logw + (-ln(-ln(({u8} + 1) * 1.0 / 4294967296.0))) AS gk
+      FROM (
+        SELECT doc_id, logw, md5('dsir:' || CAST(doc_id AS VARCHAR)) AS h
+        FROM lw
+      )
+    )
+    SELECT doc_id, logw,
+           round(gk * 1000000.0) / 1000000.0 AS sel_key,
+           rank AS sample_rank
+    FROM (
+      SELECT *, CAST(row_number() OVER (ORDER BY gk DESC, doc_id)
+                     AS BIGINT) AS rank
+      FROM keyed
+    ) WHERE rank <= {k}
+    """
+
+
+@_register("dsir_select_en", oracle=_dsir_oracle())
+def q_dsir_select_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection end-to-end (selection.dsir_log_weights +
+    dsir_gumbel_select): score every document by the add-1-smoothed
+    hashed unigram+bigram log-likelihood ratio of the English subset
+    (target) vs the whole corpus (raw), then resample the top 100 by
+    deterministic Gumbel-top-k — the importance-resampling
+    pretraining-data-selection recipe of Xie et al. 2023, with every
+    float reduced to either an exact DECIMAL sum or a fixed-order IEEE
+    expression so the whole selection is hash-certified."""
+    from gene_level_metadata_pipeline_spark.operators.selection import (
+        dsir_gumbel_select,
+        dsir_log_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    w = dsir_log_weights(
+        docs, docs.where(F.col("lang") == "en"), "text", "doc_id",
+        buckets=4096, alpha=1.0,
+    )
+    return dsir_gumbel_select(w, "doc_id", k=100)
+
+
 @_register(
     "entity_resolution_pipeline",
     oracle="""

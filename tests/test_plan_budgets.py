@@ -188,6 +188,15 @@ SHUFFLE_BUDGET = {
     # r10: phash near-dup — cap window + bucket groupBy share one
     # (band, band_hash) exchange pair; two id-keyed confirm joins
     "image_phash_near_dup": 4,
+    # r10 batch 2 (audited 2026-08-16): OPH = signature+densification
+    # are one zero-shuffle projection, leaving only the shared banded
+    # core's bucket groupBy + pair distinct (2 — the dense twin's
+    # shape); PQ ADC = Lloyd re-estimation rides behind the codebook
+    # localCheckpoint, so the visible exchanges are the (s,code,pos)
+    # mean agg + the (query,neighbor) ADC sum + the per-query rank
+    # window (3) — encode and LUT are broadcast folds, zero exchanges
+    "dedup_minhash_oph": 2,
+    "ann_pq_adc_topk": 3,
 }
 
 # Non-headline flagships whose plan shape is still pinned (round-4 audit).
