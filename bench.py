@@ -150,9 +150,11 @@ HEADLINE = [
     "image_phash_near_dup",
     # r10 batch 2: one-permutation minhash (1 md5/shingle vs ceil(k/4)
     # — the LSH hashing-cost lever), PQ ADC top-k (train + encode +
-    # asymmetric-distance scan, the 64x-compressed ANN tier)
+    # asymmetric-distance scan, the 64x-compressed ANN tier), DSIR
+    # importance-resampling selection (hashed-ngram LLR + Gumbel top-k)
     "dedup_minhash_oph",
     "ann_pq_adc_topk",
+    "dsir_select_en",
 ]
 
 REPS = 3
@@ -169,7 +171,7 @@ _FAMILY_OVERRIDES = {
     "rbh": "ann", "encode": "text", "inverted": "text",
     "kneser": "text", "lm": "text", "bpe": "text", "feature": "text",
     "corpus": "selection", "token": "selection", "mixture": "selection",
-    "zorder": "selection", "classifier": "selection",
+    "zorder": "selection", "classifier": "selection", "dsir": "selection",
     "curation": "pipeline", "training": "pipeline", "web": "pipeline",
     "golden": "pipeline", "validate": "pipeline",
     "spine": "harmonize", "melt": "reshape",

@@ -533,15 +533,37 @@ def minhash_signatures_oph(
     sig = F.aggregate(pairs, init, step)
     out = df.where(F.size(grams) > 0).select(F.col(id_col), sig.alias("__s"))
 
-    def dens(i):
-        branches = []
-        for j in range(num_hashes):
-            slot = F.col(f"__s.h{(i + j) % num_hashes}")
-            filled = slot if j == 0 else F.concat(F.lit(f"d{j}:"), slot)
-            branches.append(F.when(slot != "g", filled))
-        return F.coalesce(*branches).alias(f"h{i}")
+    # Densification as ONE array lambda, not a k-way coalesce ladder per
+    # slot: the ladder form is O(k²) Catalyst expressions — at a
+    # production k=128 that is ~16k `when` nodes, the resize_image
+    # plan-blowup class — while this transform/aggregate pair is a
+    # CONSTANT-size plan whose k² work happens at runtime over a
+    # 2k-element array (cheap string compares). Semantics are
+    # identical: for slot i, the first j in 0..k-1 (cyclically to the
+    # right) with a non-sentinel slot wins, prefixed `d{j}:` when j>0.
+    slots = F.array(*[F.col(f"__s.h{i}") for i in range(num_hashes)])
+    doubled = F.concat(slots, slots)
 
-    return out.select(F.col(id_col), *[dens(i) for i in range(num_hashes)])
+    def borrow(i, j):
+        v = F.element_at(doubled, (i + j + F.lit(1)).cast("int"))
+        filled = F.when(j == F.lit(0), v).otherwise(
+            F.concat(F.lit("d"), j.cast("string"), F.lit(":"), v)
+        )
+        return F.when(v != "g", filled)
+
+    dens = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.aggregate(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            F.lit(None).cast("string"),
+            lambda acc, j: F.coalesce(acc, borrow(i, j)),
+        ),
+    )
+    out = out.select(F.col(id_col), dens.alias("__d"))
+    return out.select(
+        F.col(id_col),
+        *[F.element_at("__d", i + 1).alias(f"h{i}") for i in range(num_hashes)],
+    )
 
 
 def minhash_candidate_pairs_oph(

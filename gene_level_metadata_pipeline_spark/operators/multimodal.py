@@ -998,19 +998,18 @@ def ahash_bits(pixels, width, height) -> "Column":
     nearest-neighbor downsample to 8x8 (the resize_image index
     arithmetic), bit_i = 1 iff 64·px_i > Σpx — the integer-exact form
     of "pixel above the mean" (no division, so no rounding convention
-    to disagree on). Column args may be names or Columns."""
+    to disagree on). Column args may be names or Columns.
+
+    One-expression form — convenient for ad-hoc use, but the per-bit
+    comparison re-evaluates the 64-element total fold under every one
+    of the 64 bits in the interpreted HOF path (~4k ops per row);
+    :func:`image_near_dup_pairs` uses the staged attribute-bound
+    equivalent (:func:`_ahash_sample` + a checkpointed total column),
+    pinned output-identical by unit test."""
     px = F.col(pixels) if isinstance(pixels, str) else pixels
     w = F.col(width) if isinstance(width, str) else width
     h = F.col(height) if isinstance(height, str) else height
-    sample = F.transform(
-        F.sequence(F.lit(0), F.lit(63)),
-        lambda i: px[
-            (
-                F.floor(F.floor(i / 8) * h / 8) * w
-                + F.floor((i % 8) * w / 8)
-            ).cast("int")
-        ],
-    )
+    sample = _ahash_sample(px, w, h)
     total = F.aggregate(
         sample,
         F.lit(0).cast("bigint"),
@@ -1021,6 +1020,20 @@ def ahash_bits(pixels, width, height) -> "Column":
         lambda x: F.when(
             x.cast("bigint") * 64 > total, F.lit(1)
         ).otherwise(F.lit(0)),
+    )
+
+
+def _ahash_sample(px, w, h) -> "Column":
+    """The 8x8 nearest-neighbor sample array shared by ahash_bits and
+    its staged form (the resize_image index arithmetic)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(63)),
+        lambda i: px[
+            (
+                F.floor(F.floor(i / 8) * h / 8) * w
+                + F.floor((i % 8) * w / 8)
+            ).cast("int")
+        ],
     )
 
 
@@ -1104,11 +1117,45 @@ def image_near_dup_pairs(
             "(no cap means no metrics; Observation.get would never "
             "return)"
         )
-    bits_fn = ahash_bits if method == "ahash" else dhash_bits
-    hashed = decoded.select(
-        F.col(id_col),
-        bits_fn("pixels", "width", "height").alias("__bits"),
-    ).localCheckpoint(eager=False)  # reused by buckets AND both confirm joins
+    if method == "ahash":
+        # Staged form of ahash_bits: the interpreted HOF path has no
+        # common-subexpression elimination across a lambda boundary, so
+        # the one-expression form re-runs the 64-element total fold
+        # under every one of the 64 bits (~4k ops/row — measured 6s
+        # over 5k sf0.1 rows, the whole query's hot spot). Materialize
+        # (sample, total) behind a checkpoint so the bit comparison
+        # reads two ATTRIBUTES: one sample pass + one fold + 64
+        # compares per row. Output pinned bit-identical to ahash_bits
+        # by unit test; the checkpointed frame is 64 ints + a bigint
+        # per row.
+        smp = decoded.select(
+            F.col(id_col),
+            _ahash_sample(F.col("pixels"), F.col("width"), F.col("height"))
+            .alias("__smp"),
+        )
+        smpt = smp.select(
+            F.col(id_col),
+            F.col("__smp"),
+            F.aggregate(
+                F.col("__smp"),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x.cast("bigint"),
+            ).alias("__tot"),
+        ).localCheckpoint(eager=False)
+        hashed = smpt.select(
+            F.col(id_col),
+            F.transform(
+                F.col("__smp"),
+                lambda x: F.when(
+                    x.cast("bigint") * 64 > F.col("__tot"), F.lit(1)
+                ).otherwise(F.lit(0)),
+            ).alias("__bits"),
+        ).localCheckpoint(eager=False)  # reused by buckets AND confirms
+    else:
+        hashed = decoded.select(
+            F.col(id_col),
+            dhash_bits("pixels", "width", "height").alias("__bits"),
+        ).localCheckpoint(eager=False)  # reused by buckets AND confirms
     rows = 64 // bands
     band_structs = [
         F.struct(

@@ -213,3 +213,63 @@ def test_image_near_dup_star_mode_telemetry():
         warnings.simplefilter("always")
         n = dedup.warn_capped_buckets(obs)
     assert n == 8 * 4 and "starred" in str(caught[0].message)
+
+
+def test_staged_ahash_path_equals_one_expression_form():
+    """image_near_dup_pairs' staged ahash (sample+total materialized
+    behind a checkpoint so the bit comparison reads attributes — the
+    r10 interpreted-HOF hot-spot fix) must be BIT-IDENTICAL to the
+    public one-expression ahash_bits on random frames, including
+    non-divisible sample strides."""
+    import hashlib
+
+    from gene_level_metadata_pipeline_spark.operators.multimodal import (
+        _ahash_sample,
+        ahash_bits,
+    )
+
+    spark = _get_spark()
+    rows = []
+    for did in range(40):
+        w, h = (16, 8) if did % 2 == 0 else (13, 9)  # odd strides too
+        px = [
+            int(hashlib.md5(f"{did}:{i}".encode()).hexdigest()[:2], 16)
+            for i in range(w * h)
+        ]
+        rows.append((did, w, h, px))
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, width int, height int, pixels array<int>"
+    )
+    one = {
+        r["doc_id"]: r["b"]
+        for r in df.select(
+            "doc_id", ahash_bits("pixels", "width", "height").alias("b")
+        ).collect()
+    }
+    smpt = df.select(
+        "doc_id",
+        _ahash_sample(F.col("pixels"), F.col("width"), F.col("height")).alias(
+            "__smp"
+        ),
+    ).select(
+        "doc_id",
+        "__smp",
+        F.aggregate(
+            F.col("__smp"),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x.cast("bigint"),
+        ).alias("__tot"),
+    ).localCheckpoint(eager=False)
+    staged = {
+        r["doc_id"]: r["b"]
+        for r in smpt.select(
+            "doc_id",
+            F.transform(
+                F.col("__smp"),
+                lambda x: F.when(
+                    x.cast("bigint") * 64 > F.col("__tot"), F.lit(1)
+                ).otherwise(F.lit(0)),
+            ).alias("b"),
+        ).collect()
+    }
+    assert one == staged

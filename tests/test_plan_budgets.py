@@ -185,9 +185,13 @@ SHUFFLE_BUDGET = {
     # the window groupBy rides the join's hash partitioning)
     "pack_concat_chunks": 3,
     "pack_chunk_windows": 4,
-    # r10: phash near-dup — cap window + bucket groupBy share one
-    # (band, band_hash) exchange pair; two id-keyed confirm joins
-    "image_phash_near_dup": 4,
+    # r10: phash near-dup — re-audited after the staged-ahash fix: the
+    # (sample, total) and bits frames sit behind localCheckpoints, so
+    # the final-frame plan shows only the banded core's bucket groupBy
+    # + pair distinct (the cap window and confirm joins ride the
+    # checkpointed frames; the fixture repartition is RoundRobin, which
+    # this regex deliberately ignores)
+    "image_phash_near_dup": 2,
     # r10 batch 2 (audited 2026-08-16): OPH = signature+densification
     # are one zero-shuffle projection, leaving only the shared banded
     # core's bucket groupBy + pair distinct (2 — the dense twin's
@@ -197,6 +201,10 @@ SHUFFLE_BUDGET = {
     # window (3) — encode and LUT are broadcast folds, zero exchanges
     "dedup_minhash_oph": 2,
     "ann_pq_adc_topk": 3,
+    # DSIR (audited 2026-08-16): raw + target bucket count aggs + the
+    # two 1-row totals + the per-doc decimal sum (the term table joins
+    # broadcast; Gumbel top-k is TakeOrderedAndProject, no exchange)
+    "dsir_select_en": 5,
 }
 
 # Non-headline flagships whose plan shape is still pinned (round-4 audit).
