@@ -652,7 +652,13 @@ def _pq_pieces(spark: SparkSession, sf_dir: str):
         pq_encode,
     )
 
-    emb = _t(spark, sf_dir, "embeddings")
+    # The embeddings table reads as ONE parquet partition at bench SFs
+    # while training assignment + encoding are compute-heavy per-row
+    # folds — spread them first (the image_phash_near_dup lesson; a
+    # production corpus arrives already partitioned).
+    emb = _t(spark, sf_dir, "embeddings").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     cb = pq_codebooks(emb, dim=64, m=8, k=16, iters=1)
     codes = pq_encode(emb, cb, dim=64, m=8)
     return emb, cb, codes
