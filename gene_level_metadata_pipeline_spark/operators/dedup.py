@@ -464,18 +464,23 @@ def minhash_signatures_oph(
     """One-permutation MinHash with deterministic rotation densification
     (Shrivastava & Li, ICML 2014; densification offsets per Shrivastava,
     ICML 2017): ONE md5 per shingle regardless of k, vs the dense
-    signature's ceil(k/4) (:func:`minhash_signatures`).
+    signature's ceil(k/4) (:func:`minhash_signatures`) — each shingle is
+    hashed once, the hash space is split into k bins (bin = 16-bit
+    slice of the digest mod k), and slot i of the signature is the MIN
+    hash among the doc's shingles that landed in bin i.
 
-    Hashing is the dominant executor cost of minhash at corpus scale —
-    every md5 re-reads every shingle byte — so the classic k-permutation
-    scheme pays O(k) passes over the corpus text. OPH pays ONE: each
-    shingle is hashed once, the hash space is split into k bins
-    (bin = 16-bit slice of the digest mod k), and slot i of the
-    signature is the MIN hash among the doc's shingles that landed in
-    bin i. At the dense path's 4-hashes-per-digest packing the win is
-    2x at k=8 and 32x at the k=128 a production near-dup LSH runs —
-    the difference between one pass and thirty-two over every shingle
-    byte of a 100 TB corpus.
+    Throughput honesty (committed A/B,
+    certification/oph_speedup_r10.json): the literature's motivation —
+    hashing cost scales with k, so one permutation beats k — does NOT
+    hold on this engine. On Catalyst's interpreted higher-order-function
+    path the per-shingle cost is dominated by the k-slot struct FOLD,
+    which both schemes pay identically, not by md5; measured dense is
+    1.3-2.5x FASTER at k in {8,32,128} and the gap is insensitive to
+    shingle length (n=3..15). Use this operator for its SEMANTICS —
+    interop with systems that exchange OPH sketches, and the k-fold
+    reduction in hash-function evaluations where the hash is genuinely
+    expensive (a native kernel, a remote service) — not as a Spark
+    throughput lever; the dense signature stays the default.
 
     Empty bins (short docs rarely cover all k bins) are DENSIFIED by
     deterministic rotation: slot i borrows the value of the nearest
@@ -585,7 +590,9 @@ def minhash_candidate_pairs_oph(
     signature slot (per-bin min of one permutation + rotation
     densification instead of k independent permutations), which trades
     slightly higher signature variance on very short documents for a
-    k-fold reduction in corpus-scan hashing cost."""
+    k-fold reduction in hash-function EVALUATIONS — see the signature
+    docstring for why that reduction is not a throughput win on this
+    engine (committed A/B)."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"minhash_candidate_pairs_oph: num_hashes={num_hashes} must "

@@ -322,11 +322,13 @@ def _oph_oracle(num_hashes: int = 8, bands: int = 4) -> str:
 def q_dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-permutation minhash (Shrivastava-Li OPH with deterministic
     rotation densification) + the same LSH banding(4×2) as
-    dedup_minhash_lsh — ONE md5 per shingle instead of ceil(k/4), the
-    hashing-cost lever for near-dup LSH over a 100 TB corpus (32× fewer
-    text passes at a production k=128). The oracle replays value/bin
-    digest slicing, per-bin string mins, the densification ladder and
-    the banding in pure hex/string SQL."""
+    dedup_minhash_lsh — ONE md5 per shingle instead of ceil(k/4). A
+    SEMANTICS surface, not a Spark throughput lever: the committed A/B
+    (certification/oph_speedup_r10.json) measures the dense signature
+    faster at every k because the interpreted HOF fold, not md5,
+    dominates per-shingle cost — see minhash_signatures_oph. The oracle
+    replays value/bin digest slicing, per-bin string mins, the
+    densification ladder and the banding in pure hex/string SQL."""
     from gene_level_metadata_pipeline_spark.operators.dedup import (
         minhash_candidate_pairs_oph,
     )
