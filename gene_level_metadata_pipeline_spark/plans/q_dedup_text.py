@@ -2963,7 +2963,11 @@ def q_dsir_select_en(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsir_log_weights,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    # one-parquet-partition input + per-row gram explode: spread first
+    # (the image_phash_near_dup lesson)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     w = dsir_log_weights(
         docs, docs.where(F.col("lang") == "en"), "text", "doc_id",
         buckets=4096, alpha=1.0,
