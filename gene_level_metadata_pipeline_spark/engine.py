@@ -364,3 +364,41 @@ class Engine:
         )
 
         return source_overlap_matrix(df, group_col, text_col, **kw)
+
+    def bm25_topk(self, docs: DataFrame, queries: DataFrame, text_col: str,
+                  id_col: str, **kw) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.textanalysis import (
+            bm25_topk,
+        )
+
+        return bm25_topk(docs, queries, text_col, id_col, **kw)
+
+    def dsir_select(self, raw: DataFrame, target: DataFrame, text_col: str,
+                    id_col: str, k: int, **kw) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.selection import (
+            dsir_gumbel_select,
+            dsir_log_weights,
+        )
+
+        w = dsir_log_weights(raw, target, text_col, id_col, **kw)
+        return dsir_gumbel_select(w, id_col, k)
+
+    def pq_index(self, vectors: DataFrame, dim: int, **kw):
+        """Train PQ codebooks and encode the corpus; returns
+        (codebooks, codes) for pq_adc_topk."""
+        from gene_level_metadata_pipeline_spark.operators.similarity import (
+            pq_codebooks,
+            pq_encode,
+        )
+
+        cb = pq_codebooks(vectors, dim, **kw)
+        enc_kw = {k: v for k, v in kw.items() if k in ("m", "id_col", "vec_col")}
+        return cb, pq_encode(vectors, cb, dim, **enc_kw)
+
+    def pq_adc_topk(self, codes: DataFrame, codebooks: DataFrame,
+                    queries: DataFrame, dim: int, **kw) -> DataFrame:
+        from gene_level_metadata_pipeline_spark.operators.similarity import (
+            pq_adc_topk,
+        )
+
+        return pq_adc_topk(codes, codebooks, queries, dim, **kw)
