@@ -155,9 +155,6 @@ HEADLINE = [
     "dedup_minhash_oph",
     "ann_pq_adc_topk",
     "dsir_select_en",
-    # r10 batch 3: BM25 ranked retrieval (exact-decimal scoring over
-    # corpus statistics — the retrieval-based decontamination primitive)
-    "bm25_search_docs",
 ]
 
 REPS = 3
@@ -173,7 +170,6 @@ _FAMILY_OVERRIDES = {
     "near": "dedup", "substring": "dedup", "winnow": "dedup",
     "rbh": "ann", "encode": "text", "inverted": "text",
     "kneser": "text", "lm": "text", "bpe": "text", "feature": "text",
-    "bm25": "text",
     "corpus": "selection", "token": "selection", "mixture": "selection",
     "zorder": "selection", "classifier": "selection", "dsir": "selection",
     "curation": "pipeline", "training": "pipeline", "web": "pipeline",

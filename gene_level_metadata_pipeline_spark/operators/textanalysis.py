@@ -1971,118 +1971,3 @@ def kneser_ney_bigram(
             _floor_div_exact(num, den).cast("bigint").alias("p_kn_e12"),
         )
     )
-
-
-def bm25_topk(
-    docs: DataFrame,
-    queries: DataFrame,
-    text_col: str,
-    id_col: str,
-    query_text_col: str = "text",
-    query_id_col: str = "query_id",
-    k: int = 10,
-    k1: float = 1.2,
-    b: float = 0.75,
-) -> DataFrame:
-    """BM25 ranked retrieval (Robertson-Spärck Jones; the Lucene
-    ``ln(1 + (N - df + 0.5)/(df + 0.5))`` IDF form, which keeps IDF
-    positive at any df): top-``k`` documents per query, scored
-    score(q,d) = Σ_{t ∈ q} IDF(t) · tf(t,d)·(k1+1) /
-    (tf(t,d) + k1·(1 - b + b·|d|/avgdl)) over the DISTINCT query terms
-    (unit query-term weights — the standard short-query form). The
-    retrieval completion of the inverted-index/tf-idf family: the
-    search primitive behind retrieval-based decontamination and
-    eval-set leakage hunts.
-
-    Exactness discipline (the DSIR recipe): every per-(term, doc)
-    contribution is ONE fixed-order IEEE expression over exact integer
-    counts — IDF is rounded to 6 dp first, the tf/length normalization
-    is a single expression tree with ``avgdl`` itself a fixed rounded
-    division — rounded to 6 dp and cast DECIMAL(18,6); a (query, doc)
-    score is then the exact order-independent decimal SUM of its term
-    contributions, so partial aggregation and a SQL oracle agree
-    bit-for-bit. Ranking breaks score ties on the lowest doc id.
-
-    Scale shape: term statistics are two corpus passes (word-keyed
-    partial-agg shuffles); the query term table is small by assumption
-    (a query panel, not a corpus) and BROADCASTS onto the (term, doc)
-    contribution stream, so the only corpus-sized shuffle is the
-    per-(query, doc) decimal sum; top-k is a window over that compact
-    frame. Stopword-grade terms are the usual skew risk — gate the
-    corpus with a df ceiling upstream (the inverted_index note) when a
-    query panel contains them. Empty-string tokens are excluded on
-    both sides. Returns (query_id, doc_id, score, rank)."""
-    if k < 1:
-        raise ValueError(f"bm25_topk: k={k} must be >= 1")
-    if k1 < 0 or not 0 <= b <= 1:
-        raise ValueError(
-            f"bm25_topk: k1={k1} must be >= 0 and b={b} in [0, 1]"
-        )
-    words = docs.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("__w")
-    ).where(F.col("__w") != "")
-    tf = words.groupBy(id_col, "__w").agg(F.count(F.lit(1)).alias("__tf"))
-    dl = words.groupBy(id_col).agg(F.count(F.lit(1)).alias("__dl"))
-    n_docs = docs.where(F.col(text_col).isNotNull()).agg(
-        F.count(F.lit(1)).alias("__n")
-    )
-    stats = dl.agg(F.sum("__dl").alias("__sumdl"))
-    df_t = tf.groupBy("__w").agg(F.count(F.lit(1)).alias("__df"))
-    contrib = (
-        tf.join(dl, id_col)
-        .join(F.broadcast(df_t), "__w")
-        .crossJoin(F.broadcast(n_docs))
-        .crossJoin(F.broadcast(stats))
-        .select(
-            F.col(id_col),
-            F.col("__w"),
-            F.round(
-                F.round(
-                    F.log(
-                        F.lit(1.0)
-                        + (F.col("__n") - F.col("__df") + F.lit(0.5))
-                        / (F.col("__df") + F.lit(0.5))
-                    ),
-                    6,
-                )
-                * (F.col("__tf") * F.lit(k1 + 1.0))
-                / (
-                    F.col("__tf")
-                    + F.lit(k1)
-                    * (
-                        F.lit(1.0 - b)
-                        + F.lit(b)
-                        * F.col("__dl")
-                        / F.round(
-                            F.col("__sumdl").cast("double") / F.col("__n"), 6
-                        )
-                    )
-                ),
-                6,
-            ).cast("decimal(18,6)").alias("__c"),
-        )
-    )
-    qterms = (
-        queries.select(
-            F.col(query_id_col),
-            F.explode(
-                F.array_distinct(F.split(F.col(query_text_col), " "))
-            ).alias("__w"),
-        )
-        .where(F.col("__w") != "")
-    )
-    scored = (
-        contrib.join(F.broadcast(qterms), "__w")
-        .groupBy(query_id_col, id_col)
-        .agg(F.sum("__c").cast("double").alias("score"))
-    )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.col("score").desc(), F.col(id_col)
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select(query_id_col, id_col, "score", "rank")
-    )

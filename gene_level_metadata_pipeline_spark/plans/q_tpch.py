@@ -1275,78 +1275,6 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "bm25_search_docs",
-    oracle="""
-    WITH w AS (
-      SELECT doc_id, u.w FROM documents,
-           LATERAL (SELECT unnest(string_split(text, ' ')) AS w) u
-      WHERE u.w <> ''
-    ),
-    tf AS (
-      SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2
-    ),
-    dl AS (
-      SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM w GROUP BY 1
-    ),
-    nd AS (
-      SELECT CAST(count(*) AS BIGINT) AS n FROM documents
-      WHERE text IS NOT NULL
-    ),
-    st AS (SELECT CAST(sum(dl) AS BIGINT) AS sumdl FROM dl),
-    dft AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-    c AS (
-      SELECT tf.doc_id, tf.w,
-             CAST(round(
-               round(ln(1.0 + (nd.n - dft.df + 0.5) / (dft.df + 0.5)), 6)
-               * (tf.tf * 2.2)
-               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
-                  / round(CAST(st.sumdl AS DOUBLE) / nd.n, 6))),
-             6) AS DECIMAL(18,6)) AS c
-      FROM tf JOIN dl USING (doc_id) JOIN dft USING (w), nd, st
-    ),
-    q AS (
-      SELECT doc_id AS query_id, u.w FROM documents,
-           LATERAL (SELECT unnest(list_distinct(string_split(text, ' ')))
-                    AS w) u
-      WHERE doc_id < 5 AND u.w <> ''
-    ),
-    sc AS (
-      SELECT q.query_id, c.doc_id, CAST(sum(c.c) AS DOUBLE) AS score
-      FROM c JOIN q USING (w) GROUP BY 1, 2
-    )
-    SELECT query_id, doc_id, score, rank FROM (
-      SELECT *, CAST(row_number() OVER (
-               PARTITION BY query_id ORDER BY score DESC, doc_id)
-             AS BIGINT) AS rank
-      FROM sc
-    ) WHERE rank <= 10
-    """,
-)
-def q_bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 ranked retrieval (textanalysis.bm25_topk): the five lowest
-    doc ids act as a query panel over the whole corpus, top-10 per
-    query — the search primitive behind retrieval-based
-    decontamination. Every (term, doc) contribution is one fixed-order
-    IEEE expression over exact counts rounded to DECIMAL(18,6), scores
-    are exact decimal sums, ranking ties break on the doc id; the
-    oracle replays tf/df/avgdl/IDF/normalization/rank end-to-end. Each
-    query's own document ranks first (score = sum of its every term's
-    self-contribution) — an honest self-retrieval sanity the oracle
-    certifies too."""
-    from gene_level_metadata_pipeline_spark.operators.textanalysis import (
-        bm25_topk,
-    )
-
-    docs = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
-    queries = docs.where(F.col("doc_id") < 5).select(
-        F.col("doc_id").alias("query_id"), "text"
-    )
-    return bm25_topk(docs, queries, "text", "doc_id", k=10)
-
-
 
 
 @_register(

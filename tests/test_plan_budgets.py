@@ -205,11 +205,6 @@ SHUFFLE_BUDGET = {
     # two 1-row totals + the per-doc decimal sum (the term table joins
     # broadcast; Gumbel top-k is TakeOrderedAndProject, no exchange)
     "dsir_select_en": 5,
-    # BM25 (audited 2026-08-17): tf + dl + df + N + sumdl statistic
-    # aggregates, the doc-keyed tf-dl join, the (query, doc) score sum
-    # and the per-query rank window — corpus statistics are the price
-    # of exact retrieval; query terms broadcast
-    "bm25_search_docs": 9,
 }
 
 # Non-headline flagships whose plan shape is still pinned (round-4 audit).
