@@ -381,7 +381,11 @@ def ngram_jaccard_pairs(
     if block_by is not None:
         cols.append(F.col(block_by).alias("__blk"))
         join_keys = ["shingle", "__blk"]
-    sh = df.select(*cols)
+    # sh feeds sizes AND both join sides: checkpoint the thin
+    # (id, shingle) frame so the text explode runs once, not 3-4 times
+    # (the set_similarity_join diamond-reuse fix, r10-opt; the before
+    # plan carried 4 Generate + 8 scan nodes for one tokenization).
+    sh = df.select(*cols).localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.withColumnRenamed(id_col, "doc_a")
     b = sh.withColumnRenamed(id_col, "doc_b")
@@ -1183,7 +1187,11 @@ def ngram_containment_pairs(
     if block_by is not None:
         cols.append(F.col(block_by).alias("__blk"))
         join_keys = ["shingle", "__blk"]
-    sh = df.select(*cols)
+    # sh feeds sizes AND both join sides: checkpoint the thin
+    # (id, shingle) frame so the text explode runs once, not 3-4 times
+    # (the set_similarity_join diamond-reuse fix, r10-opt; the before
+    # plan carried 4 Generate + 8 scan nodes for one tokenization).
+    sh = df.select(*cols).localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.withColumnRenamed(id_col, "doc_a")
     b = sh.withColumnRenamed(id_col, "doc_b")
@@ -1434,9 +1442,20 @@ def set_similarity_join(
     quadratic oracle (the interval_overlap_join discipline)."""
     from pyspark.sql import Window
 
+    # The distinct token table feeds FIVE consumers (sizes, dfreq, the
+    # ranked prefix, and both sides of the verification join). Without a
+    # materialization point Catalyst re-expands the whole upstream
+    # subtree — typically a corpus-sized shingle explode — once per
+    # consumer: the r10-opt plan audit measured 10 Generate + 20 scan
+    # nodes in dedup_set_similarity_exact's physical plan for ONE
+    # logical tokenization. localCheckpoint(eager=False) computes the
+    # thin (id, tok) frame once on first use and lets every consumer
+    # read the materialized blocks (guide §1.2 step 1: remove repeated
+    # passes before tuning per-task work). Results are unchanged — only
+    # the number of times the explode runs.
     t = tokens.select(
         F.col(id_col).alias("id"), F.col(token_col).alias("tok")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
     sizes = t.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     dfreq = t.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     ranked = (

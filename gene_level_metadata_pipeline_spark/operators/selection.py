@@ -897,12 +897,25 @@ def dsir_log_weights(
             )
         )
 
-    rb = grams(raw)
+    # rb feeds the bucket-count aggregate AND the final term join, each
+    # of which would re-run the corpus-sized gram explode + md5 without
+    # a materialization point (r10-opt: the before plan expanded the
+    # explode 5x). Checkpoint the thin (id, bucket-int) stream once.
+    rb = grams(raw).localCheckpoint(eager=False)
     tb = grams(target)
     rcnt = rb.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__rc"))
     tcnt = tb.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__tc"))
-    rtot = rb.agg(F.count(F.lit(1)).alias("__rtot"))
-    ttot = tb.agg(F.count(F.lit(1)).alias("__ttot"))
+    # corpus totals = exact sums of the per-bucket counts (<= ``buckets``
+    # rows) — identical bigints to a count over the gram stream, minus
+    # two more full corpus passes (r10-opt).
+    # coalesce: sum over an EMPTY count table is NULL where the old
+    # corpus-pass count was 0 — keep the degenerate-input semantics.
+    rtot = rcnt.agg(
+        F.coalesce(F.sum("__rc"), F.lit(0).cast("bigint")).alias("__rtot")
+    )
+    ttot = tcnt.agg(
+        F.coalesce(F.sum("__tc"), F.lit(0).cast("bigint")).alias("__ttot")
+    )
     a = float(alpha)
     ab = float(alpha * buckets)
     term = (

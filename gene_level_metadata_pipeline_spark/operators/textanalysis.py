@@ -444,7 +444,18 @@ def winnow_overlap_pairs(
     either way: the cap (whatever its origin) is replayed exactly by
     both engines, and only pairs needing an above-cap hash to reach
     ``min_shared`` can be lost."""
-    by_hash = fps.select("id", "fp_hash").distinct()
+    # by_hash feeds FOUR consumers — the corpus-proportional n_docs
+    # count (an eager job at plan-build time), df_counts, and both
+    # sides of the pair join — and its upstream subtree is the full
+    # winnowing pipeline (k-gram explode + md5 + two window passes over
+    # every character of the corpus). Without a materialization point
+    # that pipeline ran 4-5x per invocation (r10-opt plan audit: 4
+    # Generate + 8 Window nodes in one physical plan, plus the count's
+    # own job). Checkpoint the thin (id, fp_hash) selection — ~2/(w+1)
+    # of the gram count — so winnowing runs once; results unchanged.
+    by_hash = (
+        fps.select("id", "fp_hash").distinct().localCheckpoint(eager=False)
+    )
     eff_max_df = max_df
     if max_df_frac_e6 is not None:
         if max_df_frac_e6 <= 0:

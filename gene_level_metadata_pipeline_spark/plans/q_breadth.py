@@ -450,7 +450,14 @@ def _ivf_kmeans_cells(spark: SparkSession, sf_dir: str):
 
     emb = _t(spark, sf_dir, "embeddings")
     cent = kmeans_centroids(emb, k=8, iters=1)
-    return assign_cells(emb, cent)
+    # Every consumer pair (ivf_topk's probe + broadcast-query sides, the
+    # PQ train/encode stages, the recall twins) re-expanded the whole
+    # Lloyd pipeline — assignment scan plus the N x dim re-estimation
+    # shuffle — once per reference (r10-opt audit: 12 scans in
+    # ann_ivf_kmeans_topk's plan for one logical cell table).
+    # Checkpoint the decorated table once; downstream queries read the
+    # materialized (vec_id, embedding, cell) blocks.
+    return assign_cells(emb, cent).localCheckpoint(eager=False)
 
 
 @_register(

@@ -1755,12 +1755,18 @@ def q_text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zipping the token array with its shifted self (no per-position
     slice); unigram counts broadcast onto bigram counts; the two corpus
     totals ride along as a 1-row broadcast cross join."""
+    # The tokenized frame feeds both explodes, and each explode used to
+    # feed a count pass AND a groupBy — 4-5 expansions of the tokenize
+    # subtree in one plan (r10-opt audit: 5 Generate + 10 scan nodes).
+    # Checkpoint the token arrays once; derive the two corpus totals as
+    # exact sums of the count tables instead of separate corpus passes.
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.filter(F.split("text", " "), lambda x: x != "").alias("toks"),
-    )
+    ).localCheckpoint(eager=False)
     uni = docs.select(F.explode("toks").alias("w"))
     uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    uc = uc.localCheckpoint(eager=False)  # feeds n_uni + both broadcasts
     bi = docs.where(F.size("toks") >= 2).select(
         F.explode(
             F.zip_with(
@@ -1771,8 +1777,17 @@ def q_text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select("p.w1", "p.w2")
     bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
-    tot = uni.agg(F.count(F.lit(1)).alias("n_uni")).join(
-        bi.agg(F.count(F.lit(1)).alias("n_bi"))
+    bc = bc.localCheckpoint(eager=False)  # feeds n_bi + the >=8 filter
+    # n_uni = sum of unigram counts, n_bi = sum of bigram counts: the
+    # same bigints count(*) returned, with zero extra corpus passes.
+    # coalesce keeps the empty-corpus value at 0 (sum of nothing is
+    # NULL, count of nothing was 0).
+    tot = uc.agg(
+        F.coalesce(F.sum("c"), F.lit(0).cast("bigint")).alias("n_uni")
+    ).join(
+        bc.agg(
+            F.coalesce(F.sum("c_ab"), F.lit(0).cast("bigint")).alias("n_bi")
+        )
     )
     a = uc.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
     b = uc.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))

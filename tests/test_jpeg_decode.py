@@ -326,9 +326,16 @@ def test_fail_loud_surface():
     spark = _get_spark()
 
     def expect_raise(payload, match):
+        # coalesce(1): a 1-row frame otherwise spreads over 32 partitions
+        # and the 31 empty sibling tasks are KILLED when the real task
+        # raises — under load the kill artifact (CancelledKeyException)
+        # occasionally wins the race to be the reported stage failure and
+        # hides the decoder's ValueError (flaked once in the r10-opt full
+        # run, passed in isolation). One partition = one task = the
+        # decoder's own exception is always the one propagated.
         df = spark.createDataFrame(
             [(0, bytearray(payload))], "doc_id long, payload binary"
-        )
+        ).coalesce(1)
         with pytest.raises(Exception, match=match):
             decode_image(df, codec="jpeg").collect()
 

@@ -201,10 +201,16 @@ SHUFFLE_BUDGET = {
     # window (3) — encode and LUT are broadcast folds, zero exchanges
     "dedup_minhash_oph": 2,
     "ann_pq_adc_topk": 3,
-    # DSIR (audited 2026-08-16): raw + target bucket count aggs + the
+    # DSIR (re-audited r10-opt): raw + target bucket count aggs + the
     # two 1-row totals + the per-doc decimal sum (the term table joins
-    # broadcast; Gumbel top-k is TakeOrderedAndProject, no exchange)
-    "dsir_select_en": 5,
+    # broadcast; Gumbel top-k is TakeOrderedAndProject, no exchange).
+    # 5 -> 7 PRINTED exchanges is a conscious trade: the corpus totals
+    # are now exact sums of the <=4096-row bucket-count tables instead
+    # of two MORE full corpus-pass counts, so the count-table exchange
+    # prints once per consumer (runtime-reused) plus a 1-row
+    # SinglePartition agg each — two corpus-sized passes left the job,
+    # two small-table exchange PRINTS entered the plan.
+    "dsir_select_en": 7,
 }
 
 # Non-headline flagships whose plan shape is still pinned (round-4 audit).
