@@ -409,7 +409,8 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, num_hashes: int = 8
+    df: DataFrame, text_col: str, id_col: str, n: int = 3,
+    num_hashes: int = 8, grams_col: str | None = None,
 ) -> DataFrame:
     """MinHash signature per document: (id_col, h0..h{k-1}).
 
@@ -429,8 +430,18 @@ def minhash_signatures(
     accumulator (k separate array_min columns would make Catalyst
     re-inline — and recompute — the shingle array k times; measured 2x
     slower). Documents with fewer than n words have no shingles and are
-    excluded, matching the exploded-form semantics."""
-    grams = shingle_array(text_col, n)
+    excluded, matching the exploded-form semantics.
+
+    ``grams_col`` (r10-opt): name of a column already holding the
+    distinct shingle array — callers that ALSO need the shingles
+    (near_dup_pairs' exact confirm) compute them once, checkpoint, and
+    pass the column name so the shingle HOF does not re-run inside the
+    signature projection. Must be exactly ``shingle_array(text_col, n)``
+    of the same text for results to be identical."""
+    grams = (
+        F.col(grams_col) if grams_col is not None
+        else shingle_array(text_col, n)
+    )
     n_salts = (num_hashes + 3) // 4
     hashed = F.transform(
         grams,
@@ -646,6 +657,7 @@ def minhash_candidate_pairs(
     max_bucket_size: int | None = 1000,
     observation=None,
     oversize: str = "drop",
+    grams_col: str | None = None,
 ) -> DataFrame:
     """LSH banding over MinHash signatures → candidate near-dup pairs.
 
@@ -711,7 +723,9 @@ def minhash_candidate_pairs(
             "for but silently unused)"
         )
     rows = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    sig = minhash_signatures(
+        df, text_col, id_col, n, num_hashes, grams_col=grams_col
+    )
     # One generator projection, not a union of per-band selects: a union
     # would re-derive the whole shingle+signature subplan once per band
     # (and the self-join doubles that again) — explode keeps it a single
@@ -915,21 +929,31 @@ def near_dup_pairs(
     NEGATIVES (true near-dups the LSH never bucketed together) are the
     recall trade-off tuned via num_hashes/bands (``lsh_params``).
     """
-    cands = minhash_candidate_pairs(
-        df, text_col, id_col, n, num_hashes, bands,
-        max_bucket_size=max_bucket_size, observation=observation,
-        oversize=oversize,
-    )
     if confirm is None:
-        return cands
+        return minhash_candidate_pairs(
+            df, text_col, id_col, n, num_hashes, bands,
+            max_bucket_size=max_bucket_size, observation=observation,
+            oversize=oversize,
+        )
     if confirm != "jaccard":
         raise ValueError(
             f"near_dup_pairs: unknown confirm stage {confirm!r} "
             "(expected 'jaccard' or None)"
         )
+    # The shingle arrays feed THREE consumers — the signature pipeline
+    # and both confirm sides — and the confirm sides join on different
+    # keys, so nothing below them is exchange-reusable. Compute the
+    # per-doc array once (thin: one row per document), checkpoint it,
+    # and hand the column to the signature pipeline via grams_col
+    # (r10-opt; the before plan re-ran the shingle HOF 3x).
     grams = shingle_array(text_col, n)
     sh = df.select(F.col(id_col), grams.alias("__sh")).where(
         F.size("__sh") > 0
+    ).localCheckpoint(eager=False)
+    cands = minhash_candidate_pairs(
+        sh, text_col, id_col, n, num_hashes, bands,
+        max_bucket_size=max_bucket_size, observation=observation,
+        oversize=oversize, grams_col="__sh",
     )
     a = sh.select(F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sha"))
     b = sh.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("__shb"))

@@ -51,7 +51,7 @@ SHUFFLE_BUDGET = {
     # was 9 before the zero-shuffle assignment fold (r4): cell decoration
     # no longer shuffles or joins back, leaving Lloyd re-estimation + the
     # per-query rank window
-    "ann_ivf_kmeans_topk": 7,
+    "ann_ivf_kmeans_topk": 2,  # r10-opt: cell table checkpointed once (the Lloyd shuffle lives in its materialization job)
     "text_lang_id": 0,
     "text_quality": 0,
     "asof_join_events": 1,
@@ -71,7 +71,7 @@ SHUFFLE_BUDGET = {
     "corpus_shuffle_order": 5,
     "training_corpus_pipeline": 16,
     "mixture_sample_langs": 0,
-    "text_bigram_lift": 5,
+    "text_bigram_lift": 2,  # r10-opt: tokenize checkpointed, totals from count-table sums
     "pagerank_suppliers": 13,
     "zorder_stats": 1,
     "near_dup_pairs": 2,
@@ -148,10 +148,10 @@ SHUFFLE_BUDGET = {
     # THIS regex counts Exchange SinglePartition too: 31 counted, all
     # over <= 20-row frames; curve = the PPJoin 18 + bucket agg + the
     # 1-partition cumulative window
-    "dedup_set_similarity_exact": 18,
-    "winnow_overlap_pairs": 6,
+    "dedup_set_similarity_exact": 8,  # r10-opt: token table checkpointed, subtree re-expansion gone
+    "winnow_overlap_pairs": 3,  # r10-opt: in-array winnowing removed the gram window sort; by_hash checkpointed
     "mixture_reweight_mw": 31,
-    "dedup_threshold_curve": 20,
+    "dedup_threshold_curve": 10,  # r10-opt: same set_similarity checkpoint
     # r7 sitting-2 audit (2026-08-16): truss = final wedge-join support
     # pass over the checkpointed peeled edges (per-round plans are
     # materialized behind localCheckpoint, the pagerank convention);
