@@ -1343,8 +1343,17 @@ def bpe_encode(
             s, F.lit(sep + a + sep + sep + b + sep), F.lit(sep + a + b + sep)
         )
     toks = F.size(F.split(F.btrim(s, F.lit(sep)), sep + sep))
+    # r10-opt: run the merge-replace chain once per DISTINCT word, not
+    # once per (doc, word) group — token count is a pure function of
+    # the word, and Zipf makes |vocab| orders of magnitude smaller than
+    # |(doc, word)| (measured 31 vs 116k at sf0.1). The encoded vocab
+    # joins back on the word; AQE broadcasts it when it is small and
+    # falls back to a w-keyed shuffle for a genuinely huge vocabulary.
+    enc = (
+        words.select("w").distinct().withColumn("__toks", toks)
+    )
     return (
-        words.withColumn("__toks", toks)
+        words.join(enc, "w")
         .groupBy(F.col("__id").alias(id_col))
         .agg(
             F.sum("c").alias("n_words"),
