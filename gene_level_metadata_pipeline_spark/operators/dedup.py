@@ -815,6 +815,23 @@ def _banded_bucket_pairs(
                 ),
             )
         if oversize == "star":
+            # Star mode SPLITS the windowed bucket frame into two
+            # consumers (the star branch and the capped main branch),
+            # and without a materialization point each branch re-ran
+            # the ENTIRE upstream pipeline — signatures (the expensive
+            # per-shingle fold), banding, exchange, and the size
+            # window (r10-opt: interleaved A/B measured 3.59 -> 0.63s
+            # min at sf0.1 from this one checkpoint; runtime exchange
+            # reuse did NOT recover the duplication across the union's
+            # branches). Drop mode keeps a single consumer and needs no
+            # barrier. NOT applied when an Observation is attached: a
+            # checkpoint materializes outside a SQL execution, so the
+            # CollectMetrics node's values never reach the Observation
+            # (measured: lsh_starred_rows read 0) — telemetry callers
+            # keep the pre-existing two-branch compute instead of
+            # silently losing their metrics.
+            if observation is None:
+                buckets = buckets.localCheckpoint(eager=False)
             # oversized buckets become hub stars: member ⟷ min(id) —
             # the second window shares the first's (band, band_hash)
             # exchange, and pair volume is |bucket|, never |bucket|²
