@@ -146,7 +146,8 @@ def test_multimodal_feature_plumbing(spark):
     # gate is gone) — non-JPEG payload bytes fail loud at execution
     binary = multimodal.attach_binary_payload(df, "text", "doc_id")
     with pytest.raises(Exception, match="not a JPEG"):
-        multimodal.decode_image(binary).collect()
+        # coalesce(1): see test_jpeg_decode — one task, no kill-race
+        multimodal.decode_image(binary.coalesce(1)).collect()
 
 
 def test_ivf_topk_searches_only_own_cell(spark):
@@ -1584,13 +1585,13 @@ def test_decode_audio_rejects_non_pcm16_and_garbage(spark):
         [(1, bytearray(buf.getvalue()))], "doc_id long, payload binary"
     )
     with pytest.raises(Exception, match="16-bit PCM"):
-        mm.decode_audio(eight_bit).collect()
+        mm.decode_audio(eight_bit.coalesce(1)).collect()
 
     garbage = spark.createDataFrame(
         [(2, bytearray(b"not a wav file"))], "doc_id long, payload binary"
     )
     with pytest.raises(Exception):
-        mm.decode_audio(garbage).collect()
+        mm.decode_audio(garbage.coalesce(1)).collect()
 
 
 def test_decode_audio_compressed_still_gated(spark):
@@ -1662,7 +1663,7 @@ def test_decode_image_bmp_fail_loud(spark):
         [(1, bytearray(b"NOTABMP" * 10))], "doc_id long, payload binary"
     )
     with pytest.raises(Exception, match="not a BMP"):
-        mm.decode_image(garbage, codec="bmp").collect()
+        mm.decode_image(garbage.coalesce(1), codec="bmp").collect()
 
     # 8-bit palette BMPs are unsupported -> loud, not silent nulls
     import struct
@@ -1674,7 +1675,7 @@ def test_decode_image_bmp_fail_loud(spark):
         "doc_id long, payload binary",
     )
     with pytest.raises(Exception, match="only uncompressed 24-bit"):
-        mm.decode_image(palette, codec="bmp").collect()
+        mm.decode_image(palette.coalesce(1), codec="bmp").collect()
 
 
 def test_resize_image_constant_plan_and_224(spark):

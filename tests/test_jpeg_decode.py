@@ -459,9 +459,12 @@ def test_mjpeg_avi_fail_loud():
     spark = _get_spark()
 
     def expect_raise(payload, match):
+        # coalesce(1): same sibling-task kill race as
+        # test_fail_loud_surface — one partition means the decoder's
+        # own exception is always the one the driver reports.
         df = spark.createDataFrame(
             [(0, bytearray(payload))], "doc_id long, payload binary"
-        )
+        ).coalesce(1)
         with pytest.raises(Exception, match=match):
             sample_frames(df, every_n=1, codec="mjpeg-avi").collect()
 

@@ -121,9 +121,10 @@ def test_png_multi_idat_chunks(spark):
 
 
 def _expect_raises(spark, payload, match):
+    # coalesce(1): see test_jpeg_decode — one task, no kill-race
     df = spark.createDataFrame(
         [(0, bytearray(payload))], "doc_id long, payload binary"
-    )
+    ).coalesce(1)
     with pytest.raises(Exception) as ei:
         mm.decode_image(df, codec="png").collect()
     assert match in str(ei.value)
