@@ -112,7 +112,7 @@ SHUFFLE_BUDGET = {
     # r5 batch-2/3 headline promotions (audited 2026-08-15; rationale
     # in the EXTRA_BUDGET comment block where they were first pinned)
     "bpe_train_merges": 0,
-    "bpe_encode_docs": 2,
+    "bpe_encode_docs": 3,  # r10-opt: +1 conscious — the vocab distinct that lets the merge-replace chain run once per DISTINCT word instead of per (doc, word) group
     "cdc_apply_orders": 2,
     "feature_hash_docs": 1,
     "golden_record_docs": 5,
@@ -337,7 +337,7 @@ EXTRA_BUDGET = {
     # tokenizer composite: encode's (doc, word) collapse + doc rollup
     # + the per-language rollup (train's per-round frames are
     # checkpointed driver-side, 0 printed)
-    "tokenizer_pipeline": 3,
+    "tokenizer_pipeline": 4,  # r10-opt: +1, same vocab distinct via bpe_encode
     # sketch-bound certification: per-type stats agg + the rank-check
     # re-agg + the tiny stats join back
     "approx_percentile_bound": 3,
