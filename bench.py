@@ -33,6 +33,15 @@ and ``load_start``/``load_end`` land in BOTH the stdout line and
 bench_detail.json. To compare rounds, deflate by the control ratio —
 if control_sec moved with the totals, the host floor shifted, not the
 code.
+
+Per-query ambient control (VERDICT r10 item 1): the bracketing pair
+detects a floor shift between rounds but not a MID-SUITE load wave, so
+one control rep additionally runs interleaved before every
+CONTROL_EVERY-th headline query. bench_detail.json carries the trace
+(``control_trace``), each query's nearest control rep
+(``queries_nearest_control``) and a deflated per-query table
+(``queries_deflated`` — see :func:`_deflated_queries`); the stdout line
+adds only a scalar ``control_trace_spread`` (max/min over the trace).
 """
 
 from __future__ import annotations
@@ -160,6 +169,14 @@ HEADLINE = [
 REPS = 3
 CONTROL = "ann_brute_force_topk"
 CONTROL_REPS = 3
+# One control rep runs interleaved before every CONTROL_EVERY-th headline
+# query (plus once after the last): the bracketing control_pre/control_post
+# pair detects a floor SHIFT between rounds but not a mid-suite load wave
+# (VERDICT r10: a load-16 wave inflated every query 1.8x while the
+# bracketing controls only caught 2x at the edges). The trace localizes
+# contamination to the queries it actually hit; ~11 extra control reps
+# cost a few seconds and are NOT part of any query's timing.
+CONTROL_EVERY = 8
 
 # Family buckets for the round-over-round regression verdict: default
 # is the name's first token; the overrides merge spiritual families the
@@ -252,6 +269,43 @@ def _family_regression(
     }
 
 
+def _deflated_queries(
+    times: dict[str, float],
+    headline: list[str],
+    trace: list[dict],
+) -> tuple[dict[str, float], dict[str, float], float]:
+    """Per-query ambient deflation from the interleaved control trace
+    (VERDICT r10 item 1). For each query, ``nearest`` is the control rep
+    closest in suite position (ties to the earlier one); ``deflated`` =
+    min_sec x (trace MIN / nearest) — i.e. what the query would have
+    read had its neighborhood run at the run's QUIETEST observed floor
+    (the same estimator philosophy as the per-query min-of-reps: the
+    quietest reading is the plan-cost one). A mid-suite load wave
+    inflates the nearby control rep the same way it inflates the query,
+    so the ratio cancels it; nearest-by-position is a coarse localizer
+    (a wave edge inside one CONTROL_EVERY window blurs), so treat
+    ``deflated`` as the adjudication table and ``times`` as ground
+    truth. Cross-ROUND comparisons still deflate once more by the
+    cross-round control ratio (the _family_regression discipline).
+    Returns (nearest_control, deflated, trace_floor)."""
+    nearest_out: dict[str, float] = {}
+    deflated_out: dict[str, float] = {}
+    if not trace:
+        return nearest_out, deflated_out, 0.0
+    floor = min(t["sec"] for t in trace)
+    for qi, name in enumerate(headline):
+        if name not in times:
+            continue
+        near = min(trace, key=lambda t: (abs(t["at"] - (qi + 0.5)), t["at"]))
+        nearest_out[name] = near["sec"]
+        deflated_out[name] = (
+            round(times[name] * floor / near["sec"], 3)
+            if near["sec"] > 0
+            else times[name]
+        )
+    return nearest_out, deflated_out, floor
+
+
 def _loadavg_1m() -> float:
     try:
         return round(os.getloadavg()[0], 2)
@@ -290,9 +344,22 @@ def main() -> None:
     load_start = _loadavg_1m()
     control_pre = run_control()
 
+    def control_rep() -> float:
+        t0 = time.time()
+        dq.QUERIES[CONTROL](spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.time() - t0, 3)
+
     times: dict[str, float] = {}
     medians: dict[str, float] = {}
-    for name in HEADLINE:
+    control_trace: list[dict] = []
+    for qi, name in enumerate(HEADLINE):
+        # interleaved ambient control (VERDICT r10 item 1): one control
+        # rep every CONTROL_EVERY queries, timed OUTSIDE every query's
+        # reps, so a mid-suite load wave can be localized per query
+        if qi % CONTROL_EVERY == 0:
+            control_trace.append({"at": qi, "sec": control_rep()})
         fn = dq.QUERIES[name]
         runs: list[float] = []
         for _ in range(REPS):
@@ -302,6 +369,7 @@ def main() -> None:
         runs.sort()
         times[name] = round(runs[0], 3)
         medians[name] = round(runs[len(runs) // 2], 3)
+    control_trace.append({"at": len(HEADLINE), "sec": control_rep()})
 
     control_post = run_control()
     load_end = _loadavg_1m()
@@ -325,6 +393,18 @@ def main() -> None:
         "load_start": load_start,
         "load_end": load_end,
     }
+    # per-query ambient control (VERDICT r10 item 1): the interleaved
+    # trace, each query's nearest control rep, and the deflated table —
+    # detail-file additions only; the stdout line stays key-compatible
+    nearest, deflated, trace_floor = _deflated_queries(
+        times, HEADLINE, control_trace
+    )
+    detail["control_every"] = CONTROL_EVERY
+    detail["control_trace"] = control_trace
+    detail["control_trace_floor"] = trace_floor
+    detail["queries_nearest_control"] = nearest
+    detail["queries_deflated"] = deflated
+    detail["value_deflated"] = round(sum(deflated.values()), 3)
     # The driver tail-captures stdout and parses the last line as JSON;
     # the r7 line (73 queries, medians stripped) STILL outgrew the tail
     # window -> "parsed": null (VERDICT r7 item 2). So the stdout line
@@ -355,8 +435,18 @@ def main() -> None:
     STDOUT_BUDGET = 1400  # bytes; driver tail capture is ~1.5-2 KB
     compact = {
         k: v for k, v in detail.items()
-        if k not in ("queries", "queries_median", "family_regression")
+        if k not in (
+            "queries", "queries_median", "family_regression",
+            "control_trace", "queries_nearest_control", "queries_deflated",
+        )
     }
+    # one-line wave summary: max/min over the interleaved control trace
+    # (1.0 = flat floor; >1.5 = the run caught a load wave — read
+    # bench_detail.json's queries_deflated before comparing rounds)
+    trace_secs = [t["sec"] for t in control_trace if t["sec"] > 0]
+    compact["control_trace_spread"] = (
+        round(max(trace_secs) / min(trace_secs), 2) if trace_secs else None
+    )
     # the stdout line carries only the VERDICT of the family comparison
     # (regressed list + deflator); the full per-family ratio table lives
     # in bench_detail.json, bound by the sha below

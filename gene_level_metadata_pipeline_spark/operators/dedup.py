@@ -28,6 +28,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from gene_level_metadata_pipeline_spark.materialize import (
+    materialize as _materialize,
+)
 
 __all__ = [
     "word_shingles",
@@ -385,7 +388,7 @@ def ngram_jaccard_pairs(
     # (id, shingle) frame so the text explode runs once, not 3-4 times
     # (the set_similarity_join diamond-reuse fix, r10-opt; the before
     # plan carried 4 Generate + 8 scan nodes for one tokenization).
-    sh = df.select(*cols).localCheckpoint(eager=False)
+    sh = df.select(*cols).transform(_materialize)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.withColumnRenamed(id_col, "doc_a")
     b = sh.withColumnRenamed(id_col, "doc_b")
@@ -831,7 +834,7 @@ def _banded_bucket_pairs(
             # keep the pre-existing two-branch compute instead of
             # silently losing their metrics.
             if observation is None:
-                buckets = buckets.localCheckpoint(eager=False)
+                buckets = buckets.transform(_materialize)
             # oversized buckets become hub stars: member ⟷ min(id) —
             # the second window shares the first's (band, band_hash)
             # exchange, and pair volume is |bucket|, never |bucket|²
@@ -966,7 +969,7 @@ def near_dup_pairs(
     grams = shingle_array(text_col, n)
     sh = df.select(F.col(id_col), grams.alias("__sh")).where(
         F.size("__sh") > 0
-    ).localCheckpoint(eager=False)
+    ).transform(_materialize)
     cands = minhash_candidate_pairs(
         sh, text_col, id_col, n, num_hashes, bands,
         max_bucket_size=max_bucket_size, observation=observation,
@@ -1232,7 +1235,7 @@ def ngram_containment_pairs(
     # (id, shingle) frame so the text explode runs once, not 3-4 times
     # (the set_similarity_join diamond-reuse fix, r10-opt; the before
     # plan carried 4 Generate + 8 scan nodes for one tokenization).
-    sh = df.select(*cols).localCheckpoint(eager=False)
+    sh = df.select(*cols).transform(_materialize)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.withColumnRenamed(id_col, "doc_a")
     b = sh.withColumnRenamed(id_col, "doc_b")
@@ -1434,6 +1437,7 @@ def set_similarity_join(
     token_col: str = "w",
     threshold_num: int = 1,
     threshold_den: int = 2,
+    materialize_tokens: bool = True,
 ) -> DataFrame:
     """EXACT Jaccard-threshold self-join with PREFIX FILTERING (the
     PPJoin family, Chaudhuri/Xiao 2006-2011) — the third point in the
@@ -1493,10 +1497,17 @@ def set_similarity_join(
     # thin (id, tok) frame once on first use and lets every consumer
     # read the materialized blocks (guide §1.2 step 1: remove repeated
     # passes before tuning per-task work). Results are unchanged — only
-    # the number of times the explode runs.
+    # the number of times the explode runs. ``materialize_tokens=False``
+    # opts OUT for callers whose token table is too small to amortize a
+    # materialization job (r11: dedup_threshold_curve's deterministic
+    # 1-in-10 sample — ~500 docs at sf0.1 — paid checkpoint overhead
+    # for subtrees that re-expand in microseconds); results identical
+    # either way, only plan shape and scheduling differ.
     t = tokens.select(
         F.col(id_col).alias("id"), F.col(token_col).alias("tok")
-    ).distinct().localCheckpoint(eager=False)
+    ).distinct()
+    if materialize_tokens:
+        t = t.transform(_materialize)
     sizes = t.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     dfreq = t.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
@@ -1636,7 +1647,7 @@ def repeated_substring_spans(
         # join — unpinned, the O(corpus-chars) explosion runs twice
         # (the fdr_bh replayed-corpus-frame lesson; this is the
         # operator's dominant cost at every scale)
-        .localCheckpoint(eager=False)
+        .transform(_materialize)
     )
     dup = g.groupBy("h").agg(
         F.min("id").alias("__mn"), F.max("id").alias("__mx")
@@ -1695,7 +1706,7 @@ def remove_repeated_substrings(
     # spans feed segmentation AND the per-doc stats — pin one evaluation
     spans = repeated_substring_spans(
         df, text_col, id_col, gram_len
-    ).localCheckpoint(eager=False)
+    ).transform(_materialize)
     w = Window.partitionBy("id").orderBy("span_start")
     segs = spans.select(
         "id", "span_start", "span_end",

@@ -43,6 +43,9 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from gene_level_metadata_pipeline_spark.materialize import (
+    materialize as _materialize,
+)
 
 __all__ = [
     "attach_binary_payload",
@@ -1141,7 +1144,7 @@ def image_near_dup_pairs(
                 F.lit(0).cast("bigint"),
                 lambda acc, x: acc + x.cast("bigint"),
             ).alias("__tot"),
-        ).localCheckpoint(eager=False)
+        ).transform(_materialize)
         hashed = smpt.select(
             F.col(id_col),
             F.transform(
@@ -1150,12 +1153,12 @@ def image_near_dup_pairs(
                     x.cast("bigint") * 64 > F.col("__tot"), F.lit(1)
                 ).otherwise(F.lit(0)),
             ).alias("__bits"),
-        ).localCheckpoint(eager=False)  # reused by buckets AND confirms
+        ).transform(_materialize)  # reused by buckets AND confirms
     else:
         hashed = decoded.select(
             F.col(id_col),
             dhash_bits("pixels", "width", "height").alias("__bits"),
-        ).localCheckpoint(eager=False)  # reused by buckets AND confirms
+        ).transform(_materialize)  # reused by buckets AND confirms
     rows = 64 // bands
     band_structs = [
         F.struct(

@@ -34,6 +34,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from gene_level_metadata_pipeline_spark.materialize import (
+    materialize as _materialize,
+)
 
 from gene_level_metadata_pipeline_spark.operators.textanalysis import (
     hex_sample_bound,
@@ -89,7 +92,7 @@ def running_sum(
     ranged = df.repartitionByRange(int(n), *keys)
     ranged = ranged.withColumn(
         "_pid", F.spark_partition_id()
-    ).localCheckpoint(eager=False)
+    ).transform(_materialize)
 
     w = Window.partitionBy("_pid").orderBy(*keys)
     val = (
@@ -901,7 +904,7 @@ def dsir_log_weights(
     # of which would re-run the corpus-sized gram explode + md5 without
     # a materialization point (r10-opt: the before plan expanded the
     # explode 5x). Checkpoint the thin (id, bucket-int) stream once.
-    rb = grams(raw).localCheckpoint(eager=False)
+    rb = grams(raw).transform(_materialize)
     tb = grams(target)
     rcnt = rb.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__rc"))
     tcnt = tb.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__tc"))

@@ -10,6 +10,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from gene_level_metadata_pipeline_spark.materialize import (
+    materialize as _materialize,
+)
 
 __all__ = [
     "STOPWORDS",
@@ -459,14 +462,16 @@ def winnow_overlap_pairs(
     # by_hash feeds FOUR consumers — the corpus-proportional n_docs
     # count (an eager job at plan-build time), df_counts, and both
     # sides of the pair join — and its upstream subtree is the full
-    # winnowing pipeline (k-gram explode + md5 + two window passes over
-    # every character of the corpus). Without a materialization point
-    # that pipeline ran 4-5x per invocation (r10-opt plan audit: 4
-    # Generate + 8 Window nodes in one physical plan, plus the count's
-    # own job). Checkpoint the thin (id, fp_hash) selection — ~2/(w+1)
-    # of the gram count — so winnowing runs once; results unchanged.
+    # winnowing pipeline (per-row in-array sliding-window minima over
+    # the packed-hash array — one md5 per normalized corpus char — plus
+    # the sparse selection explode; the r10-opt rewrite that replaced
+    # the gram-level explode + two window passes). Without a
+    # materialization point that pipeline would still run once per
+    # consumer (the r10-opt audit measured 4-5x before the rewrite).
+    # Checkpoint the thin (id, fp_hash) selection — ~2/(w+1) of the
+    # gram count — so winnowing runs once; results unchanged.
     by_hash = (
-        fps.select("id", "fp_hash").distinct().localCheckpoint(eager=False)
+        fps.select("id", "fp_hash").distinct().transform(_materialize)
     )
     eff_max_df = max_df
     if max_df_frac_e6 is not None:
@@ -1973,7 +1978,7 @@ def kneser_ney_bigram(
         ).alias("b")
     ).select("b.w1", "b.w2")
     c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c12 = c12.localCheckpoint(eager=False)
+    c12 = c12.transform(_materialize)
     c1 = c12.groupBy("w1").agg(
         F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("nfol")
     )

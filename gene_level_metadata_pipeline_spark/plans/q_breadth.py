@@ -8,6 +8,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from gene_level_metadata_pipeline_spark.materialize import (
+    materialize as _materialize,
+)
 
 from gene_level_metadata_pipeline_spark.operators.harmonize import harmonize, spine
 from gene_level_metadata_pipeline_spark.plans.registry import (
@@ -457,7 +460,7 @@ def _ivf_kmeans_cells(spark: SparkSession, sf_dir: str):
     # ann_ivf_kmeans_topk's plan for one logical cell table).
     # Checkpoint the decorated table once; downstream queries read the
     # materialized (vec_id, embedding, cell) blocks.
-    return assign_cells(emb, cent).localCheckpoint(eager=False)
+    return assign_cells(emb, cent).transform(_materialize)
 
 
 @_register(

@@ -8,6 +8,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from gene_level_metadata_pipeline_spark.materialize import (
+    materialize as _materialize,
+)
 
 from gene_level_metadata_pipeline_spark.operators.harmonize import harmonize, spine
 from gene_level_metadata_pipeline_spark.plans.q_breadth import _IVF_KMEANS_CTES
@@ -1763,10 +1766,10 @@ def q_text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.filter(F.split("text", " "), lambda x: x != "").alias("toks"),
-    ).localCheckpoint(eager=False)
+    ).transform(_materialize)
     uni = docs.select(F.explode("toks").alias("w"))
     uc = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    uc = uc.localCheckpoint(eager=False)  # feeds n_uni + both broadcasts
+    uc = uc.transform(_materialize)  # feeds n_uni + both broadcasts
     bi = docs.where(F.size("toks") >= 2).select(
         F.explode(
             F.zip_with(
@@ -1777,7 +1780,7 @@ def q_text_bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select("p.w1", "p.w2")
     bc = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
-    bc = bc.localCheckpoint(eager=False)  # feeds n_bi + the >=8 filter
+    bc = bc.transform(_materialize)  # feeds n_bi + the >=8 filter
     # n_uni = sum of unigram counts, n_bi = sum of bigram counts: the
     # same bigints count(*) returned, with zero extra corpus passes.
     # coalesce keeps the empty-corpus value at 0 (sum of nothing is
@@ -4143,9 +4146,14 @@ def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") % 10 == 0
     )
     sh = word_shingles(docs, text_col="text", id_col="doc_id", n=1)
+    # materialize_tokens=False (r11): the 1-in-10 sample is ~500 docs at
+    # sf0.1 — far too small to amortize a checkpoint-materialization
+    # job; let Catalyst re-expand the tiny subtree per consumer instead
+    # (A/B in OPTIMIZATION_r11.md; corpus-sized callers keep the
+    # default materialization).
     pairs = set_similarity_join(
         sh, id_col="doc_id", token_col="shingle",
-        threshold_num=1, threshold_den=2,
+        threshold_num=1, threshold_den=2, materialize_tokens=False,
     )
     bucketed = pairs.groupBy(
         (F.col("jac_e6") - F.pmod("jac_e6", F.lit(100000)))

@@ -49,6 +49,52 @@ def test_missing_previous_detail_is_graceful():
     assert out == {"available": False, "reason": "no previous bench_detail"}
 
 
+def test_deflated_queries_cancels_local_wave():
+    import bench
+
+    # queries q0..q3; a load wave doubles the floor mid-suite: the
+    # control rep at position 2 reads 1.0 vs the 0.5 elsewhere.
+    # Query midpoints are qi+0.5, so q1/q2 sit nearest the at=2 wave
+    # rep and q0/q3 nearest the quiet brackets.
+    headline = ["q0", "q1", "q2", "q3"]
+    times = {"q0": 1.0, "q1": 2.0, "q2": 2.0, "q3": 1.0}
+    trace = [
+        {"at": 0, "sec": 0.5},
+        {"at": 2, "sec": 1.0},
+        {"at": 4, "sec": 0.5},
+    ]
+    nearest, deflated, floor = bench._deflated_queries(
+        times, headline, trace
+    )
+    assert floor == 0.5  # trace min = quietest observed floor
+    assert nearest == {"q0": 0.5, "q1": 1.0, "q2": 1.0, "q3": 0.5}
+    # the wave-hit queries deflate 2x back to the quiet floor; the
+    # quiet-window queries are untouched
+    assert deflated == {"q0": 1.0, "q1": 1.0, "q2": 1.0, "q3": 1.0}
+
+
+def test_deflated_queries_flat_trace_is_identity():
+    import bench
+
+    headline = ["q0", "q1"]
+    times = {"q0": 1.5, "q1": 0.7}
+    trace = [{"at": 0, "sec": 0.5}, {"at": 2, "sec": 0.5}]
+    nearest, deflated, floor = bench._deflated_queries(
+        times, headline, trace
+    )
+    assert deflated == times
+    assert floor == 0.5
+
+
+def test_deflated_queries_empty_trace_is_graceful():
+    import bench
+
+    nearest, deflated, floor = bench._deflated_queries(
+        {"q0": 1.0}, ["q0"], []
+    )
+    assert nearest == {} and deflated == {} and floor == 0.0
+
+
 def test_family_overrides_merge_prefix_splits():
     import bench
 

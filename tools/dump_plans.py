@@ -10,8 +10,12 @@ Usage:
     PLANS_TAG=r10 SF_DIR=/root/testdata/sf0.1 python tools/dump_plans.py before
 
 With no query list, dumps every bench.py HEADLINE query. Files land at
-plans/$PLANS_TAG/<query>_<suffix>.txt. Plan capture is driver-side only
-(no job runs), so it does not perturb a concurrent bench.
+plans/$PLANS_TAG/<query>_<suffix>.txt. Plan capture is mostly
+driver-side, but queries with eager plan-BUILD work do run jobs
+(winnow_overlap_pairs' n_docs count — which also materializes the lazy
+fingerprint checkpoint — the kmeans driver loop in _ivf_kmeans_cells,
+bpe merge collection), so a full dump can perturb a concurrent bench;
+run them separately.
 """
 
 from __future__ import annotations

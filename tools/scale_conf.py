@@ -86,14 +86,42 @@ def recommend(
     }
 
 
+def materialize_recommendation(executors: int) -> dict[str, str]:
+    """Deployment advice for the engine's shared-subtree materialization
+    points (gene_level_metadata_pipeline_spark.materialize — VERDICT r10
+    item 4): ``localCheckpoint`` blocks are executor-local and
+    unrecoverable after an executor loss, so the more executors a job
+    spans (and the longer it runs), the more that trade costs.
+    Single-node / local mode: executor loss == process loss, reliability
+    adds nothing — keep ``local``. Small clusters: ``persist``
+    (DISK_ONLY keeps lineage, so a lost executor recomputes instead of
+    failing; no distributed-FS traffic). Large fleets, where some
+    executor loss per long job is expected: ``reliable`` (DataFrame
+    .checkpoint to SPARK_GRAFT_CHECKPOINT_DIR on the cluster FS)."""
+    if executors <= 1:
+        mode = "local"
+    elif executors <= 32:
+        mode = "persist"
+    else:
+        mode = "reliable"
+    out = {"SPARK_GRAFT_MATERIALIZE": mode}
+    if mode == "reliable":
+        out["SPARK_GRAFT_CHECKPOINT_DIR"] = "<cluster-fs path, e.g. hdfs://...>"
+    return out
+
+
 def main(argv: list[str]) -> None:
     if len(argv) != 4:
         print(__doc__)
         raise SystemExit(2)
     data, execs, cores, mem = argv
     conf = recommend(parse_size(data), int(execs), int(cores), float(mem))
-    width = max(len(k) for k in conf)
+    env = materialize_recommendation(int(execs))
+    width = max(len(k) for k in list(conf) + list(env))
     for k, v in conf.items():
+        print(f"{k:<{width}}  {v}")
+    print("# engine env (materialization strategy — see materialize.py):")
+    for k, v in env.items():
         print(f"{k:<{width}}  {v}")
 
 
